@@ -1,0 +1,88 @@
+"""Continuous-aggregate tier cascade raw→1m→1h→1d (SURVEY A2/A3).
+
+Semantics (BASELINE.json:6): the 1m tier aggregates raw points; every
+higher tier re-aggregates **from the tier below it**, never from raw:
+``cnt=sum(cnt), sum=sum(sum), min=min(min), max=max(max),
+first=min_by(first, bucket_ts), last=max_by(last, bucket_ts)``.
+
+Determinism under parallelism: ``first``/``last`` at the raw level are
+``min_by``/``max_by`` on the composite key ``struct(ts, turn_idx)`` —
+never the order-dependent ``first()`` aggregate (SURVEY §7 "hard
+parts").  Struct ordering keys are natively comparable in Spark, so the
+whole cascade stays inside whole-stage codegen: no UDFs, hash
+aggregation with map-side partial aggregation on every tier.
+
+Scale note: groupBy keys are (conv_id, metric, bucket_ts); partial
+aggregation collapses each task's rows before the shuffle, so shuffle
+volume ≈ |buckets|, not |points|.  Tier N+1 reuses tier N's output
+(cheap: ~60x smaller each step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIER_UP = {"1m": "1h", "1h": "1d"}
+
+
+def rollup_raw(series: DataFrame, tier: str = "1m") -> DataFrame:
+    """Raw series points → a tier of (cnt,sum,min,max,first,last)."""
+    trunc = TIER_TRUNC[tier]
+    order_key = F.struct(F.col("ts"), F.col("turn_idx"))
+    return (
+        series.groupBy(
+            "conv_id", "metric", F.date_trunc(trunc, "ts").alias("bucket_ts")
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min_by("value", order_key).alias("first"),
+            F.max_by("value", order_key).alias("last"),
+        )
+    )
+
+
+def rollup_tier(lower: DataFrame, to_tier: str) -> DataFrame:
+    """Re-aggregate tier N → tier N+1 from the lower tier only."""
+    trunc = TIER_TRUNC[to_tier]
+    lo = lower.withColumnRenamed("bucket_ts", "lo_ts")
+    return (
+        lo.groupBy(
+            "conv_id",
+            "metric",
+            F.date_trunc(trunc, "lo_ts").alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", F.col("lo_ts")).alias("first"),
+            F.max_by("last", F.col("lo_ts")).alias("last"),
+        )
+    )
+
+
+def rollup_cascade(series: DataFrame) -> dict[str, DataFrame]:
+    """Full cascade; returns {'1m': df, '1h': df, '1d': df}."""
+    t1m = rollup_raw(series, "1m")
+    t1h = rollup_tier(t1m, "1h")
+    t1d = rollup_tier(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def tier_summary(tier_df: DataFrame) -> DataFrame:
+    """Per-metric / grand-total report via ROLLUP grouping sets (SURVEY A7)."""
+    return (
+        tier_df.rollup("metric")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("cnt").alias("points"),
+            F.sum("sum").alias("total"),
+        )
+        .orderBy(F.col("metric").asc_nulls_first())
+    )
