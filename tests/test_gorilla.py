@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from timeseriescorrelation_spark.functions.gorilla import (
+    _clz64,
+    _ctz64,
+    decode_chunk,
+    encode_chunk,
+    pack_bits,
+)
+
+
+def test_clz_ctz():
+    xs = np.array(
+        [0, 1, 2, 3, (1 << 63), (1 << 64) - 1, (1 << 62) - 1, 1 << 52,
+         (1 << 53) + 1, 0x8000000000000001],
+        dtype=np.uint64,
+    )
+    for x, lead, trail in zip(
+        xs.tolist(), _clz64(xs).tolist(), _ctz64(xs).tolist()
+    ):
+        if x == 0:
+            assert lead == 64 and trail == 64
+        else:
+            assert lead == 64 - int(x).bit_length(), hex(x)
+            assert trail == (int(x) & -int(x)).bit_length() - 1, hex(x)
+
+
+def test_pack_bits_roundtrip_manual():
+    vals = np.array([0b101, 0b1, 0xFFFFFFFFFFFFFFFF, 0b0], dtype=np.uint64)
+    lens = np.array([3, 1, 64, 2], dtype=np.int64)
+    out = pack_bits(vals, lens)
+    bitstr = "".join(f"{b:08b}" for b in out)
+    expect = "101" + "1" + "1" * 64 + "00"
+    assert bitstr[: len(expect)] == expect
+
+
+def _roundtrip(ts, vs):
+    blob = encode_chunk(np.array(ts, dtype=np.int64), np.array(vs, dtype=np.float64))
+    dts, dvs = decode_chunk(blob)
+    np.testing.assert_array_equal(dts, np.array(ts, dtype=np.int64))
+    # bit-exact including NaN
+    np.testing.assert_array_equal(
+        dvs.view(np.uint64), np.array(vs, dtype=np.float64).view(np.uint64)
+    )
+    return blob
+
+
+def test_roundtrip_basic():
+    _roundtrip([0], [1.5])
+    _roundtrip([], [])
+    _roundtrip([0, 1_000_000, 2_000_000], [1.0, 1.0, 1.0])
+    _roundtrip(
+        [1735689600_000_000, 1735689660_000_000, 1735689660_000_000],
+        [0.0, -0.0, float("nan")],
+    )
+
+
+def test_roundtrip_edge_values():
+    vs = [0.0, 5e-324, -5e-324, float("inf"), float("-inf"), float("nan"),
+          1.7976931348623157e308, -1.0, 1.0, 2.0, 4.0, 0.1, 0.2, 0.30000001]
+    ts = np.cumsum([0] + [10**k for k in range(len(vs) - 1)]).tolist()
+    _roundtrip(ts, vs)
+
+
+def test_compression_on_regular_series():
+    n = 10_000
+    ts = 1735689600_000_000 + np.arange(n, dtype=np.int64) * 60_000_000
+    vs = np.full(n, 42.5)
+    blob = encode_chunk(ts, vs)
+    raw = n * 16
+    assert len(blob) < raw / 40  # ~2 bits/point on constant regular data
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_roundtrip_property(pairs):
+    deltas = [p[0] for p in pairs]
+    ts = np.cumsum(np.array(deltas, dtype=np.int64)) + 1_700_000_000_000_000
+    vs = np.array([p[1] for p in pairs], dtype=np.float64)
+    blob = encode_chunk(ts, vs)
+    dts, dvs = decode_chunk(blob)
+    np.testing.assert_array_equal(dts, ts)
+    np.testing.assert_array_equal(dvs.view(np.uint64), vs.view(np.uint64))
+
+
+def test_negative_dod_buckets():
+    # decreasing deltas exercise every negative bucket boundary
+    deltas = [10**6, 10**6 - 1, 10**6 - 64, 10**6 - 320, 10**6 - 2368,
+              10**6 - 2**33, 10**6]
+    ts = np.cumsum(np.array([0] + deltas, dtype=np.int64))
+    vs = np.arange(len(ts), dtype=np.float64)
+    _roundtrip(ts.tolist(), vs.tolist())
