@@ -21,13 +21,23 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from timeseriescorrelation_spark.operators.gapfill import fill_locf  # noqa: E402
+from timeseriescorrelation_spark.operators.correlation import (  # noqa: E402
+    build_vectors,
+    candidate_pairs,
+    dft_sketch,
+    exact_corr,
+)
+from timeseriescorrelation_spark.operators.gapfill import (  # noqa: E402
+    fill_interpolate,
+    fill_locf,
+)
 from timeseriescorrelation_spark.operators.rollup import (  # noqa: E402
     rollup_cascade,
     rollup_raw,
     rollup_tier,
     tier_summary,
 )
+from timeseriescorrelation_spark.operators.series import derive_series  # noqa: E402
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,6 +175,155 @@ def q_rollup_summary_1d(spark, sf_dir):
     )
 
 
+def q_interp_1h(spark, sf_dir):
+    s = _series_from_events(spark, sf_dir).withColumn("metric", F.lit("value"))
+    # no rounding: both engines evaluate the identical IEEE expression
+    # (prev + (next-prev)*(t-pt)/(nt-pt)) on exactly-representable
+    # microsecond epochs, so the raw doubles are bit-equal; round() is
+    # the only thing that can disagree (half-up vs multiply-based).
+    return fill_interpolate(s, "1h").select(
+        "conv_id", "grid_ts", "value", "filled"
+    )
+
+
+def q_series_metrics(spark, sf_dir):
+    """derive_series over a transcripts view built deterministically from
+    events (conv_id=user_id, turn order by (ts, event_id))."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.expr("repeat(' tok', cast(pmod(event_id, 5) as int))"),
+        ).alias("text"),
+        F.when(F.col("event_type") == "error", F.lit("bash")).alias("tool"),
+        F.col("ts"),
+    )
+    return derive_series(t).select(
+        "conv_id", "metric", "ts", "turn_idx",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_CORR_THETA = 0.5
+_CORR_M = 32
+
+
+def _aligned_from_events(spark, sf_dir):
+    """Hourly-avg series per user, first m buckets since each user's
+    first event; only users with >= m buckets (relative-time alignment)."""
+    from pyspark.sql import Window
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.avg("value").alias("v"))
+    )
+    wrn = Window.partitionBy("user_id").orderBy("b")
+    wcnt = Window.partitionBy("user_id")
+    r = h.select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.row_number().over(wrn).alias("rn"),
+        F.count("*").over(wcnt).alias("n"),
+        "v",
+    ).where((F.col("rn") <= _CORR_M) & (F.col("n") >= _CORR_M))
+    return r.select(
+        "series_id",
+        F.timestamp_seconds(F.lit(946684800) + F.col("rn") * 60).alias("grid_ts"),
+        F.col("v").alias("value"),
+    )
+
+
+def q_corr_report(spark, sf_dir):
+    """Full tiered correlation operator (sketch -> e-grid prune -> exact
+    Pearson); the DuckDB oracle is the naive all-pairs corr at theta —
+    equality IS the pruning-soundness guarantee."""
+    aligned = _aligned_from_events(spark, sf_dir)
+    vectors = dft_sketch(build_vectors(aligned))
+    cand = candidate_pairs(vectors, _CORR_THETA)
+    rep = exact_corr(cand, vectors, _CORR_THETA)
+    return rep.select("id_a", "id_b", F.round("rho", 6).alias("rho"))
+
+
+def q_corr_pairs_hourly(spark, sf_dir):
+    """Exact pairwise Pearson over co-occurring hourly buckets (J2+A4)."""
+    h = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.avg("value").alias("v"))
+    )
+    a = h.select(
+        F.col("user_id").alias("ua"), F.col("b"), F.col("v").alias("va")
+    )
+    b = h.select(
+        F.col("user_id").alias("ub"), F.col("b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "b")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.corr("va", "vb").alias("c"), F.count("*").alias("n"))
+        .where((F.col("n") >= 12) & F.col("c").isNotNull())
+        .select("ua", "ub", F.round("c", 6).alias("rho"), "n")
+    )
+
+
+def q_join_broadcast_rev(spark, sf_dir):
+    """Revenue per nation: fact joined to two broadcast dims (J3)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_anti_join_inactive(spark, sf_dir):
+    """Customers with no orders — the manifest-resume anti-join shape (J6)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_set_ops_users(spark, sf_dir):
+    """(click users UNION view users) EXCEPT error users (SURVEY §2.7)."""
+    e = _events(spark, sf_dir)
+    u = lambda t: e.where(F.col("event_type") == t).select(  # noqa: E731
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    return u("click").union(u("view")).distinct().exceptAll(u("error").distinct())
+
+
+def q_props_extract(spark, sf_dir):
+    """JSON-ish payload extraction + conditional agg (SURVEY §2.8 Map/JSON)."""
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("k_hi"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -183,6 +342,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": q_filter_range,
         "distinct_users": q_distinct_users,
         "rollup_summary_1d": q_rollup_summary_1d,
+        "interp_1h": q_interp_1h,
+        "series_metrics": q_series_metrics,
+        "corr_report": q_corr_report,
+        "corr_pairs_hourly": q_corr_pairs_hourly,
+        "join_broadcast_rev": q_join_broadcast_rev,
+        "anti_join_inactive": q_anti_join_inactive,
+        "set_ops_users": q_set_ops_users,
+        "props_extract": q_props_extract,
     }
 
 
@@ -250,6 +417,137 @@ WHERE event_type = 'click'
 """,
         "distinct_users": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "interp_1h": """
+WITH obs AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS g,
+         arg_max(value, ts) AS v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT conv_id, min(g) AS lo, max(g) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+  FROM spans
+), j AS (
+  SELECT grid.conv_id, grid.g, obs.v
+  FROM grid LEFT JOIN obs ON grid.conv_id = obs.conv_id AND grid.g = obs.g
+), fr AS (
+  SELECT conv_id, g, v,
+         last_value(v IGNORE NULLS) OVER w1 AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN g END IGNORE NULLS)
+           OVER w1 AS pt,
+         first_value(v IGNORE NULLS) OVER w2 AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN g END IGNORE NULLS)
+           OVER w2 AS nt
+  FROM j
+  WINDOW w1 AS (PARTITION BY conv_id ORDER BY g
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY conv_id ORDER BY g
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, g AS grid_ts,
+       CASE WHEN pv IS NULL OR nv IS NULL OR nt = pt
+            THEN coalesce(pv, nv)
+            ELSE pv + (nv - pv) * (epoch_us(g) - epoch_us(pt))
+                      / (epoch_us(nt) - epoch_us(pt)) END AS value,
+       (v IS NULL) AS filled
+FROM fr
+""",
+        "series_metrics": """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type || repeat(' tok', cast(event_id % 5 AS int)) AS text,
+         CASE WHEN event_type = 'error' THEN 'bash' END AS tool,
+         ts
+  FROM events
+), d AS (
+  SELECT conv_id, turn_idx, ts,
+         cast(len(regexp_split_to_array(text, '\\s+')) AS double) AS token_len,
+         CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END AS tool_calls,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx))) / 1e6 AS delta_s
+  FROM t
+)
+SELECT conv_id, metric, ts, turn_idx, round(value, 6) AS value FROM (
+  SELECT conv_id, 'token_len' AS metric, ts, turn_idx, token_len AS value
+  FROM d
+  UNION ALL
+  SELECT conv_id, 'tool_calls', ts, turn_idx, tool_calls FROM d
+  UNION ALL
+  SELECT conv_id, 'turn_rate', ts, turn_idx, 60.0 / greatest(delta_s, 1.0)
+  FROM d WHERE delta_s IS NOT NULL
+)
+""",
+        "corr_report": f"""
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT cast(user_id AS varchar) AS sid, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM h
+), x AS (
+  SELECT sid, rn, v FROM r WHERE rn <= {_CORR_M} AND n >= {_CORR_M}
+)
+SELECT a.sid AS id_a, b.sid AS id_b, round(corr(a.v, b.v), 6) AS rho
+FROM x a JOIN x b ON a.rn = b.rn AND a.sid < b.sid
+GROUP BY 1, 2
+HAVING corr(a.v, b.v) >= {_CORR_THETA}
+""",
+        "corr_pairs_hourly": """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.user_id AS ua, b.user_id AS ub,
+       round(corr(a.v, b.v), 6) AS rho, count(*) AS n
+FROM h a JOIN h b ON a.b = b.b AND a.user_id < b.user_id
+GROUP BY 1, 2
+HAVING count(*) >= 12 AND corr(a.v, b.v) IS NOT NULL
+""",
+        "join_broadcast_rev": """
+SELECT n_name,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+        "anti_join_inactive": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+""",
+        "set_ops_users": """
+(SELECT user_id, date_trunc('day', ts) AS d
+ FROM events WHERE event_type = 'click'
+ UNION
+ SELECT user_id, date_trunc('day', ts)
+ FROM events WHERE event_type = 'view')
+EXCEPT ALL
+(SELECT DISTINCT user_id, date_trunc('day', ts)
+ FROM events WHERE event_type = 'error')
+""",
+        "props_extract": """
+SELECT event_type,
+       cast(sum(k) AS bigint) AS k_sum,
+       cast(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS bigint) AS k_hi,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM (
+  SELECT event_type,
+         cast(regexp_extract(props, 'k":\\s*(\\d+)', 1) AS bigint) AS k
+  FROM events
+)
+GROUP BY 1
 """,
         "rollup_summary_1d": """
 WITH t1d AS (
