@@ -37,7 +37,28 @@ from timeseriescorrelation_spark.operators.rollup import (  # noqa: E402
     rollup_tier,
     tier_summary,
 )
+from timeseriescorrelation_spark.operators.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from timeseriescorrelation_spark.operators.multimodal import (  # noqa: E402
+    attach_payload,
+    decode_metadata,
+    frame_sample,
+)
 from timeseriescorrelation_spark.operators.series import derive_series  # noqa: E402
+from timeseriescorrelation_spark.operators.similarity import (  # noqa: E402
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    cosine_neardup_pairs,
+)
+from timeseriescorrelation_spark.operators.textstats import (  # noqa: E402
+    doc_fingerprints_vocab,
+    langid_heuristic,
+    text_stats,
+)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +345,73 @@ def q_props_extract(spark, sf_dir):
     )
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dups at tau=0.2 (integer compare)."""
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
+    return p.where(F.col("inter_n") * 5 >= F.col("union_n"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # 8 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^8 — ~0.97 at j=0.6,
+    # ~0.9998 at j=0.8; verify step then enforces exact j >= tau.
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, n_hashes=16, bands=8,
+        tau_num=1, tau_den=5, mode="vocab",
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_pairs(
+        _docs(spark, sf_dir), n=3, n_bits=32, max_hamming=6, mode="vocab"
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    return cosine_neardup_pairs(_embs(spark, sf_dir), min_cos=0.35)
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return ann_topk_bruteforce(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_ivf(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return ann_topk_ivf(e, e.where(F.col("vec_id") < 5), k=10, nprobe=3)
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    return langid_heuristic(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprints_vocab(_docs(spark, sf_dir))
+
+
+def q_mm_meta(spark, sf_dir):
+    return decode_metadata(attach_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_frames(spark, sf_dir):
+    return frame_sample(attach_payload(_docs(spark, sf_dir)), every_n_bytes=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -350,10 +438,164 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": q_anti_join_inactive,
         "set_ops_users": q_set_ops_users,
         "props_extract": q_props_extract,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "emb_neardup": q_emb_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "mm_meta": q_mm_meta,
+        "mm_frames": q_mm_frames,
     }
 
 
+# shared CTE prefix: word-trigram shingles + rank vocabulary + ids,
+# mirroring operators.dedup.shingles/shingle_vocab/shingle_ids exactly
+_SHINGLE_CTES = """
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), vocab AS (
+  SELECT shingle, cast(row_number() OVER (ORDER BY shingle) AS bigint) AS tid
+  FROM (SELECT DISTINCT shingle FROM sh)
+), ids AS (
+  SELECT s.doc_id, v.tid FROM sh s JOIN vocab v USING (shingle)
+)"""
+
+
+def _dedup_oracles() -> dict[str, str]:
+    from timeseriescorrelation_spark.operators.dedup import A_J, B_J, P31
+
+    mins = ",\n    ".join(
+        f"min((tid * {A_J[j]} + {B_J[j]}) % {P31}) AS h{j}"
+        for j in range(16)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"[h{2 * b}, h{2 * b + 1}] AS key FROM sig"
+        for b in range(8)
+    )
+    minhash = f"""
+WITH {_SHINGLE_CTES}, sig AS (
+  SELECT doc_id, {mins} FROM ids GROUP BY doc_id
+), banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, count(*) AS sz, list(tid) AS tids FROM ids GROUP BY doc_id
+)
+SELECT c.id_a, c.id_b,
+       cast(len(list_intersect(sa.tids, sb.tids)) AS int) AS inter_n,
+       cast(sa.sz + sb.sz - len(list_intersect(sa.tids, sb.tids)) AS bigint)
+         AS union_n
+FROM cand c
+JOIN sets sa ON c.id_a = sa.doc_id
+JOIN sets sb ON c.id_b = sb.doc_id
+WHERE len(list_intersect(sa.tids, sb.tids)) * 5
+      >= (sa.sz + sb.sz - len(list_intersect(sa.tids, sb.tids)))
+"""
+    simhash = f"""
+WITH {_SHINGLE_CTES}, g AS (
+  SELECT doc_id, (tid * {A_J[0]} + {B_J[0]}) % {P31} AS g FROM ids
+), bits AS (
+  SELECT doc_id, b.bit, CASE WHEN (g >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+), sums AS (
+  SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS bigint) AS fp
+  FROM sums GROUP BY 1
+), blocks AS (
+  SELECT doc_id, fp, t.i AS blk, (fp >> (8 * t.i)) & 255 AS byte
+  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.byte = b.byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+    ngram = f"""
+WITH {_SHINGLE_CTES}, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, cast(inter_n AS int) AS inter_n,
+       cast(sa.sz + sb.sz - inter_n AS bigint) AS union_n
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter_n * 5 >= sa.sz + sb.sz - inter_n
+"""
+    return {
+        "dedup_minhash_lsh": minhash,
+        "dedup_simhash": simhash,
+        "dedup_ngram_jaccard": ngram,
+    }
+
+
+# unit-vector CTE shared by the embedding oracles (mirrors
+# operators.similarity.with_unit_vectors: cast to double, divide by L2)
+_UV_CTE = """
+uv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS v
+  FROM embeddings
+)"""
+
+_IVF_CTES = """
+cent AS (
+  SELECT label AS cell, list(m ORDER BY dim) AS c FROM (
+    SELECT label, dim, avg(x) AS m FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings) GROUP BY 1, 2) GROUP BY 1
+), asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT u.vec_id, u.v, c.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY list_dot_product(u.v, c.c)
+                      / sqrt(list_dot_product(c.c, c.c)) DESC,
+                      c.cell) AS r
+    FROM uv u CROSS JOIN cent c) WHERE r = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM uv WHERE vec_id < 5
+), probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, c.c)
+                      / sqrt(list_dot_product(c.c, c.c)) DESC,
+                      c.cell) AS r
+    FROM q CROSS JOIN cent c) WHERE r <= 3
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
+    d = _static_oracles()
+    d.update(_dedup_oracles())
+    return d
+
+
+def _static_oracles() -> dict[str, str]:
     return {
         "rollup_1m": _TIER_ORACLE.format(trunc="minute"),
         "rollup_1h": _TIER_ORACLE.format(trunc="hour"),
@@ -548,6 +790,124 @@ FROM (
   FROM events
 )
 GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+""",
+        "emb_neardup": f"""
+WITH {_UV_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v), 6) AS cos
+FROM uv a JOIN uv b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.35
+""",
+        "ann_topk": f"""
+WITH {_UV_CTE}
+SELECT qid, rank, nid, cos FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round(list_dot_product(q.v, c.v), 6) AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                    c.vec_id) AS rank
+  FROM uv q JOIN uv c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+) WHERE rank <= 10
+""",
+        "ann_ivf": f"""
+WITH {_UV_CTE}, {_IVF_CTES}
+SELECT qid, rank, nid, cos FROM (
+  SELECT p.qid, a.vec_id AS nid,
+         round(list_dot_product(p.qv, a.v), 6) AS cos,
+         row_number() OVER (PARTITION BY p.qid
+           ORDER BY round(list_dot_product(p.qv, a.v), 6) DESC,
+                    a.vec_id) AS rank
+  FROM probes p JOIN asg a USING (cell)
+  WHERE a.vec_id <> p.qid
+) WHERE rank <= 10
+""",
+        "text_stats": """
+WITH tok AS (
+  SELECT doc_id, length(text) AS n_chars, lower(text) AS lt,
+         regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       cast(n_chars AS int) AS n_chars,
+       cast(len(t) AS int) AS n_tokens,
+       cast(len(list_distinct(t)) AS int) AS n_uniq,
+       cast(len(list_filter(t, x -> x IN
+         ('the','a','of','and','to','in','is','it'))) AS int) AS stop_cnt,
+       cast(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS int) AS bpe_cnt,
+       round(cast(list_sum(list_transform(t, x -> length(x))) AS double)
+             / len(t), 6) AS avg_tok_len,
+       round(cast(len(list_filter(t, x -> x IN
+         ('the','a','of','and','to','in','is','it'))) AS double)
+             / len(t), 6) AS stop_ratio
+FROM tok
+""",
+        "text_langid": """
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0
+              THEN cast(len(regexp_extract_all(lower(text), '[aeiou]'))
+                        AS double)
+                   / len(regexp_extract_all(lower(text), '[a-z]'))
+              ELSE 0.0 END AS ratio
+  FROM documents
+)
+SELECT doc_id, round(ratio, 6) AS vowel_ratio,
+       CASE WHEN ratio >= 0.46 THEN 'fi'
+            WHEN ratio >= 0.42 THEN 'es'
+            WHEN ratio >= 0.38 THEN 'en'
+            WHEN ratio >= 0.34 THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM r
+""",
+        "doc_fingerprint": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), pt AS (
+  SELECT doc_id, unnest(t) AS tok,
+         cast(generate_subscripts(t, 1) AS bigint) AS pos1
+  FROM tok
+), vocab AS (
+  SELECT tok, cast(row_number() OVER (ORDER BY tok) AS bigint) AS tid
+  FROM (SELECT DISTINCT tok FROM pt)
+)
+SELECT p.doc_id,
+       cast(sum(p.pos1 * ((v.tid * 7919 + 12345) % 2147483647))
+            % 2147483648 AS bigint) AS fp
+FROM pt p JOIN vocab v USING (tok)
+GROUP BY 1
+""",
+        "mm_meta": """
+WITH h AS (
+  SELECT doc_id,
+         cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+         cast(coalesce(list_sum(list_transform(
+           generate_series(1, least(16, length(text))),
+           i -> ascii(substr(text, i, 1)))), 0) AS bigint) AS header_sum
+  FROM documents
+)
+SELECT doc_id, n_bytes, header_sum,
+       cast(64 + header_sum % 512 AS int) AS fake_width,
+       cast(64 + (header_sum * 7) % 512 AS int) AS fake_height
+FROM h
+""",
+        "mm_frames": """
+SELECT doc_id,
+       cast(off // 64 AS int) AS frame_idx,
+       cast(coalesce(list_sum(list_transform(
+         generate_series(off + 1, least(off + 64, length(text))),
+         i -> ascii(substr(text, i, 1)))), 0) AS bigint) AS frame_sum
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), 64)) AS off
+  FROM documents
+)
 """,
         "rollup_summary_1d": """
 WITH t1d AS (

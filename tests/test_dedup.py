@@ -1,0 +1,148 @@
+"""Dedup operator tests: exact groups, n-gram Jaccard, MinHash-LSH
+recall/soundness, SimHash identity — numpy/pandas-free oracles built on
+tiny in-memory docs plus the sf0.001 documents table."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different words entirely here now"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup_groups(spark, docs):
+    rows = {r.keeper_id: r.n_dups for r in exact_dedup_groups(docs).collect()}
+    assert rows[0] == 2          # docs 0 and 2 collapse, keeper is min id
+    assert rows[1] == 1 and rows[3] == 1 and rows[4] == 1
+    assert 2 not in rows
+
+
+def test_shingles_match_python(spark, docs):
+    got = {
+        (r.doc_id, r.shingle) for r in shingles(docs, 3).collect()
+    }
+    want = {
+        (d, s) for d, t in DOCS for s in _py_shingles(t, 3)
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    got = {
+        (r.id_a, r.id_b): (r.inter_n, r.union_n)
+        for r in ngram_jaccard_pairs(docs, 3, min_inter=1).collect()
+    }
+    want = {}
+    for (da, ta), (db, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        inter = len(sa & sb)
+        if inter >= 1:
+            want[(da, db)] = (inter, len(sa | sb))
+    assert got == want
+
+
+def test_minhash_lsh_soundness_and_recall(spark, docs):
+    """LSH output must be a subset of exact pairs at the same tau
+    (verify step guarantees it) and must find exact/very-near dups."""
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, tau_num=1, tau_den=2).collect()
+    }
+    exact = set()
+    for (da, ta), (db, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        if len(sa | sb) and len(sa & sb) * 2 >= len(sa | sb):
+            exact.add((da, db))
+    assert lsh <= exact
+    assert (0, 2) in lsh  # identical docs always collide in every band
+
+
+def test_minhash_lsh_sf0001_recall(spark):
+    """On the driver's documents table, 8x2 LSH at tau=0.2 must recover
+    every exact pair with Jaccard >= 0.8 (collision prob ~0.9998/pair)
+    and >= 90% of pairs with Jaccard >= 0.6 — deterministic for this
+    seeded data."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, 3, min_inter=1)
+    j08 = {
+        (r.id_a, r.id_b)
+        for r in exact.where(
+            F.col("inter_n") * 10 >= F.col("union_n") * 8
+        ).collect()
+    }
+    j06 = {
+        (r.id_a, r.id_b)
+        for r in exact.where(
+            F.col("inter_n") * 10 >= F.col("union_n") * 6
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, bands=8, tau_num=1, tau_den=5
+        ).collect()
+    }
+    assert j08 <= lsh, f"missed strong pairs {j08 - lsh}"
+    assert len(j06 & lsh) >= 0.9 * len(j06), f"j>=0.6 recall too low"
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    fps = {r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[2]
+    assert 0 <= fps[0] < (1 << 32)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    # near-dup differs in few bits, disjoint docs in many
+    if (0, 1) in pairs:
+        assert pairs[(0, 1)] <= 6
+    assert (0, 3) not in pairs or pairs[(0, 3)] > 0
+
+
+def test_xxhash_mode_sound_and_finds_dups(spark, docs):
+    """Scale mode (xxhash64 ids, no vocabulary build): verified pairs
+    are still a subset of the exact Jaccard pairs (ids differ but set
+    geometry doesn't), and identical docs always collide.  Band recall
+    for borderline-j pairs is mode-dependent by design, so exact
+    set-equality with vocab mode is NOT asserted."""
+    exact = set()
+    for (da, ta), (db, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        if len(sa | sb) and len(sa & sb) * 2 >= len(sa | sb):
+            exact.add((da, db))
+    got = {
+        (r.id_a, r.id_b): (r.inter_n, r.union_n)
+        for r in minhash_lsh_pairs(docs, mode="xxhash64",
+                                   tau_num=1, tau_den=2).collect()
+    }
+    assert set(got) <= exact
+    assert (0, 2) in got and got[(0, 2)][0] == got[(0, 2)][1]

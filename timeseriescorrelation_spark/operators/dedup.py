@@ -1,0 +1,316 @@
+"""Document deduplication operators for the training-data pipeline:
+exact (hash groupBy), n-gram Jaccard (inverted-index self-join),
+MinHash+LSH (shingle -> minhash -> band -> bucket-join), and SimHash.
+
+All shingling is word n-grams over whitespace tokens.  Two hash modes:
+
+- ``vocab`` (oracle mode, default in the driver queries): shingle ids are
+  ranks in the sorted distinct-shingle vocabulary and every hash is the
+  affine family  h_j(x) = (A_j * x + B_j) mod P  (P = 2^31 - 1).  Pure
+  integer arithmetic -> bit-identical replication in ANSI SQL, so the
+  DuckDB oracle can run the *same* LSH pipeline and the match is exact.
+- ``xxhash64`` (scale mode): shingle ids come straight from
+  ``F.xxhash64`` — no vocabulary build (which needs a global sort /
+  dense-rank over the distinct-shingle set; fine at test scale, an
+  unnecessary shuffle at 100 TB).
+
+Scale notes (100 TB): the shingle explode is the dominant row count
+(~n_tokens rows per doc); everything downstream is hash-agg with
+map-side partial aggregation on doc_id, then the LSH band join touches
+only candidate buckets.  The exact n-gram path (``ngram_jaccard_pairs``)
+self-joins the inverted index — that is quadratic in bucket size and is
+the small-scale/verification path; MinHash-LSH is the scale path.
+
+Reference parity: the reference has no dedup (it is a correlation
+engine); these operators are the training-data-pipeline extension
+mandated by the build brief, built on the same bucket-join pruning shape
+as its e-grid candidate join (SURVEY §2.3 J1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P31 = (1 << 31) - 1  # Mersenne prime 2^31-1, the affine-hash modulus
+
+# legacy small constants (kept for the positional fingerprint, where
+# min-wise mixing doesn't matter — it's a sum, not a min)
+A_MUL = 7919
+B_MUL = 104729
+B_ADD = 12345
+
+# MinHash/SimHash affine family h_j(x) = (A_J[j]*x + B_J[j]) mod P31.
+# The multipliers MUST be large enough that A*x wraps mod P for small x:
+# with small A (e.g. 7919*(j+1)) and dense small ids, A*x < P for every
+# x, so argmin_x is the same x for every j and all 16 "hashes" collapse
+# into one (observed: signatures formed exact arithmetic sequences).
+# Knuth-multiplier-derived constants keep products < 2^62 (int64-safe
+# in both Spark and DuckDB).
+_KNUTH = 2654435761
+A_J = [(_KNUTH * (2 * j + 1)) % P31 for j in range(64)]
+B_J = [(_KNUTH * (j + 17) + 912367) % P31 for j in range(64)]
+
+
+def tokenize(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, text) -> (id, toks array<string>) lowercase whitespace tokens."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, text) -> distinct (doc_id, shingle) word n-grams."""
+    t = tokenize(docs, text_col, id_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + j) for j in range(n)]
+        ),
+    )
+    return (
+        t.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_vocab(sh: DataFrame) -> DataFrame:
+    """Distinct shingles ranked 1..V in sort order (oracle-replicable ids).
+
+    Global sort over the distinct-shingle set — test/oracle mode only;
+    the scale path uses xxhash64 ids (no vocabulary)."""
+    w = Window.orderBy("shingle")
+    return (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("tid", F.row_number().over(w).cast("long"))
+    )
+
+
+def shingle_ids(sh: DataFrame, mode: str = "vocab") -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, tid long)."""
+    if mode == "xxhash64":
+        return sh.select(
+            "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(P31)).alias("tid")
+        )
+    vocab = shingle_vocab(sh)
+    return sh.join(F.broadcast(vocab), "shingle").select("doc_id", "tid")
+
+
+def _affine(j: int, x):
+    """h_j(x) = (A_J[j]*x + B_J[j]) mod P — A_J[j]*x < 2^62, int64-safe."""
+    return (x * F.lit(A_J[j]) + F.lit(B_J[j])) % F.lit(P31)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 groupBy -> (text_hash, n_dups, keeper_id).
+
+    keeper_id = min id per group; at scale this is one hash-agg shuffled
+    on the 128-bit digest (uniform keys, no skew)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_inter: int = 2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact pairwise n-gram Jaccard via inverted-index self-join.
+
+    Output (id_a, id_b, inter_n, union_n) for pairs sharing >= min_inter
+    shingles; Jaccard = inter_n/union_n kept rational (no floats) so the
+    oracle compare is exact.  Quadratic in posting-list length — the
+    verification-scale path (MinHash-LSH is the scale path)."""
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_n"))
+        .where(F.col("inter_n") >= min_inter)
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                  F.col("sz").alias("sz_a")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                  F.col("sz").alias("sz_b")))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "inter_n",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter_n"))
+            .alias("union_n"),
+        )
+    )
+
+
+def minhash_signatures(ids: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(doc_id, tid) -> (doc_id, h0..h{n-1}) min over the affine family.
+
+    One hash-agg: n_hashes mins per group, all whole-stage codegen."""
+    aggs = [
+        F.min(_affine(j, F.col("tid"))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return ids.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band (J1 shape).
+
+    rows-per-band = n_hashes/bands; a pair collides iff one full band
+    matches.  The join is a pure equi-join on (band_idx, band values)."""
+    rows = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.array(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band_idx", "bk.key")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "key")
+    return (
+        a.join(b, ["band_idx", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, n_hashes: int = 16,
+                      bands: int = 4, tau_num: int = 1, tau_den: int = 5,
+                      mode: str = "vocab", text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band
+    bucket-join -> exact Jaccard verify at tau = tau_num/tau_den.
+
+    Output (id_a, id_b, inter_n, union_n): candidate pairs whose exact
+    Jaccard >= tau (integer cross-multiply — no float compare).  The
+    verify joins candidates back to shingle-id sets collected per doc
+    (broadcast at test scale; sort-merge on doc_id at 100 TB)."""
+    sh = shingles(docs, n, text_col, id_col)
+    ids = shingle_ids(sh, mode)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(ids, n_hashes), n_hashes, bands
+    )
+    sets = ids.groupBy("doc_id").agg(
+        F.collect_set("tid").alias("tids"), F.count("*").alias("sz")
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"),
+                     F.col("tids").alias("t_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"),
+                     F.col("tids").alias("t_b"), F.col("sz").alias("sz_b"))
+    verified = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("t_a", "t_b")).alias("inter_n"),
+            (F.col("sz_a") + F.col("sz_b")).alias("sum_sz"),
+        )
+        .select(
+            "id_a", "id_b", "inter_n",
+            (F.col("sum_sz") - F.col("inter_n")).alias("union_n"),
+        )
+    )
+    return verified.where(
+        F.col("inter_n") * F.lit(tau_den) >= F.col("union_n") * F.lit(tau_num)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, n: int = 3, n_bits: int = 32,
+                         mode: str = "vocab", text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc) -> (doc_id, fp) n_bits SimHash over shingle-id hashes.
+
+    bit b of fp = sign of sum over shingles of (+1 if bit b of
+    g(tid) else -1), g = affine hash 0.  Shaped as (doc, bit) rows ->
+    two hash-aggs; everything stays in codegen."""
+    sh = shingles(docs, n, text_col, id_col)
+    ids = shingle_ids(sh, mode).select(
+        "doc_id", _affine(0, F.col("tid")).alias("g")
+    )
+    # shiftright/shiftleft take literal shift amounts only -> unroll the
+    # 32 per-bit weights into one literal array and explode it
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bit"),
+                F.when(
+                    F.shiftright(F.col("g"), b).bitwiseAND(1) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)).alias("w"),
+            )
+            for b in range(n_bits)
+        ]
+    )
+    bits = ids.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.bit").alias("bit"), F.col("e.w").alias("w")
+    )
+    sums = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    pow2 = F.pow(F.lit(2.0), F.col("bit")).cast("long")  # exact for bit<=31
+    return sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, pow2).otherwise(F.lit(0))).alias("fp")
+    )
+
+
+def simhash_pairs(docs: DataFrame, n: int = 3, n_bits: int = 32,
+                  max_hamming: int = 6, mode: str = "vocab",
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs: block on each of 4 bytes of the
+    fingerprint (a pair within hamming<=6 of a 32-bit fp shares at least
+    one exact byte when differing bits spread over <4 bytes — standard
+    SimHash blocking), then exact hamming via bit_count(xor)."""
+    fp = simhash_fingerprints(docs, n, n_bits, mode, text_col, id_col)
+    nbytes = n_bits // 8
+    blocks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("fp"), 8 * i)
+                        .bitwiseAND(255)
+                        .alias("byte"),
+                    )
+                    for i in range(nbytes)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", "b.blk", "b.byte")
+    a = blocks.select(F.col("doc_id").alias("id_a"),
+                      F.col("fp").alias("fp_a"), "blk", "byte")
+    b = blocks.select(F.col("doc_id").alias("id_b"),
+                      F.col("fp").alias("fp_b"), "blk", "byte")
+    return (
+        a.join(b, ["blk", "byte"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

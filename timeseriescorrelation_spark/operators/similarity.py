@@ -1,0 +1,181 @@
+"""Embedding similarity search over an array<float> column: brute-force
+cosine top-k (exact baseline) and an IVF-bucketed variant (scale path).
+
+All vector math uses native higher-order functions (`zip_with` +
+`aggregate` fold) — the dot product never leaves the JVM, and the fold
+is strictly left-to-right so results are reproducible and
+oracle-comparable bit-for-bit up to a final rounding.
+
+Scale notes (100 TB): brute force is O(Q*N) dot products with the query
+side broadcast — correct for small Q, the verification path.  IVF cuts
+the searched fraction to ~nprobe/n_cells: centroids (tiny) are
+broadcast twice (assign + probe); the candidate join is an equi-join on
+cell id, so Catalyst plans a shuffle-hash/SMJ on a low-cardinality but
+balanced key.  Real kmeans centroids would plug in where
+`centroids_by_label` builds label means — the operator contract
+(build -> assign -> probe -> rank) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding float[]) -> (vec_id, v double[], n) L2-normalized.
+
+    Pre-normalizing makes cosine a plain dot product downstream (one
+    division per vector instead of per pair)."""
+    v = _to_double(F.col(vec_col))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(v, lambda x: x / _norm(v)).alias("v"),
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, min_cos: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """All pairs with cosine >= min_cos, brute force (id_a < id_b).
+
+    Output (id_a, id_b, cos rounded to 6dp).  O(N^2) — verification
+    scale; the LSH/IVF paths bound the pair space at 100 TB."""
+    u = with_unit_vectors(emb, vec_col, id_col)
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(min_cos))
+    )
+
+
+def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self excluded).
+
+    queries: (vec_id, embedding) — broadcast against the corpus; ranking
+    is a per-query window top-k (ties broken by neighbor id)."""
+    corpus = with_unit_vectors(emb, vec_col, id_col)
+    q = with_unit_vectors(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )
+
+
+def centroids_by_label(emb: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Element-wise mean vector per label -> (cell, c double[]).
+
+    Stand-in coarse quantizer (deterministic; a kmeans fit would slot in
+    here).  Shaped as (row, dim) explode -> avg -> re-assemble ordered
+    by dim, all native."""
+    dims = emb.select(
+        F.col(label_col).alias("cell"),
+        F.posexplode(_to_double(F.col(vec_col))).alias("dim", "x"),
+    )
+    per_dim = dims.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 nprobe: int = 3, vec_col: str = "embedding",
+                 label_col: str = "label",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: assign corpus to nearest centroid cell, probe the
+    nprobe closest cells per query, exact-rank inside the probed cells.
+
+    Output (qid, rank, nid, cos).  Deterministic end-to-end, so recall
+    vs brute force is testable and the oracle can replicate it."""
+    cents = centroids_by_label(emb, vec_col, label_col, id_col)
+    corpus = with_unit_vectors(emb, vec_col, id_col)
+
+    # assign: nearest centroid by cosine (unit corpus x raw centroid —
+    # argmax of dot/|c| == argmax of cosine)
+    cor_cell = (
+        corpus.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cell",
+            (_dot(F.col("v"), F.col("c")) / _norm(F.col("c"))).alias("s"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    assigned = (
+        cor_cell.withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+    q = with_unit_vectors(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    q_cell = (
+        q.join(F.broadcast(cents))
+        .select(
+            "qid", "qv", "cell",
+            (_dot(F.col("qv"), F.col("c")) / _norm(F.col("c"))).alias("s"),
+        )
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cell"))
+    probes = (
+        q_cell.withColumn("r", F.row_number().over(w_probe))
+        .where(F.col("r") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )
