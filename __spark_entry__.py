@@ -408,6 +408,16 @@ def q_mm_meta(spark, sf_dir):
     return decode_metadata(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (session_window, 30m gap) per user."""
+    from timeseriescorrelation_spark.streaming.rollup_stream import sessionize
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    return sessionize(e, "30 minutes")
+
+
 def q_mm_frames(spark, sf_dir):
     return frame_sample(attach_payload(_docs(spark, sf_dir)), every_n_bytes=64)
 
@@ -450,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_frames": q_mm_frames,
+        "session_stats": q_session_stats,
     }
 
 
@@ -790,6 +801,24 @@ FROM (
   FROM events
 )
 GROUP BY 1
+""",
+        "session_stats": """
+WITH d AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end_ts,
+       count(*) AS n_events
+FROM s GROUP BY conv_id, sid
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
