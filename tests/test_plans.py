@@ -1,0 +1,97 @@
+"""Physical-plan audits: the optimizations SURVEY §4 relies on must be
+visible in the executed plan, not assumed — pushdown reaches the
+parquet scan, dimension joins broadcast, the e-grid candidate join and
+the LSH band join compile to equi-joins (never cartesian/BNLJ), and the
+tier rollup shuffles exactly once.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as em  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(em.queries()["filter_range"](spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m and "EqualTo(event_type,click)" in m.group(1), plan
+    # column pruning: props/event_type never read into the projection
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "props" not in rs
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = _plan(em.queries()["stats_per_user"](spark, SF))
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "user_id" in rs and "value" in rs
+    assert "props" not in rs and "event_type" not in rs
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(em.queries()["join_broadcast_rev"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_candidate_pair_join_is_equi(spark):
+    """The e-grid self-join (J1) must be a hash/SMJ equi-join on the
+    exploded cell ids — a cartesian or nested-loop plan here would be
+    quadratic in series count at scale."""
+    plan = _plan(em.queries()["corr_report"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join "
+                     r"\[e0#\d+L?, e1#\d+L?\]", plan), plan
+
+
+def test_lsh_band_join_is_equi(spark):
+    plan = _plan(em.queries()["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_single_shuffle_and_codegen(spark):
+    plan = _plan(em.queries()["rollup_1m"](spark, SF))
+    # partial agg -> ONE hash-partition exchange -> final agg
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan
+    # struct min_by/max_by keys would silently degrade to SortAggregate
+    # (struct buffers aren't hash-aggregable) — the packed-long order
+    # key must keep the tier build hash-based
+    assert "SortAggregate" not in plan, plan
+
+
+def test_tier_cascade_reuses_lower_tier_grouping(spark):
+    """1m -> 1h re-agg adds exactly one more shuffle (on the coarser
+    keys); it must not re-read or re-shuffle raw rows twice."""
+    plan = _plan(em.queries()["rollup_1h"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_anti_join_not_cartesian(spark):
+    plan = _plan(em.queries()["anti_join_inactive"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("qname", ["locf_1h", "interp_1h"])
+def test_gapfill_single_window_shuffle(spark, qname):
+    """Gap-fill = union + ONE window pass: exactly one exchange on the
+    (conv_id, metric) window keys plus the two grid/obs agg exchanges;
+    no join between grid and observations."""
+    plan = _plan(em.queries()[qname](spark, SF))
+    assert "Join" not in plan or "SortMergeJoin" not in plan, plan
+    assert "Window" in plan

@@ -37,11 +37,15 @@ _KEY = ["conv_id", "metric"]
 
 
 def collapse_last_wins(series: DataFrame, step: str = "1m") -> DataFrame:
-    """Collapse raw points to one value per grid bucket (last by (ts, turn_idx))."""
+    """Collapse raw points to one value per grid bucket (last by
+    (ts, turn_idx), packed into one int64 so the agg stays
+    HashAggregate — see rollup.packed_order_key)."""
+    from timeseriescorrelation_spark.operators.rollup import packed_order_key
+
     return series.groupBy(
         *_KEY, F.date_trunc(STEP_TRUNC[step], "ts").alias("grid_ts")
     ).agg(
-        F.max_by("value", F.struct(F.col("ts"), F.col("turn_idx"))).alias("value")
+        F.max_by("value", packed_order_key(STEP_TRUNC[step])).alias("value")
     )
 
 

@@ -6,11 +6,14 @@ higher tier re-aggregates **from the tier below it**, never from raw:
 first=min_by(first, bucket_ts), last=max_by(last, bucket_ts)``.
 
 Determinism under parallelism: ``first``/``last`` at the raw level are
-``min_by``/``max_by`` on the composite key ``struct(ts, turn_idx)`` —
-never the order-dependent ``first()`` aggregate (SURVEY §7 "hard
-parts").  Struct ordering keys are natively comparable in Spark, so the
-whole cascade stays inside whole-stage codegen: no UDFs, hash
-aggregation with map-side partial aggregation on every tier.
+``min_by``/``max_by`` on the composite order (ts, turn_idx) — never the
+order-dependent ``first()`` aggregate (SURVEY §7 "hard parts").  The
+composite is packed into ONE int64 (bucket-relative microsecond offset
+shifted left, plus turn_idx): a struct(ts, turn_idx) key would force
+SortAggregate (struct agg buffers are not hash-aggregable), silently
+turning every tier build into a per-partition sort; the packed long
+keeps the whole cascade in HashAggregate + whole-stage codegen with
+map-side partial aggregation.
 
 Scale note: groupBy keys are (conv_id, metric, bucket_ts); partial
 aggregation collapses each task's rows before the shuffle, so shuffle
@@ -26,11 +29,34 @@ from pyspark.sql import functions as F
 TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
 TIER_UP = {"1m": "1h", "1h": "1d"}
 
+# bits needed for the in-bucket microsecond offset per bucket width;
+# turn_idx gets the remaining 63 (minute: 37 idx bits, day: 26).
+_OFF_BITS = {"minute": 26, "hour": 32, "day": 37}
+
+
+def packed_order_key(trunc: str):
+    """(ts, turn_idx) composite order as ONE int64 — hash-aggregable.
+
+    key = (µs since bucket start) << idx_bits | min(turn_idx, cap).
+    Comparisons only ever happen within one bucket, so the
+    bucket-relative offset preserves the (ts, turn_idx) order exactly.
+    turn_idx is clamped to idx_bits (2^37 per minute-bucket, 2^26 per
+    day-bucket) — beyond that two same-ts turns would tie, which needs
+    >775 turns/sec sustained for a day in ONE conversation."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    idx_bits = 63 - _OFF_BITS[trunc]
+    off = epoch_us(F.col("ts")) - epoch_us(F.date_trunc(trunc, "ts"))
+    cap = (1 << idx_bits) - 1
+    return off * F.lit(1 << idx_bits) + F.least(
+        F.col("turn_idx").cast("long"), F.lit(cap)
+    )
+
 
 def rollup_raw(series: DataFrame, tier: str = "1m") -> DataFrame:
     """Raw series points → a tier of (cnt,sum,min,max,first,last)."""
     trunc = TIER_TRUNC[tier]
-    order_key = F.struct(F.col("ts"), F.col("turn_idx"))
+    order_key = packed_order_key(trunc)
     return (
         series.groupBy(
             "conv_id", "metric", F.date_trunc(trunc, "ts").alias("bucket_ts")

@@ -42,7 +42,9 @@ def stream_rollup_1m(stream: DataFrame,
                      watermark: str = "10 minutes") -> DataFrame:
     """Streaming 1-minute tier: watermarked tumbling-window aggregate
     with the batch tier's exact output schema."""
-    order_key = F.struct(F.col("ts"), F.col("turn_idx"))
+    from timeseriescorrelation_spark.operators.rollup import packed_order_key
+
+    order_key = packed_order_key("minute")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(
