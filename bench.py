@@ -24,10 +24,21 @@ HEADLINE = [
     "rollup_1h",
     "rollup_1d",
     "locf_1h",
+    "interp_1h",
     "stats_per_user",
     "lag_delta",
     "topk_per_user",
     "rollup_summary_1d",
+    "series_metrics",
+    "corr_report",
+    "session_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_neardup",
+    "ann_topk",
+    "text_stats",
+    "doc_fingerprint",
+    "mm_meta",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Scaling-efficiency evidence for the BASELINE.md protocol: the same
+tier-cascade job on the same seeded input at two parallelism levels
+(local[8] = N, local[32] = 4N on this 32-core host), per-tier
+points/sec at both, efficiency = (throughput_32 / throughput_8) / 4.
+
+No real cluster exists in this sandbox; this is the sanctioned
+two-cluster-size stand-in (BASELINE.md "Sandbox scaling-evidence
+protocol").  Each parallelism level runs in its OWN child process
+(fresh JVM — no shared thread pools or warmed code caches between
+levels); within a process every stage gets one warm-up pass then the
+timed pass, materialized with a noop write (full execution, no
+driver-side collect, no disk-write variance).
+
+Usage:
+  python scripts/bench_scaling.py                 # orchestrate both levels
+  python scripts/bench_scaling.py --child CORES   # one level (internal)
+Env:
+  TSC_SCALE_DIR    work dir (default /tmp/tsc_scaling)
+  TSC_SCALE_CONVS  conversations to synthesize (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = os.environ.get("TSC_SCALE_DIR", "/tmp/tsc_scaling")
+N_CONVS = int(os.environ.get("TSC_SCALE_CONVS", "20000"))
+SEED = 42
+
+STAGES = ["series", "fill_1m", "agg_1m", "agg_1h", "agg_1d"]
+
+
+def _spark(cores: int):
+    from timeseriescorrelation_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cores}]",
+        shuffle_partitions=4 * cores,
+        app_name=f"tsc-scaling-{cores}",
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_DRIVER_MEM", "24g")},
+    )
+
+
+def prepare() -> None:
+    """Synthesize transcripts and materialize each stage's INPUT once
+    (untimed), so both parallelism levels read identical bytes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_raw,
+        rollup_tier,
+    )
+    from timeseriescorrelation_spark.operators.series import derive_series
+    from timeseriescorrelation_spark.synth import write_transcripts
+
+    spark = _spark(32)
+    t_dir = f"{WORK}/transcripts"
+    if not os.path.exists(f"{t_dir}/_SUCCESS"):
+        write_transcripts(
+            spark, t_dir, n_partitions=64, n_convs=N_CONVS,
+            base_turns=100, seed=SEED,
+        )
+    if not os.path.exists(f"{WORK}/series/_SUCCESS"):
+        derive_series(spark.read.parquet(t_dir)).repartition(
+            64, "conv_id"
+        ).write.mode("overwrite").parquet(f"{WORK}/series")
+    if not os.path.exists(f"{WORK}/t1m/_SUCCESS"):
+        rollup_raw(
+            spark.read.parquet(f"{WORK}/series"), "1m"
+        ).write.mode("overwrite").parquet(f"{WORK}/t1m")
+    if not os.path.exists(f"{WORK}/t1h/_SUCCESS"):
+        rollup_tier(
+            spark.read.parquet(f"{WORK}/t1m"), "1h"
+        ).write.mode("overwrite").parquet(f"{WORK}/t1h")
+    spark.stop()
+
+
+def run_child(cores: int) -> dict:
+    from timeseriescorrelation_spark.operators.gapfill import fill_locf
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_raw,
+        rollup_tier,
+    )
+    from timeseriescorrelation_spark.operators.series import derive_series
+
+    spark = _spark(cores)
+
+    transcripts = spark.read.parquet(f"{WORK}/transcripts")
+    series = spark.read.parquet(f"{WORK}/series")
+    t1m = spark.read.parquet(f"{WORK}/t1m")
+    t1h = spark.read.parquet(f"{WORK}/t1h")
+
+    builders = {
+        "series": lambda: derive_series(transcripts),
+        "fill_1m": lambda: fill_locf(series, "1m"),
+        "agg_1m": lambda: rollup_raw(series, "1m"),
+        "agg_1h": lambda: rollup_tier(t1m, "1h"),
+        "agg_1d": lambda: rollup_tier(t1h, "1d"),
+    }
+    rows_in = {
+        "series": transcripts.count(),
+        "fill_1m": series.count(),
+        "agg_1m": series.count(),
+        "agg_1h": t1m.count(),
+        "agg_1d": t1h.count(),
+    }
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for name in STAGES:
+        sys.stderr.write(f"[child {cores}] {name} warmup @{time.time():.0f}\n")
+        sys.stderr.flush()
+        materialize(builders[name]())  # warm-up: JIT, page cache, AQE stats
+        sys.stderr.write(f"[child {cores}] {name} timed @{time.time():.0f}\n")
+        sys.stderr.flush()
+        # min-of-3: one-shot timings on a shared JVM are GC/daemon noise;
+        # min is the standard throughput-capability estimator
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(builders[name]())
+            samples.append(time.perf_counter() - t0)
+        sec = min(samples)
+        out[name] = {
+            "sec": round(sec, 3),
+            "samples": [round(s, 3) for s in samples],
+            "rows_in": rows_in[name],
+            "pts_per_sec": round(rows_in[name] / sec, 1),
+        }
+    spark.stop()
+    return {"cores": cores, "stages": out}
+
+
+def _assert_idle() -> None:
+    """Refuse to measure while another JVM is burning CPU — a Spark
+    local-mode JVM orphaned by a killed driver keeps executing its
+    submitted job (the DAGScheduler lives in the JVM) and silently
+    poisons every timing on the machine."""
+    probe = subprocess.run(["pgrep", "-f", "org.apache.spark"],
+                           capture_output=True, text=True)
+    pids = [p for p in probe.stdout.split() if p.strip()]
+    if pids:
+        raise SystemExit(
+            f"refusing to bench: stray java process(es) {pids} running; "
+            "kill them first (pkill -f SparkSubmit)"
+        )
+
+
+def orchestrate() -> None:
+    _assert_idle()
+    prepare()
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise SystemExit(f"child {cores} failed")
+
+    rows = []
+    effs = []
+    for name in STAGES:
+        s8 = results[8]["stages"][name]
+        s32 = results[32]["stages"][name]
+        eff = (s32["pts_per_sec"] / s8["pts_per_sec"]) / 4.0
+        effs.append(eff)
+        rows.append((name, s8, s32, eff))
+
+    tot8 = sum(results[8]["stages"][n]["sec"] for n in STAGES)
+    tot32 = sum(results[32]["stages"][n]["sec"] for n in STAGES)
+    overall = (tot8 / tot32) / 4.0
+
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH"), exist_ok=True)
+    bench_md = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "BASELINE.md")
+    with open(bench_md, "w") as f:
+        f.write(
+            "# BENCH/BASELINE.md — measured scaling evidence\n\n"
+            "Protocol: BASELINE.md §Sandbox scaling-evidence. Same seeded "
+            f"input ({N_CONVS} conversations, "
+            f"{results[8]['stages']['series']['rows_in']:,} turns, "
+            f"{results[8]['stages']['agg_1m']['rows_in']:,} series points), "
+            "fresh JVM per level, warm-up pass then timed noop "
+            "materialization per stage.\n\n"
+            "| stage | rows in | local[8] sec | local[8] pts/s | "
+            "local[32] sec | local[32] pts/s | efficiency (per-4x) |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for name, s8, s32, eff in rows:
+            f.write(
+                f"| {name} | {s8['rows_in']:,} | {s8['sec']} | "
+                f"{s8['pts_per_sec']:,} | {s32['sec']} | "
+                f"{s32['pts_per_sec']:,} | {eff:.2f} |\n"
+            )
+        f.write(
+            f"\n**Overall wall-clock efficiency: {overall:.2f}** "
+            f"(gate: >= 0.8). local[8] total {tot8:.1f}s, "
+            f"local[32] total {tot32:.1f}s.\n"
+        )
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(overall, 3),
+        "unit": "ratio",
+        "per_stage": {name: round(eff, 3) for name, _, _, eff in rows},
+        "local8_sec": round(tot8, 1),
+        "local32_sec": round(tot32, 1),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        print(json.dumps(run_child(int(sys.argv[2]))))
+    else:
+        orchestrate()
