@@ -207,6 +207,15 @@ def q_interp_1h(spark, sf_dir):
     )
 
 
+def q_locf_bounded_1h(spark, sf_dir):
+    """Segment-bounded LOCF (max 6 hourly steps) — the scale path that
+    avoids unbounded grid amplification on dormant series."""
+    s = _series_from_events(spark, sf_dir).withColumn("metric", F.lit("value"))
+    return fill_locf(s, "1h", max_gap_steps=6).select(
+        "conv_id", "grid_ts", "value", "filled"
+    )
+
+
 def q_series_metrics(spark, sf_dir):
     """derive_series over a transcripts view built deterministically from
     events (conv_id=user_id, turn order by (ts, event_id))."""
@@ -441,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "rollup_summary_1d": q_rollup_summary_1d,
         "interp_1h": q_interp_1h,
+        "locf_bounded_1h": q_locf_bounded_1h,
         "series_metrics": q_series_metrics,
         "corr_report": q_corr_report,
         "corr_pairs_hourly": q_corr_pairs_hourly,
@@ -706,6 +716,40 @@ SELECT conv_id, g AS grid_ts,
                       / (epoch_us(nt) - epoch_us(pt)) END AS value,
        (v IS NULL) AS filled
 FROM fr
+""",
+        "locf_bounded_1h": """
+WITH obs AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         date_trunc('hour', ts) AS g,
+         arg_max(value, ts) AS v
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT conv_id, g, v,
+         CASE WHEN lag(g) OVER w IS NULL
+                OR epoch_us(g) - epoch_us(lag(g) OVER w)
+                   > cast(6 AS bigint) * 3600 * 1000000
+              THEN 1 ELSE 0 END AS new_seg
+  FROM obs WINDOW w AS (PARTITION BY conv_id ORDER BY g)
+), segd AS (
+  SELECT conv_id, g, v,
+         sum(new_seg) OVER (PARTITION BY conv_id ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM lagged
+), spans AS (
+  SELECT conv_id, seg, min(g) AS lo, max(g) AS hi FROM segd GROUP BY 1, 2
+), grid AS (
+  SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+  FROM spans
+), j AS (
+  SELECT grid.conv_id, grid.g, obs.v
+  FROM grid LEFT JOIN obs ON grid.conv_id = obs.conv_id AND grid.g = obs.g
+)
+SELECT conv_id, g AS grid_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY g
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (v IS NULL) AS filled
+FROM j
 """,
         "series_metrics": """
 WITH t AS (

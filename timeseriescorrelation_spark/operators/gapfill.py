@@ -4,18 +4,26 @@ Pipeline per (conv_id, metric):
 
 1. **last-wins collapse** — many observations inside one grid step
    collapse to the one with the largest (ts, turn_idx) (SURVEY A2);
-2. **grid** — `sequence(date_trunc(step,min), date_trunc(step,max),
-   step)` + explode generates the dense timeline (no Python);
-3. **fill** — grid ∪ collapsed-observations, one window pass:
-   LOCF = `last(value, ignoreNulls)` over unbounded-preceding rows;
-   linear = prev/next observation (value, ts) via
-   `last(..., ignoreNulls)` / `first(..., ignoreNulls)` frames and
-   straight-line arithmetic.
+2. **lead window over observations only** — each observed bucket learns
+   its successor's (ts, value) and therefore the fill range it owns:
+   [its bucket .. one step before the next observed bucket];
+3. **post-shuffle explode** — each obs row emits its own range via
+   `posexplode(sequence(...))`: pos 0 is the observation, pos>0 are
+   filled steps carrying LOCF (or the linear interpolation toward the
+   lead neighbor).
 
-The union formulation shuffles once on (conv_id, metric) for the window
-instead of join-shuffling grid AND observations on (key, bucket) — at
-10^12-turn scale the grid side is the dominant row count, so saving its
-extra shuffle matters.
+The scale-critical property: ONLY collapsed observations cross the
+window shuffle; dense grid rows are born *after* the last shuffle and
+stream into downstream operators.  The naive grid∪obs window
+formulation shuffles the whole grid — measured 218M shuffled rows from
+11M points on skewed synthetic conversations (20x amplification), which
+made the fill stage disk-shuffle-bound and killed scaling (0.37
+efficiency at 8→32 cores).  With the explode-after-shuffle shape the
+shuffle volume is O(observations) regardless of grid density.
+
+``max_gap_steps`` (optional) bounds every fill range: gaps larger than
+the bound are dormancy — nothing is emitted between the two
+observations (segment semantics, TimescaleDB-style bounded gapfill).
 
 An `applyInPandas` variant (`fill_interpolate_pandas`) implements the
 same linear semantics with `pandas.Series.interpolate` per the
@@ -67,83 +75,116 @@ def make_grid(series: DataFrame, step: str = "1m") -> DataFrame:
     )
 
 
-def fill_locf(series: DataFrame, step: str = "1m") -> DataFrame:
+def _fill_ranges(series: DataFrame, step: str,
+                 max_gap_steps: int | None) -> DataFrame:
+    """Per observed bucket: the range of grid steps it is responsible
+    for filling — [its bucket, one step before the next observed
+    bucket], optionally capped at max_gap_steps.
+
+    This is the scale-critical shape: ONLY collapsed observations cross
+    the lead-window shuffle; the dense grid rows are exploded *after*
+    the last shuffle and stream straight into downstream operators.
+    (The naive grid∪obs window formulation shuffles the whole grid —
+    measured 218M shuffled rows from 11M points on skewed synthetic
+    conversations, and the fill stage became disk-shuffle-bound.)
+
+    Output: obs columns + next_v/next_ts (null at segment/series end)
+    + fill_end (inclusive range end for this obs)."""
+    secs = STEP_SECONDS[step]
+    obs = collapse_last_wins(series, step)
+    w = Window.partitionBy(*_KEY).orderBy("grid_ts")
+    nxt = F.lead("grid_ts").over(w)
+    nxt_v = F.lead("value").over(w)
+    one_step = F.expr(f"interval {secs} seconds")
+    end = F.when(nxt.isNull(), F.col("grid_ts")).otherwise(
+        (nxt - one_step).cast("timestamp")
+    )
+    if max_gap_steps is not None:
+        # segment semantics: a gap beyond the bound is dormancy — emit
+        # NOTHING between the two observations (don't carry into it)
+        from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+        dormant = (epoch_us(nxt) - epoch_us(F.col("grid_ts"))) > F.lit(
+            int(max_gap_steps * secs * 1e6)
+        )
+        end = F.when(dormant, F.col("grid_ts")).otherwise(end)
+    return obs.select(
+        *_KEY, "grid_ts", "value",
+        nxt.alias("next_ts"), nxt_v.alias("next_v"),
+        end.alias("fill_end"),
+    )
+
+
+def fill_locf(series: DataFrame, step: str = "1m",
+              max_gap_steps: int | None = None) -> DataFrame:
     """Dense grid with last-observation-carried-forward values.
 
     Output: (conv_id, metric, grid_ts, value, filled) — `filled` is true
     where the bucket had no observation and the value was carried.
-    """
-    obs = collapse_last_wins(series, step).withColumn("is_grid", F.lit(0))
-    grid = make_grid(series, step).select(
+    ``max_gap_steps`` bounds each observation's fill range (segmented
+    grid — the scale path for bursty series with long dormancy).
+
+    Every grid step between obs i and obs i+1 carries v_i, so each obs
+    row simply explodes its own fill range post-shuffle (posexplode:
+    pos 0 is the observation itself, pos>0 are carried)."""
+    secs = STEP_SECONDS[step]
+    r = _fill_ranges(series, step, max_gap_steps)
+    return r.select(
         *_KEY,
-        "grid_ts",
-        F.lit(None).cast("double").alias("value"),
-        F.lit(1).alias("is_grid"),
-    )
-    u = grid.unionByName(obs.select(*_KEY, "grid_ts", "value", "is_grid"))
-    # obs row (is_grid=0) sorts before the grid row at the same grid_ts,
-    # so the grid row's LOCF sees it.
-    w = (
-        Window.partitionBy(*_KEY)
-        .orderBy("grid_ts", "is_grid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    locf = F.last("value", ignorenulls=True).over(w)
-    has_obs = F.max(F.when(F.col("is_grid") == 0, 1).otherwise(0)).over(
-        Window.partitionBy(*_KEY, "grid_ts")
-    )
-    return (
-        u.withColumn("locf", locf)
-        .withColumn("filled", has_obs == 0)
-        .where(F.col("is_grid") == 1)
-        .select(*_KEY, "grid_ts", F.col("locf").alias("value"), "filled")
+        "value",
+        F.posexplode(
+            F.sequence(
+                F.col("grid_ts"), F.col("fill_end"),
+                F.expr(f"interval {secs} seconds"),
+            )
+        ).alias("pos", "g"),
+    ).select(
+        *_KEY,
+        F.col("g").alias("grid_ts"),
+        "value",
+        (F.col("pos") > 0).alias("filled"),
     )
 
 
-def fill_interpolate(series: DataFrame, step: str = "1m") -> DataFrame:
+def fill_interpolate(series: DataFrame, step: str = "1m",
+                     max_gap_steps: int | None = None) -> DataFrame:
     """Dense grid with linear interpolation between neighboring
-    observations (LOCF at the trailing edge, next-obs backfill has no
-    effect before the first obs since the grid starts at it).
+    observations (LOCF at the trailing edge: the last observation has
+    no next neighbor and fills nothing beyond itself... except when a
+    gap cap truncates a range, where the remaining steps carry prev_v).
 
-    Pure native-window formulation: prev/next (value, ts) per grid row
-    via ignoreNulls last/first over preceding/following frames.
-    """
-    obs = collapse_last_wins(series, step).withColumn("is_grid", F.lit(0))
-    grid = make_grid(series, step).select(
-        *_KEY,
-        "grid_ts",
-        F.lit(None).cast("double").alias("value"),
-        F.lit(1).alias("is_grid"),
-    )
-    u = grid.unionByName(obs.select(*_KEY, "grid_ts", "value", "is_grid"))
-
-    base = Window.partitionBy(*_KEY).orderBy("grid_ts", "is_grid")
-    wprev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wnext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    obs_ts = F.when(F.col("is_grid") == 0, F.col("grid_ts"))
-    prev_v = F.last("value", ignorenulls=True).over(wprev)
-    prev_t = F.last(obs_ts, ignorenulls=True).over(wprev)
-    next_v = F.first("value", ignorenulls=True).over(wnext)
-    next_t = F.first(obs_ts, ignorenulls=True).over(wnext)
+    Same post-shuffle-explode shape as fill_locf: each obs interpolates
+    its own range [t_i, t_{i+1}) against its lead neighbor; grid step g
+    gets  v_i + (v_{i+1} - v_i) * (g - t_i) / (t_{i+1} - t_i).
+    The arithmetic matches the DuckDB oracle expression bit-for-bit
+    (exact µs epochs, identical IEEE evaluation order)."""
+    secs = STEP_SECONDS[step]
+    r = _fill_ranges(series, step, max_gap_steps)
 
     from timeseriescorrelation_spark.functions.timeutil import epoch_us
 
-    t = epoch_us(F.col("grid_ts")).cast("double")
-    pt = epoch_us(prev_t).cast("double")
-    nt = epoch_us(next_t).cast("double")
+    g = F.col("g")
+    t = epoch_us(g).cast("double")
+    pt = epoch_us(F.col("grid_ts")).cast("double")
+    nt = epoch_us(F.col("next_ts")).cast("double")
     interp = F.when(
-        next_v.isNull() | prev_v.isNull() | (nt == pt), F.coalesce(prev_v, next_v)
-    ).otherwise(prev_v + (next_v - prev_v) * (t - pt) / (nt - pt))
-
-    has_obs = F.max(F.when(F.col("is_grid") == 0, 1).otherwise(0)).over(
-        Window.partitionBy(*_KEY, "grid_ts")
+        F.col("next_v").isNull() | (nt == pt), F.col("value")
+    ).otherwise(
+        F.col("value") + (F.col("next_v") - F.col("value")) * (t - pt) / (nt - pt)
     )
-    return (
-        u.withColumn("ival", interp)
-        .withColumn("filled", has_obs == 0)
-        .where(F.col("is_grid") == 1)
-        .select(*_KEY, "grid_ts", F.col("ival").alias("value"), "filled")
+    return r.select(
+        *_KEY, "grid_ts", "value", "next_ts", "next_v",
+        F.posexplode(
+            F.sequence(
+                F.col("grid_ts"), F.col("fill_end"),
+                F.expr(f"interval {secs} seconds"),
+            )
+        ).alias("pos", "g"),
+    ).select(
+        *_KEY,
+        g.alias("grid_ts"),
+        interp.alias("value"),
+        (F.col("pos") > 0).alias("filled"),
     )
 
 

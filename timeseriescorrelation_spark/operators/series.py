@@ -26,26 +26,40 @@ def derive_series(transcripts: DataFrame) -> DataFrame:
     """transcripts → long series (conv_id, metric, ts, turn_idx, value)."""
     from timeseriescorrelation_spark.functions.timeutil import epoch_us
 
+    # Pre-project token_len/tool_calls BELOW the window: expressions
+    # evaluated in the same select as a window function land in the
+    # Project ABOVE the Window's Exchange, which would shuffle the raw
+    # multi-KB `text` column with every turn (measured ~7 GB of text
+    # through the shuffle on a 3.7M-turn input).  A separate select
+    # first lets Catalyst place the projection below the Exchange, so
+    # only (conv_id, turn_idx, ts, two doubles) are shuffled.
+    narrowed = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.size(F.split(F.col("text"), r"\s+")).cast("double").alias(
+            "_token_len"
+        ),
+        F.when(F.col("tool").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("_tool_calls"),
+    )
+
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev_ts = F.lag("ts").over(w)
     delta_s = (epoch_us(F.col("ts")) - epoch_us(prev_ts)) / F.lit(1e6)
-
-    token_len = F.size(F.split(F.col("text"), r"\s+")).cast("double")
-    tool_calls = F.when(F.col("tool").isNotNull(), F.lit(1.0)).otherwise(
-        F.lit(0.0)
-    )
     turn_rate = F.when(prev_ts.isNull(), F.lit(None).cast("double")).otherwise(
         F.lit(60.0) / F.greatest(delta_s, F.lit(1.0))
     )
 
     # window expressions can't live inside a generator: project them to
     # plain columns first, then explode
-    flat = transcripts.select(
+    flat = narrowed.select(
         "conv_id",
         "turn_idx",
         "ts",
-        token_len.alias("_token_len"),
-        tool_calls.alias("_tool_calls"),
+        "_token_len",
+        "_tool_calls",
         turn_rate.alias("_turn_rate"),
     )
     mv = F.explode(
