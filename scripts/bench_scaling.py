@@ -33,7 +33,8 @@ WORK = os.environ.get("TSC_SCALE_DIR", "/tmp/tsc_scaling")
 N_CONVS = int(os.environ.get("TSC_SCALE_CONVS", "20000"))
 SEED = 42
 
-STAGES = ["series", "fill_1m", "agg_1m", "agg_1h", "agg_1d"]
+STAGES = ["series", "fill_1m", "agg_1m", "agg_1h", "agg_1d",
+          "cascade_fused"]
 
 
 def _spark(cores: int):
@@ -74,11 +75,15 @@ def prepare() -> None:
     if not os.path.exists(f"{WORK}/t1m/_SUCCESS"):
         rollup_raw(
             spark.read.parquet(f"{WORK}/series"), "1m"
-        ).write.mode("overwrite").parquet(f"{WORK}/t1m")
+        ).repartition(64, "conv_id").write.mode("overwrite").parquet(
+            f"{WORK}/t1m"
+        )
     if not os.path.exists(f"{WORK}/t1h/_SUCCESS"):
         rollup_tier(
             spark.read.parquet(f"{WORK}/t1m"), "1h"
-        ).write.mode("overwrite").parquet(f"{WORK}/t1h")
+        ).repartition(64, "conv_id").write.mode("overwrite").parquet(
+            f"{WORK}/t1h"
+        )
     spark.stop()
 
 
@@ -97,19 +102,32 @@ def run_child(cores: int) -> dict:
     t1m = spark.read.parquet(f"{WORK}/t1m")
     t1h = spark.read.parquet(f"{WORK}/t1h")
 
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_cascade_fused,
+    )
+
     builders = {
         "series": lambda: derive_series(transcripts),
         "fill_1m": lambda: fill_locf(series, "1m"),
         "agg_1m": lambda: rollup_raw(series, "1m"),
         "agg_1h": lambda: rollup_tier(t1m, "1h"),
         "agg_1d": lambda: rollup_tier(t1h, "1d"),
+        # production shape: transcripts -> series -> all three tiers in
+        # one job, one shuffle (repartition on conv_id satisfies every
+        # tier's clustering) -- materializing 1d forces 1m/1h inline
+        "cascade_fused": lambda: rollup_cascade_fused(
+            derive_series(transcripts), n_parts=4 * cores
+        )["1d"],
     }
+    n_turns = transcripts.count()
+    n_series = series.count()
     rows_in = {
-        "series": transcripts.count(),
-        "fill_1m": series.count(),
-        "agg_1m": series.count(),
+        "series": n_turns,
+        "fill_1m": n_series,
+        "agg_1m": n_series,
         "agg_1h": t1m.count(),
         "agg_1d": t1h.count(),
+        "cascade_fused": n_turns,
     }
 
     def materialize(df):

@@ -81,6 +81,40 @@ def test_tier_cascade_reuses_lower_tier_grouping(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_fused_cascade_single_shuffle(spark):
+    """repartition(conv_id) up front -> 1m+1h+1d aggregate with no
+    further exchanges (hash(conv_id) satisfies every tier's clustered
+    distribution)."""
+    from pyspark.sql import functions as F
+
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_cascade_fused,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "value",
+    )
+    t1d = rollup_cascade_fused(e, n_parts=8)["1d"]
+    plan = _plan(t1d)
+    assert plan.count("Exchange") == 1, plan
+    # and the fused result equals the per-stage cascade (sum compared
+    # rounded: double addition order differs across partitionings)
+    from timeseriescorrelation_spark.operators.rollup import rollup_cascade
+
+    def canon(rows):
+        return sorted(
+            (r.conv_id, r.metric, r.bucket_ts, r.cnt, round(r.sum, 6),
+             r.min, r.max, r.first, r.last)
+            for r in rows
+        )
+
+    assert canon(t1d.collect()) == canon(rollup_cascade(e)["1d"].collect())
+
+
 def test_anti_join_not_cartesian(spark):
     plan = _plan(em.queries()["anti_join_inactive"](spark, SF))
     assert "LeftAnti" in plan

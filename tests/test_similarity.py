@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.operators.similarity import (
     ann_topk_bruteforce,
+    ann_topk_bruteforce_np,
     ann_topk_ivf,
     cosine_neardup_pairs,
     with_unit_vectors,
@@ -99,6 +100,22 @@ def test_ivf_recall_vs_bruteforce(spark):
         for q_ in bf_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_numpy_bruteforce_matches_hof(spark, embs):
+    """The BLAS scale path must return the same neighbor ranking as the
+    oracle-path HOF variant (cos compared at the rounded precision the
+    ranking itself uses)."""
+    q = embs.where(F.col("vec_id") < 5)
+    hof = sorted(
+        (r.qid, r.rank, r.nid) for r in
+        ann_topk_bruteforce(embs, q, k=10).collect()
+    )
+    np_ = sorted(
+        (r.qid, r.rank, r.nid) for r in
+        ann_topk_bruteforce_np(embs, q.toPandas(), k=10).collect()
+    )
+    assert hof == np_
 
 
 def test_neardup_pairs_symmetric_bound(spark, embs):

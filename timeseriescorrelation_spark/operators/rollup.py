@@ -101,6 +101,32 @@ def rollup_cascade(series: DataFrame) -> dict[str, DataFrame]:
     return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
+def rollup_cascade_fused(series: DataFrame,
+                         n_parts: int | None = None) -> dict[str, DataFrame]:
+    """Whole cascade with exactly ONE shuffle.
+
+    An explicit repartition on conv_id up front makes every tier's
+    grouping requirement already satisfied: hashpartitioning(conv_id)
+    satisfies ClusteredDistribution(conv_id, metric, bucket_ts) (the
+    partitioning expressions are a subset of the grouping keys), so
+    Catalyst inserts NO further exchanges — 1m, 1h and 1d aggregate
+    in place on the same partitioning.  This is the production shape
+    for tier builds: per-stage paths that read unbucketed parquet pay
+    one shuffle per tier instead (measured: the 1h re-agg stopped
+    scaling at 8→32 cores because its shuffle dominated).
+
+    tests/test_plans.py asserts the single-exchange property."""
+    s = (
+        series.repartition(n_parts, "conv_id")
+        if n_parts
+        else series.repartition("conv_id")
+    )
+    t1m = rollup_raw(s, "1m")
+    t1h = rollup_tier(t1m, "1h")
+    t1d = rollup_tier(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
 def tier_summary(tier_df: DataFrame) -> DataFrame:
     """Per-metric / grand-total report via ROLLUP grouping sets (SURVEY A7)."""
     return (

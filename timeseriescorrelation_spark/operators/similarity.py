@@ -98,6 +98,59 @@ def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def ann_topk_bruteforce_np(emb: DataFrame, queries_pdf, k: int = 10,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Numpy/Arrow scale path for brute-force top-k: the query matrix
+    (small) is closed over and shipped to every task; each Arrow batch
+    computes a Q x batch matmul and emits only its local top-k per
+    query, so the final shuffle ranks Q * k * n_batches candidate rows
+    instead of Q * N scored rows.
+
+    ~10-100x faster than the per-element HOF dot product on wide
+    corpora (HOF lambdas are interpreted per element; matmul is BLAS).
+    The HOF variant (`ann_topk_bruteforce`) stays the oracle path: its
+    left-to-right fold matches DuckDB summation bit-for-bit, while BLAS
+    pairwise summation differs in the low bits.
+
+    queries_pdf: pandas DataFrame with (vec_id, embedding) columns."""
+    import numpy as np
+    import pandas as pd
+
+    qids = queries_pdf[id_col].to_numpy()
+    qm = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    schema = "qid long, nid long, cos double"
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qm @ m.T  # Q x batch
+            kk = min(k + 1, sims.shape[1])  # +1: self may be in batch
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                for j in part[qi]:
+                    if ids[j] != qids[qi]:
+                        out_q.append(qids[qi])
+                        out_n.append(ids[j])
+                        out_c.append(sims[qi, j])
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "cos": out_c})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(_score, schema)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("nid")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", F.round("cos", 6).alias("cos"))
+    )
+
+
 def centroids_by_label(emb: DataFrame, vec_col: str = "embedding",
                        label_col: str = "label",
                        id_col: str = "vec_id") -> DataFrame:
