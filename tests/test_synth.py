@@ -45,3 +45,29 @@ def test_properties(tiny_transcripts):
     lens = df.select(F.length("text").alias("l")).agg(
         F.min("l"), F.max("l")).first()
     assert lens[0] >= 5 and lens[1] <= 2000
+
+
+def test_per_turn_text_equality_invariant(spark, tiny_transcripts, tmp_path):
+    """BASELINE.json:15 binding invariant: after the canonical
+    shuffle-bearing layout (hash repartition on conv_id + explicit
+    sortWithinPartitions) and a storage round-trip, (conv_id, turn_idx)
+    -> text is byte-identical to the input."""
+    p = str(tmp_path / "layout")
+    (
+        tiny_transcripts.repartition(8, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite").parquet(p)
+    )
+    back = spark.read.parquet(p)
+    a = tiny_transcripts.select("conv_id", "turn_idx", "text")
+    b = back.select(
+        "conv_id", "turn_idx", F.col("text").alias("text_b")
+    )
+    joined = a.join(b, ["conv_id", "turn_idx"], "full_outer")
+    n_bad = joined.where(
+        F.col("text").isNull()
+        | F.col("text_b").isNull()
+        | (F.col("text") != F.col("text_b"))
+    ).count()
+    assert n_bad == 0
+    assert back.count() == tiny_transcripts.count()
