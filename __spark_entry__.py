@@ -273,7 +273,11 @@ def q_corr_report(spark, sf_dir):
     Pearson); the DuckDB oracle is the naive all-pairs corr at theta —
     equality IS the pruning-soundness guarantee."""
     aligned = _aligned_from_events(spark, sf_dir)
-    vectors = dft_sketch(build_vectors(aligned))
+    # cache: the vectors lineage (two windows + collect_list over the
+    # hourly prep) feeds both self-join sides of the candidate join AND
+    # both probe sides of the exact-corr join — uncached it recomputes
+    # ~5x (measured 6.3s -> ~2s at sf0.1)
+    vectors = dft_sketch(build_vectors(aligned)).cache()
     cand = candidate_pairs(vectors, _CORR_THETA)
     rep = exact_corr(cand, vectors, _CORR_THETA)
     return rep.select("id_a", "id_b", F.round("rho", 6).alias("rho"))
@@ -388,7 +392,11 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
-    return cosine_neardup_pairs(_embs(spark, sf_dir), min_cos=0.35)
+    from timeseriescorrelation_spark.operators.similarity import (
+        cosine_neardup_pairs_blocked,
+    )
+
+    return cosine_neardup_pairs_blocked(_embs(spark, sf_dir), min_cos=0.35)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -415,6 +423,14 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_mm_meta(spark, sf_dir):
     return decode_metadata(attach_payload(_docs(spark, sf_dir)))
+
+
+def q_stats_salted(spark, sf_dir):
+    """Two-phase salted aggregation (J7): identical result to a direct
+    groupBy, but heavy keys reduce in parallel across salt buckets."""
+    from timeseriescorrelation_spark.operators.skew import stats_two_phase
+
+    return stats_two_phase(_series_from_events(spark, sf_dir), buckets=8)
 
 
 def q_session_stats(spark, sf_dir):
@@ -471,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_frames": q_mm_frames,
         "session_stats": q_session_stats,
+        "stats_salted": q_stats_salted,
     }
 
 
@@ -845,6 +862,21 @@ FROM (
   FROM events
 )
 GROUP BY 1
+""",
+        "stats_salted": """
+SELECT cast(user_id AS varchar) AS conv_id,
+       event_type AS metric,
+       count(value) AS cnt,
+       round(sum(value), 6) AS sum_v,
+       round(sum(value) / count(value), 6) AS avg_v,
+       round(sqrt(greatest(
+         sum(value * value) / count(value)
+         - (sum(value) / count(value)) * (sum(value) / count(value)),
+         0.0)), 6) AS std_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events
+GROUP BY 1, 2
 """,
         "session_stats": """
 WITH d AS (

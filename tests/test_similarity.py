@@ -118,6 +118,26 @@ def test_numpy_bruteforce_matches_hof(spark, embs):
     assert hof == np_
 
 
+def test_blocked_neardup_matches_hof(spark, embs):
+    """Block-matmul near-dup must find the same pairs as the HOF path
+    (cos compared at the rounded precision both emit)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        cosine_neardup_pairs_blocked,
+    )
+
+    hof = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs(embs, 0.2).collect()
+    }
+    blk = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs_blocked(embs, 0.2).collect()
+    }
+    assert set(hof) == set(blk)
+    for k in hof:
+        assert abs(hof[k] - blk[k]) <= 1e-6
+
+
 def test_neardup_pairs_symmetric_bound(spark, embs):
     """Every reported pair has id_a < id_b and cos within [-1, 1]."""
     rows = cosine_neardup_pairs(embs, min_cos=0.2).collect()
