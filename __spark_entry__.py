@@ -425,6 +425,34 @@ def q_mm_meta(spark, sf_dir):
     return decode_metadata(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_chunk_roundtrip(spark, sf_dir):
+    """Gorilla chunk codec round-trip THROUGH the driver gate: encode
+    per-(conv,metric,day) blobs, decode them back; the DuckDB oracle is
+    simply the original points — equality proves the delta-of-delta +
+    XOR bitstream is lossless on real data."""
+    from timeseriescorrelation_spark.operators.chunks import (
+        decode_chunks,
+        encode_chunks,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    return decode_chunks(encode_chunks(s, "day")).select(
+        "conv_id", "metric", "ts", "value"
+    )
+
+
+def q_chunk_stats(spark, sf_dir):
+    """Compression accounting per metric (rows-only check: bit-level
+    blob sizes aren't ANSI-SQL-expressible)."""
+    from timeseriescorrelation_spark.operators.chunks import (
+        compression_stats,
+        encode_chunks,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    return compression_stats(encode_chunks(s, "day"))
+
+
 def q_stats_salted(spark, sf_dir):
     """Two-phase salted aggregation (J7): identical result to a direct
     groupBy, but heavy keys reduce in parallel across salt buckets."""
@@ -488,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": q_mm_frames,
         "session_stats": q_session_stats,
         "stats_salted": q_stats_salted,
+        "chunk_roundtrip": q_chunk_roundtrip,
+        "chunk_stats": q_chunk_stats,
     }
 
 
@@ -862,6 +892,13 @@ FROM (
   FROM events
 )
 GROUP BY 1
+""",
+        "chunk_roundtrip": """
+SELECT cast(user_id AS varchar) AS conv_id,
+       event_type AS metric,
+       ts,
+       value
+FROM events
 """,
         "stats_salted": """
 SELECT cast(user_id AS varchar) AS conv_id,
