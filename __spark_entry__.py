@@ -119,6 +119,16 @@ def q_rollup_1d(spark, sf_dir):
     return t["1d"].select(*_tier_out())
 
 
+def q_rollup_5m(spark, sf_dir):
+    """Arbitrary-interval tier (window(), not date_trunc) — matches
+    DuckDB time_bucket(INTERVAL 5 MINUTE, ts)."""
+    from timeseriescorrelation_spark.operators.rollup import rollup_interval
+
+    return rollup_interval(
+        _series_from_events(spark, sf_dir), "5 minutes", 300
+    ).select(*_tier_out())
+
+
 def q_locf_1h(spark, sf_dir):
     s = _series_from_events(spark, sf_dir).withColumn("metric", F.lit("value"))
     return fill_locf(s, "1h").select("conv_id", "grid_ts", "value", "filled")
@@ -486,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
+        "rollup_5m": q_rollup_5m,
         "locf_1h": q_locf_1h,
         "stats_per_user": q_stats_per_user,
         "lag_delta": q_lag_delta,
@@ -668,6 +679,19 @@ def _static_oracles() -> dict[str, str]:
         "rollup_1m": _TIER_ORACLE.format(trunc="minute"),
         "rollup_1h": _TIER_ORACLE.format(trunc="hour"),
         "rollup_1d": _TIER_ORACLE.format(trunc="day"),
+        "rollup_5m": """
+SELECT cast(user_id AS varchar) AS conv_id,
+       event_type AS metric,
+       time_bucket(INTERVAL 5 MINUTE, ts) AS bucket_ts,
+       count(value) AS cnt,
+       round(sum(value), 6) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       arg_min(value, ts) AS first_v,
+       arg_max(value, ts) AS last_v
+FROM events
+GROUP BY 1, 2, 3
+""",
         "locf_1h": """
 WITH obs AS (
   SELECT cast(user_id AS varchar) AS conv_id,

@@ -72,6 +72,43 @@ def rollup_raw(series: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
+def rollup_interval(series: DataFrame, interval: str = "5 minutes",
+                    interval_seconds: int = 300) -> DataFrame:
+    """Tier rollup at an arbitrary tumbling interval via window()
+    (date_trunc only covers calendar units).  Same output schema as
+    rollup_raw; epoch-aligned buckets match DuckDB's time_bucket.
+
+    The order key uses second-granularity packing: offset-in-bucket
+    (µs) needs 27 bits at 5m; turn_idx gets the rest."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    # tumbling windows are epoch-aligned, so offset-in-bucket is just
+    # epoch µs mod the interval (avoids nesting window() inside aggs)
+    ivl_us = interval_seconds * 1_000_000
+    off = F.pmod(epoch_us(F.col("ts")), F.lit(ivl_us))
+    idx_bits = 63 - (ivl_us - 1).bit_length()
+    key = off * F.lit(1 << idx_bits) + F.least(
+        F.col("turn_idx").cast("long"), F.lit((1 << idx_bits) - 1)
+    )
+    return (
+        series.groupBy(
+            "conv_id", "metric", F.window("ts", interval).alias("w")
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min_by("value", key).alias("first"),
+            F.max_by("value", key).alias("last"),
+        )
+        .select(
+            "conv_id", "metric", F.col("w.start").alias("bucket_ts"),
+            "cnt", "sum", "min", "max", "first", "last",
+        )
+    )
+
+
 def rollup_tier(lower: DataFrame, to_tier: str) -> DataFrame:
     """Re-aggregate tier N → tier N+1 from the lower tier only."""
     trunc = TIER_TRUNC[to_tier]
