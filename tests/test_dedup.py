@@ -114,6 +114,39 @@ def test_minhash_lsh_sf0001_recall(spark):
     assert len(j06 & lsh) >= 0.9 * len(j06), f"j>=0.6 recall too low"
 
 
+def test_short_docs_do_not_crash(spark):
+    """Docs with fewer than n tokens must emit zero shingles (matching
+    the oracle's empty generate_series), not crash with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on the descending sequence(1,0)."""
+    short = spark.createDataFrame(
+        [
+            (10, "hi"),                    # 1 token  < n
+            (11, "two tokens"),            # 2 tokens < n
+            (12, "exactly three tokens"),  # 3 tokens == n -> 1 shingle
+            (13, ""),                      # empty text
+            (14, "the quick brown fox jumps over the lazy dog"),
+            (15, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.shingle) for r in shingles(short, 3).collect()}
+    assert {d for d, _ in got} == {12, 14, 15}
+    assert (12, "exactly three tokens") in got
+    # full pipelines must survive short docs too
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(short, tau_num=1, tau_den=2).collect()
+    }
+    assert (14, 15) in lsh and all(a >= 12 for a, _ in lsh)
+    sim = simhash_pairs(short).collect()
+    assert {(r.id_a, r.id_b) for r in sim if r.hamming == 0} == {(14, 15)}
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(short, 3, min_inter=1).collect()
+    }
+    assert jac == {(14, 15)}
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs):
     fps = {r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()}
     assert fps[0] == fps[2]

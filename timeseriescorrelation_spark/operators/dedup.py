@@ -65,8 +65,17 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """(id, text) -> distinct (doc_id, shingle) word n-grams."""
     t = tokenize(docs, text_col, id_col)
+    # Guard short docs: sequence(1, 0) is DESCENDING [1,0] in Spark, and
+    # element_at(toks, 0) then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    # Docs with < n tokens produce an empty index array instead; explode
+    # of the empty array drops the doc, matching the oracle's empty
+    # generate_series(1, 0).
+    idx = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at("toks", i + j) for j in range(n)]
         ),
