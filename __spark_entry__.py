@@ -452,15 +452,21 @@ def q_chunk_roundtrip(spark, sf_dir):
 
 
 def q_chunk_stats(spark, sf_dir):
-    """Compression accounting per metric (rows-only check: bit-level
-    blob sizes aren't ANSI-SQL-expressible)."""
+    """Chunk accounting per metric — the SQL-expressible columns only
+    (chunk count, point count, raw bytes = 16·n), so the driver gate
+    hash-checks them fully.  enc_bytes/ratio are bit-level codec
+    outputs with no ANSI-SQL equivalent; they are asserted in pytest
+    (tests/test_chunks.py) instead of diluting the gate with a
+    rows-only row."""
     from timeseriescorrelation_spark.operators.chunks import (
         compression_stats,
         encode_chunks,
     )
 
     s = _series_from_events(spark, sf_dir)
-    return compression_stats(encode_chunks(s, "day"))
+    return compression_stats(encode_chunks(s, "day")).select(
+        "metric", "n_chunks", "points", "raw_bytes"
+    )
 
 
 def q_stats_salted(spark, sf_dir):
@@ -924,6 +930,20 @@ SELECT cast(user_id AS varchar) AS conv_id,
        value
 FROM events
 """,
+        "chunk_stats": """
+WITH c AS (
+  SELECT event_type AS metric,
+         cast(user_id AS varchar) AS conv_id,
+         date_trunc('day', ts) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT metric,
+       count(*) AS n_chunks,
+       cast(sum(n) AS bigint) AS points,
+       cast(sum(16 * n) AS bigint) AS raw_bytes
+FROM c GROUP BY 1
+""",
         "stats_salted": """
 SELECT cast(user_id AS varchar) AS conv_id,
        event_type AS metric,
@@ -1049,29 +1069,41 @@ SELECT p.doc_id,
 FROM pt p JOIN vocab v USING (tok)
 GROUP BY 1
 """,
+        # BYTE-based like the Spark stub (payload = utf-8 bytes): byte i
+        # of the blob is hex pair i of hex(encode(text)) — exact on
+        # non-ASCII documents too (char-based ascii() would diverge).
         "mm_meta": """
 WITH h AS (
   SELECT doc_id,
-         cast(octet_length(encode(text)) AS bigint) AS n_bytes,
-         cast(coalesce(list_sum(list_transform(
-           generate_series(1, least(16, length(text))),
-           i -> ascii(substr(text, i, 1)))), 0) AS bigint) AS header_sum
+         hex(encode(text)) AS hx,
+         cast(octet_length(encode(text)) AS bigint) AS n_bytes
   FROM documents
+), s AS (
+  SELECT doc_id, n_bytes,
+         cast(coalesce(list_sum(list_transform(
+           generate_series(1, cast(least(16, n_bytes) AS int)),
+           i -> ('0x' || substr(hx, 2 * i - 1, 2))::INT)), 0)
+           AS bigint) AS header_sum
+  FROM h
 )
 SELECT doc_id, n_bytes, header_sum,
        cast(64 + header_sum % 512 AS int) AS fake_width,
        cast(64 + (header_sum * 7) % 512 AS int) AS fake_height
-FROM h
+FROM s
 """,
         "mm_frames": """
 SELECT doc_id,
        cast(off // 64 AS int) AS frame_idx,
        cast(coalesce(list_sum(list_transform(
-         generate_series(off + 1, least(off + 64, length(text))),
-         i -> ascii(substr(text, i, 1)))), 0) AS bigint) AS frame_sum
+         generate_series(cast(off + 1 AS int),
+                         cast(least(off + 64, n_bytes) AS int)),
+         i -> ('0x' || substr(hx, 2 * i - 1, 2))::INT)), 0)
+         AS bigint) AS frame_sum
 FROM (
-  SELECT doc_id, text,
-         unnest(generate_series(0, greatest(length(text) - 1, 0), 64)) AS off
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n_bytes,
+         unnest(generate_series(0,
+           greatest(octet_length(encode(text)) - 1, 0), 64)) AS off
   FROM documents
 )
 """,

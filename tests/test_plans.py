@@ -121,6 +121,35 @@ def test_anti_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_corr_broadcast_guard(spark, monkeypatch):
+    """exact_corr auto-sizing: small vectors tables broadcast the probe
+    sides; above BROADCAST_MAX_ELEMENTS the plan must fall back to a
+    shuffle join (broadcasting a cluster-scale vectors table would OOM
+    the driver at 100x)."""
+    from timeseriescorrelation_spark.operators import correlation as C
+
+    aligned = em._aligned_from_events(spark, SF)
+    vectors = C.dft_sketch(C.build_vectors(aligned)).cache()
+    cand = C.candidate_pairs(vectors, 0.5)
+
+    small = _plan(C.exact_corr(cand, vectors, 0.5))
+    assert "BroadcastHashJoin" in small, small
+
+    # Disable size-based auto-broadcast so the plan reflects the guard's
+    # decision alone (at real scale the stats would be huge anyway; the
+    # test table is tiny, so Catalyst would otherwise re-broadcast it).
+    monkeypatch.setattr(C, "BROADCAST_MAX_ELEMENTS", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = _plan(C.exact_corr(cand, vectors, 0.5))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in big, big
+    assert re.search(r"(SortMerge|ShuffledHash)Join", big), big
+    vectors.unpersist()
+
+
 @pytest.mark.parametrize("qname", ["locf_1h", "interp_1h"])
 def test_gapfill_single_window_shuffle(spark, qname):
     """Gap-fill = union + ONE window pass: exactly one exchange on the

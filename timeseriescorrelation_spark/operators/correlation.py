@@ -133,10 +133,32 @@ def candidate_pairs(sketches: DataFrame, theta: float,
     ).where(F.col("lb_sq") <= F.lit(eps * eps))
 
 
+# Max number of vector ELEMENTS (n_series * m doubles) we will hint for
+# broadcast in exact_corr: 8 bytes/element -> ~128 MB serialized at the
+# cap, under Spark's practical broadcast comfort zone.  Above it the
+# probe joins fall back to shuffle joins (SMJ/AQE's choice), which is
+# the correct plan when the vectors table itself is cluster-scale.
+BROADCAST_MAX_ELEMENTS = 16_000_000
+
+
 def exact_corr(cand: DataFrame, vectors: DataFrame, theta: float,
                id_col: str = "series_id",
-               broadcast_vectors: bool = True) -> DataFrame:
-    """Candidates → exact ρ via unit-vector dot product (A4/J2)."""
+               broadcast_vectors: bool | None = None,
+               n_elements: int | None = None) -> DataFrame:
+    """Candidates → exact ρ via unit-vector dot product (A4/J2).
+
+    broadcast_vectors: True/False force the plan; None (default)
+    auto-sizes — broadcast only when the vectors table holds at most
+    BROADCAST_MAX_ELEMENTS doubles.  Pass ``n_elements`` (n_series * m)
+    when the caller already knows it (corr_report does, from counters);
+    otherwise one count job on ``vectors`` decides (cache ``vectors``
+    first, as corr_report does, to make that job cheap)."""
+    if broadcast_vectors is None:
+        if n_elements is None:
+            first = vectors.select("m").first()
+            m_width = int(first["m"]) if first is not None else 0
+            n_elements = vectors.count() * max(m_width, 1)
+        broadcast_vectors = n_elements <= BROADCAST_MAX_ELEMENTS
     v = vectors.select(F.col(id_col).alias("vid"), "vec")
     if broadcast_vectors:
         v = F.broadcast(v)
@@ -156,17 +178,20 @@ def exact_corr(cand: DataFrame, vectors: DataFrame, theta: float,
 
 def corr_report(aligned: DataFrame, theta: float, k: int = 4,
                 id_col: str = "series_id",
-                broadcast_vectors: bool = True) -> tuple[DataFrame, dict]:
+                broadcast_vectors: bool | None = None) -> tuple[DataFrame, dict]:
     """Full tiered operator.  Returns (report_df sorted by ρ desc,
     pruning counters) — counters trigger computation (A5)."""
     vectors = dft_sketch(build_vectors(aligned, id_col), k, id_col)
     vectors.cache()
     n = vectors.count()
+    first = vectors.select("m").first()
+    m_width = int(first["m"]) if first is not None else 1
     cand = candidate_pairs(vectors, theta, id_col)
     cand.cache()
     n_checked = cand.count()
     report = exact_corr(
-        cand, vectors, theta, id_col, broadcast_vectors
+        cand, vectors, theta, id_col, broadcast_vectors,
+        n_elements=n * m_width,
     ).orderBy(F.desc("rho"), "id_a", "id_b")
     n_reported = report.count()
     counters = {

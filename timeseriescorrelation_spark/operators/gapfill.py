@@ -150,8 +150,10 @@ def fill_interpolate(series: DataFrame, step: str = "1m",
                      max_gap_steps: int | None = None) -> DataFrame:
     """Dense grid with linear interpolation between neighboring
     observations (LOCF at the trailing edge: the last observation has
-    no next neighbor and fills nothing beyond itself... except when a
-    gap cap truncates a range, where the remaining steps carry prev_v).
+    no next neighbor and fills nothing beyond itself).  Gap-cap
+    semantics are segment/dormancy, like fill_locf: when a gap exceeds
+    max_gap_steps the range ENDS at the earlier observation — nothing
+    is emitted between the two observations (no partial carry).
 
     Same post-shuffle-explode shape as fill_locf: each obs interpolates
     its own range [t_i, t_{i+1}) against its lead neighbor; grid step g

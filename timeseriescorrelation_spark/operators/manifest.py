@@ -112,9 +112,22 @@ def run_stage(
     done = store.done_parts(run_id, stage)
     todo = inp.join(done, "part_key", "left_anti")
 
-    in_counts = todo.groupBy("part_key").agg(F.count("*").alias("input_rows"))
+    # One job computes the per-part input counts (<= n_parts rows) AND
+    # answers "anything left to do?" — collected to the driver so the
+    # manifest append later joins a tiny local DataFrame instead of
+    # recomputing todo's whole lineage a second time.  (Previously a
+    # separate todo.limit(1).count() job existed just for the emptiness
+    # test — one extra scheduler round-trip per stage per run.)
+    in_count_rows = (
+        todo.groupBy("part_key")
+        .agg(F.count("*").alias("input_rows"))
+        .collect()
+    )
 
-    if todo.limit(1).count() > 0:
+    if in_count_rows:
+        in_counts = spark.createDataFrame(
+            in_count_rows, "part_key int, input_rows long"
+        )
         out = fn(todo.drop("part_key"))
         out = with_part_key(out, key_col, n_parts)
         (

@@ -78,8 +78,10 @@ def rollup_interval(series: DataFrame, interval: str = "5 minutes",
     (date_trunc only covers calendar units).  Same output schema as
     rollup_raw; epoch-aligned buckets match DuckDB's time_bucket.
 
-    The order key uses second-granularity packing: offset-in-bucket
-    (µs) needs 27 bits at 5m; turn_idx gets the rest."""
+    The order key packs the µs offset-in-bucket into the high bits:
+    at 5m the offset needs 29 bits (300e6 µs), leaving idx_bits =
+    63 − 29 = 34 bits for turn_idx (clamped, ties broken correctly up
+    to 2^34 turns per bucket)."""
     from timeseriescorrelation_spark.functions.timeutil import epoch_us
 
     # tumbling windows are epoch-aligned, so offset-in-bucket is just

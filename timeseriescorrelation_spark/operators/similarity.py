@@ -43,11 +43,21 @@ def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding",
     """(id, embedding float[]) -> (vec_id, v double[], n) L2-normalized.
 
     Pre-normalizing makes cosine a plain dot product downstream (one
-    division per vector instead of per pair)."""
+    division per vector instead of per pair).  The norm is computed ONCE
+    per vector in a prior projection — inlining _norm(v) into the
+    transform lambda would re-run the O(d) dot-product fold per element
+    (O(d^2) per vector)."""
     v = _to_double(F.col(vec_col))
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(v, lambda x: x / _norm(v)).alias("v"),
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("_dv"),
+        )
+        .withColumn("_n", _norm(F.col("_dv")))
+        .select(
+            "vec_id",
+            F.transform("_dv", lambda x: x / F.col("_n")).alias("v"),
+        )
     )
 
 
@@ -72,19 +82,26 @@ def cosine_neardup_pairs(emb: DataFrame, min_cos: float,
 
 
 def cosine_neardup_pairs_blocked(emb: DataFrame, min_cos: float,
-                                 corpus_pdf=None,
+                                 n_blocks: int = 8,
                                  vec_col: str = "embedding",
                                  id_col: str = "vec_id") -> DataFrame:
-    """Block-matmul near-dup pairs: the (small) full corpus matrix is
-    closed over and shipped to each task; every Arrow batch computes a
-    batch x corpus BLAS matmul and emits only the pairs at or above the
-    threshold (id_a < id_b).  Arrow moves found pairs, not scores.
+    """Distributed block-pair matmul near-dup: no driver-side corpus
+    materialization.  Vectors are hashed into ``n_blocks`` blocks; every
+    unordered block pair (i, j), i <= j, becomes one shuffle group
+    holding block i in the "left" role and block j in the "right" role,
+    and each group computes one |Bi| x |Bj| BLAS matmul emitting only
+    pairs at or above the threshold (id_a < id_b, cos rounded 6dp).
 
-    ~25x faster than the per-pair HOF dot (which evaluates interpreted
-    lambdas per element over |pairs| x dim).  Scale bound: the corpus
-    matrix must fit in executor memory (~1M x 64 doubles = 0.5 GB);
-    beyond that, prefilter with LSH/IVF (`ann_topk_ivf`) — this is the
-    exact-verification path, not the 100 TB path.
+    Scale shape: each vector is replicated n_blocks+1 times, so shuffle
+    volume is O(N * n_blocks) rows while per-group memory is
+    O((N/n_blocks) * dim) — pick n_blocks ~ sqrt(cluster parallelism)
+    so groups saturate executors without any block needing the full
+    corpus.  Compare the previous design (full-corpus toPandas() on the
+    driver): that capped N at driver memory; this caps nothing — at
+    100 TB raise n_blocks and the per-group matrix shrinks linearly.
+    Still exact (every pair lands in exactly one group); LSH/IVF
+    prefilters remain the sub-quadratic route when N^2/n_blocks matmuls
+    get too hot.
 
     Float note: BLAS pairwise summation differs from a left-to-right
     fold in the last ulps; outputs are rounded to 6dp like every float
@@ -92,28 +109,61 @@ def cosine_neardup_pairs_blocked(emb: DataFrame, min_cos: float,
     import numpy as np
     import pandas as pd
 
-    if corpus_pdf is None:
-        corpus_pdf = emb.select(id_col, vec_col).toPandas()
-    all_ids = corpus_pdf[id_col].to_numpy()
-    am = np.stack(corpus_pdf[vec_col].to_numpy()).astype(np.float64)
-    am /= np.linalg.norm(am, axis=1, keepdims=True)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e"),
+        blk.alias("blk"),
+    )
+    rng = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    # left role: vector of block b serves groups (b, j) for j >= b
+    left = base.select(
+        "vec_id", "e", F.col("blk").alias("bi"),
+        F.explode(F.filter(rng, lambda j: j >= F.col("blk"))).alias("bj"),
+        F.lit(0).alias("role"),
+    )
+    # right role: vector of block b serves groups (i, b) for i <= b
+    right = base.select(
+        "vec_id", "e",
+        F.explode(F.filter(rng, lambda i: i <= F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("role"),
+    )
+    both = left.unionByName(right)
 
     schema = "id_a long, id_b long, cos double"
 
-    def _score(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ am.T
-            np.round(sims, 6, out=sims)
-            hit = (sims >= min_cos) & (ids[:, None] < all_ids[None, :])
-            bi, ci = np.nonzero(hit)
-            yield pd.DataFrame(
-                {"id_a": ids[bi], "id_b": all_ids[ci], "cos": sims[bi, ci]}
+    def _pairs(key, pdf):
+        bi, bj = key
+        l_ = pdf[pdf["role"] == 0]
+        r_ = pdf[pdf["role"] == 1]
+        if l_.empty or r_.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
+        lids = l_["vec_id"].to_numpy()
+        rids = r_["vec_id"].to_numpy()
+        lm = np.stack(l_["e"].to_numpy()).astype(np.float64)
+        rm = np.stack(r_["e"].to_numpy()).astype(np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        np.round(sims, 6, out=sims)
+        hit = sims >= min_cos
+        if bi == bj:
+            # same block on both sides: keep the upper triangle by id
+            hit &= lids[:, None] < rids[None, :]
+            li, ri = np.nonzero(hit)
+            id_a, id_b = lids[li], rids[ri]
+        else:
+            # distinct blocks: ids are NOT ordered by block — orient
+            # each found pair by id, never drop it
+            hit &= lids[:, None] != rids[None, :]
+            li, ri = np.nonzero(hit)
+            id_a = np.minimum(lids[li], rids[ri])
+            id_b = np.maximum(lids[li], rids[ri])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": sims[li, ri]})
 
-    return emb.select(id_col, vec_col).mapInPandas(_score, schema)
+    return both.groupBy("bi", "bj").applyInPandas(_pairs, schema)
 
 
 def ann_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
