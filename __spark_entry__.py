@@ -419,6 +419,50 @@ def q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(e, e.where(F.col("vec_id") < 5), k=10, nprobe=3)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with REAL Lloyd's k-means centroids (k=8, 2 iterations,
+    deterministic vec_id%k seeding) instead of the label-mean stand-in;
+    the oracle unrolls both iterations in SQL, so every assign/re-mean
+    step is hash-checked."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = _embs(spark, sf_dir)
+    cents = kmeans_centroids(e, k=8, n_iter=2)
+    return ann_topk_ivf(
+        e, e.where(F.col("vec_id") < 5), k=10, nprobe=3, centroids=cents
+    )
+
+
+def q_rolling_1h(spark, sf_dir):
+    """W5 sliding stats: per-user trailing-1h event-time range frame."""
+    from timeseriescorrelation_spark.operators.rolling import rolling_stats
+
+    e = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    return rolling_stats(e, ["user_id"], 3600).select(
+        "user_id", "event_id",
+        "roll_cnt", "roll_min", "roll_max", "roll_sum", "roll_avg",
+    )
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per metric (p50/p90/p99) — the
+    training-data quality-cut shape ("drop docs above the p99 length").
+    Spark percentile() and DuckDB quantile_cont() both linearly
+    interpolate on the sorted values."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
@@ -526,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "rolling_1h": q_rolling_1h,
+        "value_quantiles": q_value_quantiles,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -674,9 +721,68 @@ cent AS (
 )"""
 
 
+def _kmeans_ivf_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Unroll the deterministic Lloyd's iterations (vec_id%k seeding,
+    assign = argmax cosine with lowest-cell ties, re-mean per cell) as
+    SQL CTEs mirroring similarity.kmeans_centroids step for step."""
+
+    def mean_cte(src: str) -> str:
+        return (
+            "SELECT cell, list(m ORDER BY dim) AS c FROM ("
+            "SELECT cell, dim, avg(x) AS m FROM ("
+            "SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim "
+            f"FROM {src}) GROUP BY 1, 2) GROUP BY 1"
+        )
+
+    def assign_cte(cent: str) -> str:
+        return (
+            "SELECT vec_id, v, cell FROM ("
+            "SELECT u.vec_id, u.v, c.cell, row_number() OVER ("
+            "PARTITION BY u.vec_id ORDER BY "
+            "list_dot_product(u.v, c.c) / sqrt(list_dot_product(c.c, c.c)) "
+            "DESC, c.cell) AS r "
+            f"FROM uv u CROSS JOIN {cent} c) WHERE r = 1"
+        )
+
+    parts = [
+        f"a0 AS (SELECT vec_id, v, cast(vec_id % {k} AS int) AS cell FROM uv)",
+        f"cent0 AS ({mean_cte('a0')})",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"a{i} AS ({assign_cte(f'cent{i - 1}')})")
+        parts.append(f"cent{i} AS ({mean_cte(f'a{i}')})")
+    final = f"cent{n_iter}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {_UV_CTE}, {ctes}, asg AS (
+  {assign_cte(final)}
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM uv WHERE vec_id < 5
+), probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, c.c)
+                      / sqrt(list_dot_product(c.c, c.c)) DESC,
+                      c.cell) AS r
+    FROM q CROSS JOIN {final} c) WHERE r <= 3
+)
+SELECT qid, rank, nid, cos FROM (
+  SELECT p.qid, a.vec_id AS nid,
+         round(list_dot_product(p.qv, a.v), 6) AS cos,
+         row_number() OVER (PARTITION BY p.qid
+           ORDER BY round(list_dot_product(p.qv, a.v), 6) DESC,
+                    a.vec_id) AS rank
+  FROM probes p JOIN asg a USING (cell)
+  WHERE a.vec_id <> p.qid
+) WHERE rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
+    d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
     return d
 
 
@@ -1106,6 +1212,25 @@ FROM (
            greatest(octet_length(encode(text)) - 1, 0), 64)) AS off
   FROM documents
 )
+""",
+        "rolling_1h": """
+SELECT user_id, event_id,
+       count(value) OVER w AS roll_cnt,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        "value_quantiles": """
+SELECT event_type,
+       count(value) AS cnt,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
 """,
         "rollup_summary_1d": """
 WITH t1d AS (

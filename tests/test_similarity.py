@@ -102,6 +102,44 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
+def test_kmeans_centroids_recall(spark):
+    """Real Lloyd's centroids: nprobe=all must reproduce brute force
+    EXACTLY (IVF partitions, it never loses vectors), and nprobe=3 of 8
+    kmeans cells must beat the probe-fraction recall floor on the
+    clustered sf0.01 embeddings (deterministic seed)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = embs.where(F.col("vec_id") < 5)
+    cents = kmeans_centroids(embs, k=8, n_iter=2).cache()
+    assert cents.count() == 8  # no cell collapsed on this data
+
+    bf = ann_topk_bruteforce(embs, q, k=10).collect()
+    full = ann_topk_ivf(embs, q, k=10, nprobe=8, centroids=cents).collect()
+    assert sorted((r.qid, r.rank, r.nid, r.cos) for r in full) == sorted(
+        (r.qid, r.rank, r.nid, r.cos) for r in bf
+    )
+
+    def sets(rows):
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r.qid, set()).add(r.nid)
+        return out
+
+    bf_sets = sets(bf)
+    ivf_sets = sets(
+        ann_topk_ivf(embs, q, k=10, nprobe=3, centroids=cents).collect()
+    )
+    recalls = [
+        len(bf_sets[q_] & ivf_sets.get(q_, set())) / len(bf_sets[q_])
+        for q_ in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    cents.unpersist()
+
+
 def test_numpy_bruteforce_matches_hof(spark, embs):
     """The BLAS scale path must return the same neighbor ranking as the
     oracle-path HOF variant (cos compared at the rounded precision the

@@ -267,33 +267,86 @@ def centroids_by_label(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
+def _mean_centroids(assigned: DataFrame) -> DataFrame:
+    """(vec_id, v, cell) -> (cell, c double[]) element-wise mean.
+
+    Same explode -> avg -> ordered re-assemble shape as
+    centroids_by_label, but over the (unit) vector column directly."""
+    dims = assigned.select(
+        "cell", F.posexplode("v").alias("dim", "x")
+    )
+    per_dim = dims.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def _assign_cells(unit: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each unit vector to its max-cosine centroid (ties -> the
+    lowest cell id, so assignment is deterministic)."""
+    scored = unit.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cell",
+        (_dot(F.col("v"), F.col("c")) / _norm(F.col("c"))).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Lloyd's k-means (spherical: unit vectors, cosine assignment),
+    DataFrame-native and fully deterministic -> (cell, c double[]).
+
+    Init: cell = vec_id mod k (deterministic seeding; no RNG so the
+    oracle can replicate every iteration in SQL).  Each iteration is
+    assign (broadcast centroids, argmax cosine, lowest-cell ties) then
+    re-mean per cell.  Centroids stay tiny (k x dim), so every
+    iteration is one broadcast join + two hash-aggs — no driver-side
+    math, and the corpus is never collected.  n_iter is small and fixed
+    (Lloyd's converges fast on clustered data; unrolled iterations also
+    keep the lineage bounded)."""
+    unit = with_unit_vectors(emb, vec_col, id_col)
+    assigned = unit.select(
+        "vec_id", "v",
+        F.pmod(F.col("vec_id"), F.lit(k)).cast("int").alias("cell"),
+    )
+    cents = _mean_centroids(assigned)
+    for _ in range(n_iter):
+        assigned = _assign_cells(unit, cents)
+        cents = _mean_centroids(assigned)
+    return cents
+
+
 def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                  nprobe: int = 3, vec_col: str = "embedding",
                  label_col: str = "label",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF ANN: assign corpus to nearest centroid cell, probe the
     nprobe closest cells per query, exact-rank inside the probed cells.
 
     Output (qid, rank, nid, cos).  Deterministic end-to-end, so recall
-    vs brute force is testable and the oracle can replicate it."""
-    cents = centroids_by_label(emb, vec_col, label_col, id_col)
+    vs brute force is testable and the oracle can replicate it.
+    ``centroids`` (cell, c double[]) plugs in a real coarse quantizer —
+    e.g. kmeans_centroids; default is the label-mean stand-in."""
+    cents = (
+        centroids
+        if centroids is not None
+        else centroids_by_label(emb, vec_col, label_col, id_col)
+    )
     corpus = with_unit_vectors(emb, vec_col, id_col)
 
     # assign: nearest centroid by cosine (unit corpus x raw centroid —
     # argmax of dot/|c| == argmax of cosine)
-    cor_cell = (
-        corpus.join(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "cell",
-            (_dot(F.col("v"), F.col("c")) / _norm(F.col("c"))).alias("s"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
-    assigned = (
-        cor_cell.withColumn("r", F.row_number().over(w_assign))
-        .where(F.col("r") == 1)
-        .select("vec_id", "v", "cell")
-    )
+    assigned = _assign_cells(corpus, cents)
 
     q = with_unit_vectors(queries, vec_col, id_col).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
