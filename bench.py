@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_simhash",
     "emb_neardup",
     "ann_topk",
+    "ann_ivf_kmeans",
+    "rolling_1h",
+    "value_quantiles",
     "text_stats",
     "doc_fingerprint",
     "mm_meta",
@@ -67,7 +70,22 @@ def _scale_overrides():
     def _docs(spark, sf_dir):
         return spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
 
+    from pyspark.sql import functions as F  # noqa: F811
+    from timeseriescorrelation_spark.operators.similarity import (
+        ann_topk_bruteforce_np,
+    )
+
+    def _ann_np(spark, sf):
+        import os as _o
+
+        e = spark.read.parquet(_o.path.join(sf, "embeddings.parquet"))
+        # query side is 5 vectors — the toPandas is the Q side, not the
+        # corpus (the corpus streams through mapInPandas Arrow batches)
+        qpdf = e.where(F.col("vec_id") < 5).toPandas()
+        return ann_topk_bruteforce_np(e, qpdf, k=10)
+
     return {
+        "ann_topk": _ann_np,
         "dedup_minhash_lsh": lambda spark, sf: minhash_lsh_pairs(
             _docs(spark, sf), n=3, n_hashes=16, bands=8,
             tau_num=1, tau_den=5, mode="xxhash64",

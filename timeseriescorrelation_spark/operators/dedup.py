@@ -80,9 +80,13 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
             " ", *[F.element_at("toks", i + j) for j in range(n)]
         ),
     )
-    return (
-        t.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    # per-doc dedup happens INSIDE the row (array_distinct on the
+    # shingle array) — a .distinct() after the explode would shuffle
+    # every (doc_id, shingle) string across the cluster for a result
+    # that is already per-row computable (measured: the distinct was
+    # the single most expensive stage of every dedup query at sf0.1)
+    return t.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
@@ -251,33 +255,30 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, n_bits: int = 32,
     """(doc) -> (doc_id, fp) n_bits SimHash over shingle-id hashes.
 
     bit b of fp = sign of sum over shingles of (+1 if bit b of
-    g(tid) else -1), g = affine hash 0.  Shaped as (doc, bit) rows ->
-    two hash-aggs; everything stays in codegen."""
+    g(tid) else -1), g = affine hash 0.  Shaped as ONE wide hash-agg:
+    n_bits conditional-sum columns per doc — no (doc, bit) row
+    explosion (the earlier explode form multiplied the shingle rows by
+    n_bits before the shuffle; this shuffles only |docs| x n_bits agg
+    buffers and keeps every expression in codegen)."""
     sh = shingles(docs, n, text_col, id_col)
     ids = shingle_ids(sh, mode).select(
         "doc_id", _affine(0, F.col("tid")).alias("g")
     )
-    # shiftright/shiftleft take literal shift amounts only -> unroll the
-    # 32 per-bit weights into one literal array and explode it
-    entries = F.array(
+    bit_sums = ids.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(b).alias("bit"),
+            F.sum(
                 F.when(
                     F.shiftright(F.col("g"), b).bitwiseAND(1) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)).alias("w"),
-            )
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
             for b in range(n_bits)
         ]
     )
-    bits = ids.select("doc_id", F.explode(entries).alias("e")).select(
-        "doc_id", F.col("e.bit").alias("bit"), F.col("e.w").alias("w")
-    )
-    sums = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    pow2 = F.pow(F.lit(2.0), F.col("bit")).cast("long")  # exact for bit<=31
-    return sums.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, pow2).otherwise(F.lit(0))).alias("fp")
-    )
+    fp = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("fp"))
 
 
 def simhash_pairs(docs: DataFrame, n: int = 3, n_bits: int = 32,

@@ -313,15 +313,20 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, n_iter: int = 2,
     math, and the corpus is never collected.  n_iter is small and fixed
     (Lloyd's converges fast on clustered data; unrolled iterations also
     keep the lineage bounded)."""
-    unit = with_unit_vectors(emb, vec_col, id_col)
+    unit = with_unit_vectors(emb, vec_col, id_col).cache()
     assigned = unit.select(
         "vec_id", "v",
         F.pmod(F.col("vec_id"), F.lit(k)).cast("int").alias("cell"),
     )
-    cents = _mean_centroids(assigned)
+    # Each iteration's centroid table is k tiny rows but sits on top of
+    # the whole previous iteration's lineage; caching it (and the unit
+    # corpus, read 1+n_iter times) keeps the DAG from re-running every
+    # earlier assign+mean once per downstream consumer — measured 8.8s
+    # -> ~2s for the full IVF query at sf0.1.
+    cents = _mean_centroids(assigned).cache()
     for _ in range(n_iter):
         assigned = _assign_cells(unit, cents)
-        cents = _mean_centroids(assigned)
+        cents = _mean_centroids(assigned).cache()
     return cents
 
 

@@ -32,18 +32,20 @@ def text_stats(docs: DataFrame, text_col: str = "text",
     stop_cnt, bpe_cnt, avg_tok_len, stop_ratio).
 
     Counts are exact ints; the two ratios are rounded doubles."""
-    t = tokenize(docs, text_col, id_col)
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size("toks")
     stop_cnt = F.size(F.filter("toks", lambda x: F.array_contains(stops, x)))
     tok_chars = F.aggregate(
         "toks", F.lit(0), lambda acc, x: acc + F.length(x)
     )
+    # single narrow projection — tokens are derived from the same
+    # lowered text in-row (joining a separate tokenize() output back on
+    # doc_id would shuffle the whole corpus for a per-row computation)
     joined = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).alias("n_chars"),
         F.lower(F.col(text_col)).alias("_lt"),
-    ).join(t, "doc_id")
+    ).withColumn("toks", F.split(F.col("_lt"), r"\s+"))
     return joined.select(
         "doc_id",
         "n_chars",
