@@ -446,6 +446,64 @@ def q_rolling_1h(spark, sf_dir):
     )
 
 
+def q_histogram_value(spark, sf_dir):
+    """Fixed-width histogram per metric (floor binning, clamped top
+    bucket) — the profile/EDA shape that feeds quality-cut decisions."""
+    e = _events(spark, sf_dir)
+    b = F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("int")
+    return (
+        e.select("event_type", b.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+    )
+
+
+def q_clip_p99(spark, sf_dir):
+    """Winsorize values at the per-metric p99 (quality-cut op: clamp
+    outliers instead of dropping rows).  The p99 is an aggregate window
+    over the whole metric partition — one shuffle, no self-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    p99 = F.percentile("value", F.lit(0.99)).over(w)
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.col("value"), p99), 6).alias("clipped"),
+        (F.col("value") > p99).alias("was_clipped"),
+    )
+
+
+def q_topk_global(spark, sf_dir):
+    """Global deterministic top-100 (O3: orderBy+limit -> TakeOrdered;
+    event_id tie-break makes the SET unique, so the hash compare is
+    well-defined)."""
+    return (
+        _events(spark, sf_dir)
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )
+
+
+def q_dedup_keep(spark, sf_dir):
+    """Apply the exact-dedup decision: keep one doc per text_hash group
+    (min doc_id), i.e. the materialized post-dedup corpus — a semi-join
+    of documents against the keeper set."""
+    keep = exact_dedup_groups(_docs(spark, sf_dir)).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(keep, "doc_id", "left_semi")
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
 def q_value_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per metric (p50/p90/p99) — the
     training-data quality-cut shape ("drop docs above the p99 length").
@@ -573,6 +631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "rolling_1h": q_rolling_1h,
         "value_quantiles": q_value_quantiles,
+        "histogram_value": q_histogram_value,
+        "clip_p99": q_clip_p99,
+        "topk_global": q_topk_global,
+        "dedup_keep": q_dedup_keep,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1231,6 +1293,36 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY 1
+""",
+        "histogram_value": """
+SELECT event_type,
+       cast(least(floor(value / 10.0), 9) AS int) AS bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_v
+FROM events GROUP BY 1, 2
+""",
+        "clip_p99": """
+SELECT event_id, event_type,
+       round(least(value, p99), 6) AS clipped,
+       (value > p99) AS was_clipped
+FROM (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, 0.99) OVER (PARTITION BY event_type) AS p99
+  FROM events
+)
+""",
+        "topk_global": """
+SELECT event_id, user_id, value
+FROM events
+ORDER BY value DESC, event_id ASC
+LIMIT 100
+""",
+        "dedup_keep": """
+SELECT doc_id, length(text) AS n_chars
+FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+)
 """,
         "rollup_summary_1d": """
 WITH t1d AS (
