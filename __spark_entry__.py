@@ -504,6 +504,59 @@ def q_dedup_keep(spark, sf_dir):
     )
 
 
+def q_split_counts(spark, sf_dir):
+    """Leakage-safe deterministic train/val/test split by md5-bucket of
+    doc_id (80/10/10); oracle replicates the exact bucket arithmetic."""
+    from timeseriescorrelation_spark.operators.sampling import assign_split
+
+    d = assign_split(_docs(spark, sf_dir))
+    return d.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% corpus sample (pure filter on the id hash —
+    no RNG, no shuffle, reproducible across engines and restarts)."""
+    from timeseriescorrelation_spark.operators.sampling import (
+        sample_fraction,
+    )
+
+    return sample_fraction(_docs(spark, sf_dir), 0.1).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Interval join (J5 range family): attach each event to its
+    session span via the binned equi-join — never a nested-loop range
+    join (plan-asserted in tests/test_plans.py)."""
+    from timeseriescorrelation_spark.operators.intervals import (
+        interval_join_binned,
+    )
+    from timeseriescorrelation_spark.streaming.rollup_stream import (
+        sessionize,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "event_id", "ts"
+    )
+    spans = sessionize(e.select("conv_id", "ts"), "30 minutes").select(
+        "conv_id",
+        F.col("session_start").alias("start_ts"),
+        F.col("session_end_ts").alias("end_ts"),
+        "n_events",
+    )
+    j = interval_join_binned(
+        e, spans, ["conv_id"], "ts", "start_ts", "end_ts", "hour"
+    )
+    return j.select(
+        "event_id", "conv_id",
+        F.col("start_ts").alias("session_start"), "n_events",
+    )
+
+
 def q_value_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per metric (p50/p90/p99) — the
     training-data quality-cut shape ("drop docs above the p99 length").
@@ -635,6 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_p99": q_clip_p99,
         "topk_global": q_topk_global,
         "dedup_keep": q_dedup_keep,
+        "split_counts": q_split_counts,
+        "sample_hash": q_sample_hash,
+        "event_sessions": q_event_sessions,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1316,6 +1372,50 @@ SELECT event_id, user_id, value
 FROM events
 ORDER BY value DESC, event_id ASC
 LIMIT 100
+""",
+        "split_counts": """
+WITH b AS (
+  SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 4))::INT
+           AS bucket,
+         text
+  FROM documents
+)
+SELECT CASE WHEN bucket < 52428 THEN 'train'
+            WHEN bucket < 58982 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       cast(sum(length(text)) AS bigint) AS n_chars
+FROM b GROUP BY 1
+""",
+        "sample_hash": """
+SELECT doc_id, cast(length(text) AS int) AS n_chars
+FROM documents
+WHERE ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 4))::INT < 6553
+""",
+        "event_sessions": """
+WITH d AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT conv_id, event_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+), sess AS (
+  SELECT conv_id, sid, min(ts) AS start_ts, max(ts) AS end_ts,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.conv_id, sess.start_ts AS session_start,
+       sess.n_events
+FROM (SELECT cast(user_id AS varchar) AS conv_id, event_id, ts
+      FROM events) e
+JOIN sess ON e.conv_id = sess.conv_id
+         AND e.ts BETWEEN sess.start_ts AND sess.end_ts
 """,
         "dedup_keep": """
 SELECT doc_id, length(text) AS n_chars

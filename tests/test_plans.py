@@ -121,6 +121,22 @@ def test_anti_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_join_is_equi(spark):
+    """The binned interval join must compile to a hash/SMJ equi-join on
+    (key, bucket) — a raw ts-between-range join plans as
+    BroadcastNestedLoopJoin and is quadratic at scale."""
+    plan = _plan(em.queries()["event_sessions"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sample_filter_no_shuffle(spark):
+    """Deterministic hash sampling is a pure filter: the plan must have
+    no Exchange at all (at 100 TB a sample must not shuffle)."""
+    plan = _plan(em.queries()["sample_hash"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
 def test_exact_corr_broadcast_guard(spark, monkeypatch):
     """exact_corr auto-sizing: small vectors tables broadcast the probe
     sides; above BROADCAST_MAX_ELEMENTS the plan must fall back to a

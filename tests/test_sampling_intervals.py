@@ -1,0 +1,92 @@
+"""Deterministic sampling/split + binned interval join unit tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.intervals import (
+    interval_join_binned,
+)
+from timeseriescorrelation_spark.operators.sampling import (
+    assign_split,
+    hash_bucket,
+    sample_fraction,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_split_is_deterministic_and_partitions(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    assert s1 == s2                      # pure function of the id
+    counts = {"train": 0, "val": 0, "test": 0}
+    for v in s1.values():
+        counts[v] += 1
+    assert sum(counts.values()) == 2000
+    # md5 buckets are uniform: 80/10/10 within a loose tolerance
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert 0.06 <= counts["val"] / 2000 <= 0.14
+    assert 0.06 <= counts["test"] / 2000 <= 0.14
+
+
+def test_sample_is_subset_and_stable_under_union(spark):
+    """A unit sampled in a small corpus stays sampled in a bigger one —
+    the property RNG sampling cannot give."""
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id for r in sample_fraction(small, 0.1, "doc_id").collect()}
+    s_big = {r.doc_id for r in sample_fraction(big, 0.1, "doc_id").collect()}
+    assert s_small == {d for d in s_big if d < 500}
+    assert 0.05 <= len(s_big) / 5000 <= 0.15
+
+
+def test_hash_bucket_range(spark):
+    rows = spark.range(0, 1000).select(
+        hash_bucket("id").alias("b")
+    ).agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= rows[0] and rows[1] < (1 << 16)
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Binned equi-join == the naive non-equi range join, including
+    span-boundary events, bucket-boundary spans, multi-bucket spans,
+    overlapping spans (two matches), and unmatched events."""
+    events = spark.createDataFrame(
+        [
+            ("a", 1, T0 + dt.timedelta(minutes=5)),
+            ("a", 2, T0 + dt.timedelta(minutes=90)),     # second bucket
+            ("a", 3, T0 + dt.timedelta(hours=5)),        # no span
+            ("a", 4, T0 + dt.timedelta(hours=2)),        # == span end
+            ("b", 5, T0 + dt.timedelta(minutes=30)),     # overlapping spans
+        ],
+        "conv_id string, event_id long, ts timestamp",
+    )
+    spans = spark.createDataFrame(
+        [
+            ("a", T0, T0 + dt.timedelta(hours=2), "s1"),
+            ("b", T0, T0 + dt.timedelta(hours=1), "s2"),
+            ("b", T0 + dt.timedelta(minutes=15),
+             T0 + dt.timedelta(minutes=45), "s3"),
+        ],
+        "conv_id string, start_ts timestamp, end_ts timestamp, tag string",
+    )
+    got = sorted(
+        (r.event_id, r.tag)
+        for r in interval_join_binned(
+            events, spans, ["conv_id"], "ts", "start_ts", "end_ts", "hour"
+        ).collect()
+    )
+    naive = sorted(
+        (r.event_id, r.tag)
+        for r in events.join(
+            spans,
+            (events.conv_id == spans.conv_id)
+            & events.ts.between(spans.start_ts, spans.end_ts),
+        ).collect()
+    )
+    assert got == naive
+    assert got == [(1, "s1"), (2, "s1"), (4, "s1"), (5, "s2"), (5, "s3")]
