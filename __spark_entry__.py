@@ -557,6 +557,48 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_asof_last_error(spark, sf_dir):
+    """True as-of JOIN between two streams (kdb aj / merge_asof): each
+    click picks up the most recent error at-or-before it per user, via
+    the single-shuffle union+window operator (no join node, no range
+    explosion).  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_v"))
+        .withColumn("err_ts", F.col("ts"))
+    )
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    j = asof_join(clicks, errors, ["user_id"], "ts", "ts",
+                  ["err_v", "err_ts"])
+    return j.select(
+        "event_id", "user_id",
+        F.col("err_v_asof"),
+        F.round(
+            (epoch_us(F.col("ts")) - epoch_us(F.col("err_ts_asof")))
+            / F.lit(1e6), 6,
+        ).alias("staleness_s"),
+    )
+
+
+def q_pivot_metrics(spark, sf_dir):
+    """Pivot the metric dimension to columns (series -> wide feature
+    row per user) — fixed value list so the schema is deterministic."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
 def q_value_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per metric (p50/p90/p99) — the
     training-data quality-cut shape ("drop docs above the p99 length").
@@ -691,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": q_split_counts,
         "sample_hash": q_sample_hash,
         "event_sessions": q_event_sessions,
+        "asof_last_error": q_asof_last_error,
+        "pivot_metrics": q_pivot_metrics,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1341,6 +1385,33 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        "asof_last_error": """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), err AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS err_v
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       e.err_v AS err_v_asof,
+       round((epoch_us(c.ts) - epoch_us(e.ts)) / 1e6, 6) AS staleness_s
+FROM clicks c
+ASOF LEFT JOIN err e ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+        "pivot_metrics": """
+SELECT user_id,
+       round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+         AS click,
+       round(avg(CASE WHEN event_type = 'error' THEN value END), 6)
+         AS error,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6)
+         AS purchase,
+       round(avg(CASE WHEN event_type = 'signup' THEN value END), 6)
+         AS signup,
+       round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+         AS view
+FROM events GROUP BY 1
 """,
         "value_quantiles": """
 SELECT event_type,

@@ -51,6 +51,48 @@ def test_hash_bucket_range(spark):
     assert 0 <= rows[0] and rows[1] < (1 << 16)
 
 
+def test_asof_join_edge_cases(spark):
+    """Union+window as-of join: same-ts right row IS visible (>=),
+    left rows before any right row carry nulls, and the LATEST prior
+    right row wins across gaps."""
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("u", 1, T0 + dt.timedelta(minutes=0)),    # before any right
+            ("u", 2, T0 + dt.timedelta(minutes=10)),   # == right ts
+            ("u", 3, T0 + dt.timedelta(minutes=25)),   # between rights
+            ("u", 4, T0 + dt.timedelta(minutes=40)),   # after second
+            ("v", 5, T0 + dt.timedelta(minutes=5)),    # key with no rights
+        ],
+        "user_id string, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", T0 + dt.timedelta(minutes=10), 1.0),
+            ("u", T0 + dt.timedelta(minutes=30), 2.0),
+        ],
+        "user_id string, ts timestamp, rv double",
+    )
+    got = {
+        r.event_id: r.rv_asof
+        for r in asof_join(left, right, ["user_id"], payload=["rv"])
+        .collect()
+    }
+    assert got == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: None}
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The as-of operator is a union + one window pass — the physical
+    plan must contain NO join operator of any kind."""
+    import __spark_entry__ as em
+
+    df = em.queries()["asof_last_error"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
 def test_interval_join_matches_naive_range_join(spark):
     """Binned equi-join == the naive non-equi range join, including
     span-boundary events, bucket-boundary spans, multi-bucket spans,

@@ -1,0 +1,69 @@
+"""As-of join (SURVEY §2.3 J4 family): for every left row, the most
+recent right row with right.ts <= left.ts on the same key — the
+kdb `aj` / pandas `merge_asof` / DuckDB `ASOF JOIN` shape, LEFT-join
+semantics (left rows with no prior right row keep nulls).
+
+Spark has no native as-of join; the naive formulation is a range
+join (nested-loop) or a per-left-row subquery.  This implementation
+uses the UNION + window trick: tag both sides, union them, and run ONE
+`last(..., ignoreNulls)` window pass ordered by (ts, side) — right
+rows sort before left rows at equal ts, so a same-timestamp right row
+is visible to the left row, matching ASOF's `>=`.  Left rows then
+filter back out carrying the last right payload.
+
+Scale shape: a single shuffle on the key columns and one ordered pass —
+O(|left| + |right|) rows moved, no join node at all, no row explosion.
+Right rows with duplicate (key, ts) must be pre-collapsed by the caller
+(e.g. max_by on a tiebreak column) or the carried value is
+order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              payload: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Left as-of join: left columns + each right payload column as
+    `<col><suffix>` (null when no right row at or before left's ts)."""
+    payload = payload or [
+        c for c in right.columns if c not in (*keys, right_ts)
+    ]
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in payload],
+        F.struct(*left.columns).alias("_row"),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "_is_left",
+        "_row",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+            .alias(f"{c}{suffix}")
+            for c in payload
+        ],
+    )
+    out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
+    return carried.where(F.col("_is_left") == 1).select(
+        *out_cols, *[f"{c}{suffix}" for c in payload]
+    )
