@@ -624,6 +624,16 @@ def q_text_langid(spark, sf_dir):
     return langid_heuristic(_docs(spark, sf_dir))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical cleaning (lowercase, control-strip, whitespace
+    collapse, trim) — pure projection, no shuffle."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprints_vocab(_docs(spark, sf_dir))
 
@@ -737,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_metrics": q_pivot_metrics,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "text_normalize": q_text_normalize,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_frames": q_mm_frames,
@@ -1300,6 +1311,16 @@ SELECT doc_id,
          ('the','a','of','and','to','in','is','it'))) AS double)
              / len(t), 6) AS stop_ratio
 FROM tok
+""",
+        "text_normalize": """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS clean_text,
+       cast(length(text) - length(trim(regexp_replace(
+         regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         '\\s+', ' ', 'g'))) AS int) AS chars_removed
+FROM documents
 """,
         "text_langid": """
 WITH r AS (

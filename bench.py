@@ -42,6 +42,9 @@ HEADLINE = [
     "text_stats",
     "doc_fingerprint",
     "mm_meta",
+    "asof_last_error",
+    "event_sessions",
+    "clip_p99",
 ]
 
 

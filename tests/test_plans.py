@@ -121,6 +121,32 @@ def test_anti_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partition_pruning_on_partitioned_tier(spark, tmp_path):
+    """Tier tables written partitionBy(metric) must prune at the scan:
+    a metric-filtered read shows the predicate under PartitionFilters
+    (directory-level skip), not as a post-scan Filter over all files —
+    at 100 TB this is the difference between reading one metric's
+    directories and reading everything."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("metric"),
+        "ts",
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "value",
+    )
+    from timeseriescorrelation_spark.operators.rollup import rollup_raw
+
+    out = str(tmp_path / "t1m")
+    rollup_raw(e, "1m").write.partitionBy("metric").parquet(out)
+    plan = _plan(
+        spark.read.parquet(out).where(F.col("metric") == "click")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "metric" in m.group(1), plan
+
+
 def test_interval_join_is_equi(spark):
     """The binned interval join must compile to a hash/SMJ equi-join on
     (key, bucket) — a raw ts-between-range join plans as

@@ -62,6 +62,27 @@ def text_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Canonical text cleaning for the training pipeline: lowercase,
+    strip control characters, collapse whitespace runs to one space,
+    trim.  Pure per-row projection (no shuffle); emits the cleaned text
+    plus how many characters cleaning removed (a cheap quality signal —
+    heavily-cleaned docs are usually junk)."""
+    raw = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[\x00-\x1f\x7f]", " "),
+            r"\s+", " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        (F.length(raw) - F.length(cleaned)).alias("chars_removed"),
+    )
+
+
 def langid_heuristic(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Deterministic n-gram-style language heuristic ->
