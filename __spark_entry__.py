@@ -599,6 +599,24 @@ def q_pivot_metrics(spark, sf_dir):
     )
 
 
+def q_retention_counts(spark, sf_dir):
+    """Retention-policy dry run over the tier cascade: 1m keeps 7
+    trailing days, 1h keeps 21, 1d unbounded, `now` = max event ts —
+    per tier kept/dropped counts + oldest surviving bucket."""
+    from timeseriescorrelation_spark.operators.retention import (
+        retention_report,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    tiers = rollup_cascade(s)
+    now_df = s.agg(F.max("ts").alias("_now"))
+    rep = retention_report(
+        tiers, now_df,
+        {"1m": 7 * 86400, "1h": 21 * 86400, "1d": None},
+    )
+    return rep.select("tier", "kept_rows", "dropped_rows", "oldest_kept")
+
+
 def q_value_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per metric (p50/p90/p99) — the
     training-data quality-cut shape ("drop docs above the p99 length").
@@ -745,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "asof_last_error": q_asof_last_error,
         "pivot_metrics": q_pivot_metrics,
+        "retention_counts": q_retention_counts,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_normalize": q_text_normalize,
@@ -1419,6 +1438,36 @@ SELECT c.event_id, c.user_id,
        round((epoch_us(c.ts) - epoch_us(e.ts)) / 1e6, 6) AS staleness_s
 FROM clicks c
 ASOF LEFT JOIN err e ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+        "retention_counts": """
+WITH now_t AS (
+  SELECT max(ts) AS n FROM events
+), t1m AS (
+  SELECT DISTINCT cast(user_id AS varchar) AS c, event_type AS m,
+         date_trunc('minute', ts) AS b FROM events
+), t1h AS (
+  SELECT DISTINCT c, m, date_trunc('hour', b) AS b FROM t1m
+), t1d AS (
+  SELECT DISTINCT c, m, date_trunc('day', b) AS b FROM t1h
+)
+SELECT '1m' AS tier,
+       cast(sum(CASE WHEN b >= n - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+            AS bigint) AS kept_rows,
+       cast(sum(CASE WHEN b >= n - INTERVAL 7 DAY THEN 0 ELSE 1 END)
+            AS bigint) AS dropped_rows,
+       min(CASE WHEN b >= n - INTERVAL 7 DAY THEN b END) AS oldest_kept
+FROM t1m CROSS JOIN now_t
+UNION ALL
+SELECT '1h',
+       cast(sum(CASE WHEN b >= n - INTERVAL 21 DAY THEN 1 ELSE 0 END)
+            AS bigint),
+       cast(sum(CASE WHEN b >= n - INTERVAL 21 DAY THEN 0 ELSE 1 END)
+            AS bigint),
+       min(CASE WHEN b >= n - INTERVAL 21 DAY THEN b END)
+FROM t1h CROSS JOIN now_t
+UNION ALL
+SELECT '1d', cast(count(*) AS bigint), cast(0 AS bigint), min(b)
+FROM t1d CROSS JOIN now_t
 """,
         "pivot_metrics": """
 SELECT user_id,
