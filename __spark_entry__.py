@@ -608,7 +608,12 @@ def q_retention_counts(spark, sf_dir):
     )
 
     s = _series_from_events(spark, sf_dir)
-    tiers = rollup_cascade(s)
+    # build the cascade with each tier cached: the report consumes all
+    # three tiers, and uncached lineage would recompute 1m three times
+    # (once inline and once under each coarser tier)
+    t1m = rollup_raw(s, "1m").cache()
+    t1h = rollup_tier(t1m, "1h").cache()
+    tiers = {"1m": t1m, "1h": t1h, "1d": rollup_tier(t1h, "1d")}
     now_df = s.agg(F.max("ts").alias("_now"))
     rep = retention_report(
         tiers, now_df,

@@ -59,29 +59,23 @@ def _scale_overrides():
     only exists so DuckDB can replicate ids exactly.  The engine's real
     path hashes ids with xxhash64/crc32 — bench that.  oracle_sql()
     keeps vocab mode, so CORRECTNESS rows are unaffected."""
-    import os as _os
-
     from pyspark.sql import functions as F
     from timeseriescorrelation_spark.operators.dedup import (
         minhash_lsh_pairs,
         simhash_pairs,
+    )
+    from timeseriescorrelation_spark.operators.similarity import (
+        ann_topk_bruteforce_np,
     )
     from timeseriescorrelation_spark.operators.textstats import (
         doc_fingerprints,
     )
 
     def _docs(spark, sf_dir):
-        return spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
-
-    from pyspark.sql import functions as F  # noqa: F811
-    from timeseriescorrelation_spark.operators.similarity import (
-        ann_topk_bruteforce_np,
-    )
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
     def _ann_np(spark, sf):
-        import os as _o
-
-        e = spark.read.parquet(_o.path.join(sf, "embeddings.parquet"))
+        e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
         # query side is 5 vectors — the toPandas is the Q side, not the
         # corpus (the corpus streams through mapInPandas Arrow batches)
         qpdf = e.where(F.col("vec_id") < 5).toPandas()

@@ -26,10 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _load_transcripts(spark, inp: str):
+    import re
+
     from pyspark.sql import functions as F
 
-    if "." in os.path.basename(inp) and not os.path.exists(inp):
-        # catalog-qualified Iceberg table, e.g. ice.transcripts
+    # catalog-qualified table name (ice.transcripts, cat.db.tbl): a
+    # strict identifier match, so a typo'd PATH (which also contains
+    # dots) still falls through to the filesystem branch and fails with
+    # file-not-found instead of a confusing catalog error.  TableIO
+    # (sources/tableio.py) is the seam for engine code; this CLI keeps
+    # the same routing for its single free-form --input argument.
+    if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+", inp):
         return spark.read.table(inp)
     t = os.path.join(inp, "transcripts.parquet")
     if os.path.exists(t):

@@ -82,6 +82,29 @@ def test_asof_join_edge_cases(spark):
     assert got == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: None}
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    """A NULL field in the most recent right row must come through as
+    NULL — not resurrect the previous row's value (torn result).  Rows
+    are carried atomically as one struct."""
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 1, T0 + dt.timedelta(minutes=30))],
+        "user_id string, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", T0 + dt.timedelta(minutes=10), 5.0, "first"),
+            ("u", T0 + dt.timedelta(minutes=20), None, "second"),
+        ],
+        "user_id string, ts timestamp, rv double, tag string",
+    )
+    row = asof_join(left, right, ["user_id"], payload=["rv", "tag"]) \
+        .collect()[0]
+    assert row.tag_asof == "second"
+    assert row.rv_asof is None  # NOT 5.0 from the older row
+
+
 def test_asof_join_plan_has_no_join_node(spark):
     """The as-of operator is a union + one window pass — the physical
     plan must contain NO join operator of any kind."""

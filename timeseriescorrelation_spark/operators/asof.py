@@ -33,19 +33,27 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
     payload = payload or [
         c for c in right.columns if c not in (*keys, right_ts)
     ]
+    # The whole right payload is carried as ONE struct: the struct is
+    # non-null for every right row even when its FIELDS are null, so
+    # last(ignoreNulls) picks the latest right ROW atomically.  Carrying
+    # columns independently would let a null field resurrect a stale
+    # value from an older row — a torn result no real right row ever
+    # had (and a divergence from SQL ASOF JOIN semantics).
+    r_payload = F.struct(*[F.col(c) for c in payload])
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in payload],
+        F.lit(None).cast(
+            right.select(r_payload.alias("_p")).schema["_p"].dataType
+        ).alias("_p"),
         F.struct(*left.columns).alias("_row"),
     )
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        r_payload.alias("_p"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
     )
     u = l_tag.unionByName(r_tag)
@@ -57,13 +65,10 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
     carried = u.select(
         "_is_left",
         "_row",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-            .alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
     out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
     return carried.where(F.col("_is_left") == 1).select(
-        *out_cols, *[f"{c}{suffix}" for c in payload]
+        *out_cols,
+        *[F.col(f"_p.{c}").alias(f"{c}{suffix}") for c in payload],
     )

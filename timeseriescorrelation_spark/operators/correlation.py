@@ -155,8 +155,11 @@ def exact_corr(cand: DataFrame, vectors: DataFrame, theta: float,
     first, as corr_report does, to make that job cheap)."""
     if broadcast_vectors is None:
         if n_elements is None:
-            first = vectors.select("m").first()
-            m_width = int(first["m"]) if first is not None else 0
+            # width from the vec column itself (no reliance on an 'm'
+            # column — callers may pass a bare (id, vec) frame); the
+            # engine's vectors are equal-length by construction
+            first = vectors.select(F.size("vec").alias("_w")).first()
+            m_width = int(first["_w"]) if first is not None else 0
             n_elements = vectors.count() * max(m_width, 1)
         broadcast_vectors = n_elements <= BROADCAST_MAX_ELEMENTS
     v = vectors.select(F.col(id_col).alias("vid"), "vec")

@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_BUCKET_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+# calendar intervals, not fixed seconds: a fixed-86400s step drifts off
+# date_trunc('day') boundaries across a DST transition in non-UTC
+# sessions and the equi-join would silently drop matches (the engine
+# pins UTC in session.py, but the operator must not depend on that)
+_BUCKET_STEP = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+}
 
 
 def interval_join_binned(events: DataFrame, spans: DataFrame,
@@ -35,15 +43,19 @@ def interval_join_binned(events: DataFrame, spans: DataFrame,
     """events ⋈ spans on (keys equal, start <= ts <= end), equi-binned.
 
     Output: every event row + the matching span's columns (inner join;
-    an event inside two overlapping spans yields two rows)."""
-    secs = _BUCKET_SECONDS[bucket]
-    span_buckets = spans.select(
+    an event inside two overlapping spans yields two rows).  Malformed
+    spans (end < start) match nothing — they are filtered before the
+    explode rather than throwing ILLEGAL_SEQUENCE_BOUNDARIES and
+    killing the job on one bad row."""
+    span_buckets = spans.where(
+        F.col(end_col) >= F.col(start_col)
+    ).select(
         "*",
         F.explode(
             F.sequence(
                 F.date_trunc(bucket, F.col(start_col)),
                 F.date_trunc(bucket, F.col(end_col)),
-                F.expr(f"interval {secs} seconds"),
+                F.expr(_BUCKET_STEP[bucket]),
             )
         ).alias("_bucket"),
     )

@@ -53,10 +53,23 @@ class ManifestStore:
         self.spark = spark
         self.path = os.path.join(root, MANIFEST_TABLE)
 
-    def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            from timeseriescorrelation_spark.schemas import manifest_schema
+    def _exists(self) -> bool:
+        """Scheme-agnostic existence probe via the Hadoop FileSystem API
+        — NOT os.path.exists, which is always False for s3://, hdfs://,
+        abfs:// roots on a real cluster and would make resume silently
+        never engage (every run recomputing and re-appending all
+        parts).  No Spark job; one namenode/object-store HEAD."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        return bool(fs.exists(hpath))
 
+    def read(self) -> DataFrame:
+        from timeseriescorrelation_spark.schemas import manifest_schema
+
+        if not self._exists():
             return self.spark.createDataFrame([], manifest_schema())
         return self.spark.read.parquet(self.path)
 

@@ -40,7 +40,11 @@ def retention_report(tiers: dict[str, DataFrame], now_df: DataFrame,
                      policy: dict[str, int | None],
                      ts_col: str = "bucket_ts") -> DataFrame:
     """(tier, kept_rows, dropped_rows, oldest_kept) per policy entry —
-    the dry-run accounting a retention job logs before deleting."""
+    the dry-run accounting a retention job logs before deleting.
+    Counts coalesce to 0 on an empty tier (sum over zero rows is NULL
+    in SQL); an empty policy is a caller bug and raises."""
+    if not policy:
+        raise ValueError("retention policy is empty — nothing to report")
     parts = []
     for tier, keep_seconds in policy.items():
         t = tiers[tier].join(F.broadcast(now_df))
@@ -50,11 +54,14 @@ def retention_report(tiers: dict[str, DataFrame], now_df: DataFrame,
             kept = F.col(ts_col) >= F.col("_now") - F.expr(
                 f"interval {int(keep_seconds)} seconds"
             )
+        zero = F.lit(0).cast("long")
         parts.append(
             t.agg(
                 F.lit(tier).alias("tier"),
-                F.sum(F.when(kept, 1).otherwise(0)).alias("kept_rows"),
-                F.sum(F.when(kept, 0).otherwise(1)).alias("dropped_rows"),
+                F.coalesce(F.sum(F.when(kept, 1).otherwise(0)), zero)
+                .alias("kept_rows"),
+                F.coalesce(F.sum(F.when(kept, 0).otherwise(1)), zero)
+                .alias("dropped_rows"),
                 F.min(F.when(kept, F.col(ts_col))).alias("oldest_kept"),
             )
         )

@@ -319,14 +319,21 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, n_iter: int = 2,
         F.pmod(F.col("vec_id"), F.lit(k)).cast("int").alias("cell"),
     )
     # Each iteration's centroid table is k tiny rows but sits on top of
-    # the whole previous iteration's lineage; caching it (and the unit
-    # corpus, read 1+n_iter times) keeps the DAG from re-running every
-    # earlier assign+mean once per downstream consumer — measured 8.8s
-    # -> ~2s for the full IVF query at sf0.1.
+    # the whole previous iteration's lineage; materializing it eagerly
+    # (cache + count) keeps the DAG from re-running every earlier
+    # assign+mean once per downstream consumer — measured 8.8s -> ~2s
+    # for the full IVF query at sf0.1.  Predecessor caches are
+    # unpersisted as soon as the next iteration is materialized, and
+    # the (large) unit corpus at the end, so a long-lived session only
+    # ever holds the final k-row centroid table.
     cents = _mean_centroids(assigned).cache()
+    cents.count()
     for _ in range(n_iter):
-        assigned = _assign_cells(unit, cents)
-        cents = _mean_centroids(assigned).cache()
+        nxt = _mean_centroids(_assign_cells(unit, cents)).cache()
+        nxt.count()
+        cents.unpersist()
+        cents = nxt
+    unit.unpersist()
     return cents
 
 

@@ -93,34 +93,56 @@ def run(
             key_col="conv_id", n_parts=cfg.n_parts,
         )
 
+    def dep(name: str) -> DataFrame:
+        """Upstream input for a stage: this run's output if the stage
+        ran, else the previously-materialized stage directory — so a
+        --stages subset (the resume use-case: re-run only downstream
+        tiers) works without recomputing upstream."""
+        if name in out:
+            return out[name]
+        import os
+
+        path = os.path.join(root, name)
+        try:
+            return spark.read.parquet(path).drop("part_key")
+        except Exception as e:  # path missing -> actionable message
+            raise ValueError(
+                f"stage subset {cfg.stages} needs upstream '{name}', "
+                f"which neither ran this invocation nor exists at "
+                f"{path}; include '{name}' in --stages or point --root "
+                f"at a run that materialized it"
+            ) from e
+
     if "series" in cfg.stages:
         out["series"] = stage("series", transcripts, derive_series)
-    series = out.get("series")
 
     if "filled_1m" in cfg.stages:
         out["filled_1m"] = stage(
-            "filled_1m", series, lambda df: fill_locf(df, cfg.fill_step)
+            "filled_1m", dep("series"),
+            lambda df: fill_locf(df, cfg.fill_step),
         )
 
     if "agg_1m" in cfg.stages:
-        out["agg_1m"] = stage("agg_1m", series, lambda df: rollup_raw(df, "1m"))
+        out["agg_1m"] = stage(
+            "agg_1m", dep("series"), lambda df: rollup_raw(df, "1m")
+        )
     if "agg_1h" in cfg.stages:
         out["agg_1h"] = stage(
-            "agg_1h", out["agg_1m"], lambda df: rollup_tier(df, "1h")
+            "agg_1h", dep("agg_1m"), lambda df: rollup_tier(df, "1h")
         )
     if "agg_1d" in cfg.stages:
         out["agg_1d"] = stage(
-            "agg_1d", out["agg_1h"], lambda df: rollup_tier(df, "1d")
+            "agg_1d", dep("agg_1h"), lambda df: rollup_tier(df, "1d")
         )
 
     if "chunks" in cfg.stages:
         out["chunks"] = stage(
-            "chunks", series, lambda df: encode_chunks(df, cfg.chunk)
+            "chunks", dep("series"), lambda df: encode_chunks(df, cfg.chunk)
         )
 
     if "corr" in cfg.stages:
         aligned = align_relative(
-            out["filled_1m"], cfg.corr_metric, cfg.corr_steps, 60
+            dep("filled_1m"), cfg.corr_metric, cfg.corr_steps, 60
         )
         report, counters = corr_report(aligned, cfg.corr_theta)
         out["corr"] = report
