@@ -681,6 +681,21 @@ def q_chunk_roundtrip(spark, sf_dir):
     )
 
 
+def q_rechunk_roundtrip(spark, sf_dir):
+    """Compaction correctness: day blobs -> month blobs -> points must
+    equal the raw input (the oracle is simply the events table)."""
+    from timeseriescorrelation_spark.operators.chunks import (
+        decode_chunks,
+        encode_chunks,
+        rechunk,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    return decode_chunks(rechunk(encode_chunks(s, "day"), "month")).select(
+        "conv_id", "metric", "ts", "value"
+    )
+
+
 def q_chunk_stats(spark, sf_dir):
     """Chunk accounting per metric — the SQL-expressible columns only
     (chunk count, point count, raw bytes = 16·n), so the driver gate
@@ -778,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "stats_salted": q_stats_salted,
         "chunk_roundtrip": q_chunk_roundtrip,
+        "rechunk_roundtrip": q_rechunk_roundtrip,
         "chunk_stats": q_chunk_stats,
     }
 
@@ -1227,6 +1243,13 @@ FROM (
 GROUP BY 1
 """,
         "chunk_roundtrip": """
+SELECT cast(user_id AS varchar) AS conv_id,
+       event_type AS metric,
+       ts,
+       value
+FROM events
+""",
+        "rechunk_roundtrip": """
 SELECT cast(user_id AS varchar) AS conv_id,
        event_type AS metric,
        ts,

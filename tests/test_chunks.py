@@ -44,3 +44,29 @@ def test_chunk_counts_and_ratio(spark, tiny_series):
     assert by_metric["tool_calls"]["ratio"] > 1.8
     # turn_rate is noisy doubles — XOR barely helps; >1 still required
     assert all(r["ratio"] > 1.05 for r in stats)
+
+
+def test_rechunk_compacts_and_roundtrips(spark, tiny_series):
+    from timeseriescorrelation_spark.operators.chunks import rechunk
+
+    day = encode_chunks(tiny_series, "day")
+    month = rechunk(day, "month")
+    n_day, n_month = day.count(), month.count()
+    assert n_month < n_day  # many day blobs merge per (conv, metric)
+    # point-lossless across the compaction
+    got = sorted(
+        (r.conv_id, r.metric, r.ts, r.value)
+        for r in decode_chunks(month).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.metric, r.ts, r.value)
+        for r in tiny_series.select("conv_id", "metric", "ts", "value")
+        .collect()
+    )
+    assert got == want
+    # fewer blobs, same points, longer XOR context -> ratio not worse
+    s_day = {r.metric: r.ratio for r in compression_stats(day).collect()}
+    s_month = {
+        r.metric: r.ratio for r in compression_stats(month).collect()
+    }
+    assert all(s_month[m] >= s_day[m] for m in s_day)

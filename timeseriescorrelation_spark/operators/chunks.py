@@ -85,6 +85,22 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
     return chunks.mapInPandas(_dec, _DEC_SCHEMA)
 
 
+def rechunk(chunks: DataFrame, to: str = "month") -> DataFrame:
+    """Compaction: re-group chunk blobs at a coarser boundary (e.g.
+    day -> month) by stream-decoding and re-encoding.  Many small blobs
+    per (conv, metric) become one bigger blob — fewer rows/files, a
+    longer XOR context for the codec, and point-lossless (asserted by
+    the rechunk_roundtrip driver query whose oracle is the raw points).
+
+    Scale shape: decode is mapInPandas (no shuffle); the only shuffle
+    is the re-group on (conv_id, metric, coarser chunk_start) — the
+    same volume a fresh encode at that granularity would pay.  turn_idx
+    is gone after the first encode; decoded points re-sort by ts alone,
+    which is stable because encode wrote them time-ordered."""
+    pts = decode_chunks(chunks).withColumn("turn_idx", F.lit(0))
+    return encode_chunks(pts, to)
+
+
 def compression_stats(chunks: DataFrame) -> DataFrame:
     """Aggregate compression-ratio metrics per metric."""
     return (
