@@ -294,7 +294,15 @@ def q_corr_report(spark, sf_dir):
 
 
 def q_corr_pairs_hourly(spark, sf_dir):
-    """Exact pairwise Pearson over co-occurring hourly buckets (J2+A4)."""
+    """Exact pairwise Pearson over co-occurring hourly buckets (J2+A4).
+
+    NOT F.corr: Spark 4's ANSI-mode corr() THROWS DIVIDE_BY_ZERO when
+    either side has zero variance in the group (first seen at sf0.1 —
+    a constant-valued pair exists there but not at the gate SFs).
+    Pearson is computed as covar_pop/(σx·σy) behind a F.when guard
+    (CaseWhen evaluates lazily, so the division never runs on the
+    zero-variance groups), which is NULL-on-constant — exactly DuckDB
+    corr()'s semantics."""
     h = (
         _events(spark, sf_dir)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("b"))
@@ -306,11 +314,23 @@ def q_corr_pairs_hourly(spark, sf_dir):
     b = h.select(
         F.col("user_id").alias("ub"), F.col("b"), F.col("v").alias("vb")
     )
-    return (
+    g = (
         a.join(b, "b")
         .where(F.col("ua") < F.col("ub"))
         .groupBy("ua", "ub")
-        .agg(F.corr("va", "vb").alias("c"), F.count("*").alias("n"))
+        .agg(
+            F.covar_pop("va", "vb").alias("cov"),
+            F.stddev_pop("va").alias("sa"),
+            F.stddev_pop("vb").alias("sb"),
+            F.count("*").alias("n"),
+        )
+    )
+    c = F.when(
+        (F.col("sa") > 0) & (F.col("sb") > 0),
+        F.col("cov") / (F.col("sa") * F.col("sb")),
+    )
+    return (
+        g.select("ua", "ub", c.alias("c"), "n")
         .where((F.col("n") >= 12) & F.col("c").isNotNull())
         .select("ua", "ub", F.round("c", 6).alias("rho"), "n")
     )
