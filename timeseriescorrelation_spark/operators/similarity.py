@@ -48,16 +48,21 @@ def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding",
     transform lambda would re-run the O(d) dot-product fold per element
     (O(d^2) per vector)."""
     v = _to_double(F.col(vec_col))
+    # all-zero vectors map to the zero vector instead of dividing by
+    # zero (an ANSI-mode DIVIDE_BY_ZERO would kill the whole job on one
+    # degenerate row); cos(0-vector, anything) = 0, below every
+    # threshold, so downstream semantics are unchanged
+    unit = F.when(
+        F.col("_n") > 0,
+        F.transform(F.col("_dv"), lambda x: x / F.col("_n")),
+    ).otherwise(F.transform(F.col("_dv"), lambda x: x * F.lit(0.0)))
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),
             v.alias("_dv"),
         )
         .withColumn("_n", _norm(F.col("_dv")))
-        .select(
-            "vec_id",
-            F.transform("_dv", lambda x: x / F.col("_n")).alias("v"),
-        )
+        .select("vec_id", unit.alias("v"))
     )
 
 

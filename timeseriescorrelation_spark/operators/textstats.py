@@ -124,9 +124,14 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text",
     g = (
         F.crc32(F.col("tok").cast("binary")) * F.lit(A_MUL) + F.lit(B_ADD)
     ) % F.lit(P31)
+    # each term reduced mod 2^31 BEFORE the sum: the raw sum of
+    # (pos * g) terms overflows int64 (ANSI throw) past ~2^20 tokens
+    # in one doc; (Σ (aᵢ mod m)) mod m == (Σ aᵢ) mod m, so per-term
+    # reduction changes nothing and the sum stays < n·2^31
+    term = ((F.col("pos") + 1) * g) % F.lit(1 << 31)
     return (
         t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-        .select("doc_id", ((F.col("pos") + 1) * g).alias("term"))
+        .select("doc_id", term.alias("term"))
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(1 << 31)).alias("fp"))
     )
@@ -146,9 +151,13 @@ def doc_fingerprints_vocab(docs: DataFrame, text_col: str = "text",
         .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("long"))
     )
     g = (F.col("tid") * F.lit(A_MUL) + F.lit(B_ADD)) % F.lit(P31)
+    # per-term mod 2^31 before the sum — see doc_fingerprints (int64
+    # overflow guard; identical result, and the DuckDB oracle's HUGEINT
+    # sum is unaffected)
+    term = ((F.col("pos") + 1) * g) % F.lit(1 << 31)
     return (
         t.join(F.broadcast(vocab), "tok")
-        .select("doc_id", ((F.col("pos") + 1) * g).alias("term"))
+        .select("doc_id", term.alias("term"))
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(1 << 31)).alias("fp"))
     )
