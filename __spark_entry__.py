@@ -483,18 +483,20 @@ def q_histogram_value(spark, sf_dir):
 
 def q_clip_p99(spark, sf_dir):
     """Winsorize values at the per-metric p99 (quality-cut op: clamp
-    outliers instead of dropping rows).  The p99 is an aggregate window
-    over the whole metric partition — one shuffle, no self-join."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type")
-    p99 = F.percentile("value", F.lit(0.99)).over(w)
+    outliers instead of dropping rows).  The p99 comes from a groupBy
+    AGGREGATE broadcast-joined back — NOT a window partitioned by the
+    metric: with a handful of metric values, a whole-partition window
+    is one giant single-task sort per metric at scale, while the
+    aggregate combines map-side and the join side is k rows."""
     e = _events(spark, sf_dir)
-    return e.select(
+    p = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("_p99")
+    )
+    return e.join(F.broadcast(p), "event_type").select(
         "event_id",
         "event_type",
-        F.round(F.least(F.col("value"), p99), 6).alias("clipped"),
-        (F.col("value") > p99).alias("was_clipped"),
+        F.round(F.least(F.col("value"), F.col("_p99")), 6).alias("clipped"),
+        (F.col("value") > F.col("_p99")).alias("was_clipped"),
     )
 
 
