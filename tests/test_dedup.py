@@ -161,6 +161,44 @@ def test_simhash_identical_docs_hamming_zero(spark, docs):
     assert (0, 3) not in pairs or pairs[(0, 3)] > 0
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops the mega-bucket a shared boilerplate template
+    creates, while unrelated near-dup pairs (small buckets) survive."""
+    boiler = "common boilerplate header shared by every single document"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100, "rare unique text alpha beta gamma delta epsilon"),
+           (101, "rare unique text alpha beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, tau_num=1, tau_den=5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, tau_num=1, tau_den=5, max_bucket=5
+        ).collect()
+    }
+    # boilerplate clique: 20*19/2 pairs uncapped, all pruned by the cap
+    assert len(uncapped) >= 190
+    assert all(a >= 100 for a, _ in capped), capped
+    assert (100, 101) in capped  # small-bucket pair survives
+
+
+def test_ngram_max_df_stop_shingles(spark):
+    boiler = "the same header line on all docs"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} {i} {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(docs, min_inter=1).count()
+    capped = ngram_jaccard_pairs(docs, min_inter=1, max_df=2).count()
+    assert uncapped == 45       # all pairs share the boilerplate shingles
+    assert capped == 0          # stop-shingles removed, tails are unique
+
+
 def test_xxhash_mode_sound_and_finds_dups(spark, docs):
     """Scale mode (xxhash64 ids, no vocabulary build): verified pairs
     are still a subset of the exact Jaccard pairs (ids differ but set

@@ -135,15 +135,32 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_inter: int = 2,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
     """Exact pairwise n-gram Jaccard via inverted-index self-join.
 
     Output (id_a, id_b, inter_n, union_n) for pairs sharing >= min_inter
     shingles; Jaccard = inter_n/union_n kept rational (no floats) so the
     oracle compare is exact.  Quadratic in posting-list length — the
-    verification-scale path (MinHash-LSH is the scale path)."""
+    verification-scale path (MinHash-LSH is the scale path).
+
+    ``max_df`` (scale guard, off by default): drop shingles whose
+    document frequency exceeds the cap BEFORE the self-join (the
+    stop-shingle list).  One boilerplate shingle in 10^5 docs makes a
+    10^10-pair posting-list otherwise; capped runs compute inter_n over
+    the surviving shingles only (a df-capped Jaccard, like every
+    production stop-word-filtered index — doc sizes stay full, so the
+    score is a lower bound of true Jaccard)."""
     sh = shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -179,11 +196,21 @@ def minhash_signatures(ids: DataFrame, n_hashes: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 16,
-                        bands: int = 4) -> DataFrame:
+                        bands: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band (J1 shape).
 
     rows-per-band = n_hashes/bands; a pair collides iff one full band
-    matches.  The join is a pure equi-join on (band_idx, band values)."""
+    matches.  The join is a pure equi-join on (band_idx, band values).
+
+    ``max_bucket`` (scale guard, off by default): drop buckets holding
+    more than this many docs before the self-join.  One boilerplate
+    template shared by 10^6 docs otherwise creates a single bucket
+    emitting 10^12 candidate pairs — the classic LSH skew blowup.
+    Docs losing a hot band still collide on their other bands, and
+    exact-duplicate boilerplate is T1 exact-dedup's job anyway; the
+    guard trades recall only on near-dups whose EVERY matching band is
+    hot."""
     rows = n_hashes // bands
     band_structs = F.array(
         *[
@@ -199,6 +226,14 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 16,
     banded = sig.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", "bk.band_idx", "bk.key")
+    if max_bucket is not None:
+        w_cnt = (
+            banded.groupBy("band_idx", "key")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_idx", "key")
+        )
+        banded = banded.join(w_cnt, ["band_idx", "key"], "left_semi")
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "key")
     b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "key")
     return (
@@ -212,7 +247,8 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 16,
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, n_hashes: int = 16,
                       bands: int = 4, tau_num: int = 1, tau_den: int = 5,
                       mode: str = "vocab", text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band
     bucket-join -> exact Jaccard verify at tau = tau_num/tau_den.
 
@@ -223,7 +259,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, n_hashes: int = 16,
     sh = shingles(docs, n, text_col, id_col)
     ids = shingle_ids(sh, mode)
     cand = lsh_candidate_pairs(
-        minhash_signatures(ids, n_hashes), n_hashes, bands
+        minhash_signatures(ids, n_hashes), n_hashes, bands, max_bucket
     )
     sets = ids.groupBy("doc_id").agg(
         F.collect_set("tid").alias("tids"), F.count("*").alias("sz")
