@@ -758,6 +758,108 @@ def q_mm_frames(spark, sf_dir):
     return frame_sample(attach_payload(_docs(spark, sf_dir)), every_n_bytes=64)
 
 
+def q_m4_1h(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al. VLDB'14): the
+    first/last/min/max POINTS per (series, hour) — pixel-perfect line
+    rendering at hourly resolution from one hash aggregation."""
+    from timeseriescorrelation_spark.operators.analytics import m4_downsample
+
+    return m4_downsample(_series_from_events(spark, sf_dir), "hour")
+
+
+def q_rate_1h(spark, sf_dir):
+    """PromQL-style counter increase/rate per (series, hour): sum of
+    non-negative deltas (resets contribute nothing)."""
+    from timeseriescorrelation_spark.operators.analytics import counter_rate
+
+    return counter_rate(_series_from_events(spark, sf_dir), "hour")
+
+
+def q_anomaly_1h(spark, sf_dir):
+    """Trailing-hour z-score anomalies per METRIC stream: |v - mu| >=
+    2 sigma against the strictly-preceding 1h range frame, min 5 prior
+    observations.  Keyed on metric alone — per-(conv, metric) series
+    are too sparse for a 1h baseline at gate SFs (and a per-metric
+    fleet-wide stream is the natural alerting granularity)."""
+    from timeseriescorrelation_spark.operators.analytics import anomaly_zscore
+
+    return anomaly_zscore(
+        _series_from_events(spark, sf_dir), range_seconds=3600,
+        z_thresh=2.0, min_n=5, keys=["metric"],
+    )
+
+
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 serial correlation per series (guarded Pearson)."""
+    from timeseriescorrelation_spark.operators.analytics import autocorr_lag1
+
+    return autocorr_lag1(_series_from_events(spark, sf_dir), min_n=10)
+
+
+def q_xcorr_lagged(spark, sf_dir):
+    """Lead/lag cross-correlation between conversation pairs at hourly
+    shifts -2..+2 — extends the reference's pairwise-Pearson report
+    with a time-shift dimension (who leads whom).  Runs the blocked
+    BLAS kernel (6 matmuls per block-pair per lag); the per-bucket
+    join formulation is the readable reference implementation,
+    equivalence-tested in tests/test_analytics.py — outputs are
+    identical rounded to 6dp (verified bit-equal at sf0.01)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        lagged_xcorr_blocked,
+    )
+
+    return lagged_xcorr_blocked(
+        _series_from_events(spark, sf_dir), lags_h=[-2, -1, 0, 1, 2],
+        min_n=5, r_min=0.7,
+    )
+
+
+def q_latency_percentiles(spark, sf_dir):
+    """Exact interpolated p50/p95 of inter-arrival gaps per
+    (metric, day) — the transcript stream's response-latency profile."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        latency_percentiles,
+    )
+
+    return latency_percentiles(
+        _series_from_events(spark, sf_dir), "day", [0.5, 0.95]
+    )
+
+
+def q_distinct_convs_1h(spark, sf_dir):
+    """Exact distinct-series cardinality per (metric, hour) — the
+    COUNT(DISTINCT) rollup companion to the tier cascade."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_convs"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word trigram
+    with the benchmark split (doc_id % 20 == 0), with distinct-overlap
+    counts.  Benchmark shingles broadcast; corpus never shuffled."""
+    from timeseriescorrelation_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition filters, computed in-row."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -817,6 +919,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip": q_chunk_roundtrip,
         "rechunk_roundtrip": q_rechunk_roundtrip,
         "chunk_stats": q_chunk_stats,
+        "m4_1h": q_m4_1h,
+        "rate_1h": q_rate_1h,
+        "anomaly_1h": q_anomaly_1h,
+        "autocorr_lag1": q_autocorr_lag1,
+        "xcorr_lagged": q_xcorr_lagged,
+        "latency_percentiles": q_latency_percentiles,
+        "distinct_convs_1h": q_distinct_convs_1h,
+        "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1630,5 +1741,176 @@ SELECT metric,
        round(sum(sum_v), 4) AS total
 FROM t1d
 GROUP BY ROLLUP(metric)
+""",
+        # ---- round-2b analytics suite -------------------------------
+        # pk mirrors rollup.packed_order_key for trunc='hour':
+        # idx_bits = 63 - 32 = 31; off-in-bucket µs << 31 | clamped idx
+        "m4_1h": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         value,
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+           * (1::BIGINT << 31)
+           + least(cast(event_id AS BIGINT), (1::BIGINT << 31) - 1) AS pk
+  FROM events
+)
+SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+       arg_min(ts, pk) AS ts_first, arg_min(value, pk) AS v_first,
+       arg_max(ts, pk) AS ts_last, arg_max(value, pk) AS v_last,
+       min({'v': value, 'k': pk, 't': ts}).t AS ts_vmin,
+       min({'v': value, 'k': pk, 't': ts}).v AS v_min,
+       max({'v': value, 'k': pk, 't': ts}).t AS ts_vmax,
+       max({'v': value, 'k': pk, 't': ts}).v AS v_max
+FROM s GROUP BY 1, 2, 3
+""",
+        "rate_1h": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         event_id AS turn_idx, value
+  FROM events
+), d AS (
+  SELECT conv_id, metric, ts,
+         lag(value) OVER (PARTITION BY conv_id, metric
+                          ORDER BY epoch_us(ts), turn_idx) AS prev,
+         value
+  FROM s
+)
+SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n_deltas,
+       round(sum(greatest(value - prev, 0)), 6) AS increase,
+       round(sum(greatest(value - prev, 0)) / 3600.0, 6) AS rate_per_s
+FROM d WHERE prev IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+        "anomaly_1h": """
+WITH s AS (
+  SELECT event_type AS metric, ts,
+         cast(event_id AS INTEGER) AS turn_idx, value
+  FROM events
+), sc AS (
+  SELECT metric, ts, turn_idx, value,
+         count(value) OVER w AS n_prev,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sigma
+  FROM s
+  WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT metric, ts, turn_idx, value, n_prev, mu, sigma,
+         round(CASE WHEN sigma > 0 THEN (value - mu) / sigma END, 6) AS z
+  FROM sc
+)
+SELECT metric, ts, turn_idx, value, n_prev,
+       round(mu, 6) AS mu, round(sigma, 6) AS sigma, z
+FROM z WHERE n_prev >= 5 AND abs(z) >= 2.0
+""",
+        "autocorr_lag1": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         event_id AS turn_idx, value
+  FROM events
+), d AS (
+  SELECT conv_id, metric, value,
+         lag(value) OVER (PARTITION BY conv_id, metric
+                          ORDER BY epoch_us(ts), turn_idx) AS prev
+  FROM s
+), g AS (
+  SELECT conv_id, metric, count(*) AS n,
+         covar_pop(value, prev) AS cov,
+         stddev_pop(value) AS sa, stddev_pop(prev) AS sb
+  FROM d WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT conv_id, metric, n,
+       round(CASE WHEN sa > 0 AND sb > 0 THEN cov / (sa * sb) END, 6) AS r1
+FROM g
+WHERE n >= 10
+  AND (CASE WHEN sa > 0 AND sb > 0 THEN cov / (sa * sb) END) IS NOT NULL
+""",
+        "xcorr_lagged": """
+WITH h AS (
+  SELECT cast(user_id AS varchar) AS u, date_trunc('hour', ts) AS b,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), l AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag_h),
+a AS (
+  SELECT h.u AS ua, h.v AS va, l.lag_h,
+         h.b + to_microseconds(l.lag_h * 3600000000::BIGINT) AS b2
+  FROM h CROSS JOIN l
+), g AS (
+  SELECT a.ua, h2.u AS ub, a.lag_h, count(*) AS n,
+         covar_pop(a.va, h2.v) AS cov,
+         stddev_pop(a.va) AS sa, stddev_pop(h2.v) AS sb
+  FROM a JOIN h h2 ON a.b2 = h2.b AND a.ua < h2.u
+  GROUP BY 1, 2, 3
+)
+SELECT ua, ub, lag_h, n,
+       round(CASE WHEN sa > 0 AND sb > 0 THEN cov / (sa * sb) END, 6) AS r
+FROM g
+WHERE n >= 5
+  AND abs(round(CASE WHEN sa > 0 AND sb > 0
+                     THEN cov / (sa * sb) END, 6)) >= 0.7
+""",
+        "latency_percentiles": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         event_id AS turn_idx
+  FROM events
+), d AS (
+  SELECT metric, ts,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY conv_id, metric
+            ORDER BY epoch_us(ts), turn_idx)) / 1e6 AS gap_s
+  FROM s
+)
+SELECT metric, date_trunc('day', ts) AS bucket_ts, count(*) AS n,
+       round(quantile_cont(gap_s, 0.5), 6) AS p5,
+       round(quantile_cont(gap_s, 0.95), 6) AS p95
+FROM d WHERE gap_s IS NOT NULL
+GROUP BY 1, 2
+""",
+        "distinct_convs_1h": """
+SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_ts,
+       count(DISTINCT user_id) AS n_convs, count(*) AS n_points
+FROM events GROUP BY 1, 2
+""",
+        "decontaminate": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+)
+SELECT s.doc_id, count(*) AS n_overlap
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 20 <> 0
+GROUP BY 1
+""",
+        "doc_repetition": """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM d
+)
+SELECT doc_id,
+       cast(n AS INTEGER) AS n_toks,
+       cast(nd AS INTEGER) AS n_distinct_toks,
+       round(1 - nd / cast(n AS DOUBLE), 6) AS dup_tok_frac,
+       cast(len(g2) AS INTEGER) AS n_2grams,
+       CASE WHEN len(g2) > 0 THEN
+         round(1 - len(list_distinct(g2)) / cast(len(g2) AS DOUBLE), 6)
+       END AS dup_2gram_frac,
+       round(list_max(list_transform(list_distinct(t),
+             tt -> len(list_filter(t, x -> x = tt))))
+             / cast(n AS DOUBLE), 6) AS top_tok_frac
+FROM c WHERE n > 0
 """,
     }

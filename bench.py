@@ -45,6 +45,14 @@ HEADLINE = [
     "asof_last_error",
     "event_sessions",
     "clip_p99",
+    "m4_1h",
+    "rate_1h",
+    "anomaly_1h",
+    "autocorr_lag1",
+    "xcorr_lagged",
+    "latency_percentiles",
+    "decontaminate",
+    "doc_repetition",
 ]
 
 

@@ -1,0 +1,219 @@
+"""Analytics suite: M4 downsampling, counter rate, trailing-window
+anomaly z-score, autocorrelation, lagged cross-correlation,
+latency percentiles — hand-built series with the nasty edges
+(value ties, counter resets, spike-vs-own-baseline, shifted pairs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.analytics import (
+    anomaly_zscore,
+    autocorr_lag1,
+    counter_rate,
+    lagged_xcorr,
+    latency_percentiles,
+    m4_downsample,
+)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+SERIES_SCHEMA = (
+    "conv_id string, metric string, ts timestamp, turn_idx int, value double"
+)
+
+
+def _rows(offsets_vals, conv="c1", metric="m"):
+    return [
+        (conv, metric, T0 + dt.timedelta(seconds=s), i, float(v))
+        for i, (s, v) in enumerate(offsets_vals)
+    ]
+
+
+def test_m4_picks_the_four_points(spark):
+    # one hour bucket; min value is TIED (rows 1 and 3) -> the earlier
+    # (ts, turn_idx) must win
+    data = _rows([(0, 5.0), (60, 1.0), (120, 9.0), (180, 1.0), (240, 4.0)])
+    df = spark.createDataFrame(data, SERIES_SCHEMA)
+    r = m4_downsample(df, "hour").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.v_first == 5.0 and row.ts_first == T0
+    assert row.v_last == 4.0 and row.ts_last == T0 + dt.timedelta(seconds=240)
+    assert row.v_min == 1.0
+    assert row.ts_vmin == T0 + dt.timedelta(seconds=60)  # tie -> earliest
+    assert row.v_max == 9.0
+    assert row.ts_vmax == T0 + dt.timedelta(seconds=120)
+
+
+def test_m4_same_ts_tiebreak_on_turn_idx(spark):
+    # two rows at the SAME timestamp: packed key must break the tie by
+    # turn_idx, deterministically
+    data = [
+        ("c1", "m", T0, 7, 3.0),
+        ("c1", "m", T0, 2, 8.0),
+    ]
+    df = spark.createDataFrame(data, SERIES_SCHEMA)
+    row = m4_downsample(df, "hour").collect()[0]
+    assert row.v_first == 8.0  # turn_idx 2 precedes 7
+    assert row.v_last == 3.0
+
+
+def test_counter_rate_clamps_resets_and_drops_first(spark):
+    # values 10 -> 13 -> 2 (reset) -> 5: increases 3, 0, 3 = 6
+    data = _rows([(0, 10.0), (60, 13.0), (120, 2.0), (180, 5.0)])
+    df = spark.createDataFrame(data, SERIES_SCHEMA)
+    r = counter_rate(df, "hour").collect()
+    assert len(r) == 1
+    assert r[0].n_deltas == 3  # first row has no predecessor
+    assert r[0].increase == pytest.approx(6.0)
+    assert r[0].rate_per_s == pytest.approx(6.0 / 3600, abs=1e-6)
+
+
+def test_anomaly_spike_flagged_not_baseline(spark):
+    # flat baseline then a spike; the spike's own value must not be in
+    # its baseline frame (strictly-preceding), so z is huge-but-finite
+    # only via sigma>0 — use a gently noisy baseline
+    vals = [(i * 60, 10.0 + (i % 2) * 0.2) for i in range(10)]
+    vals.append((600, 50.0))
+    df = spark.createDataFrame(_rows(vals), SERIES_SCHEMA)
+    out = anomaly_zscore(df, range_seconds=3600, z_thresh=2.0, min_n=5)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].value == 50.0
+    assert rows[0].z > 100  # (50 - ~10.1) / 0.1
+    # baseline stats exclude the spike itself
+    assert rows[0].mu == pytest.approx(10.1, abs=0.01)
+
+
+def test_autocorr_alternating_is_negative(spark):
+    vals = [(i * 60, float(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(_rows(vals), SERIES_SCHEMA)
+    r = autocorr_lag1(df, min_n=10).collect()
+    assert len(r) == 1
+    assert r[0].r1 == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_autocorr_constant_series_guarded_out(spark):
+    vals = [(i * 60, 7.0) for i in range(20)]
+    df = spark.createDataFrame(_rows(vals), SERIES_SCHEMA)
+    assert autocorr_lag1(df, min_n=10).count() == 0  # zero variance -> NULL
+
+
+def test_lagged_xcorr_finds_the_shift(spark):
+    # conv b repeats conv a's hourly pattern exactly 2 hours later:
+    # within the overlap, r at lag_h=+2 (a leads b) must be ~1.0
+    rng = np.random.RandomState(7)
+    base = rng.rand(30) * 10
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(("a", "m", T0 + dt.timedelta(hours=i), i, float(v)))
+        rows.append(
+            ("b", "m", T0 + dt.timedelta(hours=i + 2), i, float(v))
+        )
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    out = lagged_xcorr(df, lags_h=[-2, -1, 0, 1, 2], min_n=5)
+    best = {(r.ua, r.ub, r.lag_h): r.r for r in out.collect()}
+    assert best[("a", "b", 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_latency_percentiles_match_numpy(spark):
+    gaps = [10, 20, 30, 40, 1000]  # seconds between consecutive points
+    offs, acc = [], 0
+    vals = [(0, 1.0)]
+    for g in gaps:
+        acc += g
+        vals.append((acc, 1.0))
+    df = spark.createDataFrame(_rows(vals), SERIES_SCHEMA)
+    r = latency_percentiles(df, "day", [0.5, 0.95]).collect()
+    assert len(r) == 1
+    assert r[0].n == len(gaps)
+    assert r[0].p5 == pytest.approx(
+        float(np.percentile(gaps, 50)), abs=1e-6)
+    assert r[0].p95 == pytest.approx(
+        float(np.percentile(gaps, 95)), abs=1e-6)
+
+
+def test_decontaminate_flags_overlap_and_survives_short_docs(spark):
+    from timeseriescorrelation_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares trigram with bench
+            (2, "completely different words entirely here"),
+            (3, "too short"),                    # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox of doom")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_overlap for r in decontaminate(docs, bench, n=3).collect()}
+    assert got == {1: 1}  # only 'quick brown fox' overlaps
+
+
+def test_repetition_stats_hand_computed(spark):
+    from timeseriescorrelation_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # toks: 5, distinct 2; 2grams: 4 ('a b','b a','a b','b a') distinct 2
+            (2, "solo"),        # single token: no 2-grams -> NULL frac
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_toks, r1.n_distinct_toks) == (5, 2)
+    assert r1.dup_tok_frac == pytest.approx(1 - 2 / 5, abs=1e-6)
+    assert (r1.n_2grams,) == (4,)
+    assert r1.dup_2gram_frac == pytest.approx(1 - 2 / 4, abs=1e-6)
+    assert r1.top_tok_frac == pytest.approx(3 / 5, abs=1e-6)
+    r2 = rows[2]
+    assert r2.n_2grams == 0 and r2.dup_2gram_frac is None
+    assert r2.top_tok_frac == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lagged_xcorr_blocked_equals_join(spark):
+    """The BLAS block-pair kernel must reproduce the join formulation
+    exactly (6dp-rounded) — including swapped-orientation lag signs
+    across blocks and the zero-variance guard."""
+    import pandas as pd
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        lagged_xcorr_blocked,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for u in range(12):
+        for i in range(40):
+            if rng.rand() < 0.7:  # sparse presence, irregular overlap
+                rows.append(
+                    (f"u{u:02d}", "m", T0 + dt.timedelta(hours=i), i,
+                     float(rng.rand() * 10 + (u % 3) * i * 0.1))
+                )
+    # one constant-valued series: must be guarded out by BOTH paths
+    rows += [("zz", "m", T0 + dt.timedelta(hours=i), i, 5.0)
+             for i in range(40)]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    kw = dict(lags_h=[-2, -1, 0, 1, 2], min_n=5)
+    a = lagged_xcorr(df, r_min=0.0, **kw).toPandas()
+    b = lagged_xcorr_blocked(df, r_min=0.0, n_blocks=4, **kw).toPandas()
+    key = ["ua", "ub", "lag_h"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert not a.empty
+    assert ("zz" not in set(a.ua) | set(a.ub)
+            and "zz" not in set(b.ua) | set(b.ub))
+    m = a.merge(b, on=key, how="outer", suffixes=("_j", "_b"),
+                indicator=True)
+    assert (m["_merge"] == "both").all()
+    pd.testing.assert_series_equal(m["n_j"], m["n_b"], check_names=False)
+    assert (m["r_j"] - m["r_b"]).abs().max() == 0.0

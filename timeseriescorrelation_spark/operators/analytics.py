@@ -1,0 +1,463 @@
+"""Time-series analytics operators beyond the tier cascade:
+
+- M4 downsampling (min/max/first/last *points* per pixel bucket — the
+  published visualization-downsampling aggregation of Jugel et al.,
+  "M4: A Visualization-Oriented Time Series Data Aggregation",
+  VLDB 2014): the 4 points per bucket reproduce a pixel-perfect
+  line rendering at 1/bucket resolution.
+- Counter rate / increase (PromQL-style monotonic-increase semantics
+  over gauge resets): per-bucket sum of non-negative deltas.
+- Trailing-window anomaly detection: z-score of each point against the
+  PRECEDING range frame (current row excluded, so a spike does not
+  mask itself).
+- Lag-1 autocorrelation per series (serial dependence diagnostic).
+- Lagged cross-correlation between series over hourly buckets
+  (lead/lag discovery — which conversation's activity *precedes*
+  another's), extending the reference's pairwise-Pearson report
+  (SURVEY §3.1 step 3) with a time-shift dimension.
+
+All operators take the canonical series shape
+(conv_id, metric, ts, turn_idx, value).
+
+Scale notes (100 TB):
+- m4_downsample / counter_rate: one shuffle each, keyed on
+  (conv_id, metric[, bucket]) — partial aggregation collapses each
+  map task's points before the shuffle, so shuffle volume ~ |buckets|
+  (M4) or |points| only for the window pass (rate).  The
+  value-ordered argmin/argmax uses min/max over a 2-field struct
+  (double, packed int64): struct min/max still does map-side partial
+  aggregation; only first/last use the pure packed-int64 min_by path
+  that stays in whole-stage codegen (see rollup.packed_order_key for
+  why).
+- anomaly_zscore: single window pass per (conv_id, metric); Spark's
+  bounded-preceding range frame keeps a sliding buffer of only the
+  rows inside the range (O(rows_in_range) memory), no self-join.
+- lagged_xcorr: the lag table (a handful of rows) is broadcast; the
+  pair join is the same hourly-bucket equi-join as corr_pairs_hourly
+  (shuffle keyed on bucket), NOT a cartesian over points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+from timeseriescorrelation_spark.operators.rollup import packed_order_key
+
+KEYS = ["conv_id", "metric"]
+
+
+def pearson_guarded(cov: Column, sa: Column, sb: Column) -> Column:
+    """ρ = cov/(σa·σb), NULL when either side has zero variance.
+
+    Spark 4 ANSI mode makes a bare division THROW on the
+    zero-variance groups; CaseWhen evaluates lazily, so the division
+    never runs there — and NULL-on-constant is exactly DuckDB
+    ``corr()``'s semantics (same rationale as corr_pairs_hourly)."""
+    return F.when((sa > 0) & (sb > 0), cov / (sa * sb))
+
+
+def m4_downsample(series: DataFrame, trunc: str = "hour",
+                  keys: list[str] | None = None) -> DataFrame:
+    """M4 aggregation: per (series, bucket) the first, last, value-min
+    and value-max POINTS (ts+value pairs, not just values).
+
+    Determinism: first/last order by the packed (ts, turn_idx) int64;
+    the value-ordered extremes order by (value, packed) — a tie on
+    value resolves to the earliest (ts, turn_idx), identically in the
+    DuckDB oracle (min over a named struct)."""
+    keys = keys or KEYS
+    pk = packed_order_key(trunc)
+    vmin = F.min(F.struct(F.col("value").alias("v"), pk.alias("k"),
+                          F.col("ts").alias("t")))
+    vmax = F.max(F.struct(F.col("value").alias("v"), pk.alias("k"),
+                          F.col("ts").alias("t")))
+    return (
+        series.groupBy(
+            *keys, F.date_trunc(trunc, "ts").alias("bucket_ts")
+        )
+        .agg(
+            F.min_by("ts", pk).alias("ts_first"),
+            F.min_by("value", pk).alias("v_first"),
+            F.max_by("ts", pk).alias("ts_last"),
+            F.max_by("value", pk).alias("v_last"),
+            vmin.alias("_mn"),
+            vmax.alias("_mx"),
+        )
+        .select(
+            *keys,
+            "bucket_ts",
+            "ts_first",
+            "v_first",
+            "ts_last",
+            "v_last",
+            F.col("_mn.t").alias("ts_vmin"),
+            F.col("_mn.v").alias("v_min"),
+            F.col("_mx.t").alias("ts_vmax"),
+            F.col("_mx.v").alias("v_max"),
+        )
+    )
+
+
+def counter_rate(series: DataFrame, trunc: str = "hour",
+                 bucket_seconds: int = 3600,
+                 keys: list[str] | None = None) -> DataFrame:
+    """Per-bucket increase + per-second rate with counter semantics:
+    delta clamped at 0 (a counter reset contributes nothing, like
+    PromQL ``increase``).  The first point of each series has no
+    predecessor and contributes nothing."""
+    keys = keys or KEYS
+    w = Window.partitionBy(*keys).orderBy(epoch_us(F.col("ts")), "turn_idx")
+    # NB: F.greatest SKIPS nulls (greatest(NULL, 0) = 0), so the
+    # no-predecessor row must be dropped on the lag itself, not on inc.
+    d = series.withColumn("prev", F.lag("value").over(w)).where(
+        F.col("prev").isNotNull()
+    ).withColumn("inc", F.greatest(F.col("value") - F.col("prev"), F.lit(0.0)))
+    return (
+        d
+        .groupBy(*keys, F.date_trunc(trunc, "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_deltas"),
+            F.round(F.sum("inc"), 6).alias("increase"),
+            F.round(F.sum("inc") / F.lit(float(bucket_seconds)), 6)
+            .alias("rate_per_s"),
+        )
+    )
+
+
+def anomaly_zscore(series: DataFrame, range_seconds: int = 3600,
+                   z_thresh: float = 2.0, min_n: int = 5,
+                   keys: list[str] | None = None) -> DataFrame:
+    """Flag points whose value deviates from the trailing-window mean
+    by ≥ z_thresh standard deviations.
+
+    The frame is [ts - range_seconds, ts - 1µs] — strictly PRECEDING,
+    so the point under test (and any same-timestamp peers) never
+    contaminates its own baseline.  Points with fewer than min_n
+    trailing observations or a zero-variance baseline are not scored.
+    The filter compares the ROUNDED z in both engines, so a last-ulp
+    difference in the window sum cannot flip a boundary row."""
+    keys = keys or KEYS
+    range_us = int(range_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_us(F.col("ts")))
+        .rangeBetween(-range_us, -1)
+    )
+    v = F.col("value")
+    scored = series.select(
+        *keys,
+        "ts",
+        "turn_idx",
+        "value",
+        F.count(v).over(w).alias("n_prev"),
+        F.avg(v).over(w).alias("mu"),
+        F.stddev_pop(v).over(w).alias("sigma"),
+    ).withColumn(
+        "z",
+        F.round(
+            F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma")),
+            6,
+        ),
+    )
+    return (
+        scored.where(
+            (F.col("n_prev") >= min_n) & (F.abs(F.col("z")) >= z_thresh)
+        )
+        .select(
+            *keys,
+            "ts",
+            "turn_idx",
+            "value",
+            "n_prev",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            "z",
+        )
+    )
+
+
+def autocorr_lag1(series: DataFrame, min_n: int = 10,
+                  keys: list[str] | None = None) -> DataFrame:
+    """Lag-1 autocorrelation per series: Pearson between v_t and
+    v_{t-1} over the (ts, turn_idx)-ordered sequence.  One window
+    pass + one hash aggregation; ρ is NULL-guarded like every other
+    correlation in the engine."""
+    keys = keys or KEYS
+    w = Window.partitionBy(*keys).orderBy(epoch_us(F.col("ts")), "turn_idx")
+    d = series.withColumn("prev", F.lag("value").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    g = d.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.covar_pop("value", "prev").alias("cov"),
+        F.stddev_pop("value").alias("sa"),
+        F.stddev_pop("prev").alias("sb"),
+    )
+    return (
+        g.where(F.col("n") >= min_n)
+        .select(
+            *keys,
+            "n",
+            F.round(
+                pearson_guarded(F.col("cov"), F.col("sa"), F.col("sb")), 6
+            ).alias("r1"),
+        )
+        .where(F.col("r1").isNotNull())
+    )
+
+
+def lagged_xcorr(series: DataFrame, lags_h: list[int] | None = None,
+                 min_n: int = 3, r_min: float = 0.0) -> DataFrame:
+    """Cross-correlation between conversation pairs at hourly lags:
+    ρ(a_t, b_{t+lag}) for each lag in lags_h, over per-hour mean
+    values of the same metric-free value stream (as
+    corr_pairs_hourly).  Output one row per (ua < ub, lag) with ≥
+    min_n co-occurring (shifted) buckets and |ρ| ≥ r_min (the
+    threshold compares the ROUNDED ρ, so a last-ulp aggregation
+    difference cannot flip a boundary pair between engines).
+
+    The lag relation is an equi-join: a's bucket shifted by the lag
+    must equal b's bucket, so Catalyst plans a hash/sort-merge join on
+    the shifted key — never a theta/cartesian join.  The lag list is a
+    literal handful of rows, exploded on the probe side (no broadcast
+    join node needed — it is a generator, not a table)."""
+    if lags_h is None:
+        lags_h = [-2, -1, 0, 1, 2]
+    h = series.groupBy(
+        F.col("conv_id"), F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.avg("value").alias("v"))
+    lags = F.array(*[F.lit(int(x)) for x in lags_h])
+    # probe side: every a-bucket shifted by every lag (|lags| small)
+    a = h.select(
+        F.col("conv_id").alias("ua"),
+        F.col("b").alias("ba"),
+        F.col("v").alias("va"),
+        F.explode(lags).alias("lag_h"),
+    ).withColumn(
+        "b", F.timestamp_micros(
+            epoch_us(F.col("ba")) + F.col("lag_h").cast("long") * 3_600_000_000
+        )
+    )
+    bb = h.select(
+        F.col("conv_id").alias("ub"), F.col("b"), F.col("v").alias("vb")
+    )
+    g = (
+        a.join(bb, "b")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub", "lag_h")
+        .agg(
+            F.count("*").alias("n"),
+            F.covar_pop("va", "vb").alias("cov"),
+            F.stddev_pop("va").alias("sa"),
+            F.stddev_pop("vb").alias("sb"),
+        )
+    )
+    return (
+        g.where(F.col("n") >= min_n)
+        .select(
+            "ua",
+            "ub",
+            "lag_h",
+            "n",
+            F.round(
+                pearson_guarded(F.col("cov"), F.col("sa"), F.col("sb")), 6
+            ).alias("r"),
+        )
+        .where(F.col("r").isNotNull() & (F.abs(F.col("r")) >= r_min))
+    )
+
+
+def latency_percentiles(series: DataFrame, trunc: str = "day",
+                        quantiles: list[float] | None = None,
+                        keys: list[str] | None = None) -> DataFrame:
+    """Exact interpolated percentiles of the inter-arrival gap
+    (seconds between consecutive points of a series), per
+    (metric, bucket) — the "response latency" profile of a transcript
+    stream.  Uses the exact linear-interpolation percentile (same
+    definition as DuckDB quantile_cont), not an approximate sketch:
+    the tier output must be bit-comparable across engines."""
+    if quantiles is None:
+        quantiles = [0.5, 0.95]
+    keys = keys or KEYS
+    w = Window.partitionBy(*keys).orderBy(epoch_us(F.col("ts")), "turn_idx")
+    gap_s = (
+        (epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w))
+        / F.lit(1e6)
+    )
+    d = series.withColumn("gap_s", gap_s).where(F.col("gap_s").isNotNull())
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    agg = d.groupBy(
+        F.col("metric"), F.date_trunc(trunc, "ts").alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n"),
+        F.percentile("gap_s", qarr).alias("qs"),
+    )
+    cols = [
+        F.round(F.col("qs").getItem(i), 6).alias(
+            f"p{str(q).replace('0.', '')}"
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return agg.select("metric", "bucket_ts", "n", *cols)
+
+
+__all__ = [
+    "m4_downsample",
+    "counter_rate",
+    "anomaly_zscore",
+    "autocorr_lag1",
+    "lagged_xcorr",
+    "latency_percentiles",
+    "pearson_guarded",
+]
+
+
+def lagged_xcorr_blocked(series: DataFrame, lags_h: list[int] | None = None,
+                         min_n: int = 3, r_min: float = 0.0,
+                         n_blocks: int = 8) -> DataFrame:
+    """Scale path for :func:`lagged_xcorr`: identical semantics
+    (pairwise-complete Pearson over co-occurring hourly buckets at
+    each lag), computed as blocked mask/value matrix products instead
+    of a per-bucket pair join.
+
+    Why: the join formulation materializes every (pair, co-bucket,
+    lag) row — at sf0.1 that is ~2e9 intermediate rows and 38 s on 32
+    cores; here each block-pair group builds dense (users x T)
+    value/mask matrices and gets all pairwise sums from six BLAS
+    matmuls per lag (n, Σa, Σb, Σa², Σb², Σab), so the work is
+    O(U²·T / n_blocks²) FLOPs in vectorized kernels and the shuffle is
+    O(U·T·n_blocks) rows.  Same block-pair replication scheme as
+    similarity.cosine_neardup_pairs_blocked (each unordered block pair
+    computed exactly once, pairs oriented ua < ub).
+
+    At 100 TB with millions of series, all-pairs at any speed is the
+    wrong shape — route candidates through the ε-grid prefilter
+    (correlation.candidate_pairs) first and keep this kernel for the
+    candidate cohort; the DFT-magnitude sketch is shift-invariant, so
+    the grid remains sound for lagged search.
+
+    Float note: var = E[x²]−E[x]² in float64 leaves ~1e-12 residue on
+    truly constant windows; variances below VAR_EPS are treated as
+    zero (matching the oracle's σ>0 guard).  Outputs rounded to 6dp
+    and thresholded on the rounded ρ, like the join path."""
+    import numpy as np
+    import pandas as pd
+
+    if lags_h is None:
+        lags_h = [-2, -1, 0, 1, 2]
+    VAR_EPS = 1e-9
+
+    h = series.groupBy(
+        F.col("conv_id"), F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.avg("value").alias("v"))
+    t0 = h.agg(F.min("b").alias("t0"))
+    hi = h.crossJoin(F.broadcast(t0)).select(
+        "conv_id",
+        ((epoch_us(F.col("b")) - epoch_us(F.col("t0")))
+         / F.lit(3_600_000_000)).cast("int").alias("idx"),
+        "v",
+    )
+    blk = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_blocks)).cast("int")
+    base = hi.withColumn("blk", blk)
+    rng = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    left = base.select(
+        "conv_id", "idx", "v", F.col("blk").alias("bi"),
+        F.explode(F.filter(rng, lambda j: j >= F.col("blk"))).alias("bj"),
+        F.lit(0).alias("role"),
+    )
+    right = base.select(
+        "conv_id", "idx", "v",
+        F.explode(F.filter(rng, lambda i: i <= F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("role"),
+    )
+    both = left.unionByName(right)
+    schema = "ua string, ub string, lag_h int, n long, r double"
+    lags = [int(x) for x in lags_h]
+    min_n_, r_min_ = int(min_n), float(r_min)
+
+    def _dense(sub: "pd.DataFrame", T: int):
+        users = sub["conv_id"].unique()
+        uidx = {u: i for i, u in enumerate(users)}
+        A = np.zeros((len(users), T))
+        M = np.zeros((len(users), T))
+        rows = sub["conv_id"].map(uidx).to_numpy()
+        cols = sub["idx"].to_numpy()
+        A[rows, cols] = sub["v"].to_numpy()
+        M[rows, cols] = 1.0
+        return users, A, M
+
+    def _pairs(key, pdf):
+        bi, bj = key
+        out = {"ua": [], "ub": [], "lag_h": [], "n": [], "r": []}
+        l_ = pdf[pdf["role"] == 0]
+        r_ = pdf[pdf["role"] == 1]
+        if not l_.empty and not r_.empty:
+            T = int(pdf["idx"].max()) + 1
+            lu, A, MA = _dense(l_, T)
+            ru, B, MB = _dense(r_, T)
+            same = bi == bj
+            lids = lu.astype(object)
+            rids = ru.astype(object)
+            for L in lags:
+                if L >= 0:
+                    a_sl = slice(0, T - L)
+                    b_sl = slice(L, T)
+                else:
+                    a_sl = slice(-L, T)
+                    b_sl = slice(0, T + L)
+                if (T - abs(L)) < 1:
+                    continue
+                Av, Am = A[:, a_sl], MA[:, a_sl]
+                Bv, Bm = B[:, b_sl], MB[:, b_sl]
+                n = Am @ Bm.T
+                Sa = Av @ Bm.T
+                Sb = Am @ Bv.T
+                Saa = (Av * Av) @ Bm.T
+                Sbb = Am @ (Bv * Bv).T
+                Sab = Av @ Bv.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ma = Sa / n
+                    mb = Sb / n
+                    va = Saa / n - ma * ma
+                    vb = Sbb / n - mb * mb
+                    cov = Sab / n - ma * mb
+                    rr = cov / np.sqrt(va * vb)
+                np.round(rr, 6, out=rr)
+                keep = (
+                    (n >= min_n_)
+                    & (va > VAR_EPS)
+                    & (vb > VAR_EPS)
+                    & (np.abs(rr) >= r_min_)
+                )
+                if same:
+                    keep &= lids[:, None] < rids[None, :]
+                    li, ri = np.nonzero(keep)
+                    ua, ub = lids[li], rids[ri]
+                    rv = rr[li, ri]
+                else:
+                    keep &= lids[:, None] != rids[None, :]
+                    li, ri = np.nonzero(keep)
+                    swap = lids[li] > rids[ri]
+                    ua = np.where(swap, rids[ri], lids[li])
+                    ub = np.where(swap, lids[li], rids[ri])
+                    rv = rr[li, ri]
+                    # ua<ub orientation flips the pair, and Pearson at
+                    # lag L for (a,b) equals lag -L for (b,a)
+                    L_arr = np.where(swap, -L, L)
+                out["ua"].extend(ua.tolist())
+                out["ub"].extend(ub.tolist())
+                if same:
+                    out["lag_h"].extend([L] * len(ua))
+                else:
+                    out["lag_h"].extend(L_arr.tolist())
+                out["n"].extend(n[li, ri].astype(np.int64).tolist())
+                out["r"].extend(rv.tolist())
+        return pd.DataFrame(out).astype(
+            {"ua": "object", "ub": "object", "lag_h": "int32",
+             "n": "int64", "r": "float64"}
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(_pairs, schema)

@@ -360,3 +360,30 @@ def simhash_pairs(docs: DataFrame, n: int = 3, n_bits: int = 32,
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least one word n-gram with any benchmark document — the n-gram
+    overlap rule used to scrub eval sets out of LLM training corpora
+    (GPT-3 App. C / LLaMA style, with word-shingle granularity).
+
+    Returns (doc_id, n_overlap) for contaminated corpus docs only,
+    where n_overlap counts the DISTINCT benchmark-overlapping shingles
+    of that doc (shingles() already emits per-doc-distinct rows).
+
+    Scale note (100 TB corpus): the benchmark side is eval suites —
+    thousands of docs, not billions — so its distinct shingle set is
+    broadcast and the corpus side is a single scan + in-row shingling
+    + broadcast hash semi-join: the corpus is never shuffled.  If the
+    benchmark ever outgrew broadcast size, drop the F.broadcast hint
+    and Catalyst falls back to a shuffle join on the shingle key.
+    """
+    bench_sh = shingles(benchmark, n=n).select("shingle").distinct()
+    corpus_sh = shingles(docs, n=n)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )

@@ -161,3 +161,60 @@ def doc_fingerprints_vocab(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(1 << 31)).alias("fp"))
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition measures (the Gopher/MassiveText
+    repetition filters, adapted to whitespace tokens):
+
+      - dup_tok_frac:   1 - distinct/total tokens
+      - dup_2gram_frac: 1 - distinct/total word bigrams
+      - top_tok_frac:   occurrences of the most frequent token / total
+
+    Everything is computed IN-ROW with array HOFs — no explode, no
+    shuffle, no vocabulary: the operator is embarrassingly parallel
+    and scales linearly with corpus bytes.  The top-token scan is
+    O(n_tokens · n_distinct) per document, which is the right trade at
+    corpus scale: a groupBy-token alternative would shuffle every
+    token of every document for a per-document answer.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    n = F.size("t")
+    nd = F.size(F.array_distinct("t"))
+    idx2 = F.when(
+        n >= 2, F.sequence(F.lit(1), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    g2 = F.transform(
+        idx2,
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("t"),
+            lambda tt: F.size(F.filter("t", lambda x: x == tt)),
+        )
+    )
+    return (
+        d.where(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n_toks"),
+            nd.alias("n_distinct_toks"),
+            F.round(1 - nd / n.cast("double"), 6).alias("dup_tok_frac"),
+            F.size(g2).alias("n_2grams"),
+            F.when(
+                F.size(g2) > 0,
+                F.round(
+                    1
+                    - F.size(F.array_distinct(g2))
+                    / F.size(g2).cast("double"),
+                    6,
+                ),
+            ).alias("dup_2gram_frac"),
+            F.round(top_cnt / n.cast("double"), 6).alias("top_tok_frac"),
+        )
+    )
