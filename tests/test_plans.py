@@ -200,3 +200,32 @@ def test_gapfill_single_window_shuffle(spark, qname):
     plan = _plan(em.queries()[qname](spark, SF))
     assert "Join" not in plan or "SortMergeJoin" not in plan, plan
     assert "Window" in plan
+
+
+def test_m4_partial_agg_before_shuffle(spark):
+    """M4's struct-ordered extremes force SortAggregate (deliberate —
+    see m4_downsample docstring), but the scale property that matters
+    must hold: map-side PARTIAL aggregation before a single exchange,
+    so shuffle volume stays ~|buckets|, not |points|."""
+    plan = _plan(em.queries()["m4_1h"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min_by" in plan, plan  # partial agg below the shuffle
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast; the corpus side must
+    never be exchanged for the join itself."""
+    plan = _plan(em.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_single_window_pass(spark):
+    """Anomaly scoring = ONE partitioned range-frame window (no
+    self-join, no unpartitioned window)."""
+    plan = _plan(em.queries()["anomaly_1h"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    assert "No Partition Defined" not in plan
+    assert plan.count("Exchange") <= 2, plan

@@ -66,7 +66,20 @@ def m4_downsample(series: DataFrame, trunc: str = "hour",
     Determinism: first/last order by the packed (ts, turn_idx) int64;
     the value-ordered extremes order by (value, packed) — a tie on
     value resolves to the earliest (ts, turn_idx), identically in the
-    DuckDB oracle (min over a named struct)."""
+    DuckDB oracle (min over a named struct).
+
+    Plan note — deliberate SortAggregate: the (double, int64) ordering
+    key cannot be packed into one scalar (no order-preserving
+    double→int64 expression in Spark SQL), so min/max over the 3-field
+    struct drops the whole aggregation out of HashAggregate.  That is
+    the right trade here: map-side PARTIAL aggregation still runs
+    (plan-asserted in tests/test_plans.py), so shuffle volume stays
+    ≈ |buckets| and the extra cost is only an in-partition sort by
+    group key.  The hash-aggregable alternative (pre-grouping by
+    (bucket, value) to de-tie the double key) shuffles ≈ |points|
+    because raw double values rarely collide — strictly worse at
+    scale.  Contrast rollup.packed_order_key, where the key IS
+    packable and the cascade must stay in HashAggregate."""
     keys = keys or KEYS
     pk = packed_order_key(trunc)
     vmin = F.min(F.struct(F.col("value").alias("v"), pk.alias("k"),
