@@ -217,3 +217,53 @@ def test_lagged_xcorr_blocked_equals_join(spark):
     assert (m["_merge"] == "both").all()
     pd.testing.assert_series_equal(m["n_j"], m["n_b"], check_names=False)
     assert (m["r_j"] - m["r_b"]).abs().max() == 0.0
+
+
+def test_lagged_xcorr_pruned_recall_and_exactness(spark):
+    """The magnitude-sketch prune + verify route must (a) report values
+    IDENTICAL to the exact join operator for every pair it emits, and
+    (b) find every circularly-shifted planted pair (where the DFT
+    magnitude bound is exact) — while actually pruning the pair space."""
+    import pandas as pd
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        lagged_xcorr_pruned,
+    )
+
+    rng = np.random.RandomState(5)
+    T = 48
+    rows = []
+    # 6 independent noise series
+    for u in range(6):
+        for i in range(T):
+            rows.append((f"n{u}", "m", T0 + dt.timedelta(hours=i), i,
+                         float(rng.rand() * 10)))
+    # 3 planted pairs: b = a circularly shifted by 2h (full overlap in
+    # the wrapped sense; linear overlap T-2 of T)
+    for p in range(3):
+        base = rng.rand(T) * 10
+        shifted = np.roll(base, 2)
+        for i in range(T):
+            rows.append((f"p{p}a", "m", T0 + dt.timedelta(hours=i), i,
+                         float(base[i])))
+            rows.append((f"p{p}b", "m", T0 + dt.timedelta(hours=i), i,
+                         float(shifted[i])))
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    kw = dict(lags_h=[-2, -1, 0, 1, 2], min_n=5, r_min=0.9)
+    exact = lagged_xcorr(df, **kw).toPandas()
+    pruned = lagged_xcorr_pruned(df, theta=0.5, **kw).toPandas()
+    key = ["ua", "ub", "lag_h"]
+    # (a) exactness on reported pairs
+    m = pruned.merge(exact, on=key, suffixes=("_p", "_e"), how="left")
+    assert m["r_e"].notna().all(), m
+    assert (m["r_p"] - m["r_e"]).abs().max() == 0.0
+    assert (m["n_p"] == m["n_e"]).all()
+    # (b) recall on the planted pairs: a leads b by 2h -> lag +2
+    got_pairs = set(zip(pruned.ua, pruned.ub, pruned.lag_h))
+    for p in range(3):
+        assert (f"p{p}a", f"p{p}b", 2) in got_pairs
+    # and the grid really pruned: every planted pair found by exact
+    # must also be in pruned (high-r recall), noise pairs mostly cut
+    strong = exact[exact.r.abs() >= 0.95]
+    strong_pairs = set(zip(strong.ua, strong.ub, strong.lag_h))
+    assert strong_pairs <= got_pairs
