@@ -648,7 +648,11 @@ def q_value_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per metric (p50/p90/p99) — the
     training-data quality-cut shape ("drop docs above the p99 length").
     Spark percentile() and DuckDB quantile_cont() both linearly
-    interpolate on the sorted values."""
+    interpolate on the sorted values.  Scale caveat: exact
+    percentile's buffer is O(distinct values per group) — see
+    analytics.latency_percentiles for the 100 TB alternatives
+    (approx_percentile sketch, or fixed-precision value pre-bucketing
+    to bound the buffer by the domain)."""
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")

@@ -292,7 +292,19 @@ def latency_percentiles(series: DataFrame, trunc: str = "day",
     (metric, bucket) — the "response latency" profile of a transcript
     stream.  Uses the exact linear-interpolation percentile (same
     definition as DuckDB quantile_cont), not an approximate sketch:
-    the tier output must be bit-comparable across engines."""
+    the tier output must be bit-comparable across engines.
+
+    Scale note: Spark's exact percentile() is a TypedImperative
+    aggregate whose buffer holds a count per DISTINCT value in the
+    group — mostly-unique doubles make that O(group size) executor
+    memory.  Grouping here is (metric, day): at 10¹² turns a single
+    group holds ~billions of gaps, which does NOT fit.  The 100 TB
+    form is either (a) approx_percentile(...,accuracy) — bounded-size
+    Greenwald-Khanna sketch, mergeable map-side, with a documented
+    rank-error bound — or (b) keep exactness by pre-bucketing gaps to
+    fixed precision (e.g. ms) so the value-count map is bounded by the
+    value domain, not the row count.  Exact-on-raw is reserved for
+    gate-scale verification, same split as dedup's vocab mode."""
     if quantiles is None:
         quantiles = [0.5, 0.95]
     keys = keys or KEYS
