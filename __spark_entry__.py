@@ -855,6 +855,23 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=3)
 
 
+def q_quantiles_scalable(spark, sf_dir):
+    """Distributed exact quantiles with bounded memory: fixed-precision
+    quantization + cumulative-count interpolation (the 100 TB form of
+    percentile(); oracle = DuckDB quantile_cont over the same
+    quantized values, equal BY DEFINITION)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        quantiles_bucketed,
+    )
+
+    v = _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric"), "value"
+    )
+    return quantiles_bucketed(
+        v, keys=["metric"], qs=[0.5, 0.9, 0.99], precision=0.01
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition filters, computed in-row."""
     from timeseriescorrelation_spark.operators.textstats import (
@@ -932,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_convs_1h": q_distinct_convs_1h,
         "decontaminate": q_decontaminate,
         "doc_repetition": q_doc_repetition,
+        "quantiles_scalable": q_quantiles_scalable,
     }
 
 
@@ -1916,5 +1934,22 @@ SELECT doc_id,
              tt -> len(list_filter(t, x -> x = tt))))
              / cast(n AS DOUBLE), 6) AS top_tok_frac
 FROM c WHERE n > 0
+""",
+        "quantiles_scalable": """
+WITH v AS (
+  SELECT event_type AS metric, floor(value / 0.01) AS k
+  FROM events WHERE value IS NOT NULL
+)
+SELECT metric, cast(0.5 AS DOUBLE) AS q, count(*) AS n,
+       round(quantile_cont(k, 0.5) * 0.01, 6) AS p
+FROM v GROUP BY 1
+UNION ALL
+SELECT metric, cast(0.9 AS DOUBLE) AS q, count(*) AS n,
+       round(quantile_cont(k, 0.9) * 0.01, 6) AS p
+FROM v GROUP BY 1
+UNION ALL
+SELECT metric, cast(0.99 AS DOUBLE) AS q, count(*) AS n,
+       round(quantile_cont(k, 0.99) * 0.01, 6) AS p
+FROM v GROUP BY 1
 """,
     }

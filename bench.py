@@ -53,6 +53,7 @@ HEADLINE = [
     "latency_percentiles",
     "decontaminate",
     "doc_repetition",
+    "quantiles_scalable",
 ]
 
 

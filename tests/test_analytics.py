@@ -267,3 +267,31 @@ def test_lagged_xcorr_pruned_recall_and_exactness(spark):
     strong = exact[exact.r.abs() >= 0.95]
     strong_pairs = set(zip(strong.ua, strong.ub, strong.lag_h))
     assert strong_pairs <= got_pairs
+
+
+def test_quantiles_bucketed_matches_numpy(spark):
+    """Bounded-memory exact quantiles must equal numpy's linear
+    interpolation over the quantized values — including the n=1 group
+    and an exact-integer rank (q*(n-1) integral: no interpolation)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        quantiles_bucketed,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = list(rng.rand(101) * 50)  # n=101 -> q=0.5 lands exactly
+    rows = [("a", float(v)) for v in vals] + [("b", 7.003)]
+    df = spark.createDataFrame(rows, "metric string, value double")
+    out = {
+        (r.metric, r.q): (r.n, r.p)
+        for r in quantiles_bucketed(
+            df, ["metric"], [0.5, 0.9], precision=0.01
+        ).collect()
+    }
+    qa = np.floor(np.array(vals) / 0.01)
+    for q in (0.5, 0.9):
+        n, p = out[("a", q)]
+        assert n == 101
+        assert p == pytest.approx(
+            float(np.percentile(qa, q * 100)) * 0.01, abs=1e-6)
+    # single-value group: every quantile is the value itself (quantized)
+    assert out[("b", 0.5)] == (1, pytest.approx(7.0, abs=1e-9))

@@ -670,3 +670,68 @@ def lagged_xcorr_pruned(series: DataFrame, theta: float = 0.6,
             )
 
     return j.mapInPandas(_verify, schema)
+
+
+def quantiles_bucketed(df: DataFrame, keys: list[str], qs: list[float],
+                       value_col: str = "value",
+                       precision: float = 0.01) -> DataFrame:
+    """Distributed EXACT interpolated quantiles with bounded memory —
+    the 100 TB form of percentile() promised in latency_percentiles'
+    scale note.
+
+    Values are quantized to ``precision`` (k = floor(v/precision)),
+    the per-(group, k) counts are hash-aggregated (buffer bounded by
+    the VALUE DOMAIN / precision, never by row count), a partitioned
+    cumulative-count window orders the buckets, and each requested q
+    interpolates between the two covering buckets exactly like
+    SQL percentile_cont: r = q·(n−1), p = v⌊r⌋ + (r−⌊r⌋)·(v⌊r⌋₊₁ −
+    v⌊r⌋).  The result is BY DEFINITION quantile_cont over the
+    quantized values — the DuckDB oracle is one line — and every stage
+    is a hash aggregate or a key-partitioned window: no per-group
+    value buffering anywhere.
+
+    Output: one row per (keys…, q): (keys…, q, n, p).
+
+    floor() (not round()) does the quantization: round-half ties
+    resolve differently across engines; floor is bit-identical."""
+    kcol = F.floor(F.col(value_col) / F.lit(float(precision)))
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, kcol.alias("k"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(*keys).orderBy("k")
+    wtot = Window.partitionBy(*keys)
+    c = counts.select(
+        *keys,
+        "k",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    qarr = F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    cq = c.withColumn("q", qarr).withColumn(
+        "r", F.col("q") * (F.col("n") - 1).cast("double")
+    ).withColumn("kk", F.floor("r").cast("long"))
+    # v_lo = bucket value at sorted position kk; v_hi at kk+1 (both
+    # "first bucket whose cumulative count exceeds the position")
+    agg = cq.groupBy(*keys, "q").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") > F.col("kk"), F.col("k"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("cum") > F.col("kk") + 1, F.col("k"))
+        ).alias("v_hi"),
+        F.max(F.col("r") - F.col("kk")).alias("frac"),
+    )
+    p = (
+        F.col("v_lo").cast("double")
+        + F.col("frac")
+        * (F.coalesce(F.col("v_hi"), F.col("v_lo")).cast("double")
+           - F.col("v_lo").cast("double"))
+    ) * F.lit(float(precision))
+    return agg.select(
+        *keys, "q", "n", F.round(p, 6).alias("p")
+    )
