@@ -41,3 +41,27 @@ def test_read_ticks_csv(spark, tmp_path):
         ("sA", "2025-01-01 00:00:10", 1.5),
         ("sB", "2025-01-01 00:00:05", -3.25),
     ]
+
+
+def test_jsonl_transcripts_quarantine_not_drop(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.textingest import (
+        read_transcripts_jsonl,
+    )
+
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2024-01-01T00:00:00"}\n'
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo",'
+        '"tool":"search","ts":"2024-01-01T00:00:05.123456"}\n'
+        "this is not json at all\n"
+    )
+    out = read_transcripts_jsonl(spark, str(p)).collect()
+    assert len(out) == 3  # malformed line quarantined, NOT dropped
+    ok = [r for r in out if not r.malformed]
+    bad = [r for r in out if r.malformed]
+    assert len(ok) == 2 and len(bad) == 1
+    assert bad[0]._raw.startswith("this is not json")
+    turn1 = next(r for r in ok if r.turn_idx == 1)
+    assert turn1.tool == "search"
+    assert turn1.ts.microsecond == 123456

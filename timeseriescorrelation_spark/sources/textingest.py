@@ -57,3 +57,39 @@ def parse_tick_lines(lines: DataFrame, sep: str = ",",
         val.alias("value"),
         (~ok).alias("malformed"),
     )
+
+
+TRANSCRIPT_JSONL_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, _corrupt string"
+)
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL transcript ingest (the other wire format transcripts
+    arrive in besides parquet/Iceberg): explicit schema — never
+    inference, which at 100 TB means a full extra pass AND silent
+    schema drift — with PERMISSIVE corrupt-record quarantine.
+
+    Output = input_hint columns + ``malformed`` boolean; a malformed
+    line keeps its raw text in ``_raw`` for diagnosis.  Same
+    no-silent-drop policy as parse_tick_lines: at this scale a bad
+    producer shard must show up as quarantined rows, not as a
+    row-count mystery."""
+    raw = spark.read.json(
+        path,
+        schema=TRANSCRIPT_JSONL_SCHEMA,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]",
+    )
+    return raw.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.col("_corrupt").isNotNull().alias("malformed"),
+        F.col("_corrupt").alias("_raw"),
+    )
