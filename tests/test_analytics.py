@@ -295,3 +295,15 @@ def test_quantiles_bucketed_matches_numpy(spark):
             float(np.percentile(qa, q * 100)) * 0.01, abs=1e-6)
     # single-value group: every quantile is the value itself (quantized)
     assert out[("b", 0.5)] == (1, pytest.approx(7.0, abs=1e-9))
+
+
+def test_lagged_xcorr_blocked_rejects_asymmetric_lags(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        lagged_xcorr_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "m", T0, 0, 1.0)], SERIES_SCHEMA
+    )
+    with pytest.raises(ValueError, match="symmetric lag set"):
+        lagged_xcorr_blocked(df, lags_h=[1, 2])

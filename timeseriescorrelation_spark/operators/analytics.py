@@ -400,6 +400,14 @@ def lagged_xcorr_blocked(series: DataFrame, lags_h: list[int] | None = None,
     both = left.unionByName(right)
     schema = "ua string, ub string, lag_h int, n long, r double"
     lags = [int(x) for x in lags_h]
+    # Cross-block pairs whose ids sort against their block roles are
+    # emitted re-oriented (ua < ub), which NEGATES their lag; that
+    # reshuffling only covers the requested set when it is symmetric.
+    if sorted(lags) != sorted(-x for x in lags):
+        raise ValueError(
+            "lagged_xcorr_blocked requires a symmetric lag set "
+            f"(every L needs its -L); got {lags_h}"
+        )
     min_n_, r_min_ = int(min_n), float(r_min)
 
     def _dense(sub: "pd.DataFrame", T: int):
