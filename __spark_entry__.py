@@ -784,10 +784,18 @@ def q_anomaly_1h(spark, sf_dir):
     2 sigma against the strictly-preceding 1h range frame, min 5 prior
     observations.  Keyed on metric alone — per-(conv, metric) series
     are too sparse for a 1h baseline at gate SFs (and a per-metric
-    fleet-wide stream is the natural alerting granularity)."""
-    from timeseriescorrelation_spark.operators.analytics import anomaly_zscore
+    fleet-wide stream is the natural alerting granularity).
 
-    return anomaly_zscore(
+    Runs the SHARDED window (day shards + 1h context overlap):
+    per-metric global windows cap parallelism at |metrics| tasks, the
+    sharded form at |metrics|x|days| — and the DuckDB oracle is still
+    the plain global window, so the gate itself proves the sharding
+    is output-identical."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        anomaly_zscore_sharded,
+    )
+
+    return anomaly_zscore_sharded(
         _series_from_events(spark, sf_dir), range_seconds=3600,
         z_thresh=2.0, min_n=5, keys=["metric"],
     )

@@ -307,3 +307,36 @@ def test_lagged_xcorr_blocked_rejects_asymmetric_lags(spark):
     )
     with pytest.raises(ValueError, match="symmetric lag set"):
         lagged_xcorr_blocked(df, lags_h=[1, 2])
+
+
+def test_anomaly_sharded_equals_global(spark):
+    """Day-sharded parallel windows must reproduce the global window
+    row-for-row, including rows just after a shard boundary whose
+    frame reaches into the previous shard, and same-ts peers AT the
+    boundary."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        anomaly_zscore_sharded,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = []
+    # dense minutes straddling a UTC midnight: 23:00..01:00 over 3 days
+    base = dt.datetime(2024, 3, 1, 22, 0, 0)
+    i = 0
+    for d in range(3):
+        for m in range(0, 240, 7):  # 22:00 -> 02:00 every 7 min
+            ts = base + dt.timedelta(days=d, minutes=m)
+            v = float(rng.rand() * 4)
+            if i % 37 == 0:
+                v += 40.0  # planted spikes
+            rows.append(("c", "m", ts, i, v))
+            i += 1
+    # same-ts peers exactly at midnight
+    mid = dt.datetime(2024, 3, 2, 0, 0, 0)
+    rows += [("c", "m", mid, 9001, 1.0), ("c", "m", mid, 9002, 99.0)]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    kw = dict(range_seconds=3600, z_thresh=2.0, min_n=5, keys=["metric"])
+    a = sorted(map(tuple, anomaly_zscore(df, **kw).collect()))
+    b = sorted(map(tuple, anomaly_zscore_sharded(df, **kw).collect()))
+    assert len(a) > 0
+    assert a == b

@@ -743,3 +743,91 @@ def quantiles_bucketed(df: DataFrame, keys: list[str], qs: list[float],
     return agg.select(
         *keys, "q", "n", F.round(p, 6).alias("p")
     )
+
+
+def anomaly_zscore_sharded(series: DataFrame, range_seconds: int = 3600,
+                           z_thresh: float = 2.0, min_n: int = 5,
+                           keys: list[str] | None = None,
+                           shard_seconds: int = 86400) -> DataFrame:
+    """:func:`anomaly_zscore` with PARALLEL windows — identical output.
+
+    The plain operator partitions its window by ``keys``; keyed on a
+    low-cardinality stream (e.g. per-metric alerting: ~6 metrics) that
+    caps parallelism at |keys| tasks no matter the cluster — a single
+    executor core drags a 100 TB scan.  Because the frame is BOUNDED
+    (trailing ``range_seconds``), the window parallelizes exactly:
+
+    1. every row lands in its time shard (``shard_seconds`` wide,
+       must be ≥ range_seconds);
+    2. rows in the last ``range_seconds`` of each shard are COPIED
+       into the next shard as context (flagged, never emitted);
+    3. the window partitions by (keys…, shard) — parallelism becomes
+       |keys| × |shards| — and every original row sees its full
+       trailing frame (the frame reaches at most range_seconds back,
+       entirely inside own-shard + copied context);
+    4. context copies are dropped after scoring.
+
+    Shuffle cost: rows duplicated ≈ range/shard fraction (1h/1d ≈ 4%).
+    Output is row-identical to the unsharded operator (pytest equality
+    on boundary-straddling data; the driver oracle stays the plain
+    global-window SQL)."""
+    keys = keys or KEYS
+    if shard_seconds < range_seconds:
+        raise ValueError("shard must be at least the frame range")
+    range_us = int(range_seconds) * 1_000_000
+    shard_us = int(shard_seconds) * 1_000_000
+    tus = epoch_us(F.col("ts"))
+    shard0 = (tus - tus % F.lit(shard_us)).alias("shard")
+    base = series.select(*keys, "ts", "turn_idx", "value")
+    own = base.select(
+        "*", shard0, F.lit(False).alias("_ctx")
+    )
+    ctx = (
+        base.where(
+            tus % F.lit(shard_us) >= F.lit(shard_us - range_us)
+        ).select(
+            "*",
+            (tus - tus % F.lit(shard_us) + F.lit(shard_us)).alias("shard"),
+            F.lit(True).alias("_ctx"),
+        )
+    )
+    allrows = own.unionByName(ctx)
+    w = (
+        Window.partitionBy(*keys, "shard")
+        .orderBy(epoch_us(F.col("ts")))
+        .rangeBetween(-range_us, -1)
+    )
+    v = F.col("value")
+    scored = allrows.select(
+        *keys,
+        "ts",
+        "turn_idx",
+        "value",
+        "_ctx",
+        F.count(v).over(w).alias("n_prev"),
+        F.avg(v).over(w).alias("mu"),
+        F.stddev_pop(v).over(w).alias("sigma"),
+    ).withColumn(
+        "z",
+        F.round(
+            F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma")),
+            6,
+        ),
+    )
+    return (
+        scored.where(
+            (~F.col("_ctx"))
+            & (F.col("n_prev") >= min_n)
+            & (F.abs(F.col("z")) >= z_thresh)
+        )
+        .select(
+            *keys,
+            "ts",
+            "turn_idx",
+            "value",
+            "n_prev",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            "z",
+        )
+    )
