@@ -880,6 +880,17 @@ def q_quantiles_scalable(spark, sf_dir):
     )
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """EWMA smoothing per series (alpha=0.3, adjust-free recursion);
+    the oracle replays the identical float64 recursion via a DuckDB
+    recursive CTE — raw doubles match bit-for-bit, quantized by
+    floor(y*1e6)/1e6 on both sides (round() midpoint semantics differ
+    between engines)."""
+    from timeseriescorrelation_spark.operators.analytics import ewma
+
+    return ewma(_series_from_events(spark, sf_dir), alpha=0.3)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition filters, computed in-row."""
     from timeseriescorrelation_spark.operators.textstats import (
@@ -958,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "doc_repetition": q_doc_repetition,
         "quantiles_scalable": q_quantiles_scalable,
+        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -1959,5 +1971,25 @@ UNION ALL
 SELECT metric, cast(0.99 AS DOUBLE) AS q, count(*) AS n,
        round(quantile_cont(k, 0.99) * 0.01, 6) AS p
 FROM v GROUP BY 1
+""",
+        "ewma_smooth": """
+WITH RECURSIVE s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         cast(event_id AS INTEGER) AS turn_idx, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), e AS (
+  SELECT conv_id, metric, ts, turn_idx, value, rn, value AS y
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.metric, s.ts, s.turn_idx, s.value, s.rn,
+         (1 - 0.3) * e.y + 0.3 * s.value
+  FROM e JOIN s ON s.conv_id = e.conv_id AND s.metric = e.metric
+              AND s.rn = e.rn + 1
+)
+SELECT conv_id, metric, ts, turn_idx, value,
+       floor(y * 1e6) / 1e6 AS ewma
+FROM e
 """,
     }

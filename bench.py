@@ -54,6 +54,7 @@ HEADLINE = [
     "decontaminate",
     "doc_repetition",
     "quantiles_scalable",
+    "ewma_smooth",
 ]
 
 

@@ -340,3 +340,22 @@ def test_anomaly_sharded_equals_global(spark):
     b = sorted(map(tuple, anomaly_zscore_sharded(df, **kw).collect()))
     assert len(a) > 0
     assert a == b
+
+
+def test_ewma_matches_explicit_recursion(spark):
+    from timeseriescorrelation_spark.operators.analytics import ewma
+
+    rng = np.random.RandomState(13)
+    x = rng.rand(50) * 100
+    rows = _rows([(i * 60, v) for i, v in enumerate(x)])
+    got = (
+        ewma(spark.createDataFrame(rows, SERIES_SCHEMA), alpha=0.3)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    y = np.empty_like(x)
+    y[0] = x[0]
+    for i in range(1, len(x)):
+        y[i] = 0.7 * y[i - 1] + 0.3 * x[i]
+    want = np.floor(y * 1e6) / 1e6
+    assert [r.ewma for r in got] == list(want)

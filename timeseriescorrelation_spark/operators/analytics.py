@@ -831,3 +831,51 @@ def anomaly_zscore_sharded(series: DataFrame, range_seconds: int = 3600,
             "z",
         )
     )
+
+
+def ewma(series: DataFrame, alpha: float = 0.3,
+         keys: list[str] | None = None) -> DataFrame:
+    """Exponentially weighted moving average per series:
+    y₁ = x₁, y_t = (1−α)·y_{t−1} + α·x_t over the (ts, turn_idx)
+    order — the classic smoothing recursion (pandas
+    ``ewm(adjust=False)``, verified bit-identical to the explicit
+    float64 recursion, so the DuckDB recursive-CTE oracle reproduces
+    it exactly before any rounding).
+
+    Shape: the recursion is inherently sequential WITHIN a series and
+    embarrassingly parallel ACROSS series — one shuffle groups each
+    series into an Arrow batch, pandas' C kernel runs the recursion,
+    and no state crosses groups.  For series too long for one batch,
+    the recursion telescopes: y_t = (1−α)ᵗ⁻ˢ·y_s + Σ…, so a chunked
+    variant only needs the previous chunk's last y (the streaming
+    analogue lives in rate_stream's 3-number-state pattern)."""
+    keys = keys or KEYS
+    a = float(alpha)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", ts timestamp, turn_idx int, value double, ewma double"
+    )
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "turn_idx"], kind="mergesort")
+        y = pdf["value"].ewm(alpha=a, adjust=False).mean()
+        out = pdf[[*keys, "ts", "turn_idx", "value"]].copy()
+        out["ewma"] = y.to_numpy()
+        return out
+
+    with_ord = series.select(
+        *keys, "ts", "turn_idx", "value",
+        epoch_us(F.col("ts")).alias("_ord"),
+    )
+    # The recursion is bit-identical across pandas / DuckDB (verified),
+    # so quantize with floor(y·1e6)/1e6 — a deterministic function of
+    # the shared double.  round() is NOT usable here: Spark's
+    # BigDecimal HALF_UP and DuckDB's float-space rounding disagree on
+    # values the recursion actually lands on (measured 1e-6 flips).
+    return (
+        with_ord.groupBy(*keys)
+        .applyInPandas(_ewm, schema)
+        .withColumn(
+            "ewma", F.floor(F.col("ewma") * F.lit(1e6)) / F.lit(1e6)
+        )
+    )
