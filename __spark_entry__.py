@@ -880,6 +880,33 @@ def q_quantiles_scalable(spark, sf_dir):
     )
 
 
+def q_rollup_realtime_1h(spark, sf_dir):
+    """Real-time continuous aggregate (the TimescaleDB real-time
+    cagg shape): SEALED hourly buckets come from the materialized
+    1m->1h tier, the still-open bucket (>= hour of max ts) aggregates
+    straight from raw, and the union is served as one table.  The
+    oracle is the plain direct 1h rollup — equality proves
+    sealed-tier + live-tail compose exactly, which is the invariant
+    that lets the engine serve fresh data without waiting for the
+    tier job.  The cutoff comes from a 1-row broadcast (no driver
+    round-trip)."""
+    s = _series_from_events(spark, sf_dir)
+    cutoff = s.agg(
+        F.date_trunc("hour", F.max("ts")).alias("_cut")
+    )
+    sc = s.crossJoin(F.broadcast(cutoff))
+    t1m = rollup_raw(
+        sc.where(F.col("ts") < F.col("_cut")).drop("_cut"), "1m"
+    )
+    sealed = rollup_tier(t1m, "1h")
+    live = rollup_raw(
+        sc.where(F.col("ts") >= F.col("_cut")).drop("_cut"), "1h"
+    )
+    return sealed.select(*_tier_out()).unionByName(
+        live.select(*_tier_out())
+    )
+
+
 def q_ewma_smooth(spark, sf_dir):
     """EWMA smoothing per series (alpha=0.3, adjust-free recursion);
     the oracle replays the identical float64 recursion via a DuckDB
@@ -970,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "quantiles_scalable": q_quantiles_scalable,
         "ewma_smooth": q_ewma_smooth,
+        "rollup_realtime_1h": q_rollup_realtime_1h,
     }
 
 
@@ -1177,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
 def _static_oracles() -> dict[str, str]:
     return {
         "rollup_1m": _TIER_ORACLE.format(trunc="minute"),
+        "rollup_realtime_1h": _TIER_ORACLE.format(trunc="hour"),
         "rollup_1h": _TIER_ORACLE.format(trunc="hour"),
         "rollup_1d": _TIER_ORACLE.format(trunc="day"),
         "rollup_5m": """

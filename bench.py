@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_repetition",
     "quantiles_scalable",
     "ewma_smooth",
+    "rollup_realtime_1h",
 ]
 
 
