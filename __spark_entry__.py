@@ -880,6 +880,118 @@ def q_quantiles_scalable(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts + probabilities over each
+    user's (ts, event_id)-ordered event stream — the role/tool
+    transition matrix of a transcript.  One window lag + one hash agg;
+    P(next|prev) normalized by a window sum over prev (no second
+    shuffle: same partition key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    g = d.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return g.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+def q_funnel_3step(spark, sf_dir):
+    """Ordered funnel signup -> click -> purchase: per user the first
+    signup, the first click AFTER it, the first purchase after that;
+    report stage reach counts.  Three filtered min-aggregations
+    chained by equi-joins (each stage's table is |users| rows, so the
+    joins broadcast at gate scale and stay key-partitioned hash joins
+    at 100 TB); no window over the full event stream."""
+    e = _events(spark, sf_dir)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min(tus).alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", tus.alias("t"))
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", tus.alias("t"))
+        .join(s2, "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n")).select(
+            F.lit(1).alias("stage"), F.lit("signup").alias("event"), "n"
+        )
+        .unionByName(
+            s2.agg(F.count("*").alias("n")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("event"), "n"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("n")).select(
+                F.lit(3).alias("stage"),
+                F.lit("purchase").alias("event"), "n",
+            )
+        )
+    )
+
+
+def q_token_topk(spark, sf_dir):
+    """Corpus token heavy-hitters: top 50 tokens by document frequency
+    (docs containing the token) and total count, tie-broken by token
+    text.  In-row array_distinct before the explode keeps the df count
+    one row per (doc, token); the global agg partially combines
+    map-side, so the shuffle carries |distinct tokens| rows per task —
+    at 100 TB the long tail still dominates that shuffle, and the
+    sub-linear route is a count-min/TopK sketch; exact is right at
+    gate scale and for bounded vocabularies."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
+    )
+    cnt_all = (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n_total"))
+    )
+    df_ = d.groupBy("tok").agg(F.count("*").alias("n_docs"))
+    j = df_.join(cnt_all, "tok")
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), NOT a global row_number window
+    # (which would move every token to one partition); the rank window
+    # then runs over exactly 50 rows.
+    top = j.orderBy(
+        F.col("n_docs").desc(), F.col("n_total").desc(), F.col("tok")
+    ).limit(50)
+    w = Window.orderBy(
+        F.col("n_docs").desc(), F.col("n_total").desc(), F.col("tok")
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "n_docs", "n_total"
+    )
+
+
 def q_rollup_realtime_1h(spark, sf_dir):
     """Real-time continuous aggregate (the TimescaleDB real-time
     cagg shape): SEALED hourly buckets come from the materialized
@@ -998,6 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_scalable": q_quantiles_scalable,
         "ewma_smooth": q_ewma_smooth,
         "rollup_realtime_1h": q_rollup_realtime_1h,
+        "event_transitions": q_event_transitions,
+        "funnel_3step": q_funnel_3step,
+        "token_topk": q_token_topk,
     }
 
 
@@ -2020,5 +2135,57 @@ WITH RECURSIVE s AS (
 SELECT conv_id, metric, ts, turn_idx, value,
        floor(y * 1e6) / 1e6 AS ewma
 FROM e
+""",
+"event_transitions": """
+WITH d AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), g AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM d WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / cast(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM g
+""",
+        "funnel_3step": """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1
+)
+SELECT 1 AS stage, 'signup' AS event, count(*) AS n FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+""",
+        "token_topk": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
+), df_ AS (
+  SELECT tok, count(*) AS n_docs FROM per_doc GROUP BY 1
+), allt AS (
+  SELECT unnest(t) AS tok FROM toks
+), cnt AS (
+  SELECT tok, count(*) AS n_total FROM allt GROUP BY 1
+), j AS (
+  SELECT df_.tok, n_docs, n_total FROM df_ JOIN cnt USING (tok)
+)
+SELECT cast(row_number() OVER (ORDER BY n_docs DESC, n_total DESC, tok)
+            AS INTEGER) AS rank,
+       tok, n_docs, n_total
+FROM j
+ORDER BY rank LIMIT 50
 """,
     }

@@ -56,6 +56,9 @@ HEADLINE = [
     "quantiles_scalable",
     "ewma_smooth",
     "rollup_realtime_1h",
+    "event_transitions",
+    "funnel_3step",
+    "token_topk",
 ]
 
 
