@@ -9,12 +9,18 @@
   over gauge resets): per-bucket sum of non-negative deltas.
 - Trailing-window anomaly detection: z-score of each point against the
   PRECEDING range frame (current row excluded, so a spike does not
-  mask itself).
+  mask itself) — plus the day-sharded variant that parallelizes
+  low-cardinality key windows with a context overlap.
 - Lag-1 autocorrelation per series (serial dependence diagnostic).
 - Lagged cross-correlation between series over hourly buckets
   (lead/lag discovery — which conversation's activity *precedes*
   another's), extending the reference's pairwise-Pearson report
-  (SURVEY §3.1 step 3) with a time-shift dimension.
+  (SURVEY §3.1 step 3) with a time-shift dimension — three routes:
+  per-bucket join (reference impl), blocked BLAS kernel (all-pairs
+  scale path), magnitude-sketch ε-grid prune (candidate path).
+- Inter-arrival latency percentiles; bounded-memory exact quantiles
+  (quantize → hash counts → cumulative interpolation).
+- EWMA smoothing (adjust-free recursion, Arrow-batched).
 
 All operators take the canonical series shape
 (conv_id, metric, ts, turn_idx, value).
@@ -843,39 +849,53 @@ def ewma(series: DataFrame, alpha: float = 0.3,
     it exactly before any rounding).
 
     Shape: the recursion is inherently sequential WITHIN a series and
-    embarrassingly parallel ACROSS series — one shuffle groups each
-    series into an Arrow batch, pandas' C kernel runs the recursion,
-    and no state crosses groups.  For series too long for one batch,
-    the recursion telescopes: y_t = (1−α)ᵗ⁻ˢ·y_s + Σ…, so a chunked
-    variant only needs the previous chunk's last y (the streaming
-    analogue lives in rate_stream's 3-number-state pattern)."""
+    embarrassingly parallel ACROSS series.  NOT a per-series
+    applyInPandas: tens of thousands of tiny Arrow groups pay ~10x in
+    per-group transfer overhead (measured 9.7 s → 1.5 s at sf0.1).
+    Instead, hash-repartition on the series keys, sortWithinPartitions
+    by (keys, ts, turn_idx), and run ONE pandas GroupBy.ewm per
+    partition over the concatenated Arrow stream — a series never
+    straddles partitions (hash partitioning guarantees it), and
+    pandas' grouped C kernel runs the same recursion per series.  For
+    series too long for one partition's memory, the recursion
+    telescopes: y_t = (1−α)ᵗ⁻ˢ·y_s + Σ…, so a chunked variant only
+    needs the previous chunk's last y (the streaming analogue lives in
+    rate_stream's 3-number-state pattern)."""
     keys = keys or KEYS
     a = float(alpha)
     schema = (
         ", ".join(f"{k} string" for k in keys)
         + ", ts timestamp, turn_idx int, value double, ewma double"
     )
+    cols = [*keys, "ts", "turn_idx", "value"]
 
-    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ord", "turn_idx"], kind="mergesort")
-        y = pdf["value"].ewm(alpha=a, adjust=False).mean()
-        out = pdf[[*keys, "ts", "turn_idx", "value"]].copy()
+    def _ewm(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        # rows arrive partition-sorted by (keys, _ord, turn_idx);
+        # groupby(sort=False) preserves that order within each series
+        y = (
+            pdf.groupby(keys, sort=False)["value"]
+            .ewm(alpha=a, adjust=False)
+            .mean()
+            .reset_index(drop=True)
+        )
+        out = pdf[cols].copy()
         out["ewma"] = y.to_numpy()
-        return out
+        yield out
 
     with_ord = series.select(
-        *keys, "ts", "turn_idx", "value",
-        epoch_us(F.col("ts")).alias("_ord"),
+        *cols, epoch_us(F.col("ts")).alias("_ord")
     )
+    part = with_ord.repartition(*[F.col(k) for k in keys]) \
+        .sortWithinPartitions(*keys, "_ord", "turn_idx")
     # The recursion is bit-identical across pandas / DuckDB (verified),
     # so quantize with floor(y·1e6)/1e6 — a deterministic function of
     # the shared double.  round() is NOT usable here: Spark's
     # BigDecimal HALF_UP and DuckDB's float-space rounding disagree on
     # values the recursion actually lands on (measured 1e-6 flips).
-    return (
-        with_ord.groupBy(*keys)
-        .applyInPandas(_ewm, schema)
-        .withColumn(
-            "ewma", F.floor(F.col("ewma") * F.lit(1e6)) / F.lit(1e6)
-        )
+    return part.mapInPandas(_ewm, schema).withColumn(
+        "ewma", F.floor(F.col("ewma") * F.lit(1e6)) / F.lit(1e6)
     )
