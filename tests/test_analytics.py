@@ -359,3 +359,37 @@ def test_ewma_matches_explicit_recursion(spark):
         y[i] = 0.7 * y[i - 1] + 0.3 * x[i]
     want = np.floor(y * 1e6) / 1e6
     assert [r.ewma for r in got] == list(want)
+
+
+def test_ewma_many_series_across_partitions(spark):
+    """Regression: the grouped-ewm result must be aligned by original
+    row index, not assumed to come back in appearance order — with
+    many series hashed across partitions pandas returns group blocks
+    in an internal order (this exact bug shipped briefly and only the
+    oracle gate caught it)."""
+    from timeseriescorrelation_spark.operators.analytics import ewma
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for u in range(40):
+        for m in ("a", "b", "c"):
+            for i in range(15):
+                rows.append(
+                    (f"u{u}", m, T0 + dt.timedelta(minutes=i), i,
+                     float(rng.rand() * 100))
+                )
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    got = ewma(df, alpha=0.3).toPandas()
+    bad = 0
+    for (c, m), g in got.groupby(["conv_id", "metric"]):
+        g = g.sort_values("turn_idx")
+        x = g["value"].to_numpy()
+        r = np.empty_like(x)
+        r[0] = x[0]
+        for i in range(1, len(x)):
+            r[i] = 0.7 * r[i - 1] + 0.3 * x[i]
+        if not np.array_equal(
+            g["ewma"].to_numpy(), np.floor(r * 1e6) / 1e6
+        ):
+            bad += 1
+    assert bad == 0

@@ -2,33 +2,38 @@
 values (Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time
 Series Database", VLDB 2015 — required by BASELINE.json:6,14).
 
-This is our own on-disk format, defined from scratch for vectorized
-encoding (the mandate is the compression *family*, not a wire format):
+This is our own on-disk format, defined from scratch so that BOTH
+directions are numpy-vectorized (the mandate is the compression
+*family*, not a wire format).  v2 ("TG2") is column-oriented: instead
+of interleaving per-point variable-length codes (which forces a
+sequential bit-cursor on decode — v1 decoded ~0.3M pts/s/core in a
+Python loop), every fixed-width stream is stored contiguously and the
+variable-length payloads follow, so decode is: unpack the fixed-width
+flag/class streams, derive every payload's bit offset with one
+cumsum, gather all payloads with one vectorized two-word bitfield
+extract, and rebuild values with ``np.bitwise_xor.accumulate`` /
+timestamps with two ``np.cumsum``.  No per-point Python anywhere.
 
-- header: magic ``b"TG1"`` + uint8 flags + uint32 n (little-endian)
-- bitstream (big-endian bit order), timestamps section then values
-  section:
+Layout (header ``b"TG2"`` + uint8 flags + uint32 n, little-endian,
+then one big-endian bitstream):
 
-  timestamps (µs): t0 as raw 64 bits, then per point the
-  delta-of-delta bucketed as
-    ``0``                      dod == 0
-    ``10``   +  7 bits         dod + 63      ∈ [0, 2^7)
-    ``110``  +  9 bits         dod + 255     ∈ [0, 2^9)
-    ``1110`` + 12 bits         dod + 2047    ∈ [0, 2^12)
-    ``11110`` + 32 bits        dod + 2^31    ∈ [0, 2^32)
-    ``11111`` + 64 bits        dod two's complement
-  (the first point's "dod" is its delta from t0)
+  1. t0 — 64 raw bits (int64 µs)
+  2. ts zero-flags — (n−1) × 1 bit (1 ⇔ dod == 0); first point's
+     "dod" is its delta from t0
+  3. ts classes — 2 bits per NONZERO dod:
+       ``00`` +  7-bit payload   dod + 63    ∈ [0, 2^7)
+       ``01`` + 12-bit payload   dod + 2047  ∈ [0, 2^12)
+       ``10`` + 32-bit payload   dod + 2^31  ∈ [0, 2^32)
+       ``11`` + 64-bit payload   dod two's complement
+  4. ts payloads — concatenated, lengths implied by the classes
+  5. v0 — 64 raw bits (IEEE-754, NaN-safe)
+  6. val zero-flags — (n−1) × 1 bit (1 ⇔ xor ≠ 0)
+  7. val controls — 12 bits per nonzero xor: lead(6) | nbits-1(6)
+  8. val payloads — nbits meaningful bits per nonzero xor
 
-  values (IEEE-754 bits, NaN-safe): v0 as raw 64 bits, then per point
-  xor = bits(v[i]) ^ bits(v[i-1]):
-    ``0``                                     xor == 0
-    ``1`` + 6 bits lead + 6 bits (nbits-1) + nbits meaningful bits
-
-Unlike classic Gorilla the value control does not depend on the
-previous point's window — every point's code is independent given the
-xor array, which makes encoding fully numpy-vectorized (no per-row
-Python, BASELINE.json:15).  Decoding is inherently sequential and runs
-as a tight Python-int loop (used on the read path / round-trip tests).
+Constant regular series still cost 2 bits/point (two zero-flags), the
+same as the v1 prefix coding; mid-size dods pay ≤ 3 bits more than
+v1's Huffman-ish buckets — the price of random-access decode.
 """
 
 from __future__ import annotations
@@ -37,9 +42,12 @@ import struct
 
 import numpy as np
 
-_MAGIC = b"TG1"
+_MAGIC = b"TG2"
 _U64 = np.uint64
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# payload bit-length per 2-bit ts class
+_CLS_BITS = np.array([7, 12, 32, 64], dtype=np.int64)
 
 
 def pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
@@ -81,61 +89,66 @@ def pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
     return raw[: (total + 7) // 8]
 
 
-class _BitReader:
-    __slots__ = ("words", "pos", "total")
-
-    def __init__(self, data: bytes, offset_bits: int = 0):
-        pad = (-len(data)) % 8
-        buf = data + b"\x00" * pad
-        self.words = np.frombuffer(buf, dtype=">u8").astype(np.uint64).tolist()
-        self.pos = offset_bits
-        self.total = len(data) * 8
-
-    def read(self, n: int) -> int:
-        pos = self.pos
-        w, b = pos >> 6, pos & 63
-        end = b + n
-        if end <= 64:
-            out = (self.words[w] >> (64 - end)) & ((1 << n) - 1)
-        else:
-            hi = self.words[w] & ((1 << (64 - b)) - 1)
-            rem = end - 64
-            out = (int(hi) << rem) | (self.words[w + 1] >> (128 - end))
-        self.pos = pos + n
-        return int(out)
-
-
-def _dod_codes(dod: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Return (prefix_val, prefix_len, payload_val, payload_len) arrays."""
-    d = dod.astype(np.int64)
-    z = d == 0
-    b7 = (~z) & (d >= -63) & (d <= 64)
-    b9 = (~z) & ~b7 & (d >= -255) & (d <= 256)
-    b12 = (~z) & ~b7 & ~b9 & (d >= -2047) & (d <= 2048)
-    b32 = (~z) & ~b7 & ~b9 & ~b12 & (d >= -(1 << 31)) & (d < (1 << 31))
-    b64 = (~z) & ~b7 & ~b9 & ~b12 & ~b32
-
-    pv = np.select(
-        [z, b7, b9, b12, b32, b64],
-        [0b0, 0b10, 0b110, 0b1110, 0b11110, 0b11111],
+def unpack_bits(words: np.ndarray, offs: np.ndarray,
+                lens: np.ndarray) -> np.ndarray:
+    """Vectorized inverse of :func:`pack_bits`: extract codes of
+    bit-length ``lens`` (0..64) at absolute bit offsets ``offs`` from a
+    big-endian word array (must have ≥ 1 spare word past the last
+    read).  len-0 entries return 0."""
+    offs = offs.astype(np.int64, copy=False)
+    lens = lens.astype(np.int64, copy=False)
+    w = offs >> 6
+    b = offs & 63
+    end = b + lens
+    mask = np.where(
+        lens >= 64, _MASK64, (_U64(1) << lens.astype(np.uint64)) - _U64(1)
     ).astype(np.uint64)
-    pl = np.select([z, b7, b9, b12, b32, b64], [1, 2, 3, 4, 5, 5]).astype(np.int64)
-    # payload: offset-encoded for the small buckets, two's complement for
-    # the 64-bit bucket (int64 → uint64 cast wraps mod 2^64, which IS the
-    # two's-complement pattern); unused lanes may wrap silently.
+    cur = words[w]
+    nxt = words[np.minimum(w + 1, len(words) - 1)]
+    fits = end <= 64
+    # unused lanes of each branch may shift by ≥64 (platform-defined
+    # garbage) — they are discarded by the np.where selects
+    out_f = (cur >> np.where(fits, 64 - end, 0).astype(np.uint64)) & mask
+    keep_lo = np.where(fits, 0, 64 - b).astype(np.uint64)
+    m2 = np.where(
+        keep_lo >= 64, _MASK64, (_U64(1) << keep_lo) - _U64(1)
+    ).astype(np.uint64)
+    out_s = ((cur & m2) << np.where(fits, 0, end - 64).astype(np.uint64)) | (
+        nxt >> np.where(fits, 1, 128 - end).astype(np.uint64)
+    )
+    out = np.where(fits, out_f, out_s & mask)
+    return np.where(lens == 0, _U64(0), out)
+
+
+def _unpack_fixed(words: np.ndarray, off: int, count: int,
+                  width: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = off + np.arange(count, dtype=np.int64) * width
+    return unpack_bits(words, offs, np.full(count, width, dtype=np.int64))
+
+
+def _dod_classes(dod: np.ndarray):
+    """Nonzero dods → (cls 0..3, payload uint64, paylen)."""
+    d = dod.astype(np.int64)
+    c0 = (d >= -63) & (d <= 64)
+    c1 = ~c0 & (d >= -2047) & (d <= 2048)
+    c2 = ~c0 & ~c1 & (d >= -(1 << 31)) & (d < (1 << 31))
+    cls = np.select([c0, c1, c2], [0, 1, 2], default=3).astype(np.uint64)
     with np.errstate(over="ignore"):
-        dv_i = np.select(
-            [z, b7, b9, b12, b32, b64],
-            [np.int64(0), d + 63, d + 255, d + 2047, d + np.int64(1 << 31), d],
+        pay_i = np.select(
+            [c0, c1, c2],
+            [d + 63, d + 2047, d + np.int64(1 << 31)],
+            default=d,  # two's complement via the int64→uint64 view
         ).astype(np.int64)
-    dv = dv_i.view(np.uint64)
-    dl = np.select([z, b7, b9, b12, b32, b64], [0, 7, 9, 12, 32, 64]).astype(np.int64)
-    return pv, pl, dv, dl
+    pay = pay_i.view(np.uint64)
+    paylen = _CLS_BITS[cls.astype(np.int64)]
+    return cls, pay, paylen
 
 
 def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     """Encode parallel arrays (int64 µs timestamps, float64 values,
-    already sorted by ts) into one blob."""
+    already sorted by ts) into one blob.  Fully vectorized."""
     ts = np.asarray(ts_us, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)
@@ -144,50 +157,42 @@ def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     if n == 0:
         return header
 
-    segs_v: list[np.ndarray] = []
-    segs_l: list[np.ndarray] = []
+    segs_v: list[np.ndarray] = [ts[:1].view(np.uint64)]
+    segs_l: list[np.ndarray] = [np.array([64], dtype=np.int64)]
 
-    # --- timestamps: t0 raw, then dod codes
-    segs_v.append(np.array([np.int64(ts[0])], dtype=np.int64).view(np.uint64))
-    segs_l.append(np.array([64], dtype=np.int64))
     if n > 1:
         delta = np.diff(ts)
         dod = np.empty(n - 1, dtype=np.int64)
         dod[0] = delta[0]
         dod[1:] = delta[1:] - delta[:-1]
-        pv, pl, dv, dl = _dod_codes(dod)
-        # interleave prefix/payload per element: stack columns then ravel
-        segs_v.append(np.column_stack([pv, dv]).ravel())
-        segs_l.append(np.column_stack([pl, dl]).ravel())
+        nz = dod != 0
+        segs_v.append((nz).astype(np.uint64))          # 2. zero-flags
+        segs_l.append(np.ones(n - 1, dtype=np.int64))
+        cls, pay, paylen = _dod_classes(dod[nz])
+        segs_v.append(cls)                              # 3. classes
+        segs_l.append(np.full(len(cls), 2, dtype=np.int64))
+        segs_v.append(pay)                              # 4. payloads
+        segs_l.append(paylen)
 
-    # --- values: v0 raw, then xor codes
     bits = vals.view(np.uint64)
-    segs_v.append(bits[:1].copy())
+    segs_v.append(bits[:1].copy())                      # 5. v0
     segs_l.append(np.array([64], dtype=np.int64))
     if n > 1:
         xor = bits[1:] ^ bits[:-1]
-        zero = xor == 0
-        # leading / trailing zero counts (numpy >= 2.0 would have bit ops;
-        # emulate via float64 log2-free trick: use np.frexp on hi/lo? use
-        # np.left: compute via string-free loop-free method)
-        lead = _clz64(xor)
-        nbits = 64 - lead - _ctz64(xor)
-        nbits = np.where(zero, 1, np.maximum(nbits, 1)).astype(np.int64)
-        lead = np.where(zero, 0, lead).astype(np.int64)
-        trail = np.where(zero, 0, 64 - lead - nbits).astype(np.int64)
-
-        ctrl_v = np.where(
-            zero,
-            _U64(0),
-            (_U64(1) << _U64(12))
-            | (lead.astype(np.uint64) << _U64(6))
-            | (nbits - 1).astype(np.uint64),
-        )
-        ctrl_l = np.where(zero, 1, 13).astype(np.int64)
-        pay_v = np.where(zero, _U64(0), xor >> trail.astype(np.uint64))
-        pay_l = np.where(zero, 0, nbits).astype(np.int64)
-        segs_v.append(np.column_stack([ctrl_v, pay_v]).ravel())
-        segs_l.append(np.column_stack([ctrl_l, pay_l]).ravel())
+        nzv = xor != 0
+        segs_v.append(nzv.astype(np.uint64))            # 6. zero-flags
+        segs_l.append(np.ones(n - 1, dtype=np.int64))
+        x = xor[nzv]
+        lead = _clz64(x)
+        nbits = np.maximum(64 - lead - _ctz64(x), 1).astype(np.int64)
+        trail = (64 - lead - nbits).astype(np.int64)
+        ctrl = (lead.astype(np.uint64) << _U64(6)) | (
+            nbits - 1
+        ).astype(np.uint64)
+        segs_v.append(ctrl)                             # 7. controls
+        segs_l.append(np.full(len(x), 12, dtype=np.int64))
+        segs_v.append(x >> trail.astype(np.uint64))     # 8. payloads
+        segs_l.append(nbits)
 
     stream = pack_bits(
         np.concatenate([s.astype(np.uint64) for s in segs_v]),
@@ -225,45 +230,72 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
 
 
 def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a blob back to (ts_us int64, values float64)."""
+    """Decode a blob back to (ts_us int64, values float64).
+
+    Fully vectorized: fixed-width streams unpack in one gather each,
+    payload offsets come from one cumsum, timestamps from two cumsums
+    (dod → delta → position), values from one prefix-xor."""
     assert blob[:3] == _MAGIC, "bad magic"
     _flags, n = struct.unpack("<BI", blob[3:8])
-    ts = np.empty(n, dtype=np.int64)
-    vals_bits = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return ts, vals_bits.view(np.float64)
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64))
 
-    r = _BitReader(blob[8:])
-    t0 = r.read(64)
+    data = blob[8:]
+    pad = (-len(data)) % 8
+    words = np.frombuffer(
+        data + b"\x00" * (pad + 8), dtype=">u8"
+    ).astype(np.uint64)
+
+    t0 = int(unpack_bits(words, np.array([0]), np.array([64]))[0])
+    off = 64
+    ts = np.empty(n, dtype=np.int64)
     ts[0] = np.uint64(t0).astype(np.int64)
-    delta = 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
-        elif r.read(1) == 0:
-            dod = r.read(32) - (1 << 31)
-        else:
-            raw = r.read(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        ts[i] = ts[i - 1] + delta
 
-    prev = r.read(64)
-    vals_bits[0] = prev
-    for i in range(1, n):
-        if r.read(1) == 0:
-            vals_bits[i] = prev
-            continue
-        lead = r.read(6)
-        nbits = r.read(6) + 1
-        bits = r.read(nbits)
-        xor = bits << (64 - lead - nbits)
-        prev = prev ^ xor  # plain Python ints (xor may exceed int64 range)
-        vals_bits[i] = prev
-    return ts, vals_bits.view(np.float64)
+    if n > 1:
+        flags_t = _unpack_fixed(words, off, n - 1, 1).astype(bool)
+        off += (n - 1)
+        nnz = int(flags_t.sum())
+        cls = _unpack_fixed(words, off, nnz, 2).astype(np.int64)
+        off += 2 * nnz
+        paylen = _CLS_BITS[cls]
+        p_offs = off + np.concatenate(
+            [[0], np.cumsum(paylen)[:-1]]
+        ).astype(np.int64)
+        pay = unpack_bits(words, p_offs, paylen)
+        off += int(paylen.sum())
+        payi = pay.view(np.int64)
+        dnz = np.select(
+            [cls == 0, cls == 1, cls == 2],
+            [payi - 63, payi - 2047, payi - np.int64(1 << 31)],
+            default=payi,
+        )
+        dod = np.zeros(n - 1, dtype=np.int64)
+        dod[flags_t] = dnz
+        delta = np.cumsum(dod)
+        ts[1:] = ts[0] + np.cumsum(delta)
+
+    v0 = unpack_bits(words, np.array([off]), np.array([64]))[0]
+    off += 64
+    if n == 1:
+        return ts, np.array([v0], dtype=np.uint64).view(np.float64)
+
+    flags_v = _unpack_fixed(words, off, n - 1, 1).astype(bool)
+    off += (n - 1)
+    nnzv = int(flags_v.sum())
+    ctrl = _unpack_fixed(words, off, nnzv, 12).astype(np.int64)
+    off += 12 * nnzv
+    lead = ctrl >> 6
+    nbits = (ctrl & 63) + 1
+    p_offs = off + np.concatenate(
+        [[0], np.cumsum(nbits)[:-1]]
+    ).astype(np.int64)
+    payv = unpack_bits(words, p_offs, nbits.astype(np.int64))
+    xor = payv << (64 - lead - nbits).astype(np.uint64)
+    xor_all = np.zeros(n - 1, dtype=np.uint64)
+    xor_all[flags_v] = xor
+    bits = np.empty(n, dtype=np.uint64)
+    bits[0] = v0
+    bits[1:] = xor_all
+    np.bitwise_xor.accumulate(bits, out=bits)
+    return ts, bits.view(np.float64)

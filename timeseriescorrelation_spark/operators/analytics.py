@@ -874,22 +874,32 @@ def ewma(series: DataFrame, alpha: float = 0.3,
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        # rows arrive partition-sorted by (keys, _ord, turn_idx);
-        # groupby(sort=False) preserves that order within each series
+        # rows arrive partition-sorted by (keys, _ord, turn_idx), so
+        # each series is contiguous and in order — but do NOT assume
+        # the grouped-ewm RESULT comes back in appearance order
+        # (measured: pandas returns group blocks in an internal order
+        # on 13/16 real partitions).  Align by the original row index
+        # it carries instead.
         y = (
             pdf.groupby(keys, sort=False)["value"]
             .ewm(alpha=a, adjust=False)
             .mean()
-            .reset_index(drop=True)
+            .reset_index(level=keys, drop=True)
         )
         out = pdf[cols].copy()
-        out["ewma"] = y.to_numpy()
+        out["ewma"] = y  # index-aligned assignment
         yield out
 
     with_ord = series.select(
         *cols, epoch_us(F.col("ts")).alias("_ord")
     )
-    part = with_ord.repartition(*[F.col(k) for k in keys]) \
+    # explicit count: bare repartition(cols) lets AQE coalesce the
+    # exchange to its advisory size and starves the Python workers
+    # (see chunks.encode_chunks for the measurement)
+    n_part = int(
+        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    part = with_ord.repartition(n_part, *[F.col(k) for k in keys]) \
         .sortWithinPartitions(*keys, "_ord", "turn_idx")
     # The recursion is bit-identical across pandas / DuckDB (verified),
     # so quantize with floor(y·1e6)/1e6 — a deterministic function of

@@ -79,9 +79,18 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
         yield pd.DataFrame(out)
 
     keyed = series.withColumn("chunk_start", F.date_trunc(chunk, "ts"))
-    part = keyed.repartition("conv_id", "metric").sortWithinPartitions(
-        "conv_id", "metric", "chunk_start", "ts", "turn_idx"
+    # explicit partition count: a bare repartition(cols) is an AQE
+    # REPARTITION_BY_COL whose output AQE coalesces toward its
+    # advisory byte size — measured 32 → ~3 partitions here, leaving
+    # 3 Python workers to encode 80k chunks (14.7 s); pinning the
+    # count keeps every core's worker busy (2.1 s)
+    n_part = int(
+        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    part = keyed.repartition(n_part, "conv_id", "metric") \
+        .sortWithinPartitions(
+            "conv_id", "metric", "chunk_start", "ts", "turn_idx"
+        )
     return part.mapInPandas(_enc, _ENC_SCHEMA)
 
 
