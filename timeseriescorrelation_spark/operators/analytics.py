@@ -340,9 +340,15 @@ __all__ = [
     "m4_downsample",
     "counter_rate",
     "anomaly_zscore",
+    "anomaly_zscore_sharded",
     "autocorr_lag1",
     "lagged_xcorr",
+    "lagged_xcorr_blocked",
+    "lagged_xcorr_pruned",
+    "xcorr_magnitude_sketches",
     "latency_percentiles",
+    "quantiles_bucketed",
+    "ewma",
     "pearson_guarded",
 ]
 
