@@ -797,7 +797,7 @@ def q_anomaly_1h(spark, sf_dir):
 
     return anomaly_zscore_sharded(
         _series_from_events(spark, sf_dir), range_seconds=3600,
-        z_thresh=2.0, min_n=5, keys=["metric"],
+        z_thresh=2.0, min_n=5, keys=["metric"], value_decimals=2,
     )
 
 
@@ -1974,20 +1974,32 @@ WITH s AS (
          cast(event_id AS INTEGER) AS turn_idx, value
   FROM events
 ), sc AS (
+  -- exact-decimals moments (value_decimals=2): snap window sums to
+  -- integer cents, then derive mu/sigma so both engines divide
+  -- IDENTICAL numbers (see analytics._anomaly_moments)
   SELECT metric, ts, turn_idx, value,
          count(value) OVER w AS n_prev,
-         avg(value) OVER w AS mu,
-         stddev_pop(value) OVER w AS sigma
+         round(sum(value) OVER w * 100.0) AS i1,
+         round(sum(value * value) OVER w * 10000.0) AS i2
   FROM s
   WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+), mo AS (
+  SELECT metric, ts, turn_idx, value, n_prev,
+         i1 / (cast(n_prev AS DOUBLE) * 100.0) AS mu,
+         sqrt(greatest(i2 / (cast(n_prev AS DOUBLE) * 10000.0)
+              - (i1 / (cast(n_prev AS DOUBLE) * 100.0))
+                * (i1 / (cast(n_prev AS DOUBLE) * 100.0)), 0.0)) AS sigma
+  FROM sc WHERE n_prev > 0
 ), z AS (
   SELECT metric, ts, turn_idx, value, n_prev, mu, sigma,
-         round(CASE WHEN sigma > 0 THEN (value - mu) / sigma END, 6) AS z
-  FROM sc
+         floor((CASE WHEN sigma > 0 THEN (value - mu) / sigma END)
+               * 1e4) / 1e4 AS z
+  FROM mo
 )
 SELECT metric, ts, turn_idx, value, n_prev,
-       round(mu, 6) AS mu, round(sigma, 6) AS sigma, z
+       floor(mu * 1e4) / 1e4 AS mu,
+       floor(sigma * 1e4) / 1e4 AS sigma, z
 FROM z WHERE n_prev >= 5 AND abs(z) >= 2.0
 """,
         "autocorr_lag1": """
@@ -2049,8 +2061,8 @@ WITH s AS (
   FROM s
 )
 SELECT metric, date_trunc('day', ts) AS bucket_ts, count(*) AS n,
-       round(quantile_cont(gap_s, 0.5), 6) AS p5,
-       round(quantile_cont(gap_s, 0.95), 6) AS p95
+       round(quantile_cont(gap_s, 0.5), 4) AS p5,
+       round(quantile_cont(gap_s, 0.95), 4) AS p95
 FROM d WHERE gap_s IS NOT NULL
 GROUP BY 1, 2
 """,

@@ -133,9 +133,9 @@ def test_latency_percentiles_match_numpy(spark):
     assert len(r) == 1
     assert r[0].n == len(gaps)
     assert r[0].p5 == pytest.approx(
-        float(np.percentile(gaps, 50)), abs=1e-6)
+        float(np.percentile(gaps, 50)), abs=1e-4)
     assert r[0].p95 == pytest.approx(
-        float(np.percentile(gaps, 95)), abs=1e-6)
+        float(np.percentile(gaps, 95)), abs=1e-4)
 
 
 def test_decontaminate_flags_overlap_and_survives_short_docs(spark):

@@ -147,9 +147,42 @@ def counter_rate(series: DataFrame, trunc: str = "hour",
     )
 
 
+def _anomaly_moments(w, value_decimals: int | None):
+    """Window moment columns (n_prev, mu, sigma) for the z-score.
+
+    value_decimals=None: plain float avg/stddev_pop — fine when values
+    are arbitrary doubles (decimal-boundary coincidences are
+    measure-zero, only ulp-level risk remains under rounding).
+
+    value_decimals=k: EXACT-DECIMALS mode for inputs quantized to k
+    decimal places (sensor feeds, currency, the 2-decimal events
+    fixture).  There the window mean lands EXACTLY on decimal
+    midpoints (sum of cents / n), where Spark's BigDecimal HALF_UP and
+    DuckDB's float-space round() disagree SYSTEMATICALLY — measured 23
+    flipped rows at sf0.1 at any rounding width.  Fix: snap the window
+    sums to exact integers first (round(Σv·10ᵏ) — ulp noise ≪ 0.5
+    never flips an integer), then derive mu and sigma from those
+    integers with the same expression shape on both engines: identical
+    inputs → bit-identical doubles → any rounding agrees."""
+    v = F.col("value")
+    n = F.count(v).over(w)
+    if value_decimals is None:
+        return n, F.avg(v).over(w), F.stddev_pop(v).over(w)
+    s1 = float(10 ** value_decimals)
+    s2 = float(10 ** (2 * value_decimals))
+    i1 = F.round(F.sum(v).over(w) * F.lit(s1), 0)
+    i2 = F.round(F.sum(v * v).over(w) * F.lit(s2), 0)
+    nn = n.cast("double")
+    mu = i1 / (nn * F.lit(s1))
+    var = i2 / (nn * F.lit(s2)) - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return n, mu, sigma
+
+
 def anomaly_zscore(series: DataFrame, range_seconds: int = 3600,
                    z_thresh: float = 2.0, min_n: int = 5,
-                   keys: list[str] | None = None) -> DataFrame:
+                   keys: list[str] | None = None,
+                   value_decimals: int | None = None) -> DataFrame:
     """Flag points whose value deviates from the trailing-window mean
     by ≥ z_thresh standard deviations.
 
@@ -158,7 +191,9 @@ def anomaly_zscore(series: DataFrame, range_seconds: int = 3600,
     contaminates its own baseline.  Points with fewer than min_n
     trailing observations or a zero-variance baseline are not scored.
     The filter compares the ROUNDED z in both engines, so a last-ulp
-    difference in the window sum cannot flip a boundary row."""
+    difference in the window sum cannot flip a boundary row; for
+    decimal-quantized inputs pass value_decimals (see
+    _anomaly_moments) to remove midpoint knife-edges entirely."""
     keys = keys or KEYS
     range_us = int(range_seconds) * 1_000_000
     w = (
@@ -167,20 +202,26 @@ def anomaly_zscore(series: DataFrame, range_seconds: int = 3600,
         .rangeBetween(-range_us, -1)
     )
     v = F.col("value")
+    n_prev, mu, sigma = _anomaly_moments(w, value_decimals)
     scored = series.select(
         *keys,
         "ts",
         "turn_idx",
         "value",
-        F.count(v).over(w).alias("n_prev"),
-        F.avg(v).over(w).alias("mu"),
-        F.stddev_pop(v).over(w).alias("sigma"),
+        n_prev.alias("n_prev"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
     ).withColumn(
+        # floor-quantize, never round(): even on bit-identical doubles
+        # Spark rounds the shortest-decimal repr while DuckDB rounds
+        # the binary value — they disagree at exact midpoints, which
+        # decimal-quantized inputs hit systematically.  floor of the
+        # same double is deterministic everywhere.
         "z",
-        F.round(
-            F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma")),
-            6,
-        ),
+        F.floor(
+            F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma"))
+            * F.lit(1e4)
+        ) / F.lit(1e4),
     )
     return (
         scored.where(
@@ -192,8 +233,9 @@ def anomaly_zscore(series: DataFrame, range_seconds: int = 3600,
             "turn_idx",
             "value",
             "n_prev",
-            F.round("mu", 6).alias("mu"),
-            F.round("sigma", 6).alias("sigma"),
+            (F.floor(F.col("mu") * F.lit(1e4)) / F.lit(1e4)).alias("mu"),
+            (F.floor(F.col("sigma") * F.lit(1e4)) / F.lit(1e4))
+            .alias("sigma"),
             "z",
         )
     )
@@ -328,7 +370,9 @@ def latency_percentiles(series: DataFrame, trunc: str = "day",
         F.percentile("gap_s", qarr).alias("qs"),
     )
     cols = [
-        F.round(F.col("qs").getItem(i), 6).alias(
+        # 4dp: interpolated percentiles are re-derived floats (see the
+        # anomaly rounding note) — 6dp flipped a midpoint at sf0.1
+        F.round(F.col("qs").getItem(i), 4).alias(
             f"p{str(q).replace('0.', '')}"
         )
         for i, q in enumerate(quantiles)
@@ -760,7 +804,8 @@ def quantiles_bucketed(df: DataFrame, keys: list[str], qs: list[float],
 def anomaly_zscore_sharded(series: DataFrame, range_seconds: int = 3600,
                            z_thresh: float = 2.0, min_n: int = 5,
                            keys: list[str] | None = None,
-                           shard_seconds: int = 86400) -> DataFrame:
+                           shard_seconds: int = 86400,
+                           value_decimals: int | None = None) -> DataFrame:
     """:func:`anomaly_zscore` with PARALLEL windows — identical output.
 
     The plain operator partitions its window by ``keys``; keyed on a
@@ -810,21 +855,27 @@ def anomaly_zscore_sharded(series: DataFrame, range_seconds: int = 3600,
         .rangeBetween(-range_us, -1)
     )
     v = F.col("value")
+    n_prev, mu, sigma = _anomaly_moments(w, value_decimals)
     scored = allrows.select(
         *keys,
         "ts",
         "turn_idx",
         "value",
         "_ctx",
-        F.count(v).over(w).alias("n_prev"),
-        F.avg(v).over(w).alias("mu"),
-        F.stddev_pop(v).over(w).alias("sigma"),
+        n_prev.alias("n_prev"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
     ).withColumn(
+        # floor-quantize, never round(): even on bit-identical doubles
+        # Spark rounds the shortest-decimal repr while DuckDB rounds
+        # the binary value — they disagree at exact midpoints, which
+        # decimal-quantized inputs hit systematically.  floor of the
+        # same double is deterministic everywhere.
         "z",
-        F.round(
-            F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma")),
-            6,
-        ),
+        F.floor(
+            F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma"))
+            * F.lit(1e4)
+        ) / F.lit(1e4),
     )
     return (
         scored.where(
@@ -838,8 +889,9 @@ def anomaly_zscore_sharded(series: DataFrame, range_seconds: int = 3600,
             "turn_idx",
             "value",
             "n_prev",
-            F.round("mu", 6).alias("mu"),
-            F.round("sigma", 6).alias("sigma"),
+            (F.floor(F.col("mu") * F.lit(1e4)) / F.lit(1e4)).alias("mu"),
+            (F.floor(F.col("sigma") * F.lit(1e4)) / F.lit(1e4))
+            .alias("sigma"),
             "z",
         )
     )
