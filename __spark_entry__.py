@@ -992,6 +992,53 @@ def q_token_topk(spark, sf_dir):
     )
 
 
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted hourly average (TimescaleDB `time_weight`): each
+    value weighted by how long it held (LOCF segment, clamped to its
+    bucket).  value_decimals=2 snaps values to integer cents so the
+    weighted sum is exact BIGINT arithmetic in both engines."""
+    from timeseriescorrelation_spark.operators.timeweight import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(
+        _series_from_events(spark, sf_dir), "hour", value_decimals=2
+    )
+
+
+def q_heartbeat_day(spark, sf_dir):
+    """Daily liveness coverage from heartbeat events (`heartbeat_agg`):
+    a beat proves liveness for 15 minutes; covered time is the union
+    of those windows inside each day.  Integer-µs exact."""
+    from timeseriescorrelation_spark.operators.timeweight import (
+        heartbeat_coverage,
+    )
+
+    beats = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+    )
+    return heartbeat_coverage(beats, 900, "day")
+
+
+def q_state_durations(spark, sf_dir):
+    """Per-conversation time-in-state (`state_agg`): the event type
+    holds until the next event of the same conversation (clamped to
+    the day's end); totals + run counts per (conv, state)."""
+    from timeseriescorrelation_spark.operators.timeweight import (
+        state_durations,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+    )
+    return state_durations(e, "state", "day")
+
+
 def q_rollup_realtime_1h(spark, sf_dir):
     """Real-time continuous aggregate (the TimescaleDB real-time
     cagg shape): SEALED hourly buckets come from the materialized
@@ -1113,6 +1160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "funnel_3step": q_funnel_3step,
         "token_topk": q_token_topk,
+        "twa_1h": q_twa_1h,
+        "heartbeat_day": q_heartbeat_day,
+        "state_durations": q_state_durations,
     }
 
 
@@ -2199,5 +2249,82 @@ SELECT cast(row_number() OVER (ORDER BY n_docs DESC, n_total DESC, tok)
        tok, n_docs, n_total
 FROM j
 ORDER BY rank LIMIT 50
+""",
+        # segment arithmetic in integer epoch-µs; values snapped to
+        # integer cents so sum(v_i*dt) is exact BIGINT in both engines
+        # (DuckDB sums BIGINT into HUGEINT — cast back before dividing)
+        "twa_1h": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         cast(event_id AS int) AS turn_idx, value
+  FROM events
+), seg AS (
+  SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+         epoch_us(ts) AS ts_us,
+         least(
+           coalesce(lead(epoch_us(ts)) OVER (
+                      PARTITION BY conv_id, metric
+                      ORDER BY epoch_us(ts), turn_idx),
+                    epoch_us(date_trunc('hour', ts)) + 3600000000),
+           epoch_us(date_trunc('hour', ts)) + 3600000000) AS seg_end,
+         cast(round(value * 100) AS BIGINT) AS v_i
+  FROM s
+)
+SELECT conv_id, metric, bucket_ts,
+       count(*) AS n_pts,
+       round(cast(sum(seg_end - ts_us) AS BIGINT) / 1e6, 6) AS dur_s,
+       round(cast(sum(v_i * (seg_end - ts_us)) AS BIGINT)
+             / (100.0 * cast(sum(seg_end - ts_us) AS BIGINT)), 6) AS twa
+FROM seg GROUP BY 1, 2, 3
+""",
+        "heartbeat_day": """
+WITH b AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts,
+         cast(event_id AS int) AS turn_idx
+  FROM events
+), seg AS (
+  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+         least(
+           coalesce(lead(epoch_us(ts)) OVER (
+                      PARTITION BY conv_id
+                      ORDER BY epoch_us(ts), turn_idx),
+                    epoch_us(date_trunc('day', ts)) + 86400000000),
+           epoch_us(date_trunc('day', ts)) + 86400000000)
+         - epoch_us(ts) AS dt_us
+  FROM b
+)
+SELECT conv_id, bucket_ts,
+       count(*) AS n_beats,
+       round(cast(sum(least(dt_us, 900000000)) AS BIGINT) / 1e6, 6)
+         AS covered_s,
+       round(cast(sum(least(dt_us, 900000000)) AS BIGINT) * 100.0
+             / 86400000000, 6) AS uptime_pct
+FROM seg GROUP BY 1, 2
+""",
+        "state_durations": """
+WITH e AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS state, ts,
+         cast(event_id AS int) AS turn_idx
+  FROM events
+), seg AS (
+  SELECT conv_id, state,
+         least(
+           coalesce(lead(epoch_us(ts)) OVER (
+                      PARTITION BY conv_id
+                      ORDER BY epoch_us(ts), turn_idx),
+                    epoch_us(date_trunc('day', ts)) + 86400000000),
+           epoch_us(date_trunc('day', ts)) + 86400000000)
+         - epoch_us(ts) AS dt_us,
+         CASE WHEN lag(state) OVER (PARTITION BY conv_id
+                                    ORDER BY epoch_us(ts), turn_idx)
+                   IS DISTINCT FROM state
+              THEN 1 ELSE 0 END AS entry
+  FROM e
+)
+SELECT conv_id, state,
+       count(*) AS n_events,
+       cast(sum(entry) AS BIGINT) AS n_entries,
+       round(cast(sum(dt_us) AS BIGINT) / 1e6, 6) AS total_s
+FROM seg GROUP BY 1, 2
 """,
     }

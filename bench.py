@@ -59,6 +59,9 @@ HEADLINE = [
     "event_transitions",
     "funnel_3step",
     "token_topk",
+    "twa_1h",
+    "heartbeat_day",
+    "state_durations",
 ]
 
 

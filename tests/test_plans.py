@@ -229,3 +229,15 @@ def test_anomaly_single_window_pass(spark):
     assert plan.count("Window") >= 1, plan
     assert "No Partition Defined" not in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_timeweight_single_shuffle(spark):
+    """Time-integral aggregates: the lead() window shuffles on the
+    series key, and the following groupBy's keys are a SUPERSET of the
+    window partition keys — its ClusteredDistribution is already
+    satisfied, so the whole operator is ONE exchange and no join."""
+    for q in ("twa_1h", "heartbeat_day", "state_durations"):
+        plan = _plan(em.queries()[q](spark, SF))
+        assert "Join" not in plan, (q, plan)
+        assert plan.count("Exchange") == 1, (q, plan)
+        assert "No Partition Defined" not in plan, (q, plan)
