@@ -1039,6 +1039,75 @@ def q_state_durations(spark, sf_dir):
     return state_durations(e, "state", "day")
 
 
+def q_hll_distinct_day(spark, sf_dir):
+    """Tier-mergeable distinct counts: exact per-bucket COUNT(DISTINCT)
+    cannot compose across retention tiers, HLL registers can (union =
+    element-wise max).  Hourly sketches merge into daily ones — the
+    same cascade shape as the sum/max tiers — and the estimate is
+    cross-engine deterministic (md5 hash, integer harmonic sum), so
+    the oracle verifies the ESTIMATE exactly, not just row counts.
+    Output includes the exact distinct and the relative error."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("_hour"),
+        F.col("user_id"),
+    )
+    hourly = hll_sketch(e, ["event_type", "bucket_ts", "_hour"], "user_id")
+    daily = hll_merge(hourly, ["event_type", "bucket_ts"])
+    est = hll_estimate(daily, ["event_type", "bucket_ts"])
+    exact = e.groupBy("event_type", "bucket_ts").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, ["event_type", "bucket_ts"]).select(
+        "event_type",
+        "bucket_ts",
+        "exact_distinct",
+        "hll_est",
+        F.round(
+            (F.col("hll_est") - F.col("exact_distinct"))
+            * 100.0
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err_pct"),
+    )
+
+
+def q_cms_tokens(spark, sf_dir):
+    """Count-min-sketch heavy-hitter estimates: the sublinear
+    alternative to `token_topk`'s exact count (whose shuffle carries
+    one row per DISTINCT token — huge at 100 TB).  The sketch shuffles
+    at most d·w counter rows regardless of vocabulary; estimates are
+    exact-or-over, never under.  Reports the top-20 exact tokens with
+    their CMS estimate and overcount; the oracle replicates every
+    counter (md5-slice hashing, integer sums)."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    )
+    sketch = cms_sketch(toks, "tok")
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(20)
+    return cms_lookup(sketch, top, "tok").select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
 def q_rollup_realtime_1h(spark, sf_dir):
     """Real-time continuous aggregate (the TimescaleDB real-time
     cagg shape): SEALED hourly buckets come from the materialized
@@ -1163,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_1h": q_twa_1h,
         "heartbeat_day": q_heartbeat_day,
         "state_durations": q_state_durations,
+        "hll_distinct_day": q_hll_distinct_day,
+        "cms_tokens": q_cms_tokens,
     }
 
 
@@ -2326,5 +2397,91 @@ SELECT conv_id, state,
        cast(sum(entry) AS BIGINT) AS n_entries,
        round(cast(sum(dt_us) AS BIGINT) / 1e6, 6) AS total_s
 FROM seg GROUP BY 1, 2
+""",
+        # replicates sketches.hll_sketch/merge/estimate bit-for-bit:
+        # md5 top-60-bit hash, b=10 -> reg = h>>50, rho via minimal-bin
+        # length, integer harmonic sum 2^(51-rho), alpha embedded with
+        # the same 17-digit literal the Spark side uses
+        "hll_distinct_day": """
+WITH e AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         date_trunc('hour', ts) AS hr,
+         cast(user_id AS varchar) AS item, user_id
+  FROM events
+), h AS (
+  SELECT event_type, bucket_ts, hr, user_id,
+         ('0x' || substr(md5(item), 1, 15))::BIGINT AS hv
+  FROM e
+), r0 AS (
+  SELECT event_type, bucket_ts, hr,
+         hv >> 50 AS reg,
+         CASE WHEN (hv & 1125899906842623) = 0 THEN 51
+              ELSE 51 - length(bin(hv & 1125899906842623)) END AS rho
+  FROM h
+), rh AS (
+  SELECT event_type, bucket_ts, hr, reg, max(rho) AS rho
+  FROM r0 GROUP BY 1, 2, 3, 4
+), rd AS (
+  SELECT event_type, bucket_ts, reg, max(rho) AS rho
+  FROM rh GROUP BY 1, 2, 3
+), agg AS (
+  SELECT event_type, bucket_ts,
+         cast(sum(1::BIGINT << (51 - rho)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM rd GROUP BY 1, 2
+), est AS (
+  SELECT event_type, bucket_ts,
+         1024 - n_present AS v,
+         CAST(0.7205407583220416 AS DOUBLE) * 1048576.0
+           * 2251799813685248.0
+           / cast(s_present
+                  + (1024 - n_present) * (1::BIGINT << 51) AS DOUBLE)
+           AS e_raw
+  FROM agg
+), fin AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN e_raw <= 2560.0 AND v > 0
+              THEN 1024.0 * ln(1024.0 / cast(v AS DOUBLE))
+              ELSE e_raw END AS est
+  FROM est
+), ex AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1, 2
+)
+SELECT fin.event_type, fin.bucket_ts, exact_distinct,
+       round(est, 6) AS hll_est,
+       round((round(est, 6) - exact_distinct) * 100.0 / exact_distinct, 6)
+         AS rel_err_pct
+FROM fin JOIN ex USING (event_type, bucket_ts)
+""",
+        # replicates sketches.cms_sketch/lookup: d=3 rows from md5
+        # 8-hex-char slices mod w=4096, integer counter sums
+        "cms_tokens": """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), js AS (
+  SELECT unnest([0, 1, 2]) AS j
+), sk AS (
+  SELECT j,
+         ('0x' || substr(md5(tok), 1 + j * 8, 8))::BIGINT % 4096 AS bucket,
+         cast(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN js
+  GROUP BY 1, 2
+), exact AS (
+  SELECT tok, cast(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1
+), top AS (
+  SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20
+), lk AS (
+  SELECT t.tok, t.exact_n, min(s.cnt) AS cms_est
+  FROM top t CROSS JOIN js
+  JOIN sk s
+    ON s.j = js.j
+   AND s.bucket = ('0x' || substr(md5(t.tok), 1 + js.j * 8, 8))::BIGINT
+                  % 4096
+  GROUP BY 1, 2
+)
+SELECT tok, exact_n, cms_est, cms_est - exact_n AS overcount FROM lk
 """,
     }

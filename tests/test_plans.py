@@ -241,3 +241,10 @@ def test_timeweight_single_shuffle(spark):
         assert "Join" not in plan, (q, plan)
         assert plan.count("Exchange") == 1, (q, plan)
         assert "No Partition Defined" not in plan, (q, plan)
+
+
+def test_hll_partial_agg_before_shuffle(spark):
+    """HLL sketch agg must combine map-side: shuffle volume is
+    |groups|*m register rows, never |input| rows."""
+    plan = _plan(em.queries()["hll_distinct_day"](spark, SF))
+    assert "partial_max" in plan, plan
