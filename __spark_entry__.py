@@ -984,7 +984,11 @@ def q_token_topk(spark, sf_dir):
     top = j.orderBy(
         F.col("n_docs").desc(), F.col("n_total").desc(), F.col("tok")
     ).limit(50)
-    w = Window.orderBy(
+    # constant partition key: the frame is the 50 post-limit rows
+    # either way, but an EMPTY partition spec trips WindowExec's
+    # "No Partition Defined" warning on every run — partitionBy(lit)
+    # is the same single-partition execution without the log spam
+    w = Window.partitionBy(F.lit(0)).orderBy(
         F.col("n_docs").desc(), F.col("n_total").desc(), F.col("tok")
     )
     return top.withColumn("rank", F.row_number().over(w)).select(
@@ -1155,6 +1159,149 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_hdr_quantiles_day(spark, sf_dir):
+    """Tier-mergeable quantiles: per-bucket percentiles cannot be
+    re-derived from coarser-tier percentiles, so the cascade sketches
+    at the finest tier and merges bucket counts upward (HDR log2
+    buckets, sum-merge) — completing the mergeable family next to HLL
+    (distincts) and CMS (frequencies).  Hourly sketches merge into
+    daily; estimates are pure integer arithmetic, so the oracle
+    verifies every ESTIMATE bit-for-bit, alongside the exact
+    nearest-rank value and the realized relative error (bounded by
+    2^-(s+1) ≈ 1.6% at s=5)."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        hdr_merge,
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("_hour"),
+        "value",
+    )
+    hourly = hdr_sketch(e, ["metric", "bucket_ts", "_hour"], "value")
+    daily = hdr_merge(hourly, ["metric", "bucket_ts"])
+    est = hdr_quantiles(daily, ["metric", "bucket_ts"])
+    # exact nearest-rank check column from the same integer cents
+    from pyspark.sql import Window
+
+    cents = e.select(
+        "metric",
+        "bucket_ts",
+        F.greatest(
+            F.round(F.col("value") * 100).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("v"),
+    )
+    ranked = cents.select(
+        F.col("metric").alias("_m"),
+        F.col("bucket_ts").alias("_b"),
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("metric", "bucket_ts").orderBy("v"))
+        .alias("rn"),
+    )
+    withr = est.withColumn(
+        "_r",
+        F.expr(
+            "CASE q_name WHEN 'p50' THEN (n + 1) div 2 "
+            "WHEN 'p95' THEN (19 * n + 19) div 20 "
+            "ELSE (99 * n + 99) div 100 END"
+        ),
+    )
+    joined = withr.join(
+        ranked,
+        on=[
+            F.col("metric") == F.col("_m"),
+            F.col("bucket_ts") == F.col("_b"),
+            F.col("_r") == F.col("rn"),
+        ],
+    )
+    exact = F.round(F.col("v").cast("double") / 100.0, 6)
+    return joined.select(
+        "metric",
+        "bucket_ts",
+        "q_name",
+        "n",
+        "est",
+        exact.alias("exact"),
+        F.round((F.col("est") - exact) * 100.0 / exact, 6).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+def q_rolling_corr_1h(spark, sf_dir):
+    """Sliding-window Pearson correlation — the reference's core
+    statistic in a trailing event-time frame: per (conv, metric), how
+    tightly does per-minute volume (cents) track per-minute rate
+    (count) over the last hour?  Moment sums run in exact BIGINT over
+    a rangeBetween frame; ρ assembles from those integers via
+    exactly-rounded IEEE ops, so the oracle matches bit-for-bit."""
+    from timeseriescorrelation_spark.operators.rolling import rolling_corr
+
+    m = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_type").alias("metric"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        )
+    )
+    out = rolling_corr(
+        m, ["conv_id", "metric"], 3540, ts_col="bucket_ts", min_n=5
+    )
+    return out.select(
+        "conv_id", "metric", "bucket_ts", "x", "y", "roll_n", "roll_corr"
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Constant-size decontamination: the broadcast-set path
+    (`decontaminate`) ships every benchmark shingle string; the Bloom
+    filter is its 100 TB form — m bits no matter the eval-suite size,
+    no false negatives (bloom_hit ⊇ exact_hit per doc, asserted by
+    the oracle's identical bit positions), bounded false-positive
+    over-scrubbing."""
+    from timeseriescorrelation_spark.operators.dedup import shingles
+    from timeseriescorrelation_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    sh = shingles(_docs(spark, sf_dir), 3)
+    bench = sh.where(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+    corpus = sh.where(F.col("doc_id") % 20 != 0)
+    bloom = bloom_build(bench, "shingle")
+    probed = bloom_probe(corpus, bloom, "shingle")
+    exact = corpus.join(bench, ["shingle"], "left_semi").select(
+        "doc_id"
+    ).withColumn("_x", F.lit(1))
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.max(F.col("maybe_member").cast("int")).alias("_b"),
+    )
+    return (
+        per_doc.join(
+            exact.groupBy("doc_id").agg(F.max("_x").alias("_e")),
+            ["doc_id"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            (F.coalesce(F.col("_e"), F.lit(0)) == 1).alias("exact_hit"),
+            (F.col("_b") == 1).alias("bloom_hit"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1234,6 +1381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations": q_state_durations,
         "hll_distinct_day": q_hll_distinct_day,
         "cms_tokens": q_cms_tokens,
+        "hdr_quantiles_day": q_hdr_quantiles_day,
+        "rolling_corr_1h": q_rolling_corr_1h,
+        "bloom_decontaminate": q_bloom_decontaminate,
     }
 
 
@@ -2483,5 +2633,144 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT tok, exact_n, cms_est, cms_est - exact_n AS overcount FROM lk
+""",
+        # replicates sketches.hdr_sketch/merge/quantiles: integer log2
+        # bucketing (s=5 sub-bits), hourly->daily count-sum merge,
+        # integer nearest-rank selection, midpoint estimate
+        "hdr_quantiles_day": """
+WITH e AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS bucket_ts,
+         date_trunc('hour', ts) AS hr,
+         greatest(cast(round(value * 100) AS BIGINT), 1) AS v
+  FROM events
+), b AS (
+  SELECT metric, bucket_ts, hr,
+         CASE WHEN length(bin(v)) - 1 <= 5 THEN v
+              ELSE cast(length(bin(v)) - 1 - 5 AS BIGINT) * 32
+                   + (v >> (length(bin(v)) - 1 - 5)) END AS idx
+  FROM e
+), hourly AS (
+  SELECT metric, bucket_ts, hr, idx, cast(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3, 4
+), daily AS (
+  SELECT metric, bucket_ts, idx, cast(sum(cnt) AS BIGINT) AS cnt
+  FROM hourly GROUP BY 1, 2, 3
+), c AS (
+  SELECT metric, bucket_ts, idx, cnt,
+         cast(sum(cnt) OVER (PARTITION BY metric, bucket_ts ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         cast(sum(cnt) OVER (PARTITION BY metric, bucket_ts)
+              AS BIGINT) AS n
+  FROM daily
+), qs AS (
+  SELECT * FROM (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+                        ('p95', 19::BIGINT, 20::BIGINT),
+                        ('p99', 99::BIGINT, 100::BIGINT))
+       AS t(q_name, num, den)
+), hit AS (
+  SELECT metric, bucket_ts, q_name, n, idx
+  FROM c CROSS JOIN qs
+  WHERE cum >= (num * n + den - 1) // den
+    AND cum - cnt < (num * n + den - 1) // den
+), est AS (
+  SELECT metric, bucket_ts, q_name, n,
+         round(CASE WHEN idx < 64 THEN cast(idx AS DOUBLE)
+               ELSE cast((idx - ((idx >> 5) - 1) * 32)
+                         << cast((idx >> 5) - 1 AS INTEGER) AS DOUBLE)
+                    + (cast(1::BIGINT << cast((idx >> 5) - 1 AS INTEGER)
+                            AS DOUBLE) - 1.0) / 2.0
+               END / 100.0, 6) AS est
+  FROM hit
+), ranked AS (
+  SELECT metric, bucket_ts, v,
+         row_number() OVER (PARTITION BY metric, bucket_ts
+                            ORDER BY v) AS rn
+  FROM e
+)
+SELECT est.metric, est.bucket_ts, est.q_name, est.n, est.est,
+       round(cast(r.v AS DOUBLE) / 100.0, 6) AS exact,
+       round((est.est - round(cast(r.v AS DOUBLE) / 100.0, 6)) * 100.0
+             / round(cast(r.v AS DOUBLE) / 100.0, 6), 6) AS rel_err_pct
+FROM est JOIN ranked r
+  ON r.metric = est.metric AND r.bucket_ts = est.bucket_ts
+ AND r.rn = CASE est.q_name WHEN 'p50' THEN (est.n + 1) // 2
+                            WHEN 'p95' THEN (19 * est.n + 19) // 20
+                            ELSE (99 * est.n + 99) // 100 END
+""",
+        # replicates rolling.rolling_corr: exact BIGINT moment sums
+        # over the trailing event-time range frame, IEEE-assembled rho
+        "rolling_corr_1h": """
+WITH m AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         date_trunc('minute', ts) AS bucket_ts,
+         cast(count(*) AS BIGINT) AS x,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT conv_id, metric, bucket_ts, x, y,
+         count(*) OVER win AS roll_n,
+         cast(sum(x) OVER win AS BIGINT) AS sx,
+         cast(sum(y) OVER win AS BIGINT) AS sy,
+         cast(sum(x * x) OVER win AS BIGINT) AS sxx,
+         cast(sum(y * y) OVER win AS BIGINT) AS syy,
+         cast(sum(x * y) OVER win AS BIGINT) AS sxy
+  FROM m
+  WINDOW win AS (PARTITION BY conv_id, metric
+                 ORDER BY epoch_us(bucket_ts)
+                 RANGE BETWEEN 3540000000 PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, metric, bucket_ts, x, y, roll_n,
+       CASE WHEN roll_n >= 5 AND roll_n * sxx - sx * sx > 0
+                 AND roll_n * syy - sy * sy > 0
+            THEN round(cast(roll_n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(cast(roll_n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(cast(roll_n * syy - sy * sy AS DOUBLE))),
+                       6)
+            END AS roll_corr
+FROM w
+""",
+        # replicates sketches.bloom_build/probe: k=3 md5-slice bit
+        # positions mod m=65536; a doc's bloom_hit = any shingle with
+        # all three positions set in the benchmark filter
+        "bloom_decontaminate": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), js AS (
+  SELECT unnest([0, 1, 2]) AS j
+), bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(shingle), 1 + j * 8, 8))::BIGINT % 65536
+           AS pos
+  FROM bench CROSS JOIN js
+), corpus AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0
+), probe AS (
+  SELECT c.doc_id, c.shingle,
+         min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_set
+  FROM corpus c CROSS JOIN js
+  LEFT JOIN bloom b
+    ON b.pos = ('0x' || substr(md5(c.shingle), 1 + js.j * 8, 8))::BIGINT
+               % 65536
+  GROUP BY 1, 2
+), ex AS (
+  SELECT DISTINCT c.doc_id
+  FROM corpus c JOIN bench USING (shingle)
+)
+SELECT p.doc_id,
+       cast(count(*) AS BIGINT) AS n_shingles,
+       max(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END) = 1
+         AS exact_hit,
+       max(p.all_set) = 1 AS bloom_hit
+FROM probe p LEFT JOIN ex e ON e.doc_id = p.doc_id
+GROUP BY 1
 """,
     }

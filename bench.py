@@ -64,6 +64,9 @@ HEADLINE = [
     "state_durations",
     "hll_distinct_day",
     "cms_tokens",
+    "hdr_quantiles_day",
+    "rolling_corr_1h",
+    "bloom_decontaminate",
 ]
 
 

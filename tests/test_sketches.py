@@ -60,6 +60,104 @@ def test_small_range_linear_counting(spark):
     assert abs(est[0]["hll_est"] - 40) < 5
 
 
+def test_hdr_merge_equals_sketch_of_union(spark):
+    from timeseriescorrelation_spark.operators.sketches import (
+        hdr_merge,
+        hdr_sketch,
+    )
+
+    rows = [("a" if i % 2 else "b", (i % 997) * 0.37 + 0.01)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    parts = hdr_sketch(df, ["g"], "value")
+    merged = {
+        r["idx"]: r["cnt"]
+        for r in hdr_merge(
+            parts.drop("g").withColumn("k", F.lit(1)), ["k"]
+        ).collect()
+    }
+    direct = {
+        r["idx"]: r["cnt"]
+        for r in hdr_sketch(
+            df.withColumn("k", F.lit(1)), ["k"], "value"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_hdr_quantile_relative_error_bound(spark):
+    """Estimates from merged sketches stay within the 2^-(s+1) bucket
+    bound of the exact nearest-rank value (s=5 -> 1.5625% + quantize
+    slack)."""
+    import numpy as np
+
+    from timeseriescorrelation_spark.operators.sketches import (
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    vals = [((i * 7919) % 100000) / 100.0 + 0.01 for i in range(5000)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, value double"
+    )
+    got = {
+        r["q_name"]: r["est"]
+        for r in hdr_quantiles(hdr_sketch(df, ["g"], "value"),
+                               ["g"]).collect()
+    }
+    cents = np.sort(np.maximum(np.round(np.array(vals) * 100), 1))
+    n = len(cents)
+    for name, num, den in [("p50", 1, 2), ("p95", 19, 20),
+                           ("p99", 99, 100)]:
+        r = -(-num * n // den)  # ceil
+        exact = cents[r - 1] / 100.0
+        assert abs(got[name] - exact) / exact < 0.017, (name, got, exact)
+
+
+def test_hdr_small_values_exact(spark):
+    """Values below 2^(s+1) cents sit in unit-width buckets — the
+    estimate IS the exact value."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    vals = [0.01 * i for i in range(1, 64)]  # 1..63 cents
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, value double"
+    )
+    got = {
+        r["q_name"]: r["est"]
+        for r in hdr_quantiles(hdr_sketch(df, ["g"], "value"),
+                               ["g"]).collect()
+    }
+    assert got["p50"] == 0.32  # rank ceil(63/2)=32 -> 32 cents
+    assert got["p99"] == 0.63
+
+
+def test_bloom_no_false_negatives(spark):
+    from timeseriescorrelation_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(2000)], "item string"
+    )
+    others = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(2000)], "item string"
+    )
+    bloom = bloom_build(members, "item")
+    hit_in = bloom_probe(members, bloom, "item").collect()
+    assert all(r["maybe_member"] for r in hit_in)  # zero false negatives
+    fp = sum(
+        r["maybe_member"]
+        for r in bloom_probe(others, bloom, "item").collect()
+    )
+    # m=65536, k=3, n=2000 -> fpr ~ (1-e^{-kn/m})^3 ~ 6e-4
+    assert fp <= 10
+
+
 def test_duplicates_do_not_inflate(spark):
     # 100 distinct items repeated 50x each: same sketch as one copy
     rows = [("g", f"d{i % 100}") for i in range(5000)]

@@ -52,3 +52,57 @@ def rolling_stats(df: DataFrame, keys: list[str], range_seconds: int,
         F.round(F.sum(v).over(w), 6).alias("roll_sum"),
         F.round(F.avg(v).over(w), 6).alias("roll_avg"),
     )
+
+
+def rolling_corr(df: DataFrame, keys: list[str], range_seconds: int,
+                 ts_col: str = "ts", x_col: str = "x", y_col: str = "y",
+                 min_n: int = 5) -> DataFrame:
+    """Trailing-range Pearson correlation between two INTEGER-valued
+    columns — the reference's correlation moved into a sliding
+    event-time frame ("is volume tracking rate over the last hour?").
+
+    `F.corr` exists as a window function, but its running float sums
+    accumulate in engine-specific order, so a cross-engine oracle can
+    only match to a tolerance.  Instead the five moment sums (Σx, Σy,
+    Σx², Σy², Σxy) run over the range frame in exact BIGINT (inputs
+    are cast to long — snap values to cents first), and
+
+        ρ = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))
+
+    is assembled from those exact integers: IEEE sqrt and divide are
+    exactly rounded, so Spark and DuckDB produce bit-identical doubles
+    (same trick as `analytics._anomaly_moments`).  Rows with a frame
+    of fewer than `min_n` points or zero variance yield NULL.
+
+    Scale notes: identical shape to `rolling_stats` — one shuffle on
+    the keys, one ordered pass, O(rows_in_range) memory; no pair
+    shuffle because both series arrive pre-aligned on the same row.
+
+    Overflow: nΣxy and nΣx² must stay < 2^63 — with frame length f and
+    |x|,|y| ≤ B that is f²·B² < 2^63, e.g. f=60 one-minute buckets
+    allows B ≈ 5·10⁷ (values to 500k in cents).  ANSI mode turns an
+    overflow into a loud error, not a wrong answer."""
+    range_us = int(range_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_us(F.col(ts_col)))
+        .rangeBetween(-range_us, 0)
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = F.when(
+        (n >= min_n) & (dx > 0) & (dy > 0),
+        F.round(
+            num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6
+        ),
+    )
+    return df.select("*", n.alias("roll_n"), rho.alias("roll_corr"))

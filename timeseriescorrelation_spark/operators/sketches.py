@@ -1,4 +1,9 @@
-"""Mergeable HyperLogLog distinct-count sketches, cross-engine exact.
+"""Mergeable sketches, cross-engine exact: HLL (distinct counts),
+count-min (frequencies), HDR log2-bucket histograms (quantiles), and
+Bloom filters (set membership).  All four share the same design rule —
+deterministic md5/integer arithmetic only, so the DuckDB oracle gate
+replicates not just row counts but every register, counter, bucket,
+and bit position.
 
 Exact `count(DISTINCT x)` per bucket does not compose across retention
 tiers: daily distincts cannot be derived from hourly distinct COUNTS,
@@ -38,7 +43,7 @@ pairs ≈ 10 KB — millions of groups fit one executor.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_BITS = 60  # top 15 hex chars of md5 — positive in int64
@@ -167,6 +172,170 @@ def cms_sketch(df: DataFrame, item_col: str, d: int = 3,
         .select("r.j", "r.bucket")
         .groupBy("j", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_sketch(df: DataFrame, keys: list[str], value_col: str = "value",
+               sub_bits: int = 5, decimals: int = 2) -> DataFrame:
+    """Mergeable log2-bucket quantile sketch (HDR-histogram layout):
+    (keys..., idx, cnt).
+
+    Completes the tier-mergeable sketch family: HLL composes distinct
+    counts, CMS composes frequencies, this composes QUANTILES — exact
+    per-bucket percentiles cannot be re-derived from coarser-tier
+    percentiles, so a 100 TB engine sketches once at the finest tier
+    and merges upward (merge = bucket-wise count sum).
+
+    Bucketing is pure integer arithmetic, so the DuckDB oracle
+    replicates every bucket index and every estimate bit-for-bit
+    (unlike t-digest/DDSketch libraries whose centroids/gamma-log
+    mapping are float-seeded and engine-opaque):
+
+    - values snap to v = max(round(value·10^decimals), 1) BIGINT
+      (same cents-snap as `timeweight.time_weighted_avg`);
+    - e = floor(log2 v) comes from length(bin(v)) - 1 — string length
+      of the minimal binary form, identical in Spark and DuckDB;
+    - idx = v when e ≤ s (unit-width buckets for small values), else
+      (e-s)·2^s + (v >> (e-s)): 2^s sub-buckets per octave, giving a
+      relative-error bound of 2^-(s+1) at the bucket midpoint
+      (~1.6% at s=5).
+
+    Scale notes (100 TB): one hash-aggregation, map-side partial sums;
+    shuffle volume ≤ |groups|·n_buckets rows where n_buckets ≤
+    (63-s)·2^s + 2^(s+1) (~1.9k at s=5) REGARDLESS of input rows —
+    the same bounded-shuffle shape as `hll_sketch`."""
+    scale = 10 ** decimals
+    s = sub_bits
+    v = F.greatest(
+        F.round(F.col(value_col) * scale).cast("long"), F.lit(1).cast("long")
+    )
+    base = df.select(*keys, v.alias("_v")).withColumn(
+        "_e", (F.length(F.bin(F.col("_v"))) - 1).cast("long")
+    )
+    idx = F.when(F.col("_e") <= s, F.col("_v")).otherwise(
+        (F.col("_e") - s) * F.lit(1 << s).cast("long")
+        + F.expr(f"shiftright(_v, cast(_e as int) - {s})")
+    )
+    return (
+        base.select(*keys, idx.alias("idx"))
+        .groupBy(*keys, "idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(sk: DataFrame, keys: list[str]) -> DataFrame:
+    """Union sketches to a coarser grouping: bucket-wise count sum
+    (e.g. drop the hour column to merge hourly sketches into daily)."""
+    return sk.groupBy(*keys, "idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(sk: DataFrame, keys: list[str],
+                  qs: list[tuple[str, int, int]] | None = None,
+                  sub_bits: int = 5, decimals: int = 2) -> DataFrame:
+    """Nearest-rank quantile estimates from a (keys..., idx, cnt)
+    sketch: (keys..., q_name, n, est).
+
+    Quantiles are given as exact rationals (name, num, den) — the rank
+    r = ceil(num·n/den) is computed with INTEGER arithmetic
+    ((num·n + den - 1) div den), so no float q·n ulp can flip the
+    chosen bucket between engines (Spark parses 0.95 as double, DuckDB
+    as DECIMAL — a literal-typing trap this avoids entirely).  The
+    estimate is the containing bucket's midpoint mapped back to value
+    units; all arithmetic up to the final /10^decimals is integer."""
+    if qs is None:
+        qs = [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+    s = sub_bits
+    scale = 10 ** decimals
+    wcum = (
+        Window.partitionBy(*keys).orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = sk.select(
+        *keys, "idx", "cnt",
+        F.sum("cnt").over(wcum).alias("_cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qrows = F.explode(F.array(*[
+        F.struct(
+            F.lit(name).alias("q_name"),
+            F.lit(num).cast("long").alias("_num"),
+            F.lit(den).cast("long").alias("_den"),
+        )
+        for name, num, den in qs
+    ])).alias("q")
+    probed = cum.select("*", qrows).select("*", "q.*").drop("q")
+    r = F.expr("(_num * n + _den - 1) div _den")
+    hit = probed.where(
+        (F.col("_cum") >= r) & (F.col("_cum") - F.col("cnt") < r)
+    )
+    # midpoint representative: unit buckets below 2^(s+1), else the
+    # [sub<<k, (sub+1)<<k) range's midpoint, k = octave shift — all
+    # integer-derived, so the doubles match across engines
+    lo = F.expr(
+        f"shiftleft(idx - (shiftright(idx, {s}) - 1) * {1 << s}, "
+        f"cast(shiftright(idx, {s}) - 1 as int))"
+    )
+    width = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"cast(shiftright(idx, {s}) - 1 as int))"
+    )
+    rep = F.when(
+        F.col("idx") < F.lit(1 << (s + 1)), F.col("idx").cast("double")
+    ).otherwise(
+        lo.cast("double") + (width.cast("double") - 1.0) / 2.0
+    )
+    return hit.select(
+        *keys, "q_name", "n",
+        F.round(rep / F.lit(float(scale)), 6).alias("est"),
+    )
+
+
+def bloom_build(df: DataFrame, item_col: str, m: int = 65536,
+                k: int = 3) -> DataFrame:
+    """Deterministic Bloom filter as a DataFrame of set bit positions.
+
+    The broadcast-set decontamination path (`dedup.decontaminate`)
+    ships every benchmark shingle STRING to every executor; at 100 TB
+    the eval suite's shingle set can be tens of GB.  A Bloom filter is
+    the constant-size form: m bits regardless of set size, no false
+    negatives (nothing contaminated slips through), false-positive
+    rate ~(1 - e^{-kn/m})^k — over-scrubbing only, which is the safe
+    direction for decontamination.
+
+    Hashing reuses the md5-slice scheme of `cms_sketch` (k ≤ 4
+    independent 32-bit slices mod m), so the DuckDB oracle replicates
+    every bit position.  Output: distinct `pos` rows — at m=2^16 at
+    most 65536 rows (~0.5 MB), broadcast-join territory forever."""
+    if not 1 <= k <= 4:
+        raise ValueError("bloom_build: k must be in 1..4 (md5 slices)")
+    rows = F.explode(F.array(*[
+        _cms_bucket(F.col(item_col), j, m) for j in range(k)
+    ]))
+    return df.select(rows.alias("pos")).distinct()
+
+
+def bloom_probe(items: DataFrame, bloom: DataFrame, item_col: str,
+                m: int = 65536, k: int = 3) -> DataFrame:
+    """Append `maybe_member` to `items`: true iff ALL k positions the
+    item hashes to are set (classic Bloom membership — guaranteed true
+    for every inserted item, possibly true for others).  The bloom
+    side is ≤ m rows and broadcast; items never shuffle beyond the
+    final per-item regroup."""
+    probes = items.select(
+        "*",
+        F.explode(F.array(*[
+            _cms_bucket(F.col(item_col), j, m) for j in range(k)
+        ])).alias("pos"),
+    )
+    hit = probes.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), ["pos"], "left"
+    )
+    out_cols = list(items.columns)
+    return hit.groupBy(*out_cols).agg(
+        (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias(
+            "maybe_member"
+        )
     )
 
 
