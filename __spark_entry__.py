@@ -1302,6 +1302,147 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def q_tier_upsert_1h(spark, sf_dir):
+    """Exact incremental tier maintenance: rollup a base partition and
+    a late-arriving delta SEPARATELY, merge the partials
+    (`tier_merge`), and serve standard tier columns.  The oracle is
+    the direct 1h rollup over everything — equality proves
+    merge(rollup(A), rollup(B)) == rollup(A ∪ B), the invariant that
+    lets a late day of transcripts fold into a materialized tier
+    without re-reading history (first/last merge exactly because
+    upsertable partials carry their packed in-bucket order keys)."""
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_raw_upsertable,
+        tier_merge,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    base = s.where(F.col("turn_idx") % 10 != 0)
+    delta = s.where(F.col("turn_idx") % 10 == 0)
+    merged = tier_merge(
+        rollup_raw_upsertable(base, "1h"),
+        rollup_raw_upsertable(delta, "1h"),
+    )
+    return merged.select(*_tier_out())
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive clusters (min-label propagation):
+    the keep-one-per-group step pairwise dedup can't express.  Oracle
+    = recursive-CTE reachability closure over the same edge set."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
+    pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
+    return connected_components(pairs)
+
+
+def q_dedup_editdist(spark, sf_dir):
+    """Edit-distance verification of near-dup candidates: Levenshtein
+    over the first 80 chars of each side — the fuzzy-match second
+    opinion on shingle-based candidates (catches reorderings Jaccard
+    scores high but editing distance rejects).  Runs only on the
+    candidate pairs, never all-pairs; texts join in via the doc ids."""
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
+    pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("_t")
+    )
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("_t").alias("_tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_dist"),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly k=50 events per
+    metric stratum, chosen by md5-hash order (reproducible across
+    runs/engines, no RNG).  The per-stratum rank is a partitioned
+    window — each stratum sorts independently, no global sort."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.col("user_id"), F.col("event_id")))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id"))
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("metric"),
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 50)
+    )
+
+
+def q_rank_family(spark, sf_dir):
+    """Distribution-rank window family over daily per-metric totals:
+    percent_rank, cume_dist, ntile(4).  Totals are integer cents so
+    the ORDER is exact cross-engine (a float-sum order key could flip
+    ulp-ties between engines and silently permute every rank)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("metric"),
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("metric").orderBy("total_cents", "bucket_ts")
+    return daily.select(
+        "metric",
+        "bucket_ts",
+        "total_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_profile_events(spark, sf_dir):
+    """Column-level data profiling (the pre-ingest audit a pipeline
+    runs before trusting a new drop): per column — row count, nulls,
+    exact distincts.  One pass, one agg row, unpivoted to long form
+    in-plan (no per-column jobs)."""
+    e = _events(spark, sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    agg = e.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols],
+    )
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ])
+    ).alias("r")
+    return agg.select(rows).select("r.*")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1384,6 +1525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles_day": q_hdr_quantiles_day,
         "rolling_corr_1h": q_rolling_corr_1h,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "tier_upsert_1h": q_tier_upsert_1h,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_editdist": q_dedup_editdist,
+        "stratified_sample": q_stratified_sample,
+        "rank_family": q_rank_family,
+        "profile_events": q_profile_events,
     }
 
 
@@ -1592,6 +1739,9 @@ def _static_oracles() -> dict[str, str]:
     return {
         "rollup_1m": _TIER_ORACLE.format(trunc="minute"),
         "rollup_realtime_1h": _TIER_ORACLE.format(trunc="hour"),
+        # merge(rollup(base), rollup(delta)) must equal the direct
+        # rollup of everything — same oracle as rollup_1h by design
+        "tier_upsert_1h": _TIER_ORACLE.format(trunc="hour"),
         "rollup_1h": _TIER_ORACLE.format(trunc="hour"),
         "rollup_1d": _TIER_ORACLE.format(trunc="day"),
         "rollup_5m": """
@@ -2772,5 +2922,113 @@ SELECT p.doc_id,
        max(p.all_set) = 1 AS bloom_hit
 FROM probe p LEFT JOIN ex e ON e.doc_id = p.doc_id
 GROUP BY 1
+""",
+        # replicates dedup.connected_components over the ngram-jaccard
+        # edge set: reachability closure, cluster = min reachable id
+        "dedup_clusters": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter_n * 5 >= sa.sz + sb.sz - inter_n
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+)
+SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY 1
+""",
+        # replicates q_dedup_editdist: Levenshtein over 80-char
+        # prefixes of the surviving ngram-jaccard candidate pairs
+        "dedup_editdist": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter_n * 5 >= sa.sz + sb.sz - inter_n
+)
+SELECT e.id_a, e.id_b,
+       cast(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))
+            AS int) AS edit_dist
+FROM edges e
+JOIN documents da ON da.doc_id = e.id_a
+JOIN documents db ON db.doc_id = e.id_b
+""",
+        "stratified_sample": """
+SELECT metric, event_id, user_id, rnk FROM (
+  SELECT event_type AS metric, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(user_id || '|' || event_id), event_id
+         ) AS rnk
+  FROM events
+) WHERE rnk <= 50
+""",
+        "rank_family": """
+WITH daily AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS bucket_ts,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT metric, bucket_ts, total_cents,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       cast(ntile(4) OVER w AS int) AS quartile
+FROM daily
+WINDOW w AS (PARTITION BY metric ORDER BY total_cents, bucket_ts)
+""",
+        "profile_events": """
+SELECT 'event_id' AS "column", count(*) AS n_rows,
+       cast(count(*) - count(event_id) AS BIGINT) AS n_null,
+       count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', count(*), cast(count(*) - count(ts) AS BIGINT),
+       count(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', count(*), cast(count(*) - count(user_id) AS BIGINT),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       cast(count(*) - count(event_type) AS BIGINT),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*), cast(count(*) - count(value) AS BIGINT),
+       count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', count(*), cast(count(*) - count(props) AS BIGINT),
+       count(DISTINCT props) FROM events
 """,
     }

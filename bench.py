@@ -67,6 +67,11 @@ HEADLINE = [
     "hdr_quantiles_day",
     "rolling_corr_1h",
     "bloom_decontaminate",
+    "tier_upsert_1h",
+    "dedup_clusters",
+    "stratified_sample",
+    "rank_family",
+    "profile_events",
 ]
 
 

@@ -217,3 +217,40 @@ def test_xxhash_mode_sound_and_finds_dups(spark, docs):
     }
     assert set(got) <= exact
     assert (0, 2) in got and got[(0, 2)][0] == got[(0, 2)][1]
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, separate pair 10-11, triangle 20-21-22 with a
+    redundant edge: every node labels with its component's min id."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds; the fixpoint
+    loop must converge (diameter 11 < max_iter) with one label."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(edges).collect()
+    }
+    assert set(labels.values()) == {100}
+    assert len(labels) == 13

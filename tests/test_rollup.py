@@ -68,3 +68,44 @@ def test_duplicate_ts_last_wins(tiny_series):
               "first", "last"):
         assert a[c].equals(b[c]), c
     np.testing.assert_allclose(a["sum"], b["sum"], rtol=1e-12)
+
+
+def test_tier_merge_equals_direct(tiny_series):
+    """merge(rollup(A), rollup(B)) == rollup(A ∪ B) for an arbitrary
+    split — including first/last (the packed fkey/lkey merge), and
+    chained three-way merges (associativity)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_raw,
+        rollup_raw_upsertable,
+        tier_merge,
+    )
+
+    parts = [
+        tiny_series.where(F.col("turn_idx") % 3 == k) for k in range(3)
+    ]
+    merged = tier_merge(
+        tier_merge(
+            rollup_raw_upsertable(parts[0], "1h"),
+            rollup_raw_upsertable(parts[1], "1h"),
+        ),
+        rollup_raw_upsertable(parts[2], "1h"),
+    )
+    got = (
+        merged.drop("fkey", "lkey")
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_raw(tiny_series, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv_id", "metric", "bucket_ts", "cnt", "min", "max",
+              "first", "last"):
+        assert got[c].equals(want[c]), c
+    np.testing.assert_allclose(got["sum"], want["sum"], rtol=1e-12)

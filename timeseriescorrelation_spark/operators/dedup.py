@@ -387,3 +387,78 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Near-duplicate pairs → clusters: min-label propagation until
+    fixpoint.  Output (doc_id, cluster) where cluster is the smallest
+    doc_id reachable through the pair graph — the representative a
+    dedup pipeline keeps.
+
+    Dedup operators emit PAIRS; a training pipeline needs GROUPS
+    (transitively: if A~B and B~C, keep one of {A,B,C} even when A~C
+    was never scored).  Pairwise keep-rules break exactly there.
+
+    Spark-first shape: labels are a DataFrame, each round is one
+    broadcast-free equi-join (neighbor min) + hash-agg, and the loop
+    runs DRIVER-SIDE with a convergence probe per round — iterative
+    graph algorithms are the one place imperative driver control flow
+    is idiomatic Spark (same structure as GraphX/GraphFrames CC).
+    Lineage is truncated each round with localCheckpoint, else the
+    plan doubles per iteration and planning time explodes.
+
+    Scale notes (100 TB): the graph holds only near-dup CANDIDATE
+    pairs — orders of magnitude smaller than the corpus (LSH bucket
+    caps bound it; `minhash_lsh_pairs(max_bucket=...)`).  Rounds
+    needed = graph diameter; near-dup clusters are dense (template
+    families), so diameter stays single-digit in practice — each
+    round is one shuffle of |V|+|E| rows.  Raises after `max_iter`
+    rounds rather than returning a half-converged labeling."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("n").alias("b"), F.col("lbl").alias("_nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nl").alias("_m"))
+            .withColumnRenamed("a", "n")
+        )
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_m"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.coalesce(F.col("_m"), F.col("lbl")) < F.col("lbl"))
+                .alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = not new_labels.where(F.col("_chg")).isEmpty()
+        labels = new_labels.drop("_chg")
+        if not changed:
+            return labels.select(
+                F.col("n").alias("doc_id"), F.col("lbl").alias("cluster")
+            )
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        "(graph diameter exceeds max_iter)"
+    )

@@ -132,6 +132,67 @@ def rollup_tier(lower: DataFrame, to_tier: str) -> DataFrame:
     )
 
 
+def rollup_raw_upsertable(series: DataFrame, tier: str = "1m") -> DataFrame:
+    """Tier partials that can be EXACTLY merged later (late data /
+    incremental refresh): standard tier columns plus `fkey`/`lkey`,
+    the packed in-bucket order keys of the first/last point.
+
+    Plain tier rows cannot merge exactly at the SAME granularity:
+    combining a base partial and a late-delta partial of one bucket
+    needs to know which side's first point came earlier, and
+    `bucket_ts` ties by construction.  Carrying the packed key (µs
+    offset in bucket << idx_bits | turn_idx — comparable across
+    partials of the same bucket) makes first/last merge associative:
+    first = min_by(first, fkey), fkey = min(fkey); sums/counts add;
+    min/max fold.  This is the continuous-aggregate maintenance
+    contract: `merge(rollup(A), rollup(B)) == rollup(A ∪ B)` for any
+    partition of the input — the invariant that lets a 100 TB engine
+    fold a late-arriving day of transcripts into a materialized tier
+    without re-reading the other 99.9 TB (MERGE INTO-shaped at the
+    storage layer; exactness oracle-verified by `tier_upsert_1h`)."""
+    trunc = TIER_TRUNC[tier]
+    key = packed_order_key(trunc)
+    return (
+        series.groupBy(
+            "conv_id", "metric", F.date_trunc(trunc, "ts").alias("bucket_ts")
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min_by("value", key).alias("first"),
+            F.min(key).alias("fkey"),
+            F.max_by("value", key).alias("last"),
+            F.max(key).alias("lkey"),
+        )
+    )
+
+
+def tier_merge(*parts: DataFrame) -> DataFrame:
+    """Exact same-granularity merge of upsertable tier partials.
+
+    One hash-agg over the unioned partials; shuffle volume is
+    |buckets touched|, so merging a late delta costs O(delta), not
+    O(history).  Output keeps fkey/lkey so merges chain."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        u.groupBy("conv_id", "metric", "bucket_ts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", F.col("fkey")).alias("first"),
+            F.min("fkey").alias("fkey"),
+            F.max_by("last", F.col("lkey")).alias("last"),
+            F.max("lkey").alias("lkey"),
+        )
+    )
+
+
 def rollup_cascade(series: DataFrame) -> dict[str, DataFrame]:
     """Full cascade; returns {'1m': df, '1h': df, '1d': df}."""
     t1m = rollup_raw(series, "1m")
