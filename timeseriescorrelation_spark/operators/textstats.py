@@ -192,11 +192,28 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
             " ", F.element_at("t", i), F.element_at("t", i + 1)
         ),
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("t"),
-            lambda tt: F.size(F.filter("t", lambda x: x == tt)),
-        )
+    # max token multiplicity == longest equal-adjacent run of the
+    # SORTED token array: one O(n log n) sort + one O(n) fold, vs the
+    # naive distinct×filter scan which is O(n_tokens · n_distinct)
+    # per document (measured 8× slower on the documents fixture — HOF
+    # lambdas are interpreted, so the constant matters)
+    top_cnt = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     return (
         d.where(n > 0)
