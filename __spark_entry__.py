@@ -1443,6 +1443,16 @@ def q_profile_events(spark, sf_dir):
     return agg.select(rows).select("r.*")
 
 
+def q_cusum_alerts(spark, sf_dir):
+    """Two-sided CUSUM changepoint scores per series — the clamped
+    recursion re-expressed as cumsum + running extrema (pure window
+    algebra, one shuffle); integer-scaled deviations keep both engines
+    bit-identical."""
+    from timeseriescorrelation_spark.operators.analytics import cusum
+
+    return cusum(_series_from_events(spark, sf_dir), h=5.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1531,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "rank_family": q_rank_family,
         "profile_events": q_profile_events,
+        "cusum_alerts": q_cusum_alerts,
     }
 
 
@@ -3030,5 +3041,45 @@ SELECT 'value', count(*), cast(count(*) - count(value) AS BIGINT),
 UNION ALL
 SELECT 'props', count(*), cast(count(*) - count(props) AS BIGINT),
        count(DISTINCT props) FROM events
+""",
+        # replicates analytics.cusum: integer-scaled deviations,
+        # cumsum + running extrema, h=5 sigma alert on derived doubles
+        "cusum_alerts": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         cast(event_id AS int) AS turn_idx,
+         cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT conv_id, metric, ts, turn_idx, v,
+         cast(count(*) OVER wall AS BIGINT) AS n,
+         cast(sum(v) OVER wall AS BIGINT) AS s1,
+         cast(sum(v * v) OVER wall AS BIGINT) AS s2
+  FROM s
+  WINDOW wall AS (PARTITION BY conv_id, metric)
+), pp AS (
+  SELECT conv_id, metric, ts, turn_idx, n, s1, s2,
+         cast(sum(n * v - s1) OVER word AS BIGINT) AS p
+  FROM t
+  WINDOW word AS (PARTITION BY conv_id, metric
+                  ORDER BY epoch_us(ts), turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), x AS (
+  SELECT conv_id, metric, ts, turn_idx, n, s1, s2, p,
+         least(0, cast(min(p) OVER word AS BIGINT)) AS lo,
+         greatest(0, cast(max(p) OVER word AS BIGINT)) AS hi
+  FROM pp
+  WINDOW word AS (PARTITION BY conv_id, metric
+                  ORDER BY epoch_us(ts), turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, metric, ts, turn_idx,
+       round(cast(p - lo AS DOUBLE) / (n * 100.0), 6) AS s_plus,
+       round(cast(hi - p AS DOUBLE) / (n * 100.0), 6) AS s_minus,
+       (cast(p - lo AS DOUBLE) * cast(p - lo AS DOUBLE)
+          > 25.0 * cast(n * s2 - s1 * s1 AS DOUBLE))
+       OR (cast(hi - p AS DOUBLE) * cast(hi - p AS DOUBLE)
+          > 25.0 * cast(n * s2 - s1 * s1 AS DOUBLE)) AS alert
+FROM x
 """,
     }

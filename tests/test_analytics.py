@@ -393,3 +393,38 @@ def test_ewma_many_series_across_partitions(spark):
         ):
             bad += 1
     assert bad == 0
+
+
+def test_cusum_detects_mean_shift(spark):
+    """A series with a level shift halfway must alert after the shift
+    (and score s_plus growing), while an alternating no-drift series
+    never alerts."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.analytics import cusum
+
+    t0 = dt.datetime(2024, 1, 1)
+    shift = [
+        ("c1", "m", t0 + dt.timedelta(minutes=i), i,
+         10.0 if i < 30 else 20.0)
+        for i in range(60)
+    ]
+    flat = [
+        ("c2", "m", t0 + dt.timedelta(minutes=i), i,
+         10.0 if i % 2 else 10.5)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        shift + flat,
+        "conv_id string, metric string, ts timestamp, turn_idx int, "
+        "value double",
+    )
+    rows = cusum(df, h=5.0).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.conv_id, []).append(r)
+    assert any(r.alert for r in by["c1"])          # shift detected
+    assert not any(r.alert for r in by["c2"])      # no false alarm
+    # the upward shift accumulates on the plus side toward the tail
+    s = sorted(by["c1"], key=lambda r: r.turn_idx)
+    assert s[-1].s_plus > s[5].s_plus

@@ -394,6 +394,7 @@ __all__ = [
     "quantiles_bucketed",
     "ewma",
     "pearson_guarded",
+    "cusum",
 ]
 
 
@@ -966,4 +967,71 @@ def ewma(series: DataFrame, alpha: float = 0.3,
     # values the recursion actually lands on (measured 1e-6 flips).
     return part.mapInPandas(_ewm, schema).withColumn(
         "ewma", F.floor(F.col("ewma") * F.lit(1e6)) / F.lit(1e6)
+    )
+
+
+def cusum(series: DataFrame, h: float = 5.0,
+          keys: list[str] | None = None) -> DataFrame:
+    """Two-sided CUSUM changepoint scores per series (Page 1954):
+    s⁺_t = max(0, s⁺_{t−1} + (x_t − μ)), s⁻ symmetric, alert when
+    either side exceeds h·σ — the standard drift detector over
+    per-conversation turn-rate/token series.
+
+    No sequential kernel: the clamped recursion telescopes to
+    s⁺_t = p_t − min(0, min_{j≤t} p_j) with p the running sum of
+    deviations — a cumulative sum plus a running min, pure window
+    algebra, one shuffle.  (Same trick family as M4/heartbeat:
+    re-express the "inherently sequential" operator as order-window
+    primitives Spark executes in one sorted pass.)
+
+    Cross-engine exactness: deviations are scaled to integers
+    (e_t = n·v_cents,t − Σv_cents), so p, the running extrema, and the
+    scores are exact BIGINT in both engines — no float cumsum whose
+    summation order could drift (DuckDB's segment-tree window sums add
+    in a different order than Spark's running aggregation).  The alert
+    compares (s')² > h²·(n·Σv² − (Σv)²) on doubles DERIVED from those
+    identical integers.  Output scores are rescaled to value units
+    (s' / (n·100)).
+
+    Scale notes: two window specs over ONE partitioning (per-series
+    totals + ordered prefix) — a single sort-shuffle; state per row is
+    O(1).  μ here is the full-series mean (retrospective CUSUM); the
+    online form seeds μ from a reference window and runs in the
+    streaming rate_stream state pattern."""
+    keys = keys or KEYS
+    wall = Window.partitionBy(*keys)
+    word = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_us(F.col("ts")), "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    base = series.select(
+        *keys, "ts", "turn_idx", v.alias("_v")
+    ).select(
+        "*",
+        F.count("_v").over(wall).alias("_n"),
+        F.sum("_v").over(wall).alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).over(wall).alias("_s2"),
+    )
+    e = F.col("_n") * F.col("_v") - F.col("_s1")
+    p = F.sum(e).over(word)
+    scored = base.select(
+        *keys, "ts", "turn_idx", "_n", "_s1", "_s2",
+        p.alias("_p"),
+        F.least(F.lit(0).cast("long"), F.min(p).over(word)).alias("_lo"),
+        F.greatest(F.lit(0).cast("long"), F.max(p).over(word)).alias("_hi"),
+    )
+    sp = (F.col("_p") - F.col("_lo")).cast("double")
+    sm = (F.col("_hi") - F.col("_p")).cast("double")
+    var = (
+        F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    ).cast("double")
+    scale = F.col("_n").cast("double") * F.lit(100.0)
+    hh = F.lit(float(h) * float(h))
+    return scored.select(
+        *keys, "ts", "turn_idx",
+        F.round(sp / scale, 6).alias("s_plus"),
+        F.round(sm / scale, 6).alias("s_minus"),
+        ((sp * sp > hh * var) | (sm * sm > hh * var)).alias("alert"),
     )
