@@ -248,3 +248,46 @@ def test_hll_partial_agg_before_shuffle(spark):
     |groups|*m register rows, never |input| rows."""
     plan = _plan(em.queries()["hll_distinct_day"](spark, SF))
     assert "partial_max" in plan, plan
+
+
+def test_cusum_single_shuffle(spark):
+    """CUSUM: per-series totals window + ordered prefix windows share
+    one partitioning — the whole operator is a single exchange, no
+    join, and stays HashAggregate-free (pure windows)."""
+    plan = _plan(em.queries()["cusum_alerts"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rolling_corr_single_shuffle(spark):
+    """Windowed Pearson: the 1m pre-aggregation and the range-frame
+    moment windows group on the same series keys — one exchange for
+    the agg, the window reuses its clustering."""
+    plan = _plan(em.queries()["rolling_corr_1h"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_hdr_sketch_partial_agg_and_hash(spark):
+    """HDR quantile sketch: bucket counts must partial-combine map-side
+    (shuffle ≤ |groups|·n_buckets) and stay in HashAggregate — a
+    SortAggregate here would mean a non-hashable agg buffer snuck in."""
+    plan = _plan(em.queries()["hdr_quantiles_day"](spark, SF))
+    assert "partial_count" in plan, plan
+
+
+def test_tier_merge_single_shuffle_per_side(spark):
+    """Upsert merge: two upsertable partials + the merge re-agg; the
+    merge groupBy re-shuffles the union once — and everything stays
+    HashAggregate (packed long fkey/lkey, no struct buffers)."""
+    plan = _plan(em.queries()["tier_upsert_1h"](spark, SF))
+    assert "SortAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """Bloom membership: the filter side is ≤ m rows and must
+    broadcast — a shuffle join on bit positions would defeat the
+    constant-size design."""
+    plan = _plan(em.queries()["bloom_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
