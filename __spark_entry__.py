@@ -1453,6 +1453,46 @@ def q_cusum_alerts(spark, sf_dir):
     return cusum(_series_from_events(spark, sf_dir), h=5.0)
 
 
+def q_session_overlap(spark, sf_dir):
+    """Interval-algebra overlap join: per-user activity sessions
+    (gaps-and-islands, 30m) × per-type incident windows (each type's
+    [first, last] event of the day) — which sessions ran during which
+    incidents, and for how long.  Binned to a day-bucket equi-join
+    with first-shared-bucket dedup (no distinct shuffle); the oracle
+    is the DIRECT overlap theta-join, so equality validates the
+    binning itself.  Overlap is exact integer µs."""
+    from timeseriescorrelation_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    from timeseriescorrelation_spark.streaming.rollup_stream import sessionize
+
+    e = _events(spark, sf_dir)
+    sessions = sessionize(
+        e.select(F.col("user_id").cast("string").alias("conv_id"), "ts"),
+        "30 minutes",
+    ).select(
+        "conv_id",
+        F.col("session_start").alias("start_l"),
+        F.col("session_end_ts").alias("end_l"),
+        "n_events",
+    )
+    incidents = e.groupBy(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+    ).agg(
+        F.min("ts").alias("start_r"),
+        F.max("ts").alias("end_r"),
+    )
+    j = interval_overlap_join(sessions, incidents, bucket="day")
+    return j.select(
+        "conv_id",
+        F.col("start_l").alias("session_start"),
+        "metric",
+        "day_ts",
+        F.round(F.col("overlap_us") / 1e6, 6).alias("overlap_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1542,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_family": q_rank_family,
         "profile_events": q_profile_events,
         "cusum_alerts": q_cusum_alerts,
+        "session_overlap": q_session_overlap,
     }
 
 
@@ -3081,5 +3122,35 @@ SELECT conv_id, metric, ts, turn_idx,
        OR (cast(hi - p AS DOUBLE) * cast(hi - p AS DOUBLE)
           > 25.0 * cast(n * s2 - s1 * s1 AS DOUBLE)) AS alert
 FROM x
+""",
+        # DIRECT overlap theta-join — equality with the Spark side's
+        # binned equi-join validates the binning transformation
+        "session_overlap": """
+WITH d AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+), sessions AS (
+  SELECT conv_id, min(ts) AS start_l, max(ts) AS end_l
+  FROM s GROUP BY conv_id, sid
+), incidents AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         min(ts) AS start_r, max(ts) AS end_r
+  FROM events GROUP BY 1, 2
+)
+SELECT se.conv_id, se.start_l AS session_start, i.metric, i.day_ts,
+       round((epoch_us(least(se.end_l, i.end_r))
+              - epoch_us(greatest(se.start_l, i.start_r))) / 1e6, 6)
+         AS overlap_s
+FROM sessions se JOIN incidents i
+  ON least(se.end_l, i.end_r) >= greatest(se.start_l, i.start_r)
 """,
     }

@@ -73,6 +73,7 @@ HEADLINE = [
     "rank_family",
     "profile_events",
     "cusum_alerts",
+    "session_overlap",
 ]
 
 

@@ -155,3 +155,46 @@ def test_interval_join_matches_naive_range_join(spark):
     )
     assert got == naive
     assert got == [(1, "s1"), (2, "s1"), (4, "s1"), (5, "s2"), (5, "s3")]
+
+
+def test_interval_overlap_join_hand_cases(spark):
+    """Nested, partial, touching, disjoint, and multi-day pairs: one
+    output row per overlapping pair (first-shared-bucket dedup even
+    when the pair shares several day buckets), exact µs overlap."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    t = lambda d, h=0, m=0: dt.datetime(2024, 1, d, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            ("L1", t(1, 10), t(1, 12)),        # partial with R1
+            ("L2", t(2, 3), t(2, 4)),          # nested inside R2
+            ("L3", t(3, 0), t(3, 1)),          # touches R3 at a point
+            ("L4", t(4, 0), t(4, 1)),          # disjoint from all
+            ("L5", t(5, 12), t(7, 12)),        # spans 3 days, R5 too
+        ],
+        "lid string, start_l timestamp, end_l timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("R1", t(1, 11), t(1, 14)),
+            ("R2", t(2, 0), t(2, 23)),
+            ("R3", t(3, 1), t(3, 2)),
+            ("R5", t(6, 0), t(8, 0)),          # overlaps L5 on 2 shared days
+        ],
+        "rid string, start_r timestamp, end_r timestamp",
+    )
+    got = {
+        (r.lid, r.rid): r.overlap_us
+        for r in interval_overlap_join(left, right).collect()
+    }
+    hour = 3_600_000_000
+    assert got == {
+        ("L1", "R1"): 1 * hour,
+        ("L2", "R2"): 1 * hour,
+        ("L3", "R3"): 0,                      # touching -> 0 µs overlap
+        ("L5", "R5"): 36 * hour,              # exactly once, not per day
+    }
