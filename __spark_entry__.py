@@ -1493,6 +1493,68 @@ def q_session_overlap(spark, sf_dir):
     )
 
 
+def q_seasonal_profile(spark, sf_dir):
+    """Seasonality baseline: per (metric, day-of-week, hour-of-day)
+    mean value and event count — the profile anomaly detectors
+    subtract before scoring.  Integer-cents sums make the mean a
+    division of identical integers in both engines."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.col("event_type").alias("metric"),
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / (F.count("*") * 100.0),
+                6,
+            ).alias("mean_v"),
+        )
+    )
+
+
+def q_wow_delta(spark, sf_dir):
+    """Week-over-week deltas per (metric, day): daily totals joined to
+    themselves at a 7-day calendar offset (seasonal-naive baseline).
+    A LEFT self-join on the shifted key, not lag(7) — rows must match
+    by CALENDAR distance, and a missing day would silently misalign a
+    row-offset lag."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("metric"),
+            F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            )
+        )
+    )
+    prev = daily.select(
+        F.col("metric").alias("_m"),
+        (F.col("day_ts") + F.expr("interval 7 days")).alias("_d"),
+        F.col("total_cents").alias("_prev"),
+    )
+    return (
+        daily.join(
+            prev,
+            [F.col("metric") == F.col("_m"), F.col("day_ts") == F.col("_d")],
+            "left",
+        )
+        .select(
+            "metric",
+            "day_ts",
+            "total_cents",
+            F.col("_prev").alias("prev_week_cents"),
+            (F.col("total_cents") - F.col("_prev")).alias("wow_delta_cents"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1583,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "cusum_alerts": q_cusum_alerts,
         "session_overlap": q_session_overlap,
+        "seasonal_profile": q_seasonal_profile,
+        "wow_delta": q_wow_delta,
     }
 
 
@@ -3152,5 +3216,30 @@ SELECT se.conv_id, se.start_l AS session_start, i.metric, i.day_ts,
          AS overlap_s
 FROM sessions se JOIN incidents i
   ON least(se.end_l, i.end_r) >= greatest(se.start_l, i.start_r)
+""",
+        # Spark dayofweek is 1=Sunday..7=Saturday; DuckDB's dow
+        # extract is 0=Sunday..6 — hence the +1
+        "seasonal_profile": """
+SELECT event_type AS metric,
+       cast(dayofweek(ts) + 1 AS int) AS dow,
+       cast(hour(ts) AS int) AS hod,
+       count(*) AS n,
+       round(sum(cast(round(value * 100) AS BIGINT))
+             / (count(*) * 100.0), 6) AS mean_v
+FROM events GROUP BY 1, 2, 3
+""",
+        "wow_delta": """
+WITH daily AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT d.metric, d.day_ts, d.total_cents,
+       p.total_cents AS prev_week_cents,
+       d.total_cents - p.total_cents AS wow_delta_cents
+FROM daily d LEFT JOIN daily p
+  ON p.metric = d.metric
+ AND p.day_ts + INTERVAL 7 DAY = d.day_ts
 """,
     }

@@ -74,6 +74,8 @@ HEADLINE = [
     "profile_events",
     "cusum_alerts",
     "session_overlap",
+    "seasonal_profile",
+    "wow_delta",
 ]
 
 
