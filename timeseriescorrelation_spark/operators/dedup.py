@@ -391,7 +391,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25, hops: int = 2) -> DataFrame:
     """Near-duplicate pairs → clusters: min-label propagation until
     fixpoint.  Output (doc_id, cluster) where cluster is the smallest
     doc_id reachable through the pair graph — the representative a
@@ -428,10 +428,10 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         .withColumn("lbl", F.col("n"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def _propagate(lbls):
         nbr_min = (
             edges.join(
-                labels.select(
+                lbls.select(
                     F.col("n").alias("b"), F.col("lbl").alias("_nl")
                 ),
                 "b",
@@ -440,18 +440,24 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             .agg(F.min("_nl").alias("_m"))
             .withColumnRenamed("a", "n")
         )
-        new_labels = (
-            labels.join(nbr_min, "n", "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("_m"), F.col("lbl"))
-                ).alias("lbl"),
-                (F.coalesce(F.col("_m"), F.col("lbl")) < F.col("lbl"))
-                .alias("_chg"),
-            )
-            .localCheckpoint()
+        return lbls.join(nbr_min, "n", "left").select(
+            "n",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("_m"), F.col("lbl"))
+            ).alias("lbl"),
+            (F.coalesce(F.col("_m"), F.col("lbl")) < F.col("lbl"))
+            .alias("_chg"),
         )
+
+    for _ in range(max_iter):
+        # `hops` propagation steps per materialization: the checkpoint
+        # + convergence probe are the per-round fixed cost, so label
+        # distance covered per unit of scheduling overhead multiplies;
+        # convergence needs diameter/hops + 1 rounds
+        nl = labels
+        for _h in range(hops - 1):
+            nl = _propagate(nl).drop("_chg")
+        new_labels = _propagate(nl).localCheckpoint()
         changed = not new_labels.where(F.col("_chg")).isEmpty()
         labels = new_labels.drop("_chg")
         if not changed:
@@ -460,5 +466,5 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             )
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds "
-        "(graph diameter exceeds max_iter)"
+        f"of 2 hops (graph diameter exceeds {2 * max_iter})"
     )
