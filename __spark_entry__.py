@@ -1555,6 +1555,63 @@ def q_wow_delta(spark, sf_dir):
     )
 
 
+def q_gap_report(spark, sf_dir):
+    """Data-quality gap detection: silent stretches > 2h inside each
+    series (lag over the (ts, turn_idx) order, exact integer-µs gap).
+    The ops report a retention/ingest pipeline watches."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    s = _series_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "metric").orderBy(
+        epoch_us(F.col("ts")), "turn_idx"
+    )
+    lagged = s.select(
+        "conv_id",
+        "metric",
+        F.lag("ts").over(w).alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w))
+        .alias("_gap_us"),
+    )
+    return lagged.where(F.col("_gap_us") > 2 * 3600 * 1_000_000).select(
+        "conv_id",
+        "metric",
+        "gap_start",
+        "gap_end",
+        F.round(F.col("_gap_us") / 1e6, 6).alias("gap_s"),
+    )
+
+
+def q_staleness_report(spark, sf_dir):
+    """Per-series last-seen and staleness vs the table's frontier
+    (max ts overall) — the liveness report that decides retention
+    eviction and alerting.  The frontier joins in as a 1-row
+    broadcast, no driver round-trip."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    s = _series_from_events(spark, sf_dir)
+    last = s.groupBy("conv_id", "metric").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_points")
+    )
+    frontier = s.agg(F.max("ts").alias("_frontier"))
+    return (
+        last.crossJoin(F.broadcast(frontier))
+        .select(
+            "conv_id",
+            "metric",
+            "last_ts",
+            "n_points",
+            F.round(
+                (epoch_us(F.col("_frontier")) - epoch_us(F.col("last_ts")))
+                / 1e6,
+                6,
+            ).alias("staleness_s"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1647,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap": q_session_overlap,
         "seasonal_profile": q_seasonal_profile,
         "wow_delta": q_wow_delta,
+        "gap_report": q_gap_report,
+        "staleness_report": q_staleness_report,
     }
 
 
@@ -3241,5 +3300,33 @@ SELECT d.metric, d.day_ts, d.total_cents,
 FROM daily d LEFT JOIN daily p
   ON p.metric = d.metric
  AND p.day_ts + INTERVAL 7 DAY = d.day_ts
+""",
+        "gap_report": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, cast(event_id AS int) AS turn_idx
+  FROM events
+), l AS (
+  SELECT conv_id, metric,
+         lag(ts) OVER w AS gap_start, ts AS gap_end,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM s
+  WINDOW w AS (PARTITION BY conv_id, metric
+               ORDER BY epoch_us(ts), turn_idx)
+)
+SELECT conv_id, metric, gap_start, gap_end,
+       round(gap_us / 1e6, 6) AS gap_s
+FROM l WHERE gap_us > 7200000000
+""",
+        "staleness_report": """
+WITH last AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         max(ts) AS last_ts, count(*) AS n_points
+  FROM events GROUP BY 1, 2
+), f AS (SELECT max(ts) AS frontier FROM events)
+SELECT conv_id, metric, last_ts, n_points,
+       round((epoch_us(frontier) - epoch_us(last_ts)) / 1e6, 6)
+         AS staleness_s
+FROM last CROSS JOIN f
 """,
     }

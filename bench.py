@@ -76,6 +76,8 @@ HEADLINE = [
     "session_overlap",
     "seasonal_profile",
     "wow_delta",
+    "gap_report",
+    "staleness_report",
 ]
 
 
