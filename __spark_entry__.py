@@ -1612,6 +1612,44 @@ def q_staleness_report(spark, sf_dir):
     )
 
 
+def q_rolling_p95_1h(spark, sf_dir):
+    """Trailing-1h exact interpolated percentiles per series (the SRE
+    rolling-p95 panel): Spark's `percentile` over a rangeBetween frame
+    matches DuckDB's windowed `quantile_cont` definitionally, and
+    integer-cents inputs make the interpolation arithmetic identical
+    (probed: 0 mismatches before rounding).  Scale note: a windowed
+    exact percentile buffers the frame per row — bounded by the 1h
+    range, the same O(rows_in_range) bound as rolling_stats; the
+    unbounded-history form is the HDR sketch path."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    s = _series_from_events(spark, sf_dir).select(
+        "conv_id",
+        "metric",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    w = (
+        Window.partitionBy("conv_id", "metric")
+        .orderBy(epoch_us(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return s.select(
+        "conv_id",
+        "metric",
+        "ts",
+        F.count("_v").over(w).alias("roll_n"),
+        F.round(F.expr("percentile(_v, 0.5)").over(w) / 100.0, 6).alias(
+            "roll_p50"
+        ),
+        F.round(F.expr("percentile(_v, 0.95)").over(w) / 100.0, 6).alias(
+            "roll_p95"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1706,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_delta": q_wow_delta,
         "gap_report": q_gap_report,
         "staleness_report": q_staleness_report,
+        "rolling_p95_1h": q_rolling_p95_1h,
     }
 
 
@@ -3328,5 +3367,22 @@ SELECT conv_id, metric, last_ts, n_points,
        round((epoch_us(frontier) - epoch_us(last_ts)) / 1e6, 6)
          AS staleness_s
 FROM last CROSS JOIN f
+""",
+        # Spark percentile() and DuckDB quantile_cont share the exact
+        # interpolated definition; integer-cents inputs keep the
+        # arithmetic identical (range-frame peers included on both)
+        "rolling_p95_1h": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT conv_id, metric, ts,
+       count(v) OVER w AS roll_n,
+       round(quantile_cont(v, 0.5) OVER w / 100.0, 6) AS roll_p50,
+       round(quantile_cont(v, 0.95) OVER w / 100.0, 6) AS roll_p95
+FROM s
+WINDOW w AS (PARTITION BY conv_id, metric ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
     }

@@ -78,6 +78,7 @@ HEADLINE = [
     "wow_delta",
     "gap_report",
     "staleness_report",
+    "rolling_p95_1h",
 ]
 
 
