@@ -1650,6 +1650,91 @@ def q_rolling_p95_1h(spark, sf_dir):
     )
 
 
+def q_emb_clusters(spark, sf_dir):
+    """Embedding near-dup pairs → transitive clusters: the same
+    connected-components operator over a DIFFERENT pair source (cosine
+    instead of Jaccard) — semantic dedup keeps one representative per
+    cluster of paraphrases.  Composition shows the operator is
+    pair-source-agnostic."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components,
+    )
+    from timeseriescorrelation_spark.operators.similarity import (
+        cosine_neardup_pairs_blocked,
+    )
+
+    pairs = cosine_neardup_pairs_blocked(_embs(spark, sf_dir), min_cos=0.35)
+    return connected_components(pairs)
+
+
+def q_unpivot_tier(spark, sf_dir):
+    """Unpivot/melt of the 1h tier (the inverse of `pivot_metrics`):
+    wide aggregate columns → long (stat, value) rows via stack — the
+    shape exporters and plotting layers consume.  In-row generator,
+    no shuffle beyond the tier build."""
+    t = rollup_raw(_series_from_events(spark, sf_dir), "1h")
+    return t.select(
+        "conv_id",
+        "metric",
+        "bucket_ts",
+        F.expr(
+            "stack(4, 'cnt', cast(cnt AS double), 'sum', sum, "
+            "'min', min, 'max', max) AS (stat, stat_v)"
+        ),
+    ).withColumn("stat_v", F.round("stat_v", 6))
+
+
+def q_term_salience(spark, sf_dir):
+    """Top-3 salient terms per document, tf-idf-ranked.  The score is
+    kept RATIONAL — tf·N/df instead of tf·ln(N/df) — because ln is the
+    one libm call whose last-ulp can differ between JVM and C
+    runtimes, and rank order under a monotone transform is identical
+    anyway; the docstring-documented log variant is a one-line swap
+    where bit-exact oracles are not required.  One explode + two
+    hash-aggs + a shuffle join on term + a per-doc window."""
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_sal",
+            (F.col("tf") * F.col("_n")).cast("double")
+            / F.col("df_docs").cast("double"),
+        )
+    )
+    # rank on the UNROUNDED score (the oracle does too) — ranking on
+    # the rounded value could invert pairs a rounding boundary merges
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_sal").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "rank", "term", "tf", "df_docs",
+            F.round("_sal", 6).alias("salience"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1745,6 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_report": q_gap_report,
         "staleness_report": q_staleness_report,
         "rolling_p95_1h": q_rolling_p95_1h,
+        "emb_clusters": q_emb_clusters,
+        "unpivot_tier": q_unpivot_tier,
+        "term_salience": q_term_salience,
     }
 
 
@@ -3384,5 +3472,63 @@ SELECT conv_id, metric, ts,
 FROM s
 WINDOW w AS (PARTITION BY conv_id, metric ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        # reachability closure over the cosine near-dup pair set —
+        # same cluster rule as dedup_clusters, different pair source
+        "emb_clusters": f"""
+WITH RECURSIVE {_UV_CTE}, pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM uv a JOIN uv b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v), 6) >= 0.35
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+)
+SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY 1
+""",
+        "unpivot_tier": """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(value) AS cnt, sum(value) AS sum_v,
+         min(value) AS min_v, max(value) AS max_v
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT conv_id, metric, bucket_ts, 'cnt' AS stat,
+       round(cast(cnt AS DOUBLE), 6) AS stat_v FROM t
+UNION ALL
+SELECT conv_id, metric, bucket_ts, 'sum', round(sum_v, 6) FROM t
+UNION ALL
+SELECT conv_id, metric, bucket_ts, 'min', round(min_v, 6) FROM t
+UNION ALL
+SELECT conv_id, metric, bucket_ts, 'max', round(max_v, 6) FROM t
+""",
+        "term_salience": """
+WITH tf AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), tfc AS (
+  SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+  FROM tf GROUP BY 1, 2
+), dfc AS (
+  SELECT term, cast(count(*) AS BIGINT) AS df_docs FROM tfc GROUP BY 1
+), n AS (SELECT cast(count(*) AS BIGINT) AS nd FROM documents)
+SELECT doc_id, rank, term, tf, df_docs, salience FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df_docs,
+         round(cast(t.tf * n.nd AS DOUBLE) / cast(d.df_docs AS DOUBLE),
+               6) AS salience,
+         cast(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY cast(t.tf * n.nd AS DOUBLE)
+                    / cast(d.df_docs AS DOUBLE) DESC, t.term
+         ) AS int) AS rank
+  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n
+) WHERE rank <= 3
 """,
     }

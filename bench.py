@@ -79,6 +79,9 @@ HEADLINE = [
     "gap_report",
     "staleness_report",
     "rolling_p95_1h",
+    "emb_clusters",
+    "unpivot_tier",
+    "term_salience",
 ]
 
 
