@@ -1735,6 +1735,80 @@ def q_term_salience(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct active users at each day-age since the cohort started.
+    Two hash-aggs + one window min — the standard product-analytics
+    rollup over the same event stream."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    aged = e.select(
+        "user_id",
+        F.min("d").over(w).alias("cohort_day"),
+        F.datediff(F.col("d"), F.min("d").over(w)).alias("age_days"),
+    )
+    return aged.groupBy("cohort_day", "age_days").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+def q_conv_lifetimes(spark, sf_dir):
+    """Per-conversation lifetime summary: first/last seen, span,
+    distinct active days, events — the table the retention policy and
+    staleness sweeps consult.  One hash-agg."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.col("user_id").cast("string").alias("conv_id")
+    ).agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(
+            (F.max(epoch_us(F.col("ts"))) - F.min(epoch_us(F.col("ts"))))
+            / 1e6,
+            6,
+        ).alias("span_s"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias(
+            "active_days"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_emb_centroid(spark, sf_dir):
+    """Per-label embedding centroid + its norm: posexplode to
+    (label, dim, x), one hash-agg, re-assemble ordered — the
+    DataFrame-native mean-vector (the kmeans building block) exposed
+    as a query.  Scale note: shuffle is |labels|·d rows regardless of
+    vector count (map-side partial sums)."""
+    e = _embs(spark, sf_dir).select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    per_dim = e.groupBy("label", "dim").agg(
+        F.count("*").alias("_n"), F.sum(F.col("x").cast("double")).alias("_s")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("_n").alias("n_vecs"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("_s") / F.col("_n"))
+                        * (F.col("_s") / F.col("_n"))
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1833,6 +1907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_clusters": q_emb_clusters,
         "unpivot_tier": q_unpivot_tier,
         "term_salience": q_term_salience,
+        "cohort_retention": q_cohort_retention,
+        "conv_lifetimes": q_conv_lifetimes,
+        "emb_centroid": q_emb_centroid,
     }
 
 
@@ -3530,5 +3607,38 @@ SELECT doc_id, rank, term, tf, df_docs, salience FROM (
          ) AS int) AS rank
   FROM tfc t JOIN dfc d USING (term) CROSS JOIN n
 ) WHERE rank <= 3
+""",
+        "cohort_retention": """
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS d FROM events
+), a AS (
+  SELECT user_id, d,
+         min(d) OVER (PARTITION BY user_id) AS cohort_day
+  FROM e
+)
+SELECT cohort_day,
+       cast(date_diff('day', cohort_day, d) AS int) AS age_days,
+       count(DISTINCT user_id) AS active_users
+FROM a GROUP BY 1, 2
+""",
+        "conv_lifetimes": """
+SELECT cast(user_id AS varchar) AS conv_id,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6)
+         AS span_s,
+       count(DISTINCT date_trunc('day', ts)) AS active_days,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+        "emb_centroid": """
+WITH pd AS (
+  SELECT label, dim, cast(count(*) AS BIGINT) AS n, sum(x) AS s FROM (
+    SELECT label, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings) GROUP BY 1, 2
+)
+SELECT label, max(n) AS n_vecs,
+       round(sqrt(sum((s / n) * (s / n))), 6) AS centroid_norm
+FROM pd GROUP BY 1
 """,
     }

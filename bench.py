@@ -82,6 +82,9 @@ HEADLINE = [
     "emb_clusters",
     "unpivot_tier",
     "term_salience",
+    "cohort_retention",
+    "conv_lifetimes",
+    "emb_centroid",
 ]
 
 
