@@ -1809,6 +1809,69 @@ def q_emb_centroid(spark, sf_dir):
     )
 
 
+def q_text_scrub(spark, sf_dir):
+    """PII-shaped redaction pass: digit runs replaced with '#'
+    (account numbers, phone fragments), with per-doc redaction counts
+    — the scrubbing stage of a training-data pipeline.  Pattern kept
+    to character-class regex so Java regex and RE2-family engines
+    agree; in-row, no shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias(
+            "n_redactions"
+        ),
+    ).select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        F.length("scrubbed").alias("scrubbed_len"),
+        "n_redactions",
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: split each document into token windows
+    of 50 with stride 40 (the sequence-packing precursor every LLM
+    training pipeline runs).  In-row sequence + slice — one generator
+    per doc, no shuffle; emits (doc_id, chunk_idx, n_toks, chunk_md5)
+    so the oracle verifies chunk CONTENT, not just counts."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    # last start covers the tail exactly once:
+    # 1 + 40·ceil(max(n−50, 0)/40), integer ceil via (x+39) div 40
+    last_start = F.lit(1) + F.lit(40) * F.expr(
+        "(greatest(size(t) - 50, 0) + 39) div 40"
+    )
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        last_start.cast("long"),
+        F.lit(40).cast("long"),
+    )
+    return (
+        d.where(n > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+            n.alias("_n"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.col("_n") - F.col("start").cast("int") + 1, F.lit(50)
+            ).alias("n_toks"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr("slice(t, cast(start AS int), 50)")
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1910,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "conv_lifetimes": q_conv_lifetimes,
         "emb_centroid": q_emb_centroid,
+        "text_scrub": q_text_scrub,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -3640,5 +3705,33 @@ WITH pd AS (
 SELECT label, max(n) AS n_vecs,
        round(sqrt(sum((s / n) * (s / n))), 6) AS centroid_norm
 FROM pd GROUP BY 1
+""",
+        "text_scrub": """
+SELECT doc_id,
+       md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS scrubbed_md5,
+       cast(length(regexp_replace(text, '[0-9]+', '#', 'g')) AS int)
+         AS scrubbed_len,
+       cast(len(regexp_extract_all(text, '[0-9]+')) AS int)
+         AS n_redactions
+FROM documents
+""",
+        "doc_chunks": """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(generate_series(
+           1, 1 + 40 * ((greatest(len(t) - 50, 0) + 39) // 40), 40))
+           AS start,
+         generate_subscripts(generate_series(
+           1, 1 + 40 * ((greatest(len(t) - 50, 0) + 39) // 40), 40), 1)
+           - 1 AS chunk_idx
+  FROM d WHERE len(t) > 0
+)
+SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+       cast(least(n - start + 1, 50) AS int) AS n_toks,
+       md5(array_to_string(t[start:start+49], ' ')) AS chunk_md5
+FROM s
 """,
     }

@@ -85,6 +85,8 @@ HEADLINE = [
     "cohort_retention",
     "conv_lifetimes",
     "emb_centroid",
+    "text_scrub",
+    "doc_chunks",
 ]
 
 
