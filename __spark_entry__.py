@@ -1872,6 +1872,30 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_asof_tolerant(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof
+    `tolerance`): matches older than 30 minutes are treated as no
+    match — the variant real monitoring joins need (a 3-day-old error
+    is not 'the current error state').  Oracle: native ASOF JOIN with
+    the bound applied post-match, which is definitionally the same."""
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_v"))
+    )
+    j = asof_join(
+        clicks, errors, ["user_id"], "ts", "ts", ["err_v"],
+        tolerance_seconds=1800,
+    )
+    return j.select("event_id", "user_id", "err_v_asof")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -1975,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid": q_emb_centroid,
         "text_scrub": q_text_scrub,
         "doc_chunks": q_doc_chunks,
+        "asof_tolerant": q_asof_tolerant,
     }
 
 
@@ -3733,5 +3758,18 @@ SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
        cast(least(n - start + 1, 50) AS int) AS n_toks,
        md5(array_to_string(t[start:start+49], ' ')) AS chunk_md5
 FROM s
+""",
+        "asof_tolerant": """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), err AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS err_v
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 1800000000
+            THEN e.err_v END AS err_v_asof
+FROM clicks c
+ASOF LEFT JOIN err e ON c.user_id = e.user_id AND c.ts >= e.ts
 """,
     }

@@ -87,6 +87,7 @@ HEADLINE = [
     "emb_centroid",
     "text_scrub",
     "doc_chunks",
+    "asof_tolerant",
 ]
 
 

@@ -198,3 +198,31 @@ def test_interval_overlap_join_hand_cases(spark):
         ("L3", "R3"): 0,                      # touching -> 0 µs overlap
         ("L5", "R5"): 36 * hour,              # exactly once, not per day
     }
+
+
+def test_asof_join_tolerance(spark):
+    """Matches older than the bound are nulled; equal-age and fresher
+    matches survive (inclusive bound)."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u", 1, t0 + dt.timedelta(seconds=100)),
+         ("u", 2, t0 + dt.timedelta(seconds=160)),
+         ("u", 3, t0 + dt.timedelta(seconds=161))],
+        "user_id string, eid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t0 + dt.timedelta(seconds=100), 7.0)],
+        "user_id string, ts timestamp, rv double",
+    )
+    got = {
+        r.eid: r.rv_asof
+        for r in asof_join(
+            left, right, ["user_id"], payload=["rv"],
+            tolerance_seconds=60,
+        ).collect()
+    }
+    assert got == {1: 7.0, 2: 7.0, 3: None}  # 61s stale -> null

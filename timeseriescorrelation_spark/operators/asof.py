@@ -27,9 +27,15 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               payload: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              tolerance_seconds: int | None = None) -> DataFrame:
     """Left as-of join: left columns + each right payload column as
-    `<col><suffix>` (null when no right row at or before left's ts)."""
+    `<col><suffix>` (null when no right row at or before left's ts).
+
+    ``tolerance_seconds`` bounds staleness (pandas merge_asof
+    `tolerance`): a matched right row older than the bound is treated
+    as no match (all payload columns null) — the carried struct keeps
+    the right row's own ts, so the bound is exact integer µs."""
     payload = payload or [
         c for c in right.columns if c not in (*keys, right_ts)
     ]
@@ -39,7 +45,12 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
     # columns independently would let a null field resurrect a stale
     # value from an older row — a torn result no real right row ever
     # had (and a divergence from SQL ASOF JOIN semantics).
-    r_payload = F.struct(*[F.col(c) for c in payload])
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    r_payload = F.struct(
+        *[F.col(c) for c in payload],
+        epoch_us(F.col(right_ts)).alias("_rts_us"),
+    )
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
@@ -65,8 +76,19 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
     carried = u.select(
         "_is_left",
         "_row",
+        "_ts",
         F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds) * 1_000_000
+        carried = carried.withColumn(
+            "_p",
+            F.when(
+                epoch_us(F.col("_ts")) - F.col("_p._rts_us")
+                <= F.lit(tol_us),
+                F.col("_p"),
+            ),
+        )
     out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
     return carried.where(F.col("_is_left") == 1).select(
         *out_cols,
