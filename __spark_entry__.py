@@ -1896,6 +1896,56 @@ def q_asof_tolerant(spark, sf_dir):
     return j.select("event_id", "user_id", "err_v_asof")
 
 
+def q_tier_consistency(spark, sf_dir):
+    """Cross-tier DQ invariant, computed not assumed: re-aggregate the
+    1m tier to 1h and diff it per-bucket against a direct raw→1h
+    rollup (merge(rollup_1m) == rollup_1h).  Output is a per-metric
+    report of compared buckets and mismatch counts — all zeros on a
+    consistent pipeline, and the oracle gate proves both engines agree
+    on exactly that."""
+    from timeseriescorrelation_spark.operators.rollup import (
+        tier_consistency_report,
+    )
+
+    return tier_consistency_report(
+        _series_from_events(spark, sf_dir), "1m", "1h"
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outliers per metric: |v - median| > 3 * MAD.  Medians on
+    integer cents land on .5-steps and deviations on .25-steps — exact
+    in binary float, so the flag comparison is deterministic across
+    engines (the rolling_p95 contract, applied to a grouped MAD)."""
+    from timeseriescorrelation_spark.operators.analytics import mad_outliers
+
+    return mad_outliers(
+        _series_from_events(spark, sf_dir), k=3.0, keys=["metric"],
+        value_decimals=2,
+    )
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE grouping sets over (event_type, day-of-week): all four
+    grouping combinations in ONE aggregation pass (next to the ROLLUP
+    form in rollup_summary_1d) — the OLAP cross-tab a dashboard
+    issues as a single query instead of four.  grouping_id
+    disambiguates data-NULL from subtotal-NULL."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2000,6 +2050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": q_text_scrub,
         "doc_chunks": q_doc_chunks,
         "asof_tolerant": q_asof_tolerant,
+        "tier_consistency": q_tier_consistency,
+        "mad_outliers": q_mad_outliers,
+        "cube_counts": q_cube_counts,
     }
 
 
@@ -3771,5 +3824,88 @@ SELECT c.event_id, c.user_id,
             THEN e.err_v END AS err_v_asof
 FROM clicks c
 ASOF LEFT JOIN err e ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+        "tier_consistency": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, value
+  FROM events
+), t1m AS (
+  SELECT conv_id, metric, date_trunc('minute', ts) AS bucket_ts,
+         count(value) AS cnt, sum(value) AS s, min(value) AS mn,
+         max(value) AS mx, arg_min(value, ts) AS fv,
+         arg_max(value, ts) AS lv
+  FROM s GROUP BY 1, 2, 3
+), reagg AS (
+  SELECT conv_id, metric, date_trunc('hour', bucket_ts) AS bucket_ts,
+         sum(cnt) AS cnt, sum(s) AS s, min(mn) AS mn, max(mx) AS mx,
+         arg_min(fv, bucket_ts) AS fv, arg_max(lv, bucket_ts) AS lv
+  FROM t1m GROUP BY 1, 2, 3
+), direct AS (
+  SELECT conv_id, metric, date_trunc('hour', ts) AS bucket_ts,
+         count(value) AS cnt, sum(value) AS s, min(value) AS mn,
+         max(value) AS mx, arg_min(value, ts) AS fv,
+         arg_max(value, ts) AS lv
+  FROM s GROUP BY 1, 2, 3
+), j AS (
+  SELECT coalesce(a.metric, b.metric) AS metric,
+         a.cnt AS a_cnt, b.cnt AS b_cnt,
+         a.s AS a_s, b.s AS b_s, a.mn AS a_mn, b.mn AS b_mn,
+         a.mx AS a_mx, b.mx AS b_mx, a.fv AS a_fv, b.fv AS b_fv,
+         a.lv AS a_lv, b.lv AS b_lv
+  FROM reagg a FULL OUTER JOIN direct b
+    ON a.conv_id = b.conv_id AND a.metric = b.metric
+   AND a.bucket_ts = b.bucket_ts
+)
+SELECT metric,
+       count(*) AS n_buckets,
+       cast(sum(cast(b_cnt IS NULL AS int)) AS bigint) AS n_only_reagg,
+       cast(sum(cast(a_cnt IS NULL AS int)) AS bigint) AS n_only_direct,
+       cast(sum(cast(a_cnt IS NOT NULL AND b_cnt IS NOT NULL
+                     AND a_cnt <> b_cnt AS int)) AS bigint) AS n_cnt_diff,
+       cast(sum(cast(a_cnt IS NOT NULL AND b_cnt IS NOT NULL
+                     AND round(a_s, 6) <> round(b_s, 6) AS int))
+            AS bigint) AS n_sum_diff,
+       cast(sum(cast(a_cnt IS NOT NULL AND b_cnt IS NOT NULL
+                     AND a_mn <> b_mn AS int)) AS bigint) AS n_min_diff,
+       cast(sum(cast(a_cnt IS NOT NULL AND b_cnt IS NOT NULL
+                     AND a_mx <> b_mx AS int)) AS bigint) AS n_max_diff,
+       cast(sum(cast(a_cnt IS NOT NULL AND b_cnt IS NOT NULL
+                     AND a_fv <> b_fv AS int)) AS bigint) AS n_first_diff,
+       cast(sum(cast(a_cnt IS NOT NULL AND b_cnt IS NOT NULL
+                     AND a_lv <> b_lv AS int)) AS bigint) AS n_last_diff
+FROM j GROUP BY 1
+""",
+        "mad_outliers": """
+WITH s AS (
+  SELECT event_type AS metric, ts, event_id AS turn_idx, value,
+         cast(round(value * 100) AS bigint) AS _v
+  FROM events
+), med AS (
+  SELECT metric, quantile_cont(_v, 0.5) AS _med FROM s GROUP BY 1
+), d AS (
+  SELECT s.*, _med, abs(_v - _med) AS _dev
+  FROM s JOIN med USING (metric)
+), mad AS (
+  SELECT metric, quantile_cont(_dev, 0.5) AS _mad FROM d GROUP BY 1
+)
+SELECT metric, ts, turn_idx, value,
+       round(_med / 100, 6) AS med,
+       round(_mad / 100, 6) AS mad,
+       round(CASE WHEN _mad > 0 THEN _dev / _mad END, 6) AS score
+FROM d JOIN mad USING (metric)
+WHERE _dev > 3.0 * _mad
+""",
+        "cube_counts": """
+WITH s AS (
+  SELECT event_type, cast(dayofweek(ts) + 1 AS int) AS dow,
+         cast(round(value * 100) AS bigint) AS cents
+  FROM events
+)
+SELECT event_type, dow,
+       cast(grouping(event_type, dow) AS bigint) AS gid,
+       count(*) AS n,
+       cast(sum(cents) AS bigint) AS sum_cents
+FROM s GROUP BY CUBE (event_type, dow)
 """,
     }

@@ -88,6 +88,9 @@ HEADLINE = [
     "text_scrub",
     "doc_chunks",
     "asof_tolerant",
+    "tier_consistency",
+    "mad_outliers",
+    "cube_counts",
 ]
 
 

@@ -1035,3 +1035,178 @@ def cusum(series: DataFrame, h: float = 5.0,
         F.round(sm / scale, 6).alias("s_minus"),
         ((sp * sp > hh * var) | (sm * sm > hh * var)).alias("alert"),
     )
+
+
+def mad_outliers(series: DataFrame, k: float = 3.0,
+                 keys: list[str] | None = None,
+                 value_decimals: int = 2) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    points with |v - median| > k * MAD per key group.  Unlike the
+    z-score detectors, both the center and the spread are medians, so
+    a handful of extreme points cannot inflate the threshold that is
+    supposed to catch them (the classic breakdown-point argument for
+    MAD over stddev).
+
+    Cross-engine exactness: values are snapped to integer units
+    (10^value_decimals), so the exact interpolated medians land on
+    .5-steps and the deviations on .25-steps — all exact in binary
+    floating point; the k*MAD comparison is therefore deterministic
+    across engines (same contract as rolling_p95 / latency
+    percentiles).  score = dev/MAD is a single float division on both
+    sides, rounded to 6dp.
+
+    Scale (100 TB): `percentile` is an exact aggregate — it buffers a
+    group's values, so memory is O(points per key group).  With
+    low-cardinality keys (per-metric medians) the bounded-memory path
+    is quantiles_scalable / the HDR sketch; this operator is the
+    exact form for grouped medians at moderate group sizes.  Two
+    grouped aggregations + two small joins (the per-key median tables
+    are tiny and broadcast)."""
+    keys = keys or ["metric"]
+    scale = 10 ** value_decimals
+    s = series.withColumn(
+        "_v", F.round(F.col("value") * scale).cast("long")
+    )
+    med = s.groupBy(*keys).agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    d = s.join(F.broadcast(med), keys).withColumn(
+        "_dev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = d.groupBy(*keys).agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    out = d.join(F.broadcast(mad), keys).where(
+        F.col("_dev") > F.lit(float(k)) * F.col("_mad")
+    )
+    score = F.when(F.col("_mad") > 0, F.col("_dev") / F.col("_mad"))
+    return out.select(
+        *keys, "ts", "turn_idx", "value",
+        F.round(F.col("_med") / scale, 6).alias("med"),
+        F.round(F.col("_mad") / scale, 6).alias("mad"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def spearman_hourly_pairs(series: DataFrame, min_n: int = 12,
+                          r_min: float | None = None) -> DataFrame:
+    """Spearman rank correlation between conversation pairs over
+    co-occurring hourly mean values — the rank-based (monotone,
+    outlier-robust) companion to the reference's exact Pearson report:
+    a pair moving together nonlinearly scores high here and low on
+    Pearson.
+
+    Average ranks for ties WITHOUT a per-value count window:
+    avg_rank = (rank_asc + (n + 1 - rank_desc)) / 2 — two rank()
+    passes over the SAME (ua, ub) partition (one exchange, two sort
+    orders) instead of an extra exchange on (ua, ub, value).  Ranks
+    are .5-step exact, so the moment sums behave exactly like every
+    other correlation in the engine (round-6 contract).
+
+    Scale: the pair source is the same hourly-bucket equi-join as
+    corr_pairs_hourly (shuffle keyed on bucket, never cartesian);
+    the rank windows shuffle once on the pair key.  Pairs are bounded
+    by co-occurrence, and the ε-grid candidate prune composes in
+    front of this exactly as it does for Pearson."""
+    h = series.groupBy(
+        F.col("conv_id"), F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.avg("value").alias("v"))
+    a = h.select(F.col("conv_id").alias("ua"), "b", F.col("v").alias("va"))
+    b = h.select(F.col("conv_id").alias("ub"), "b", F.col("v").alias("vb"))
+    p = a.join(b, "b").where(F.col("ua") < F.col("ub"))
+
+    pair = Window.partitionBy("ua", "ub")
+    n = F.count("*").over(pair)
+
+    def _avg_rank(col: str) -> Column:
+        asc = F.rank().over(pair.orderBy(F.col(col).asc()))
+        desc = F.rank().over(pair.orderBy(F.col(col).desc()))
+        return (asc + (n + 1 - desc)) / 2.0
+
+    r = p.select(
+        "ua", "ub",
+        _avg_rank("va").alias("ra"),
+        _avg_rank("vb").alias("rb"),
+    )
+    g = r.groupBy("ua", "ub").agg(
+        F.count("*").alias("n"),
+        F.covar_pop("ra", "rb").alias("cov"),
+        F.stddev_pop("ra").alias("sa"),
+        F.stddev_pop("rb").alias("sb"),
+    )
+    out = (
+        g.where(F.col("n") >= min_n)
+        .select(
+            "ua", "ub", "n",
+            F.round(
+                pearson_guarded(F.col("cov"), F.col("sa"), F.col("sb")), 6
+            ).alias("rho_s"),
+        )
+        .where(F.col("rho_s").isNotNull())
+    )
+    if r_min is not None:
+        out = out.where(F.abs(F.col("rho_s")) >= float(r_min))
+    return out
+
+
+def trend_daily(series: DataFrame, keys: list[str] | None = None,
+                value_decimals: int = 2) -> DataFrame:
+    """Per-(key, day) least-squares linear trend — slope and intercept
+    of value over time-of-day, the "is this metric drifting" primitive
+    under every capacity dashboard.
+
+    Exactness: x = seconds since day start (int), y = integer units of
+    10^value_decimals; per-row products x·y and x·x fit comfortably in
+    int64, and the MOMENT SUMS are decimal(38,0) (Spark) / hugeint
+    (DuckDB) — exact 128-bit integers in both engines.  slope =
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) has an exactly-integer numerator
+    and denominator; each engine performs ONE double division on
+    identical integers, so the rounded outputs agree bit-for-bit.
+
+    Scale: a single hash aggregation keyed on (keys, day) — partial
+    aggregation collapses map-side, shuffle volume ≈ |groups|.  The
+    decimal(38,0) accumulators are why this survives 100 TB groups:
+    int64 Σxy overflows near n ≈ 10^6 rows/group (x·y ≈ 8.6e12 each),
+    decimal38 not until n ≈ 10^25."""
+    keys = keys or ["metric"]
+    scale = 10 ** value_decimals
+    day = F.date_trunc("day", "ts")
+    x = ((epoch_us(F.col("ts")) - epoch_us(day)) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    y = F.round(F.col("value") * scale).cast("long")
+    s = series.select(
+        *keys, day.alias("day_ts"), x.alias("x"), y.alias("y")
+    )
+    dec = "decimal(38,0)"
+    g = s.groupBy(*keys, "day_ts").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope_units_per_sec = F.when(den > 0, num / den)
+    # value-units per hour: * 3600 / scale (exact double scaling)
+    slope = slope_units_per_sec * F.lit(3600.0 / scale)
+    intercept = F.when(
+        den > 0,
+        (
+            F.col("sy").cast("double")
+            - slope_units_per_sec * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double")
+        / F.lit(float(scale)),
+    )
+    return g.select(
+        *keys, "day_ts",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept_v"),
+    )

@@ -238,3 +238,65 @@ def tier_summary(tier_df: DataFrame) -> DataFrame:
         )
         .orderBy(F.col("metric").asc_nulls_first())
     )
+
+
+def tier_consistency_report(series: DataFrame, lo_tier: str = "1m",
+                            hi_tier: str = "1h") -> DataFrame:
+    """Cross-tier data-quality check: re-aggregate the low tier up to
+    the high tier and diff it against a direct raw→high rollup,
+    per (conv_id, metric, bucket) — the invariant every continuous
+    aggregate must hold (``merge(rollup_1m) == rollup_1h``), reported
+    instead of assumed.  A bucket "mismatches" when any of
+    cnt / round(sum,6) / min / max / first / last disagree (sum is
+    compared rounded: re-agg adds partials in a different order than
+    the direct rollup, so the raw doubles may differ in the last ulp
+    while both are correct).
+
+    Output: one row per metric with buckets compared, buckets present
+    on only one side, and per-column mismatch counts.  On consistent
+    pipelines every count but n_buckets is 0 — the value of the query
+    is that the zeros are *computed*, not asserted.
+
+    Scale: both sides are ordinary tier builds (shuffle ≈ |buckets|);
+    the diff is an equi-join on the bucket grain, then one small agg
+    keyed on metric.  No extra pass over raw data beyond the two
+    rollups, and the low tier is reused from the cascade in practice.
+    """
+    reagg = rollup_tier(rollup_raw(series, lo_tier), hi_tier)
+    direct = rollup_raw(series, hi_tier)
+
+    keys = ["conv_id", "metric", "bucket_ts"]
+    a = reagg.select(
+        *keys,
+        *[F.col(c).alias(f"a_{c}")
+          for c in ("cnt", "sum", "min", "max", "first", "last")],
+    )
+    b = direct.select(
+        *keys,
+        *[F.col(c).alias(f"b_{c}")
+          for c in ("cnt", "sum", "min", "max", "first", "last")],
+    )
+    j = a.join(b, keys, "full_outer")
+
+    both = F.col("a_cnt").isNotNull() & F.col("b_cnt").isNotNull()
+
+    def _diff(col: str, rounded: bool = False):
+        x, y = F.col(f"a_{col}"), F.col(f"b_{col}")
+        if rounded:
+            x, y = F.round(x, 6), F.round(y, 6)
+        return F.sum((both & (x != y)).cast("long")).alias(f"n_{col}_diff")
+
+    return (
+        j.groupBy("metric")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("b_cnt").isNull().cast("long")).alias("n_only_reagg"),
+            F.sum(F.col("a_cnt").isNull().cast("long")).alias("n_only_direct"),
+            _diff("cnt"),
+            _diff("sum", rounded=True),
+            _diff("min"),
+            _diff("max"),
+            _diff("first"),
+            _diff("last"),
+        )
+    )
