@@ -1836,40 +1836,22 @@ def q_doc_chunks(spark, sf_dir):
     training pipeline runs).  In-row sequence + slice — one generator
     per doc, no shuffle; emits (doc_id, chunk_idx, n_toks, chunk_md5)
     so the oracle verifies chunk CONTENT, not just counts."""
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    d = _docs(spark, sf_dir).select("doc_id", toks.alias("t"))
-    n = F.size("t")
-    # last start covers the tail exactly once:
-    # 1 + 40·ceil(max(n−50, 0)/40), integer ceil via (x+39) div 40
-    last_start = F.lit(1) + F.lit(40) * F.expr(
-        "(greatest(size(t) - 50, 0) + 39) div 40"
+    from timeseriescorrelation_spark.operators.textstats import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), width=50, stride=40)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level cross-document duplication (the chunked
+    approximation of exact-substring dedup, Lee et al. 2022): per doc
+    the fraction of its 50-token windows whose md5 occurs in more
+    than one distinct document — the threshold signal substring-dedup
+    pipelines cut on."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        chunk_dup_stats,
     )
-    starts = F.sequence(
-        F.lit(1).cast("long"),
-        last_start.cast("long"),
-        F.lit(40).cast("long"),
-    )
-    return (
-        d.where(n > 0)
-        .select(
-            "doc_id",
-            "t",
-            F.posexplode(starts).alias("chunk_idx", "start"),
-            n.alias("_n"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.least(
-                F.col("_n") - F.col("start").cast("int") + 1, F.lit(50)
-            ).alias("n_toks"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.expr("slice(t, cast(start AS int), 50)")
-                )
-            ).alias("chunk_md5"),
-        )
-    )
+
+    return chunk_dup_stats(_docs(spark, sf_dir), width=50, stride=40)
 
 
 def q_asof_tolerant(spark, sf_dir):
@@ -1943,6 +1925,83 @@ def q_cube_counts(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("cents").alias("sum_cents"),
         )
+    )
+
+
+def q_spearman_pairs(spark, sf_dir):
+    """Spearman rank correlation between conversation pairs over
+    co-occurring hourly means — the monotone/robust companion to the
+    exact-Pearson report.  Tie handling uses the two-rank identity
+    avg_rank = (rank_asc + n + 1 - rank_desc)/2, which costs one
+    exchange instead of two."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        spearman_hourly_pairs,
+    )
+
+    return spearman_hourly_pairs(
+        _series_from_events(spark, sf_dir), min_n=12
+    )
+
+
+def q_trend_daily(spark, sf_dir):
+    """Per-(metric, day) least-squares trend from exact 128-bit
+    integer moment sums (decimal(38,0) vs hugeint) — slope and
+    intercept are each ONE double division of identical integers in
+    both engines, so they match bit-for-bit."""
+    from timeseriescorrelation_spark.operators.analytics import trend_daily
+
+    return trend_daily(
+        _series_from_events(spark, sf_dir), keys=["metric"],
+        value_decimals=2,
+    )
+
+
+def q_concurrency_1h(spark, sf_dir):
+    """Peak concurrent sessions per hour via a sweep line whose
+    running sum is day-sharded (local cumsum + tiny per-day carry
+    prefix) instead of one global window — the oracle runs the plain
+    global cumsum, so the gate proves the telescoped form identical."""
+    from timeseriescorrelation_spark.operators.intervals import (
+        max_concurrency,
+    )
+    from timeseriescorrelation_spark.streaming.rollup_stream import sessionize
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    spans = sessionize(e, "30 minutes").select(
+        F.col("session_start").alias("start_ts"),
+        F.col("session_end_ts").alias("end_ts"),
+    )
+    return max_concurrency(spans, "start_ts", "end_ts", "hour")
+
+
+def q_lttb_1h(spark, sf_dir):
+    """LTTB downsampling (fixed-anchor parallel variant): one
+    shape-salient point per (metric, hour), argmax of the triangle
+    area with neighbor-bucket mean anchors — decided on exact
+    decimal(38,0)/hugeint integers, so the pick is bit-identical
+    across engines."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        lttb_downsample,
+    )
+
+    return lttb_downsample(
+        _series_from_events(spark, sf_dir), trunc="hour", keys=["metric"],
+        value_decimals=2,
+    )
+
+
+def q_des_brown(spark, sf_dir):
+    """Brown's double exponential smoothing (level + trend per point):
+    two chained pandas-C EWMA kernels, DuckDB recursive-CTE oracle
+    carrying both states — float64 recursion reproduced bit-for-bit,
+    floor-quantized like `ewma_smooth`."""
+    from timeseriescorrelation_spark.operators.analytics import des_brown
+
+    return des_brown(
+        _series_from_events(spark, sf_dir), alpha=0.3,
+        keys=["conv_id", "metric"],
     )
 
 
@@ -2053,6 +2112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_consistency": q_tier_consistency,
         "mad_outliers": q_mad_outliers,
         "cube_counts": q_cube_counts,
+        "spearman_pairs": q_spearman_pairs,
+        "trend_daily": q_trend_daily,
+        "concurrency_1h": q_concurrency_1h,
+        "chunk_dedup": q_chunk_dedup,
+        "lttb_1h": q_lttb_1h,
+        "des_brown": q_des_brown,
     }
 
 
@@ -3907,5 +3972,187 @@ SELECT event_type, dow,
        count(*) AS n,
        cast(sum(cents) AS bigint) AS sum_cents
 FROM s GROUP BY CUBE (event_type, dow)
+""",
+        "spearman_pairs": """
+WITH h AS (
+  SELECT cast(user_id AS varchar) AS u, date_trunc('hour', ts) AS b,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.u AS ua, b.u AS ub, a.v AS va, b.v AS vb
+  FROM h a JOIN h b ON a.b = b.b AND a.u < b.u
+), r AS (
+  SELECT ua, ub,
+         (rank() OVER (PARTITION BY ua, ub ORDER BY va ASC)
+          + count(*) OVER (PARTITION BY ua, ub) + 1
+          - rank() OVER (PARTITION BY ua, ub ORDER BY va DESC)) / 2.0 AS ra,
+         (rank() OVER (PARTITION BY ua, ub ORDER BY vb ASC)
+          + count(*) OVER (PARTITION BY ua, ub) + 1
+          - rank() OVER (PARTITION BY ua, ub ORDER BY vb DESC)) / 2.0 AS rb
+  FROM p
+), g AS (
+  SELECT ua, ub, count(*) AS n, covar_pop(ra, rb) AS cov,
+         stddev_pop(ra) AS sa, stddev_pop(rb) AS sb
+  FROM r GROUP BY 1, 2
+)
+SELECT ua, ub, n,
+       round(CASE WHEN sa > 0 AND sb > 0 THEN cov / (sa * sb) END, 6)
+         AS rho_s
+FROM g
+WHERE n >= 12
+  AND (CASE WHEN sa > 0 AND sb > 0 THEN cov / (sa * sb) END) IS NOT NULL
+""",
+        "trend_daily": """
+WITH s AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         (epoch_us(ts) - epoch_us(date_trunc('day', ts))) // 1000000 AS x,
+         cast(round(value * 100) AS bigint) AS y
+  FROM events
+), g AS (
+  SELECT metric, day_ts, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM s GROUP BY 1, 2
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n,
+       round(CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+             THEN cast(n * sxy - sx * sy AS double)
+                  / cast(n * sxx - sx * sx AS double) * 36.0 END, 6)
+         AS slope_per_hour,
+       round(CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+             THEN (cast(sy AS double)
+                   - (cast(n * sxy - sx * sy AS double)
+                      / cast(n * sxx - sx * sx AS double))
+                     * cast(sx AS double))
+                  / cast(n AS double) / 100.0 END, 6) AS intercept_v
+FROM g
+""",
+        "concurrency_1h": """
+WITH d AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+), spans AS (
+  SELECT min(ts) AS start_ts, max(ts) AS end_ts
+  FROM s GROUP BY conv_id, sid
+), deltas AS (
+  SELECT ts_us, sum(dd) AS delta FROM (
+    SELECT epoch_us(start_ts) AS ts_us, 1 AS dd FROM spans
+    UNION ALL
+    SELECT epoch_us(end_ts) + 1 AS ts_us, -1 AS dd FROM spans
+  ) GROUP BY 1
+), lv AS (
+  SELECT ts_us,
+         cast(sum(delta) OVER (ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+           AS level
+  FROM deltas
+)
+SELECT date_trunc('hour', make_timestamp(ts_us)) AS bucket_ts,
+       max(level) AS peak, count(*) AS n_changes
+FROM lv GROUP BY 1
+""",
+        "chunk_dedup": """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(generate_series(
+           1, 1 + 40 * ((greatest(len(t) - 50, 0) + 39) // 40), 40))
+           AS start
+  FROM d WHERE len(t) > 0
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(t[start:start+49], ' ')) AS chunk_md5
+  FROM s
+), df AS (
+  SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+  FROM ch GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       cast(sum(cast(n_docs > 1 AS int)) AS bigint) AS n_dup_chunks,
+       round(sum(cast(n_docs > 1 AS int)) / cast(count(*) AS double), 6)
+         AS dup_frac
+FROM ch JOIN df USING (chunk_md5)
+GROUP BY 1
+""",
+        "lttb_1h": """
+WITH s AS (
+  SELECT event_type AS metric, ts, event_id AS turn_idx, value,
+         date_trunc('hour', ts) AS bucket_ts,
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) // 1000000
+           AS x,
+         cast(round(value * 100) AS bigint) AS y
+  FROM events
+), g AS (
+  SELECT metric, bucket_ts, count(*) AS bn, sum(x) AS bsx,
+         sum(y) AS bsy
+  FROM s GROUP BY 1, 2
+), gg AS (
+  SELECT metric, bucket_ts, bn,
+         lag(bn) OVER w AS n1, lag(bsx) OVER w AS psx,
+         lag(bsy) OVER w AS sy1, lag(bucket_ts) OVER w AS b1,
+         lead(bn) OVER w AS n3, lead(bsx) OVER w AS nsx,
+         lead(bsy) OVER w AS sy3, lead(bucket_ts) OVER w AS b3
+  FROM g WINDOW w AS (PARTITION BY metric ORDER BY bucket_ts)
+), j AS (
+  SELECT s.metric, s.bucket_ts, s.ts, s.turn_idx, s.value, s.x, s.y,
+         gg.bn, gg.n1, gg.sy1, gg.n3, gg.sy3,
+         gg.psx + gg.n1
+           * ((epoch_us(gg.b1) - epoch_us(s.bucket_ts)) // 1000000)
+           AS sx1,
+         gg.nsx + gg.n3
+           * ((epoch_us(gg.b3) - epoch_us(s.bucket_ts)) // 1000000)
+           AS sx3
+  FROM s JOIN gg USING (metric, bucket_ts)
+), sc AS (
+  SELECT *,
+         CASE WHEN n1 IS NOT NULL AND n3 IS NOT NULL THEN
+           abs((sx1 * n3 - sx3 * n1) * (y * n1 - sy1)
+               - (sx1 - x * n1) * (sy3 * n1 - sy1 * n3)) END AS score,
+         (epoch_us(ts) - epoch_us(bucket_ts)) * 2147483648
+           + least(turn_idx, 2147483647) AS pk
+  FROM j
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY metric, bucket_ts
+    ORDER BY score DESC NULLS LAST,
+             CASE WHEN n1 IS NOT NULL AND n3 IS NULL
+                  THEN -pk ELSE pk END ASC) AS rn
+  FROM sc
+)
+SELECT metric, bucket_ts, bn AS n, ts, value FROM r WHERE rn = 1
+""",
+        "des_brown": """
+WITH RECURSIVE s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         cast(event_id AS INTEGER) AS turn_idx, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), e AS (
+  SELECT conv_id, metric, ts, turn_idx, value, rn,
+         value AS y1, value AS y2
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.metric, s.ts, s.turn_idx, s.value, s.rn,
+         (1 - 0.3) * e.y1 + 0.3 * s.value,
+         (1 - 0.3) * e.y2 + 0.3 * ((1 - 0.3) * e.y1 + 0.3 * s.value)
+  FROM e JOIN s ON s.conv_id = e.conv_id AND s.metric = e.metric
+              AND s.rn = e.rn + 1
+)
+SELECT conv_id, metric, ts, turn_idx, value,
+       floor((2 * y1 - y2) * 1e6) / 1e6 AS level,
+       floor(((0.3 / (1 - 0.3)) * (y1 - y2)) * 1e6) / 1e6 AS trend
+FROM e
 """,
     }

@@ -91,6 +91,12 @@ HEADLINE = [
     "tier_consistency",
     "mad_outliers",
     "cube_counts",
+    "spearman_pairs",
+    "trend_daily",
+    "concurrency_1h",
+    "chunk_dedup",
+    "lttb_1h",
+    "des_brown",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Brown's double exponential smoothing: bit-equivalence against the
+explicit float64 two-state recursion, and trend-sign sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from timeseriescorrelation_spark.operators.analytics import des_brown
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+SERIES_SCHEMA = (
+    "conv_id string, metric string, ts timestamp, turn_idx int, value double"
+)
+
+
+def _explicit(vals, alpha):
+    y1 = vals[0]
+    y2 = vals[0]
+    out = []
+    for i, x in enumerate(vals):
+        if i > 0:
+            y1 = (1 - alpha) * y1 + alpha * x
+            y2 = (1 - alpha) * y2 + alpha * y1
+        level = 2 * y1 - y2
+        trend = (alpha / (1.0 - alpha)) * (y1 - y2)
+        out.append(
+            (math.floor(level * 1e6) / 1e6, math.floor(trend * 1e6) / 1e6)
+        )
+    return out
+
+
+def test_des_matches_explicit_recursion_bitwise(spark):
+    vals = [3.1, 4.7, 2.2, 8.8, 8.9, 1.0, 5.5, 5.5, 7.25, 0.125]
+    rows = [
+        ("c1", "m", T0 + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    got = sorted(
+        des_brown(df, alpha=0.3).collect(), key=lambda r: r.turn_idx
+    )
+    want = _explicit(vals, 0.3)
+    for r, (lv, tr) in zip(got, want):
+        assert r.level == lv, (r.turn_idx, r.level, lv)
+        assert r.trend == tr, (r.turn_idx, r.trend, tr)
+
+
+def test_des_trend_sign_tracks_direction(spark):
+    # strictly increasing series -> positive trend from t>=1;
+    # two independent series must not bleed into each other
+    rows = []
+    for i in range(10):
+        rows.append(("up", "m", T0 + dt.timedelta(minutes=i), i, float(i)))
+        rows.append(
+            ("down", "m", T0 + dt.timedelta(minutes=i), i, float(-i))
+        )
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    got = des_brown(df, alpha=0.3).collect()
+    for r in got:
+        if r.turn_idx == 0:
+            assert r.trend == 0.0
+        elif r.conv_id == "up":
+            assert r.trend > 0
+        else:
+            assert r.trend < 0

@@ -1210,3 +1210,179 @@ def trend_daily(series: DataFrame, keys: list[str] | None = None,
         F.round(slope, 6).alias("slope_per_hour"),
         F.round(intercept, 6).alias("intercept_v"),
     )
+
+
+def lttb_downsample(series: DataFrame, trunc: str = "hour",
+                    keys: list[str] | None = None,
+                    value_decimals: int = 2) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — ONE representative point per (series, bucket), the one forming
+    the largest triangle with its neighbor buckets' mean points.  The
+    shape-preserving companion to M4: M4 keeps extremes for pixel
+    fidelity, LTTB keeps visual salience at one point per bucket.
+
+    Variant: the left anchor is the PREVIOUS BUCKET'S MEAN (not the
+    previously-selected point).  Standard LTTB's anchor chain is a
+    sequential recursion — unshardable; the fixed-anchor form is the
+    published parallel simplification and is what a distributed
+    engine can honestly compute in one pass.  First/last buckets of a
+    series pin their first/last point (LTTB keeps endpoints).
+
+    Cross-engine exactness (the interesting part): the triangle area
+    argmax is decided on EXACT INTEGERS.  With x = whole seconds from
+    the current bucket start and y = integer value units, clearing
+    the anchor-mean denominators (n1·n3, shared by every candidate in
+    the bucket) turns 2·area into
+
+        N = (Sx1·n3 − Sx3·n1)·(y·n1 − Sy1) − (Sx1 − x·n1)·(Sy3·n1 − Sy1·n3)
+
+    computed wholly in decimal(38,0) (Spark) / hugeint (DuckDB) —
+    no float enters the comparison, so the argmax (ties broken by the
+    packed (ts, turn_idx) key) is bit-identical across engines.
+    |N| stays under 10^33 even at 10^6 points/bucket with month-wide
+    bucket gaps, well inside 38 digits.
+
+    Scale: one hash-agg (bucket sums), one |buckets|-row window for
+    neighbors, one equi-join back to points, one per-bucket window
+    for the argmax — shuffles keyed on (keys[, bucket]); no
+    all-pairs, no driver collect."""
+    from timeseriescorrelation_spark.operators.rollup import (
+        packed_order_key,
+    )
+
+    keys = keys or ["metric"]
+    scale = 10 ** value_decimals
+    dec = "decimal(38,0)"
+
+    s = series.select(
+        *keys, "ts", "turn_idx", "value",
+        F.date_trunc(trunc, "ts").alias("bucket_ts"),
+    ).withColumn(
+        "x",
+        (
+            (epoch_us(F.col("ts")) - epoch_us(F.col("bucket_ts")))
+            / F.lit(1_000_000)
+        ).cast("long"),
+    ).withColumn("y", F.round(F.col("value") * scale).cast("long"))
+
+    g = s.groupBy(*keys, "bucket_ts").agg(
+        F.count("*").alias("bn"),
+        F.sum(F.col("x").cast(dec)).alias("bsx"),
+        F.sum(F.col("y").cast(dec)).alias("bsy"),
+    )
+    w = Window.partitionBy(*keys).orderBy("bucket_ts")
+    gg = g.select(
+        *keys, "bucket_ts", "bn",
+        F.lag("bn").over(w).alias("n1"),
+        F.lag("bsx").over(w).alias("sx1"),
+        F.lag("bsy").over(w).alias("sy1"),
+        F.lag("bucket_ts").over(w).alias("b1"),
+        F.lead("bn").over(w).alias("n3"),
+        F.lead("bsx").over(w).alias("sx3"),
+        F.lead("bsy").over(w).alias("sy3"),
+        F.lead("bucket_ts").over(w).alias("b3"),
+    )
+    j = s.join(gg, [*keys, "bucket_ts"])
+
+    # shift neighbor x-sums into the current bucket's second offsets:
+    # Sx_rel = Sx_own + n * (neighbor_start - current_start) seconds
+    def _shift(sx, n, b):
+        dsec = (
+            (epoch_us(F.col(b)) - epoch_us(F.col("bucket_ts")))
+            / F.lit(1_000_000)
+        ).cast("long").cast(dec)
+        return F.col(sx) + F.col(n).cast(dec) * dsec
+
+    sx1 = _shift("sx1", "n1", "b1")
+    sx3 = _shift("sx3", "n3", "b3")
+    n1 = F.col("n1").cast(dec)
+    n3 = F.col("n3").cast(dec)
+    xx = F.col("x").cast(dec)
+    yy = F.col("y").cast(dec)
+    big_n = (sx1 * n3 - sx3 * n1) * (yy * n1 - F.col("sy1")) - (
+        sx1 - xx * n1
+    ) * (F.col("sy3") * n1 - F.col("sy1") * n3)
+    score = F.when(
+        F.col("n1").isNotNull() & F.col("n3").isNotNull(), F.abs(big_n)
+    )
+    pk = packed_order_key(trunc)
+    pk_adj = F.when(
+        F.col("n1").isNotNull() & F.col("n3").isNull(), -pk
+    ).otherwise(pk)
+
+    w_pick = Window.partitionBy(*keys, "bucket_ts").orderBy(
+        score.desc_nulls_last(), pk_adj.asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(*keys, "bucket_ts", F.col("bn").alias("n"), "ts", "value")
+    )
+
+
+def des_brown(series: DataFrame, alpha: float = 0.3,
+              keys: list[str] | None = None) -> DataFrame:
+    """Brown's double exponential smoothing: the EWMA of the EWMA,
+    giving a LEVEL and a TREND estimate per point —
+    s1_t = (1−α)s1_{t−1} + α·x_t,  s2_t = (1−α)s2_{t−1} + α·s1_t,
+    level = 2·s1 − s2,  trend = α/(1−α)·(s1 − s2).
+    Unlike Holt's two-parameter recursion this is two CHAINED plain
+    EWMAs, so both passes run in pandas' C ewm kernel (no Python
+    per-row loop) and the DuckDB recursive-CTE oracle reproduces the
+    float64 recursion bit-for-bit — same contract as `ewma`.
+
+    Same execution shape as `ewma` (hash-repartition on the series
+    keys, one sorted pandas kernel per partition — NOT per-series
+    Arrow groups; see ewma's 10x measurement), one extra column
+    through the same kernel."""
+    keys = keys or KEYS
+    a = float(alpha)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", ts timestamp, turn_idx int, value double,"
+        + " s1 double, s2 double"
+    )
+    cols = [*keys, "ts", "turn_idx", "value"]
+
+    def _des(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        g = pdf.groupby(keys, sort=False)
+        s1 = (
+            g["value"].ewm(alpha=a, adjust=False).mean()
+            .reset_index(level=keys, drop=True)
+        )
+        pdf["_s1"] = s1  # index-aligned (see ewma: group-block order)
+        s2 = (
+            pdf.groupby(keys, sort=False)["_s1"]
+            .ewm(alpha=a, adjust=False)
+            .mean()
+            .reset_index(level=keys, drop=True)
+        )
+        out = pdf[cols].copy()
+        out["s1"] = s1
+        out["s2"] = s2
+        yield out
+
+    with_ord = series.select(*cols, epoch_us(F.col("ts")).alias("_ord"))
+    n_part = int(
+        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    part = with_ord.repartition(n_part, *[F.col(k) for k in keys]) \
+        .sortWithinPartitions(*keys, "_ord", "turn_idx")
+    raw = part.mapInPandas(_des, schema)
+    # level/trend assembled JVM-side from the shared doubles; floor
+    # quantization (not round) — see ewma for why HALF_UP diverges
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = F.lit(a / (1.0 - a)) * (F.col("s1") - F.col("s2"))
+
+    def _q(c):
+        return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+    return raw.select(
+        *cols,
+        _q(level).alias("level"),
+        _q(trend).alias("trend"),
+    )

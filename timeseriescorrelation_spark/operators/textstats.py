@@ -235,3 +235,74 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
             F.round(top_cnt / n.cast("double"), 6).alias("top_tok_frac"),
         )
     )
+
+
+def chunk_windows(docs: DataFrame, width: int = 50,
+                  stride: int = 40, text_col: str = "text") -> DataFrame:
+    """Context-window chunking: token windows of `width` with `stride`,
+    the tail covered exactly once (last start = 1 + stride·ceil((n −
+    width)/stride)).  In-row generator, no shuffle; emits (doc_id,
+    chunk_idx, n_toks, chunk_md5) so downstream checks can verify
+    chunk CONTENT, not just counts."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = docs.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    last_start = F.lit(1) + F.lit(stride) * F.expr(
+        f"(greatest(size(t) - {width}, 0) + {stride - 1}) div {stride}"
+    )
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        last_start.cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    return (
+        d.where(n > 0)
+        .select(
+            "doc_id", "t",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+            n.alias("_n"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.col("_n") - F.col("start").cast("int") + 1, F.lit(width)
+            ).alias("n_toks"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr(f"slice(t, cast(start AS int), {width})")
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def chunk_dup_stats(docs: DataFrame, width: int = 50,
+                    stride: int = 40) -> DataFrame:
+    """Cross-document chunk-level duplication (the chunked
+    approximation of exact-substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"):
+    a chunk is duplicated when its md5 occurs in MORE THAN ONE
+    distinct document; per doc report the duplicated-chunk fraction —
+    the signal substring-dedup pipelines threshold on before cutting.
+
+    Scale: one shuffle keyed on chunk_md5 (uniform 128-bit keys — no
+    skew) for the distinct-doc counts, one shuffle back on chunk_md5
+    to tag chunks, one hash-agg on doc_id.  Never all-pairs; corpus
+    never collected.  count(distinct doc_id) per md5 is exact; at
+    100 TB swap in approx HLL registers (operators/sketches.py) if
+    ±2% suffices."""
+    ch = chunk_windows(docs, width, stride)
+    df = ch.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    tagged = ch.join(df, "chunk_md5")
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_chunks"),
+        F.round(
+            F.sum((F.col("n_docs") > 1).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
