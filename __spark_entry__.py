@@ -2005,6 +2005,60 @@ def q_des_brown(spark, sf_dir):
     )
 
 
+def q_heatmap_bins(spark, sf_dir):
+    """Hour-of-day × value-bin 2D histogram per metric (the density
+    heatmap behind every 'when do we see which values' panel).  Bin
+    edges derive from the per-metric min/max (tiny table, broadcast
+    cross into the stream); the bin index floor((v−mn)/w) is the same
+    double arithmetic in both engines, integer-cents inputs."""
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mm = e.groupBy("metric").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    j = e.join(F.broadcast(mm), "metric")
+    w = (F.col("mx") - F.col("mn")).cast("double") / F.lit(20.0)
+    bin_ = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.floor((F.col("cents") - F.col("mn")).cast("double") / w),
+            F.lit(19),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        j.withColumn("bin", bin_.cast("int"))
+        .groupBy("metric", "hod", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_minmax_scale(spark, sf_dir):
+    """Per-metric min-max feature scaling to [0,1] (the normalize
+    companion to the z-norm in build_vectors): exact integer-cents
+    numerator/denominator, ONE double division per row — identical in
+    both engines; constant metrics NULL-guarded."""
+    s = _series_from_events(spark, sf_dir).select(
+        "conv_id", "metric", "ts", "turn_idx",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mm = s.groupBy("metric").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    j = s.join(F.broadcast(mm), "metric")
+    scaled = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("cents") - F.col("mn")).cast("double")
+        / (F.col("mx") - F.col("mn")).cast("double"),
+    )
+    return j.select(
+        "conv_id", "metric", "ts", "turn_idx",
+        F.round(scaled, 6).alias("scaled"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2118,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "lttb_1h": q_lttb_1h,
         "des_brown": q_des_brown,
+        "heatmap_bins": q_heatmap_bins,
+        "minmax_scale": q_minmax_scale,
     }
 
 
@@ -4154,5 +4210,37 @@ SELECT conv_id, metric, ts, turn_idx, value,
        floor((2 * y1 - y2) * 1e6) / 1e6 AS level,
        floor(((0.3 / (1 - 0.3)) * (y1 - y2)) * 1e6) / 1e6 AS trend
 FROM e
+""",
+        "heatmap_bins": """
+WITH s AS (
+  SELECT event_type AS metric, cast(hour(ts) AS int) AS hod,
+         cast(round(value * 100) AS bigint) AS cents
+  FROM events
+), mm AS (
+  SELECT metric, min(cents) AS mn, max(cents) AS mx FROM s GROUP BY 1
+)
+SELECT metric, hod,
+       cast(CASE WHEN mx > mn THEN least(
+              floor(cast(cents - mn AS double)
+                    / (cast(mx - mn AS double) / 20.0)), 19)
+            ELSE 0 END AS int) AS bin,
+       count(*) AS n
+FROM s JOIN mm USING (metric)
+GROUP BY 1, 2, 3
+""",
+        "minmax_scale": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, cast(event_id AS int) AS turn_idx,
+         cast(round(value * 100) AS bigint) AS cents
+  FROM events
+), mm AS (
+  SELECT metric, min(cents) AS mn, max(cents) AS mx FROM s GROUP BY 1
+)
+SELECT conv_id, metric, ts, turn_idx,
+       round(CASE WHEN mx > mn
+             THEN cast(cents - mn AS double)
+                  / cast(mx - mn AS double) END, 6) AS scaled
+FROM s JOIN mm USING (metric)
 """,
     }

@@ -97,6 +97,8 @@ HEADLINE = [
     "chunk_dedup",
     "lttb_1h",
     "des_brown",
+    "heatmap_bins",
+    "minmax_scale",
 ]
 
 
