@@ -1931,9 +1931,9 @@ def q_cube_counts(spark, sf_dir):
 def q_spearman_pairs(spark, sf_dir):
     """Spearman rank correlation between conversation pairs over
     co-occurring hourly means — the monotone/robust companion to the
-    exact-Pearson report.  Tie handling uses the two-rank identity
-    avg_rank = (rank_asc + n + 1 - rank_desc)/2, which costs one
-    exchange instead of two."""
+    exact-Pearson report.  Tie handling uses the identity
+    avg_rank = rank_asc + (tie_cnt - 1)/2 — one exchange on the pair
+    key, one sort per rank column."""
     from timeseriescorrelation_spark.operators.analytics import (
         spearman_hourly_pairs,
     )
@@ -2059,6 +2059,38 @@ def q_minmax_scale(spark, sf_dir):
     )
 
 
+def q_conv_digest(spark, sf_dir):
+    """Per-conversation byte digest under STABLE TURN ORDERING — the
+    north rule's per-turn text-equality invariant surfaced as an
+    oracle-checked query instead of a pytest-only assertion: md5 of
+    the props payloads concatenated in exact (ts, event_id) order.
+    Any instability in ordering (a nondeterministic sort, a shuffle
+    that reorders ties) flips the digest.  array_sort on a
+    (us, eid, payload) struct gives the deterministic order without a
+    window; one hash-agg shuffle."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    s = _events(spark, sf_dir).select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("us"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.coalesce("props", F.lit("")).alias("p"),
+    )
+    agg = s.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "eid", "p"))).alias(
+            "a"
+        ),
+        F.count("*").alias("n_turns"),
+    )
+    return agg.select(
+        "user_id",
+        "n_turns",
+        F.md5(
+            F.array_join(F.expr("transform(a, x -> x.p)"), "\x01")
+        ).alias("digest"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2174,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "des_brown": q_des_brown,
         "heatmap_bins": q_heatmap_bins,
         "minmax_scale": q_minmax_scale,
+        "conv_digest": q_conv_digest,
     }
 
 
@@ -4039,12 +4072,10 @@ WITH h AS (
   FROM h a JOIN h b ON a.b = b.b AND a.u < b.u
 ), r AS (
   SELECT ua, ub,
-         (rank() OVER (PARTITION BY ua, ub ORDER BY va ASC)
-          + count(*) OVER (PARTITION BY ua, ub) + 1
-          - rank() OVER (PARTITION BY ua, ub ORDER BY va DESC)) / 2.0 AS ra,
-         (rank() OVER (PARTITION BY ua, ub ORDER BY vb ASC)
-          + count(*) OVER (PARTITION BY ua, ub) + 1
-          - rank() OVER (PARTITION BY ua, ub ORDER BY vb DESC)) / 2.0 AS rb
+         rank() OVER (PARTITION BY ua, ub ORDER BY va ASC)
+           + (count(*) OVER (PARTITION BY ua, ub, va) - 1) / 2.0 AS ra,
+         rank() OVER (PARTITION BY ua, ub ORDER BY vb ASC)
+           + (count(*) OVER (PARTITION BY ua, ub, vb) - 1) / 2.0 AS rb
   FROM p
 ), g AS (
   SELECT ua, ub, count(*) AS n, covar_pop(ra, rb) AS cov,
@@ -4242,5 +4273,11 @@ SELECT conv_id, metric, ts, turn_idx,
              THEN cast(cents - mn AS double)
                   / cast(mx - mn AS double) END, 6) AS scaled
 FROM s JOIN mm USING (metric)
+""",
+        "conv_digest": """
+SELECT user_id, count(*) AS n_turns,
+       md5(string_agg(coalesce(props, ''), chr(1)
+           ORDER BY epoch_us(ts), event_id)) AS digest
+FROM events GROUP BY 1
 """,
     }

@@ -99,6 +99,7 @@ HEADLINE = [
     "des_brown",
     "heatmap_bins",
     "minmax_scale",
+    "conv_digest",
 ]
 
 
