@@ -2091,6 +2091,50 @@ def q_conv_digest(spark, sf_dir):
     )
 
 
+def _asof_inputs(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_v"))
+    )
+    return clicks, errors
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof direction='forward'):
+    the EARLIEST error at or after each click — same join-node-free
+    union+window shape as backward, with the reversed sort."""
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    clicks, errors = _asof_inputs(spark, sf_dir)
+    j = asof_join(
+        clicks, errors, ["user_id"], "ts", "ts", ["err_v"],
+        direction="forward",
+    )
+    return j.select("event_id", "user_id", "err_v_asof")
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    the error closest in exact µs distance on either side, ties to
+    the earlier (backward) row — two sorted passes over one exchange,
+    still no join node.  Oracle is the direct distance-ranked theta
+    join, so equality validates both window passes and the choice
+    rule."""
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    clicks, errors = _asof_inputs(spark, sf_dir)
+    j = asof_join(
+        clicks, errors, ["user_id"], "ts", "ts", ["err_v"],
+        direction="nearest",
+    )
+    return j.select("event_id", "user_id", "err_v_asof")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2207,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap_bins": q_heatmap_bins,
         "minmax_scale": q_minmax_scale,
         "conv_digest": q_conv_digest,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -4279,5 +4325,40 @@ SELECT user_id, count(*) AS n_turns,
        md5(string_agg(coalesce(props, ''), chr(1)
            ORDER BY epoch_us(ts), event_id)) AS digest
 FROM events GROUP BY 1
+""",
+        "asof_forward": """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), err AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS err_v
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+), j AS (
+  SELECT c.event_id, c.user_id, e.err_v,
+         epoch_us(e.ts) - epoch_us(c.ts) AS d
+  FROM clicks c LEFT JOIN err e
+    ON c.user_id = e.user_id AND e.ts >= c.ts
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d) AS rn
+  FROM j
+)
+SELECT event_id, user_id, err_v AS err_v_asof FROM r WHERE rn = 1
+""",
+        "asof_nearest": """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), err AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS err_v
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+), j AS (
+  SELECT c.event_id, c.user_id, e.err_v,
+         abs(epoch_us(e.ts) - epoch_us(c.ts)) AS d,
+         epoch_us(e.ts) AS rts
+  FROM clicks c LEFT JOIN err e ON c.user_id = e.user_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY d, rts) AS rn
+  FROM j
+)
+SELECT event_id, user_id, err_v AS err_v_asof FROM r WHERE rn = 1
 """,
     }

@@ -100,6 +100,7 @@ HEADLINE = [
     "heatmap_bins",
     "minmax_scale",
     "conv_digest",
+    "asof_nearest",
 ]
 
 

@@ -226,3 +226,77 @@ def test_asof_join_tolerance(spark):
         ).collect()
     }
     assert got == {1: 7.0, 2: 7.0, 3: None}  # 61s stale -> null
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """direction='forward' picks the earliest right row at-or-after
+    (equal ts IS visible); 'nearest' picks the smaller exact-us
+    distance and resolves exact ties to the backward row."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            ("u", 1, ts(100)),  # between rights at 90 and 105
+            ("u", 2, ts(50)),   # equidistant: rights at 40 and 60
+            ("u", 3, ts(90)),   # exactly ON a right row
+            ("u", 4, ts(5)),    # before every right row
+            ("u", 5, ts(500)),  # after every right row
+        ],
+        "user_id string, event_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(40), 40.0), ("u", ts(60), 60.0),
+         ("u", ts(90), 90.0), ("u", ts(105), 105.0)],
+        "user_id string, ts timestamp, rv double",
+    )
+
+    fwd = {
+        r.event_id: r.rv_asof
+        for r in asof_join(left, right, ["user_id"], payload=["rv"],
+                           direction="forward").collect()
+    }
+    assert fwd[1] == 105.0
+    assert fwd[3] == 90.0      # equal ts visible forward too
+    assert fwd[4] == 40.0
+    assert fwd[5] is None      # nothing after
+
+    near = {
+        r.event_id: r.rv_asof
+        for r in asof_join(left, right, ["user_id"], payload=["rv"],
+                           direction="nearest").collect()
+    }
+    assert near[1] == 105.0    # |100-105| < |100-90|
+    assert near[2] == 40.0     # exact tie -> backward (earlier) row
+    assert near[3] == 90.0
+    assert near[4] == 40.0     # only forward side exists
+    assert near[5] == 105.0    # only backward side exists
+
+
+def test_asof_nearest_tolerance_applies_both_sides(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [("u", 1, t0 + dt.timedelta(seconds=1000))],
+        "user_id string, event_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 0.0),
+         ("u", t0 + dt.timedelta(seconds=2500), 25.0)],
+        "user_id string, ts timestamp, rv double",
+    )
+    row = asof_join(left, right, ["user_id"], payload=["rv"],
+                    direction="nearest", tolerance_seconds=900
+                    ).collect()[0]
+    # nearest is the backward row at distance 1000s; the 900s bound
+    # nulls it rather than falling through to the farther forward row
+    assert row.rv_asof is None

@@ -28,14 +28,22 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               payload: list[str] | None = None,
               suffix: str = "_asof",
-              tolerance_seconds: int | None = None) -> DataFrame:
+              tolerance_seconds: int | None = None,
+              direction: str = "backward") -> DataFrame:
     """Left as-of join: left columns + each right payload column as
     `<col><suffix>` (null when no right row at or before left's ts).
 
     ``tolerance_seconds`` bounds staleness (pandas merge_asof
     `tolerance`): a matched right row older than the bound is treated
     as no match (all payload columns null) — the carried struct keeps
-    the right row's own ts, so the bound is exact integer µs."""
+    the right row's own ts, so the bound is exact integer µs.
+
+    ``direction`` (pandas merge_asof): "backward" (default — latest
+    right row at or before), "forward" (earliest right row at or
+    after — the reversed window, same single shuffle), "nearest"
+    (both passes, pick the smaller exact-µs distance; tie → the
+    earlier/backward row).  All directions stay join-node-free: one
+    exchange on the keys, one sorted pass per direction."""
     payload = payload or [
         c for c in right.columns if c not in (*keys, right_ts)
     ]
@@ -67,24 +75,54 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
         r_payload.alias("_p"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
     )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     u = l_tag.unionByName(r_tag)
-    w = (
+    # backward: ascending (ts, side) — a right row at equal ts sorts
+    # before the left row, matching ASOF's >=.  forward: descending
+    # ts with right rows still first at equal ts.
+    w_b = (
         Window.partitionBy(*keys)
         .orderBy("_ts", "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "_is_left",
-        "_row",
-        "_ts",
-        F.last("_p", ignorenulls=True).over(w).alias("_p"),
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cols = ["_is_left", "_row", "_ts"]
+    if direction == "backward":
+        carried = u.select(
+            *cols, F.last("_p", ignorenulls=True).over(w_b).alias("_p")
+        )
+    elif direction == "forward":
+        carried = u.select(
+            *cols, F.last("_p", ignorenulls=True).over(w_f).alias("_p")
+        )
+    else:
+        both = u.select(
+            *cols,
+            F.last("_p", ignorenulls=True).over(w_b).alias("_pb"),
+            F.last("_p", ignorenulls=True).over(w_f).alias("_pf"),
+        )
+        lts = epoch_us(F.col("_ts"))
+        db = lts - F.col("_pb._rts_us")
+        df_ = F.col("_pf._rts_us") - lts
+        carried = both.select(
+            *cols,
+            F.when(F.col("_pb").isNull(), F.col("_pf"))
+            .when(F.col("_pf").isNull(), F.col("_pb"))
+            .when(db <= df_, F.col("_pb"))
+            .otherwise(F.col("_pf"))
+            .alias("_p"),
+        )
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds) * 1_000_000
         carried = carried.withColumn(
             "_p",
             F.when(
-                epoch_us(F.col("_ts")) - F.col("_p._rts_us")
+                F.abs(epoch_us(F.col("_ts")) - F.col("_p._rts_us"))
                 <= F.lit(tol_us),
                 F.col("_p"),
             ),
