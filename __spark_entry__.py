@@ -2135,6 +2135,81 @@ def q_asof_nearest(spark, sf_dir):
     return j.select("event_id", "user_id", "err_v_asof")
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (the canonical scan→filter→hash-agg
+    OLAP shape) on the lineitem fixture: money snapped to integer
+    cents PER ROW (the per-row double products are identical in both
+    engines), sums exact bigint, averages one division each."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    s = li.where(F.col("l_shipdate") <= F.lit("1998-09-02")).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("base_c"),
+        F.round(disc_price * 100).cast("long").alias("disc_c"),
+        F.round(charge * 100).cast("long").alias("charge_c"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+    )
+    g = s.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count("*").alias("count_order"),
+        F.sum("base_c").alias("_b"),
+        F.sum("disc_c").alias("_d"),
+        F.sum("charge_c").alias("_c"),
+        F.sum("disc_bp").alias("_bp"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "count_order",
+        F.round(F.col("_b") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("_d") / 100.0, 2).alias("sum_disc_price"),
+        F.round(F.col("_c") / 100.0, 2).alias("sum_charge"),
+        F.round(F.col("sum_qty") / n.cast("double"), 6).alias("avg_qty"),
+        F.round(F.col("_b") / (n * 100.0), 6).alias("avg_price"),
+        F.round(F.col("_bp") / (n * 10000.0), 6).alias("avg_disc"),
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (filtered dim broadcast → fact join
+    → agg → top-k): revenue ranked on EXACT integer cents with the
+    orderkey tiebreak, so the top-10 cut is deterministic across
+    engines — a float-ranked LIMIT would flip near-ties."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    d = F.lit("1998-03-15")
+    j = (
+        li.where(F.col("l_shipdate") > d)
+        .join(
+            o.where(F.col("o_orderdate") < d),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    g = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev_c).alias("_rc")
+    )
+    return (
+        g.orderBy(F.col("_rc").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("_rc") / 100.0, 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2253,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_digest": q_conv_digest,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -4360,5 +4437,52 @@ WITH clicks AS (
   FROM j
 )
 SELECT event_id, user_id, err_v AS err_v_asof FROM r WHERE rn = 1
+""",
+        "tpch_q1": """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         cast(l_quantity AS bigint) AS qty,
+         cast(round(l_extendedprice * 100) AS bigint) AS base_c,
+         cast(round(l_extendedprice * (1 - l_discount) * 100) AS bigint)
+           AS disc_c,
+         cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    * 100) AS bigint) AS charge_c,
+         cast(round(l_discount * 10000) AS bigint) AS disc_bp
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+), g AS (
+  SELECT l_returnflag, l_linestatus,
+         cast(sum(qty) AS bigint) AS sum_qty,
+         count(*) AS count_order,
+         cast(sum(base_c) AS bigint) AS _b,
+         cast(sum(disc_c) AS bigint) AS _d,
+         cast(sum(charge_c) AS bigint) AS _c,
+         cast(sum(disc_bp) AS bigint) AS _bp
+  FROM s GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, count_order,
+       round(_b / 100.0, 2) AS sum_base_price,
+       round(_d / 100.0, 2) AS sum_disc_price,
+       round(_c / 100.0, 2) AS sum_charge,
+       round(sum_qty / cast(count_order AS double), 6) AS avg_qty,
+       round(_b / (count_order * 100.0), 6) AS avg_price,
+       round(_bp / (count_order * 10000.0), 6) AS avg_disc
+FROM g
+""",
+        "tpch_q3": """
+WITH g AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS bigint)) AS bigint) AS _rc
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, round(_rc / 100.0, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM g ORDER BY _rc DESC, o_orderkey ASC LIMIT 10
 """,
     }

@@ -101,6 +101,8 @@ HEADLINE = [
     "minmax_scale",
     "conv_digest",
     "asof_nearest",
+    "tpch_q1",
+    "tpch_q3",
 ]
 
 
