@@ -2210,6 +2210,63 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["customer", "merge", "vector", "window"]
+
+
+def q_acf_hourly(spark, sf_dir):
+    """Multi-lag autocorrelation spectrum (lags 1..24 h) of dense
+    hourly event counts per metric — seasonality detection with the
+    reference's Pearson machinery pointed at a series against itself.
+    ρ assembled from exact BIGINT moments → bit-exact vs DuckDB."""
+    from timeseriescorrelation_spark.operators.acf import acf_spectrum
+
+    return acf_spectrum(_series_from_events(spark, sf_dir), max_lag=24)
+
+
+def q_dominant_period(spark, sf_dir):
+    """Per-metric dominant period: argmax of the ACF spectrum over
+    lags 2..24, smallest lag wins ties on the 6-dp-rounded ρ."""
+    from timeseriescorrelation_spark.operators.acf import dominant_period
+
+    return dominant_period(_series_from_events(spark, sf_dir), max_lag=24)
+
+
+def q_sax_daily(spark, sf_dir):
+    """SAX symbolization: each (metric, day) becomes a word over
+    {a,b,c,d} — hourly means z-scored against the day's exact integer
+    moments, cut at the N(0,1) quartile breakpoints.  All floats are
+    single divisions/sqrt of exact integers → symbols bit-match."""
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    return sax_daily(_series_from_events(spark, sf_dir))
+
+
+def q_bm25_search(spark, sf_dir):
+    """Fixed-point BM25 top-20 over a literal query-term set: per-term
+    contributions snapped to integer micro-units before the per-doc
+    sum, so ranking never depends on float addition order."""
+    from timeseriescorrelation_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=20)
+
+
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """Prefix-filtering Jaccard τ-join (SSJoin/PPJoin): df-ordered
+    prefixes bound the candidate join to RARE shingles' posting lists;
+    exact in-row verify; zero false negatives by construction."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    return prefix_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, tau_num=1, tau_den=5
+    ).select(
+        "id_a", "id_b",
+        F.col("inter_n").cast("int").alias("inter_n"),
+        F.col("union_n").cast("long").alias("union_n"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2330,6 +2387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "acf_hourly": q_acf_hourly,
+        "dominant_period": q_dominant_period,
+        "sax_daily": q_sax_daily,
+        "bm25_search": q_bm25_search,
+        "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     }
 
 
@@ -2524,6 +2586,50 @@ SELECT qid, rank, nid, cos FROM (
   FROM probes p JOIN asg a USING (cell)
   WHERE a.vec_id <> p.qid
 ) WHERE rank <= 10
+"""
+
+
+# ACF spectrum oracle (operators.acf.acf_spectrum): dense hourly
+# counts per metric, lags 1..24 paired via equi-join, ρ assembled from
+# exact BIGINT moments — shared by acf_hourly and dominant_period
+_ACF_SQL = """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), l AS (
+  SELECT unnest(generate_series(1, 24)) AS lag_h
+), p AS (
+  SELECT a.metric, l.lag_h, a.y AS x, b.y AS y2
+  FROM g a CROSS JOIN l
+  JOIN g b ON b.metric = a.metric
+          AND b.h_us = a.h_us + l.lag_h * 3600000000
+), m AS (
+  SELECT metric, lag_h, cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y2) AS bigint) AS sy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y2 * y2) AS bigint) AS syy,
+         cast(sum(x * y2) AS bigint) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT metric, cast(lag_h AS int) AS lag_h, n AS n_pairs,
+       CASE WHEN n >= 8 AND n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+            THEN round(cast(n * sxy - sx * sy AS double)
+                       / (sqrt(cast(n * sxx - sx * sx AS double))
+                          * sqrt(cast(n * syy - sy * sy AS double))), 6)
+       END AS acf
+FROM m
 """
 
 
@@ -4484,5 +4590,122 @@ WITH g AS (
 SELECT o_orderkey, round(_rc / 100.0, 2) AS revenue,
        o_orderdate, o_orderpriority
 FROM g ORDER BY _rc DESC, o_orderkey ASC LIMIT 10
+""",
+        "acf_hourly": _ACF_SQL,
+        "dominant_period": f"""
+WITH spec AS ({_ACF_SQL})
+SELECT metric, lag_h AS period_h, acf FROM (
+  SELECT metric, lag_h, acf,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY acf DESC, lag_h ASC) AS r
+  FROM spec WHERE lag_h >= 2 AND acf IS NOT NULL
+) WHERE r = 1
+""",
+        "sax_daily": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(extract(hour FROM ts) AS int) AS hour_idx,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), h AS (
+  SELECT metric, day_ts, hour_idx, count(*) AS hn, sum(c) AS hsum,
+         sum(c * c) AS hsxx
+  FROM pt GROUP BY 1, 2, 3
+), d AS (
+  SELECT metric, day_ts, sum(hn) AS dn, sum(hsum) AS dsum,
+         sum(hsxx) AS dsxx
+  FROM h GROUP BY 1, 2
+), z AS (
+  SELECT h.metric, h.day_ts, hour_idx,
+         cast(hsum AS double) / cast(hn AS double) AS hmean,
+         cast(dsum AS double) / cast(dn AS double) AS dmean,
+         dn * dsxx - dsum * dsum AS vnum,
+         cast(dn * dsxx - dsum * dsum AS double)
+           / cast(dn * dn AS double) AS dvar
+  FROM h JOIN d USING (metric, day_ts)
+), s AS (
+  SELECT metric, day_ts, hour_idx, vnum > 0 AS var_ok,
+         CASE WHEN vnum <= 0 THEN NULL
+              WHEN (hmean - dmean) / sqrt(dvar) < -0.6745 THEN 'a'
+              WHEN (hmean - dmean) / sqrt(dvar) < 0.0 THEN 'b'
+              WHEN (hmean - dmean) / sqrt(dvar) < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM z
+)
+SELECT metric, day_ts, cast(count(*) AS bigint) AS n_hours,
+       CASE WHEN bool_and(var_ok)
+            THEN string_agg(sym, '' ORDER BY hour_idx) END AS sax_word
+FROM s GROUP BY 1, 2
+""",
+        "bm25_search": f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, cast(len(t) AS bigint) AS dl FROM tok
+), g AS (
+  SELECT cast(count(*) AS bigint) AS n_docs,
+         cast(sum(dl) AS bigint) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, cast(count(*) AS bigint) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+  WHERE tok IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+  GROUP BY 1, 2
+), dfq AS (
+  SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1
+), sc AS (
+  SELECT tf.doc_id,
+         cast(round(
+           ln(1.0 + (cast(n_docs - df AS double) + 0.5)
+                    / (cast(df AS double) + 0.5))
+           * ((cast(tf AS double) * 2.2)
+              / (cast(tf AS double)
+                 + 1.2 * (0.25 + 0.75 * (cast(dl AS double)
+                          / (cast(sum_dl AS double)
+                             / cast(n_docs AS double))))))
+           * 1000000.0) AS bigint) AS cu
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+)
+SELECT doc_id, cast(count(*) AS int) AS n_terms,
+       cast(sum(cu) AS bigint) AS score_u
+FROM sc GROUP BY 1
+ORDER BY score_u DESC, doc_id ASC LIMIT 20
+""",
+        "dedup_prefix_jaccard": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), dfq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+), pd AS (
+  SELECT doc_id, list(shingle ORDER BY df, shingle) AS arr,
+         cast(count(*) AS int) AS sz
+  FROM sh JOIN dfq USING (shingle) GROUP BY doc_id
+), pre AS (
+  SELECT doc_id,
+         unnest(list_slice(arr, 1, sz - ((1 * sz + 5 - 1) // 5) + 1))
+           AS shingle
+  FROM pd
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), v AS (
+  SELECT id_a, id_b,
+         cast(len(list_intersect(pa.arr, pb.arr)) AS int) AS inter_n,
+         pa.sz + pb.sz AS szsum
+  FROM cand
+  JOIN pd pa ON id_a = pa.doc_id
+  JOIN pd pb ON id_b = pb.doc_id
+)
+SELECT id_a, id_b, inter_n,
+       cast(szsum - inter_n AS bigint) AS union_n
+FROM v WHERE 5 * inter_n >= 1 * (szsum - inter_n)
 """,
     }

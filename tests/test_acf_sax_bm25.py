@@ -1,0 +1,174 @@
+"""Round-2b additions: ACF seasonality, SAX words, fixed-point BM25,
+prefix-filtering Jaccard join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 3, 1)
+
+
+def _hourly_events(spark, counts_by_hour, metric="m"):
+    """One event row per count unit at hour h (counts drive the ACF)."""
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts_by_hour):
+        for k in range(c):
+            rows.append(
+                (str(1 + k % 3), metric, BASE + dt.timedelta(hours=h,
+                                                             seconds=k),
+                 eid, 1.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+
+
+def test_acf_detects_planted_period(spark):
+    from timeseriescorrelation_spark.operators.acf import (
+        acf_spectrum, dominant_period,
+    )
+
+    # 8 repeats of a strong 12-hour pattern
+    pattern = [9, 1, 1, 2, 1, 1, 7, 1, 2, 1, 1, 1]
+    df = _hourly_events(spark, pattern * 8)
+    spec = {r.lag_h: r.acf for r in acf_spectrum(df, max_lag=24).collect()}
+    assert spec[12] > 0.9 and spec[24] > 0.9
+    assert spec[12] > spec[6] and spec[12] > spec[1]
+    top = dominant_period(df, max_lag=24).collect()
+    assert len(top) == 1 and top[0].period_h == 12
+
+
+def test_acf_zero_fills_missing_hours(spark):
+    from timeseriescorrelation_spark.operators.acf import (
+        hourly_counts_dense,
+    )
+
+    # hours 0, 3 present -> grid must cover 0..3 with zeros at 1, 2
+    df = _hourly_events(spark, [2, 0, 0, 5])
+    got = {
+        int((r.h_us // 3_600_000_000) % 24): r.y
+        for r in hourly_counts_dense(df).collect()
+    }
+    assert got == {0: 2, 1: 0, 2: 0, 3: 5}
+
+
+def test_sax_word_matches_hand_computation(spark):
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    # one day, 4 hours, one point each: cents 100, 200, 300, 400
+    # mean=250, std=sqrt(12500)=111.8; z = (-1.34, -0.45, .45, 1.34)
+    # symbols: a (<-0.6745), b (<0), c (<0.6745 -> z=.45 -> c), d
+    rows = [
+        ("1", "m", BASE + dt.timedelta(hours=h), h, float(h + 1))
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    out = sax_daily(df).collect()
+    assert len(out) == 1
+    assert out[0].n_hours == 4
+    assert out[0].sax_word == "abcd"
+
+
+def test_sax_zero_variance_day_has_null_word(spark):
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    rows = [
+        ("1", "m", BASE + dt.timedelta(hours=h), h, 7.0) for h in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    out = sax_daily(df).collect()
+    assert len(out) == 1
+    assert out[0].n_hours == 5 and out[0].sax_word is None
+
+
+def test_bm25_ranking_properties(spark):
+    from timeseriescorrelation_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma"),   # 2 terms, high tf
+            (2, "alpha beta delta delta delta"),  # 2 terms
+            (3, "alpha delta delta delta delta"), # 1 term
+            (4, "delta delta delta delta delta"), # 0 terms
+            (5, "gamma alpha beta gamma gamma"),  # rare term x3
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["alpha", "beta", "gamma"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids                      # no query term -> no row
+    assert ids == sorted(
+        ids, key=lambda i: (-[r.score_u for r in out][ids.index(i)], i)
+    )
+    by_id = {r.doc_id: r for r in out}
+    # gamma is rarest (df=2): doc 5 with 3x gamma outranks 1-term doc 3
+    assert by_id[5].score_u > by_id[3].score_u
+    assert by_id[1].n_terms == 3 and by_id[3].n_terms == 1
+    # more matched terms at comparable tf wins
+    assert by_id[1].score_u > by_id[2].score_u
+
+
+def test_bm25_k_limit_and_determinism(spark):
+    from timeseriescorrelation_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(30)], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, ["alpha"], k=7).collect()
+    # identical docs -> identical scores -> doc_id ascending tie-break
+    assert [r.doc_id for r in out] == list(range(7))
+
+
+def test_prefix_jaccard_equals_naive_inverted_index(spark, docs_fixture):
+    from timeseriescorrelation_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_jaccard_pairs,
+    )
+
+    naive = {
+        (r.id_a, r.id_b, r.inter_n, r.union_n)
+        for r in ngram_jaccard_pairs(
+            docs_fixture, n=3, min_inter=1
+        ).where(
+            F.lit(5) * F.col("inter_n") >= F.col("union_n")
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.inter_n, r.union_n)
+        for r in prefix_jaccard_pairs(
+            docs_fixture, n=3, tau_num=1, tau_den=5
+        ).collect()
+    }
+    assert pref == naive and len(pref) > 0
+
+
+def test_prefix_jaccard_survives_short_docs(spark):
+    from timeseriescorrelation_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "one"), (3, "a b c d e"), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = prefix_jaccard_pairs(docs, n=3, tau_num=1, tau_den=2).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(3, 4)}
+
+
+@pytest.fixture(scope="session")
+def docs_fixture(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.cache()
+    df.count()
+    return df

@@ -1,0 +1,153 @@
+"""Autocorrelation spectrum + seasonality period detection.
+
+The reference's statistic is pairwise Pearson between different series
+(SURVEY §3.1 step 3); here the SAME exact-moment machinery is pointed
+at a series against ITSELF at hourly shifts — the classic ACF route to
+seasonality detection ("does traffic repeat every 24 h?").  A DFT
+periodogram would need cos/sin, whose last-ulp varies across libm
+implementations and breaks a bit-exact cross-engine oracle; the ACF of
+integer hourly counts needs only BIGINT moment sums + IEEE sqrt/divide
+(same trick as rolling.rolling_corr / analytics._anomaly_moments), so
+Spark and DuckDB agree bit-for-bit.
+
+Pipeline:
+  1. hourly event counts per key (one hash-agg shuffle; counts are
+     exact integers — no cents snapping needed),
+  2. dense hour grid per key (sequence+explode born POST-aggregation,
+     so grid rows never touch the raw-event shuffle),
+  3. per lag L in 1..max_lag: pair (y_t, y_{t+L}) via an equi-join on
+     (key, hour) after exploding the lag table on one side,
+  4. exact integer moments per (key, lag) → ρ assembled from them.
+
+Scale notes (100 TB): the raw scan collapses to |keys|·|hours| rows in
+the FIRST aggregation's map-side partial combine; everything after is
+sized by the hourly grid (e.g. 10⁶ series × 1 year ≈ 10¹⁰ rows), and
+the lag explode multiplies that by max_lag before one equi-join
+shuffle keyed (key, hour) — no window over the whole series, no
+cartesian.  Overflow bound: n·Σy² < 2⁶³ needs hours·(hours·B²) < 2⁶³
+for per-hour counts B — a decade of hours (~10⁵) allows B ≈ 3·10⁶
+events/hour; ANSI mode errors loudly beyond that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+HOUR_US = 3_600_000_000
+
+
+def hourly_counts_dense(series: DataFrame, keys: list[str] | None = None,
+                        ts_col: str = "ts") -> DataFrame:
+    """(keys..., h_us, y): events-per-hour with missing hours as y=0.
+
+    The grid spans each key's own [min hour, max hour] — generated
+    from the 2-value span row per key, NOT by outer-joining a global
+    calendar (a key active one day must not drag a year of zeros)."""
+    keys = keys or ["metric"]
+    h = (
+        series.groupBy(
+            *keys,
+            (F.floor(epoch_us(F.col(ts_col)) / HOUR_US) * HOUR_US)
+            .alias("h_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    span = h.groupBy(*keys).agg(
+        F.min("h_us").alias("h0"), F.max("h_us").alias("h1")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(HOUR_US))
+        ).alias("h_us"),
+    )
+    return (
+        grid.join(h, keys + ["h_us"], "left")
+        .select(*keys, "h_us", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+
+def acf_spectrum(series: DataFrame, max_lag: int = 24,
+                 keys: list[str] | None = None, ts_col: str = "ts",
+                 min_n: int = 8) -> DataFrame:
+    """(keys..., lag_h, n_pairs, acf): Pearson of (y_t, y_{t+L}) on the
+    dense hourly-count series, for L = 1..max_lag.
+
+    ρ is assembled from exact BIGINT moments (nΣxy−ΣxΣy over the two
+    sqrt'd variance terms) so the DuckDB oracle matches bit-for-bit;
+    NULL when fewer than min_n pairs or either side has zero variance.
+    """
+    keys = keys or ["metric"]
+    g = hourly_counts_dense(series, keys, ts_col)
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))
+    ).alias("lag_h")
+    a = g.select(*keys, "h_us", F.col("y").alias("x"), lags)
+    # the lagged side's join hour is computed BEFORE the join, so the
+    # whole condition is a plain equi-join on (keys, lag_h, hour) —
+    # never a per-(key,lag) cross of hours filtered afterwards
+    b = (
+        g.select(*keys, "h_us", F.col("y").alias("y2"))
+        .select("*", lags)
+        .select(
+            *keys,
+            "lag_h",
+            (F.col("h_us") - F.col("lag_h") * F.lit(HOUR_US))
+            .alias("h_us"),
+            "y2",
+        )
+    )
+    pairs = a.join(b, [*keys, "lag_h", "h_us"])
+    m = pairs.groupBy(*keys, "lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    rho = F.when(
+        (n >= min_n) & (dx > 0) & (dy > 0),
+        F.round(
+            num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6
+        ),
+    )
+    return m.select(
+        *keys,
+        F.col("lag_h").cast("int").alias("lag_h"),
+        F.col("n").cast("long").alias("n_pairs"),
+        rho.alias("acf"),
+    )
+
+
+def dominant_period(series: DataFrame, max_lag: int = 24,
+                    min_lag: int = 2, keys: list[str] | None = None,
+                    ts_col: str = "ts", min_n: int = 8) -> DataFrame:
+    """(keys..., period_h, acf): the lag in [min_lag, max_lag] with the
+    highest ACF per key — smallest lag wins ties, so the pick is
+    deterministic on the 6-dp-rounded ρ both engines share.  min_lag
+    defaults to 2: lag-1 is serial smoothness, not a season."""
+    keys = keys or ["metric"]
+    spec = acf_spectrum(series, max_lag, keys, ts_col, min_n)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("acf"), F.asc("lag_h")
+    )
+    return (
+        spec.where(
+            (F.col("lag_h") >= int(min_lag)) & F.col("acf").isNotNull()
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            *keys,
+            F.col("lag_h").alias("period_h"),
+            "acf",
+        )
+    )
