@@ -103,6 +103,10 @@ HEADLINE = [
     "asof_nearest",
     "tpch_q1",
     "tpch_q3",
+    "acf_hourly",
+    "sax_daily",
+    "bm25_search",
+    "dedup_prefix_jaccard",
 ]
 
 
