@@ -2267,6 +2267,24 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
     )
 
 
+def q_doc_surprisal(spark, sf_dir):
+    """Unigram-LM mean token surprisal per doc (the cheap LM-quality
+    screen): −ln p(tok) snapped to integer micro-nats BEFORE the
+    per-doc sum, so aggregation is exact integer arithmetic."""
+    from timeseriescorrelation_spark.operators.lm import doc_surprisal
+
+    return doc_surprisal(_docs(spark, sf_dir))
+
+
+def q_source_drift(spark, sf_dir):
+    """KL(source ‖ corpus) over token distributions per source —
+    ingest-feed drift monitoring; fixed-point micro-nat terms with
+    decimal(38,0)/hugeint-widened integer ratios inside ln()."""
+    from timeseriescorrelation_spark.operators.lm import source_drift
+
+    return source_drift(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2392,6 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_daily": q_sax_daily,
         "bm25_search": q_bm25_search,
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+        "doc_surprisal": q_doc_surprisal,
+        "source_drift": q_source_drift,
     }
 
 
@@ -4707,5 +4727,53 @@ WITH tok AS (
 SELECT id_a, id_b, inter_n,
        cast(szsum - inter_n AS bigint) AS union_n
 FROM v WHERE 5 * inter_n >= 1 * (szsum - inter_n)
+""",
+        "doc_surprisal": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(t) AS tok FROM tok
+), vocab AS (
+  SELECT tok, cast(count(*) AS bigint) AS c FROM tk GROUP BY 1
+), tot AS (
+  SELECT cast(sum(c) AS bigint) AS n_total FROM vocab
+), pt AS (
+  SELECT doc_id,
+         cast(round(ln(cast(n_total AS double) / cast(c AS double))
+                    * 1000000.0) AS bigint) AS su
+  FROM tk JOIN vocab USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
+       cast(floor(cast(sum(su) AS double) / cast(count(*) AS double))
+            AS bigint) AS surprisal_u
+FROM pt GROUP BY 1
+""",
+        "source_drift": """
+WITH tok AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), tk AS (
+  SELECT source, unnest(t) AS tok FROM tok
+), ps AS (
+  SELECT source, tok, cast(count(*) AS bigint) AS cs FROM tk GROUP BY 1, 2
+), vocab AS (
+  SELECT tok, cast(sum(cs) AS bigint) AS c FROM ps GROUP BY 1
+), st AS (
+  SELECT source, cast(sum(cs) AS bigint) AS ns FROM ps GROUP BY 1
+), tot AS (
+  SELECT cast(sum(c) AS bigint) AS n_total FROM vocab
+), terms AS (
+  SELECT source, ns,
+         cast(round(cast(cs AS double)
+                    * ln(cast(cs::hugeint * n_total::hugeint AS double)
+                         / cast(c::hugeint * ns::hugeint AS double))
+                    * 1000000.0) AS bigint) AS tu
+  FROM ps JOIN vocab USING (tok) JOIN st USING (source) CROSS JOIN tot
+)
+SELECT source, cast(max(ns) AS bigint) AS n_toks,
+       cast(floor(cast(sum(tu) AS double) / cast(max(ns) AS double))
+            AS bigint) AS kl_u
+FROM terms GROUP BY source
 """,
     }

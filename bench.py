@@ -107,6 +107,8 @@ HEADLINE = [
     "sax_daily",
     "bm25_search",
     "dedup_prefix_jaccard",
+    "doc_surprisal",
+    "source_drift",
 ]
 
 
