@@ -2285,6 +2285,27 @@ def q_source_drift(spark, sf_dir):
     return source_drift(_docs(spark, sf_dir))
 
 
+PHRASE = ["row", "column", "sort"]
+
+
+def q_collocations_pmi(spark, sf_dir):
+    """Adjacent-bigram PMI collocations in integer micro-nats: one ln
+    of a ratio of exact decimal(38,0)/hugeint integer products per
+    surviving pair; bigrams from an in-row zip (no self-join)."""
+    from timeseriescorrelation_spark.operators.lm import collocations_pmi
+
+    return collocations_pmi(_docs(spark, sf_dir), min_pair_n=5)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over a positional inverted index:
+    |phrase| equi-joins on (doc_id, pos − i) over the phrase tokens'
+    posting lists only — Lucene's PhraseQuery plan, no regex scan."""
+    from timeseriescorrelation_spark.operators.lm import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), PHRASE)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2412,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
         "doc_surprisal": q_doc_surprisal,
         "source_drift": q_source_drift,
+        "collocations_pmi": q_collocations_pmi,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -4775,5 +4798,56 @@ SELECT source, cast(max(ns) AS bigint) AS n_toks,
        cast(floor(cast(sum(tu) AS double) / cast(max(ns) AS double))
             AS bigint) AS kl_u
 FROM terms GROUP BY source
+""",
+        "collocations_pmi": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), big AS (
+  SELECT least(pr[1], pr[2]) AS tok_a, greatest(pr[1], pr[2]) AS tok_b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> [t[i], t[i + 1]])) AS pr
+    FROM tok
+  )
+), uni AS (
+  SELECT tok, cast(count(*) AS bigint) AS c
+  FROM (SELECT unnest(t) AS tok FROM tok) GROUP BY 1
+), ntok AS (
+  SELECT cast(sum(c) AS bigint) AS n_tok FROM uni
+), pall AS (
+  SELECT tok_a, tok_b, cast(count(*) AS bigint) AS pair_n
+  FROM big GROUP BY 1, 2
+), npair AS (
+  SELECT cast(sum(pair_n) AS bigint) AS n_pair FROM pall
+), p AS (
+  SELECT * FROM pall WHERE pair_n >= 5
+)
+SELECT tok_a, tok_b, pair_n,
+       cast(round(ln(
+         cast(pair_n::hugeint * n_tok::hugeint * n_tok::hugeint AS double)
+         / cast(n_pair::hugeint * ca.c::hugeint * cb.c::hugeint AS double))
+         * 1000000.0) AS bigint) AS pmi_u
+FROM p
+JOIN uni ca ON p.tok_a = ca.tok
+JOIN uni cb ON p.tok_b = cb.tok
+CROSS JOIN ntok CROSS JOIN npair
+""",
+        "phrase_search": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, tok, cast(i AS bigint) AS pos FROM (
+    SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+    FROM tok
+  )
+)
+SELECT p0.doc_id, cast(count(*) AS bigint) AS n_hits
+FROM pos p0
+JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+WHERE p0.tok = 'row' AND p1.tok = 'column' AND p2.tok = 'sort'
+GROUP BY 1
 """,
     }

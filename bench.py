@@ -109,6 +109,8 @@ HEADLINE = [
     "dedup_prefix_jaccard",
     "doc_surprisal",
     "source_drift",
+    "collocations_pmi",
+    "phrase_search",
 ]
 
 

@@ -55,3 +55,45 @@ def test_identical_sources_have_near_zero_drift(spark):
     )
     for r in source_drift(docs).collect():
         assert abs(r.kl_u) <= 1  # fixed-point floor can give -1, not less
+
+
+def test_collocations_pmi_hand_computed(spark):
+    import math
+
+    from timeseriescorrelation_spark.operators.lm import collocations_pmi
+
+    # x,y are rare AND always adjacent -> high PMI; p,q are commoner
+    # for the same pair count -> lower PMI
+    docs = spark.createDataFrame(
+        [(1, "x y x y q"), (2, "p q p"), (3, "q p r")],
+        "doc_id long, text string",
+    )
+    out = {(r.tok_a, r.tok_b): r for r in
+           collocations_pmi(docs, min_pair_n=2).collect()}
+    # unordered bigrams: (x,y)x3, (q,y), (p,q)x3, (p,r) -> n_pair=8
+    # unigrams: x2 y2 q3 p3 r1 -> n_tok=11
+    assert set(out) == {("x", "y"), ("p", "q")}
+    xy = out[("x", "y")]
+    assert xy.pair_n == 3
+    assert xy.pmi_u == round(math.log((3 * 11 * 11) / (8 * 2 * 2)) * 1e6)
+    pq = out[("p", "q")]
+    assert pq.pair_n == 3
+    assert pq.pmi_u == round(math.log((3 * 11 * 11) / (8 * 3 * 3)) * 1e6)
+    assert xy.pmi_u > pq.pmi_u
+
+
+def test_phrase_search_order_and_adjacency(spark):
+    from timeseriescorrelation_spark.operators.lm import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),   # 2 hits of "a b c"
+            (2, "c b a"),           # reversed -> no hit
+            (3, "a x b c"),         # gap -> no hit
+            (4, "b c a b"),         # no "a b c" window
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in
+           phrase_search(docs, ["a", "b", "c"]).collect()}
+    assert got == {1: 2}

@@ -132,3 +132,127 @@ def source_drift(docs: DataFrame, text_col: str = "text",
             F.col("ksum").cast("double") / F.col("n_toks").cast("double")
         ).cast("long").alias("kl_u"),
     )
+
+
+def collocations_pmi(docs: DataFrame, min_pair_n: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(tok_a, tok_b, pair_n, pmi_u): adjacent-bigram pointwise mutual
+    information in integer micro-nats — collocation discovery ("which
+    token pairs co-occur far above chance?"), the classic first step
+    of phrase/vocab induction over a training corpus.
+
+        PMI = ln( p(a,b) / (p(a)·p(b)) )
+            = ln( (pair_n · N_tok²) / (N_pair · c_a · c_b) )
+
+    — ONE ln of a ratio of two exact integer products (decimal(38,0)
+    widened; c_a·c_b·N_pair at a 10¹⁴-token corpus overflows int64³),
+    snapped to micro-nats.  Unordered pairs (a<b collapses both
+    directions); pairs below min_pair_n are dropped (PMI of rare
+    pairs is noise — standard practice).
+
+    Scale notes (100 TB): bigrams come from one in-row zip of the
+    token array with its tail (no self-join); both the unigram and
+    bigram tables collapse map-side to ~|vocab| and ~|bigram vocab|
+    rows; the final join keys bigrams onto two broadcast-or-shuffled
+    unigram lookups.  No windows, no driver loops."""
+    t = tokenize(docs, text_col, id_col)
+    big = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(
+                    "toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("tok_a"),
+                    F.greatest(a, b).alias("tok_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    pairs_all = big.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    # normalizer uses the UNFILTERED bigram total: p(a,b) must not
+    # depend on the reporting threshold
+    n_pair = pairs_all.agg(F.sum("pair_n").alias("n_pair"))
+    pairs = pairs_all.where(F.col("pair_n") >= int(min_pair_n))
+    dec = "decimal(38,0)"
+    j = (
+        pairs.join(
+            uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")),
+            "tok_a",
+        )
+        .join(
+            uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+    )
+    pmi_u = F.round(
+        F.log(
+            (
+                F.col("pair_n").cast(dec)
+                * F.col("n_tok").cast(dec)
+                * F.col("n_tok").cast(dec)
+            ).cast("double")
+            / (
+                F.col("n_pair").cast(dec)
+                * F.col("ca").cast(dec)
+                * F.col("cb").cast(dec)
+            ).cast("double")
+        )
+        * F.lit(M)
+    ).cast("long")
+    return j.select(
+        "tok_a", "tok_b",
+        F.col("pair_n").cast("long").alias("pair_n"),
+        pmi_u.alias("pmi_u"),
+    )
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_hits): documents containing the exact token phrase,
+    via a POSITIONAL inverted index — the retrieval primitive BM25's
+    bag-of-words scoring can't express ("merge batch part", in that
+    order, adjacent).
+
+    Each phrase term i joins the index on its token, then the
+    candidate rows equi-join on (doc_id, pos − i): a document matches
+    where all |phrase| terms share one anchor position.  That is the
+    standard positional-index phrase plan (Lucene's exact
+    PhraseQuery): |phrase| equi-joins over SHORT posting lists, never
+    a regex scan of every document's text.
+
+    Scale notes (100 TB): posting lists shuffle keyed by token (only
+    the phrase's tokens survive the pushed-down isin filter); the
+    position join is keyed (doc_id, anchor) — all equi-joins; n_hits
+    per doc is one hash-agg."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search: need >= 2 tokens")
+    t = tokenize(docs, text_col, id_col)
+    idx = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).where(F.col("tok").isin(list(phrase)))
+    anchored = None
+    for i, term in enumerate(phrase):
+        side = idx.where(F.col("tok") == term).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("anchor")
+        )
+        anchored = side if anchored is None else anchored.join(
+            side, ["doc_id", "anchor"]
+        )
+    return (
+        anchored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
