@@ -2306,6 +2306,16 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(_docs(spark, sf_dir), PHRASE)
 
 
+def q_skew_report(spark, sf_dir):
+    """Per-metric key-skew measurement (Gini + top-key share over
+    per-conv_id row counts) — the detector that decides when salted
+    repartitioning is worth its shuffle.  Exact decimal/hugeint
+    rank·count sums; micro-unit floors bit-match cross-engine."""
+    from timeseriescorrelation_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2435,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift": q_source_drift,
         "collocations_pmi": q_collocations_pmi,
         "phrase_search": q_phrase_search,
+        "skew_report": q_skew_report,
     }
 
 
@@ -4849,5 +4860,30 @@ JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
 JOIN pos p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
 WHERE p0.tok = 'row' AND p1.tok = 'column' AND p2.tok = 'sort'
 GROUP BY 1
+""",
+        "skew_report": """
+WITH c AS (
+  SELECT event_type AS metric, cast(user_id AS varchar) AS conv_id,
+         cast(count(*) AS bigint) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT metric, x,
+         row_number() OVER (PARTITION BY metric ORDER BY x, conv_id)
+           AS i
+  FROM c
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(x::hugeint) AS sx,
+         sum(i::hugeint * x::hugeint) AS six,
+         max(x) AS xmax
+  FROM r GROUP BY 1
+)
+SELECT metric, cast(n AS bigint) AS n_keys, cast(sx AS bigint) AS n_rows,
+       cast(floor(cast(2::hugeint * six - (n + 1::hugeint) * sx AS double)
+                  * 1000000.0 / cast(n * sx AS double)) AS bigint)
+         AS gini_u,
+       cast(floor(cast(xmax AS double) * 1000000.0 / cast(sx AS double))
+            AS bigint) AS top1_share_u
+FROM g
 """,
     }

@@ -111,6 +111,7 @@ HEADLINE = [
     "source_drift",
     "collocations_pmi",
     "phrase_search",
+    "skew_report",
 ]
 
 

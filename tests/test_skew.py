@@ -69,3 +69,45 @@ def test_salt_deterministic_and_bounded(spark, tiny_transcripts):
         .where(F.col("turn_idx") < 5).collect()
     )
     assert a == b
+
+
+def test_key_skew_report_hand_computed(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.skew import key_skew_report
+
+    base = dt.datetime(2024, 1, 1)
+    # per-key counts in metric m: a=1, b=1, c=2, d=4
+    rows = []
+    for conv, cnt in [("a", 1), ("b", 1), ("c", 2), ("d", 4)]:
+        for k in range(cnt):
+            rows.append((conv, "m", base + dt.timedelta(minutes=k), k, 1.0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    out = key_skew_report(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # sorted x=[1,1,2,4]: sum(i*x)=25, num=2*25-5*8=10, den=4*8=32
+    assert r.n_keys == 4 and r.n_rows == 8
+    assert r.gini_u == 312500           # floor(1e6 * 10/32)
+    assert r.top1_share_u == 500000     # 4/8
+
+
+def test_key_skew_report_uniform_is_zero(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.skew import key_skew_report
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (str(c), "m", base + dt.timedelta(minutes=k), k, 1.0)
+        for c in range(5) for k in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    r = key_skew_report(df).collect()[0]
+    assert r.gini_u == 0 and r.top1_share_u == 200000

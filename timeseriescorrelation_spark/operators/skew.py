@@ -93,3 +93,60 @@ def stats_two_phase(series: DataFrame, buckets: int = 16) -> DataFrame:
         F.col("min_v"),
         F.col("max_v"),
     )
+
+
+def key_skew_report(series: DataFrame, group_col: str = "metric",
+                    key_col: str = "conv_id") -> DataFrame:
+    """(group, n_keys, n_rows, gini_u, top1_share_u): how skewed is the
+    per-key row distribution inside each group — the measurement that
+    DECIDES when the salting above is worth its shuffle (BASELINE's
+    "salted repartitioning for skewed long conversations" needs a
+    detector, not a guess).
+
+    Gini over sorted per-key counts x₁≤…≤xₙ:
+        G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+    The numerator and denominator are EXACT decimal(38,0)/hugeint
+    integers (rank·count products), so gini_u = floor(1e6·num/den) is
+    bit-identical cross-engine; ties in x are interchangeable under
+    Σi·xᵢ, so the rank's tie order cannot change the result.
+    top1_share_u = floor(1e6·max(x)/Σx) — the one-key concentration
+    that decides between AQE skew-join and explicit salt.
+
+    Scale notes (100 TB): the raw scan collapses map-side to one row
+    per (group, key); the rank window runs over |keys|-per-group rows
+    (NOT raw data).  At 10⁹ keys per group, shard the rank by count
+    buckets first (same telescoped-prefix trick as
+    intervals.max_concurrency); at the engine's conv_id cardinalities
+    the single per-group window is the right plan."""
+    dec = "decimal(38,0)"
+    counts = series.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("x", key_col)
+    ranked = counts.select(
+        group_col, "x", F.row_number().over(w).alias("i")
+    )
+    g = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("i").cast(dec) * F.col("x").cast(dec))).alias("six"),
+        F.max("x").alias("xmax"),
+    )
+    num = F.lit(2).cast(dec) * F.col("six") - (
+        F.col("n") + F.lit(1).cast(dec)
+    ) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return g.select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n_keys"),
+        F.col("sx").cast("long").alias("n_rows"),
+        F.floor(
+            num.cast("double") * F.lit(1_000_000.0) / den.cast("double")
+        ).cast("long").alias("gini_u"),
+        F.floor(
+            F.col("xmax").cast("double") * F.lit(1_000_000.0)
+            / F.col("sx").cast("double")
+        ).cast("long").alias("top1_share_u"),
+    )
