@@ -2325,6 +2325,20 @@ def q_skew_report(spark, sf_dir):
     return key_skew_report(_series_from_events(spark, sf_dir))
 
 
+def q_forecast_eval(spark, sf_dir):
+    """Seasonal-naive forecast backtest (ŷ(t) = y(t − 24 h) on hourly
+    cent totals): exact integer SAE, fixed-point micro-unit MAE/sMAPE;
+    calendar-offset equi-join pairing (missing hours drop, never
+    misalign)."""
+    from timeseriescorrelation_spark.operators.acf import (
+        seasonal_naive_backtest,
+    )
+
+    return seasonal_naive_backtest(
+        _series_from_events(spark, sf_dir), period_hours=24
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2455,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "phrase_search": q_phrase_search,
         "skew_report": q_skew_report,
+        "forecast_eval": q_forecast_eval,
     }
 
 
@@ -4894,5 +4909,33 @@ SELECT metric, cast(n AS bigint) AS n_keys, cast(sx AS bigint) AS n_rows,
        cast(floor(cast(xmax AS double) * 1000000.0 / cast(sx AS double))
             AS bigint) AS top1_share_u
 FROM g
+""",
+        "forecast_eval": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS a
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT h.metric, h.a, f.a AS fc
+  FROM h JOIN h f
+    ON f.metric = h.metric
+   AND f.h_us + 24 * 3600000000 = h.h_us
+), t AS (
+  SELECT metric, abs(a - fc) AS ae,
+         CASE WHEN abs(a) + abs(fc) = 0 THEN 0
+              ELSE cast(round(cast(abs(a - fc) AS double) * 1000000.0
+                             / cast(abs(a) + abs(fc) AS double))
+                        AS bigint) END AS sm
+  FROM j
+)
+SELECT metric, cast(count(*) AS bigint) AS n_eval,
+       cast(sum(ae) AS bigint) AS sae_cents,
+       cast(floor(cast(sum(ae) AS double) * 1000000.0
+                  / (cast(count(*) AS double) * 100.0)) AS bigint)
+         AS mae_u,
+       cast(floor(cast(sum(sm) AS double) / cast(count(*) AS double))
+            AS bigint) AS smape_u
+FROM t GROUP BY 1
 """,
     }

@@ -112,6 +112,7 @@ HEADLINE = [
     "collocations_pmi",
     "phrase_search",
     "skew_report",
+    "forecast_eval",
 ]
 
 

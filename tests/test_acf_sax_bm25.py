@@ -172,3 +172,33 @@ def docs_fixture(spark):
     df.cache()
     df.count()
     return df
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    from timeseriescorrelation_spark.operators.acf import (
+        seasonal_naive_backtest,
+    )
+
+    # hourly totals (cents): h0=100, h1=200, h24=150, h25=200, h48=???
+    # pairs: (h24 vs h0): |150-100|=50, (h25 vs h1): |200-200|=0
+    rows = [
+        ("1", "m", BASE, 0, 1.00),
+        ("1", "m", BASE + dt.timedelta(hours=1), 1, 2.00),
+        ("1", "m", BASE + dt.timedelta(hours=24), 2, 1.50),
+        ("1", "m", BASE + dt.timedelta(hours=25), 3, 2.00),
+        # h49 has no h25+24 partner forward; h49-24=h25 exists:
+        ("1", "m", BASE + dt.timedelta(hours=49), 4, 3.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    out = seasonal_naive_backtest(df, period_hours=24).collect()
+    assert len(out) == 1
+    r = out[0]
+    # eval points: h24 (vs h0), h25 (vs h1), h49 (vs h25)
+    # |150-100| + |200-200| + |300-200| = 150 cents
+    assert r.n_eval == 3 and r.sae_cents == 150
+    assert r.mae_u == 150 * 1_000_000 // (3 * 100)   # 0.5 units avg
+    # smape terms: 50/250, 0, 100/500 -> (200000 + 0 + 200000)/3
+    assert r.smape_u == (200000 + 0 + 200000) // 3

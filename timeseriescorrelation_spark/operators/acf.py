@@ -151,3 +151,69 @@ def dominant_period(series: DataFrame, max_lag: int = 24,
             "acf",
         )
     )
+
+
+def seasonal_naive_backtest(series: DataFrame, period_hours: int = 24,
+                            keys: list[str] | None = None,
+                            ts_col: str = "ts", value_col: str = "value",
+                            value_decimals: int = 2) -> DataFrame:
+    """(keys..., n_eval, sae_cents, mae_u, smape_u): backtest of the
+    seasonal-naive forecast ŷ(t) = y(t − period) on hourly cent
+    totals — the baseline every real forecaster must beat, and the
+    operator that turns dominant_period's answer into a measured
+    error ("how predictable IS this series at its period?").
+
+    Forecast pairing is a CALENDAR-OFFSET equi-join on (keys,
+    hour − period), not lag(period): a missing hour must drop the
+    evaluation point, not silently misalign every later row (same
+    reasoning as the wow_delta operator).
+
+    Exactness: hourly totals are exact BIGINT cents, so sae_cents is
+    an exact integer sum; mae_u = floor(1e6·sae/(n·100)) is one IEEE
+    division of exact integers.  sMAPE terms |a−f|/(|a|+|f|) are
+    snapped to integer micro-units per hour BEFORE the mean (the
+    fixed-point order-proof trick), zero when a = f = 0.
+
+    Scale notes (100 TB): raw scan collapses map-side to |keys|·|hours|
+    rows; one self-equi-join keyed (keys, hour); one final hash-agg.
+    No windows, no dense grid (absent hours simply don't evaluate)."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    per_us = int(period_hours) * HOUR_US
+    h = series.groupBy(
+        *keys,
+        (F.floor(epoch_us(F.col(ts_col)) / HOUR_US) * HOUR_US)
+        .alias("h_us"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("a")
+    )
+    f = h.select(
+        *keys,
+        (F.col("h_us") + F.lit(per_us)).alias("h_us"),
+        F.col("a").alias("fc"),
+    )
+    j = h.join(f, [*keys, "h_us"])
+    ae = F.abs(F.col("a") - F.col("fc"))
+    den = F.abs(F.col("a")) + F.abs(F.col("fc"))
+    smape_term_u = F.when(den == 0, F.lit(0).cast("long")).otherwise(
+        F.round(
+            ae.cast("double") * F.lit(1_000_000.0) / den.cast("double")
+        ).cast("long")
+    )
+    g = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ae).alias("sae"),
+        F.sum(smape_term_u).alias("ssm"),
+    )
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n_eval"),
+        F.col("sae").cast("long").alias("sae_cents"),
+        F.floor(
+            F.col("sae").cast("double") * F.lit(1_000_000.0)
+            / (F.col("n").cast("double") * F.lit(float(scale)))
+        ).cast("long").alias("mae_u"),
+        F.floor(
+            F.col("ssm").cast("double") / F.col("n").cast("double")
+        ).cast("long").alias("smape_u"),
+    )
