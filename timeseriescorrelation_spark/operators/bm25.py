@@ -13,8 +13,10 @@ so the cross-doc aggregation is an exact integer sum — float addition
 order (engine-dependent) can never flip a ranking, and the DuckDB
 oracle compares bit-for-bit.  ln() is the one libm call in play; both
 engines are correctly-rounded to within 1 ulp there, and a 1-ulp slip
-only matters if idf·tfn·10⁶ lands exactly on a .5 — vanishing, and
-loudly visible in the gate if it ever happens.
+only matters if idf·tfn·10⁶ lands exactly on a .5 — measured at
+sf0.1: the closest contribution sits 3.4·10⁻⁶ micro-units from a
+boundary, ~4 orders of magnitude above the ~4·10⁻¹⁰ a 1-ulp ln drift
+can move it, and a flip would be loudly visible in the gate.
 
 Scale notes (100 TB): the terms list is a LITERAL pushed into the
 token explode's filter, so the posting set is |terms|-bounded per doc
