@@ -95,3 +95,49 @@ def test_hdr_nearest_rank_selection(cents, q):
     cum = np.cumsum(counts)
     sel = uniq[np.searchsorted(cum, r)]
     assert sel == chosen
+
+
+# --- prefix-filtering completeness (operators.dedup.prefix_jaccard_pairs) ---
+#
+# Theorem (SSJoin/PPJoin): under ANY shared total order of tokens, if
+# J(A,B) >= tau then the first |X| - ceil(tau*|X|) + 1 tokens of each
+# set intersect.  The Spark operator's candidate step relies on exactly
+# this with the (df, token) order; the pure-python mirror checks the
+# integer prefix-length formula over random corpora so a boundary slip
+# (the +1, the ceil) can't hide behind a friendly fixture.
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(0, 30), min_size=1, max_size=20),
+        min_size=2, max_size=8,
+    ),
+    st.integers(1, 9),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_completeness(sets, tau_num):
+    tau_den = 10
+    # shared order: ascending corpus df, ties by token id (any total
+    # order works for the theorem; this is the operator's choice)
+    from collections import Counter
+
+    df = Counter()
+    for s in sets:
+        df.update(s)
+    order = lambda t: (df[t], t)
+
+    def prefix(s):
+        sz = len(s)
+        ceil_t = (tau_num * sz + tau_den - 1) // tau_den
+        p = sz - ceil_t + 1
+        return set(sorted(s, key=order)[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if tau_den * inter >= tau_num * union:  # J >= tau
+                assert prefix(a) & prefix(b), (
+                    f"completeness violated: J={inter}/{union} "
+                    f">= {tau_num}/{tau_den} but prefixes disjoint"
+                )
