@@ -202,3 +202,40 @@ def test_seasonal_naive_backtest_hand_computed(spark):
     assert r.mae_u == 150 * 1_000_000 // (3 * 100)   # 0.5 units avg
     # smape terms: 50/250, 0, 100/500 -> (200000 + 0 + 200000)/3
     assert r.smape_u == (200000 + 0 + 200000) // 3
+
+
+def test_acf_constant_series_yields_null(spark):
+    from timeseriescorrelation_spark.operators.acf import (
+        acf_spectrum, dominant_period,
+    )
+
+    df = _hourly_events(spark, [3] * 30)  # zero variance at every lag
+    spec = acf_spectrum(df, max_lag=6).collect()
+    assert len(spec) == 6
+    assert all(r.acf is None for r in spec)
+    assert dominant_period(df, max_lag=6).collect() == []
+
+
+def test_bm25_no_matching_terms_is_empty(spark):
+    from timeseriescorrelation_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "p q")], "doc_id long, text string"
+    )
+    assert bm25_topk(docs, ["absent", "missing"], k=5).collect() == []
+
+
+def test_sax_single_hour_day_is_midrange_symbol(spark):
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    # one hour with spread points: hour mean == day mean -> z=0 -> 'c'
+    rows = [
+        ("1", "m", BASE + dt.timedelta(minutes=k), k, float(k))
+        for k in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    out = sax_daily(df).collect()
+    assert len(out) == 1 and out[0].sax_word == "c"
