@@ -2339,6 +2339,32 @@ def q_forecast_eval(spark, sf_dir):
     )
 
 
+def q_pagerank_events(spark, sf_dir):
+    """Integer fixed-point PageRank (3 power iterations, d=0.85 as the
+    exact rational 85/100) over the event-type transition graph —
+    every update is integer multiply + DIV, no doubles, so the DuckDB
+    oracle unrolls the iterations bit-exactly."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.graphrank import (
+        pagerank_fixedpoint,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .withColumn("w", F.lit(1))
+    )
+    return pagerank_fixedpoint(d, n_iter=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2470,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "skew_report": q_skew_report,
         "forecast_eval": q_forecast_eval,
+        "pagerank_events": q_pagerank_events,
     }
 
 
@@ -2665,6 +2692,42 @@ SELECT qid, rank, nid, cos FROM (
   WHERE a.vec_id <> p.qid
 ) WHERE rank <= 10
 """
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unroll the integer power iterations (graphrank.DAMP 85/100,
+    BASE_U 150000, start 10⁶/node) as n_iter CTE pairs — every step is
+    bigint multiply + // so the unrolled SQL is bit-exact."""
+    ctes = ["""
+WITH d AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS src,
+         event_type AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, cast(count(*) AS bigint) AS w
+  FROM d WHERE src IS NOT NULL GROUP BY 1, 2
+), wo AS (
+  SELECT src, cast(sum(w) AS bigint) AS wout FROM e GROUP BY 1
+), ew AS (
+  SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)
+), p0 AS (
+  SELECT node, cast(1000000 AS bigint) AS pr_u FROM nodes
+)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f""", c{i} AS (
+  SELECT dst AS node,
+         cast(sum((85 * pr_u * w) // (100 * wout)) AS bigint) AS inflow
+  FROM ew JOIN p{i - 1} ON ew.src = p{i - 1}.node GROUP BY 1
+), p{i} AS (
+  SELECT nodes.node,
+         cast(150000 + coalesce(inflow, 0) AS bigint) AS pr_u
+  FROM nodes LEFT JOIN c{i} USING (node)
+)""")
+    return "".join(ctes) + f"\nSELECT node, pr_u FROM p{n_iter}\n"
 
 
 # ACF spectrum oracle (operators.acf.acf_spectrum): dense hourly
@@ -4938,4 +5001,5 @@ SELECT metric, cast(count(*) AS bigint) AS n_eval,
             AS bigint) AS smape_u
 FROM t GROUP BY 1
 """,
+        "pagerank_events": _pagerank_oracle(3),
     }

@@ -113,6 +113,7 @@ HEADLINE = [
     "phrase_search",
     "skew_report",
     "forecast_eval",
+    "pagerank_events",
 ]
 
 
