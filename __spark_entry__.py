@@ -2365,6 +2365,17 @@ def q_pagerank_events(spark, sf_dir):
     return pagerank_fixedpoint(d, n_iter=3)
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Seasonal strength: one-way-ANOVA R² of the dow×hour profile in
+    integer micro-units — exact decimal/hugeint sums everywhere except
+    ONE rounded per-cell division re-entering exact arithmetic.  The
+    dow labels differ across engines (Spark 1–7, DuckDB 0–6) but only
+    partition the cells — injective relabeling, identical grouping."""
+    from timeseriescorrelation_spark.operators.acf import seasonal_strength
+
+    return seasonal_strength(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2497,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "forecast_eval": q_forecast_eval,
         "pagerank_events": q_pagerank_events,
+        "seasonal_strength": q_seasonal_strength,
     }
 
 
@@ -5002,4 +5014,34 @@ SELECT metric, cast(count(*) AS bigint) AS n_eval,
 FROM t GROUP BY 1
 """,
         "pagerank_events": _pagerank_oracle(3),
+        "seasonal_strength": """
+WITH pt AS (
+  SELECT event_type AS metric, dayofweek(ts) AS dow,
+         cast(extract(hour FROM ts) AS int) AS hod,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), g AS (
+  SELECT metric, dow, hod, cast(count(*) AS bigint) AS ng,
+         cast(sum(c) AS hugeint) AS sg,
+         cast(sum(c * c) AS hugeint) AS qg
+  FROM pt GROUP BY 1, 2, 3
+), ge AS (
+  SELECT metric, ng, sg, qg,
+         cast(round(cast(sg * sg AS double) / cast(ng AS double))
+              AS hugeint) AS eg
+  FROM g
+), t AS (
+  SELECT metric, cast(sum(ng) AS hugeint) AS n,
+         cast(sum(sg) AS hugeint) AS s,
+         cast(sum(qg) AS hugeint) AS q,
+         cast(sum(eg) AS hugeint) AS e
+  FROM ge GROUP BY 1
+)
+SELECT metric, cast(n AS bigint) AS n,
+       CASE WHEN q * n - s * s > 0
+            THEN cast(floor(cast(e * n - s * s AS double) * 1000000.0
+                            / cast(q * n - s * s AS double)) AS bigint)
+       END AS r2_u
+FROM t
+""",
     }

@@ -114,6 +114,7 @@ HEADLINE = [
     "skew_report",
     "forecast_eval",
     "pagerank_events",
+    "seasonal_strength",
 ]
 
 

@@ -239,3 +239,27 @@ def test_sax_single_hour_day_is_midrange_symbol(spark):
     )
     out = sax_daily(df).collect()
     assert len(out) == 1 and out[0].sax_word == "c"
+
+
+def test_seasonal_strength_extremes(spark):
+    from timeseriescorrelation_spark.operators.acf import seasonal_strength
+
+    # hour 0 always 1.0, hour 1 always 3.0 -> profile explains ALL
+    # variance (R2=1); a single cell with spread -> explains none
+    strong = [
+        ("1", "m", BASE, 0, 1.0),
+        ("2", "m", BASE + dt.timedelta(minutes=5), 1, 1.0),
+        ("1", "m", BASE + dt.timedelta(hours=1), 2, 3.0),
+        ("2", "m", BASE + dt.timedelta(hours=1, minutes=5), 3, 3.0),
+    ]
+    noise = [
+        ("1", "w", BASE, 0, 1.0),
+        ("2", "w", BASE + dt.timedelta(minutes=5), 1, 3.0),
+    ]
+    df = spark.createDataFrame(
+        strong + noise,
+        "conv_id string, metric string, ts timestamp, "
+        "turn_idx int, value double",
+    )
+    got = {r.metric: r.r2_u for r in seasonal_strength(df).collect()}
+    assert got == {"m": 1_000_000, "w": 0}

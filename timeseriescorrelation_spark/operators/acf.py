@@ -217,3 +217,64 @@ def seasonal_naive_backtest(series: DataFrame, period_hours: int = 24,
             F.col("ssm").cast("double") / F.col("n").cast("double")
         ).cast("long").alias("smape_u"),
     )
+
+
+def seasonal_strength(series: DataFrame, keys: list[str] | None = None,
+                      ts_col: str = "ts", value_col: str = "value",
+                      value_decimals: int = 2) -> DataFrame:
+    """(keys..., n, r2_u): how much of a series' variance the
+    (day-of-week × hour-of-day) profile explains — one-way-ANOVA R²
+    in integer micro-units, the strength score that says whether
+    seasonal_profile/forecast_eval are modeling signal or noise
+    (Hyndman's seasonal-strength F_s, computed exactly).
+
+        R² = SSB/SST = (E·N − S²) / (Q·N − S²),  E = Σ_g round(s_g²/n_g)
+
+    with S=Σc, Q=Σc² over integer cents and (n_g, s_g) per profile
+    cell.  Everything except the per-cell s_g²/n_g is exact
+    decimal(38,0)/hugeint; that one division is a single IEEE op on
+    exact integers whose ROUNDED integer result re-enters exact
+    arithmetic — so the final figure is one deterministic division,
+    never an order-dependent float sum (the engine's fixed-point
+    trick, per-cell this time).  NULL when SST = 0.
+
+    Scale notes (100 TB): raw scan collapses map-side to ≤168 cells
+    per key; two hash-aggs on (key, cell) then (key).  No windows."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    c = F.round(F.col(value_col) * scale).cast("long")
+    pt = series.select(
+        *keys,
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hod"),
+        c.alias("c"),
+    )
+    g = pt.groupBy(*keys, "dow", "hod").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c").alias("sg"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("qg"),
+    )
+    eg = F.round(
+        (F.col("sg").cast(dec) * F.col("sg").cast(dec)).cast("double")
+        / F.col("ng").cast("double")
+    ).cast(dec)
+    t = g.groupBy(*keys).agg(
+        F.sum("ng").cast(dec).alias("n"),
+        F.sum("sg").cast(dec).alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(eg).alias("e"),
+    )
+    ssb = F.col("e") * F.col("n") - F.col("s") * F.col("s")
+    sst = F.col("q") * F.col("n") - F.col("s") * F.col("s")
+    return t.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            sst > 0,
+            F.floor(
+                ssb.cast("double") * F.lit(1_000_000.0)
+                / sst.cast("double")
+            ).cast("long"),
+        ).alias("r2_u"),
+    )
