@@ -2376,6 +2376,19 @@ def q_seasonal_strength(spark, sf_dir):
     return seasonal_strength(_series_from_events(spark, sf_dir))
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Distinct-user overlap between every metric pair by inclusion-
+    exclusion on merged HLL sketches (union = register max) — raw data
+    touched once; the pair stage sees only registers."""
+    from timeseriescorrelation_spark.operators.sketches import hll_overlap
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("seg"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    return hll_overlap(e, "seg", "item", b=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2509,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "pagerank_events": q_pagerank_events,
         "seasonal_strength": q_seasonal_strength,
+        "hll_overlap": q_hll_overlap,
     }
 
 
@@ -5043,5 +5057,67 @@ SELECT metric, cast(n AS bigint) AS n,
                             / cast(q * n - s * s AS double)) AS bigint)
        END AS r2_u
 FROM t
+""",
+        "hll_overlap": """
+WITH e AS (
+  SELECT event_type AS seg, cast(user_id AS varchar) AS item FROM events
+), h AS (
+  SELECT seg, ('0x' || substr(md5(item), 1, 15))::BIGINT AS hv FROM e
+), r0 AS (
+  SELECT seg, hv >> 50 AS reg,
+         CASE WHEN (hv & 1125899906842623) = 0 THEN 51
+              ELSE 51 - length(bin(hv & 1125899906842623)) END AS rho
+  FROM h
+), regs AS (
+  SELECT seg, reg, max(rho) AS rho FROM r0 GROUP BY 1, 2
+), segs AS (
+  SELECT DISTINCT seg FROM regs
+), pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b
+  FROM segs a JOIN segs b ON a.seg < b.seg
+), uregs AS (
+  SELECT seg_a, seg_b, reg, max(rho) AS rho FROM (
+    SELECT p.seg_a, p.seg_b, r.reg, r.rho
+    FROM pairs p JOIN regs r ON r.seg = p.seg_a
+    UNION ALL
+    SELECT p.seg_a, p.seg_b, r.reg, r.rho
+    FROM pairs p JOIN regs r ON r.seg = p.seg_b
+  ) GROUP BY 1, 2, 3
+), agg1 AS (
+  SELECT seg, cast(sum(1::BIGINT << (51 - rho)) AS BIGINT) AS s,
+         count(*) AS np
+  FROM regs GROUP BY 1
+), est1 AS (
+  SELECT seg, round(CASE
+    WHEN CAST(0.7205407583220416 AS DOUBLE) * 1048576.0 * 2251799813685248.0
+         / cast(s + (1024 - np) * (1::BIGINT << 51) AS DOUBLE) <= 2560.0
+         AND 1024 - np > 0
+    THEN 1024.0 * ln(1024.0 / cast(1024 - np AS DOUBLE))
+    ELSE CAST(0.7205407583220416 AS DOUBLE) * 1048576.0 * 2251799813685248.0
+         / cast(s + (1024 - np) * (1::BIGINT << 51) AS DOUBLE)
+    END, 6) AS est
+  FROM agg1
+), aggu AS (
+  SELECT seg_a, seg_b,
+         cast(sum(1::BIGINT << (51 - rho)) AS BIGINT) AS s,
+         count(*) AS np
+  FROM uregs GROUP BY 1, 2
+), estu AS (
+  SELECT seg_a, seg_b, round(CASE
+    WHEN CAST(0.7205407583220416 AS DOUBLE) * 1048576.0 * 2251799813685248.0
+         / cast(s + (1024 - np) * (1::BIGINT << 51) AS DOUBLE) <= 2560.0
+         AND 1024 - np > 0
+    THEN 1024.0 * ln(1024.0 / cast(1024 - np AS DOUBLE))
+    ELSE CAST(0.7205407583220416 AS DOUBLE) * 1048576.0 * 2251799813685248.0
+         / cast(s + (1024 - np) * (1::BIGINT << 51) AS DOUBLE)
+    END, 6) AS est_union
+  FROM aggu
+)
+SELECT seg_a, seg_b, ea.est AS est_a, eb.est AS est_b, est_union,
+       round(greatest(0.0, ea.est + eb.est - est_union), 6)
+         AS overlap_est
+FROM estu
+JOIN est1 ea ON ea.seg = seg_a
+JOIN est1 eb ON eb.seg = seg_b
 """,
     }

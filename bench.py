@@ -115,6 +115,7 @@ HEADLINE = [
     "forecast_eval",
     "pagerank_events",
     "seasonal_strength",
+    "hll_overlap",
 ]
 
 

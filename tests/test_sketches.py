@@ -170,3 +170,24 @@ def test_duplicates_do_not_inflate(spark):
     s_one = {(r["reg"],): r["rho"]
              for r in hll_sketch(one, ["g"], "item").collect()}
     assert s_dup == s_one
+
+
+def test_hll_overlap_identical_and_disjoint(spark):
+    from timeseriescorrelation_spark.operators.sketches import hll_overlap
+
+    rows = (
+        [("A", f"u{i}") for i in range(500)]        # A = u0..u499
+        + [("B", f"u{i}") for i in range(500)]      # B identical to A
+        + [("C", f"v{i}") for i in range(500)]      # C disjoint
+    )
+    df = spark.createDataFrame(rows, "seg string, item string")
+    got = {(r.seg_a, r.seg_b): r for r in
+           hll_overlap(df, "seg", "item").collect()}
+    ab = got[("A", "B")]
+    # identical segments: union == each side, overlap == cardinality
+    assert ab.est_union == ab.est_a == ab.est_b
+    assert abs(ab.overlap_est - 500) / 500 < 0.15   # HLL b=10 rel-err
+    ac = got[("A", "C")]
+    # disjoint: overlap small relative to the sets (3x compounded err)
+    assert ac.overlap_est < 150
+    assert abs(ac.est_union - 1000) / 1000 < 0.15

@@ -362,3 +362,72 @@ def cms_lookup(sketch: DataFrame, items: DataFrame, item_col: str,
         joined.groupBy(*out_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def hll_overlap(df: DataFrame, seg_col: str, item_col: str,
+                b: int = 10) -> DataFrame:
+    """(seg_a, seg_b, est_a, est_b, est_union, overlap_est): distinct-
+    item overlap between every segment pair by inclusion-exclusion on
+    MERGED HLL sketches — the audience-overlap question ("how many
+    users do metrics A and B share?") answered from the same mergeable
+    registers the retention cascade already maintains, never by a
+    distinct-pair join over raw data.
+
+    |A∩B| ≈ |A| + |B| − |A∪B|, where the union sketch is the
+    element-wise register max (hll_merge over the pair) — the one set
+    operation HLL supports exactly.  Clamped at 0 (inclusion-exclusion
+    on estimates can go slightly negative for near-disjoint sets);
+    error compounds to ~3× a single sketch's rel-err, which is the
+    documented price of intersection-via-HLL (use exact distinct joins
+    when segments are small enough to afford them).
+
+    Scale notes (100 TB): raw data is touched ONCE (the register
+    sketch, map-side combined to ≤2^b rows per segment); the pair
+    stage manipulates only registers — |segs|²/2 · 2^b rows — so
+    segment count, not data volume, bounds it.  The segs×segs theta
+    join is a broadcast of the tiny distinct-segment list."""
+    regs = hll_sketch(
+        df.select(F.col(seg_col).alias("seg"), F.col(item_col).alias("it")),
+        ["seg"], "it", b,
+    )
+    singles = hll_estimate(regs, ["seg"], b)
+    segs = regs.select("seg").distinct()
+    pairs = (
+        segs.alias("a")
+        .join(F.broadcast(segs.alias("b")),
+              F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b")
+        )
+    )
+    ra = pairs.join(regs.withColumnRenamed("seg", "seg_a"), "seg_a")
+    rb = pairs.join(regs.withColumnRenamed("seg", "seg_b"), "seg_b")
+    uregs = (
+        ra.select("seg_a", "seg_b", "reg", "rho")
+        .unionByName(rb.select("seg_a", "seg_b", "reg", "rho"))
+        .groupBy("seg_a", "seg_b", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    estu = hll_estimate(uregs, ["seg_a", "seg_b"], b).withColumnRenamed(
+        "hll_est", "est_union"
+    )
+    ea = singles.select(
+        F.col("seg").alias("seg_a"), F.col("hll_est").alias("est_a")
+    )
+    eb = singles.select(
+        F.col("seg").alias("seg_b"), F.col("hll_est").alias("est_b")
+    )
+    return (
+        estu.join(F.broadcast(ea), "seg_a")
+        .join(F.broadcast(eb), "seg_b")
+        .select(
+            "seg_a", "seg_b", "est_a", "est_b", "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
+                6,
+            ).alias("overlap_est"),
+        )
+    )
