@@ -2389,6 +2389,18 @@ def q_hll_overlap(spark, sf_dir):
     return hll_overlap(e, "seg", "item", b=10)
 
 
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier conversation-survival curve per metric with right
+    censoring at a 1h frontier horizon: exact integer micro-nat
+    log-survival (fixed-point per-step ln, exact cumulative sum);
+    surv = 6-dp exp of that integer."""
+    from timeseriescorrelation_spark.operators.survival import km_survival
+
+    return km_survival(
+        _series_from_events(spark, sf_dir), censor_horizon_s=3600
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2523,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank_events,
         "seasonal_strength": q_seasonal_strength,
         "hll_overlap": q_hll_overlap,
+        "km_survival": q_km_survival,
     }
 
 
@@ -5119,5 +5132,49 @@ SELECT seg_a, seg_b, ea.est AS est_a, eb.est AS est_b, est_union,
 FROM estu
 JOIN est1 ea ON ea.seg = seg_a
 JOIN est1 eb ON eb.seg = seg_b
+""",
+        "km_survival": """
+WITH ev AS (
+  SELECT event_type AS metric, user_id AS conv,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), fr AS (
+  SELECT metric, max(t1) AS fmax FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.metric, t1 - t0 AS dur,
+         (fmax - t1) < 3600000000 AS censored
+  FROM ev JOIN fr USING (metric)
+), g AS (
+  SELECT metric, dur, censored, cast(count(*) AS bigint) AS c
+  FROM d GROUP BY 1, 2, 3
+), r AS (
+  SELECT metric, dur, censored, c,
+         cast(sum(c) OVER (PARTITION BY metric ORDER BY dur DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS bigint)
+           AS n_risk
+  FROM g
+), e AS (
+  SELECT metric, dur, c AS d, n_risk FROM r WHERE NOT censored
+), l AS (
+  SELECT metric, dur, d, n_risk,
+         CASE WHEN n_risk > d
+              THEN cast(round(ln(cast(n_risk - d AS double)
+                                 / cast(n_risk AS double))
+                              * 1000000.0) AS bigint) END AS lnu
+  FROM e
+), cm AS (
+  SELECT metric, dur, d, n_risk,
+         sum(lnu) OVER (PARTITION BY metric ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM l
+)
+SELECT metric, dur AS t_us, n_risk, cast(d AS bigint) AS d_events,
+       CASE WHEN n_risk > d THEN cast(cum AS bigint) END AS logsurv_u,
+       CASE WHEN n_risk = d THEN 0.0
+            ELSE round(exp(cast(cum AS double) / 1000000.0), 6)
+       END AS surv
+FROM cm
 """,
     }

@@ -116,6 +116,7 @@ HEADLINE = [
     "pagerank_events",
     "seasonal_strength",
     "hll_overlap",
+    "km_survival",
 ]
 
 
