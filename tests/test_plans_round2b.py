@@ -76,3 +76,37 @@ def test_spearman_one_pair_exchange(spark):
         r"Exchange hashpartitioning\(ua#\d+", plan
     )
     assert len(pair_exchanges) == 1, plan
+
+
+def test_acf_pairs_join_is_equi(spark):
+    plan = _plan(em.queries()["acf_hourly"](spark, SF))
+    # the lag pairing must compile to an equi-join on
+    # (metric, lag, hour) — never a per-(key,lag) cross of hours
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_km_survival_windows_are_partitioned(spark):
+    plan = _plan(em.queries()["km_survival"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # every window (risk count + cumulative log) partitions by metric
+    assert all(s.split(",")[0].strip().startswith("metric") for s in specs), specs
+
+
+def test_seasonal_strength_two_exchanges_hash_agg(spark):
+    plan = _plan(em.queries()["seasonal_strength"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_forecast_eval_calendar_join_is_equi(spark):
+    plan = _plan(em.queries()["forecast_eval"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    plan = _plan(em.queries()["dedup_prefix_jaccard"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
