@@ -2401,6 +2401,17 @@ def q_km_survival(spark, sf_dir):
     )
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall nonparametric trend test per (metric, day): exact
+    integer S and tie-corrected variance, one divide/sqrt for z —
+    bit-exact cross-engine with no rounding tricks."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        mann_kendall_daily,
+    )
+
+    return mann_kendall_daily(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2536,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": q_seasonal_strength,
         "hll_overlap": q_hll_overlap,
         "km_survival": q_km_survival,
+        "mann_kendall": q_mann_kendall,
     }
 
 
@@ -5176,5 +5188,40 @@ SELECT metric, dur AS t_us, n_risk, cast(d AS bigint) AS d_events,
             ELSE round(exp(cast(cum AS double) / 1000000.0), 6)
        END AS surv
 FROM cm
+""",
+        "mann_kendall": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) AS t_us, cast(round(value * 100) AS bigint) AS c
+  FROM events
+), p AS (
+  SELECT a.metric, a.day_ts, sign(b.c - a.c) AS sg
+  FROM pt a JOIN pt b
+    ON a.metric = b.metric AND a.day_ts = b.day_ts
+   AND a.t_us < b.t_us
+), sg AS (
+  SELECT metric, day_ts, cast(sum(sg) AS bigint) AS s_stat
+  FROM p GROUP BY 1, 2
+), tt AS (
+  SELECT metric, day_ts, cast(sum(t) AS bigint) AS n,
+         cast(sum(t * (t - 1) * (2 * t + 5)) AS bigint) AS tie_term
+  FROM (
+    SELECT metric, day_ts, c, cast(count(*) AS bigint) AS t
+    FROM pt GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT sg.metric, sg.day_ts, n, s_stat,
+       CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term <= 0 THEN NULL
+            WHEN s_stat > 0
+            THEN round(cast(s_stat - 1 AS double)
+                       / sqrt(cast(n * (n - 1) * (2 * n + 5) - tie_term
+                                   AS double) / 18.0), 6)
+            WHEN s_stat < 0
+            THEN round(cast(s_stat + 1 AS double)
+                       / sqrt(cast(n * (n - 1) * (2 * n + 5) - tie_term
+                                   AS double) / 18.0), 6)
+            ELSE 0.0 END AS z
+FROM sg JOIN tt USING (metric, day_ts)
+WHERE n >= 8
 """,
     }

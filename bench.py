@@ -117,6 +117,7 @@ HEADLINE = [
     "seasonal_strength",
     "hll_overlap",
     "km_survival",
+    "mann_kendall",
 ]
 
 

@@ -428,3 +428,34 @@ def test_cusum_detects_mean_shift(spark):
     # the upward shift accumulates on the plus side toward the tail
     s = sorted(by["c1"], key=lambda r: r.turn_idx)
     assert s[-1].s_plus > s[5].s_plus
+
+
+def test_mann_kendall_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        mann_kendall_daily,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    inc = [  # strictly increasing: S = C(8,2) = 28, no ties
+        ("1", "up", base + dt.timedelta(minutes=i), i, float(i + 1))
+        for i in range(8)
+    ]
+    flat = [  # all equal: S = 0, tie term kills the variance -> z NULL
+        ("1", "fl", base + dt.timedelta(minutes=i), i, 7.0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        inc + flat,
+        "conv_id string, metric string, ts timestamp, "
+        "turn_idx int, value double",
+    )
+    got = {r.metric: r for r in mann_kendall_daily(df).collect()}
+    up = got["up"]
+    assert up.n == 8 and up.s_stat == 28
+    var = 8 * 7 * 21 / 18.0
+    assert up.z == round(27 / math.sqrt(var), 6)
+    fl = got["fl"]
+    assert fl.s_stat == 0 and fl.z is None

@@ -1387,3 +1387,76 @@ def des_brown(series: DataFrame, alpha: float = 0.3,
         _q(level).alias("level"),
         _q(trend).alias("trend"),
     )
+
+
+def mann_kendall_daily(series: DataFrame, keys: list[str] | None = None,
+                       value_decimals: int = 2,
+                       min_n: int = 8) -> DataFrame:
+    """(keys..., day_ts, n, s_stat, z): Mann-Kendall trend test per
+    (key, day) — the NONPARAMETRIC companion to trend_daily's OLS
+    slope: monotone-trend detection that no outlier can drag, the
+    standard test in environmental/ops monitoring.
+
+        S = Σ_{i<j} sign(x_j − x_i)          (time-ordered pairs)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        z = (S−1)/√Var  if S>0,  (S+1)/√Var  if S<0,  0 if S=0
+
+    S, n and the tie term are EXACT integers on cent-snapped values
+    (sign() of an integer difference), so z is one IEEE divide of an
+    exact integer by the sqrt of an exact-integer/18 quotient —
+    bit-identical cross-engine with NO rounding tricks needed; |z| >
+    1.96 is the usual 95% trend call, left to the reader.
+
+    Scale notes: the pair generation is an O(n²)-per-group self-join
+    on (keys, day) — n is bounded by points-per-day per series (the
+    same bound trend_daily's moment sums enjoy), so the quadratic is
+    per-group-bounded, never corpus-wide; groups shuffle once.  For
+    unbounded n use trend_daily (O(n) moments) and accept its
+    outlier sensitivity — that trade is the point of having both."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        *keys,
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        epoch_us(F.col("ts")).alias("t_us"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    a = pt.select(*keys, "day_ts", F.col("t_us").alias("ti"),
+                  F.col("c").alias("ci"))
+    b = pt.select(*keys, "day_ts", F.col("t_us").alias("tj"),
+                  F.col("c").alias("cj"))
+    pairs = a.join(b, [*keys, "day_ts"]).where(
+        F.col("ti") < F.col("tj")
+    )
+    sgn = F.signum((F.col("cj") - F.col("ci")).cast("double")).cast("long")
+    sg = pairs.groupBy(*keys, "day_ts").agg(
+        F.sum(sgn).alias("s_stat")
+    )
+    ties = (
+        pt.groupBy(*keys, "day_ts", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*keys, "day_ts")
+        .agg(
+            F.sum(F.lit(1)).alias("n_distinct"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    j = sg.join(ties, [*keys, "day_ts"])
+    n = F.col("n")
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    sd = F.sqrt(var_num.cast("double") / F.lit(18.0))
+    s = F.col("s_stat")
+    z = F.when(var_num <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(s > 0, (s - 1).cast("double") / sd)
+        .when(s < 0, (s + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.where(n >= int(min_n)).select(
+        *keys, "day_ts",
+        n.cast("long").alias("n"),
+        s.cast("long").alias("s_stat"),
+        F.round(z, 6).alias("z"),
+    )
