@@ -117,7 +117,9 @@ HEADLINE = [
     "seasonal_strength",
     "hll_overlap",
     "km_survival",
-    "mann_kendall",
+    # mann_kendall is deliberately NOT benched: its O(n^2)-per-group
+    # pair join is the bounded-n verification tool (trend_daily's O(n)
+    # moments are the scale path) — same policy as dedup_ngram_jaccard
 ]
 
 
