@@ -293,6 +293,26 @@ def q_corr_report(spark, sf_dir):
     return rep.select("id_a", "id_b", F.round("rho", 6).alias("rho"))
 
 
+def q_spearman_pruned(spark, sf_dir):
+    """PRUNED Spearman (round-3 headline replacement for the all-pairs
+    spearman_pairs): rank-transform the aligned series, then run the
+    SAME tiered pipeline as corr_report — Spearman ρ(x,y) is Pearson
+    ρ(rank(x), rank(y)), so the ε-grid sketch prune's no-false-negative
+    guarantee carries over verbatim.  The DuckDB oracle is the naive
+    all-pairs rank correlation at θ; equality IS the soundness proof.
+    All-pairs spearman_hourly_pairs stays available as the bounded-n
+    verification tool (the mann_kendall policy)."""
+    from timeseriescorrelation_spark.operators.correlation import (
+        rank_transform,
+    )
+
+    aligned = rank_transform(_aligned_from_events(spark, sf_dir))
+    vectors = dft_sketch(build_vectors(aligned)).cache()
+    cand = candidate_pairs(vectors, _CORR_THETA)
+    rep = exact_corr(cand, vectors, _CORR_THETA)
+    return rep.select("id_a", "id_b", F.round("rho", 6).alias("rho_s"))
+
+
 def q_corr_pairs_hourly(spark, sf_dir):
     """Exact pairwise Pearson over co-occurring hourly buckets (J2+A4).
 
@@ -2435,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_bounded_1h": q_locf_bounded_1h,
         "series_metrics": q_series_metrics,
         "corr_report": q_corr_report,
+        "spearman_pruned": q_spearman_pruned,
         "corr_pairs_hourly": q_corr_pairs_hourly,
         "join_broadcast_rev": q_join_broadcast_rev,
         "anti_join_inactive": q_anti_join_inactive,
@@ -3027,6 +3048,28 @@ SELECT a.sid AS id_a, b.sid AS id_b, round(corr(a.v, b.v), 6) AS rho
 FROM x a JOIN x b ON a.rn = b.rn AND a.sid < b.sid
 GROUP BY 1, 2
 HAVING corr(a.v, b.v) >= {_CORR_THETA}
+""",
+        "spearman_pruned": f"""
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT cast(user_id AS varchar) AS sid, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM h
+), x AS (
+  SELECT sid, rn, v FROM r WHERE rn <= {_CORR_M} AND n >= {_CORR_M}
+), rk AS (
+  SELECT sid, rn,
+         rank() OVER (PARTITION BY sid ORDER BY v)
+           + (count(*) OVER (PARTITION BY sid, v) - 1) / 2.0 AS rv
+  FROM x
+)
+SELECT a.sid AS id_a, b.sid AS id_b, round(corr(a.rv, b.rv), 6) AS rho_s
+FROM rk a JOIN rk b ON a.rn = b.rn AND a.sid < b.sid
+GROUP BY 1, 2
+HAVING corr(a.rv, b.rv) >= {_CORR_THETA}
 """,
         "corr_pairs_hourly": """
 WITH h AS (
@@ -4557,14 +4600,15 @@ WITH d AS (
     SELECT epoch_us(end_ts) + 1 AS ts_us, -1 AS dd FROM spans
   ) GROUP BY 1
 ), lv AS (
-  SELECT ts_us,
+  SELECT ts_us, cast(delta AS bigint) AS delta,
          cast(sum(delta) OVER (ORDER BY ts_us
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
            AS level
   FROM deltas
 )
 SELECT date_trunc('hour', make_timestamp(ts_us)) AS bucket_ts,
-       max(level) AS peak, count(*) AS n_changes
+       greatest(max(level), arg_min(level - delta, ts_us)) AS peak,
+       count(*) AS n_changes
 FROM lv GROUP BY 1
 """,
         "chunk_dedup": """
@@ -5192,13 +5236,14 @@ FROM cm
         "mann_kendall": """
 WITH pt AS (
   SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
-         epoch_us(ts) AS t_us, cast(round(value * 100) AS bigint) AS c
+         epoch_us(ts) AS t_us, cast(event_id AS bigint) AS o,
+         cast(round(value * 100) AS bigint) AS c
   FROM events
 ), p AS (
   SELECT a.metric, a.day_ts, sign(b.c - a.c) AS sg
   FROM pt a JOIN pt b
     ON a.metric = b.metric AND a.day_ts = b.day_ts
-   AND a.t_us < b.t_us
+   AND (a.t_us < b.t_us OR (a.t_us = b.t_us AND a.o < b.o))
 ), sg AS (
   SELECT metric, day_ts, cast(sum(sg) AS bigint) AS s_stat
   FROM p GROUP BY 1, 2

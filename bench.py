@@ -91,7 +91,10 @@ HEADLINE = [
     "tier_consistency",
     "mad_outliers",
     "cube_counts",
-    "spearman_pairs",
+    # spearman_pairs DEMOTED round 3 (VERDICT r02 #1): its all-pairs
+    # hourly co-occurrence join is the bounded-n verification tool;
+    # spearman_pruned (HEADLINE_R3) is the scale path — rank transform
+    # + the ε-grid candidate prune, gate-proven equal to all-pairs.
     "trend_daily",
     "concurrency_1h",
     "chunk_dedup",
@@ -120,6 +123,13 @@ HEADLINE = [
     # mann_kendall is deliberately NOT benched: its O(n^2)-per-group
     # pair join is the bounded-n verification tool (trend_daily's O(n)
     # moments are the scale path) — same policy as dedup_ngram_jaccard
+]
+
+# Round-3 additions, kept in a SEPARATE list so the frozen HEADLINE
+# composition above stays per-query comparable to BENCH_r02 (VERDICT
+# r02 #10); the driver total covers both lists.
+HEADLINE_R3 = [
+    "spearman_pruned",
 ]
 
 
@@ -183,7 +193,7 @@ def main() -> None:
     qs = entrymod.queries()
     qs.update(_scale_overrides())
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in [*HEADLINE, *HEADLINE_R3]:
         if name not in qs:
             continue
         df = qs[name](spark, sf_dir)
@@ -202,19 +212,45 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "frozen_r02_total": round(
+            sum(t for n, t in timings.items() if n in HEADLINE), 3
+        ),
+        "r3_additions_total": round(
+            sum(t for n, t in timings.items() if n in HEADLINE_R3), 3
+        ),
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    # Full per-query map goes to a FILE: the single-line form outgrew
+    # the driver's stdout tail-capture window at 97 queries (r02's
+    # BENCH json came back `parsed: null`), so the LAST stdout line is
+    # a compact summary the driver can always parse, and the complete
+    # map is a committed artifact.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(out_dir, exist_ok=True)
+    full_path = os.path.join(out_dir, "bench_full_latest.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf,
+        "cpus": int(cpus),
+        "full": "BENCH/bench_full_latest.json",
+    }
     spark.stop()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -114,3 +114,42 @@ def test_exact_pair_rho_is_one(spark, planted):
     exact = got[got["id_a"].str.startswith("exact")]
     assert len(exact) == 3
     np.testing.assert_allclose(exact["rho"], 1.0, atol=1e-9)
+
+
+def test_spearman_pruned_equals_naive_rank_corr(spark, planted):
+    """Round-3 composition (VERDICT #1): rank_transform → tiered
+    pipeline == all-pairs Pearson over the SAME rank vectors at θ.
+    Spearman ρ(x,y) = Pearson ρ(rank x, rank y), so corr_naive on the
+    ranked input is the golden all-pairs Spearman; pair-set equality
+    proves the ε-grid prune stays sound after the rank transform
+    (the sketch lower bound never assumed anything about the value
+    distribution, only unit-normed vectors)."""
+    from timeseriescorrelation_spark.operators.correlation import (
+        exact_corr,
+        rank_transform,
+    )
+
+    df, _ = planted
+    ranked = rank_transform(df)
+    vectors = dft_sketch(build_vectors(ranked), k=4).cache()
+    cand = candidate_pairs(vectors, THETA)
+    got = (
+        exact_corr(cand, vectors, THETA)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    naive = (
+        corr_naive(ranked, THETA)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(got["id_a"]) == list(naive["id_a"])
+    assert list(got["id_b"]) == list(naive["id_b"])
+    np.testing.assert_allclose(got["rho"], naive["rho"], atol=1e-9)
+    # monotone planted pairs survive the rank transform
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    for i in range(3):
+        assert (f"exact_{i}a", f"exact_{i}b") in pairs
+    vectors.unpersist()

@@ -955,9 +955,11 @@ def ewma(series: DataFrame, alpha: float = 0.3,
     # explicit count: bare repartition(cols) lets AQE coalesce the
     # exchange to its advisory size and starves the Python workers
     # (see chunks.encode_chunks for the measurement)
-    n_part = int(
-        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
     )
+
+    n_part = shuffle_partition_count(series.sparkSession)
     part = with_ord.repartition(n_part, *[F.col(k) for k in keys]) \
         .sortWithinPartitions(*keys, "_ord", "turn_idx")
     # The recursion is bit-identical across pandas / DuckDB (verified),
@@ -1368,9 +1370,11 @@ def des_brown(series: DataFrame, alpha: float = 0.3,
         yield out
 
     with_ord = series.select(*cols, epoch_us(F.col("ts")).alias("_ord"))
-    n_part = int(
-        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
     )
+
+    n_part = shuffle_partition_count(series.sparkSession)
     part = with_ord.repartition(n_part, *[F.col(k) for k in keys]) \
         .sortWithinPartitions(*keys, "_ord", "turn_idx")
     raw = part.mapInPandas(_des, schema)
@@ -1391,7 +1395,8 @@ def des_brown(series: DataFrame, alpha: float = 0.3,
 
 def mann_kendall_daily(series: DataFrame, keys: list[str] | None = None,
                        value_decimals: int = 2,
-                       min_n: int = 8) -> DataFrame:
+                       min_n: int = 8,
+                       ord_col: str = "turn_idx") -> DataFrame:
     """(keys..., day_ts, n, s_stat, z): Mann-Kendall trend test per
     (key, day) — the NONPARAMETRIC companion to trend_daily's OLS
     slope: monotone-trend detection that no outlier can drag, the
@@ -1412,21 +1417,29 @@ def mann_kendall_daily(series: DataFrame, keys: list[str] | None = None,
     same bound trend_daily's moment sums enjoy), so the quadratic is
     per-group-bounded, never corpus-wide; groups shuffle once.  For
     unbounded n use trend_daily (O(n) moments) and accept its
-    outlier sensitivity — that trade is the point of having both."""
+    outlier sensitivity — that trade is the point of having both.
+
+    Time ties: observations sharing a microsecond are ordered by the
+    data's own ordinal (`ord_col`, default turn_idx) in the pair
+    condition, so they still contribute sign terms to S — a strict
+    ti<tj condition would drop those pairs while Var(S) kept counting
+    them in n, biasing z toward 0 on days with duplicate timestamps."""
     keys = keys or ["metric"]
     scale = 10 ** int(value_decimals)
     pt = series.select(
         *keys,
         F.date_trunc("day", F.col("ts")).alias("day_ts"),
         epoch_us(F.col("ts")).alias("t_us"),
+        F.col(ord_col).cast("long").alias("o"),
         F.round(F.col("value") * scale).cast("long").alias("c"),
     )
     a = pt.select(*keys, "day_ts", F.col("t_us").alias("ti"),
-                  F.col("c").alias("ci"))
+                  F.col("o").alias("oi"), F.col("c").alias("ci"))
     b = pt.select(*keys, "day_ts", F.col("t_us").alias("tj"),
-                  F.col("c").alias("cj"))
+                  F.col("o").alias("oj"), F.col("c").alias("cj"))
     pairs = a.join(b, [*keys, "day_ts"]).where(
-        F.col("ti") < F.col("tj")
+        (F.col("ti") < F.col("tj"))
+        | ((F.col("ti") == F.col("tj")) & (F.col("oi") < F.col("oj")))
     )
     sgn = F.signum((F.col("cj") - F.col("ci")).cast("double")).cast("long")
     sg = pairs.groupBy(*keys, "day_ts").agg(

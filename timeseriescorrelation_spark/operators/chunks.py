@@ -84,9 +84,11 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
     # advisory byte size — measured 32 → ~3 partitions here, leaving
     # 3 Python workers to encode 80k chunks (14.7 s); pinning the
     # count keeps every core's worker busy (2.1 s)
-    n_part = int(
-        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
     )
+
+    n_part = shuffle_partition_count(series.sparkSession)
     part = keyed.repartition(n_part, "conv_id", "metric") \
         .sortWithinPartitions(
             "conv_id", "metric", "chunk_start", "ts", "turn_idx"

@@ -219,3 +219,33 @@ def corr_naive(aligned: DataFrame, theta: float,
         .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("rho"))
         .where(F.col("rho") >= F.lit(theta))
     )
+
+
+def rank_transform(aligned: DataFrame, id_col: str = "series_id",
+                   value_col: str = "value") -> DataFrame:
+    """Average-rank each series' values WITHIN its own aligned vector:
+    rank_asc + (tie_cnt − 1)/2 — the same one-sort tie identity
+    spearman_hourly_pairs uses, but over the fixed per-series grid.
+
+    This is the composition seam for PRUNED Spearman: Spearman ρ of
+    (x, y) is Pearson ρ of (rank(x), rank(y)), so rank-transforming
+    the aligned input and running the existing tiered pipeline
+    (build_vectors → dft_sketch → candidate_pairs → exact_corr) gives
+    rank correlation with the ε-grid prune's no-false-negative
+    guarantee carried over verbatim — the sketch lower bound only
+    assumes unit-normed vectors, and the rank vectors are z-normed by
+    build_vectors like any other series.
+
+    Scale: ONE shuffle keyed on series_id (both windows sort-satisfy
+    on the same (id, value) order); per-partition work is bounded by
+    the aligned vector length m, never corpus-wide.  Pairs whose
+    values are all ties (σ=0 after ranking) drop in build_vectors —
+    Spearman is undefined there, matching SQL corr()'s NULL."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(value_col)
+    ties = Window.partitionBy(id_col, value_col)
+    return aligned.withColumn(
+        value_col,
+        F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0,
+    )

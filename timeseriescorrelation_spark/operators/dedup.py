@@ -518,10 +518,15 @@ def prefix_jaccard_pairs(docs: DataFrame, n: int = 3, tau_num: int = 1,
         )
     )
     # per_doc feeds THREE join sides (prefix explode + both verify
-    # lookups); without a cache Spark recomputes the shingle→df→
-    # collect pipeline per branch (measured 3.1 s → 1.0 s at sf0.1).
-    # Same precedent as correlation.build_vectors' cached vectors.
-    per_doc = per_doc.cache()
+    # lookups); without materialization Spark recomputes the shingle→
+    # df→collect pipeline per branch (measured 3.1 s → 1.0 s at
+    # sf0.1).  localCheckpoint (eager), NOT cache(): cache() pins
+    # executor storage in the CacheManager until an explicit
+    # unpersist that a plan-returning function has no place to issue
+    # (repeated calls in a long-lived session would leak); local-
+    # checkpoint blocks are released by the ContextCleaner when this
+    # DataFrame is garbage collected, scoping the memory to the query.
+    per_doc = per_doc.localCheckpoint(eager=True)
     # p = sz − ceil(τ·sz) + 1, all-integer: ceil(a/b) = (a+b−1) div b
     p = (
         F.col("sz")

@@ -125,7 +125,8 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
 
 def concurrency_levels(spans: DataFrame, start_col: str = "start_ts",
                        end_col: str = "end_ts",
-                       shard: str = "day") -> DataFrame:
+                       shard: str = "day",
+                       with_delta: bool = False) -> DataFrame:
     """Sweep-line concurrency: the number of spans active at each
     boundary instant (inclusive [start, end] — a span still counts AT
     its end microsecond).  The capacity question behind "how many
@@ -152,7 +153,11 @@ def concurrency_levels(spans: DataFrame, start_col: str = "start_ts",
 
     Output: one row per distinct boundary microsecond (ts, level).
     Hours/days with no boundary simply carry the previous level and
-    emit nothing — consumers read it as a step function."""
+    emit nothing — consumers read it as a step function.
+    `with_delta=True` also emits the net ±k change applied AT that
+    instant, so consumers can recover the level *entering* any
+    boundary as `level - delta` (max_concurrency needs that to seed
+    each bucket with its carry-in level)."""
     from timeseriescorrelation_spark.functions.timeutil import epoch_us
 
     starts = spans.select(
@@ -195,23 +200,33 @@ def concurrency_levels(spans: DataFrame, start_col: str = "start_ts",
         "carry_in", F.sum("net").over(w_days) - F.col("net")
     ).select("shard_ts", "carry_in")
 
-    return (
-        local.join(F.broadcast(carry), "shard_ts")
-        .select(
-            F.timestamp_micros(F.col("ts_us")).alias("ts"),
-            (F.col("carry_in") + F.col("run")).alias("level"),
-        )
-    )
+    cols = [
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        (F.col("carry_in") + F.col("run")).alias("level"),
+    ]
+    if with_delta:
+        cols.append(F.col("delta"))
+    return local.join(F.broadcast(carry), "shard_ts").select(*cols)
 
 
 def max_concurrency(spans: DataFrame, start_col: str = "start_ts",
                     end_col: str = "end_ts",
                     trunc: str = "hour") -> DataFrame:
     """Max concurrent spans per bucket — concurrency_levels reduced to
-    the per-hour peak (only buckets containing a boundary appear; a
-    bucket fully inside one flat stretch has no row, its level is the
-    previous boundary's)."""
-    lv = concurrency_levels(spans, start_col, end_col)
+    the per-hour peak.  The peak is seeded with the bucket's CARRY-IN
+    level (the level entering the bucket = `level - delta` at the
+    bucket's first boundary), so an hour containing only span-end
+    boundaries still reports the true concurrent count at the top of
+    the hour rather than the strictly-lower post-decrement levels.
+    Only buckets containing a boundary appear; a bucket fully inside
+    one flat stretch has no row, its level is the previous
+    boundary's."""
+    lv = concurrency_levels(spans, start_col, end_col, with_delta=True)
     return lv.groupBy(
         F.date_trunc(trunc, "ts").alias("bucket_ts")
-    ).agg(F.max("level").alias("peak"), F.count("*").alias("n_changes"))
+    ).agg(
+        F.greatest(
+            F.max("level"), F.expr("min_by(level - delta, ts)")
+        ).alias("peak"),
+        F.count("*").alias("n_changes"),
+    )

@@ -54,3 +54,15 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partition_count(spark: SparkSession) -> int:
+    """`spark.sql.shuffle.partitions` as an int, falling back to
+    `sparkContext.defaultParallelism` when the conf value is
+    non-numeric — 'auto' is a legal value under AQE auto partition
+    sizing, and int('auto') would crash plan construction for the
+    operators that pin an explicit repartition count."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism

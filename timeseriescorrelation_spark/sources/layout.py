@@ -15,8 +15,10 @@ jar-free, plain-parquet equivalent the sandbox can execute and assert.
 Bit budget: each column contributes its value's low `bits` bits
 (columns must be pre-scaled to a small ordinal domain — e.g. day
 number, bucketed id); interleave is LSB-first so the key preserves
-locality at every prefix length.  The key is a plain int64 column:
-16 bits × up to 4 columns.
+locality at every prefix length.  The key is a plain int64 column
+holding at most 63 bits total: 16 bits × up to 3 columns at the
+default; 4 columns need bits ≤ 15 (zorder_key rejects
+n_cols × bits > 63).
 
 Scale notes (100 TB): the write costs ONE repartitionByRange shuffle
 (range boundaries from Spark's reservoir sample of the key) +
