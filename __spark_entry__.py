@@ -1352,16 +1352,19 @@ def q_tier_upsert_1h(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup pairs → transitive clusters (min-label propagation):
-    the keep-one-per-group step pairwise dedup can't express.  Oracle
-    = recursive-CTE reachability closure over the same edge set."""
+    """Near-dup pairs → transitive clusters via alternating
+    large-star/small-star edge rewrites (O(log² n) rounds on any graph
+    shape — round 3 replaced the diameter-bound label propagation,
+    pytest asserts identical labelings): the keep-one-per-group step
+    pairwise dedup can't express.  Oracle = recursive-CTE reachability
+    closure over the same edge set."""
     from timeseriescorrelation_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
 
     p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
     pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
-    return connected_components(pairs)
+    return connected_components_star(pairs)
 
 
 def q_dedup_editdist(spark, sf_dir):
@@ -1680,16 +1683,18 @@ def q_emb_clusters(spark, sf_dir):
     connected-components operator over a DIFFERENT pair source (cosine
     instead of Jaccard) — semantic dedup keeps one representative per
     cluster of paraphrases.  Composition shows the operator is
-    pair-source-agnostic."""
+    pair-source-agnostic.  Round 3: large-star/small-star variant
+    (same labeling, fewer driver-paced rounds on high-diameter
+    graphs)."""
     from timeseriescorrelation_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
     from timeseriescorrelation_spark.operators.similarity import (
         cosine_neardup_pairs_blocked,
     )
 
     pairs = cosine_neardup_pairs_blocked(_embs(spark, sf_dir), min_cos=0.35)
-    return connected_components(pairs)
+    return connected_components_star(pairs)
 
 
 def q_unpivot_tier(spark, sf_dir):

@@ -254,3 +254,65 @@ def test_connected_components_long_chain(spark):
     }
     assert set(labels.values()) == {100}
     assert len(labels) == 13
+
+
+def test_cc_star_matches_propagation(spark):
+    """Large-star/small-star produces the EXACT labeling of the
+    propagation variant on hand graphs + a seeded random graph."""
+    import random
+
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    for edge_list in [
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        [(i, i + 1) for i in range(100, 112)],
+        [(a, b) for a, b in rand_edges if a != b],
+    ]:
+        edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        want = {
+            r["doc_id"]: r["cluster"]
+            for r in connected_components(edges).collect()
+        }
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == want
+
+
+def test_cc_star_fewer_rounds_on_chain(spark):
+    """A 64-node path: propagation needs ~diameter/hops rounds, the
+    star rewrites halve path lengths per alternation — measured round
+    counts must show the log-vs-linear gap (VERDICT r02 #4)."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    s_prop: dict = {}
+    s_star: dict = {}
+    want = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(
+            edges, max_iter=64, stats=s_prop
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components_star(
+            edges, max_iter=64, stats=s_star
+        ).collect()
+    }
+    assert got == want and set(got.values()) == {0}
+    assert s_star["rounds"] < s_prop["rounds"], (s_star, s_prop)
+    assert s_star["rounds"] <= 8, s_star  # ~log2(64) + probe round
