@@ -2390,6 +2390,33 @@ def q_pagerank_events(spark, sf_dir):
     return pagerank_fixedpoint(d, n_iter=3)
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """Mass-conserving integer PageRank (round 3, VERDICT r02 #5):
+    dangling outflow + undamped shares pool-redistributed with exact
+    DIV/mod remainder accounting, total pinned at 10⁶·|V| every
+    iteration; the oracle unrolls the 3 iterations as integer CTEs —
+    bit-exact."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.graphrank import (
+        pagerank_conserving,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .withColumn("w", F.lit(1))
+    )
+    return pagerank_conserving(d, n_iter=3)
+
+
 def q_seasonal_strength(spark, sf_dir):
     """Seasonal strength: one-way-ANOVA R² of the dow×hour profile in
     integer micro-units — exact decimal/hugeint sums everywhere except
@@ -2570,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "forecast_eval": q_forecast_eval,
         "pagerank_events": q_pagerank_events,
+        "pagerank_dangling": q_pagerank_dangling,
         "seasonal_strength": q_seasonal_strength,
         "hll_overlap": q_hll_overlap,
         "km_survival": q_km_survival,
@@ -2803,6 +2831,72 @@ WITH d AS (
   SELECT nodes.node,
          cast(150000 + coalesce(inflow, 0) AS bigint) AS pr_u
   FROM nodes LEFT JOIN c{i} USING (node)
+)""")
+    return "".join(ctes) + f"\nSELECT node, pr_u FROM p{n_iter}\n"
+
+
+def _pagerank_dangling_oracle(n_iter: int = 3) -> str:
+    """Unroll graphrank.pagerank_conserving: damped per-edge floors +
+    per-src remainder to min(dst), dangling + undamped shares pooled
+    and paid out pool//N with the mod-N remainder on the min node.
+    Pure bigint arithmetic — bit-exact vs the Spark loop."""
+    ctes = ["""
+WITH d AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS src,
+         event_type AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, cast(count(*) AS bigint) AS w
+  FROM d WHERE src IS NOT NULL GROUP BY 1, 2
+), wo AS (
+  SELECT src, cast(sum(w) AS bigint) AS wout FROM e GROUP BY 1
+), ew AS (
+  SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)
+), d0 AS (
+  SELECT src, min(dst) AS dst0 FROM ew GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)
+), nn AS (
+  SELECT cast(count(*) AS bigint) AS n, min(node) AS mn FROM nodes
+), p0 AS (
+  SELECT node, cast(1000000 AS bigint) AS pr_u FROM nodes
+)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f""", o{i} AS (
+  SELECT node, pr_u, cast((85 * pr_u) // 100 AS bigint) AS out_u
+  FROM p{i - 1}
+), fl{i} AS (
+  SELECT ew.src, ew.dst,
+         cast((o.out_u * ew.w) // ew.wout AS bigint) AS fl, o.out_u
+  FROM ew JOIN o{i} o ON ew.src = o.node
+), ps{i} AS (
+  SELECT src, cast(sum(fl) AS bigint) AS fl_sum,
+         max(out_u) AS out_u
+  FROM fl{i} GROUP BY 1
+), infl{i} AS (
+  SELECT node, cast(sum(amt) AS bigint) AS inflow FROM (
+    SELECT dst AS node, fl AS amt FROM fl{i}
+    UNION ALL
+    SELECT d0.dst0 AS node, ps.out_u - ps.fl_sum AS amt
+    FROM ps{i} ps JOIN d0 USING (src)
+  ) GROUP BY 1
+), pool{i} AS (
+  SELECT cast(sum(p) AS bigint) AS pool FROM (
+    SELECT pr_u - out_u AS p FROM o{i}
+    UNION ALL
+    SELECT out_u FROM o{i}
+    WHERE node NOT IN (SELECT src FROM wo)
+  )
+), p{i} AS (
+  SELECT n.node,
+         cast(coalesce(f.inflow, 0) + pool.pool // nn.n
+              + CASE WHEN n.node = nn.mn THEN pool.pool % nn.n
+                     ELSE 0 END AS bigint) AS pr_u
+  FROM nodes n
+  LEFT JOIN infl{i} f ON f.node = n.node
+  CROSS JOIN pool{i} pool CROSS JOIN nn
 )""")
     return "".join(ctes) + f"\nSELECT node, pr_u FROM p{n_iter}\n"
 
@@ -5102,6 +5196,7 @@ SELECT metric, cast(count(*) AS bigint) AS n_eval,
 FROM t GROUP BY 1
 """,
         "pagerank_events": _pagerank_oracle(3),
+        "pagerank_dangling": _pagerank_dangling_oracle(3),
         "seasonal_strength": """
 WITH pt AS (
   SELECT event_type AS metric, dayofweek(ts) AS dow,

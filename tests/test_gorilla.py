@@ -104,3 +104,53 @@ def test_negative_dod_buckets():
     ts = np.cumsum(np.array([0] + deltas, dtype=np.int64))
     vs = np.arange(len(ts), dtype=np.float64)
     _roundtrip(ts.tolist(), vs.tolist())
+
+
+# VERDICT r02 #8: widen the property strategy to the float corners the
+# uniform strategy almost never draws — denormals (the XOR leading/
+# trailing-zero logic sees 52-bit-mantissa-only patterns), ±inf, NaN
+# RUNS (consecutive identical bit patterns drive the zero-XOR fast
+# path), and delta-of-deltas beyond 2^31 µs (the widest dod bucket).
+_SPECIALS = [
+    0.0, -0.0, float("inf"), float("-inf"), float("nan"),
+    5e-324, -5e-324,                    # smallest denormals
+    2.2250738585072014e-308,            # smallest normal
+    1.1125369292536007e-308,            # mid-range denormal
+    -4.9406564584124654e-310,           # negative denormal
+    1.7976931348623157e308, -1.7976931348623157e308,
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.integers(min_value=0, max_value=2**31 - 1),
+                # > 2^31 µs (~36 min) up to 2^45 µs (~1 year) — the
+                # dod raw-bucket path, int64-safe at 200 points
+                st.integers(min_value=2**31, max_value=2**45),
+            ),
+            st.one_of(
+                st.sampled_from(_SPECIALS),
+                st.floats(allow_nan=True, allow_infinity=True,
+                          allow_subnormal=True, width=64),
+            ),
+            st.integers(min_value=1, max_value=5),  # run length
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_roundtrip_property_specials_and_wide_deltas(triples):
+    deltas, vs = [], []
+    for d, v, run in triples:
+        for i in range(run):
+            deltas.append(d + i)  # near-identical deltas: small dods
+            vs.append(v)          # value runs: zero-XOR fast path
+    ts = np.cumsum(np.array(deltas, dtype=np.int64)) + 1_700_000_000_000_000
+    vs = np.array(vs, dtype=np.float64)
+    blob = encode_chunk(ts, vs)
+    dts, dvs = decode_chunk(blob)
+    np.testing.assert_array_equal(dts, ts)
+    np.testing.assert_array_equal(dvs.view(np.uint64), vs.view(np.uint64))

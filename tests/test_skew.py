@@ -111,3 +111,64 @@ def test_key_skew_report_uniform_is_zero(spark):
     )
     r = key_skew_report(df).collect()[0]
     assert r.gini_u == 0 and r.top1_share_u == 200000
+
+
+def _mk_series(spark, heavy_rows: int, light_rows: int, n_light: int):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(heavy_rows):
+        rows.append(("conv_heavy", "m", base + dt.timedelta(seconds=i),
+                     i, float(i % 7)))
+    for c in range(n_light):
+        for i in range(light_rows):
+            rows.append((f"conv_{c:03d}", "m",
+                         base + dt.timedelta(seconds=17 * i + c), i,
+                         float((i + c) % 5)))
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, ts timestamp, "
+        "turn_idx int, value double",
+    )
+
+
+def test_cascade_auto_salts_on_skew_only(spark):
+    """VERDICT r02 #6: the measured guard — a 1-conv-dominates
+    synthetic triggers the salted plan, an even synthetic keeps the
+    fused single-shuffle plan, and BOTH paths produce identical
+    tiers."""
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_cascade_auto,
+        rollup_cascade_fused,
+    )
+
+    def tiers_sorted(tiers):
+        out = {}
+        for k, df in tiers.items():
+            pdf = df.toPandas()
+            pdf["sum"] = pdf["sum"].round(6)
+            out[k] = pdf.sort_values(
+                ["conv_id", "metric", "bucket_ts"]
+            ).reset_index(drop=True)
+        return out
+
+    skewed = _mk_series(spark, heavy_rows=4000, light_rows=25, n_light=40)
+    st: dict = {}
+    got = tiers_sorted(rollup_cascade_auto(skewed, stats=st))
+    assert st["salted"] is True, st
+    want = tiers_sorted(rollup_cascade_fused(skewed))
+    for k in ("1m", "1h", "1d"):
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got[k], want[k])
+
+    even = _mk_series(spark, heavy_rows=25, light_rows=25, n_light=40)
+    st2: dict = {}
+    got2 = tiers_sorted(rollup_cascade_auto(even, stats=st2))
+    assert st2["salted"] is False, st2
+    want2 = tiers_sorted(rollup_cascade_fused(even))
+    for k in ("1m", "1h", "1d"):
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got2[k], want2[k])

