@@ -2464,6 +2464,103 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall_daily(_series_from_events(spark, sf_dir))
 
 
+def q_changepoint_daily(spark, sf_dir):
+    """Single-split binary segmentation per (metric, day): one window
+    cumsum + one window max over exact integer prefix sums — the
+    argmax and segment means are assembled from identical integers in
+    both engines (round 3)."""
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoint_daily,
+    )
+
+    return changepoint_daily(
+        _series_from_events(spark, sf_dir), keys=["metric"], min_n=8
+    )
+
+
+def q_burst_hours(spark, sf_dir):
+    """Kleinberg-style burst flag: hour flagged when cnt exceeds 3×
+    the trailing-23-observed-hours mean — the comparison stays in
+    integers (cnt·n_trail > 3·trail_sum), no float in the flag."""
+    from timeseriescorrelation_spark.operators.changepoint import (
+        burst_hours,
+    )
+
+    return burst_hours(
+        _series_from_events(spark, sf_dir), keys=["metric"],
+        num=3, den=1, min_count=10,
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Sen's slope per (metric, day): median of exact pairwise slopes
+    — bounded-n O(n²)-per-day-group companion to mann_kendall, NOT in
+    the headline bench by the same policy."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        theil_sen_daily,
+    )
+
+    return theil_sen_daily(
+        _series_from_events(spark, sf_dir), keys=["metric"], min_n=8
+    )
+
+
+def q_corr_matrix_daily(spark, sf_dir):
+    """Pairwise Pearson between every metric pair's hourly cent-sum
+    series within each day — aggregate-first, so the pair space is
+    |metrics|²·|hours|, independent of raw row count."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        corr_matrix_daily,
+    )
+
+    return corr_matrix_daily(
+        _series_from_events(spark, sf_dir), key="metric", min_hours=4
+    )
+
+
+def q_granger_gain(spark, sf_dir):
+    """Granger-style screen: R² improvement of adding x_{t−1} to
+    y_t ~ y_{t−1} on the hourly grid, closed-form 2-predictor OLS
+    from exact decimal38 moments."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        granger_gain,
+    )
+
+    return granger_gain(
+        _series_from_events(spark, sf_dir), key="metric", min_n=24
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov per (metric, day) vs the previous
+    day: D maximized over the exact integer numerator
+    |cumA·nB − cumB·nA| with RANGE-frame tie handling."""
+    from timeseriescorrelation_spark.operators.drift import ks_drift_daily
+
+    return ks_drift_daily(
+        _series_from_events(spark, sf_dir), keys=["metric"], min_n=8
+    )
+
+
+def q_entropy_daily(spark, sf_dir):
+    """Shannon entropy of the daily event-type mix, micro-nat-snapped
+    per term before summation (the lm.py recipe)."""
+    from timeseriescorrelation_spark.operators.drift import entropy_daily
+
+    return entropy_daily(_events(spark, sf_dir), cat_col="event_type")
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit χ² per metric: digit read from the decimal
+    string of the cent-snapped integer (no log10 near decade
+    boundaries), χ² terms micro-snapped before the sum."""
+    from timeseriescorrelation_spark.operators.drift import benford_check
+
+    return benford_check(
+        _series_from_events(spark, sf_dir), keys=["metric"], min_n=50
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2598,6 +2695,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "pagerank_events": q_pagerank_events,
         "pagerank_dangling": q_pagerank_dangling,
+        "changepoint_daily": q_changepoint_daily,
+        "burst_hours": q_burst_hours,
+        "theil_sen": q_theil_sen,
+        "corr_matrix_daily": q_corr_matrix_daily,
+        "granger_gain": q_granger_gain,
+        "ks_drift": q_ks_drift,
+        "entropy_daily": q_entropy_daily,
+        "benford": q_benford,
         "seasonal_strength": q_seasonal_strength,
         "hll_overlap": q_hll_overlap,
         "km_survival": q_km_survival,
@@ -5368,5 +5473,242 @@ SELECT sg.metric, sg.day_ts, n, s_stat,
             ELSE 0.0 END AS z
 FROM sg JOIN tt USING (metric, day_ts)
 WHERE n >= 8
+""",
+        "changepoint_daily": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts, ts,
+         epoch_us(ts) AS t_us, cast(event_id AS bigint) AS o,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), cum AS (
+  SELECT metric, day_ts, ts,
+         row_number() OVER w AS k,
+         sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS sk,
+         count(*) OVER (PARTITION BY metric, day_ts) AS n,
+         sum(c) OVER (PARTITION BY metric, day_ts) AS sn
+  FROM pt
+  WINDOW w AS (PARTITION BY metric, day_ts ORDER BY t_us, o)
+), cand AS (
+  SELECT metric, day_ts, ts, k, sk, n, sn,
+         cast(sk AS double) * cast(sk AS double) / cast(k AS double)
+         + (cast(sn AS double) - cast(sk AS double))
+           * (cast(sn AS double) - cast(sk AS double))
+           / (cast(n AS double) - cast(k AS double))
+         - cast(sn AS double) * cast(sn AS double) / cast(n AS double)
+           AS gain
+  FROM cum WHERE n >= 8 AND k < n
+), mg AS (
+  SELECT *, max(gain) OVER (PARTITION BY metric, day_ts) AS mg FROM cand
+), best AS (
+  SELECT metric, day_ts,
+         arg_min(n, k) AS n, arg_min(ts, k) AS split_ts,
+         arg_min(gain, k) AS gain, arg_min(sk, k) AS sk,
+         min(k) AS k, arg_min(sn, k) AS sn
+  FROM mg WHERE gain = mg GROUP BY 1, 2
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n, split_ts,
+       round(gain / 10000.0, 6) AS gain_ss,
+       round(cast(sk AS double) / cast(k AS double) / 100.0, 6)
+         AS mean_left,
+       round(cast(sn - sk AS double) / cast(n - k AS double) / 100.0, 6)
+         AS mean_right
+FROM best
+""",
+        "burst_hours": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT metric, hour_ts, cnt,
+         cast(coalesce(sum(cnt) OVER w, 0) AS bigint) AS trail_cnt,
+         cast(count(*) OVER w AS bigint) AS n_trail
+  FROM h
+  WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(hour_ts)
+               ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, hour_ts, cnt, trail_cnt,
+       (n_trail > 0 AND cnt >= 10
+        AND cnt * 1 * n_trail > 3 * trail_cnt) AS burst
+FROM g
+""",
+        "theil_sen": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) AS t_us,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), nd AS (
+  SELECT metric, day_ts, cast(count(*) AS bigint) AS n
+  FROM pt GROUP BY 1, 2
+), p AS (
+  SELECT a.metric, a.day_ts,
+         cast((b.c - a.c) * 36000000 AS double)
+         / cast(b.t_us - a.t_us AS double) AS slope
+  FROM pt a JOIN pt b
+    ON a.metric = b.metric AND a.day_ts = b.day_ts
+   AND a.t_us < b.t_us
+), sl AS (
+  SELECT metric, day_ts, cast(count(*) AS bigint) AS n_pairs,
+         quantile_cont(slope, 0.5) AS med
+  FROM p GROUP BY 1, 2
+)
+SELECT nd.metric, nd.day_ts, n, n_pairs,
+       round(med, 6) AS sen_slope_per_hour
+FROM nd JOIN sl USING (metric, day_ts)
+WHERE n >= 8
+""",
+        "corr_matrix_daily": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         date_trunc('day', a.hour_ts) AS day_ts, a.y AS ya, b.y AS yb
+  FROM h a JOIN h b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+), g AS (
+  SELECT metric_a, metric_b, day_ts, count(*) AS n,
+         sum(ya) AS sa, sum(yb) AS sb,
+         sum(ya * ya) AS saa, sum(yb * yb) AS sbb,
+         sum(ya * yb) AS sab
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT metric_a, metric_b, day_ts, cast(n AS bigint) AS n_hours,
+       round(CASE WHEN cast(n * saa - sa * sa AS double) > 0
+                   AND cast(n * sbb - sb * sb AS double) > 0
+             THEN cast(n * sab - sa * sb AS double)
+                  / sqrt(cast(n * saa - sa * sa AS double))
+                  / sqrt(cast(n * sbb - sb * sb AS double)) END, 6) AS r
+FROM g WHERE n >= 4
+""",
+        "granger_gain": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), obs AS (
+  SELECT x.metric AS metric_x, yt.metric AS metric_y,
+         yt.y AS yt, yl.y AS y1, x.y AS x1
+  FROM h yt
+  JOIN h yl ON yl.metric = yt.metric
+           AND yl.hour_ts + INTERVAL 1 HOUR = yt.hour_ts
+  JOIN h x ON x.hour_ts + INTERVAL 1 HOUR = yt.hour_ts
+          AND x.metric <> yt.metric
+), g AS (
+  SELECT metric_x, metric_y, count(*) AS n,
+         sum(yt) AS sy, sum(y1) AS s1, sum(x1) AS s2,
+         sum(yt * yt) AS syy, sum(y1 * y1) AS s11,
+         sum(x1 * x1) AS s22, sum(y1 * yt) AS s1y,
+         sum(x1 * yt) AS s2y, sum(y1 * x1) AS s12
+  FROM obs GROUP BY 1, 2
+), c AS (
+  SELECT metric_x, metric_y, n,
+         cast(n * syy - sy * sy AS double) AS cyy,
+         cast(n * s11 - s1 * s1 AS double) AS c11,
+         cast(n * s22 - s2 * s2 AS double) AS c22,
+         cast(n * s1y - s1 * sy AS double) AS c1y,
+         cast(n * s2y - s2 * sy AS double) AS c2y,
+         cast(n * s12 - s1 * s2 AS double) AS c12
+  FROM g WHERE n >= 24
+)
+SELECT metric_x, metric_y, cast(n AS bigint) AS n,
+       round(CASE WHEN cyy > 0 AND c11 > 0
+             THEN c1y * c1y / (cyy * c11) END, 6) AS r2_restricted,
+       round(CASE WHEN cyy > 0 AND c11 * c22 - c12 * c12 > 0
+             THEN (c1y * c1y * c22 + c2y * c2y * c11
+                   - 2.0 * c1y * c2y * c12)
+                  / (cyy * (c11 * c22 - c12 * c12)) END, 6) AS r2_full,
+       round((CASE WHEN cyy > 0 AND c11 * c22 - c12 * c12 > 0
+             THEN (c1y * c1y * c22 + c2y * c2y * c11
+                   - 2.0 * c1y * c2y * c12)
+                  / (cyy * (c11 * c22 - c12 * c12)) END)
+             - (CASE WHEN cyy > 0 AND c11 > 0
+                THEN c1y * c1y / (cyy * c11) END), 6) AS gain
+FROM c
+""",
+        "ks_drift": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), u AS (
+  SELECT metric, day_ts, c, 1 AS is_b FROM pt
+  UNION ALL
+  SELECT metric, day_ts + INTERVAL 1 DAY, c, 0 FROM pt
+), e AS (
+  SELECT metric, day_ts,
+         sum(1 - is_b) OVER wv AS cum_a,
+         sum(is_b) OVER wv AS cum_b,
+         sum(1 - is_b) OVER wa AS n_a,
+         sum(is_b) OVER wa AS n_b
+  FROM u
+  WINDOW wv AS (PARTITION BY metric, day_ts ORDER BY c
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY metric, day_ts)
+), g AS (
+  SELECT metric, day_ts,
+         max(abs(cum_a * n_b - cum_b * n_a)) AS d_num,
+         max(n_a) AS n_prev, max(n_b) AS n_cur
+  FROM e GROUP BY 1, 2
+)
+SELECT metric, day_ts, cast(n_prev AS bigint) AS n_prev,
+       cast(n_cur AS bigint) AS n_cur, cast(d_num AS bigint) AS d_num,
+       round(cast(d_num AS double)
+             / cast(n_prev * n_cur AS double), 6) AS d_stat
+FROM g WHERE n_prev >= 8 AND n_cur >= 8
+""",
+        "entropy_daily": """
+WITH cnt AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type AS cat,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT day_ts, cast(sum(c) AS bigint) AS n,
+         cast(count(*) AS bigint) AS n_types,
+         cast(sum(cast(round(cast(c AS double)
+                             * ln(cast(c AS double))
+                             * 1000000) AS bigint)) AS bigint) AS sum_u
+  FROM cnt GROUP BY 1
+)
+SELECT day_ts, n, n_types,
+       round(ln(cast(n AS double))
+             - cast(sum_u AS double) / 1000000.0 / cast(n AS double), 6)
+         AS entropy_nats
+FROM g
+""",
+        "benford": """
+WITH d AS (
+  SELECT event_type AS metric,
+         cast(substr(cast(cast(round(abs(value) * 100) AS bigint)
+                          AS varchar), 1, 1) AS int) AS d
+  FROM events
+  WHERE cast(round(abs(value) * 100) AS bigint) > 0
+), tot AS (
+  SELECT metric, cast(count(*) AS bigint) AS n FROM d GROUP BY 1
+), obs AS (
+  SELECT metric, d, cast(count(*) AS bigint) AS o FROM d GROUP BY 1, 2
+), dig AS (
+  SELECT * FROM (VALUES
+    (1, 0.3010299956639812), (2, 0.17609125905568124),
+    (3, 0.12493873660829992), (4, 0.09691001300805642),
+    (5, 0.07918124604762482), (6, 0.06694678963061322),
+    (7, 0.05799194697768673), (8, 0.05115252244738129),
+    (9, 0.04575749056067514)) AS t(d, p)
+), grid AS (
+  SELECT tot.metric, tot.n, dig.d, dig.p,
+         coalesce(obs.o, 0) AS o
+  FROM tot CROSS JOIN dig
+  LEFT JOIN obs ON obs.metric = tot.metric AND obs.d = dig.d
+)
+SELECT metric, n,
+       round(cast(sum(cast(round(
+           (cast(o AS double) - cast(n AS double) * p)
+           * (cast(o AS double) - cast(n AS double) * p)
+           / (cast(n AS double) * p) * 1000000) AS bigint))
+         AS bigint) / 1000000.0, 6) AS chi2
+FROM grid GROUP BY 1, 2 HAVING n >= 50
 """,
     }

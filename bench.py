@@ -130,6 +130,16 @@ HEADLINE = [
 # r02 #10); the driver total covers both lists.
 HEADLINE_R3 = [
     "spearman_pruned",
+    "pagerank_dangling",
+    "changepoint_daily",
+    "burst_hours",
+    "corr_matrix_daily",
+    "granger_gain",
+    "ks_drift",
+    "entropy_daily",
+    "benford",
+    # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
+    # verification tool, same policy as mann_kendall
 ]
 
 

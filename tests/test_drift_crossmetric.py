@@ -1,0 +1,182 @@
+"""Semantic checks for the round-3 drift / cross-metric operators on
+hand-computed synthetics (the oracle gate covers cross-engine equality;
+these pin the MATH)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+SCHEMA = (
+    "conv_id string, metric string, ts timestamp, "
+    "turn_idx int, value double"
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _pt(metric, minutes, turn, v):
+    return ("c", metric, T0 + dt.timedelta(minutes=minutes), turn, float(v))
+
+
+def test_changepoint_finds_level_shift(spark):
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoint_daily,
+    )
+
+    # 6 points at 1.0 then 6 points at 5.0 — split must land on the
+    # last low point, means exactly 1.0 / 5.0
+    rows = [_pt("m", i * 10, i, 1.0) for i in range(6)]
+    rows += [_pt("m", 60 + i * 10, 6 + i, 5.0) for i in range(6)]
+    got = changepoint_daily(_series(spark, rows), min_n=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.split_ts == T0 + dt.timedelta(minutes=50)
+    assert r.mean_left == 1.0 and r.mean_right == 5.0
+    # gain = between-segment SS = n1*n2/n*(d)^2 = 6*6/12*16 = 48
+    assert r.gain_ss == 48.0
+
+
+def test_changepoint_flat_day_gain_zero(spark):
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoint_daily,
+    )
+
+    rows = [_pt("m", i * 5, i, 2.0) for i in range(10)]
+    r = changepoint_daily(_series(spark, rows), min_n=8).collect()[0]
+    assert r.gain_ss == 0.0
+    # tie on gain resolves to the smallest k -> first point
+    assert r.split_ts == T0
+
+
+def test_ks_drift_identical_vs_disjoint(spark):
+    from timeseriescorrelation_spark.operators.drift import ks_drift_daily
+
+    day2 = 24 * 60
+    # day1 == day2 distribution -> D = 0; day3 disjoint from day2 -> D = 1
+    rows = [_pt("m", i, i, float(i % 10)) for i in range(20)]
+    rows += [_pt("m", day2 + i, i, float(i % 10)) for i in range(20)]
+    rows += [_pt("m", 2 * day2 + i, i, 100.0 + i) for i in range(20)]
+    got = {
+        r.day_ts.day: r.d_stat
+        for r in ks_drift_daily(_series(spark, rows), min_n=8).collect()
+    }
+    assert got[2] == 0.0
+    assert got[3] == 1.0
+
+
+def test_granger_gain_detects_lagged_copy(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        granger_gain,
+    )
+
+    # y's hourly sum is EXACTLY x's previous hour; y itself is serially
+    # uncorrelated noise-ish -> gain(x->y) should be large, and the
+    # reverse direction should not be perfect
+    import random
+
+    rng = random.Random(7)
+    xs = [rng.randint(1, 100) for _ in range(80)]
+    rows = []
+    for h, x in enumerate(xs):
+        rows.append(_pt("x", h * 60, h, float(x)))
+        if h > 0:
+            rows.append(("c", "y", T0 + dt.timedelta(hours=h), h,
+                         float(xs[h - 1])))
+    got = {
+        (r.metric_x, r.metric_y): r
+        for r in granger_gain(_series(spark, rows), min_n=24).collect()
+    }
+    fwd = got[("x", "y")]
+    assert fwd.r2_full is not None and fwd.r2_full > 0.999
+    assert fwd.gain > 0.5
+
+
+def test_entropy_uniform_and_degenerate(spark):
+    from timeseriescorrelation_spark.operators.drift import entropy_daily
+
+    rows = []
+    for i in range(40):
+        rows.append((i, T0 + dt.timedelta(minutes=i), 1,
+                     "abcd"[i % 4], 1.0, "{}"))
+    day2 = T0 + dt.timedelta(days=1)
+    for i in range(40):
+        rows.append((100 + i, day2 + dt.timedelta(minutes=i), 1,
+                     "a", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.day_ts.day: r for r in entropy_daily(ev).collect()}
+    assert abs(got[1].entropy_nats - math.log(4)) < 1e-5
+    assert got[2].entropy_nats == 0.0
+    assert got[1].n_types == 4 and got[2].n_types == 1
+
+
+def test_benford_conforming_vs_uniform(spark):
+    from timeseriescorrelation_spark.operators.drift import (
+        BENFORD_P,
+        benford_check,
+    )
+
+    rows = []
+    # metric "good": counts proportional to Benford -> chi2 near 0
+    n_tot = 1000
+    i = 0
+    for d, p in enumerate(BENFORD_P, start=1):
+        for _ in range(round(p * n_tot)):
+            rows.append(_pt("good", i % 1200, i, float(d)))
+            i += 1
+    # metric "flat": uniform first digits -> chi2 large
+    for j in range(900):
+        rows.append(_pt("flat", j, j, float(1 + j % 9)))
+    got = {
+        r.metric: r.chi2
+        for r in benford_check(_series(spark, rows), min_n=50).collect()
+    }
+    assert got["good"] < 1.0
+    assert got["flat"] > 100.0
+
+
+def test_burst_flags_hot_hour_only(spark):
+    from timeseriescorrelation_spark.operators.changepoint import (
+        burst_hours,
+    )
+
+    rows = []
+    t = 0
+    # 24 calm hours (5 events each), then one hot hour (50 events)
+    for h in range(24):
+        for j in range(5):
+            rows.append(_pt("m", h * 60 + j, t, 1.0))
+            t += 1
+    for j in range(50):
+        rows.append(_pt("m", 24 * 60 + j, t, 1.0))
+        t += 1
+    got = burst_hours(_series(spark, rows), num=3, den=1,
+                      min_count=10).collect()
+    flagged = [r.hour_ts for r in got if r.burst]
+    assert flagged == [T0 + dt.timedelta(hours=24)]
+    # calm hours below min_count never flag even with zero history
+    assert all((not r.burst) for r in got if r.cnt == 5)
+
+
+def test_corr_matrix_perfect_anticorrelation(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        corr_matrix_daily,
+    )
+
+    rows = []
+    for h in range(12):
+        rows.append(_pt("a", h * 60, h, float(h + 1)))
+        rows.append(_pt("b", h * 60, h, float(12 - h)))
+    got = corr_matrix_daily(_series(spark, rows), min_hours=4).collect()
+    assert len(got) == 1
+    assert got[0].metric_a == "a" and got[0].metric_b == "b"
+    assert got[0].r == -1.0 and got[0].n_hours == 12

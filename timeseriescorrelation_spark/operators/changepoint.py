@@ -1,0 +1,163 @@
+"""Offline changepoint detection + burst flagging over metric series.
+
+``changepoint_daily`` is single-split binary segmentation — the first
+level of the classic recursive scheme (Scott & Knott / binary-seg as
+popularized by ruptures): for each (key, day) pick the split k that
+maximizes the between-segment sum-of-squares reduction
+
+    gain(k) = S_k²/k + (S_n−S_k)²/(n−k) − S_n²/n
+
+where S_k is the prefix sum of the cent-snapped values in time order.
+That identity means the WHOLE scan over candidate splits is one window
+cumsum + one window max — O(n log n) per group from the sort Spark
+already pays for the window, no per-split re-aggregation, no UDF.
+Recursive multi-split segmentation is a driver-paced loop over this
+primitive on the two halves; one level is what dashboards ask first
+("did this metric's level shift today, and when?").
+
+Exactness: S_k, k, S_n, n are exact integers (int64 prefix sums of
+cents — overflow at n·B ≈ 2⁶³ cents/day, loudly under ANSI mode);
+gain is assembled from them with the SAME double expression tree in
+Spark and DuckDB, so the argmax and the reported means agree
+bit-for-bit.  Ties on gain (e.g. symmetric days) resolve to the
+smallest k in both engines.
+
+``burst_hours`` flags hours whose event count exceeds a rational
+multiple of the trailing-24h baseline — Kleinberg's two-state burst
+detector collapsed to its decision rule.  The comparison is kept in
+integers (cnt·den·23 > num·(trail−cnt)·…), so no float enters the
+flag and the oracle matches exactly.
+
+Scale notes (100 TB): changepoint shuffles ONCE on (keys, day) — the
+window sort is the only cost, and day-bounded groups keep partitions
+task-sized; burst_hours aggregates to the hourly grid first (map-side
+combine collapses the raw scan to |keys|·|hours| rows) and windows
+over that tiny grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+
+def changepoint_daily(series: DataFrame, keys: list[str] | None = None,
+                      value_decimals: int = 2,
+                      min_n: int = 8) -> DataFrame:
+    """(keys..., day_ts, n, split_ts, gain_ss, mean_left, mean_right):
+    the best single level-shift split per (key, day).
+
+    split_ts is the timestamp of the LAST point of the left segment;
+    gain_ss is the variance-explained sum of squares in value units²
+    (0 when the day is flat); mean_left/mean_right are the segment
+    means.  Days with fewer than ``min_n`` points are dropped — a
+    2-point "changepoint" is noise."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    day = F.date_trunc("day", "ts")
+    pt = series.select(
+        *keys,
+        day.alias("day_ts"),
+        F.col("ts"),
+        epoch_us(F.col("ts")).alias("t_us"),
+        F.col("turn_idx"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    w = Window.partitionBy(*keys, "day_ts").orderBy("t_us", "turn_idx")
+    wall = Window.partitionBy(*keys, "day_ts")
+    cum = pt.select(
+        *keys, "day_ts", "ts",
+        F.row_number().over(w).alias("k"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).alias("sn"),
+    )
+    skd = F.col("sk").cast("double")
+    snd = F.col("sn").cast("double")
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    cand = cum.where(
+        (F.col("n") >= min_n) & (F.col("k") < F.col("n"))
+    ).withColumn(
+        "gain",
+        skd * skd / kd
+        + (snd - skd) * (snd - skd) / (nd - kd)
+        - snd * snd / nd,
+    )
+    mg = cand.withColumn("mg", F.max("gain").over(wall))
+    best = (
+        mg.where(F.col("gain") == F.col("mg"))
+        .groupBy(*keys, "day_ts")
+        .agg(
+            F.min_by(
+                F.struct("ts", "k", "sk", "n", "sn", "gain"), F.col("k")
+            ).alias("b")
+        )
+    )
+    b = F.col("b")
+    sc2 = float(scale) * float(scale)
+    return best.select(
+        *keys,
+        "day_ts",
+        b["n"].cast("long").alias("n"),
+        b["ts"].alias("split_ts"),
+        F.round(b["gain"] / F.lit(sc2), 6).alias("gain_ss"),
+        F.round(
+            b["sk"].cast("double")
+            / b["k"].cast("double") / F.lit(float(scale)),
+            6,
+        ).alias("mean_left"),
+        F.round(
+            (b["sn"] - b["sk"]).cast("double")
+            / (b["n"] - b["k"]).cast("double") / F.lit(float(scale)),
+            6,
+        ).alias("mean_right"),
+    )
+
+
+def burst_hours(events: DataFrame, keys: list[str] | None = None,
+                num: int = 3, den: int = 1,
+                min_count: int = 10) -> DataFrame:
+    """(keys..., hour_ts, cnt, trail_cnt, burst): hours whose event
+    count exceeds (num/den)× the mean of the trailing 23 OBSERVED
+    hours (current hour excluded) — the "is this hour anomalously
+    hot" flag, integer-exact:
+
+        burst ⇔ cnt·den·n_trail > num·trail_sum  AND  cnt ≥ min_count
+
+    n_trail counts the observed trailing hours (≤ 23), so sparse
+    series compare against what actually exists rather than an
+    imputed dense grid; hours with zero trailing history never flag
+    (cold start).  Returns the full hourly grid of observed hours
+    with the flag, so downstream can both list bursts and rate them."""
+    keys = keys or ["metric"]
+    hourly = events.groupBy(
+        *keys, F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_us(F.col("hour_ts")))
+        .rowsBetween(-23, -1)
+    )
+    g = hourly.select(
+        *keys, "hour_ts", "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("trail_cnt"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return g.select(
+        *keys, "hour_ts",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("trail_cnt").cast("long").alias("trail_cnt"),
+        (
+            (F.col("n_trail") > 0)
+            & (F.col("cnt") >= min_count)
+            & (
+                F.col("cnt") * F.lit(int(den)) * F.col("n_trail")
+                > F.lit(int(num)) * F.col("trail_cnt")
+            )
+        ).alias("burst"),
+    )

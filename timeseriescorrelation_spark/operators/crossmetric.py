@@ -1,0 +1,186 @@
+"""Cross-metric co-movement: correlation matrix + lagged-predictive
+(Granger-style) gain over the hourly aggregate grid.
+
+Both operators follow the engine's aggregate-first discipline: the raw
+scan collapses to |metrics|·|hours| rows in ONE map-side-combined hash
+aggregation, and the pair space is |metrics|² over that tiny grid —
+never over raw turns.  That is what makes "correlate everything
+against everything" 100-TB-safe: with k metrics and H hours the pair
+join is k²·H rows of pre-aggregated integers, independent of corpus
+row count.
+
+Exactness: hourly values are exact integer cent sums; all second
+moments accumulate in decimal(38,0) (Spark) / hugeint→cast (DuckDB);
+each statistic is assembled from the exact integers with one identical
+double expression tree, so Pearson r and the R² pair agree bit-for-bit
+cross-engine (same recipe as trend_daily / acf).  Overflow bound:
+n·Σy² < 10³⁸ holds until ≈10⁵ hours of ≈10¹² cents/hour — ANSI mode
+errors loudly beyond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def _hourly_cents(series: DataFrame, keys: list[str],
+                  value_decimals: int) -> DataFrame:
+    scale = 10 ** int(value_decimals)
+    return series.groupBy(
+        *keys, F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * scale).cast("long")
+        ).cast("long").alias("y")
+    )
+
+
+def corr_matrix_daily(series: DataFrame, key: str = "metric",
+                      value_decimals: int = 2,
+                      min_hours: int = 4) -> DataFrame:
+    """(metric_a, metric_b, day_ts, n_hours, r): Pearson correlation
+    between every metric pair's hourly cent-sum series within each
+    day, over the hours where BOTH metrics observed data (inner join —
+    absence is missingness, not zero; a dense-grid variant is one
+    gapfill away).
+
+    This is the reference's pairwise-Pearson report re-pointed at the
+    metric dimension: the ε-grid prune is unnecessary here because the
+    pair space is k² over aggregates, not conversations² over raw
+    rows."""
+    h = _hourly_cents(series, [key], value_decimals)
+    a = h.select(
+        F.col(key).alias("metric_a"), "hour_ts", F.col("y").alias("ya")
+    )
+    b = h.select(
+        F.col(key).alias("metric_b"), "hour_ts", F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "hour_ts").where(F.col("metric_a") < F.col("metric_b"))
+    g = pairs.groupBy(
+        "metric_a", "metric_b",
+        F.date_trunc("day", "hour_ts").alias("day_ts"),
+    ).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("ya").cast(DEC)).alias("sa"),
+        F.sum(F.col("yb").cast(DEC)).alias("sb"),
+        F.sum((F.col("ya") * F.col("ya")).cast(DEC)).alias("saa"),
+        F.sum((F.col("yb") * F.col("yb")).cast(DEC)).alias("sbb"),
+        F.sum((F.col("ya") * F.col("yb")).cast(DEC)).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    )
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    )
+    return g.where(F.col("n") >= int(min_hours)).select(
+        "metric_a", "metric_b", "day_ts",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(
+            F.when(
+                (da > 0) & (db > 0), num / F.sqrt(da) / F.sqrt(db)
+            ),
+            6,
+        ).alias("r"),
+    )
+
+
+def granger_gain(series: DataFrame, key: str = "metric",
+                 value_decimals: int = 2,
+                 min_n: int = 24) -> DataFrame:
+    """(metric_x, metric_y, n, r2_restricted, r2_full, gain): does
+    metric x's PREVIOUS hour improve the prediction of metric y's
+    current hour beyond y's own previous hour?  The Granger-causality
+    screen collapsed to its R² comparison:
+
+        restricted:  y_t ~ y_{t−1}              (R²_r = Pearson²)
+        full:        y_t ~ y_{t−1} + x_{t−1}    (R²_f, 2-predictor OLS)
+        gain = R²_f − R²_r  ∈ [0, 1]
+
+    Observations are hours where y_t, y_{t−1} and x_{t−1} all exist
+    (exact hour arithmetic pairs them — equi-joins, no window over an
+    imputed grid).  The two-predictor R² is the closed form over
+    centered moments
+
+        R²_f = (C1y²·C22 + C2y²·C11 − 2·C1y·C2y·C12)
+               / (Cyy·(C11·C22 − C12²))
+
+    with every C assembled exactly (n·Σab − Σa·Σb in decimal38) and
+    the polynomial evaluated in doubles with one fixed association —
+    identical in the DuckDB oracle.  Degenerate designs (collinear or
+    constant predictors) return NULL rather than a fabricated R².
+
+    Directional: (x, y) and (y, x) are both emitted — that asymmetry
+    is the point of the screen."""
+    h = _hourly_cents(series, [key], value_decimals)
+    # a value observed at hour o serves as the lag-1 predictor for
+    # hour o+1: re-key the lag sides FORWARD one hour
+    nxt = F.col("hour_ts") + F.expr("INTERVAL 1 HOUR")
+    yt = h.select(
+        F.col(key).alias("metric_y"), "hour_ts", F.col("y").alias("yt")
+    )
+    yl = h.select(
+        F.col(key).alias("metric_y"),
+        nxt.alias("hour_ts"),
+        F.col("y").alias("y1"),
+    )
+    xl = h.select(
+        F.col(key).alias("metric_x"),
+        nxt.alias("hour_ts"),
+        F.col("y").alias("x1"),
+    )
+    obs = (
+        yt.join(yl, ["metric_y", "hour_ts"])
+        .join(xl, "hour_ts")
+        .where(F.col("metric_x") != F.col("metric_y"))
+    )
+    g = obs.groupBy("metric_x", "metric_y").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("yt").cast(DEC)).alias("sy"),
+        F.sum(F.col("y1").cast(DEC)).alias("s1"),
+        F.sum(F.col("x1").cast(DEC)).alias("s2"),
+        F.sum((F.col("yt") * F.col("yt")).cast(DEC)).alias("syy"),
+        F.sum((F.col("y1") * F.col("y1")).cast(DEC)).alias("s11"),
+        F.sum((F.col("x1") * F.col("x1")).cast(DEC)).alias("s22"),
+        F.sum((F.col("y1") * F.col("yt")).cast(DEC)).alias("s1y"),
+        F.sum((F.col("x1") * F.col("yt")).cast(DEC)).alias("s2y"),
+        F.sum((F.col("y1") * F.col("x1")).cast(DEC)).alias("s12"),
+    )
+    cyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    c11 = (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    c22 = (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    )
+    c1y = (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).cast(
+        "double"
+    )
+    c2y = (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).cast(
+        "double"
+    )
+    c12 = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast(
+        "double"
+    )
+    det = c11 * c22 - c12 * c12
+    r2_r = F.when((cyy > 0) & (c11 > 0), c1y * c1y / (cyy * c11))
+    r2_f = F.when(
+        (cyy > 0) & (det > 0),
+        (c1y * c1y * c22 + c2y * c2y * c11 - 2.0 * c1y * c2y * c12)
+        / (cyy * det),
+    )
+    return g.where(F.col("n") >= int(min_n)).select(
+        "metric_x", "metric_y",
+        F.col("n").cast("long").alias("n"),
+        F.round(r2_r, 6).alias("r2_restricted"),
+        F.round(r2_f, 6).alias("r2_full"),
+        F.round(r2_f - r2_r, 6).alias("gain"),
+    )

@@ -1,0 +1,192 @@
+"""Distribution-drift detectors: two-sample Kolmogorov–Smirnov
+day-over-day, Shannon entropy of the event mix, and a Benford
+first-digit conformance check.
+
+These complete the engine's drift family — lm.source_drift is KL over
+token distributions (categorical), ks_drift is the CONTINUOUS-value
+counterpart (did the latency/length distribution shift shape, not just
+mean — MAD and anomaly_1h only see location/scale), entropy watches
+mix collapse (one event type swallowing the stream is how upstream
+breakage usually presents), and Benford flags fabricated or clipped
+numeric feeds.
+
+Exactness discipline (all gate-oracle-able):
+- KS: D = max|F_A − F_B| evaluated as max over the INTEGER numerator
+  |cumA·nB − cumB·nA| — no float enters the max; one double division
+  at the end.  Ties handled by a RANGE window frame (all rows of equal
+  value accumulate before the ECDF is read), the textbook treatment.
+- entropy/Benford: per-term doubles are snapped to integer micro-units
+  BEFORE summation (round(x·10⁶) — the lm.py recipe, gate-proven), so
+  group sums are exact integers and engines can't disagree on
+  accumulation order.
+
+Scale notes (100 TB): ks_drift shuffles each metric-day's values twice
+(once as "today", once as "yesterday's baseline") and sorts within
+(metric, day) groups — O(n log n) per group, groups day-bounded;
+entropy and Benford collapse map-side to |days|·|types| and
+|metrics|·9 rows respectively before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+M = 1_000_000
+
+# Benford expected first-digit probabilities log10(1 + 1/d), hardcoded
+# so no cross-engine log10 enters the oracle comparison.
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def ks_drift_daily(series: DataFrame, keys: list[str] | None = None,
+                   value_decimals: int = 2,
+                   min_n: int = 8) -> DataFrame:
+    """(keys..., day_ts, n_prev, n_cur, d_num, d_stat): two-sample KS
+    statistic between each (key, day)'s value distribution and the
+    SAME key's previous calendar day.
+
+    d_num is the exact integer max|cumA·nB − cumB·nA|; d_stat is the
+    usual D = d_num/(nA·nB).  Days without a previous-day sample (or
+    with fewer than min_n points on either side) are dropped — a
+    1-point baseline is not a distribution."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        *keys,
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    cur = pt.select(*keys, "day_ts", "c", F.lit(1).alias("is_b"))
+    prev = pt.select(
+        *keys,
+        (F.col("day_ts") + F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+        "c",
+        F.lit(0).alias("is_b"),
+    )
+    u = cur.unionByName(prev)
+    # RANGE frame on the value: every row of an equal value is inside
+    # the frame before the ECDF difference is read — exact tie
+    # handling, identical in the oracle's RANGE window.
+    wv = (
+        Window.partitionBy(*keys, "day_ts")
+        .orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys, "day_ts")
+    e = u.select(
+        *keys, "day_ts",
+        F.sum(1 - F.col("is_b")).over(wv).alias("cum_a"),
+        F.sum("is_b").over(wv).alias("cum_b"),
+        F.sum(1 - F.col("is_b")).over(wall).alias("n_a"),
+        F.sum("is_b").over(wall).alias("n_b"),
+    )
+    g = e.groupBy(*keys, "day_ts").agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            )
+        ).alias("d_num"),
+        F.max("n_a").alias("n_prev"),
+        F.max("n_b").alias("n_cur"),
+    )
+    return g.where(
+        (F.col("n_prev") >= int(min_n)) & (F.col("n_cur") >= int(min_n))
+    ).select(
+        *keys, "day_ts",
+        F.col("n_prev").cast("long").alias("n_prev"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n_prev") * F.col("n_cur")).cast("double"),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+def entropy_daily(events: DataFrame, cat_col: str = "event_type") -> DataFrame:
+    """(day_ts, n, n_types, entropy_nats): Shannon entropy of the
+    categorical mix per day via H = ln(n) − (Σ c·ln c)/n — each
+    c·ln(c) term micro-nat-snapped before the sum, so the only
+    engine-variable float op is one ln of an exact integer per
+    DISTINCT type (micro-rounding absorbs the ulp)."""
+    cnt = events.groupBy(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    term_u = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(M)
+    ).cast("long")
+    g = cnt.groupBy("day_ts").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term_u).alias("sum_u"),
+    )
+    h = (
+        F.log(F.col("n").cast("double"))
+        - F.col("sum_u").cast("double")
+        / F.lit(float(M))
+        / F.col("n").cast("double")
+    )
+    return g.select(
+        "day_ts",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(h, 6).alias("entropy_nats"),
+    )
+
+
+def benford_check(series: DataFrame, keys: list[str] | None = None,
+                  value_decimals: int = 2,
+                  min_n: int = 50) -> DataFrame:
+    """(keys..., n, chi2): Pearson χ² of the first-significant-digit
+    distribution of |value| against Benford's law, per key.  The digit
+    is read from the DECIMAL STRING of the cent-snapped integer —
+    never from log10/pow, whose last-ulp at decade boundaries differs
+    across libms and would flip digits between engines.  Zero-valued
+    cents carry no leading digit and are excluded (standard).  All 9
+    digits contribute (missing digits count as observed-zero cells);
+    χ² terms are micro-snapped before the sum.  χ²(8 dof) > 20.1 is
+    the usual 99% nonconformance call, left to the reader."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    c = F.round(F.abs(F.col("value")) * scale).cast("long")
+    d = series.select(
+        *keys, c.alias("c")
+    ).where(F.col("c") > 0).select(
+        *keys,
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d"),
+    )
+    obs = d.groupBy(*keys, "d").agg(F.count(F.lit(1)).alias("o"))
+    tot = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    digits = tot.sparkSession.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(BENFORD_P)], "d int, p double"
+    )
+    grid = tot.crossJoin(F.broadcast(digits)).join(
+        obs, [*keys, "d"], "left"
+    ).select(
+        *keys, "n", "d", "p",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+    )
+    exp = F.col("n").cast("double") * F.col("p")
+    term_u = F.round(
+        (F.col("o").cast("double") - exp) * (F.col("o").cast("double") - exp)
+        / exp * F.lit(M)
+    ).cast("long")
+    g = grid.groupBy(*keys).agg(
+        F.max("n").alias("n"), F.sum(term_u).alias("chi2_u")
+    )
+    return g.where(F.col("n") >= int(min_n)).select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("chi2_u").cast("double") / F.lit(float(M)), 6).alias(
+            "chi2"
+        ),
+    )

