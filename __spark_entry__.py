@@ -2561,6 +2561,19 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 (terms) and embedding-cosine
+    (query vec 0) top-50 lists: 1/(60+rank) terms nano-snapped before
+    the fusion sum, so the fused order is an exact-integer comparison
+    (doc_id ≡ vec_id in the test corpus)."""
+    from timeseriescorrelation_spark.operators.hybrid import hybrid_search
+
+    return hybrid_search(
+        _docs(spark, sf_dir), _embs(spark, sf_dir), BM25_TERMS,
+        query_vec_id=0, k=20, n_each=50,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2703,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
+        "hybrid_search": q_hybrid_search,
         "seasonal_strength": q_seasonal_strength,
         "hll_overlap": q_hll_overlap,
         "km_survival": q_km_survival,
@@ -5710,5 +5724,67 @@ SELECT metric, n,
            / (cast(n AS double) * p) * 1000000) AS bigint))
          AS bigint) / 1000000.0, 6) AS chi2
 FROM grid GROUP BY 1, 2 HAVING n >= 50
+""",
+        "hybrid_search": f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, cast(len(t) AS bigint) AS dl FROM tok
+), g AS (
+  SELECT cast(count(*) AS bigint) AS n_docs,
+         cast(sum(dl) AS bigint) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, cast(count(*) AS bigint) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+  WHERE tok IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+  GROUP BY 1, 2
+), dfq AS (
+  SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1
+), sc AS (
+  SELECT tf.doc_id,
+         cast(round(
+           ln(1.0 + (cast(n_docs - df AS double) + 0.5)
+                    / (cast(df AS double) + 0.5))
+           * ((cast(tf AS double) * 2.2)
+              / (cast(tf AS double)
+                 + 1.2 * (0.25 + 0.75 * (cast(dl AS double)
+                          / (cast(sum_dl AS double)
+                             / cast(n_docs AS double))))))
+           * 1000000.0) AS bigint) AS cu
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+), lexs AS (
+  SELECT doc_id, cast(sum(cu) AS bigint) AS score_u FROM sc GROUP BY 1
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS rank_lex
+  FROM lexs
+  QUALIFY rank_lex <= 50
+), {_UV_CTE.strip()}, sem AS (
+  SELECT nid AS doc_id, rank AS rank_sem FROM (
+    SELECT c.vec_id AS nid,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                      c.vec_id) AS rank
+    FROM uv q JOIN uv c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = 0
+  ) WHERE rank <= 50
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         cast(coalesce(rank_lex, 0) AS int) AS rank_lex,
+         cast(coalesce(rank_sem, 0) AS int) AS rank_sem,
+         (CASE WHEN rank_lex IS NOT NULL
+               THEN cast(round(1000000000.0
+                    / cast(60 + rank_lex AS double)) AS bigint)
+               ELSE 0 END
+        + CASE WHEN rank_sem IS NOT NULL
+               THEN cast(round(1000000000.0
+                    / cast(60 + rank_sem AS double)) AS bigint)
+               ELSE 0 END) AS rrf_u
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, cast(rrf_u AS bigint) AS rrf_u
+FROM fused ORDER BY rrf_u DESC, doc_id ASC LIMIT 20
 """,
     }

@@ -1,0 +1,94 @@
+"""Snapshot store contract: isolation, atomicity (no half-commits
+visible), time travel, and retention expiry."""
+
+from __future__ import annotations
+
+import pytest
+
+from timeseriescorrelation_spark.sources.snapshots import (
+    expire_snapshots,
+    snapshot_log,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def _vals(df):
+    return sorted(r.v for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tier_1h")
+    v1 = snapshot_write(spark.range(3).selectExpr("id AS v"), t, "append")
+    v2 = snapshot_write(
+        spark.range(3, 5).selectExpr("id AS v"), t, "append"
+    )
+    v3 = snapshot_write(
+        spark.range(100, 102).selectExpr("id AS v"), t, "overwrite"
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert _vals(snapshot_read(spark, t)) == [100, 101]
+    assert _vals(snapshot_read(spark, t, version=2)) == [0, 1, 2, 3, 4]
+    assert _vals(snapshot_read(spark, t, version=1)) == [0, 1, 2]
+    log = snapshot_log(spark, t)
+    assert [e["version"] for e in log] == [1, 2, 3]
+    assert log[2]["operation"] == "overwrite"
+    assert log[1]["parent"] == 1 and log[0]["parent"] is None
+
+
+def test_pinned_reader_survives_concurrent_overwrite(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(4).selectExpr("id AS v"), t, "append")
+    pinned = snapshot_read(spark, t, version=1)  # plan built at v1
+    snapshot_write(
+        spark.range(50, 51).selectExpr("id AS v"), t, "overwrite"
+    )
+    # the pinned plan still reads exactly v1's files
+    assert _vals(pinned) == [0, 1, 2, 3]
+    assert _vals(snapshot_read(spark, t)) == [50]
+
+
+def test_crashed_writer_leaves_no_visible_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(2).selectExpr("id AS v"), t, "append")
+    # simulate a crash AFTER data files land but BEFORE the manifest
+    # commit: write a data dir directly, no manifest
+    spark.range(900, 950).selectExpr("id AS v").write.parquet(
+        f"{t}/data/commit-99-deadbeef"
+    )
+    assert _vals(snapshot_read(spark, t)) == [0, 1]
+    assert [e["version"] for e in snapshot_log(spark, t)] == [1]
+    # the re-run commits normally and sees only its own rows appended
+    snapshot_write(spark.range(2, 3).selectExpr("id AS v"), t, "append")
+    assert _vals(snapshot_read(spark, t)) == [0, 1, 2]
+
+
+def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).selectExpr("id AS v"), t, "append")
+    snapshot_write(spark.range(3, 6).selectExpr("id AS v"), t, "append")
+    snapshot_write(
+        spark.range(10, 12).selectExpr("id AS v"), t, "overwrite"
+    )
+    snapshot_write(spark.range(12, 13).selectExpr("id AS v"), t, "append")
+    r = expire_snapshots(spark, t, keep_last=2)
+    assert r["expired_versions"] == [1, 2]
+    # v1/v2's files (ids 0..5) are referenced by NO kept version ->
+    # physically gone; kept versions still read fine
+    assert _vals(snapshot_read(spark, t)) == [10, 11, 12]
+    assert _vals(snapshot_read(spark, t, version=3)) == [10, 11]
+    assert r["deleted_files"] > 0
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=1)
+
+
+def test_expire_keeps_files_shared_with_kept_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).selectExpr("id AS v"), t, "append")
+    snapshot_write(spark.range(3, 5).selectExpr("id AS v"), t, "append")
+    # v2 (kept) references v1's files via the append chain: expiring
+    # v1 must delete NOTHING
+    r = expire_snapshots(spark, t, keep_last=1)
+    assert r["expired_versions"] == [1]
+    assert r["deleted_files"] == 0
+    assert _vals(snapshot_read(spark, t)) == [0, 1, 2, 3, 4]

@@ -1,0 +1,214 @@
+"""Snapshot-versioned parquet tables: an Iceberg-SHAPED commit log for
+the tier store — versioned manifests, atomic commits, time-travel
+reads, and retention expiry — implemented over plain parquet + the
+Hadoop FileSystem API so it runs anywhere Spark can write (file://,
+hdfs://, s3a://).
+
+This is NOT Iceberg and does not claim to be (no real Iceberg jars
+ship in this environment — BASELINE.json names Iceberg as the table
+format and ``sources/tableio.py`` routes to a real catalog when one is
+configured).  What it preserves is the part of Iceberg's contract the
+engine's retention tiers actually depend on:
+
+- **Snapshot isolation**: a reader pinned to version N sees exactly
+  version N's files forever, regardless of concurrent appends or
+  overwrites (writers never mutate or delete a committed data file —
+  expiry only removes files no RETAINED version references).
+- **Atomic commits**: a commit is one manifest file made visible by a
+  single filesystem rename — a crashed writer leaves data files but
+  no manifest, so readers never observe a half-commit, and a re-run
+  simply re-commits (the resume story manifests/checkpoints give the
+  streaming side).
+- **Time travel**: ``snapshot_read(..., version=N)`` and
+  ``snapshot_log`` for audits ("what did the 1h tier contain when the
+  report ran?").
+- **Retention**: ``expire_snapshots(keep_last=K)`` drops old manifests
+  and physically deletes data files only they referenced — the tier
+  engine's raw→1m→1h→1d retention ladder applied to table history.
+
+Layout::
+
+    <table>/data/commit-<v>/part-*.parquet   (immutable once committed)
+    <table>/_snapshots/v<N>.json             (manifest: file list)
+
+Scale notes (100 TB): a manifest lists file PATHS, not rows — commits
+and reads are O(|files|) metadata operations on the driver; data-file
+IO stays fully distributed (``spark.read.parquet(*files)`` plans
+splits exactly as a directory read would).  Real deployments with
+catalog jars should use tableio.py's Iceberg branch; this module is
+the honest fallback and the contract tests' executable spec.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAP_DIR = "_snapshots"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def _read_text(jvm, fs, path) -> str:
+    stream = fs.open(path)
+    try:
+        out = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return out
+
+
+def _write_text_atomic(jvm, fs, path, text: str) -> None:
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path.getParent(), "." + path.getName() + "." + uuid.uuid4().hex
+    )
+    out = fs.create(tmp, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, path):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"snapshot commit lost the race for {path} — retry the write"
+        )
+
+
+def _versions(jvm, fs, table_path: str) -> list[int]:
+    sd = jvm.org.apache.hadoop.fs.Path(table_path, SNAP_DIR)
+    if not fs.exists(sd):
+        return []
+    out = []
+    for st in fs.listStatus(sd):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _manifest(jvm, fs, table_path: str, version: int) -> dict:
+    p = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/v{version}.json"
+    )
+    return json.loads(_read_text(jvm, fs, p))
+
+
+def snapshot_write(df: DataFrame, table_path: str,
+                   mode: str = "append",
+                   carry_files: list[str] | None = None) -> int:
+    """Commit ``df`` as a new snapshot; returns the new version.
+
+    mode="append": the new version references the parent's files plus
+    this commit's; mode="overwrite": the new version references only
+    this commit's files.  Either way, previously committed data files
+    are never touched — old versions stay readable until expired.
+
+    ``carry_files``: already-committed data files to ALSO reference in
+    the new manifest without rewriting them — the splice compaction
+    (sources/compaction.py) uses to keep full-sized files in place
+    while replacing the undersized ones."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    parent = versions[-1] if versions else 0
+    new_v = parent + 1
+    commit_dir = f"{table_path}/data/commit-{new_v}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("error").parquet(commit_dir)
+    cd = jvm.org.apache.hadoop.fs.Path(commit_dir)
+    new_files = sorted(
+        str(st.getPath().toString())  # full URI — scheme-portable
+        for st in fs.listStatus(cd)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    files = list(new_files)
+    if carry_files:
+        files = sorted(carry_files) + files
+    if mode == "append" and parent:
+        files = _manifest(jvm, fs, table_path, parent)["files"] + files
+    manifest = {
+        "version": new_v,
+        "parent": parent or None,
+        "operation": mode,
+        "files": files,
+        "added_files": len(new_files),
+        "total_files": len(files),
+    }
+    mp = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/v{new_v}.json"
+    )
+    _write_text_atomic(jvm, fs, mp, json.dumps(manifest, indent=1))
+    return new_v
+
+
+def snapshot_read(spark: SparkSession, table_path: str,
+                  version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest committed).  The
+    plan reads EXACTLY the manifest's files — uncommitted or expired
+    data directories are invisible."""
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not in {versions} at {table_path}"
+        )
+    files = _manifest(jvm, fs, table_path, v)["files"]
+    return spark.read.parquet(*files)
+
+
+def snapshot_log(spark: SparkSession, table_path: str) -> list[dict]:
+    """Commit history, oldest first: version/parent/operation/counts
+    (the audit surface — 'when did the overwrite land?')."""
+    jvm, fs, _ = _fs(spark, table_path)
+    out = []
+    for v in _versions(jvm, fs, table_path):
+        m = _manifest(jvm, fs, table_path, v)
+        out.append(
+            {k: m[k] for k in
+             ("version", "parent", "operation", "added_files",
+              "total_files")}
+        )
+    return out
+
+
+def expire_snapshots(spark: SparkSession, table_path: str,
+                     keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` versions and physically
+    delete data files that only expired versions referenced.  Returns
+    {"expired_versions": [...], "deleted_files": n}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    expire = versions[:-keep_last]
+    keep = versions[-keep_last:]
+    kept_files = set()
+    for v in keep:
+        kept_files.update(_manifest(jvm, fs, table_path, v)["files"])
+    deleted = 0
+    for v in expire:
+        for f in _manifest(jvm, fs, table_path, v)["files"]:
+            if f not in kept_files:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+                kept_files.add(f)  # delete once even if multiply listed
+                deleted += 1
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                table_path, f"{SNAP_DIR}/v{v}.json"
+            ),
+            False,
+        )
+    return {"expired_versions": expire, "deleted_files": deleted}
