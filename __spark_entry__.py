@@ -2561,6 +2561,23 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_changepoints_multi(spark, sf_dir):
+    """Recursive binary segmentation (driver-paced fixpoint over the
+    single-split primitive) — piecewise-constant fit per (metric,
+    day).  No oracle_sql: the segment relabeling loop is iterative
+    (same policy as the streaming ops); semantics pinned by pytest
+    against hand-computed segmentations, split math shared with the
+    gate-green changepoint_daily."""
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoints_multi,
+    )
+
+    return changepoints_multi(
+        _series_from_events(spark, sf_dir), keys=["metric"],
+        max_splits=2, min_gain=0.5, min_seg=4,
+    )
+
+
 def q_hybrid_search(spark, sf_dir):
     """Reciprocal-rank fusion of BM25 (terms) and embedding-cosine
     (query vec 0) top-50 lists: 1/(60+rank) terms nano-snapped before
@@ -2716,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
+        "changepoints_multi": q_changepoints_multi,
         "hybrid_search": q_hybrid_search,
         "seasonal_strength": q_seasonal_strength,
         "hll_overlap": q_hll_overlap,

@@ -138,6 +138,7 @@ HEADLINE_R3 = [
     "ks_drift",
     "entropy_daily",
     "benford",
+    "hybrid_search",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -180,3 +180,54 @@ def test_corr_matrix_perfect_anticorrelation(spark):
     assert len(got) == 1
     assert got[0].metric_a == "a" and got[0].metric_b == "b"
     assert got[0].r == -1.0 and got[0].n_hours == 12
+
+
+def test_changepoints_multi_three_levels(spark):
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoints_multi,
+    )
+
+    # three clean levels: 8 pts @1.0, 8 pts @5.0, 8 pts @9.0
+    rows = []
+    for s, lvl in enumerate([1.0, 5.0, 9.0]):
+        for i in range(8):
+            rows.append(_pt("m", s * 80 + i * 10, s * 8 + i, lvl))
+    got = changepoints_multi(
+        _series(spark, rows), max_splits=3, min_gain=0.5, min_seg=4
+    ).collect()
+    segs = sorted((r.seg_id, r.n, r.mean) for r in got)
+    assert segs == [(1, 8, 1.0), (2, 8, 5.0), (3, 8, 9.0)]
+    starts = {r.seg_id: r.seg_start_ts for r in got}
+    assert starts[2] == T0 + dt.timedelta(minutes=80)
+    assert starts[3] == T0 + dt.timedelta(minutes=160)
+
+
+def test_changepoints_multi_flat_stays_one_segment(spark):
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoints_multi,
+    )
+
+    rows = [_pt("m", i * 5, i, 3.0) for i in range(20)]
+    got = changepoints_multi(
+        _series(spark, rows), max_splits=3, min_gain=0.5, min_seg=4
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n == 20 and got[0].mean == 3.0
+
+
+def test_changepoints_multi_respects_min_seg(spark):
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoints_multi,
+    )
+
+    # true level shift after only 2 points: min_seg=4 forbids k<4, so
+    # the accepted split is the constrained argmax k=4 (hand-computed:
+    # gain(4)=426,666.67 cents² beats k=5..8) — every final segment
+    # honors the 4-point floor even though the "real" cut would not
+    rows = [_pt("m", i * 10, i, 1.0) for i in range(2)]
+    rows += [_pt("m", 20 + i * 10, 2 + i, 9.0) for i in range(10)]
+    got = changepoints_multi(
+        _series(spark, rows), max_splits=2, min_gain=0.5, min_seg=4
+    ).collect()
+    assert sorted(r.n for r in got) == [4, 8]
+    assert all(r.n >= 4 for r in got)

@@ -161,3 +161,123 @@ def burst_hours(events: DataFrame, keys: list[str] | None = None,
             )
         ).alias("burst"),
     )
+
+
+def changepoints_multi(series: DataFrame, keys: list[str] | None = None,
+                       value_decimals: int = 2,
+                       max_splits: int = 3,
+                       min_gain: float = 0.0,
+                       min_seg: int = 4) -> DataFrame:
+    """(keys..., day_ts, seg_id, seg_start_ts, n, mean): full binary
+    segmentation — the single-split primitive applied recursively,
+    driver-paced like the engine's other fixpoints (connected
+    components, k-means): each round re-runs the ONE-shuffle split
+    scan on every current segment simultaneously (segment id joins
+    into the window partition key, so a round costs the same as one
+    changepoint_daily pass regardless of how many segments are live),
+    accepts every split whose gain exceeds ``min_gain`` and whose
+    halves keep ``min_seg`` points, and stops after ``max_splits``
+    rounds or when no segment splits.  Rounds are bounded by
+    max_splits (not data), so the driver loop is O(max_splits) jobs.
+
+    Output is one row per final segment with its start, size and
+    mean — the piecewise-constant fit dashboards draw.  Exactness:
+    the split decisions reuse changepoint_daily's exact-integer
+    machinery; the emitted means are exact-integer sums over one
+    double division."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        *keys,
+        F.date_trunc("day", "ts").alias("day_ts"),
+        epoch_us(F.col("ts")).alias("t_us"),
+        F.col("turn_idx"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    ).withColumn("seg", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    part = [*keys, "day_ts", "seg"]
+    for _ in range(int(max_splits)):
+        w = Window.partitionBy(*part).orderBy("t_us", "turn_idx")
+        wall = Window.partitionBy(*part)
+        cum = pt.select(
+            *part, "t_us", "turn_idx", "c",
+            F.row_number().over(w).alias("k"),
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("sk"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+            F.sum("c").over(wall).alias("sn"),
+        )
+        skd = F.col("sk").cast("double")
+        snd = F.col("sn").cast("double")
+        kd = F.col("k").cast("double")
+        nd = F.col("n").cast("double")
+        cand = cum.where(
+            (F.col("k") >= int(min_seg))
+            & (F.col("k") <= F.col("n") - int(min_seg))
+        ).withColumn(
+            "gain",
+            skd * skd / kd
+            + (snd - skd) * (snd - skd) / (nd - kd)
+            - snd * snd / nd,
+        )
+        best = (
+            cand.withColumn("mg", F.max("gain").over(wall))
+            .where(
+                (F.col("gain") == F.col("mg"))
+                & (F.col("gain") > F.lit(float(min_gain) * scale * scale))
+            )
+            .groupBy(*part)
+            .agg(F.min_by(F.struct("t_us", "turn_idx"), F.col("k")).alias(
+                "cut"
+            ))
+            .select(
+                *part,
+                F.col("cut")["t_us"].alias("cut_t"),
+                F.col("cut")["turn_idx"].alias("cut_o"),
+            )
+        )
+        if best.isEmpty():
+            break
+        # rows strictly after the cut move to a fresh segment id
+        # (2*seg+1 keeps ids unique without coordination)
+        # plain equi-join on the segment key: `best` is |segments|-
+        # bounded (could be millions of metric-days at 100 TB) — let
+        # AQE pick broadcast vs shuffle instead of forcing a hint
+        nxt = (
+            pt.join(best, part, "left")
+            .select(
+                *keys, "day_ts", "t_us", "turn_idx", "c",
+                F.when(
+                    F.col("cut_t").isNotNull()
+                    & (
+                        (F.col("t_us") > F.col("cut_t"))
+                        | (
+                            (F.col("t_us") == F.col("cut_t"))
+                            & (F.col("turn_idx") > F.col("cut_o"))
+                        )
+                    ),
+                    F.col("seg") * 2 + 2,
+                ).otherwise(F.col("seg") * 2 + 1).alias("seg"),
+            )
+        )
+        pt = nxt.localCheckpoint(eager=True)
+    out = pt.groupBy(*keys, "day_ts", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("t_us", "turn_idx")).alias("s0"),
+        F.sum("c").alias("sc"),
+    )
+    w2 = Window.partitionBy(*keys, "day_ts").orderBy(F.col("s0")["t_us"],
+                                                     F.col("s0")["turn_idx"])
+    return out.select(
+        *keys, "day_ts",
+        F.row_number().over(w2).alias("seg_id"),
+        F.timestamp_micros(F.col("s0")["t_us"]).alias("seg_start_ts"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("sc").cast("double") / F.col("n").cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("mean"),
+    )
