@@ -92,3 +92,56 @@ def test_expire_keeps_files_shared_with_kept_versions(spark, tmp_path):
     assert r["expired_versions"] == [1]
     assert r["deleted_files"] == 0
     assert _vals(snapshot_read(spark, t)) == [0, 1, 2, 3, 4]
+
+
+def test_tier_cascade_publishes_compacts_and_survives_expiry(
+    spark, tmp_path
+):
+    """Integration: rollup cascade -> per-tier snapshot commits ->
+    small-file compaction -> retention expiry; tier contents identical
+    at every step."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from timeseriescorrelation_spark.operators.rollup import (
+        rollup_cascade_fused,
+    )
+    from timeseriescorrelation_spark.sources.compaction import (
+        rewrite_data_files,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (f"c{i % 3}", "m", t0 + dt.timedelta(minutes=7 * i), i,
+         float(i % 11))
+        for i in range(400)
+    ]
+    series = spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, ts timestamp, "
+        "turn_idx int, value double",
+    )
+    tiers = rollup_cascade_fused(series)
+
+    def canon(df):
+        return sorted(
+            (r.conv_id, r.metric, r.bucket_ts, r.cnt, round(r.sum, 6))
+            for r in df.select(
+                "conv_id", "metric", "bucket_ts", "cnt", "sum"
+            ).collect()
+        )
+
+    want = {k: canon(v) for k, v in tiers.items()}
+    paths = {}
+    for k, df in tiers.items():
+        p = str(tmp_path / f"tier_{k}")
+        paths[k] = p
+        # publish in two appends to force multiple small files
+        snapshot_write(df.where(F.col("conv_id") == "c0"), p, "append")
+        snapshot_write(df.where(F.col("conv_id") != "c0"), p, "append")
+        assert canon(snapshot_read(spark, p)) == want[k]
+        rewrite_data_files(spark, p, target_bytes=64 * 1024 * 1024)
+        assert canon(snapshot_read(spark, p)) == want[k]
+        expire_snapshots(spark, p, keep_last=1)
+        assert canon(snapshot_read(spark, p)) == want[k]

@@ -104,7 +104,8 @@ def _manifest(jvm, fs, table_path: str, version: int) -> dict:
 
 def snapshot_write(df: DataFrame, table_path: str,
                    mode: str = "append",
-                   carry_files: list[str] | None = None) -> int:
+                   carry_files: list[str] | None = None,
+                   extra_meta: dict | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     mode="append": the new version references the parent's files plus
@@ -143,6 +144,10 @@ def snapshot_write(df: DataFrame, table_path: str,
         "files": files,
         "added_files": len(new_files),
         "total_files": len(files),
+        # extra_meta rides INSIDE the atomic commit (the streaming
+        # publisher's exactly-once batch_id lives here — stamping it
+        # after the commit would reopen the duplicate-replay window)
+        **(extra_meta or {}),
     }
     mp = jvm.org.apache.hadoop.fs.Path(
         table_path, f"{SNAP_DIR}/v{new_v}.json"
