@@ -2561,6 +2561,64 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_trigram_paths(spark, sf_dir):
+    """Second-order journey mining: counts of (a → b → c) event paths
+    over each user's time-ordered stream — event_transitions' Markov
+    matrix extended one lag (two window lags on the SAME partition
+    sort, one hash agg; shuffle ≈ |users|-keyed once).  top-50 by
+    (n desc, path asc) via TakeOrdered."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .where(F.col("e1").isNotNull())
+    )
+    return (
+        d.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(50)
+    )
+
+
+def q_sliding_quota(spark, sf_dir):
+    """Sliding-window rate-limit audit: for each user, the max number
+    of events inside ANY trailing-1h window (evaluated at event
+    times — the standard telescoping trick: a RANGE window over
+    epoch µs counts events in (t−1h, t]), plus the first breach time
+    for users whose peak exceeds the quota.  One shuffle keyed
+    user_id; the RANGE frame is per-user, never global."""
+    from pyspark.sql import Window
+
+    quota = 20
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t_us)
+        .rangeBetween(-3_600_000_000 + 1, 0)
+    )
+    d = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts"),
+        F.count(F.lit(1)).over(w).alias("win_cnt"),
+    )
+    return d.groupBy("user_id").agg(
+        F.max("win_cnt").cast("long").alias("peak_1h"),
+        F.min(
+            F.when(F.col("win_cnt") > quota, F.col("ts"))
+        ).alias("first_breach_ts"),
+        (F.max("win_cnt") > quota).alias("breached"),
+    )
+
+
 def q_changepoints_multi(spark, sf_dir):
     """Recursive binary segmentation (driver-paced fixpoint over the
     single-split primitive) — piecewise-constant fit per (metric,
@@ -2733,6 +2791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
+        "trigram_paths": q_trigram_paths,
+        "sliding_quota": q_sliding_quota,
         "changepoints_multi": q_changepoints_multi,
         "hybrid_search": q_hybrid_search,
         "seasonal_strength": q_seasonal_strength,
@@ -5804,5 +5864,32 @@ WITH tok AS (
 )
 SELECT doc_id, rank_lex, rank_sem, cast(rrf_u AS bigint) AS rrf_u
 FROM fused ORDER BY rrf_u DESC, doc_id ASC LIMIT 20
+""",
+        "trigram_paths": """
+WITH d AS (
+  SELECT lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT e1, e2, e3, cast(count(*) AS bigint) AS n
+FROM d WHERE e1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3 LIMIT 50
+""",
+        "sliding_quota": """
+WITH d AS (
+  SELECT user_id, ts,
+         cast(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+           AS bigint) AS win_cnt
+  FROM events
+)
+SELECT user_id,
+       cast(max(win_cnt) AS bigint) AS peak_1h,
+       min(CASE WHEN win_cnt > 20 THEN ts END) AS first_breach_ts,
+       (max(win_cnt) > 20) AS breached
+FROM d GROUP BY 1
 """,
     }

@@ -139,6 +139,8 @@ HEADLINE_R3 = [
     "entropy_daily",
     "benford",
     "hybrid_search",
+    "trigram_paths",
+    "sliding_quota",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -291,3 +291,54 @@ def test_bloom_probe_broadcasts_filter(spark):
     constant-size design."""
     plan = _plan(em.queries()["bloom_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_changepoint_single_exchange_shared_sort(spark):
+    """changepoint_daily: one shuffle on (metric, day); all three
+    window passes and the final aggregation reuse that sort — no
+    second Exchange, no cartesian."""
+    plan = _plan(em.queries()["changepoint_daily"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_windows_partitioned(spark):
+    """ks_drift: the ECDF windows must be partitioned by (metric,
+    day) — a global-sort window here would serialize the corpus."""
+    plan = _plan(em.queries()["ks_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # every Window node carries a partition spec (never 'Window [..], []')
+    for m in re.finditer(r"Window \[[^\n]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), plan
+
+
+def test_corr_matrix_pairs_after_aggregation(spark):
+    """corr_matrix_daily: the metric-pair join must consume the HOURLY
+    AGGREGATE on both sides (aggregate-first discipline) — the plan
+    shows hash aggregation below the join, and the join is equi on
+    hour_ts, never cartesian."""
+    plan = _plan(em.queries()["corr_matrix_daily"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                    plan.find("BroadcastHashJoin")) if p >= 0
+    )
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_benford_digit_grid_broadcasts(spark):
+    """benford: the 9-row digit dimension must broadcast; the grand
+    total join stays broadcast too — no shuffle keyed on a 9-row
+    table."""
+    plan = _plan(em.queries()["benford"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_fusion_is_takeordered(spark):
+    """hybrid_search: the fused top-k must be TakeOrderedAndProject
+    (per-partition heaps), never a global Sort+Limit."""
+    plan = _plan(em.queries()["hybrid_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
