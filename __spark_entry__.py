@@ -2561,6 +2561,24 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ + refine ANN: 16×32 product-quantization codebooks, ADC scan
+    over the m-int codes (float corpus never re-read), exact re-rank
+    of the top-100 shortlist.  Approximate by construction → rows-only
+    driver check; recall ≥ 0.9 vs brute force pinned by pytest
+    (tests/test_similarity.py::test_pq_adc_refine_recall), the IVF
+    nprobe policy."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        pq_topk_adc,
+    )
+
+    e = _embs(spark, sf_dir)
+    return pq_topk_adc(
+        e, e.where(F.col("vec_id") < 5), k=10, m=16, ksub=32,
+        n_iter=2, refine=100,
+    )
+
+
 def q_trigram_paths(spark, sf_dir):
     """Second-order journey mining: counts of (a → b → c) event paths
     over each user's time-ordered stream — event_transitions' Markov
@@ -2791,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
+        "ann_pq": q_ann_pq,
         "trigram_paths": q_trigram_paths,
         "sliding_quota": q_sliding_quota,
         "changepoints_multi": q_changepoints_multi,

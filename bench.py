@@ -141,6 +141,7 @@ HEADLINE_R3 = [
     "hybrid_search",
     "trigram_paths",
     "sliding_quota",
+    "ann_pq",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
