@@ -2561,6 +2561,19 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_quantile_transform(spark, sf_dir):
+    """Rank-based quantile normalization per (metric, day): value →
+    within-day ECDF position, integer ranking key, SQL percent_rank
+    semantics shared with the oracle."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        quantile_transform_daily,
+    )
+
+    return quantile_transform_daily(
+        _series_from_events(spark, sf_dir), keys=["metric"]
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """PQ + refine ANN: 16×32 product-quantization codebooks, ADC scan
     over the m-int codes (float corpus never re-read), exact re-rank
@@ -2810,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
         "ann_pq": q_ann_pq,
+        "quantile_transform": q_quantile_transform,
         "trigram_paths": q_trigram_paths,
         "sliding_quota": q_sliding_quota,
         "changepoints_multi": q_changepoints_multi,
@@ -5910,5 +5924,17 @@ SELECT user_id,
        min(CASE WHEN win_cnt > 20 THEN ts END) AS first_breach_ts,
        (max(win_cnt) > 20) AS breached
 FROM d GROUP BY 1
+""",
+        "quantile_transform": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts, ts,
+         cast(event_id AS int) AS turn_idx, value,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+)
+SELECT metric, day_ts, ts, turn_idx, value,
+       round(percent_rank() OVER (PARTITION BY metric, day_ts
+                                  ORDER BY c), 6) AS q
+FROM pt
 """,
     }

@@ -142,6 +142,7 @@ HEADLINE_R3 = [
     "trigram_paths",
     "sliding_quota",
     "ann_pq",
+    "quantile_transform",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

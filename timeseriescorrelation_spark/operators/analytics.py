@@ -1532,3 +1532,39 @@ def theil_sen_daily(series: DataFrame, keys: list[str] | None = None,
             F.round(F.col("med"), 6).alias("sen_slope_per_hour"),
         )
     )
+
+
+def quantile_transform_daily(series: DataFrame,
+                             keys: list[str] | None = None,
+                             value_decimals: int = 2) -> DataFrame:
+    """(keys..., day_ts, ts, turn_idx, value, q): rank-based quantile
+    normalization per (key, day) — each point's value mapped to its
+    within-day ECDF position percent_rank = (rank−1)/(n−1) ∈ [0,1],
+    the outlier-immune normalization feature pipelines use where
+    minmax_scale (one monster value crushes the rest to ~0) cannot.
+
+    Ties: percent_rank assigns equal values the SAME rank (min rank),
+    the standard SQL semantics — identical in the DuckDB oracle.  The
+    ranking key is the cent-snapped integer, so no float comparison
+    decides an ordering.  n=1 days emit q=0 (percent_rank's defined
+    degenerate), not NULL.
+
+    Scale notes: one shuffle keyed (keys, day) + the window sort —
+    day-bounded groups keep the sort task-sized (a per-metric GLOBAL
+    rank would serialize each metric through one task; the daily grain
+    is the scale-sound normalization anyway)."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        *keys,
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        "ts",
+        "turn_idx",
+        "value",
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    w = Window.partitionBy(*keys, "day_ts").orderBy("c")
+    return pt.select(
+        *keys, "day_ts", "ts", "turn_idx", "value",
+        F.round(F.percent_rank().over(w), 6).alias("q"),
+    )

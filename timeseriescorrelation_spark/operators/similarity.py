@@ -461,7 +461,7 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
             ).alias("c")
         )
 
-    cents = _means(asg).localCheckpoint(eager=True)
+    cents = _means(asg).localCheckpoint(eager=False)
     for _ in range(int(n_iter)):
         scored = rows.join(F.broadcast(cents), "block").select(
             "vec_id", "block", "sv", "cell",
@@ -479,7 +479,7 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
             .where(F.col("r") == 1)
             .select("vec_id", "block", "sv", "cell")
         )
-        cents = _means(asg).localCheckpoint(eager=True)
+        cents = _means(asg).localCheckpoint(eager=False)
     return cents
 
 
