@@ -2561,6 +2561,18 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_dtw_daily(spark, sf_dir):
+    """Banded DTW between every metric pair's z-normed 24-point daily
+    profile — elastic shape similarity where Pearson dies on phase
+    shifts.  2-D recurrence → rows-only driver check; math pinned by
+    pytest vs an unbanded brute-force reference (tests/test_dtw.py)."""
+    from timeseriescorrelation_spark.operators.dtw import dtw_daily_pairs
+
+    return dtw_daily_pairs(
+        _series_from_events(spark, sf_dir), key="metric", band=3
+    )
+
+
 def q_quantile_transform(spark, sf_dir):
     """Rank-based quantile normalization per (metric, day): value →
     within-day ECDF position, integer ranking key, SQL percent_rank
@@ -2824,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "ann_pq": q_ann_pq,
         "quantile_transform": q_quantile_transform,
+        "dtw_daily": q_dtw_daily,
         "trigram_paths": q_trigram_paths,
         "sliding_quota": q_sliding_quota,
         "changepoints_multi": q_changepoints_multi,

@@ -143,6 +143,7 @@ HEADLINE_R3 = [
     "sliding_quota",
     "ann_pq",
     "quantile_transform",
+    "dtw_daily",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
