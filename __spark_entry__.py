@@ -2561,6 +2561,26 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Tokenizer induction: 8 BPE merges learned on the word-frequency
+    table (the only corpus-wide pass), vocab segmented under them.
+    Driver-paced argmax loop → rows-only check; the merge sequence is
+    pinned by pytest against the hand-computed Sennrich example
+    (tests/test_bpe.py)."""
+    from timeseriescorrelation_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment,
+    )
+
+    d = _docs(spark, sf_dir)
+    seg = bpe_segment(d, bpe_learn(d, n_merges=8))
+    # pieces joined to one string: array columns don't sort/hash in
+    # the driver's pandas compare
+    return seg.select(
+        "word", "n", F.concat_ws(" ", "pieces").alias("pieces")
+    )
+
+
 def q_dtw_daily(spark, sf_dir):
     """Banded DTW between every metric pair's z-normed 24-point daily
     profile — elastic shape similarity where Pearson dies on phase
@@ -2837,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "quantile_transform": q_quantile_transform,
         "dtw_daily": q_dtw_daily,
+        "bpe_vocab": q_bpe_vocab,
         "trigram_paths": q_trigram_paths,
         "sliding_quota": q_sliding_quota,
         "changepoints_multi": q_changepoints_multi,

@@ -144,6 +144,7 @@ HEADLINE_R3 = [
     "ann_pq",
     "quantile_transform",
     "dtw_daily",
+    "bpe_vocab",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
