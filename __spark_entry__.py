@@ -2561,6 +2561,56 @@ def q_benford(spark, sf_dir):
     )
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over (user, day) event baskets:
+    support / confidence(a→b) / lift from exact distinct-basket
+    counts — three hash-aggs and one self-join on basket id shape
+    (collapsed here to per-item basket counts joined through the pair
+    count).  Every statistic is one double division of exact integers
+    rounded to 6 dp — bit-exact vs the oracle."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.col("event_type").alias("item"),
+    ).distinct()
+    tot = ev.select("user_id", "day_ts").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_n = ev.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = ev.select("user_id", "day_ts", F.col("item").alias("a"))
+    b = ev.select("user_id", "day_ts", F.col("item").alias("b"))
+    pair_n = (
+        a.join(b, ["user_id", "day_ts"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = item_n.select(F.col("item").alias("a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("b"), F.col("n_item").alias("n_b"))
+    j = (
+        pair_n.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    dN = F.col("n_baskets").cast("double")
+    return j.select(
+        "a", "b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.round(F.col("n_ab").cast("double") / dN, 6).alias("support"),
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+        ).alias("conf_a_to_b"),
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_b").cast("double"), 6
+        ).alias("conf_b_to_a"),
+        F.round(
+            F.col("n_ab").cast("double") * dN
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
 def q_bpe_vocab(spark, sf_dir):
     """Tokenizer induction: 8 BPE merges learned on the word-frequency
     table (the only corpus-wide pass), vocab segmented under them.
@@ -2857,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "quantile_transform": q_quantile_transform,
         "dtw_daily": q_dtw_daily,
+        "assoc_rules": q_assoc_rules,
         "bpe_vocab": q_bpe_vocab,
         "trigram_paths": q_trigram_paths,
         "sliding_quota": q_sliding_quota,
@@ -5970,5 +6021,34 @@ SELECT metric, day_ts, ts, turn_idx, value,
        round(percent_rank() OVER (PARTITION BY metric, day_ts
                                   ORDER BY c), 6) AS q
 FROM pt
+""",
+        "assoc_rules": """
+WITH ev AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day_ts,
+         event_type AS item
+  FROM events
+), tot AS (
+  SELECT cast(count(*) AS bigint) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day_ts FROM ev)
+), it AS (
+  SELECT item, cast(count(*) AS bigint) AS n_item FROM ev GROUP BY 1
+), p AS (
+  SELECT a.item AS a, b.item AS b, cast(count(*) AS bigint) AS n_ab
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.day_ts = b.day_ts
+   AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, n_ab,
+       round(cast(n_ab AS double) / cast(n_baskets AS double), 6)
+         AS support,
+       round(cast(n_ab AS double) / cast(na.n_item AS double), 6)
+         AS conf_a_to_b,
+       round(cast(n_ab AS double) / cast(nb.n_item AS double), 6)
+         AS conf_b_to_a,
+       round(cast(n_ab AS double) * cast(n_baskets AS double)
+             / cast(na.n_item * nb.n_item AS double), 6) AS lift
+FROM p JOIN it na ON na.item = p.a JOIN it nb ON nb.item = p.b
+CROSS JOIN tot
 """,
     }

@@ -145,6 +145,7 @@ HEADLINE_R3 = [
     "quantile_transform",
     "dtw_daily",
     "bpe_vocab",
+    "assoc_rules",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
