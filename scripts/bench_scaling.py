@@ -34,13 +34,15 @@ N_CONVS = int(os.environ.get("TSC_SCALE_CONVS", "20000"))
 SEED = 42
 
 STAGES = ["series", "fill_1m", "agg_1m", "agg_1h", "agg_1d",
-          "cascade_fused", "fill_fused", "chunks_fused"]
+          "cascade_fused", "fill_fused", "chunks_fused",
+          "changepoint_fused"]
 
 # the two end-to-end jobs (transcripts in, tier/grid out, one shuffle)
 # are the production shape and the headline scaling evidence; the
 # per-stage rows are diagnostics (each pays a full parquet re-read and
 # its own shuffle, and the sub-2s tiers are scheduler-overhead-bound)
-HEADLINE_STAGES = ["cascade_fused", "fill_fused", "chunks_fused"]
+HEADLINE_STAGES = ["cascade_fused", "fill_fused", "chunks_fused",
+                   "changepoint_fused"]
 
 
 def _spark(cores: int):
@@ -94,6 +96,9 @@ def prepare() -> None:
 
 
 def run_child(cores: int) -> dict:
+    from timeseriescorrelation_spark.operators.changepoint import (
+        changepoint_daily,
+    )
     from timeseriescorrelation_spark.operators.gapfill import fill_locf
     from timeseriescorrelation_spark.operators.rollup import (
         rollup_raw,
@@ -113,6 +118,11 @@ def run_child(cores: int) -> dict:
         rollup_cascade_fused,
     )
 
+    def _changepoint(series_df):
+        return changepoint_daily(
+            series_df, keys=["conv_id", "metric"], min_n=8
+        )
+
     builders = {
         "series": lambda: derive_series(transcripts),
         "fill_1m": lambda: fill_locf(series, "1m"),
@@ -126,6 +136,12 @@ def run_child(cores: int) -> dict:
             derive_series(transcripts), n_parts=4 * cores
         )["1d"],
         "fill_fused": lambda: fill_locf(derive_series(transcripts), "1m"),
+        # round-3 analytics shape: transcripts -> series -> per-(metric,
+        # conv, day) single-split changepoint; one shuffle + one window
+        # sort (keys folded into the window partition)
+        "changepoint_fused": lambda: _changepoint(
+            derive_series(transcripts)
+        ),
         # Gorilla write path (BASELINE.json:6 "compressed into
         # per-partition chunk blobs"): transcripts -> series -> day
         # chunks; shuffle + sorted Arrow streams into Python workers
@@ -144,6 +160,7 @@ def run_child(cores: int) -> dict:
         "cascade_fused": n_turns,
         "fill_fused": n_turns,
         "chunks_fused": n_turns,
+        "changepoint_fused": n_turns,
     }
 
     def materialize(df):
