@@ -409,9 +409,48 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _pack_cells(codebooks: DataFrame) -> DataFrame:
+    """(block, cell, c) -> (block, cells array<struct<cell,c>>) sorted
+    by cell ascending — the broadcast-side shape for the in-row argmin
+    fold (`_argmin_cell`)."""
+    return codebooks.groupBy("block").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c"))).alias("cells")
+    )
+
+
+def _argmin_cell(sv, cells):
+    """In-row argmin over a packed centroid array: the cell whose
+    centroid minimizes L2²(sv, c), lowest cell on exact float ties
+    (the fold scans cells in ascending-cell order with a strict `<`).
+    L2² drops the per-row constant dot(sv, sv) — argmin-invariant.
+
+    This replaces the explode→broadcast-join→window-argmin shape: the
+    old form materialized |vecs|·m·ksub scored rows and sorted them
+    under a row_number window (a full extra shuffle per Lloyd round);
+    the fold does the same O(ksub·dsub) flops inside one projection,
+    zero extra rows, zero shuffle."""
+    scored = F.transform(
+        cells,
+        lambda e: F.struct(
+            (_dot(e["c"], e["c"]) - 2.0 * _dot(sv, e["c"])).alias("s"),
+            e["cell"].cast("int").alias("cell"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).alias("s"),
+            F.lit(-1).cast("int").alias("cell"),
+        ),
+        lambda acc, e: F.when(e["s"] < acc["s"], e).otherwise(acc),
+        lambda acc: acc["cell"],
+    )
+
+
 def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
                  n_iter: int = 2, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 dim: int | None = None) -> DataFrame:
     """Product-quantization codebooks -> (block, cell, c double[]):
     per-block Lloyd's k-means over the SUB-vectors of the
     unit-normalized corpus (Jégou et al.'s PQ — the memory-bounded ANN
@@ -419,11 +458,13 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
     quantizes 32× smaller, small enough to ADC-scan in memory).
 
     All m blocks train SIMULTANEOUSLY: the (vec, block) explode keys
-    Lloyd's on (block, cell), so one assign+re-mean round costs two
-    hash-aggs + one broadcast join TOTAL, not per block.  Deterministic
-    like kmeans_centroids: init cell = vec_id mod ksub, L2² argmin with
-    lowest-cell tie-break, fixed n_iter."""
-    first_dim = emb.select(
+    Lloyd's on (block, cell), so one assign+re-mean round costs ONE
+    hash-agg + one broadcast join TOTAL, not per block (the argmin is
+    the in-row `_argmin_cell` fold — no scored-row explosion, no
+    window sort).  Deterministic like kmeans_centroids: init cell =
+    vec_id mod ksub, L2² argmin with lowest-cell tie-break, fixed
+    n_iter."""
+    first_dim = dim if dim is not None else emb.select(
         F.size(_to_double(F.col(vec_col))).alias("d")
     ).first()["d"]
     if first_dim % m:
@@ -463,21 +504,9 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
 
     cents = _means(asg).localCheckpoint(eager=False)
     for _ in range(int(n_iter)):
-        scored = rows.join(F.broadcast(cents), "block").select(
-            "vec_id", "block", "sv", "cell",
-            (
-                _dot(F.col("sv"), F.col("sv"))
-                - 2.0 * _dot(F.col("sv"), F.col("c"))
-                + _dot(F.col("c"), F.col("c"))
-            ).alias("l2"),
-        )
-        w = Window.partitionBy("vec_id", "block").orderBy(
-            F.asc("l2"), F.asc("cell")
-        )
-        asg = (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("vec_id", "block", "sv", "cell")
+        asg = rows.join(F.broadcast(_pack_cells(cents)), "block").select(
+            "vec_id", "block", "sv",
+            _argmin_cell(F.col("sv"), F.col("cells")).alias("cell"),
         )
         cents = _means(asg).localCheckpoint(eager=False)
     return cents
@@ -485,11 +514,13 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
 
 def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 4,
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              dim: int | None = None) -> DataFrame:
     """(vec_id, codes int[]): nearest-cell code per block — the m-byte
     compressed representation the ADC scan reads instead of the float
-    vectors."""
-    first_dim = emb.select(
+    vectors.  One broadcast join + one hash-agg: the per-block argmin
+    is the in-row `_argmin_cell` fold (no window sort)."""
+    first_dim = dim if dim is not None else emb.select(
         F.size(_to_double(F.col(vec_col))).alias("d")
     ).first()["d"]
     dsub = first_dim // m
@@ -506,20 +537,9 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 4,
             F.lit(dsub),
         ).alias("sv"),
     )
-    scored = rows.join(F.broadcast(codebooks), "block").select(
-        "vec_id", "block", "cell",
-        (
-            _dot(F.col("sv"), F.col("sv"))
-            - 2.0 * _dot(F.col("sv"), F.col("c"))
-            + _dot(F.col("c"), F.col("c"))
-        ).alias("l2"),
-    )
-    w = Window.partitionBy("vec_id", "block").orderBy(
-        F.asc("l2"), F.asc("cell")
-    )
-    best = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+    best = rows.join(F.broadcast(_pack_cells(codebooks)), "block").select(
+        "vec_id", "block",
+        _argmin_cell(F.col("sv"), F.col("cells")).alias("cell"),
     )
     return best.groupBy("vec_id").agg(
         F.transform(
@@ -535,18 +555,21 @@ def pq_topk_adc(emb: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id",
                 codebooks: DataFrame | None = None,
                 codes: DataFrame | None = None,
-                refine: int = 0) -> DataFrame:
+                refine: int = 0,
+                dim: int | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k: queries stay
     full-precision, the corpus is its PQ codes; score(q, v) =
     Σ_b ⟨q_b, c_{b, code_b(v)}⟩ ≈ cos(q, v) on unit vectors.
 
-    Relational ADC: the per-query lookup table (m·ksub contributions)
-    is a broadcast join against the posexploded code column — the
-    corpus side touches only (vec_id, block, cell) ints, never float
-    vectors; at 100 TB that is the entire point (the float corpus
-    never re-enters the scan).  An Arrow/mapInPandas LUT kernel slots
-    in where the per-row join overhead matters; the relational form
-    keeps the whole plan native and plan-auditable.
+    In-row ADC: each query's lookup table (m·ksub contributions) is
+    packed into ONE broadcast row (array over blocks of cell→contrib
+    maps) and the scan is a zip_with/fold over the UN-exploded code
+    arrays — |corpus|·|q| slim rows and zero aggregation shuffle,
+    where the relational form (posexplode codes ⋈ LUT, groupBy (qid,
+    vec)) pushed |corpus|·m·|q| rows through a hash-agg.  The corpus
+    side touches only the m-int code column, never float vectors; at
+    100 TB that is the entire point (the float corpus never re-enters
+    the scan).
 
     ``refine`` > 0 turns on the standard PQ+refine pipeline: the ADC
     scan produces a top-``refine`` shortlist per query and ONLY those
@@ -561,13 +584,19 @@ def pq_topk_adc(emb: DataFrame, queries: DataFrame, k: int = 10,
     Approximate by construction — recall vs the exact scan is pinned
     by pytest on the clustered embeddings corpus, not by the SQL gate
     (same policy as IVF's nprobe sweep)."""
+    # one dim probe feeds the whole chain (the naive form ran the
+    # same single-row parquet job three times)
+    first_dim = dim if dim is not None else emb.select(
+        F.size(_to_double(F.col(vec_col))).alias("d")
+    ).first()["d"]
+    dim = first_dim
     if codebooks is None:
         codebooks = pq_codebooks(emb, m=m, ksub=ksub, n_iter=n_iter,
-                                 vec_col=vec_col, id_col=id_col)
+                                 vec_col=vec_col, id_col=id_col, dim=dim)
     if codes is None:
         codes = pq_encode(emb, codebooks, m=m, vec_col=vec_col,
-                          id_col=id_col)
-    first_dim = emb.select(
+                          id_col=id_col, dim=dim)
+    first_dim = dim if dim is not None else emb.select(
         F.size(_to_double(F.col(vec_col))).alias("d")
     ).first()["d"]
     dsub = first_dim // m
@@ -590,14 +619,53 @@ def pq_topk_adc(emb: DataFrame, queries: DataFrame, k: int = 10,
         "qid", "block", "cell",
         _dot(F.col("qsv"), F.col("c")).alias("contrib"),
     )
-    corpus = codes.select(
-        "vec_id", F.posexplode("codes").alias("block", "cell")
+    # Pack each query's m·ksub contributions into one row: an array
+    # over blocks of cell→contrib maps.  The scan is then a broadcast
+    # nested-loop against the UN-exploded code rows with an in-row
+    # zip_with/fold — |corpus|·|q| slim rows total, where the
+    # relational form (posexplode codes ⋈ lut, groupBy (qid, vec))
+    # shuffled |corpus|·m·|q| rows through a hash-agg.  Broadcast side
+    # is |queries| rows of m·ksub doubles — the query set, tiny by
+    # contract (same economics as ann_topk_bruteforce's query side).
+    qlut = (
+        lut.groupBy("qid", "block")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("cell", "contrib")))
+            ).alias("mp")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                # comparator form: a struct holding a MAP is not
+                # orderable, so sort on the block field explicitly
+                F.array_sort(
+                    F.collect_list(F.struct("block", "mp")),
+                    lambda a, b: F.when(a["block"] < b["block"], -1)
+                    .when(a["block"] > b["block"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["mp"],
+            ).alias("luts")
+        )
     )
     scored = (
-        corpus.join(F.broadcast(lut), ["block", "cell"])
+        codes.crossJoin(F.broadcast(qlut))
         .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .select(
+            "qid", "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"), F.col("luts"),
+                        lambda c, mp: F.element_at(mp, c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("vec_id")
