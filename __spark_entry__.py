@@ -2762,6 +2762,67 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Word-ORDER quality screen: per-doc mean bigram surprisal under
+    the corpus Laplace(+1) bigram LM, in integer micro-nats (the
+    doc_surprisal fixed-point contract one order up — shuffled or
+    templated text keeps its unigram profile but collapses here).
+    Bigrams built in-row (zip_with), model = two hash-aggs."""
+    from timeseriescorrelation_spark.operators.lm import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+def q_activity_islands(spark, sf_dir):
+    """Per (user, day) active-time accounting: each event opens a
+    5-minute [ts, ts+300s) activity span; overlapping spans merge via
+    gaps-and-islands (running-max form — correct under containment),
+    reporting n_spans / n_islands / union-coverage µs / longest
+    stretch µs, all exact integers."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+    from timeseriescorrelation_spark.operators.intervals import (
+        interval_islands,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        epoch_us(F.col("ts")).alias("s_us"),
+        (epoch_us(F.col("ts")) + F.lit(300_000_000)).alias("e_us"),
+    )
+    return interval_islands(e, keys=["user_id", "day_ts"])
+
+
+def q_rfm_features(spark, sf_dir):
+    """RFM customer segmentation over orders: recency vs the corpus
+    max date, exact-integer cent monetary, ntile(5) scores assigned by
+    the DISTRIBUTED two-pass rank (ranks.global_row_number +
+    ntile_expr) — no single-partition window anywhere."""
+    from timeseriescorrelation_spark.operators.retention import (
+        rfm_features,
+    )
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return rfm_features(o, n_tiles=5)
+
+
+def q_seasonal_mad(spark, sf_dir):
+    """Seasonality-aware robust outliers: mad_outliers keyed by
+    (metric, day-of-week, hour-of-day), so a Monday-9am spike is
+    judged against Monday-9am behaviour, not the global median —
+    the robust counterpart of the seasonal_profile z-detector.
+    Same exact .5-step median / .25-step MAD contract."""
+    from timeseriescorrelation_spark.operators.analytics import mad_outliers
+
+    s = _series_from_events(spark, sf_dir).select(
+        "conv_id", "metric", "ts", "turn_idx", "value",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    return mad_outliers(s, k=3.0, keys=["metric", "dow", "hod"],
+                        value_decimals=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2917,6 +2978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "km_survival": q_km_survival,
         "mann_kendall": q_mann_kendall,
+        "bigram_surprisal": q_bigram_surprisal,
+        "activity_islands": q_activity_islands,
+        "rfm_features": q_rfm_features,
+        "seasonal_mad": q_seasonal_mad,
     }
 
 
@@ -6050,5 +6115,121 @@ SELECT p.a, p.b, n_ab,
              / cast(na.n_item * nb.n_item AS double), 6) AS lift
 FROM p JOIN it na ON na.item = p.a JOIN it nb ON nb.item = p.b
 CROSS JOIN tot
+""",
+        "bigram_surprisal": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+  FROM tok
+), bg0 AS (
+  SELECT doc_id,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS a,
+         tok AS b
+  FROM tk
+), bg AS (
+  SELECT doc_id, a, b FROM bg0 WHERE a IS NOT NULL
+), pair_n AS (
+  SELECT a, b, cast(count(*) AS bigint) AS c_ab FROM bg GROUP BY 1, 2
+), hist_n AS (
+  SELECT a, cast(count(*) AS bigint) AS c_a FROM bg GROUP BY 1
+), voc AS (
+  SELECT cast(count(DISTINCT tok) AS bigint) AS v FROM tk
+), pb AS (
+  SELECT doc_id,
+         cast(round(ln(cast(c_a + v AS double)
+                       / cast(c_ab + 1 AS double))
+                    * 1000000.0) AS bigint) AS su
+  FROM bg JOIN pair_n USING (a, b) JOIN hist_n USING (a) CROSS JOIN voc
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+       cast(floor(cast(sum(su) AS double) / cast(count(*) AS double))
+            AS bigint) AS surprisal2_u
+FROM pb GROUP BY 1
+""",
+        "activity_islands": """
+WITH sp AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) AS s_us, epoch_us(ts) + 300000000 AS e_us
+  FROM events
+), f AS (
+  SELECT user_id, day_ts, s_us, e_us,
+         CASE WHEN s_us > coalesce(
+                max(e_us) OVER (
+                  PARTITION BY user_id, day_ts ORDER BY s_us, e_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775808)
+              THEN 1 ELSE 0 END AS nw
+  FROM sp
+), isl AS (
+  SELECT user_id, day_ts, s_us, e_us,
+         sum(nw) OVER (
+           PARTITION BY user_id, day_ts ORDER BY s_us, e_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+), pi AS (
+  SELECT user_id, day_ts, island,
+         min(s_us) AS s0, max(e_us) AS e1,
+         cast(count(*) AS bigint) AS n
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT user_id, day_ts,
+       cast(sum(n) AS bigint) AS n_spans,
+       cast(count(*) AS bigint) AS n_islands,
+       cast(sum(e1 - s0) AS bigint) AS covered_us,
+       cast(max(e1 - s0) AS bigint) AS longest_us
+FROM pi GROUP BY 1, 2
+""",
+        "rfm_features": """
+WITH ref AS (
+  SELECT max(o_orderdate) AS _ref FROM orders
+), base AS (
+  SELECT o_custkey AS custkey,
+         cast(date_diff('day', max(o_orderdate),
+                        (SELECT _ref FROM ref)) AS bigint)
+           AS recency_days,
+         cast(count(*) AS bigint) AS frequency,
+         cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+           AS monetary_c
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days, custkey) AS rt,
+         ntile(5) OVER (ORDER BY frequency DESC, custkey) AS ft,
+         ntile(5) OVER (ORDER BY monetary_c DESC, custkey) AS mt
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary_c,
+       cast(6 - rt AS int) AS r_score,
+       cast(6 - ft AS int) AS f_score,
+       cast(6 - mt AS int) AS m_score,
+       cast((6 - rt) * 100 + (6 - ft) * 10 + (6 - mt) AS int) AS rfm_code
+FROM t
+""",
+        "seasonal_mad": """
+WITH s AS (
+  SELECT event_type AS metric,
+         cast(dayofweek(ts) + 1 AS int) AS dow,
+         cast(hour(ts) AS int) AS hod,
+         ts, event_id AS turn_idx, value,
+         cast(round(value * 100) AS bigint) AS _v
+  FROM events
+), med AS (
+  SELECT metric, dow, hod, quantile_cont(_v, 0.5) AS _med
+  FROM s GROUP BY 1, 2, 3
+), d AS (
+  SELECT s.*, _med, abs(_v - _med) AS _dev
+  FROM s JOIN med USING (metric, dow, hod)
+), mad AS (
+  SELECT metric, dow, hod, quantile_cont(_dev, 0.5) AS _mad
+  FROM d GROUP BY 1, 2, 3
+)
+SELECT metric, dow, hod, ts, turn_idx, value,
+       round(_med / 100, 6) AS med,
+       round(_mad / 100, 6) AS mad,
+       round(CASE WHEN _mad > 0 THEN _dev / _mad END, 6) AS score
+FROM d JOIN mad USING (metric, dow, hod)
+WHERE _dev > 3.0 * _mad
 """,
     }

@@ -146,6 +146,10 @@ HEADLINE_R3 = [
     "dtw_daily",
     "bpe_vocab",
     "assoc_rules",
+    "bigram_surprisal",
+    "activity_islands",
+    "rfm_features",
+    "seasonal_mad",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

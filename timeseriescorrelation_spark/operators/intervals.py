@@ -230,3 +230,61 @@ def max_concurrency(spans: DataFrame, start_col: str = "start_ts",
         ).alias("peak"),
         F.count("*").alias("n_changes"),
     )
+
+
+def interval_islands(spans: DataFrame, keys: list[str],
+                     start_col: str = "s_us",
+                     end_col: str = "e_us") -> DataFrame:
+    """Union coverage per key group via gaps-and-islands: merge
+    overlapping/touching [start, end) spans into maximal islands and
+    report per group
+
+        (keys..., n_spans, n_islands, covered_us, longest_us)
+
+    where covered_us is the length of the UNION of the spans (overlap
+    counted once — what heartbeat-style "active time" actually means)
+    and longest_us is the longest merged stretch.
+
+    Island assignment is the running-max form: order spans by (start,
+    end); a span starts a new island iff its start exceeds the max end
+    of ALL previous spans (rowsBetween unboundedPreceding, -1), which
+    — unlike comparing against lag(end) — is correct when a long span
+    fully contains later short ones.  Two cumulative windows on the
+    SAME (keys, start, end) sort → ONE shuffle + one in-partition
+    sort, then two hash-aggs.  Touching spans (start == prev end)
+    merge: [s, e) half-open semantics.
+
+    Deterministic: islands depend only on the (start, end) multiset —
+    ties in the sort order cannot change the running max (equal starts
+    satisfy start <= runmax regardless of their relative order).
+
+    Scale notes (100 TB): the only shuffle is keyed by the group
+    columns; group sizes are per-entity span counts (bounded by
+    per-user activity), so no global sort and no hot key beyond what
+    salting already handles for pathological entities."""
+    w_ord = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    runmax = F.max(end_col).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        *keys, start_col, end_col,
+        F.when(
+            runmax.isNull() | (F.col(start_col) > runmax), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_new"),
+    ).select(
+        *keys, start_col, end_col,
+        F.sum("_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_island"),
+    )
+    per_island = flagged.groupBy(*keys, "_island").agg(
+        F.min(start_col).alias("_s0"),
+        F.max(end_col).alias("_e1"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_island.groupBy(*keys).agg(
+        F.sum("_n").cast("long").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_e1") - F.col("_s0")).cast("long").alias("covered_us"),
+        F.max(F.col("_e1") - F.col("_s0")).cast("long").alias("longest_us"),
+    )

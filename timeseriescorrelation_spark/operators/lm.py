@@ -78,6 +78,79 @@ def doc_surprisal(docs: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_surprisal(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, surprisal2_u): per-document mean bigram
+    surprisal −ln p(w_i | w_{i−1}) in integer micro-nats under the
+    corpus bigram LM with Laplace(+1) smoothing:
+
+        p(b | a) = (c(ab) + 1) / (c_hist(a) + V)
+
+    where c(ab) is the corpus bigram count, c_hist(a) = Σ_b c(ab)
+    (occurrences of `a` as a history), and V = |corpus vocabulary|.
+    The unigram screen (doc_surprisal) scores word RARITY; this one
+    scores word ORDER — shuffled or templated text keeps its unigram
+    profile but its bigrams collapse to the smoothing floor, which is
+    exactly the signal a curation pass wants next.
+
+    Same fixed-point discipline as doc_surprisal: every ln() sees one
+    division of two exact integers and is snapped to integer
+    micro-nats before the per-doc sum, so cross-engine results are
+    bit-identical.
+
+    Scale notes (100 TB): bigrams are built IN-ROW (zip_with over the
+    token array — no window, no self-join); the model is two hash-aggs
+    with map-side combine (shuffle ~ |distinct bigrams| + |vocab|);
+    scoring joins the bigram stream keyed by (a, b) with AQE's skew
+    handling on the zipfian head, and V is a 1-row broadcast."""
+    t = tokenize(docs, text_col, id_col)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    pair_n = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    hist_n = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab_n = (
+        t.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    per_bg = (
+        bg.join(pair_n, ["a", "b"])
+        .join(hist_n, "a")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c_a") + F.col("v")).cast("double")
+                    / (F.col("c_ab") + F.lit(1)).cast("double")
+                )
+                * F.lit(M)
+            ).cast("long").alias("su"),
+        )
+    )
+    g = per_bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("su").alias("ssum"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.floor(
+            F.col("ssum").cast("double") / F.col("n_bigrams").cast("double")
+        ).cast("long").alias("surprisal2_u"),
+    )
+
+
 def source_drift(docs: DataFrame, text_col: str = "text",
                  source_col: str = "source",
                  id_col: str = "doc_id") -> DataFrame:

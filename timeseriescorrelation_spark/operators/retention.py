@@ -69,3 +69,85 @@ def retention_report(tiers: dict[str, DataFrame], now_df: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rfm_features(orders: DataFrame, n_tiles: int = 5,
+                 cust_col: str = "o_custkey",
+                 date_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice") -> DataFrame:
+    """RFM (recency / frequency / monetary) customer features — the
+    classic segmentation table a training-data pipeline derives before
+    stratified sampling or label construction:
+
+        (custkey, recency_days, frequency, monetary_c,
+         r_score, f_score, m_score, rfm_code)
+
+    recency_days counts days from the customer's last order to the
+    corpus max date (data-derived, no wall clock — deterministic);
+    monetary_c is the cent-snapped integer amount sum (exact integer
+    aggregation, float addition order can never change it); the three
+    scores are ntile(n) buckets with 5 = best (most recent / most
+    frequent / highest spend), tie-broken by custkey so the bucketing
+    is a total order both engines share; rfm_code = 100r + 10f + m.
+
+    Scale notes (100 TB): one hash-agg keyed by customer does all the
+    heavy lifting; the reference date is a 1-row broadcast.  The three
+    score assignments need GLOBAL ranks — done with
+    ranks.global_row_number (range-partition + per-partition
+    row_number + O(P) driver offsets), never a single-partition
+    ntile window; bucket assignment is ranks.ntile_expr's exact
+    integer formula, pytest-asserted equal to SQL ntile."""
+    ref = orders.agg(F.max(date_col).alias("_ref"))
+    base = (
+        orders.groupBy(F.col(cust_col).alias("custkey"))
+        .agg(
+            F.max(date_col).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col(amount_col) * 100).cast("long")
+            ).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff(F.col("_ref"), F.col("_last")).cast("long")
+            .alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary_c",
+        )
+    )
+    from timeseriescorrelation_spark.operators.ranks import (
+        global_row_number,
+        ntile_expr,
+    )
+
+    n = int(n_tiles)
+    # the three ranked orders reuse ONE materialized base (the
+    # global_row_number range-shuffles it three times on different
+    # keys — unavoidable for three independent total orders)
+    base = base.localCheckpoint(eager=True)
+    scored, total = global_row_number(
+        base, [F.asc("recency_days"), F.asc("custkey")], out_col="_rr"
+    )
+    scored, _ = global_row_number(
+        scored, [F.desc("frequency"), F.asc("custkey")], out_col="_rf"
+    )
+    scored, _ = global_row_number(
+        scored, [F.desc("monetary_c"), F.asc("custkey")], out_col="_rm"
+    )
+    scored = scored.select(
+        "custkey", "recency_days", "frequency", "monetary_c",
+        (F.lit(n + 1) - ntile_expr("_rr", total, n)).cast("int")
+        .alias("r_score"),
+        (F.lit(n + 1) - ntile_expr("_rf", total, n)).cast("int")
+        .alias("f_score"),
+        (F.lit(n + 1) - ntile_expr("_rm", total, n)).cast("int")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10
+            + F.col("m_score")
+        ).cast("int"),
+    )
