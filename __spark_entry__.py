@@ -2823,6 +2823,75 @@ def q_seasonal_mad(spark, sf_dir):
                         value_decimals=2)
 
 
+def q_hll_rolling_7d(spark, sf_dir):
+    """Trailing-7-day distinct users per event_type (the WAU shape)
+    from the SAME mergeable daily HLL registers the tier cascade
+    maintains: day registers explode to the 7 window-end days they
+    cover and max-merge there — W·|groups|·m slim rows, no raw-row
+    distinct over the window, no range window, no day-grid densify.
+    The exact side uses the same explode trick (7×|events| linear
+    shuffle, never a non-equi range join).  Estimate verified EXACTLY
+    by the oracle (md5 registers, integer harmonic sum)."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        hll_estimate,
+        hll_rolling,
+        hll_sketch,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        F.col("user_id"),
+    )
+    daily = hll_sketch(e, ["event_type", "bucket_ts"], "user_id")
+    rolled = hll_rolling(daily, ["event_type"], "bucket_ts",
+                         window_days=7)
+    est = hll_estimate(rolled, ["event_type", "bucket_ts"])
+    days = e.select("event_type", "bucket_ts").distinct()
+    exact = (
+        e.select(
+            "event_type", "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("bucket_ts"),
+                    F.col("bucket_ts") + F.expr("interval 6 days"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("bucket_ts_t"),
+        )
+        .groupBy("event_type", F.col("bucket_ts_t").alias("bucket_ts"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct7"))
+        .join(days, ["event_type", "bucket_ts"], "left_semi")
+    )
+    return est.join(exact, ["event_type", "bucket_ts"]).select(
+        "event_type", "bucket_ts", "exact_distinct7",
+        F.col("hll_est").alias("hll_est7"),
+        F.round(
+            (F.col("hll_est") - F.col("exact_distinct7")) * 100.0
+            / F.col("exact_distinct7"),
+            6,
+        ).alias("rel_err_pct"),
+    )
+
+
+def q_scd2_state(spark, sf_dir):
+    """SCD2 dimension history from the event log: each user's
+    consecutive runs of equal event_type collapse into half-open
+    validity intervals with is_current on the last — the standard
+    warehouse type-2 build (two cumulative windows on one sort + one
+    hash-agg + one lead over the collapsed table).  Ties broken by
+    event_id for a total order both engines share."""
+    from timeseriescorrelation_spark.operators.scd import scd2_history
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    return scd2_history(
+        e, keys=["user_id"], attr_cols=["state"], ts_col="ts",
+        tie_col="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -2982,6 +3051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": q_activity_islands,
         "rfm_features": q_rfm_features,
         "seasonal_mad": q_seasonal_mad,
+        "hll_rolling_7d": q_hll_rolling_7d,
+        "scd2_state": q_scd2_state,
     }
 
 
@@ -6231,5 +6302,102 @@ SELECT metric, dow, hod, ts, turn_idx, value,
        round(CASE WHEN _mad > 0 THEN _dev / _mad END, 6) AS score
 FROM d JOIN mad USING (metric, dow, hod)
 WHERE _dev > 3.0 * _mad
+""",
+        "hll_rolling_7d": """
+WITH e AS (
+  SELECT event_type, date_trunc('day', ts) AS day_ts,
+         cast(user_id AS varchar) AS item, user_id
+  FROM events
+), h AS (
+  SELECT event_type, day_ts, user_id,
+         ('0x' || substr(md5(item), 1, 15))::BIGINT AS hv
+  FROM e
+), r0 AS (
+  SELECT event_type, day_ts,
+         hv >> 50 AS reg,
+         CASE WHEN (hv & 1125899906842623) = 0 THEN 51
+              ELSE 51 - length(bin(hv & 1125899906842623)) END AS rho
+  FROM h
+), rd AS (
+  SELECT event_type, day_ts, reg, max(rho) AS rho
+  FROM r0 GROUP BY 1, 2, 3
+), days AS (
+  SELECT DISTINCT event_type, day_ts FROM e
+), tgt AS (
+  SELECT event_type,
+         unnest(generate_series(day_ts, day_ts + INTERVAL 6 DAY,
+                                INTERVAL 1 DAY)) AS bucket_ts,
+         reg, rho
+  FROM rd
+), rw AS (
+  SELECT t.event_type, t.bucket_ts, t.reg, max(t.rho) AS rho
+  FROM tgt t JOIN days d
+    ON d.event_type = t.event_type AND d.day_ts = t.bucket_ts
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT event_type, bucket_ts,
+         cast(sum(1::BIGINT << (51 - rho)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM rw GROUP BY 1, 2
+), est AS (
+  SELECT event_type, bucket_ts,
+         1024 - n_present AS v,
+         CAST(0.7205407583220416 AS DOUBLE) * 1048576.0
+           * 2251799813685248.0
+           / cast(s_present
+                  + (1024 - n_present) * (1::BIGINT << 51) AS DOUBLE)
+           AS e_raw
+  FROM agg
+), fin AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN e_raw <= 2560.0 AND v > 0
+              THEN 1024.0 * ln(1024.0 / cast(v AS DOUBLE))
+              ELSE e_raw END AS est
+  FROM est
+), etgt AS (
+  SELECT event_type, user_id,
+         unnest(generate_series(day_ts, day_ts + INTERVAL 6 DAY,
+                                INTERVAL 1 DAY)) AS bucket_ts
+  FROM e
+), ex AS (
+  SELECT t.event_type, t.bucket_ts,
+         count(DISTINCT t.user_id) AS exact_distinct7
+  FROM etgt t JOIN days d
+    ON d.event_type = t.event_type AND d.day_ts = t.bucket_ts
+  GROUP BY 1, 2
+)
+SELECT fin.event_type, fin.bucket_ts, exact_distinct7,
+       round(est, 6) AS hll_est7,
+       round((round(est, 6) - exact_distinct7) * 100.0
+             / exact_distinct7, 6) AS rel_err_pct
+FROM fin JOIN ex USING (event_type, bucket_ts)
+""",
+        "scd2_state": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type AS state FROM events
+), f AS (
+  SELECT user_id, ts, event_id, state,
+         CASE WHEN row_number() OVER w = 1
+                   OR state IS DISTINCT FROM lag(state) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, ts, state,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS _ver
+  FROM f
+), runs AS (
+  SELECT user_id, _ver, state, min(ts) AS valid_from,
+         cast(count(*) AS bigint) AS n_rows
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_rows
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY _ver)
 """,
     }

@@ -150,6 +150,8 @@ HEADLINE_R3 = [
     "activity_islands",
     "rfm_features",
     "seasonal_mad",
+    "hll_rolling_7d",
+    "scd2_state",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

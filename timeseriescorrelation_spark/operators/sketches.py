@@ -431,3 +431,45 @@ def hll_overlap(df: DataFrame, seg_col: str, item_col: str,
             ).alias("overlap_est"),
         )
     )
+
+
+def hll_rolling(regs: DataFrame, keys: list[str], day_col: str,
+                window_days: int = 7) -> DataFrame:
+    """Trailing-W-day merged registers per (keys..., day): sliding-
+    window distinct counts from the SAME mergeable registers the daily
+    tier already maintains ("distinct users in the last 7 days", the
+    canonical DAU/WAU shape) — never a distinct scan over W days of
+    raw rows.
+
+    No range window and no per-day gap problem: each day's register
+    rows are EXPLODED to the W trailing-window end days they
+    contribute to (day .. day+W−1) and max-merged there, so a day
+    where a register was never hit simply contributes nothing (the
+    rolling-window-max formulation would need a densified day grid to
+    get that right).  Emitted days are semi-joined to days actually
+    present in `regs`, so trailing windows never invent empty days.
+
+    Scale notes (100 TB): shuffle = W × register rows keyed (keys,
+    day, reg) — register volume is |groups|·m regardless of raw rows
+    (the sketch invariant), so the whole rolling merge is
+    W·|groups|·m slim integer rows, one hash-agg."""
+    w = int(window_days)
+    step = F.expr("interval 1 day")
+    target = regs.select(
+        *keys, "reg", "rho",
+        F.explode(
+            F.sequence(
+                F.col(day_col),
+                F.col(day_col) + F.expr(f"interval {w - 1} days"),
+                step,
+            )
+        ).alias("_wday"),
+    )
+    merged = target.groupBy(*keys, "_wday", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    days = regs.select(*keys, F.col(day_col).alias("_wday")).distinct()
+    return (
+        merged.join(days, [*keys, "_wday"], "left_semi")
+        .withColumnRenamed("_wday", day_col)
+    )
