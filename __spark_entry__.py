@@ -2892,6 +2892,36 @@ def q_scd2_state(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, 20 docs per lang with
+    probability ∝ n_chars: Efraimidis–Spirakis A-ES keys from
+    md5-derived uniforms, nano-snapped before the partitioned top-k
+    window — deterministic across engines, clusters and restarts
+    (df.sample's RNG is partition-layout dependent and can be none of
+    those)."""
+    from timeseriescorrelation_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("n_chars") > 0)
+    return weighted_sample_topk(
+        d, strata=["lang"], weight_col="n_chars", k=20,
+    )
+
+
+def q_seq_packing(spark, sf_dir):
+    """Token-budget sequence packing (training-batch construction):
+    docs laid out in (source, doc_id) order, each assigned to the
+    2048-token pack where it STARTS in the virtual concatenated
+    stream — the order-preserving distributed packing rule; per-pack
+    doc/token accounting, all exact integers."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3053,6 +3083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mad": q_seasonal_mad,
         "hll_rolling_7d": q_hll_rolling_7d,
         "scd2_state": q_scd2_state,
+        "weighted_sample": q_weighted_sample,
+        "seq_packing": q_seq_packing,
     }
 
 
@@ -6399,5 +6431,44 @@ SELECT user_id, state, valid_from,
        n_rows
 FROM runs
 WINDOW w2 AS (PARTITION BY user_id ORDER BY _ver)
+""",
+        "weighted_sample": """
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT
+           AS h
+  FROM documents WHERE n_chars > 0
+), k AS (
+  SELECT lang, doc_id,
+         cast(round(ln(cast(h + 1 AS double) / 1152921504606846977.0)
+                    / cast(n_chars AS double) * 1e9) AS bigint)
+           AS es_key_n
+  FROM d
+), r AS (
+  SELECT lang, doc_id, es_key_n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es_key_n DESC, doc_id) AS rk
+  FROM k
+)
+SELECT lang, doc_id, cast(rk AS int) AS draw_rank, es_key_n
+FROM r WHERE rk <= 20
+""",
+        "seq_packing": """
+WITH d AS (
+  SELECT source AS grp, doc_id,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS nt
+  FROM documents
+), o AS (
+  SELECT grp, doc_id, nt,
+         cast(floor(coalesce(sum(nt) OVER (
+             PARTITION BY grp ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 2048.0) AS bigint) AS pack_id
+  FROM d
+)
+SELECT grp, pack_id, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(nt) AS bigint) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM o GROUP BY 1, 2
 """,
     }

@@ -152,6 +152,8 @@ HEADLINE_R3 = [
     "seasonal_mad",
     "hll_rolling_7d",
     "scd2_state",
+    "weighted_sample",
+    "seq_packing",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -50,3 +50,52 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def weighted_sample_topk(df: DataFrame, strata: list[str], weight_col,
+                         k: int = 20,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum, fully
+    deterministic: Efraimidis–Spirakis A-ES — each unit draws
+    u ~ U(0,1) and the k largest u^(1/w) win, which provably samples
+    with probability proportional to weight.  The uniform comes from
+    the same md5-integer recipe as hash_bucket (top 15 hex chars →
+    60-bit integer h; u = (h+1)/(2^60+1) ∈ (0,1)), so the draw is a
+    pure function of the id: reproducible across clusters, restarts,
+    and engines, and the DuckDB oracle replicates every key exactly.
+
+    The selection key is ln(u)/w — the monotone log form of u^(1/w)
+    (larger is better for both) — SNAPPED to integer nano-units before
+    ranking (the lm.py fixed-point discipline): a ≤1-ulp libm
+    difference in ln() can never flip the order of two snapped keys,
+    so the selected set is deterministic cross-engine; snapped ties
+    break by id.
+
+    Scale notes (100 TB): one stateless projection + a PARTITIONED
+    top-k window keyed by the stratum (row_number ≤ k, rank pushdown
+    applies); never a global sort.  Weights must be > 0 — the caller
+    clamps (a ≤ 0 weight has no u^(1/w) interpretation)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    two60 = float((1 << 60) + 1)
+    u = (h + F.lit(1)).cast("double") / F.lit(two60)
+    wcol = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    key = F.round(
+        F.log(u) / wcol.cast("double") * F.lit(1e9)
+    ).cast("long")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*strata).orderBy(
+        F.desc("_es_key_n"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_es_key_n", key)
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= int(k))
+        .select(
+            *strata, id_col,
+            F.col("_rk").cast("int").alias("draw_rank"),
+            F.col("_es_key_n").alias("es_key_n"),
+        )
+    )

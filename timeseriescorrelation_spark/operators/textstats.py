@@ -10,7 +10,7 @@ hash-agg, embarrassingly parallel over docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.operators.dedup import (
@@ -305,4 +305,47 @@ def chunk_dup_stats(docs: DataFrame, width: int = 50,
             / F.count("*").cast("double"),
             6,
         ).alias("dup_frac"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048,
+                   group_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Token-budget sequence packing — the training-batch construction
+    step: assign docs to fixed-budget packs and report per pack
+
+        (group, pack_id, n_docs, n_tokens, first_doc, last_doc)
+
+    Deterministic offset packing: docs are laid out in (group, doc_id)
+    order; each doc's pack is floor(preceding-token-count / budget) —
+    the pack where the doc STARTS in the virtual concatenated stream
+    (docs may straddle a boundary; the trainer's loader splits them,
+    the pack table tells it what to read).  A greedy first-fit packer
+    is inherently sequential; the offset rule is the order-preserving
+    distributed form every sharded pretraining loader actually uses,
+    and it is a pure function of the data — reproducible and
+    oracle-checkable.
+
+    Scale notes (100 TB): one projection (in-row token count on the
+    whitespace split — same tokenizer as text_stats), one cumulative
+    window per group (shuffle keyed by group; add a date/shard column
+    to the group for narrower partitions at extreme corpus sizes), one
+    hash-agg."""
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    pre = F.coalesce(
+        F.sum("_nt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    d = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_nt"),
+    ).withColumn(
+        "pack_id", F.floor(pre / F.lit(int(budget))).cast("long")
+    )
+    return d.groupBy("grp", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
