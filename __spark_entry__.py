@@ -2922,6 +2922,17 @@ def q_seq_packing(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=2048)
 
 
+def q_psi_daily(spark, sf_dir):
+    """Population Stability Index day-over-day per metric: today's
+    values binned by yesterday's decile edges, Laplace-smoothed
+    proportions, Σ (p−q)·ln(p/q) in exact micro-units — the bucketed
+    drift score monitoring dashboards expect next to ks_drift's rank
+    statistic."""
+    from timeseriescorrelation_spark.operators.drift import psi_daily
+
+    return psi_daily(_series_from_events(spark, sf_dir), keys=["metric"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3085,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_state": q_scd2_state,
         "weighted_sample": q_weighted_sample,
         "seq_packing": q_seq_packing,
+        "psi_daily": q_psi_daily,
     }
 
 
@@ -6470,5 +6482,62 @@ SELECT grp, pack_id, cast(count(*) AS bigint) AS n_docs,
        cast(sum(nt) AS bigint) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM o GROUP BY 1, 2
+""",
+        "psi_daily": """
+WITH v AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS _v
+  FROM events
+), edges AS (
+  SELECT metric, day_ts,
+         quantile_cont(_v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS e
+  FROM v GROUP BY 1, 2
+), curb AS (
+  SELECT v.metric, v.day_ts,
+         cast(1 + list_sum(list_transform(ed.e,
+             x -> CASE WHEN v._v > x THEN 1 ELSE 0 END)) AS int) AS bin
+  FROM v JOIN edges ed
+    ON ed.metric = v.metric
+   AND ed.day_ts + INTERVAL 1 DAY = v.day_ts
+), cur AS (
+  SELECT metric, day_ts, bin, cast(count(*) AS bigint) AS c_t
+  FROM curb GROUP BY 1, 2, 3
+), baseb AS (
+  SELECT v.metric, v.day_ts + INTERVAL 1 DAY AS day_ts,
+         cast(1 + list_sum(list_transform(ed.e,
+             x -> CASE WHEN v._v > x THEN 1 ELSE 0 END)) AS int) AS bin
+  FROM v JOIN edges ed
+    ON ed.metric = v.metric AND ed.day_ts = v.day_ts
+), base AS (
+  SELECT metric, day_ts, bin, cast(count(*) AS bigint) AS c_b
+  FROM baseb GROUP BY 1, 2, 3
+), bb AS (
+  SELECT coalesce(cur.metric, base.metric) AS metric,
+         coalesce(cur.day_ts, base.day_ts) AS day_ts,
+         coalesce(cur.bin, base.bin) AS bin,
+         coalesce(c_t, 0) AS c_t, coalesce(c_b, 0) AS c_b
+  FROM cur FULL OUTER JOIN base
+    ON cur.metric = base.metric AND cur.day_ts = base.day_ts
+   AND cur.bin = base.bin
+), tot AS (
+  SELECT metric, day_ts,
+         cast(sum(c_t) AS bigint) AS n_t,
+         cast(sum(c_b) AS bigint) AS n_b
+  FROM bb GROUP BY 1, 2
+), terms AS (
+  SELECT b.metric, b.day_ts, n_t, n_b,
+         cast(round((
+             (c_t + 1) / cast(n_t + 10 AS double)
+             - (c_b + 1) / cast(n_b + 10 AS double)
+           ) * ln(cast((c_t + 1) * (n_b + 10) AS double)
+                  / cast((c_b + 1) * (n_t + 10) AS double))
+           * 1000000.0) AS bigint) AS tu
+  FROM bb b JOIN tot USING (metric, day_ts)
+  WHERE n_t > 0 AND n_b > 0
+)
+SELECT metric, day_ts, cast(sum(tu) AS bigint) AS psi_u,
+       max(n_t) AS n_today, max(n_b) AS n_base
+FROM terms GROUP BY 1, 2
 """,
     }

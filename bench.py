@@ -154,6 +154,7 @@ HEADLINE_R3 = [
     "scd2_state",
     "weighted_sample",
     "seq_packing",
+    "psi_daily",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
