@@ -2933,6 +2933,24 @@ def q_psi_daily(spark, sf_dir):
     return psi_daily(_series_from_events(spark, sf_dir), keys=["metric"])
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ with residual encoding (FAISS's production shape): coarse
+    k-means cells prune the scan to nprobe/n_cells, PQ codes of the
+    RESIDUAL v−c(cell) score via one per-query LUT + per-(query, cell)
+    offset, exact refine of the top-100.  Approximate by construction →
+    rows-only driver check; recall pinned by pytest
+    (tests/test_similarity.py::test_ivf_pq_recall)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    e = _embs(spark, sf_dir)
+    return ivf_pq_topk(
+        e, e.where(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=4,
+        m=16, ksub=32, n_iter=2, refine=100,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3097,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "seq_packing": q_seq_packing,
         "psi_daily": q_psi_daily,
+        "ann_ivf_pq": q_ann_ivf_pq,
     }
 
 

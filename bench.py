@@ -155,6 +155,7 @@ HEADLINE_R3 = [
     "weighted_sample",
     "seq_packing",
     "psi_daily",
+    "ann_ivf_pq",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -226,3 +226,37 @@ def test_pq_adc_refine_recall(spark):
         for q_ in bf_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_pq_recall(spark):
+    """IVF-PQ residual encoding: with every cell probed the
+    PQ-residual + refine machinery recovers brute-force top-10
+    (recall 1.0 measured; pinned ≥ 0.95), and cell pruning at
+    nprobe=4/8 still clears 0.6 — the coarse-quantizer recall trade
+    the nprobe knob is FOR."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ivf_pq_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = embs.where(F.col("vec_id") < 5)
+
+    def sets(rows):
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r.qid, set()).add(r.nid)
+        return out
+
+    bf = sets(ann_topk_bruteforce(embs, q, k=10).collect())
+
+    def recall(nprobe):
+        got = sets(
+            ivf_pq_topk(embs, q, k=10, n_cells=8, nprobe=nprobe,
+                        m=16, ksub=32, refine=100).collect()
+        )
+        rec = [len(bf[x] & got.get(x, set())) / len(bf[x]) for x in bf]
+        return sum(rec) / len(rec)
+
+    assert recall(8) >= 0.95
+    assert recall(4) >= 0.6

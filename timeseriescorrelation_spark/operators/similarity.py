@@ -450,7 +450,8 @@ def _argmin_cell(sv, cells):
 def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
                  n_iter: int = 2, vec_col: str = "embedding",
                  id_col: str = "vec_id",
-                 dim: int | None = None) -> DataFrame:
+                 dim: int | None = None,
+                 normalize: bool = True) -> DataFrame:
     """Product-quantization codebooks -> (block, cell, c double[]):
     per-block Lloyd's k-means over the SUB-vectors of the
     unit-normalized corpus (Jégou et al.'s PQ — the memory-bounded ANN
@@ -470,7 +471,16 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
     if first_dim % m:
         raise ValueError(f"dim {first_dim} not divisible by m={m}")
     dsub = first_dim // m
-    unit = with_unit_vectors(emb, vec_col, id_col)
+    # normalize=False feeds PRE-SHAPED vectors (e.g. IVF residuals,
+    # which must NOT be re-normalized) straight into the quantizer
+    unit = (
+        with_unit_vectors(emb, vec_col, id_col)
+        if normalize
+        else emb.select(
+            F.col(id_col).alias("vec_id"),
+            _to_double(F.col(vec_col)).alias("v"),
+        )
+    )
     rows = unit.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(int(m) - 1))).alias("block"),
@@ -515,7 +525,8 @@ def pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
 def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 4,
               vec_col: str = "embedding",
               id_col: str = "vec_id",
-              dim: int | None = None) -> DataFrame:
+              dim: int | None = None,
+              normalize: bool = True) -> DataFrame:
     """(vec_id, codes int[]): nearest-cell code per block — the m-byte
     compressed representation the ADC scan reads instead of the float
     vectors.  One broadcast join + one hash-agg: the per-block argmin
@@ -524,7 +535,16 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 4,
         F.size(_to_double(F.col(vec_col))).alias("d")
     ).first()["d"]
     dsub = first_dim // m
-    unit = with_unit_vectors(emb, vec_col, id_col)
+    # normalize=False feeds PRE-SHAPED vectors (e.g. IVF residuals,
+    # which must NOT be re-normalized) straight into the quantizer
+    unit = (
+        with_unit_vectors(emb, vec_col, id_col)
+        if normalize
+        else emb.select(
+            F.col(id_col).alias("vec_id"),
+            _to_double(F.col(vec_col)).alias("v"),
+        )
+    )
     rows = unit.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(int(m) - 1))).alias("block"),
@@ -546,6 +566,60 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 4,
             F.array_sort(F.collect_list(F.struct("block", "cell"))),
             lambda s: s["cell"],
         ).alias("codes")
+    )
+
+
+def _query_luts(qunit: DataFrame, codebooks: DataFrame, m: int,
+                dsub: int) -> DataFrame:
+    """(qid, luts): each query's m·ksub ADC contributions packed into
+    ONE row — an array over blocks of cell→contrib maps, the broadcast
+    side of the in-row ADC scan (see pq_topk_adc)."""
+    qrows = qunit.select(
+        "qid",
+        F.explode(F.sequence(F.lit(0), F.lit(int(m) - 1))).alias("block"),
+        F.col("qv"),
+    ).select(
+        "qid", "block",
+        F.slice(
+            F.col("qv"),
+            (F.col("block") * F.lit(dsub) + 1).cast("int"),
+            F.lit(dsub),
+        ).alias("qsv"),
+    )
+    lut = qrows.join(F.broadcast(codebooks), "block").select(
+        "qid", "block", "cell",
+        _dot(F.col("qsv"), F.col("c")).alias("contrib"),
+    )
+    return (
+        lut.groupBy("qid", "block")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("cell", "contrib")))
+            ).alias("mp")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                # comparator form: a struct holding a MAP is not
+                # orderable, so sort on the block field explicitly
+                F.array_sort(
+                    F.collect_list(F.struct("block", "mp")),
+                    lambda a, b: F.when(a["block"] < b["block"], -1)
+                    .when(a["block"] > b["block"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["mp"],
+            ).alias("luts")
+        )
+    )
+
+
+def _adc_fold(codes_col, luts_col):
+    """In-row ADC score: Σ_b luts[b][codes[b]] via zip_with + fold."""
+    return F.aggregate(
+        F.zip_with(codes_col, luts_col, lambda c, mp: F.element_at(mp, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -603,68 +677,21 @@ def pq_topk_adc(emb: DataFrame, queries: DataFrame, k: int = 10,
     qunit = with_unit_vectors(queries, vec_col, id_col).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    qrows = qunit.select(
-        "qid",
-        F.explode(F.sequence(F.lit(0), F.lit(int(m) - 1))).alias("block"),
-        F.col("qv"),
-    ).select(
-        "qid", "block",
-        F.slice(
-            F.col("qv"),
-            (F.col("block") * F.lit(dsub) + 1).cast("int"),
-            F.lit(dsub),
-        ).alias("qsv"),
-    )
-    lut = qrows.join(F.broadcast(codebooks), "block").select(
-        "qid", "block", "cell",
-        _dot(F.col("qsv"), F.col("c")).alias("contrib"),
-    )
-    # Pack each query's m·ksub contributions into one row: an array
-    # over blocks of cell→contrib maps.  The scan is then a broadcast
-    # nested-loop against the UN-exploded code rows with an in-row
-    # zip_with/fold — |corpus|·|q| slim rows total, where the
-    # relational form (posexplode codes ⋈ lut, groupBy (qid, vec))
-    # shuffled |corpus|·m·|q| rows through a hash-agg.  Broadcast side
-    # is |queries| rows of m·ksub doubles — the query set, tiny by
-    # contract (same economics as ann_topk_bruteforce's query side).
-    qlut = (
-        lut.groupBy("qid", "block")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("cell", "contrib")))
-            ).alias("mp")
-        )
-        .groupBy("qid")
-        .agg(
-            F.transform(
-                # comparator form: a struct holding a MAP is not
-                # orderable, so sort on the block field explicitly
-                F.array_sort(
-                    F.collect_list(F.struct("block", "mp")),
-                    lambda a, b: F.when(a["block"] < b["block"], -1)
-                    .when(a["block"] > b["block"], 1)
-                    .otherwise(0),
-                ),
-                lambda s: s["mp"],
-            ).alias("luts")
-        )
-    )
+    # Pack each query's m·ksub contributions into one row (array over
+    # blocks of cell→contrib maps); the scan is a broadcast nested-loop
+    # against the UN-exploded code rows with an in-row zip_with/fold —
+    # |corpus|·|q| slim rows total, where the relational form
+    # (posexplode codes ⋈ lut, groupBy (qid, vec)) shuffled
+    # |corpus|·m·|q| rows through a hash-agg.  Broadcast side is
+    # |queries| rows of m·ksub doubles — tiny by contract.
+    qlut = _query_luts(qunit, codebooks, m, dsub)
     scored = (
         codes.crossJoin(F.broadcast(qlut))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("codes"), F.col("luts"),
-                        lambda c, mp: F.element_at(mp, c),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("score"),
+            F.round(_adc_fold(F.col("codes"), F.col("luts")), 6)
+            .alias("score"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -691,6 +718,107 @@ def pq_topk_adc(emb: DataFrame, queries: DataFrame, k: int = 10,
     w2 = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= int(k))
+        .select("qid", "rank", F.col("vec_id").alias("nid"), "score")
+    )
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                n_cells: int = 8, nprobe: int = 4,
+                m: int = 16, ksub: int = 32, n_iter: int = 2,
+                refine: int = 0,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ with residual encoding — the production ANN architecture
+    (FAISS's IVFx,PQy): a coarse k-means quantizer prunes the searched
+    fraction to ~nprobe/n_cells, and inside the probed cells vectors
+    are represented by PQ codes of their RESIDUAL v − c(cell) (finer
+    than PQ on raw vectors: residuals live in a tighter ball, so the
+    same ksub spends its resolution where the cell geometry needs it).
+
+        score(q, v) ≈ ⟨q, c(cell)⟩ + Σ_b ⟨q_b, cb_{b, code_b(r)}⟩
+
+    The first term is a per-(query, probed-cell) OFFSET (nprobe·|q|
+    doubles, broadcast); the second is the same in-row ADC fold as
+    pq_topk_adc with GLOBAL residual codebooks, so one LUT per query
+    serves every probed cell.  ``refine`` re-ranks the shortlist
+    exactly (float reads = |q|·refine).
+
+    Scale notes (100 TB): the scan touches only (vec_id, cell, codes)
+    int rows of the PROBED cells — the join on cell prunes before any
+    scoring; float vectors are read once to train/encode and never
+    again outside the refine lookups.  Approximate by construction →
+    rows-only driver check; recall pinned by pytest (the IVF/PQ
+    policy)."""
+    first_dim = emb.select(
+        F.size(_to_double(F.col(vec_col))).alias("d")
+    ).first()["d"]
+    dsub = first_dim // m
+    cents = kmeans_centroids(emb, k=int(n_cells), n_iter=n_iter,
+                             vec_col=vec_col, id_col=id_col)
+    corpus = with_unit_vectors(emb, vec_col, id_col)
+    assigned = _assign_cells(corpus, cents).localCheckpoint(eager=True)
+    resid = assigned.join(F.broadcast(cents), "cell").select(
+        "vec_id", "cell",
+        F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
+    )
+    cb = pq_codebooks(resid, m=m, ksub=ksub, n_iter=n_iter,
+                      vec_col="r", id_col="vec_id", dim=first_dim,
+                      normalize=False)
+    codes = pq_encode(resid, cb, m=m, vec_col="r", id_col="vec_id",
+                      dim=first_dim, normalize=False)
+    codes_cells = codes.join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+
+    qunit = with_unit_vectors(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # probe the nprobe max-cosine cells; carry ⟨q, c⟩ as the offset
+    c2 = cents.select("cell", "c", _norm(F.col("c")).alias("_cn"))
+    q_cell = qunit.join(F.broadcast(c2)).select(
+        "qid", "cell",
+        _dot(F.col("qv"), F.col("c")).alias("off"),
+        (_dot(F.col("qv"), F.col("c")) / F.col("_cn")).alias("s"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cell"))
+    probes = (
+        q_cell.withColumn("_r", F.row_number().over(w_probe))
+        .where(F.col("_r") <= int(nprobe))
+        .select("qid", "cell", "off")
+    )
+    qlut = _query_luts(qunit, cb, m, dsub)
+    scored = (
+        codes_cells.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qlut), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(
+                F.col("off") + _adc_fold(F.col("codes"), F.col("luts")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not refine:
+        return ranked.where(F.col("rank") <= int(k)).select(
+            "qid", "rank", F.col("vec_id").alias("nid"), "score"
+        )
+    shortlist = ranked.where(F.col("rank") <= int(refine)).select(
+        "qid", "vec_id"
+    )
+    exact = (
+        shortlist.join(corpus, "vec_id")
+        .join(F.broadcast(qunit), "qid")
+        .select(
+            "qid", "vec_id",
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= int(k))
