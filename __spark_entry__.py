@@ -2951,6 +2951,39 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """The dedup DECISION table a pipeline actually materializes: every
+    doc labeled with its near-dup cluster (singletons = own cluster via
+    left join + coalesce) and a keep flag — canonical = longest doc,
+    ties to the lowest id, via a cluster-partitioned window.  NOT in
+    the headline bench: its cost is dedup_clusters + ε (it re-derives
+    the same CC labels), benching it would double-count the fixpoint."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    p = ngram_jaccard_pairs(d, n=3, min_inter=2)
+    pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
+    labels = connected_components_star(pairs)
+    all_docs = (
+        d.select("doc_id", "n_chars")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars",
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return all_docs.select(
+        "doc_id", "cluster", "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3116,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": q_seq_packing,
         "psi_daily": q_psi_daily,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "dedup_canonical": q_dedup_canonical,
     }
 
 
@@ -6558,5 +6592,45 @@ WITH v AS (
 SELECT metric, day_ts, cast(sum(tu) AS bigint) AS psi_u,
        max(n_t) AS n_today, max(n_b) AS n_base
 FROM terms GROUP BY 1, 2
+""",
+        "dedup_canonical": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter_n * 5 >= sa.sz + sb.sz - inter_n
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+), lbl AS (
+  SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY 1
+), alld AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(lbl.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN lbl USING (doc_id)
+)
+SELECT doc_id, cluster, n_chars,
+       row_number() OVER (PARTITION BY cluster
+                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM alld
 """,
     }
