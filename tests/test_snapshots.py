@@ -145,3 +145,64 @@ def test_tier_cascade_publishes_compacts_and_survives_expiry(
         assert canon(snapshot_read(spark, p)) == want[k]
         expire_snapshots(spark, p, keep_last=1)
         assert canon(snapshot_read(spark, p)) == want[k]
+
+
+def test_merge_rewrites_only_affected_files(spark, tmp_path):
+    """Copy-on-write MERGE: matched rows replaced, new keys inserted,
+    files without a matched key carried by REFERENCE (path identity
+    asserted), old versions untouched."""
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_log,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    # two commits -> at least two data files with disjoint key ranges
+    snapshot_write(
+        spark.range(0, 5).selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1), t, "append",
+    )
+    snapshot_write(
+        spark.range(5, 10).selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1), t, "append",
+    )
+    before = snapshot_read(spark, t)
+    files_before = sorted(
+        r["_f"] for r in before.selectExpr("input_file_name() AS _f")
+        .distinct().collect()
+    )
+    upd = spark.createDataFrame([(7, 777), (42, 4200)], ["k", "v"])
+    stats = snapshot_merge(upd, t, key_cols=["k"])
+    assert stats["files_rewritten"] == 1      # only the 5-9 file
+    assert stats["files_carried"] == len(files_before) - 1
+    after = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert after[7] == 777 and after[42] == 4200 and after[3] == 30
+    assert len(after) == 11
+    # time travel: the pre-merge version still shows the old row
+    old = {
+        r["k"]: r["v"]
+        for r in snapshot_read(spark, t, version=2).collect()
+    }
+    assert old[7] == 70 and 42 not in old
+    assert snapshot_log(spark, t)[-1]["operation"] == "overwrite"
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_diff,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 4).selectExpr("id AS k", "id AS v").coalesce(1),
+        t, "append",
+    )
+    snapshot_merge(
+        spark.createDataFrame([(2, 99), (9, 9)], ["k", "v"]), t, ["k"]
+    )
+    ch = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in snapshot_diff(spark, t, 1, 2).collect()
+    }
+    assert ch == {(2, 2, "delete"), (2, 99, "insert"), (9, 9, "insert")}
