@@ -2984,6 +2984,83 @@ def q_dedup_canonical(spark, sf_dir):
     )
 
 
+def q_funnel_timed(spark, sf_dir):
+    """Deadline funnel (time-to-convert detail): per user the first
+    signup, the first click within 6h OF IT, the first purchase within
+    6h of that — the greedy dashboard semantics; funnel_3step's chain
+    with per-step deadlines and PER-USER output (stage reached +
+    inter-step lags in seconds) instead of reach counts.  Same scale
+    shape: three filtered min-aggs chained by |users|-row equi-joins,
+    no window over the raw stream."""
+    e = _events(spark, sf_dir)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    ddl = 6 * 3600 * 1_000_000
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min(tus).alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", tus.alias("t"))
+        .join(s1, "user_id")
+        .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + ddl))
+        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", tus.alias("t"))
+        .join(s2, "user_id")
+        .where((F.col("t") > F.col("t2")) & (F.col("t") <= F.col("t2") + ddl))
+        .groupBy("user_id").agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage_reached"),
+            F.round((F.col("t2") - F.col("t1")) / 1e6, 6).alias("lag12_s"),
+            F.round((F.col("t3") - F.col("t2")) / 1e6, 6).alias("lag23_s"),
+        )
+    )
+
+
+def q_dedup_triangles(spark, sf_dir):
+    """Cluster-density QA on the near-dup graph: per-doc triangle
+    counts over the τ-Jaccard edge set — distinguishes CLIQUE-shaped
+    clusters (true duplicates: every pair similar) from CHAIN-shaped
+    ones (template drift: a~b~c but a≁c), which deserve different
+    curation treatment.  The ordered three-way self-join (a<b<c)
+    counts each triangle once; per-node counts via one explode of the
+    3 corners.  Scale notes: runs on the candidate-pair graph only
+    (|edges| ≪ |docs|², the LSH/prefix-filter invariant), three
+    equi-joins keyed by doc id."""
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
+    edges = p.where(F.col("inter_n") * 5 >= F.col("union_n")).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3150,6 +3227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_daily": q_psi_daily,
         "ann_ivf_pq": q_ann_ivf_pq,
         "dedup_canonical": q_dedup_canonical,
+        "funnel_timed": q_funnel_timed,
+        "dedup_triangles": q_dedup_triangles,
     }
 
 
@@ -6632,5 +6711,65 @@ SELECT doc_id, cluster, n_chars,
        row_number() OVER (PARTITION BY cluster
                           ORDER BY n_chars DESC, doc_id) = 1 AS keep
 FROM alld
+""",
+        "funnel_timed": """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > t1
+    AND epoch_us(e.ts) <= t1 + 21600000000
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > t2
+    AND epoch_us(e.ts) <= t2 + 21600000000
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       cast(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS int)
+         AS stage_reached,
+       round((t2 - t1) / 1e6, 6) AS lag12_s,
+       round((t3 - t2) / 1e6, 6) AS lag23_s
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "dedup_triangles": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter_n * 5 >= sa.sz + sb.sz - inter_n
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_triangles
+FROM corners GROUP BY 1
 """,
     }

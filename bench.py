@@ -156,6 +156,7 @@ HEADLINE_R3 = [
     "seq_packing",
     "psi_daily",
     "ann_ivf_pq",
+    "funnel_timed",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

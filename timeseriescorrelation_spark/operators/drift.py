@@ -237,7 +237,7 @@ def psi_daily(series: DataFrame, keys: list[str] | None = None,
              ).alias("day_ts"),
             "_edges",
         )
-        j = vals.join(e, [*keys, "day_ts"])
+        j = vals.join(F.broadcast(e), [*keys, "day_ts"])
         bin_id = F.lit(1) + F.aggregate(
             "_edges",
             F.lit(0),

@@ -56,21 +56,25 @@ def global_row_number(df: DataFrame, order_cols: list,
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
-    off = F.coalesce(
-        *[
-            F.when(F.col("_pid") == p, F.lit(o))
-            for p, o in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    # offsets ride back as a BROADCAST join, not a P-branch CASE
+    # expression — at thousands of partitions the expression tree
+    # would dwarf the plan; the join stays O(P) rows
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], ["_pid", "_off"]
+    )
     w = Window.partitionBy("_pid").orderBy(*cols)
     out = (
-        with_pid.withColumn(out_col, F.row_number().over(w) + off)
-        .drop("_pid")
+        with_pid.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            out_col,
+            F.row_number().over(w) + F.coalesce("_off", F.lit(0)),
+        )
+        .drop("_pid", "_off")
     )
     return out, acc
 
