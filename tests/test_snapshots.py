@@ -206,3 +206,60 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         for r in snapshot_diff(spark, t, 1, 2).collect()
     }
     assert ch == {(2, 2, "delete"), (2, 99, "insert"), (9, 9, "insert")}
+
+
+def test_mor_delete_sequence_semantics(spark, tmp_path):
+    """Equality deletes apply only to OLDER data commits: delete k=2
+    at v2, re-insert k=2 at v3 -> visible again; appends carry the
+    delete file forward; a pure overwrite drops it (fully applied)."""
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_delete_mor,
+        snapshot_read_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 4).selectExpr("id AS k", "id AS v").coalesce(1),
+        t, "append",
+    )
+    snapshot_delete_mor(
+        spark.createDataFrame([(2,), (3,)], ["k"]), t, ["k"]
+    )
+    after_del = {r["k"] for r in snapshot_read_mor(spark, t).collect()}
+    assert after_del == {0, 1}
+    # re-insert k=2 at v3: the v2 delete must NOT suppress it
+    snapshot_write(
+        spark.createDataFrame([(2, 99)], ["k", "v"]).coalesce(1),
+        t, "append",
+    )
+    rows = {
+        r["k"]: r["v"] for r in snapshot_read_mor(spark, t).collect()
+    }
+    assert rows == {0: 0, 1: 1, 2: 99}
+    # time travel still sees the pre-delete world
+    assert {
+        r["k"] for r in snapshot_read_mor(spark, t, version=1).collect()
+    } == {0, 1, 2, 3}
+
+
+def test_mor_expire_keeps_live_delete_files(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        expire_snapshots,
+        snapshot_delete_mor,
+        snapshot_read_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 3).selectExpr("id AS k", "id AS v").coalesce(1),
+        t, "append",
+    )
+    snapshot_delete_mor(spark.createDataFrame([(1,)], ["k"]), t, ["k"])
+    snapshot_write(
+        spark.createDataFrame([(7, 7)], ["k", "v"]).coalesce(1),
+        t, "append",
+    )
+    expire_snapshots(spark, t, keep_last=1)
+    assert {
+        r["k"] for r in snapshot_read_mor(spark, t).collect()
+    } == {0, 2, 7}

@@ -133,10 +133,19 @@ def snapshot_write(df: DataFrame, table_path: str,
         if st.getPath().getName().endswith(".parquet")
     )
     files = list(new_files)
+    carried_deletes = []
+    pm = _manifest(jvm, fs, table_path, parent) if parent else {}
     if carry_files:
         files = sorted(carry_files) + files
     if mode == "append" and parent:
-        files = _manifest(jvm, fs, table_path, parent)["files"] + files
+        files = pm["files"] + files
+    # equality-delete files (snapshot_delete_mor) stay in force for
+    # every parent data file that SURVIVES into this manifest; a pure
+    # overwrite rewrites all data, so its deletes are fully applied
+    # and dropped.  Forgetting this carry would silently resurrect
+    # deleted rows on the next append.
+    if parent and (mode == "append" or carry_files):
+        carried_deletes = pm.get("delete_files", [])
     manifest = {
         "version": new_v,
         "parent": parent or None,
@@ -149,6 +158,8 @@ def snapshot_write(df: DataFrame, table_path: str,
         # after the commit would reopen the duplicate-replay window)
         **(extra_meta or {}),
     }
+    if carried_deletes:
+        manifest["delete_files"] = carried_deletes
     mp = jvm.org.apache.hadoop.fs.Path(
         table_path, f"{SNAP_DIR}/v{new_v}.json"
     )
@@ -200,12 +211,18 @@ def expire_snapshots(spark: SparkSession, table_path: str,
     versions = _versions(jvm, fs, table_path)
     expire = versions[:-keep_last]
     keep = versions[-keep_last:]
+    def _all_paths(m):
+        out = list(m["files"])
+        for d in m.get("delete_files", []):
+            out.extend(d["paths"])
+        return out
+
     kept_files = set()
     for v in keep:
-        kept_files.update(_manifest(jvm, fs, table_path, v)["files"])
+        kept_files.update(_all_paths(_manifest(jvm, fs, table_path, v)))
     deleted = 0
     for v in expire:
-        for f in _manifest(jvm, fs, table_path, v)["files"]:
+        for f in _all_paths(_manifest(jvm, fs, table_path, v)):
             if f not in kept_files:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
                 kept_files.add(f)  # delete once even if multiply listed
@@ -310,3 +327,95 @@ def snapshot_diff(spark: SparkSession, table_path: str,
     ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
     dele = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
     return ins.unionByName(dele)
+
+
+def snapshot_delete_mor(keys: DataFrame, table_path: str,
+                        key_cols: list[str]) -> int:
+    """Merge-on-read DELETE: commit an equality-delete file (the
+    distinct key tuples) instead of rewriting any data file — O(keys)
+    write cost now, the anti-join paid by readers until a compaction
+    rewrites.  Iceberg's equality-delete mode, complementing
+    snapshot_merge's copy-on-write.
+
+    Sequence-number semantics (the part naive implementations get
+    wrong): a delete applies only to data files COMMITTED BEFORE it.
+    Data directories carry their commit version in the path
+    (data/commit-<v>-…), so snapshot_read can scope each delete file
+    to older data — a key deleted at v5 and re-inserted at v7 IS
+    visible at v7+, exactly Iceberg's behavior.  Returns the new
+    version."""
+    spark = keys.sparkSession
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    parent = versions[-1]
+    pm = _manifest(jvm, fs, table_path, parent)
+    new_v = parent + 1
+    ddir = f"{table_path}/data/delete-{new_v}-{uuid.uuid4().hex[:8]}"
+    keys.select(*key_cols).distinct().write.mode("error").parquet(ddir)
+    dpath = jvm.org.apache.hadoop.fs.Path(ddir)
+    dfiles = sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(dpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    manifest = {
+        "version": new_v,
+        "parent": parent,
+        "operation": "delete",
+        "files": pm["files"],
+        "added_files": 0,
+        "total_files": len(pm["files"]),
+        "delete_files": pm.get("delete_files", [])
+        + [{"version": new_v, "key_cols": list(key_cols), "paths": dfiles}],
+    }
+    mp = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/v{new_v}.json"
+    )
+    _write_text_atomic(jvm, fs, mp, json.dumps(manifest, indent=1))
+    return new_v
+
+
+def _data_commit_version(path: str) -> int:
+    """Commit version embedded in a data path (…/commit-<v>-<uuid>/…);
+    0 for paths without one (never matches any delete, which is the
+    conservative direction)."""
+    import re
+
+    m = re.search(r"/(?:commit)-(\d+)-", path)
+    return int(m.group(1)) if m else 0
+
+
+def snapshot_read_mor(spark: SparkSession, table_path: str,
+                      version: int | None = None) -> DataFrame:
+    """snapshot_read + equality-delete application with sequence
+    scoping: data files of commit v_d drop keys from delete files of
+    version v_del > v_d only.  Plan shape: one scan per distinct data
+    commit present (metadata-bounded, typically a handful) with a
+    broadcast anti-join of its applicable delete keys, unioned."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    v = versions[-1] if version is None else int(version)
+    m = _manifest(jvm, fs, table_path, v)
+    files, dels = m["files"], m.get("delete_files", [])
+    if not dels:
+        return spark.read.parquet(*files)
+    by_commit: dict[int, list[str]] = {}
+    for f in files:
+        by_commit.setdefault(_data_commit_version(f), []).append(f)
+    parts = []
+    for v_d, fl in sorted(by_commit.items()):
+        df = spark.read.parquet(*fl)
+        for d in dels:
+            if d["version"] > v_d:
+                kd = spark.read.parquet(*d["paths"])
+                df = df.join(F.broadcast(kd), d["key_cols"], "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
