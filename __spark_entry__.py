@@ -3061,6 +3061,34 @@ def q_dedup_triangles(spark, sf_dir):
     )
 
 
+def q_dq_report(spark, sf_dir):
+    """Data-quality verification suite (Deequ shape) over events +
+    one referential check against customer: seven expectations in ONE
+    aggregation pass (conditional counts — never a scan per check),
+    verdicts decided by integer cross-multiply, unioned with the
+    orphan-key anti-join row."""
+    from timeseriescorrelation_spark.operators.dq import (
+        dq_checks,
+        dq_ref_check,
+    )
+
+    e = _events(spark, sf_dir)
+    suite = dq_checks(e, [
+        {"type": "not_null", "col": "ts"},
+        {"type": "not_null", "col": "user_id"},
+        {"type": "not_null", "col": "props", "min_frac": 0.5},
+        {"type": "unique", "col": "event_id"},
+        {"type": "range", "col": "value", "lo": -1e9, "hi": 1e9},
+        {"type": "in_set", "col": "event_type",
+         "allowed": ["signup", "click", "purchase", "view", "error",
+                     "api_call"]},
+        {"type": "matches", "col": "props", "pattern": "^\\{"},
+    ])
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ref = dq_ref_check(e, c, "user_id", "c_custkey")
+    return suite.unionByName(ref)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3229,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "funnel_timed": q_funnel_timed,
         "dedup_triangles": q_dedup_triangles,
+        "dq_report": q_dq_report,
     }
 
 
@@ -6771,5 +6800,52 @@ WITH tok AS (
 )
 SELECT doc_id, cast(count(*) AS bigint) AS n_triangles
 FROM corners GROUP BY 1
+""",
+            "dq_report": """
+WITH agg AS (
+  SELECT cast(count(*) AS bigint) AS total,
+         cast(count(ts) AS bigint) AS c0,
+         cast(count(user_id) AS bigint) AS c1,
+         cast(count(props) AS bigint) AS c2,
+         cast(count(DISTINCT event_id) AS bigint) AS c3,
+         cast(sum(CASE WHEN value IS NOT NULL
+                        AND value >= -1000000000.0
+                        AND value <= 1000000000.0
+                   THEN 1 ELSE 0 END) AS bigint) AS c4,
+         cast(sum(CASE WHEN event_type IN
+                       ('signup','click','purchase','view','error',
+                        'api_call')
+                   THEN 1 ELSE 0 END) AS bigint) AS c5,
+         cast(sum(CASE WHEN props IS NOT NULL
+                        AND regexp_matches(props, '^\\{')
+                   THEN 1 ELSE 0 END) AS bigint) AS c6
+  FROM events
+), checks(check_name, col_name, observed, expected_ppm) AS (
+  SELECT 'not_null:ts', 'ts', c0, 1000000 FROM agg
+  UNION ALL SELECT 'not_null:user_id', 'user_id', c1, 1000000 FROM agg
+  UNION ALL SELECT 'not_null:props', 'props', c2, 500000 FROM agg
+  UNION ALL SELECT 'unique:event_id', 'event_id', c3, 1000000 FROM agg
+  UNION ALL SELECT 'range:value', 'value', c4, 1000000 FROM agg
+  UNION ALL SELECT 'in_set:event_type', 'event_type', c5, 1000000 FROM agg
+  UNION ALL SELECT 'matches:props', 'props', c6, 1000000 FROM agg
+), base AS (
+  SELECT check_name AS "check", col_name AS col, observed,
+         (SELECT total FROM agg) AS total, expected_ppm
+  FROM checks
+), ref AS (
+  SELECT 'ref:user_id' AS "check", 'user_id' AS col,
+         cast((SELECT count(*) FROM events e
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = e.user_id))
+              AS bigint) AS observed,
+         (SELECT total FROM agg) AS total,
+         0 AS expected_ppm
+)
+SELECT "check", col, observed, total,
+       round(cast(observed AS double) / cast(total AS double), 6) AS frac,
+       round(cast(expected_ppm AS double) / 1e6, 6) AS expected_frac,
+       CASE WHEN "check" = 'ref:user_id' THEN observed = 0
+            ELSE observed * 1000000 >= expected_ppm * total END AS passed
+FROM (SELECT * FROM base UNION ALL SELECT * FROM ref)
 """,
     }

@@ -157,6 +157,7 @@ HEADLINE_R3 = [
     "psi_daily",
     "ann_ivf_pq",
     "funnel_timed",
+    "dq_report",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -1,0 +1,146 @@
+"""Declarative data-quality expectations — the Deequ/Great-Expectations
+verification-suite shape, PySpark-native: a suite of per-column checks
+evaluates in ONE aggregation pass over the table (each check is a
+conditional count inside the same agg — no per-check scans), emitting
+one row per check:
+
+    (check, col, observed, total, frac, expected_frac, passed)
+
+Check types:
+- not_null   — fraction of non-null values ≥ min_frac
+- unique     — distinct count == row count (key integrity)
+- range      — fraction inside [lo, hi] ≥ min_frac (nulls fail)
+- in_set     — fraction in the allowed set ≥ min_frac (nulls fail)
+- matches    — fraction matching a regex ≥ min_frac
+
+plus ``dq_ref_check`` for referential integrity (child keys ⊆ parent
+keys), which is necessarily a second scan + one anti-join.
+
+Exactness: every observed statistic is an exact integer count; frac is
+one division rounded to 6dp; passed compares on the integer cross-
+multiply observed·10⁶ ≥ min_frac_ppm·total, so no float comparison
+ever decides a verdict and the DuckDB oracle matches bit-for-bit.
+
+Scale notes (100 TB): the suite is ONE scan with map-side partial
+aggregation (a handful of longs per task regardless of row count);
+`unique` adds count_distinct's dedup shuffle for that column only.
+Results are |checks| rows — driver-safe to alert on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ppm(min_frac: float) -> int:
+    return int(round(float(min_frac) * 1_000_000))
+
+
+def dq_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate a suite of checks in one aggregation pass.
+
+    Each check: {"type": ..., "col": ..., and type-specific params};
+    see module docstring.  Check names are deterministic
+    ("<type>:<col>")."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    meta = []  # (name, col, agg_alias, expected_ppm, compare_to_total)
+    for i, c in enumerate(checks):
+        t, col = c["type"], c["col"]
+        alias = f"_c{i}"
+        name = f"{t}:{col}"
+        if t == "not_null":
+            aggs.append(
+                F.count(F.col(col)).cast("long").alias(alias)
+            )
+            meta.append((name, col, alias, _ppm(c.get("min_frac", 1.0))))
+        elif t == "unique":
+            aggs.append(F.count_distinct(F.col(col)).alias(alias))
+            meta.append((name, col, alias, _ppm(1.0)))
+        elif t == "range":
+            ok = (
+                F.col(col).isNotNull()
+                & (F.col(col) >= F.lit(c["lo"]))
+                & (F.col(col) <= F.lit(c["hi"]))
+            )
+            aggs.append(
+                F.sum(ok.cast("long")).cast("long").alias(alias)
+            )
+            meta.append((name, col, alias, _ppm(c.get("min_frac", 1.0))))
+        elif t == "in_set":
+            allowed = F.array(*[F.lit(x) for x in c["allowed"]])
+            ok = F.col(col).isNotNull() & F.array_contains(
+                allowed, F.col(col)
+            )
+            aggs.append(
+                F.sum(ok.cast("long")).cast("long").alias(alias)
+            )
+            meta.append((name, col, alias, _ppm(c.get("min_frac", 1.0))))
+        elif t == "matches":
+            ok = F.col(col).isNotNull() & F.col(col).rlike(c["pattern"])
+            aggs.append(
+                F.sum(ok.cast("long")).cast("long").alias(alias)
+            )
+            meta.append((name, col, alias, _ppm(c.get("min_frac", 1.0))))
+        else:
+            raise ValueError(f"unknown check type {t!r}")
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("check"),
+            F.lit(col).alias("col"),
+            F.col(alias).cast("long").alias("observed"),
+            F.lit(ppm).cast("long").alias("expected_ppm"),
+        )
+        for name, col, alias, ppm in meta
+    ])
+    ex = wide.select(
+        F.col("_total").cast("long").alias("total"),
+        F.explode(rows).alias("r"),
+    )
+    return ex.select(
+        F.col("r.check").alias("check"),
+        F.col("r.col").alias("col"),
+        F.col("r.observed").alias("observed"),
+        "total",
+        F.round(
+            F.col("r.observed").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("frac"),
+        F.round(
+            F.col("r.expected_ppm").cast("double") / 1e6, 6
+        ).alias("expected_frac"),
+        # integer cross-multiply: no float decides a verdict
+        (
+            F.col("r.observed") * F.lit(1_000_000)
+            >= F.col("r.expected_ppm") * F.col("total")
+        ).alias("passed"),
+    )
+
+
+def dq_ref_check(child: DataFrame, parent: DataFrame,
+                 child_key: str, parent_key: str) -> DataFrame:
+    """Referential integrity: child rows whose key has no parent.
+    Output one row (check, col, observed=orphans, total, frac,
+    expected_frac=0, passed) — same schema as dq_checks, unionable
+    into one report.  One anti-join keyed by the child key (broadcast
+    when the parent key set is small)."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+    total = child.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return orphans.crossJoin(total).select(
+        F.lit(f"ref:{child_key}").alias("check"),
+        F.lit(child_key).alias("col"),
+        F.col("orphans").alias("observed"),
+        "total",
+        F.round(
+            F.col("orphans").cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("frac"),
+        F.lit(0.0).alias("expected_frac"),
+        (F.col("orphans") == 0).alias("passed"),
+    )
