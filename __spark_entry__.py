@@ -3089,6 +3089,16 @@ def q_dq_report(spark, sf_dir):
     return suite.unionByName(ref)
 
 
+def q_ab_readout(spark, sf_dir):
+    """Experiment readout: users split 50/50 by md5 bucket (the
+    leakage-safe unit — all of a user's events share one arm),
+    conversion = ≥1 purchase; two-proportion z over exact integer
+    counts, every statistic one fixed expression rounded at 6dp."""
+    from timeseriescorrelation_spark.operators.abtest import ab_readout
+
+    return ab_readout(_events(spark, sf_dir), target_event="purchase")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3258,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_timed": q_funnel_timed,
         "dedup_triangles": q_dedup_triangles,
         "dq_report": q_dq_report,
+        "ab_readout": q_ab_readout,
     }
 
 
@@ -6847,5 +6858,43 @@ SELECT "check", col, observed, total,
        CASE WHEN "check" = 'ref:user_id' THEN observed = 0
             ELSE observed * 1000000 >= expected_ppm * total END AS passed
 FROM (SELECT * FROM base UNION ALL SELECT * FROM ref)
+""",
+        "ab_readout": """
+WITH pu AS (
+  SELECT user_id AS unit,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+), asg AS (
+  SELECT unit, converted,
+         CASE WHEN ('0x' || substr(md5(cast(unit AS varchar)), 1, 4))
+                     ::BIGINT < 32768
+              THEN 'B' ELSE 'A' END AS arm
+  FROM pu
+), arms AS (
+  SELECT arm, cast(count(*) AS bigint) AS n,
+         cast(sum(converted) AS bigint) AS x
+  FROM asg GROUP BY 1
+), a AS (SELECT n AS n_a, x AS x_a FROM arms WHERE arm = 'A'),
+   b AS (SELECT n AS n_b, x AS x_b FROM arms WHERE arm = 'B'),
+   j AS (SELECT * FROM a CROSS JOIN b),
+   m AS (
+  SELECT *,
+         cast(x_a AS double) / cast(n_a AS double) AS pa,
+         cast(x_b AS double) / cast(n_b AS double) AS pb,
+         cast(x_a + x_b AS double) / cast(n_a + n_b AS double) AS pool
+  FROM j
+), m2 AS (
+  SELECT *,
+         sqrt(pool * (1.0 - pool)
+              * (1.0 / cast(n_a AS double)
+                 + 1.0 / cast(n_b AS double))) AS sev
+  FROM m
+)
+SELECT n_a, x_a, n_b, x_b,
+       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       round(pb - pa, 6) AS lift, round(sev, 6) AS se,
+       round(CASE WHEN sev > 0 THEN (pb - pa) / sev END, 6) AS z
+FROM m2
 """,
     }

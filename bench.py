@@ -158,6 +158,7 @@ HEADLINE_R3 = [
     "ann_ivf_pq",
     "funnel_timed",
     "dq_report",
+    "ab_readout",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

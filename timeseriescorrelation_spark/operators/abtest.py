@@ -1,0 +1,99 @@
+"""A/B experiment analysis: deterministic variant assignment + the
+two-proportion z-test readout — the analytics-warehouse query every
+experimentation platform runs nightly.
+
+Assignment reuses sampling.hash_bucket's md5-bucket recipe (a pure
+function of the unit id: reproducible across engines/restarts, and the
+leakage-safe unit is the USER, so all of a user's events land in one
+arm).  The readout per (experiment arm pair):
+
+    n_a, n_b           exposed units
+    x_a, x_b           converted units (did >=1 target event)
+    p_a, p_b           conversion rates
+    lift               p_b - p_a
+    se                 sqrt(p̂(1-p̂)(1/n_a + 1/n_b)), pooled p̂
+    z                  lift / se
+
+Exactness: counts are exact integers; every derived statistic is a
+fixed arithmetic expression over those integers rounded to 6dp — both
+engines compute identical doubles from identical integers, and the
+single sqrt is IEEE-exact on the same input (its argument is a ratio
+of exact integers), so even z matches bit-for-bit after rounding.
+
+Scale notes (100 TB): one distinct over (unit, converted?) — a hash
+agg keyed by unit — then ONE row per arm; the z-math runs on a 2-row
+frame.  No windows, no joins over raw events beyond the conversion
+semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.sampling import hash_bucket
+
+
+def ab_assign(units: DataFrame, id_col: str = "user_id",
+              treat_frac: float = 0.5) -> DataFrame:
+    """units + 'arm' column ('A' control / 'B' treatment) by md5
+    bucket of the unit id — deterministic, engine-portable."""
+    cut = int(float(treat_frac) * (1 << 16))
+    return units.withColumn(
+        "arm",
+        F.when(hash_bucket(id_col) < cut, F.lit("B")).otherwise(
+            F.lit("A")
+        ),
+    )
+
+
+def ab_readout(events: DataFrame, target_event: str,
+               id_col: str = "user_id",
+               event_col: str = "event_type",
+               treat_frac: float = 0.5) -> DataFrame:
+    """One-row experiment readout (see module docstring).  Exposure =
+    any event; conversion = ≥1 ``target_event``."""
+    per_unit = (
+        events.select(
+            F.col(id_col).alias("unit"),
+            (F.col(event_col) == F.lit(target_event)).cast("int")
+            .alias("hit"),
+        )
+        .groupBy("unit")
+        .agg(F.max("hit").alias("converted"))
+    )
+    assigned = ab_assign(per_unit, id_col="unit",
+                         treat_frac=treat_frac)
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(p_b - p_a, 6).alias("lift"),
+        F.round(se, 6).alias("se"),
+        F.round(
+            F.when(se > 0, (p_b - p_a) / se), 6
+        ).alias("z"),
+    )
