@@ -3099,6 +3099,16 @@ def q_ab_readout(spark, sf_dir):
     return ab_readout(_events(spark, sf_dir), target_event="purchase")
 
 
+def q_stl_lite(spark, sf_dir):
+    """Additive seasonal decomposition per metric: ±84h integer-sum
+    moving trend, micro-snapped (dow, hod) seasonal profile of the
+    detrended series, stationary residual — trend/seasonal/resid per
+    hour, all divisions over exact integer window sums."""
+    from timeseriescorrelation_spark.operators.decompose import stl_lite
+
+    return stl_lite(_series_from_events(spark, sf_dir), half_window_h=84)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3269,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_triangles": q_dedup_triangles,
         "dq_report": q_dq_report,
         "ab_readout": q_ab_readout,
+        "stl_lite": q_stl_lite,
     }
 
 
@@ -6896,5 +6907,44 @@ SELECT n_a, x_a, n_b, x_b,
        round(pb - pa, 6) AS lift, round(sev, 6) AS se,
        round(CASE WHEN sev > 0 THEN (pb - pa) / sev END, 6) AS z
 FROM m2
+""",
+        "stl_lite": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS cs,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, bucket_ts, cs, n,
+         cast(sum(cs) OVER w AS bigint) AS csw,
+         cast(sum(n) OVER w AS bigint) AS nw
+  FROM h
+  WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(bucket_ts)
+               RANGE BETWEEN 302400000000 PRECEDING
+                         AND 302400000000 FOLLOWING)
+), d AS (
+  SELECT metric, bucket_ts,
+         cast(cs AS double) / cast(n AS double) / 100.0 AS meanv,
+         cast(csw AS double) / cast(nw AS double) / 100.0 AS trend,
+         cast(dayofweek(bucket_ts) + 1 AS int) AS dow,
+         cast(hour(bucket_ts) AS int) AS hod
+  FROM t
+), d2 AS (
+  SELECT *,
+         cast(round((meanv - trend) * 1000000.0) AS bigint) AS du
+  FROM d
+), prof AS (
+  SELECT metric, dow, hod,
+         cast(floor(cast(sum(du) AS double)
+                    / cast(count(*) AS double)) AS bigint) AS su
+  FROM d2 GROUP BY 1, 2, 3
+)
+SELECT d2.metric, d2.bucket_ts,
+       round(meanv, 6) AS mean_v,
+       round(trend, 6) AS trend,
+       round(cast(su AS double) / 1000000.0, 6) AS seasonal,
+       round(round(meanv, 6) - round(trend, 6)
+             - cast(su AS double) / 1000000.0, 6) AS resid
+FROM d2 JOIN prof USING (metric, dow, hod)
 """,
     }

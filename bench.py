@@ -159,6 +159,7 @@ HEADLINE_R3 = [
     "funnel_timed",
     "dq_report",
     "ab_readout",
+    "stl_lite",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
