@@ -3109,6 +3109,68 @@ def q_stl_lite(spark, sf_dir):
     return stl_lite(_series_from_events(spark, sf_dir), half_window_h=84)
 
 
+def q_trailing_active_24h(spark, sf_dir):
+    """Exact trailing-24h distinct active convs per (metric, hour) —
+    the exact counterpart of hll_7d's approximate trailing rollup.
+    Collapse-then-explode shape: distinct (metric, conv, hour) tuples
+    fan out into the ≤24 buckets they cover (clipped at the global max
+    hour, 1-row side broadcast); one count-distinct shuffle. No range
+    join."""
+    from timeseriescorrelation_spark.operators.activity import (
+        trailing_distinct,
+    )
+
+    return trailing_distinct(
+        _series_from_events(spark, sf_dir), window_hours=24
+    )
+
+
+def q_burstiness_daily(spark, sf_dir):
+    """Goh–Barabási burstiness B=(σ−μ)/(σ+μ) of within-conv
+    inter-arrival gaps per (metric, day), plus mean gap and CV — all
+    moments from exact integer µs sums (decimal(38,0) squared sums)."""
+    from timeseriescorrelation_spark.operators.activity import (
+        burstiness_daily,
+    )
+
+    return burstiness_daily(_series_from_events(spark, sf_dir))
+
+
+def q_weighted_median(spark, sf_dir):
+    """Event-weighted median of per-conv mean value per metric: the
+    value a random EVENT experiences (vs the per-conv equal-weight
+    median).  Cumulative-weight rule decided in int64 (2·cumw ≥ W);
+    per-conv means are one double division of exact cent sums."""
+    from timeseriescorrelation_spark.operators.activity import (
+        weighted_median,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    conv = s.groupBy("metric", "conv_id").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sc"),
+    ).select(
+        "metric", "conv_id", "w",
+        (F.col("_sc").cast("double")
+         / (F.col("w") * 100).cast("double")).alias("mean_v"),
+    )
+    return weighted_median(conv, ["metric"], "mean_v", "w")
+
+
+def q_sax_motifs(spark, sf_dir):
+    """Recurring daily shapes: census of full-day 6-symbol SAX words
+    (4-hour PAA segments) seen on ≥2 series-days — symbolic motif
+    collision, linear in distinct words, the 100 TB-safe stage before
+    any pair materialization."""
+    from timeseriescorrelation_spark.operators.activity import sax_motifs
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    return sax_motifs(
+        sax_daily(_series_from_events(spark, sf_dir), segment_hours=4),
+        min_len=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3280,6 +3342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "ab_readout": q_ab_readout,
         "stl_lite": q_stl_lite,
+        "trailing_active_24h": q_trailing_active_24h,
+        "burstiness_daily": q_burstiness_daily,
+        "weighted_median": q_weighted_median,
+        "sax_motifs": q_sax_motifs,
     }
 
 
@@ -6946,5 +7012,124 @@ SELECT d2.metric, d2.bucket_ts,
        round(round(meanv, 6) - round(trend, 6)
              - cast(su AS double) / 1000000.0, 6) AS resid
 FROM d2 JOIN prof USING (metric, dow, hod)
+""",
+        "trailing_active_24h": """
+WITH p AS (
+  SELECT DISTINCT event_type AS metric, user_id,
+         date_trunc('hour', ts) AS h
+  FROM events
+), mx AS (
+  SELECT max(date_trunc('hour', ts)) AS mh FROM events
+), e AS (
+  SELECT metric, user_id,
+         unnest(generate_series(
+           h, least(h + INTERVAL 23 HOUR, (SELECT mh FROM mx)),
+           INTERVAL 1 HOUR)) AS bucket_ts
+  FROM p
+)
+SELECT metric, bucket_ts,
+       cast(count(DISTINCT user_id) AS bigint) AS n_active
+FROM e GROUP BY 1, 2
+""",
+        "burstiness_daily": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, event_id AS turn_idx
+  FROM events
+), g AS (
+  SELECT metric, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id, metric
+           ORDER BY epoch_us(ts), turn_idx) AS gap_us
+  FROM s
+), a AS (
+  SELECT metric, day_ts, cast(count(*) AS bigint) AS n_gaps,
+         cast(sum(gap_us) AS hugeint) AS sg,
+         sum(cast(gap_us AS hugeint) * gap_us) AS sgg
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT metric, day_ts, n_gaps,
+         cast(sg AS double) / cast(n_gaps AS double) AS mu,
+         sqrt(cast(n_gaps * sgg - sg * sg AS double)
+              / cast(n_gaps * n_gaps AS double)) AS sigma
+  FROM a
+)
+SELECT metric, day_ts, n_gaps,
+       round(mu / 1e6, 6) AS mean_gap_s,
+       CASE WHEN sigma + mu > 0
+            THEN round((sigma - mu) / (sigma + mu), 6) END AS burstiness,
+       CASE WHEN mu > 0 THEN round(sigma / mu, 6) END AS cv
+FROM m
+""",
+        "weighted_median": """
+WITH conv AS (
+  SELECT event_type AS metric, cast(user_id AS varchar) AS conv_id,
+         cast(count(*) AS bigint) AS w,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sc
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT metric, conv_id, w,
+         cast(sc AS double) / cast(w * 100 AS double) AS mean_v
+  FROM conv
+), r AS (
+  SELECT metric, conv_id, mean_v, w,
+         cast(sum(w) OVER (PARTITION BY metric ORDER BY mean_v, conv_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS bigint) AS cumw,
+         cast(sum(w) OVER (PARTITION BY metric) AS bigint) AS total_w,
+         cast(count(*) OVER (PARTITION BY metric) AS bigint) AS n_items,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY mean_v, conv_id) AS rn
+  FROM m
+), h AS (
+  SELECT metric, n_items, total_w, mean_v,
+         row_number() OVER (PARTITION BY metric ORDER BY rn) AS pick
+  FROM r WHERE 2 * cumw >= total_w
+)
+SELECT metric, n_items, total_w, round(mean_v, 6) AS w_median
+FROM h WHERE pick = 1
+""",
+        "sax_motifs": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(extract(hour FROM ts) AS int) // 4 AS hour_idx,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), h AS (
+  SELECT metric, day_ts, hour_idx, count(*) AS hn, sum(c) AS hsum,
+         sum(c * c) AS hsxx
+  FROM pt GROUP BY 1, 2, 3
+), d AS (
+  SELECT metric, day_ts, sum(hn) AS dn, sum(hsum) AS dsum,
+         sum(hsxx) AS dsxx
+  FROM h GROUP BY 1, 2
+), z AS (
+  SELECT h.metric, h.day_ts, hour_idx,
+         cast(hsum AS double) / cast(hn AS double) AS hmean,
+         cast(dsum AS double) / cast(dn AS double) AS dmean,
+         dn * dsxx - dsum * dsum AS vnum,
+         cast(dn * dsxx - dsum * dsum AS double)
+           / cast(dn * dn AS double) AS dvar
+  FROM h JOIN d USING (metric, day_ts)
+), s AS (
+  SELECT metric, day_ts, hour_idx, vnum > 0 AS var_ok,
+         CASE WHEN vnum <= 0 THEN NULL
+              WHEN (hmean - dmean) / sqrt(dvar) < -0.6745 THEN 'a'
+              WHEN (hmean - dmean) / sqrt(dvar) < 0.0 THEN 'b'
+              WHEN (hmean - dmean) / sqrt(dvar) < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM z
+), words AS (
+  SELECT metric, day_ts, cast(count(*) AS bigint) AS n_hours,
+         CASE WHEN bool_and(var_ok)
+              THEN string_agg(sym, '' ORDER BY hour_idx) END AS sax_word
+  FROM s GROUP BY 1, 2
+)
+SELECT sax_word, cast(count(*) AS bigint) AS n_occ,
+       cast(count(DISTINCT metric) AS bigint) AS n_series,
+       min(day_ts) AS first_day, max(day_ts) AS last_day
+FROM words
+WHERE sax_word IS NOT NULL AND n_hours >= 6
+GROUP BY 1 HAVING count(*) >= 2
 """,
     }

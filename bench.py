@@ -160,6 +160,10 @@ HEADLINE_R3 = [
     "dq_report",
     "ab_readout",
     "stl_lite",
+    "trailing_active_24h",
+    "burstiness_daily",
+    "weighted_median",
+    "sax_motifs",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -1,0 +1,128 @@
+"""Edge-case tests for operators/activity.py — the cases the DuckDB
+oracle gate can't see: window clipping, zero-gap streams, weight-rule boundaries, motif census linearity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.activity import (
+    burstiness_daily,
+    sax_motifs,
+    trailing_distinct,
+    weighted_median,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "metric string, conv_id string, ts timestamp, "
+              "turn_idx int, value double")
+
+
+def test_trailing_distinct_counts_and_clip(spark):
+    # conv A active hour 0; conv B active hours 0 and 2; max hour = 2.
+    df = _ev(spark, [
+        ("m", "A", T0, 0, 1.0),
+        ("m", "B", T0, 1, 1.0),
+        ("m", "B", T0 + dt.timedelta(hours=2), 2, 1.0),
+    ])
+    out = {r["bucket_ts"]: r["n_active"]
+           for r in trailing_distinct(df, window_hours=24).collect()}
+    # Every bucket from hour 0..2 sees both actors (A's hour-0 activity
+    # covers the whole trailing day); nothing past max hour 2 exists.
+    assert out == {T0: 2,
+                   T0 + dt.timedelta(hours=1): 2,
+                   T0 + dt.timedelta(hours=2): 2}
+
+
+def test_trailing_distinct_window_expiry(spark):
+    # With a 2-hour window, A's hour-0 activity covers buckets 0-1 only.
+    df = _ev(spark, [
+        ("m", "A", T0, 0, 1.0),
+        ("m", "B", T0 + dt.timedelta(hours=3), 1, 1.0),
+    ])
+    out = {r["bucket_ts"]: r["n_active"]
+           for r in trailing_distinct(df, window_hours=2).collect()}
+    assert out == {T0: 1, T0 + dt.timedelta(hours=1): 1,
+                   T0 + dt.timedelta(hours=3): 1}
+    # hour 2: A expired, B not yet active -> bucket absent entirely
+    assert T0 + dt.timedelta(hours=2) not in out
+
+
+def test_burstiness_metronome_and_zero_gaps(spark):
+    # Metronome: constant gaps -> sigma=0 -> B = -1, cv = 0.
+    rows = [("m", "A", T0 + dt.timedelta(seconds=10 * i), i, 1.0)
+            for i in range(5)]
+    # Zero-gap stream: all events same microsecond -> mu=0 -> NULLs.
+    rows += [("z", "B", T0, i, 1.0) for i in range(3)]
+    out = {r["metric"]: r for r in burstiness_daily(_ev(spark, rows)).collect()}
+    m = out["m"]
+    assert m["n_gaps"] == 4
+    assert m["mean_gap_s"] == pytest.approx(10.0)
+    assert m["burstiness"] == pytest.approx(-1.0)
+    assert m["cv"] == pytest.approx(0.0)
+    z = out["z"]
+    assert z["n_gaps"] == 2
+    assert z["burstiness"] is None and z["cv"] is None
+
+
+def test_weighted_median_rule_boundary(spark):
+    # values 1,2,3 with weights 1,1,2: W=4, cum at v=2 is 2 -> 2*2>=4
+    # holds AT the boundary -> w_median = 2 (not 3).
+    df = spark.createDataFrame(
+        [("m", "a", 1.0, 1), ("m", "b", 2.0, 1), ("m", "c", 3.0, 2)],
+        "metric string, conv_id string, v double, w long")
+    row = weighted_median(df, ["metric"], "v", "w").collect()[0]
+    assert (row["n_items"], row["total_w"]) == (3, 4)
+    assert row["w_median"] == pytest.approx(2.0)
+
+
+def test_weighted_median_dominant_weight(spark):
+    # One heavy item dominates: w_median is that value regardless of
+    # how many light items sort before it.
+    df = spark.createDataFrame(
+        [("m", c, float(i), 1) for i, c in enumerate("abcde")]
+        + [("m", "z", 99.0, 100)],
+        "metric string, conv_id string, v double, w long")
+    row = weighted_median(df, ["metric"], "v", "w").collect()[0]
+    assert row["w_median"] == pytest.approx(99.0)
+
+
+def test_sax_motifs_census_is_linear_not_pairwise(spark):
+    # Three identical-shape days + one different -> exactly one motif
+    # word with n_occ=3 (census), never 3 pair rows.
+    rows = []
+    for d in range(3):
+        for seg in range(6):
+            rows.append(("m", "A", T0 + dt.timedelta(days=d, hours=4 * seg),
+                         d * 10 + seg, float(seg % 2) * 10))
+    for seg in range(6):  # strictly increasing day: different word
+        rows.append(("m", "A", T0 + dt.timedelta(days=5, hours=4 * seg),
+                     100 + seg, float(seg) * 7))
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    out = sax_motifs(sax_daily(_ev(spark, rows), segment_hours=4),
+                     min_len=6).collect()
+    assert len(out) == 1
+    assert out[0]["n_occ"] == 3 and out[0]["n_series"] == 1
+    assert out[0]["first_day"] == T0
+    assert out[0]["last_day"] == T0 + dt.timedelta(days=2)
+
+
+def test_sax_daily_segment_hours_backcompat(spark):
+    # segment_hours=1 must reproduce the original hourly behavior.
+    from timeseriescorrelation_spark.operators.sax import sax_daily
+
+    rows = [("m", "A", T0 + dt.timedelta(hours=h), h, float(h))
+            for h in range(24)]
+    w1 = sax_daily(_ev(spark, rows)).collect()[0]
+    assert w1["n_hours"] == 24 and len(w1["sax_word"]) == 24
+    w4 = sax_daily(_ev(spark, rows), segment_hours=4).collect()[0]
+    # linear ramp 0..23, day sigma=6.922: segment-mean z-scores are
+    # -1.44,-.87,-.29,+.29,+.87,+1.44 -> symbols a,a,b,c,d,d
+    assert w4["n_hours"] == 6 and w4["sax_word"] == "aabcdd"

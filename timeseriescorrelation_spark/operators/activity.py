@@ -1,0 +1,206 @@
+"""Activity-shape operators over transcript event streams: exact
+trailing-window distinct actors, inter-arrival burstiness, and
+frequency-weighted medians.
+
+Reference parity: the reference's normalization stage summarizes each
+series' activity profile before pruning (BASELINE.json:6 "dataset
+normalization"); these operators are that profile family re-expressed
+as Spark aggregates over the transcript table (BASELINE.json:15).
+
+Cross-engine determinism follows the repo-wide scheme (see
+operators/sax.py): every float that reaches a comparison or output is
+ONE IEEE operation chain over exact integers built identically in
+Spark and DuckDB — integer microsecond gaps, decimal(38,0)/hugeint
+squared sums, a single division per mean, sqrt of an
+exact-integer-quotient variance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+DEC = "decimal(38,0)"
+
+
+def trailing_distinct(events: DataFrame, keys: list[str] | None = None,
+                      actor_col: str = "conv_id", ts_col: str = "ts",
+                      window_hours: int = 24) -> DataFrame:
+    """Exact count of distinct actors active in the trailing
+    `window_hours` hours, reported for every hour a window covers —
+    (keys..., bucket_ts, n_active).
+
+    The exact counterpart of the trailing HLL rollup
+    (sketches.hll_trailing): same window semantics, exact distinct.
+
+    Scale notes (100 TB): NO range join and NO per-hour re-scan.  The
+    raw scan collapses to distinct (keys, actor, hour) tuples first
+    (one hash-agg with map-side partial dedup); each tuple then
+    explodes into the ≤`window_hours` buckets it contributes to
+    (linear ×W row growth on the already-collapsed tuples, not the raw
+    events); one final count-distinct shuffle keyed (keys, bucket).
+    Bucket skew is bounded by true actor cardinality per window.
+    Buckets are clipped at the global max event hour ("now"), so no
+    phantom future buckets; the 1-row max side is broadcast.
+    """
+    keys = keys or ["metric"]
+    hour = F.date_trunc("hour", F.col(ts_col))
+    pairs = (
+        events.select(*keys, F.col(actor_col).alias("_actor"),
+                      hour.alias("_h"))
+        .distinct()
+    )
+    now = events.agg(F.max(hour).alias("_mx"))
+    exploded = (
+        pairs.join(F.broadcast(now))
+        .select(
+            *keys, "_actor",
+            F.explode(
+                F.sequence(
+                    F.col("_h"),
+                    F.least(
+                        F.col("_h")
+                        + F.expr(f"INTERVAL {window_hours - 1} HOURS"),
+                        F.col("_mx"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    return (
+        exploded.groupBy(*keys, "bucket_ts")
+        .agg(F.countDistinct("_actor").alias("n_active"))
+    )
+
+
+def burstiness_daily(series: DataFrame, keys: list[str] | None = None,
+                     ts_col: str = "ts", ord_col: str = "turn_idx",
+                     series_col: str = "conv_id") -> DataFrame:
+    """Inter-arrival burstiness per (keys..., day): Goh–Barabási
+    B = (σ−μ)/(σ+μ) over within-series gap lengths, plus the mean gap
+    and coefficient of variation.  B → −1 for metronome streams,
+    0 for Poisson, → +1 for heavy-tailed bursty streams — the
+    standard "is this agent idling or thrashing" triage stat.
+
+    Gaps are integer microseconds between consecutive events of the
+    same (series, keys) stream (stable (ts, ord) ordering per the
+    per-turn invariant, BASELINE.json:15), assigned to the day of the
+    LATER event.  μ and σ derive from exact integer sums: Σg as
+    decimal(38,0), Σg² as decimal (gaps up to a day square to ~7.5e21,
+    past int64 — cast BEFORE multiply), Var = (nΣg² − (Σg)²)/n² as a
+    double division of two exact integers.  Zero-gap-only groups
+    (σ+μ = 0) yield NULL, not NaN.
+
+    Scale notes: one window (partitioned by the series key — no global
+    sort) + one hash agg keyed (keys, day); partial aggregation
+    map-side; decimal(38,0) holds Σg² for ~1e16 gaps per group.
+    """
+    keys = keys or ["metric"]
+    w = Window.partitionBy(series_col, *keys).orderBy(
+        epoch_us(F.col(ts_col)), ord_col
+    )
+    us = epoch_us(F.col(ts_col))
+    g = (
+        series.select(
+            *keys, series_col,
+            F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    agg = g.groupBy(*keys, "day_ts").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").cast(DEC).alias("sg"),
+        F.sum(F.col("gap_us").cast(DEC) * F.col("gap_us")).alias("sgg"),
+    )
+    n = F.col("n_gaps")
+    mu = F.col("sg").cast("double") / n.cast("double")
+    vnum = n * F.col("sgg") - F.col("sg") * F.col("sg")
+    sigma = F.sqrt(vnum.cast("double") / (n * n).cast("double"))
+    return agg.select(
+        *keys, "day_ts", "n_gaps",
+        F.round(mu / 1e6, 6).alias("mean_gap_s"),
+        F.when(sigma + mu > 0,
+               F.round((sigma - mu) / (sigma + mu), 6)).alias("burstiness"),
+        F.when(mu > 0, F.round(sigma / mu, 6)).alias("cv"),
+    )
+
+
+def weighted_median(grouped: DataFrame, keys: list[str],
+                    value_col: str, weight_col: str) -> DataFrame:
+    """Weighted median by the cumulative-weight rule: the smallest
+    value v whose running weight (ordered by value) reaches half the
+    total — (keys..., n_items, total_w, w_median).
+
+    Integer weights keep the pick exact: the condition is
+    2·cumw ≥ W_total compared in int64, so no float threshold ever
+    decides an element.  Ties on value are broken by the remaining
+    projected columns for a stable cumsum order.
+
+    Scale notes: the window is partitioned by `keys` — exact weighted
+    quantiles need a per-key value ordering, so a key whose item count
+    is huge serializes on one reducer.  For 100 TB-wide keys compose
+    the fixed-precision bucketing of analytics.quantiles_bucketed
+    (bucket → cum bucket weights → exact within the straddling bucket)
+    — same rule, bounded partitions.  Here keys are low-cardinality
+    metrics over per-conv aggregates, which is the exact tool's lane.
+    """
+    other = [c for c in grouped.columns
+             if c not in (*keys, value_col, weight_col)]
+    wsort = Window.partitionBy(*keys).orderBy(value_col, *other)
+    wall = Window.partitionBy(*keys)
+    ranked = grouped.select(
+        *keys, value_col, weight_col,
+        F.sum(weight_col).over(
+            wsort.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cumw"),
+        F.sum(weight_col).over(wall).alias("total_w"),
+        F.count(F.lit(1)).over(wall).alias("n_items"),
+        F.row_number().over(wsort).alias("_rn"),
+    )
+    hit = ranked.where(2 * F.col("_cumw") >= F.col("total_w"))
+    wpick = Window.partitionBy(*keys).orderBy("_rn")
+    return (
+        hit.select(
+            *keys, "n_items", "total_w",
+            F.col(value_col).alias("_v"),
+            F.row_number().over(wpick).alias("_first"),
+        )
+        .where(F.col("_first") == 1)
+        .select(*keys, "n_items", "total_w",
+                F.round("_v", 6).alias("w_median"))
+    )
+
+
+def sax_motifs(sax: DataFrame, keys: list[str] | None = None,
+               min_len: int = 24) -> DataFrame:
+    """Recurring-shape census over SAX words (sax.sax_daily output):
+    full-length words seen on ≥2 series-days —
+    (sax_word, n_occ, n_series, first_day, last_day).
+
+    This is motif mining by symbolic collision (Lin/Keogh SAX, DMKD
+    2007 §6): identical words ⇒ near-identical z-normalized daily
+    shapes.  A census (GROUP BY word), not a pair join — output is
+    linear in distinct words, never quadratic in days, which is what
+    makes it the 100 TB-safe first stage; downstream can equi-join
+    days on sax_word to materialize actual motif pairs for only the
+    words this census surfaces.
+    """
+    keys = keys or ["metric"]
+    full = sax.where(
+        F.col("sax_word").isNotNull() & (F.col("n_hours") >= min_len)
+    )
+    first_key = keys[0]
+    return (
+        full.groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(first_key).alias("n_series"),
+            F.min("day_ts").alias("first_day"),
+            F.max("day_ts").alias("last_day"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )

@@ -39,20 +39,27 @@ BREAKS = (-0.6745, 0.0, 0.6745)
 
 def sax_daily(series: DataFrame, keys: list[str] | None = None,
               ts_col: str = "ts", value_col: str = "value",
-              value_decimals: int = 2) -> DataFrame:
+              value_decimals: int = 2,
+              segment_hours: int = 1) -> DataFrame:
     """(keys..., day_ts, n_hours, sax_word).
 
-    sax_word concatenates one symbol per PRESENT hour in hour order
-    (absent hours contribute nothing — a sparse day yields a shorter
-    word, never padding).  Days with zero variance across points have
-    no shape to encode: sax_word is NULL, n_hours still reported."""
+    sax_word concatenates one symbol per PRESENT PAA segment
+    (`segment_hours` hours wide, default 1 = hourly) in segment order
+    (absent segments contribute nothing — a sparse day yields a
+    shorter word, never padding).  Days with zero variance across
+    points have no shape to encode: sax_word is NULL, n_hours (the
+    present-segment count) still reported.  Coarser segments give the
+    classic short-word SAX (e.g. segment_hours=4 → ≤6-symbol words)
+    whose collision space is small enough for motif mining
+    (activity.sax_motifs)."""
     keys = keys or ["metric"]
     scale = 10 ** int(value_decimals)
     cents = F.round(F.col(value_col) * scale).cast("long")
     pt = series.select(
         *keys,
         F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
-        F.hour(F.col(ts_col)).alias("hour_idx"),
+        (F.hour(F.col(ts_col)) / F.lit(int(segment_hours)))
+        .cast("int").alias("hour_idx"),
         cents.alias("c"),
     )
     h = pt.groupBy(*keys, "day_ts", "hour_idx").agg(
