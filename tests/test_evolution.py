@@ -1,0 +1,142 @@
+"""Schema evolution + partition-spec evolution on the snapshot store —
+the two ALTER TABLE behaviors an Iceberg user exercises first
+(BASELINE.json:15 names Iceberg as the table format; snapshots.py is
+the jar-less executable spec of the contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.sources.snapshots import (
+    snapshot_diff,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def _df(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_add_column_on_append(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "a"), (2, "b")], "id long, s string"), t)
+    snapshot_write(
+        _df(spark, [(3, "c", 9.5)], "id long, s string, score double"),
+        t,
+    )
+    latest = snapshot_read(spark, t)
+    assert latest.columns == ["id", "s", "score"]
+    got = {r["id"]: r["score"] for r in latest.collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+    # time travel: v1 readers never see the new column
+    assert snapshot_read(spark, t, version=1).columns == ["id", "s"]
+
+
+def test_subset_append_keeps_union_schema(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    snapshot_write(
+        _df(spark, [(1, "a", 1.0)], "id long, s string, score double"), t
+    )
+    snapshot_write(_df(spark, [(2, "b")], "id long, s string"), t)
+    latest = snapshot_read(spark, t)
+    assert latest.columns == ["id", "s", "score"]
+    got = {r["id"]: r["score"] for r in latest.collect()}
+    assert got == {1: 1.0, 2: None}
+
+
+def test_type_change_rejected(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "a")], "id long, s string"), t)
+    with pytest.raises(ValueError, match="additive only"):
+        snapshot_write(_df(spark, [(2.5, "b")], "id double, s string"), t)
+
+
+def test_overwrite_resets_schema(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "a")], "id long, s string"), t)
+    snapshot_write(
+        _df(spark, [(7,)], "only long"), t, mode="overwrite"
+    )
+    assert snapshot_read(spark, t).columns == ["only"]
+
+
+def test_partition_spec_evolution_reads_all_groups(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    # v1 flat, v2 partitioned by day, v3 partitioned by (day, metric):
+    # three specs coexist in one logical table, zero rewrites.
+    snapshot_write(
+        _df(spark, [("d1", "m1", 1)], "day string, metric string, v long"),
+        t,
+    )
+    snapshot_write(
+        _df(spark, [("d2", "m1", 2), ("d2", "m2", 3)],
+            "day string, metric string, v long"),
+        t, partition_by=["day"],
+    )
+    snapshot_write(
+        _df(spark, [("d3", "m2", 4)], "day string, metric string, v long"),
+        t, partition_by=["day", "metric"],
+    )
+    latest = snapshot_read(spark, t)
+    assert latest.columns == ["day", "metric", "v"]
+    got = sorted((r["day"], r["metric"], r["v"]) for r in latest.collect())
+    assert got == [("d1", "m1", 1), ("d2", "m1", 2),
+                   ("d2", "m2", 3), ("d3", "m2", 4)]
+    # partition pruning reaches the partitioned groups' scans
+    plan = latest.where(F.col("day") == "d2")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_partitioned_merge_rewrites_only_touched_partition(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    snapshot_write(
+        _df(spark, [("d1", 1, 10), ("d2", 2, 20), ("d2", 3, 30)],
+            "day string, id long, v long"),
+        t, partition_by=["day"],
+    )
+    res = snapshot_merge(
+        _df(spark, [("d2", 2, 99)], "day string, id long, v long"),
+        t, key_cols=["id"],
+    )
+    # only the d2 file containing id=2 rewrites; d1's file carries
+    assert res["files_rewritten"] >= 1
+    assert res["files_carried"] >= 1
+    got = {r["id"]: (r["day"], r["v"])
+           for r in snapshot_read(spark, t).collect()}
+    assert got == {1: ("d1", 10), 2: ("d2", 99), 3: ("d2", 30)}
+
+
+def test_diff_after_add_column_is_empty(spark, tmp_path):
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "a")], "id long, s string"), t)
+    # append zero rows with a wider schema: pure schema evolution
+    snapshot_write(
+        _df(spark, [], "id long, s string, score double"), t
+    )
+    d = snapshot_diff(spark, t, 1, 2)
+    assert d.count() == 0
+
+
+def test_compaction_preserves_partition_values(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.compaction import (
+        rewrite_data_files,
+    )
+
+    t = f"{tmp_path}/t"
+    snapshot_write(
+        _df(spark, [("d1", 1), ("d2", 2)], "day string, v long").
+        repartition(2), t, partition_by=["day"],
+    )
+    snapshot_write(
+        _df(spark, [("d3", 3)], "day string, v long"), t,
+        partition_by=["day"],
+    )
+    res = rewrite_data_files(spark, t, target_bytes=1 << 20)
+    assert res["rewrote"] >= 2
+    got = sorted((r["day"], r["v"])
+                 for r in snapshot_read(spark, t).collect())
+    assert got == [("d1", 1), ("d2", 2), ("d3", 3)]

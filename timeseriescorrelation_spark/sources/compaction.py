@@ -35,8 +35,10 @@ from pyspark.sql import SparkSession
 
 from timeseriescorrelation_spark.sources.snapshots import (
     SNAP_DIR,  # noqa: F401  (re-export convenience for callers)
+    _align,
     _fs,
     _manifest,
+    _read_files,
     _versions,
     snapshot_read,
     snapshot_write,
@@ -92,7 +94,8 @@ def rewrite_data_files(spark: SparkSession, table_path: str,
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_path}")
     cur = versions[-1]
-    files = _manifest(jvm, fs, table_path, cur)["files"]
+    m = _manifest(jvm, fs, table_path, cur)
+    files = m["files"]
     sizes = [
         (f, fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen())
         for f in files
@@ -103,7 +106,15 @@ def rewrite_data_files(spark: SparkSession, table_path: str,
         return {"version": cur, "rewrote": 0, "kept": len(files),
                 "out_files": 0}
     n_out = max(1, math.ceil(plan["small_bytes"] / target_bytes))
-    packed = spark.read.parquet(*small).repartition(n_out)
+    # honor partition specs + schema: partition-directory values must
+    # ride INTO the rewritten (flat) files as data columns, or the
+    # compaction silently drops them
+    packed = _read_files(spark, small, m.get("specs") or {})
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        packed = _align(packed, StructType.fromJson(m["schema"]))
+    packed = packed.repartition(n_out)
     big = plan["keep"]
     # splice commit: rewrite ONLY the small files; the full-sized ones
     # are carried into the new manifest by reference, never moved

@@ -102,10 +102,97 @@ def _manifest(jvm, fs, table_path: str, version: int) -> dict:
     return json.loads(_read_text(jvm, fs, p))
 
 
+def _list_parquet(jvm, fs, dir_uri: str) -> list[str]:
+    """Recursive .parquet listing (full URIs) — partitioned commits
+    nest files under partition directories."""
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dir_uri), True)
+    out = []
+    while it.hasNext():
+        p = str(it.next().getPath().toString())
+        if p.endswith(".parquet"):
+            out.append(p)
+    return sorted(out)
+
+
+def _read_files(spark: SparkSession, files: list[str],
+                specs: dict[str, list[str]]):
+    """Read a manifest's file list honoring per-commit partition specs:
+    each partitioned commit group reads with its own basePath (so its
+    partition columns come back from directory names), flat files read
+    directly; groups union by name with missing columns allowed
+    (schema evolution).  mergeSchema covers add-column WITHIN a group."""
+    from functools import reduce
+
+    if not specs:
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+    parts = []
+    rest = [f for f in files if not any(f.startswith(b) for b in specs)]
+    if rest:
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(*rest)
+        )
+    for base in sorted(specs):
+        g = [f for f in files if f.startswith(base)]
+        if g:
+            parts.append(
+                spark.read.option("basePath", base)
+                .option("mergeSchema", "true").parquet(*g)
+            )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+def _align(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto the manifest schema: missing columns become
+    typed NULLs (rows written before the column existed), every column
+    cast to the recorded type (partition-directory values come back
+    type-INFERRED and need pinning), manifest column order."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        (F.col(f.name) if f.name in df.columns
+         else F.lit(None)).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
+
+
+def _evolved_schema(parent_json: dict | None, new_schema) -> dict:
+    """Union the parent schema with the new commit's (ADDITIVE
+    evolution: Iceberg's add-column): shared names must keep their
+    exact type — widening/retyping raises instead of corrupting reads;
+    brand-new columns append after the parent's, old readers of old
+    versions never see them."""
+    from pyspark.sql.types import StructType
+
+    if not parent_json:
+        return new_schema.jsonValue()
+    parent = StructType.fromJson(parent_json)
+    ptypes = {f.name: f.dataType for f in parent.fields}
+    clashes = [
+        f"{f.name}: {ptypes[f.name].simpleString()} -> "
+        f"{f.dataType.simpleString()}"
+        for f in new_schema.fields
+        if f.name in ptypes and f.dataType != ptypes[f.name]
+    ]
+    if clashes:
+        raise ValueError(
+            "schema evolution is additive only; type changes rejected: "
+            + "; ".join(clashes)
+        )
+    out = StructType(list(parent.fields))
+    for f in new_schema.fields:
+        if f.name not in ptypes:
+            out = out.add(f)
+    return out.jsonValue()
+
+
 def snapshot_write(df: DataFrame, table_path: str,
                    mode: str = "append",
                    carry_files: list[str] | None = None,
-                   extra_meta: dict | None = None) -> int:
+                   extra_meta: dict | None = None,
+                   partition_by: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     mode="append": the new version references the parent's files plus
@@ -116,7 +203,19 @@ def snapshot_write(df: DataFrame, table_path: str,
     ``carry_files``: already-committed data files to ALSO reference in
     the new manifest without rewriting them — the splice compaction
     (sources/compaction.py) uses to keep full-sized files in place
-    while replacing the undersized ones."""
+    while replacing the undersized ones.
+
+    ``partition_by``: write THIS commit hive-partitioned by the given
+    columns.  Each commit carries its own spec in the manifest
+    (Iceberg's partition-spec EVOLUTION): earlier commits keep their
+    layout, readers recover each group's partition columns via its own
+    basePath, and partition pruning applies per group — re-speccing a
+    10^12-turn table costs zero rewrites.
+
+    Schema rides inside the manifest and evolves ADDITIVELY on append
+    (or any commit that carries parent files): new columns append,
+    old rows read them as NULL, type changes raise.  A pure overwrite
+    (no carries) resets the schema, like a table replace."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -125,13 +224,11 @@ def snapshot_write(df: DataFrame, table_path: str,
     parent = versions[-1] if versions else 0
     new_v = parent + 1
     commit_dir = f"{table_path}/data/commit-{new_v}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("error").parquet(commit_dir)
-    cd = jvm.org.apache.hadoop.fs.Path(commit_dir)
-    new_files = sorted(
-        str(st.getPath().toString())  # full URI — scheme-portable
-        for st in fs.listStatus(cd)
-        if st.getPath().getName().endswith(".parquet")
-    )
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(commit_dir)
+    new_files = _list_parquet(jvm, fs, commit_dir)
     files = list(new_files)
     carried_deletes = []
     pm = _manifest(jvm, fs, table_path, parent) if parent else {}
@@ -146,6 +243,23 @@ def snapshot_write(df: DataFrame, table_path: str,
     # deleted rows on the next append.
     if parent and (mode == "append" or carry_files):
         carried_deletes = pm.get("delete_files", [])
+    # per-commit partition specs: carry the parent's entries that still
+    # cover a referenced file, then record this commit's own spec
+    keeps_parent = parent and (mode == "append" or carry_files)
+    specs = {
+        b: c for b, c in (pm.get("specs") or {}).items()
+        if keeps_parent and any(f.startswith(b) for f in files)
+    }
+    if partition_by:
+        qualified = str(
+            fs.makeQualified(
+                jvm.org.apache.hadoop.fs.Path(commit_dir)
+            ).toString()
+        )
+        specs[qualified] = list(partition_by)
+    schema_json = _evolved_schema(
+        pm.get("schema") if keeps_parent else None, df.schema
+    )
     manifest = {
         "version": new_v,
         "parent": parent or None,
@@ -158,6 +272,9 @@ def snapshot_write(df: DataFrame, table_path: str,
         # after the commit would reopen the duplicate-replay window)
         **(extra_meta or {}),
     }
+    manifest["schema"] = schema_json
+    if specs:
+        manifest["specs"] = specs
     if carried_deletes:
         manifest["delete_files"] = carried_deletes
     mp = jvm.org.apache.hadoop.fs.Path(
@@ -181,8 +298,13 @@ def snapshot_read(spark: SparkSession, table_path: str,
         raise FileNotFoundError(
             f"version {v} not in {versions} at {table_path}"
         )
-    files = _manifest(jvm, fs, table_path, v)["files"]
-    return spark.read.parquet(*files)
+    m = _manifest(jvm, fs, table_path, v)
+    df = _read_files(spark, m["files"], m.get("specs") or {})
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        df = _align(df, StructType.fromJson(m["schema"]))
+    return df
 
 
 def snapshot_log(spark: SparkSession, table_path: str) -> list[dict]:
@@ -266,8 +388,10 @@ def snapshot_merge(updates: DataFrame, table_path: str,
     versions = _versions(jvm, fs, table_path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_path}")
-    cur_files = _manifest(jvm, fs, table_path, versions[-1])["files"]
-    cur = spark.read.parquet(*cur_files).withColumn(
+    cur_manifest = _manifest(jvm, fs, table_path, versions[-1])
+    cur_files = cur_manifest["files"]
+    cur_specs = cur_manifest.get("specs") or {}
+    cur = snapshot_read(spark, table_path).withColumn(
         "_f", F.input_file_name()
     )
     keys = updates.select(*key_cols).distinct()
@@ -286,13 +410,17 @@ def snapshot_merge(updates: DataFrame, table_path: str,
     }
     affected = sorted(f for f in cur_files if _np(f) in touched)
     carried = [f for f in cur_files if _np(f) not in touched]
-    survivors = (
-        spark.read.parquet(*affected).join(
-            F.broadcast(keys), key_cols, "left_anti"
-        )
-        if affected
-        else updates.limit(0)
-    )
+    if affected:
+        aff = _read_files(spark, affected, cur_specs)
+        if cur_manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            aff = _align(
+                aff, StructType.fromJson(cur_manifest["schema"])
+            )
+        survivors = aff.join(F.broadcast(keys), key_cols, "left_anti")
+    else:
+        survivors = updates.limit(0)
     new_rows = survivors.unionByName(updates)
     v = snapshot_write(
         new_rows, table_path, mode="overwrite", carry_files=carried,
@@ -324,6 +452,17 @@ def snapshot_diff(spark: SparkSession, table_path: str,
 
     a = snapshot_read(spark, table_path, v_from)
     b = snapshot_read(spark, table_path, v_to)
+    # schema evolution between the endpoints: compare on the COLUMN
+    # UNION with typed NULLs for the missing side — an added column is
+    # NULL in both reads of a carried file, so add-column alone diffs
+    # as zero changes (Iceberg changelog semantics: no row rewrite)
+    if set(a.columns) != set(b.columns):
+        from pyspark.sql.types import StructType
+
+        merged = {f.name: f for f in a.schema.fields}
+        merged.update({f.name: f for f in b.schema.fields})
+        union = StructType(list(merged.values()))
+        a, b = _align(a, union), _align(b, union)
     ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
     dele = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
     return ins.unionByName(dele)
@@ -405,17 +544,25 @@ def snapshot_read_mor(spark: SparkSession, table_path: str,
     v = versions[-1] if version is None else int(version)
     m = _manifest(jvm, fs, table_path, v)
     files, dels = m["files"], m.get("delete_files", [])
+    specs = m.get("specs") or {}
     if not dels:
-        return spark.read.parquet(*files)
+        return snapshot_read(spark, table_path, v)
     by_commit: dict[int, list[str]] = {}
     for f in files:
         by_commit.setdefault(_data_commit_version(f), []).append(f)
     parts = []
     for v_d, fl in sorted(by_commit.items()):
-        df = spark.read.parquet(*fl)
+        df = _read_files(spark, fl, specs)
         for d in dels:
             if d["version"] > v_d:
                 kd = spark.read.parquet(*d["paths"])
                 df = df.join(F.broadcast(kd), d["key_cols"], "left_anti")
         parts.append(df)
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    out = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        out = _align(out, StructType.fromJson(m["schema"]))
+    return out
