@@ -3171,6 +3171,37 @@ def q_sax_motifs(spark, sf_dir):
     )
 
 
+def q_decayed_topk(spark, sf_dir):
+    """Exponentially time-decayed top-10 convs per metric (half-life
+    24h, 'now' = table max ts): trending leaderboard where yesterday
+    counts half of today.  Per-event terms snap to centi-cent int64
+    before summation (measured pow margin, bm25 policy); rank window
+    runs on aggregated per-conv rows only."""
+    from timeseriescorrelation_spark.operators.activity import (
+        decayed_leaderboard,
+    )
+
+    return decayed_leaderboard(
+        _series_from_events(spark, sf_dir), half_life_s=86400.0, top_k=10
+    )
+
+
+def q_kanon_report(spark, sf_dir):
+    """k-anonymity release gate over documents: QI = (lang, source,
+    n_chars//100); per k in {2,5,10} the groups/rows below k and the
+    at-risk row share.  One QI hash-agg, thresholds explode on the
+    collapsed group table."""
+    from timeseriescorrelation_spark.operators.privacy import kanon_report
+
+    d = _docs(spark, sf_dir)
+    return kanon_report(
+        d,
+        [F.col("lang"), F.col("source"),
+         F.floor(F.col("n_chars") / 100).cast("long")],
+        ks=[2, 5, 10],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3346,6 +3377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness_daily": q_burstiness_daily,
         "weighted_median": q_weighted_median,
         "sax_motifs": q_sax_motifs,
+        "decayed_topk": q_decayed_topk,
+        "kanon_report": q_kanon_report,
     }
 
 
@@ -7131,5 +7164,46 @@ SELECT sax_word, cast(count(*) AS bigint) AS n_occ,
 FROM words
 WHERE sax_word IS NOT NULL AND n_hours >= 6
 GROUP BY 1 HAVING count(*) >= 2
+""",
+        "decayed_topk": """
+WITH s AS (
+  SELECT event_type AS metric, cast(user_id AS varchar) AS series,
+         epoch_us(ts) AS us, cast(round(value * 100) AS bigint) AS c
+  FROM events
+), mx AS (
+  SELECT max(epoch_us(ts)) AS now_us FROM events
+), per AS (
+  SELECT metric, series,
+         cast(sum(cast(round(cast(c AS double)
+           * pow(2.0, cast(us - (SELECT now_us FROM mx) AS double)
+                       / 86400000000.0)
+           * 100.0) AS bigint)) AS bigint) AS score_cc
+  FROM s GROUP BY 1, 2
+), r AS (
+  SELECT metric, series, score_cc,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY score_cc DESC, series) AS rank
+  FROM per
+)
+SELECT metric, rank, series,
+       round(cast(score_cc AS double) / 10000.0, 4) AS score
+FROM r WHERE rank <= 10
+""",
+        "kanon_report": """
+WITH g AS (
+  SELECT lang, source, n_chars // 100 AS nb,
+         cast(count(*) AS bigint) AS gn
+  FROM documents GROUP BY 1, 2, 3
+), per_k AS (
+  SELECT gn, unnest([2, 5, 10]) AS k FROM g
+)
+SELECT cast(k AS int) AS k, cast(count(*) AS bigint) AS n_groups,
+       cast(sum(CASE WHEN gn < k THEN 1 ELSE 0 END) AS bigint)
+         AS n_groups_below,
+       cast(sum(CASE WHEN gn < k THEN gn ELSE 0 END) AS bigint)
+         AS n_rows_below,
+       round(cast(sum(CASE WHEN gn < k THEN gn ELSE 0 END) AS double)
+             / cast(sum(gn) AS double), 6) AS pct_rows_below
+FROM per_k GROUP BY 1
 """,
     }

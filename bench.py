@@ -164,6 +164,8 @@ HEADLINE_R3 = [
     "burstiness_daily",
     "weighted_median",
     "sax_motifs",
+    "decayed_topk",
+    "kanon_report",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

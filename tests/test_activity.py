@@ -126,3 +126,49 @@ def test_sax_daily_segment_hours_backcompat(spark):
     # linear ramp 0..23, day sigma=6.922: segment-mean z-scores are
     # -1.44,-.87,-.29,+.29,+.87,+1.44 -> symbols a,a,b,c,d,d
     assert w4["n_hours"] == 6 and w4["sax_word"] == "aabcdd"
+
+
+def test_decayed_leaderboard_half_life_weights(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        decayed_leaderboard,
+    )
+
+    # conv A: 100 at "now"; conv B: 150 exactly one half-life earlier
+    # -> decayed 75 < 100, so A ranks first despite the smaller raw sum
+    df = _ev(spark, [
+        ("m", "A", T0 + dt.timedelta(days=1), 0, 100.0),
+        ("m", "B", T0, 1, 150.0),
+    ])
+    out = decayed_leaderboard(df, half_life_s=86400.0, top_k=10).collect()
+    got = [(r["rank"], r["series"], r["score"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, "A", 100.0), (2, "B", 75.0)]
+
+
+def test_decayed_leaderboard_top_k_cut(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        decayed_leaderboard,
+    )
+
+    df = _ev(spark, [("m", f"c{i:02d}", T0, i, float(i)) for i in range(9)])
+    out = decayed_leaderboard(df, top_k=3).collect()
+    assert len(out) == 3
+    assert [r["series"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == ["c08", "c07", "c06"]
+
+
+def test_kanon_report_counts(spark):
+    from timeseriescorrelation_spark.operators.privacy import kanon_report
+
+    # QI groups: (a: 3 rows), (b: 1 row) -> k=2: group b below (1 row);
+    # k=5: both below (4 rows)
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)], "qi string")
+    out = {r["k"]: r for r in kanon_report(df, ["qi"], ks=[2, 5]).collect()}
+    assert out[2]["n_groups"] == 2
+    assert out[2]["n_groups_below"] == 1
+    assert out[2]["n_rows_below"] == 1
+    assert out[2]["pct_rows_below"] == pytest.approx(0.25)
+    assert out[5]["n_groups_below"] == 2
+    assert out[5]["n_rows_below"] == 4
+    assert out[5]["pct_rows_below"] == pytest.approx(1.0)

@@ -204,3 +204,64 @@ def sax_motifs(sax: DataFrame, keys: list[str] | None = None,
         )
         .where(F.col("n_occ") >= 2)
     )
+
+
+def decayed_leaderboard(series: DataFrame, keys: list[str] | None = None,
+                        series_col: str = "conv_id", ts_col: str = "ts",
+                        value_col: str = "value",
+                        half_life_s: float = 86400.0,
+                        top_k: int = 10,
+                        value_decimals: int = 2) -> DataFrame:
+    """Exponentially time-decayed top-k per key: each event contributes
+    value · 2^(−Δt/half_life) with Δt measured back from the table's
+    own max timestamp ("now", broadcast 1-row side) — the standard
+    trending/leaderboard score where yesterday counts half of today.
+    Output (keys..., rank, series, score).
+
+    Cross-engine determinism: Δt is exact integer µs; the exponent is
+    ONE double division by a literal; the per-event term is snapped to
+    CENTI-cent units before summation (round(c·2^x·100) as int64), so
+    the only cross-engine float is pow(2, x).  Margin: a 1-ulp pow
+    disagreement moves the term by ≲1e-16·|term| ≤ 5e-8 centi-cents —
+    five orders below the 0.5 rounding boundary, so the int64 sums
+    (and therefore ranks) match bit-for-bit.  Same measured-margin
+    policy as bm25.py's fixed-point scores.
+
+    Scale notes: one hash-agg keyed (keys, series) with map-side
+    partial int64 sums; the rank window partitions by `keys` over the
+    AGGREGATED per-series rows (bounded by series-per-key, not
+    events), and Spark rewrites the rank≤k filter into
+    WindowGroupLimit so only k rows per key survive the shuffle.
+    """
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    us = epoch_us(F.col(ts_col))
+    now = series.agg(F.max(us).alias("_now_us"))
+    c = F.round(F.col(value_col) * scale).cast("long")
+    expo = (us - F.col("_now_us")).cast("double") / F.lit(
+        float(half_life_s) * 1e6
+    )
+    term = F.round(
+        c.cast("double") * F.pow(F.lit(2.0), expo) * 100.0
+    ).cast("long")
+    per = (
+        series.join(F.broadcast(now))
+        .select(*keys, F.col(series_col).alias("series"),
+                term.alias("t"))
+        .groupBy(*keys, "series")
+        .agg(F.sum("t").alias("score_cc"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("score_cc").desc(), "series"
+    )
+    return (
+        per.select(*keys, "series", "score_cc",
+                   F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            *keys, "rank", "series",
+            F.round(
+                F.col("score_cc").cast("double") / (100.0 * scale), 4
+            ).alias("score"),
+        )
+    )
