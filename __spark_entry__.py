@@ -3202,6 +3202,31 @@ def q_kanon_report(spark, sf_dir):
     )
 
 
+def q_conformal_pvalue(spark, sf_dir):
+    """Conformal anomaly p-value per (metric, day): rank of today's
+    daily mean among the trailing 28 daily means — distribution-free,
+    exact finite-sample validity.  Mean comparisons are integer
+    cross-multiplies (no float mean ever materialized); runs on the
+    metadata-sized daily table."""
+    from timeseriescorrelation_spark.operators.activity import (
+        conformal_pvalue,
+    )
+
+    return conformal_pvalue(_series_from_events(spark, sf_dir))
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Embedding centroid drift between consecutive vec_id//100
+    ingestion batches: exact int64 micro-unit per-dim sums, cosine of
+    consecutive centroids, drift = 1 - cos.  |batches|*d shuffle rows
+    regardless of corpus size."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    return centroid_drift(_embs(spark, sf_dir), batch_size=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3379,6 +3404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_motifs": q_sax_motifs,
         "decayed_topk": q_decayed_topk,
         "kanon_report": q_kanon_report,
+        "conformal_pvalue": q_conformal_pvalue,
+        "centroid_drift": q_centroid_drift,
     }
 
 
@@ -7205,5 +7232,57 @@ SELECT cast(k AS int) AS k, cast(count(*) AS bigint) AS n_groups,
        round(cast(sum(CASE WHEN gn < k THEN gn ELSE 0 END) AS double)
              / cast(sum(gn) AS double), 6) AS pct_rows_below
 FROM per_k GROUP BY 1
+""",
+        "conformal_pvalue": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sc
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.metric, a.day_ts,
+         cast(count(*) AS bigint) AS n_prior,
+         cast(sum(CASE WHEN b.sc * a.n >= a.sc * b.n
+                       THEN 1 ELSE 0 END) AS bigint) AS n_ge
+  FROM d a JOIN d b
+    ON a.metric = b.metric
+   AND date_diff('day', b.day_ts, a.day_ts) BETWEEN 1 AND 28
+  GROUP BY 1, 2
+)
+SELECT d.metric, d.day_ts,
+       cast(coalesce(j.n_prior, 0) AS bigint) AS n_prior,
+       round(cast(1 + coalesce(j.n_ge, 0) AS double)
+             / cast(coalesce(j.n_prior, 0) + 1 AS double), 6) AS p_value,
+       round(cast(1 + coalesce(j.n_ge, 0) AS double)
+             / cast(coalesce(j.n_prior, 0) + 1 AS double), 6) <= 0.05
+         AS is_anomalous
+FROM d LEFT JOIN j USING (metric, day_ts)
+""",
+        "centroid_drift": """
+WITH pd AS (
+  SELECT b, dim, cast(count(*) AS bigint) AS n,
+         cast(sum(c) AS bigint) AS s
+  FROM (
+    SELECT vec_id // 100 AS b,
+           generate_subscripts(embedding, 1) AS dim,
+           cast(round(unnest(embedding::DOUBLE[]) * 1000000.0)
+             AS bigint) AS c
+    FROM embeddings)
+  GROUP BY 1, 2
+), j AS (
+  SELECT cur.b, max(cur.n) AS n_vecs,
+         sum((cast(cur.s AS double) / cast(cur.n AS double))
+             * (cast(prv.s AS double) / cast(prv.n AS double))) AS dot,
+         sum((cast(cur.s AS double) / cast(cur.n AS double))
+             * (cast(cur.s AS double) / cast(cur.n AS double))) AS nn_c,
+         sum((cast(prv.s AS double) / cast(prv.n AS double))
+             * (cast(prv.s AS double) / cast(prv.n AS double))) AS nn_p
+  FROM pd cur JOIN pd prv ON prv.b = cur.b - 1 AND prv.dim = cur.dim
+  GROUP BY 1
+)
+SELECT b AS batch, cast(n_vecs AS bigint) AS n_vecs,
+       round(dot / (sqrt(nn_c) * sqrt(nn_p)), 6) AS cos_prev,
+       round(1 - dot / (sqrt(nn_c) * sqrt(nn_p)), 6) AS drift
+FROM j
 """,
     }

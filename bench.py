@@ -166,6 +166,8 @@ HEADLINE_R3 = [
     "sax_motifs",
     "decayed_topk",
     "kanon_report",
+    "conformal_pvalue",
+    "centroid_drift",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

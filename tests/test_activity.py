@@ -172,3 +172,54 @@ def test_kanon_report_counts(spark):
     assert out[5]["n_groups_below"] == 2
     assert out[5]["n_rows_below"] == 4
     assert out[5]["pct_rows_below"] == pytest.approx(1.0)
+
+
+def test_conformal_pvalue_exact_ranks(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        conformal_pvalue,
+    )
+
+    # daily means: d0=1, d1=5, d2=3.  d0: no prior -> p=1.
+    # d1: prior {1}, n_ge=0 -> p=1/2.  d2: prior {1,5}, n_ge=1 -> p=2/3.
+    rows = [("m", "A", T0 + dt.timedelta(days=d, hours=1), d, float(v))
+            for d, v in [(0, 1), (1, 5), (2, 3)]]
+    out = {r["day_ts"].day: r for r in
+           conformal_pvalue(_ev(spark, rows)).collect()}
+    assert out[1]["n_prior"] == 0 and out[1]["p_value"] == 1.0
+    assert out[2]["n_prior"] == 1 and out[2]["p_value"] == 0.5
+    assert out[3]["n_prior"] == 2 and out[3]["p_value"] == pytest.approx(
+        round(2 / 3, 6))
+    assert not out[3]["is_anomalous"]
+
+
+def test_conformal_window_bound(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        conformal_pvalue,
+    )
+
+    # a day 40 days back must NOT count toward a 28-day window
+    rows = [("m", "A", T0, 0, 9.0),
+            ("m", "A", T0 + dt.timedelta(days=40), 1, 1.0)]
+    out = {r["day_ts"]: r for r in
+           conformal_pvalue(_ev(spark, rows)).collect()}
+    assert out[T0 + dt.timedelta(days=40)]["n_prior"] == 0
+
+
+def test_centroid_drift_identical_batches_zero(spark):
+    from timeseriescorrelation_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    # batches 0 and 1 share the same centroid -> cos 1, drift 0;
+    # batch 2 is orthogonal -> cos 0, drift 1.
+    rows = ([(i, [1.0, 0.0]) for i in range(4)]          # batch 0
+            + [(4 + i, [1.0, 0.0]) for i in range(4)]    # batch 1
+            + [(8 + i, [0.0, 2.0]) for i in range(4)])   # batch 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["batch"]: r for r in centroid_drift(df, batch_size=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["cos_prev"] == pytest.approx(1.0)
+    assert out[1]["drift"] == pytest.approx(0.0)
+    assert out[2]["cos_prev"] == pytest.approx(0.0)
+    assert out[2]["drift"] == pytest.approx(1.0)
+    assert out[1]["n_vecs"] == 4

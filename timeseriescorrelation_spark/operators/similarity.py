@@ -824,3 +824,56 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("rank") <= int(k))
         .select("qid", "rank", F.col("vec_id").alias("nid"), "score")
     )
+
+
+def centroid_drift(emb: DataFrame, batch_size: int = 200,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Ingestion-batch embedding drift: cosine between consecutive
+    batch centroids — (batch, n_vecs, cos_prev, drift) with
+    drift = 1 − cos.  The monitor that catches "the encoder changed"
+    or "the corpus mix shifted" before a retrain consumes the data.
+
+    Batches are `id_col // batch_size` (deterministic pseudo-time; at
+    100 TB pass a real ingestion-commit column instead).  Determinism:
+    per-dim sums are EXACT int64 micro-units (round(x·10⁶) — float
+    inputs widen to double identically in both engines first), so
+    centroids are one double division per (batch, dim); the dot/norm
+    accumulations are double sums over d=|dims| terms, snapped at 6dp
+    like emb_centroid's norm.
+
+    Scale notes: one hash-agg shuffles |batches|·d rows regardless of
+    vector count (map-side partial sums); the consecutive-batch join
+    is an equi-join on (batch, dim) of that metadata-sized table.
+    """
+    per_dim = (
+        emb.select(
+            (F.col(id_col) / F.lit(int(batch_size)))
+            .cast("long").alias("b"),
+            F.posexplode(_to_double(F.col(vec_col))).alias("dim", "x"),
+        )
+        .groupBy("b", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+        )
+    )
+    cur = per_dim.select(
+        "b", "dim", F.col("n").alias("nc"), F.col("s").alias("sc"))
+    prev = per_dim.select(
+        (F.col("b") + 1).alias("b"), "dim",
+        F.col("n").alias("np"), F.col("s").alias("sp"))
+    mc = F.col("sc").cast("double") / F.col("nc").cast("double")
+    mp = F.col("sp").cast("double") / F.col("np").cast("double")
+    j = cur.join(prev, ["b", "dim"]).groupBy("b").agg(
+        F.max("nc").alias("n_vecs"),
+        F.sum(mc * mp).alias("dot"),
+        F.sum(mc * mc).alias("nn_c"),
+        F.sum(mp * mp).alias("nn_p"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("nn_c")) * F.sqrt(F.col("nn_p")))
+    return j.select(
+        F.col("b").alias("batch"), "n_vecs",
+        F.round(cos, 6).alias("cos_prev"),
+        F.round(1 - cos, 6).alias("drift"),
+    )
