@@ -3227,6 +3227,20 @@ def q_centroid_drift(spark, sf_dir):
     return centroid_drift(_embs(spark, sf_dir), batch_size=100)
 
 
+def q_ann_dim_ablation(spark, sf_dir):
+    """Matryoshka dimension ablation: overlap@10 between full-64d and
+    first-32d (re-normalized) cosine rankings for the 5 sample queries
+    -- the 'can we store half the dims?' go/no-go.  Two brute scans
+    over broadcast queries, exact integer overlap."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        dim_ablation_overlap,
+    )
+
+    return dim_ablation_overlap(
+        _embs(spark, sf_dir), n_queries=5, k=10, keep_dims=32
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3406,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_report": q_kanon_report,
         "conformal_pvalue": q_conformal_pvalue,
         "centroid_drift": q_centroid_drift,
+        "ann_dim_ablation": q_ann_dim_ablation,
     }
 
 
@@ -7284,5 +7299,42 @@ SELECT b AS batch, cast(n_vecs AS bigint) AS n_vecs,
        round(dot / (sqrt(nn_c) * sqrt(nn_p)), 6) AS cos_prev,
        round(1 - dot / (sqrt(nn_c) * sqrt(nn_p)), 6) AS drift
 FROM j
+""",
+        "ann_dim_ablation": f"""
+WITH {_UV_CTE},
+tv AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:32] AS t FROM embeddings
+), ut AS (
+  SELECT vec_id,
+         list_transform(t, x -> x / sqrt(list_dot_product(t, t))) AS v
+  FROM tv
+), fullk AS (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                      c.vec_id) AS r
+    FROM uv q JOIN uv c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE r <= 10
+), partk AS (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                      c.vec_id) AS r
+    FROM ut q JOIN ut c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE r <= 10
+), hits AS (
+  SELECT f.qid, cast(count(*) AS bigint) AS n_overlap
+  FROM fullk f JOIN partk p ON f.qid = p.qid AND f.nid = p.nid
+  GROUP BY 1
+)
+SELECT b.qid, cast(10 AS int) AS k,
+       cast(coalesce(h.n_overlap, 0) AS bigint) AS n_overlap,
+       round(cast(coalesce(h.n_overlap, 0) AS double) / 10.0, 6)
+         AS overlap_frac
+FROM (SELECT DISTINCT qid FROM fullk) b LEFT JOIN hits h USING (qid)
 """,
     }

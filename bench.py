@@ -168,6 +168,7 @@ HEADLINE_R3 = [
     "kanon_report",
     "conformal_pvalue",
     "centroid_drift",
+    "ann_dim_ablation",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

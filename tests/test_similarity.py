@@ -260,3 +260,37 @@ def test_ivf_pq_recall(spark):
 
     assert recall(8) >= 0.95
     assert recall(4) >= 0.6
+
+
+def test_dim_ablation_full_dims_is_identity(spark):
+    """keep_dims = d reproduces the full ranking: overlap@k == k."""
+    import numpy as np
+    from timeseriescorrelation_spark.operators.similarity import (
+        dim_ablation_overlap,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).astype(float).tolist())
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dim_ablation_overlap(df, n_queries=3, k=5, keep_dims=8).collect()
+    assert len(out) == 3
+    assert all(r["n_overlap"] == 5 and r["overlap_frac"] == 1.0
+               for r in out)
+
+
+def test_dim_ablation_discriminating_prefix(spark):
+    """Vectors whose identity lives in the FIRST dims keep overlap 1.0
+    under truncation; vectors differing only in the TAIL dims lose it."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        dim_ablation_overlap,
+    )
+
+    # corpus: 10 vectors identical in dims 0-1, unique in dims 2-3
+    rows = [(i, [1.0, 1.0, float(i), float(i % 3)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dim_ablation_overlap(df, n_queries=2, k=3, keep_dims=2).collect()
+    # truncated space collapses everything onto one direction: ranking
+    # degenerates to id order, so overlap is strictly below 1 for at
+    # least one query (the tail carried all the signal)
+    assert any(r["overlap_frac"] < 1.0 for r in out)

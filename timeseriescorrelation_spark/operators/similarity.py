@@ -877,3 +877,77 @@ def centroid_drift(emb: DataFrame, batch_size: int = 200,
         F.round(cos, 6).alias("cos_prev"),
         F.round(1 - cos, 6).alias("drift"),
     )
+
+
+def dim_ablation_overlap(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                         keep_dims: int | None = None,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style dimension ablation: for each query, the overlap
+    between the full-dimension cosine top-k and the top-k computed on
+    the first `keep_dims` dimensions (re-normalized) —
+    (qid, k, n_overlap, overlap_frac).  The go/no-go measurement for
+    "can we store half the dims?": overlap@k ≈ 1 means the truncated
+    index preserves retrieval; the ablation costs two brute scans over
+    the SAMPLE queries, never a rebuild.
+
+    Determinism: both scores are in-row ordered folds (same shape as
+    ann_topk) rounded to 6dp BEFORE ranking, ranks tie-break on
+    candidate id, overlap is exact integer set intersection.
+
+    Scale notes: query side is `n_queries` rows broadcast twice; each
+    scan is one pass over the corpus with an O(d) in-row fold; the
+    overlap join touches 2·k rows per query.
+    """
+    u_full = with_unit_vectors(emb, vec_col, id_col)
+    d = emb.select(
+        F.size(_to_double(F.col(vec_col))).alias("d")
+    ).first()["d"]
+    kd = keep_dims if keep_dims is not None else d // 2
+    trunc = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.slice(_to_double(F.col(vec_col)), 1, int(kd)).alias("_tv"),
+    )
+    u_trunc = (
+        trunc.withColumn("_n", _norm(F.col("_tv")))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_tv"), lambda x: x / F.col("_n")),
+            ).otherwise(
+                F.transform(F.col("_tv"), lambda x: x * F.lit(0.0))
+            ).alias("v"),
+        )
+    )
+
+    def _topk(u):
+        q = u.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        c = u.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+        scored = (
+            c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+            .select(
+                "qid", "nid",
+                F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+        return scored.select(
+            "qid", "nid", F.row_number().over(w).alias("r")
+        ).where(F.col("r") <= int(k))
+
+    full = _topk(u_full).select("qid", "nid")
+    part = _topk(u_trunc).select("qid", "nid")
+    hits = full.join(part, ["qid", "nid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    base = full.groupBy("qid").agg(F.count(F.lit(1)).alias("_kk"))
+    return base.join(hits, "qid", "left").select(
+        "qid", F.lit(int(k)).alias("k"),
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0)).cast("double")
+            / F.col("_kk").cast("double"), 6
+        ).alias("overlap_frac"),
+    )
