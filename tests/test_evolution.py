@@ -140,3 +140,77 @@ def test_compaction_preserves_partition_values(spark, tmp_path):
     got = sorted((r["day"], r["v"])
                  for r in snapshot_read(spark, t).collect())
     assert got == [("d1", 1), ("d2", 2), ("d3", 3)]
+
+
+def test_file_skipping_scan_prunes_by_footer_stats(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        scan_plan,
+        snapshot_scan,
+    )
+
+    t = f"{tmp_path}/t"
+    # three commits with disjoint day ranges, stats on 'day'
+    for lo in (0, 10, 20):
+        snapshot_write(
+            _df(spark, [(lo + i, f"r{lo + i}") for i in range(5)],
+                "day long, s string").coalesce(1),
+            t, stat_cols=["day"],
+        )
+    plan = scan_plan(spark, t, {"day": (11, 13)})
+    assert plan["total"] == 3 and plan["skipped"] == 2
+    got = sorted(
+        r["day"] for r in
+        snapshot_scan(spark, t, {"day": (11, 13)})
+        .where(F.col("day").between(11, 13)).collect()
+    )
+    assert got == [11, 12, 13]
+    # open-ended bound: day >= 20 keeps only the last commit
+    assert scan_plan(spark, t, {"day": (20, None)})["skipped"] == 2
+
+
+def test_file_skipping_uses_partition_values(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import scan_plan
+
+    t = f"{tmp_path}/t"
+    snapshot_write(
+        _df(spark, [("d1", 1), ("d2", 2), ("d3", 3)],
+            "day string, v long").repartition("day"),
+        t, partition_by=["day"],
+    )
+    # no footer stats collected (partition col not in data files) --
+    # the plan prunes from the partition-directory values instead
+    plan = scan_plan(spark, t, {"day": ("d2", "d2")})
+    assert plan["skipped"] >= 1
+    assert any("day=d2" in f for f in plan["files"])
+    assert not any("day=d1" in f for f in plan["files"])
+
+
+def test_scan_without_stats_keeps_everything(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import scan_plan
+
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "a")], "day long, s string"), t)
+    plan = scan_plan(spark, t, {"day": (99, 99)})
+    assert plan["skipped"] == 0 and len(plan["files"]) == plan["total"]
+
+
+def test_string_and_timestamp_stats_prune(spark, tmp_path):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.sources.snapshots import scan_plan
+
+    t = f"{tmp_path}/t"
+    t0 = dt.datetime(2024, 1, 1)
+    snapshot_write(
+        _df(spark, [(t0, "apple")], "ts timestamp, s string")
+        .coalesce(1), t, stat_cols=["ts", "s"],
+    )
+    snapshot_write(
+        _df(spark, [(t0 + dt.timedelta(days=30), "zebra")],
+            "ts timestamp, s string").coalesce(1), t,
+        stat_cols=["ts", "s"],
+    )
+    assert scan_plan(
+        spark, t, {"ts": (dt.datetime(2024, 1, 20), None)}
+    )["skipped"] == 1
+    assert scan_plan(spark, t, {"s": ("a", "m")})["skipped"] == 1

@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INT96 (the legacy default) writes NO parquet min/max stats,
+        # which blinds manifest-level file skipping (snapshots.scan_plan)
+        # and every other engine's row-group pruning on ts columns
+        .config("spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

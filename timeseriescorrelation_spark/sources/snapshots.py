@@ -192,7 +192,8 @@ def snapshot_write(df: DataFrame, table_path: str,
                    mode: str = "append",
                    carry_files: list[str] | None = None,
                    extra_meta: dict | None = None,
-                   partition_by: list[str] | None = None) -> int:
+                   partition_by: list[str] | None = None,
+                   stat_cols: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     mode="append": the new version references the parent's files plus
@@ -260,6 +261,18 @@ def snapshot_write(df: DataFrame, table_path: str,
     schema_json = _evolved_schema(
         pm.get("schema") if keeps_parent else None, df.schema
     )
+    # per-file min/max column stats (Iceberg's data-skipping metadata):
+    # new files read their own parquet footers driver-side (O(|files|)
+    # metadata IO); surviving parent files carry their stats forward
+    file_stats = {
+        f: s for f, s in (pm.get("file_stats") or {}).items()
+        if keeps_parent and f in set(files)
+    }
+    if stat_cols:
+        for f in new_files:
+            s = _footer_stats(f, stat_cols)
+            if s:
+                file_stats[f] = s
     manifest = {
         "version": new_v,
         "parent": parent or None,
@@ -273,6 +286,8 @@ def snapshot_write(df: DataFrame, table_path: str,
         **(extra_meta or {}),
     }
     manifest["schema"] = schema_json
+    if file_stats:
+        manifest["file_stats"] = file_stats
     if specs:
         manifest["specs"] = specs
     if carried_deletes:
@@ -566,3 +581,137 @@ def snapshot_read_mor(spark: SparkSession, table_path: str,
 
         out = _align(out, StructType.fromJson(m["schema"]))
     return out
+
+
+def _stat_value(v):
+    """JSON-safe, order-preserving stat encoding: numerics unchanged,
+    datetimes → ISO strings (lexicographic == chronological), bytes
+    dropped (no total order worth pruning on)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) \
+            else v.isoformat()
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _footer_stats(uri: str, cols: list[str]) -> dict:
+    """Per-file min/max from the parquet footer (driver-side metadata
+    read, the same bytes Iceberg caches in its manifests).  Only
+    file:// URIs are read here; other schemes return {} (stats are an
+    optimization, never a correctness dependency)."""
+    import re
+
+    local = re.sub(r"^file:/+", "/", uri)
+    if local == uri and "://" in uri:
+        return {}
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _stat_value(st.min), _stat_value(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
+def scan_plan(spark: SparkSession, table_path: str,
+              prune: dict[str, tuple], version: int | None = None) -> dict:
+    """File-skipping plan for a range-pruned scan: which manifest files
+    can be PROVEN irrelevant by their min/max column stats (or their
+    partition-directory values), Iceberg's data-skipping contract —
+    skipping is a file-level SUPERSET guarantee, the row filter still
+    applies on read.  ``prune`` maps column → (lo, hi) inclusive
+    bounds, either side None.  Files without stats for a column are
+    always kept.  Returns {"files": kept, "skipped": n, "total": n}.
+    """
+    from urllib.parse import unquote
+
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    v = versions[-1] if version is None else int(version)
+    m = _manifest(jvm, fs, table_path, v)
+    stats = m.get("file_stats", {})
+    specs = m.get("specs") or {}
+    norm = {
+        c: (_stat_value(lo) if lo is not None else None,
+            _stat_value(hi) if hi is not None else None)
+        for c, (lo, hi) in prune.items()
+    }
+
+    def _bounds(f: str, col: str):
+        s = stats.get(f, {}).get(col)
+        if s:
+            return s[0], s[1]
+        for base, cols in specs.items():
+            if f.startswith(base) and col in cols:
+                for seg in f[len(base):].split("/"):
+                    if seg.startswith(col + "="):
+                        val = unquote(seg[len(col) + 1:])
+                        lo = norm[col][0]
+                        if isinstance(lo, (int, float)) or isinstance(
+                                norm[col][1], (int, float)):
+                            try:
+                                fv = float(val)
+                                return fv, fv
+                            except ValueError:
+                                return None, None
+                        return val, val
+        return None, None
+
+    kept = []
+    for f in m["files"]:
+        drop = False
+        for col, (lo, hi) in norm.items():
+            mn, mx = _bounds(f, col)
+            if mn is None:
+                continue
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return {"files": kept, "skipped": len(m["files"]) - len(kept),
+            "total": len(m["files"])}
+
+
+def snapshot_scan(spark: SparkSession, table_path: str,
+                  prune: dict[str, tuple],
+                  version: int | None = None) -> DataFrame:
+    """snapshot_read restricted to the scan_plan's surviving files —
+    manifest-stat file skipping before Spark ever plans the scan.
+    Apply the row-level filter on the result as usual (the plan is a
+    superset; Spark's own predicate pushdown handles the rest)."""
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    v = versions[-1] if version is None else int(version)
+    m = _manifest(jvm, fs, table_path, v)
+    plan = scan_plan(spark, table_path, prune, version=v)
+    if not plan["files"]:
+        return snapshot_read(spark, table_path, v).limit(0)
+    df = _read_files(spark, plan["files"], m.get("specs") or {})
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        df = _align(df, StructType.fromJson(m["schema"]))
+    return df
