@@ -214,3 +214,92 @@ def test_string_and_timestamp_stats_prune(spark, tmp_path):
         spark, t, {"ts": (dt.datetime(2024, 1, 20), None)}
     )["skipped"] == 1
     assert scan_plan(spark, t, {"s": ("a", "m")})["skipped"] == 1
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        publish_staged,
+        snapshot_log,
+        snapshot_read_staged,
+    )
+
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "ok")], "id long, s string"), t)
+    h = snapshot_write(
+        _df(spark, [(2, "pending")], "id long, s string"), t, staged=True
+    )
+    assert isinstance(h, str) and h.startswith("staged-")
+    # audit: published readers see only v1; the staged read sees both
+    assert snapshot_read(spark, t).count() == 1
+    assert snapshot_read_staged(spark, t, h).count() == 2
+    v = publish_staged(spark, t, h)
+    assert v == 2
+    assert snapshot_read(spark, t).count() == 2
+    assert [e["operation"] for e in snapshot_log(spark, t)] \
+        == ["append", "append"]
+
+
+def test_wap_publish_refuses_stale_base(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        publish_staged,
+    )
+
+    t = f"{tmp_path}/t"
+    snapshot_write(_df(spark, [(1, "a")], "id long, s string"), t)
+    h = snapshot_write(
+        _df(spark, [(2, "b")], "id long, s string"), t, staged=True
+    )
+    # head moves while the audit runs
+    snapshot_write(_df(spark, [(3, "c")], "id long, s string"), t)
+    with pytest.raises(ValueError, match="re-stage"):
+        publish_staged(spark, t, h)
+    # the interloper is visible; the stale staged rows never land
+    assert snapshot_read(spark, t).count() == 2
+
+
+def test_tags_resolve_and_pin_against_expiry(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        expire_snapshots,
+        snapshot_tag,
+    )
+
+    t = f"{tmp_path}/t"
+    for i in range(4):
+        snapshot_write(
+            _df(spark, [(i, f"r{i}")], "id long, s string"), t,
+            mode="overwrite",
+        )
+    snapshot_tag(spark, t, "model-aug", version=2)
+    assert {r["id"] for r in
+            snapshot_read(spark, t, version="model-aug").collect()} == {1}
+    res = expire_snapshots(spark, t, keep_last=1)
+    # v2 is tagged: survives although keep_last=1; v1 and v3 reaped
+    assert 2 not in res["expired_versions"]
+    assert set(res["expired_versions"]) == {1, 3}
+    assert snapshot_read(spark, t, version="model-aug").count() == 1
+
+
+def test_metadata_tables(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_files_table,
+        snapshot_history_table,
+    )
+
+    t = f"{tmp_path}/t"
+    snapshot_write(
+        _df(spark, [(1, "a")], "id long, s string").coalesce(1), t,
+        stat_cols=["id"],
+    )
+    snapshot_write(
+        _df(spark, [("d1", 2, "b")], "day string, id long, s string")
+        .coalesce(1), t, partition_by=["day"],
+    )
+    ft = snapshot_files_table(spark, t).collect()
+    assert len(ft) == 2
+    by_v = {r["committed_version"]: r for r in ft}
+    assert by_v[1]["has_stats"] and by_v[1]["partition_spec"] == ""
+    assert by_v[2]["partition_spec"] == "day"
+    assert all(r["size_bytes"] > 0 for r in ft)
+    ht = snapshot_history_table(spark, t).collect()
+    assert [(r["version"], r["operation"]) for r in ht] \
+        == [(1, "append"), (2, "append")]

@@ -193,7 +193,8 @@ def snapshot_write(df: DataFrame, table_path: str,
                    carry_files: list[str] | None = None,
                    extra_meta: dict | None = None,
                    partition_by: list[str] | None = None,
-                   stat_cols: list[str] | None = None) -> int:
+                   stat_cols: list[str] | None = None,
+                   staged: bool = False) -> int | str:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     mode="append": the new version references the parent's files plus
@@ -292,6 +293,20 @@ def snapshot_write(df: DataFrame, table_path: str,
         manifest["specs"] = specs
     if carried_deletes:
         manifest["delete_files"] = carried_deletes
+    if staged:
+        # write-audit-publish: the manifest lands OUTSIDE the version
+        # sequence (staged-<id>.json — _versions only counts v*.json),
+        # so no reader sees it until publish_staged promotes it.  The
+        # intended parent rides along for optimistic-concurrency
+        # validation at publish time.
+        handle = f"staged-{uuid.uuid4().hex[:12]}"
+        manifest["staged"] = True
+        manifest["intended_parent"] = parent or None
+        sp = jvm.org.apache.hadoop.fs.Path(
+            table_path, f"{SNAP_DIR}/{handle}.json"
+        )
+        _write_text_atomic(jvm, fs, sp, json.dumps(manifest, indent=1))
+        return handle
     mp = jvm.org.apache.hadoop.fs.Path(
         table_path, f"{SNAP_DIR}/v{new_v}.json"
     )
@@ -300,14 +315,22 @@ def snapshot_write(df: DataFrame, table_path: str,
 
 
 def snapshot_read(spark: SparkSession, table_path: str,
-                  version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: latest committed).  The
+                  version: int | str | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest committed; a
+    string resolves through the named refs — snapshot_tag).  The
     plan reads EXACTLY the manifest's files — uncommitted or expired
     data directories are invisible."""
     jvm, fs, _ = _fs(spark, table_path)
     versions = _versions(jvm, fs, table_path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_path}")
+    if isinstance(version, str):
+        refs = snapshot_refs(spark, table_path)
+        if version not in refs:
+            raise FileNotFoundError(
+                f"no ref {version!r} at {table_path} (refs: {refs})"
+            )
+        version = refs[version]
     v = versions[-1] if version is None else int(version)
     if v not in versions:
         raise FileNotFoundError(
@@ -346,8 +369,12 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         raise ValueError("keep_last must be >= 1")
     jvm, fs, _ = _fs(spark, table_path)
     versions = _versions(jvm, fs, table_path)
-    expire = versions[:-keep_last]
-    keep = versions[-keep_last:]
+    # tagged versions are pinned: a ref names a snapshot someone must
+    # be able to reproduce (e.g. "the data the August model trained
+    # on") — expiry skips them and the files they reference
+    tagged = set(snapshot_refs(spark, table_path).values())
+    expire = [v for v in versions[:-keep_last] if v not in tagged]
+    keep = [v for v in versions if v not in expire]
     def _all_paths(m):
         out = list(m["files"])
         for d in m.get("delete_files", []):
@@ -715,3 +742,144 @@ def snapshot_scan(spark: SparkSession, table_path: str,
 
         df = _align(df, StructType.fromJson(m["schema"]))
     return df
+
+
+def snapshot_read_staged(spark: SparkSession, table_path: str,
+                         handle: str) -> DataFrame:
+    """Read a STAGED (unpublished) commit for auditing — the 'audit'
+    step of write-audit-publish.  Published readers never see this
+    data; run the DQ suite here, then publish_staged or abandon."""
+    jvm, fs, _ = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/{handle}.json"
+    )
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no staged commit {handle}")
+    m = json.loads(_read_text(jvm, fs, p))
+    df = _read_files(spark, m["files"], m.get("specs") or {})
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        df = _align(df, StructType.fromJson(m["schema"]))
+    return df
+
+
+def publish_staged(spark: SparkSession, table_path: str,
+                   handle: str) -> int:
+    """Promote a staged commit into the version sequence atomically —
+    the 'publish' step of write-audit-publish.  Optimistic
+    concurrency: if the table head moved since staging, the publish
+    REFUSES (ValueError) rather than silently rebasing a file list
+    that was validated against a different parent — re-stage on the
+    new head instead.  Returns the published version."""
+    jvm, fs, _ = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/{handle}.json"
+    )
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no staged commit {handle}")
+    m = json.loads(_read_text(jvm, fs, p))
+    versions = _versions(jvm, fs, table_path)
+    head = versions[-1] if versions else None
+    if m.get("intended_parent") != head:
+        raise ValueError(
+            f"table head moved (staged against {m.get('intended_parent')}, "
+            f"head is {head}): audit was run on a stale base -- re-stage"
+        )
+    new_v = (head or 0) + 1
+    m.pop("staged", None)
+    m.pop("intended_parent", None)
+    m["version"] = new_v
+    mp = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/v{new_v}.json"
+    )
+    _write_text_atomic(jvm, fs, mp, json.dumps(m, indent=1))
+    fs.delete(p, False)
+    return new_v
+
+
+def _refs_path(jvm, table_path: str):
+    return jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/refs.json"
+    )
+
+
+def snapshot_refs(spark: SparkSession, table_path: str) -> dict:
+    """Named refs (tags): {name: version}.  Tags pin a version against
+    expiry — 'the snapshot the August model trained on' stays
+    reproducible however many retention cycles pass."""
+    jvm, fs, _ = _fs(spark, table_path)
+    p = _refs_path(jvm, table_path)
+    if not fs.exists(p):
+        return {}
+    return json.loads(_read_text(jvm, fs, p))
+
+
+def snapshot_tag(spark: SparkSession, table_path: str, name: str,
+                 version: int | None = None) -> int:
+    """Tag ``version`` (default: current head) with ``name``.  Tags
+    resolve in snapshot_read(version="name") and are excluded from
+    expire_snapshots' reaping."""
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    refs = snapshot_refs(spark, table_path)
+    refs[name] = v
+    # atomic rename makes rewrite safe; last writer wins like Iceberg's
+    # ref update
+    _write_text_atomic(
+        jvm, fs, _refs_path(jvm, table_path),
+        json.dumps(refs, indent=1),
+    )
+    return v
+
+
+def snapshot_files_table(spark: SparkSession, table_path: str,
+                         version: int | None = None) -> DataFrame:
+    """Iceberg's `table.files` metadata table: one row per data file of
+    the given version — path, commit version, size, partition spec,
+    whether footer stats are cached.  Driver-built (metadata-sized)."""
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    v = versions[-1] if version is None else int(version)
+    m = _manifest(jvm, fs, table_path, v)
+    stats = m.get("file_stats", {})
+    specs = m.get("specs") or {}
+    rows = []
+    for f in m["files"]:
+        spec = next(
+            (",".join(c) for b, c in specs.items() if f.startswith(b)), ""
+        )
+        size = fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f)
+        ).getLen()
+        rows.append((f, _data_commit_version(f), int(size), spec,
+                     f in stats))
+    return spark.createDataFrame(
+        rows,
+        "path string, committed_version int, size_bytes long, "
+        "partition_spec string, has_stats boolean",
+    )
+
+
+def snapshot_history_table(spark: SparkSession,
+                           table_path: str) -> DataFrame:
+    """Iceberg's `table.history`/`table.snapshots`: the commit log as a
+    DataFrame (version, parent, operation, added/total files, staged
+    commits excluded by construction)."""
+    rows = [
+        (h["version"], h["parent"], h["operation"], h["added_files"],
+         h["total_files"])
+        for h in snapshot_log(spark, table_path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, operation string, added_files int, "
+        "total_files int",
+    )
