@@ -2531,6 +2531,20 @@ def q_granger_gain(spark, sf_dir):
     )
 
 
+def q_mutual_info(spark, sf_dir):
+    """Pairwise mutual information between metrics over co-occurring
+    hours: hourly means quartile-binned with ntile (exact integer rank
+    over a deterministic (mean, hour) order), MI summed from
+    micro-nat-snapped terms over exact integer count ratios."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        mutual_information_pairs,
+    )
+
+    return mutual_information_pairs(
+        _series_from_events(spark, sf_dir), key_col="metric"
+    ).where(F.col("n_hours") >= 24)
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov per (metric, day) vs the previous
     day: D maximized over the exact integer numerator
@@ -3380,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "corr_matrix_daily": q_corr_matrix_daily,
         "granger_gain": q_granger_gain,
+        "mutual_info": q_mutual_info,
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
@@ -6342,6 +6357,50 @@ SELECT metric_x, metric_y, cast(n AS bigint) AS n,
              - (CASE WHEN cyy > 0 AND c11 > 0
                 THEN c1y * c1y / (cyy * c11) END), 6) AS gain
 FROM c
+""",
+        "mutual_info": """
+WITH h AS (
+  SELECT event_type AS m, date_trunc('hour', ts) AS hh,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sc
+  FROM events GROUP BY 1, 2
+), bn AS (
+  SELECT m, hh,
+         ntile(4) OVER (PARTITION BY m
+                        ORDER BY cast(sc AS double) / cast(n AS double),
+                                 hh) AS b
+  FROM h
+), p AS (
+  SELECT x.m AS mx, y.m AS my, x.b AS bx, y.b AS byy
+  FROM bn x JOIN bn y ON x.hh = y.hh AND x.m < y.m
+), joint AS (
+  SELECT mx, my, bx, byy, cast(count(*) AS bigint) AS cxy
+  FROM p GROUP BY 1, 2, 3, 4
+), margx AS (
+  SELECT mx, my, bx, cast(count(*) AS bigint) AS cx
+  FROM p GROUP BY 1, 2, 3
+), margy AS (
+  SELECT mx, my, byy, cast(count(*) AS bigint) AS cy
+  FROM p GROUP BY 1, 2, 3
+), tot AS (
+  SELECT mx, my, cast(count(*) AS bigint) AS nn
+  FROM p GROUP BY 1, 2
+), g AS (
+  SELECT j.mx, j.my, t.nn,
+         cast(round(cast(j.cxy AS double) / cast(t.nn AS double)
+                    * ln(cast(j.cxy * t.nn AS double)
+                         / cast(x.cx * y.cy AS double))
+                    * 1000000) AS bigint) AS term_u
+  FROM joint j
+  JOIN margx x ON j.mx = x.mx AND j.my = x.my AND j.bx = x.bx
+  JOIN margy y ON j.mx = y.mx AND j.my = y.my AND j.byy = y.byy
+  JOIN tot t ON j.mx = t.mx AND j.my = t.my
+)
+SELECT mx AS metric_x, my AS metric_y,
+       cast(max(nn) AS bigint) AS n_hours,
+       cast(sum(term_u) AS bigint) AS mi_u,
+       round(cast(sum(term_u) AS double) / 1000000.0, 6) AS mi_nats
+FROM g GROUP BY 1, 2 HAVING max(nn) >= 24
 """,
         "ks_drift": """
 WITH pt AS (

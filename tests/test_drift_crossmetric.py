@@ -231,3 +231,31 @@ def test_changepoints_multi_respects_min_seg(spark):
     ).collect()
     assert sorted(r.n for r in got) == [4, 8]
     assert all(r.n >= 4 for r in got)
+
+
+def test_mutual_info_identity_and_independence(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        mutual_information_pairs,
+    )
+
+    # 96 hourly points.  "a" and "b" are byte-identical series -> the
+    # 4-bin joint is diagonal and MI = ln(4) exactly (24 per bin).
+    # "x" cycles its quartile every hour and "z" every 4 hours so the
+    # joint distribution is the exact product of marginals (6 = 24*24/96
+    # in every cell) -> MI = 0 exactly.
+    rows = []
+    for h in range(96):
+        v = float(h)
+        rows.append(("c", "a", T0 + dt.timedelta(hours=h), h, v))
+        rows.append(("c", "b", T0 + dt.timedelta(hours=h), h, v))
+        rows.append(("c", "x", T0 + dt.timedelta(hours=h), h,
+                     float(h % 4) * 10.0))
+        rows.append(("c", "z", T0 + dt.timedelta(hours=h), h,
+                     float((h // 4) % 4) * 10.0))
+    got = {
+        (r.metric_x, r.metric_y): r
+        for r in mutual_information_pairs(_series(spark, rows)).collect()
+    }
+    assert abs(got[("a", "b")].mi_nats - math.log(4)) < 1e-5
+    assert got[("x", "z")].mi_u == 0
+    assert got[("a", "b")].n_hours == 96

@@ -184,3 +184,91 @@ def granger_gain(series: DataFrame, key: str = "metric",
         F.round(r2_f, 6).alias("r2_full"),
         F.round(r2_f - r2_r, 6).alias("gain"),
     )
+
+
+def mutual_information_pairs(series: DataFrame,
+                             key_col: str = "metric",
+                             ts_col: str = "ts",
+                             value_col: str = "value",
+                             n_bins: int = 4,
+                             value_decimals: int = 2) -> DataFrame:
+    """Pairwise mutual information between metrics over co-occurring
+    hours — (metric_x, metric_y, n_hours, mi_u, mi_nats): the
+    dependence measure that catches what Pearson/Spearman miss
+    (non-monotone coupling, e.g. one metric spiking whenever another
+    is at EITHER extreme).
+
+    Each metric's hourly means are quartile-binned with ntile(n_bins)
+    — an exact integer RANK operation over a deterministic order
+    (identical double means from exact cent sums, hour tie-break), so
+    bins match across engines with no float threshold.  MI over the
+    joint bin distribution of co-occurring hours:
+
+        MI = Σ_xy (c_xy/N) · ln(c_xy·N / (c_x·c_y))
+
+    with every ln over ONE ratio of exact integers and each term
+    snapped to integer micro-nats before summation (the PSI/entropy
+    recipe in drift.py — the ulp lives 6 orders below the snap).
+    Marginals come from the PAIRED sample, so partial hour coverage
+    cannot bias MI.
+
+    Scale notes: the hourly aggregate is one hash-agg (map-side
+    partials); everything after runs on |metrics|·|hours| rows —
+    calendar-bounded metadata, like trend_daily's daily table.  The
+    ntile window partitions per metric over those bounded rows.
+    """
+    from pyspark.sql import Window
+
+    scale = 10 ** int(value_decimals)
+    hourly = series.groupBy(
+        F.col(key_col).alias("m"),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("sc"),
+    ).select(
+        "m", "h",
+        (F.col("sc").cast("double") / F.col("n").cast("double"))
+        .alias("mean_v"),
+    )
+    w = Window.partitionBy("m").orderBy("mean_v", "h")
+    binned = hourly.select(
+        "m", "h", F.ntile(int(n_bins)).over(w).alias("b")
+    )
+    x = binned.select(F.col("m").alias("mx"), "h", F.col("b").alias("bx"))
+    y = binned.select(F.col("m").alias("my"), "h", F.col("b").alias("by"))
+    pairs = x.join(y, "h").where(F.col("mx") < F.col("my"))
+    joint = pairs.groupBy("mx", "my", "bx", "by").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    margx = pairs.groupBy("mx", "my", "bx").agg(
+        F.count(F.lit(1)).alias("cx"))
+    margy = pairs.groupBy("mx", "my", "by").agg(
+        F.count(F.lit(1)).alias("cy"))
+    tot = pairs.groupBy("mx", "my").agg(F.count(F.lit(1)).alias("nn"))
+    jt = (
+        joint.join(margx, ["mx", "my", "bx"])
+        .join(margy, ["mx", "my", "by"])
+        .join(tot, ["mx", "my"])
+    )
+    lnr = F.log(
+        (F.col("cxy") * F.col("nn")).cast("double")
+        / (F.col("cx") * F.col("cy")).cast("double")
+    )
+    term_u = F.round(
+        F.col("cxy").cast("double") / F.col("nn").cast("double")
+        * lnr * 1e6
+    ).cast("long")
+    return (
+        jt.select("mx", "my", "nn", term_u.alias("_t"))
+        .groupBy(F.col("mx").alias("metric_x"),
+                 F.col("my").alias("metric_y"))
+        .agg(
+            F.max("nn").cast("long").alias("n_hours"),
+            F.sum("_t").cast("long").alias("mi_u"),
+        )
+        .withColumn(
+            "mi_nats",
+            F.round(F.col("mi_u").cast("double") / 1e6, 6),
+        )
+    )
