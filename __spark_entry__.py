@@ -2545,6 +2545,50 @@ def q_mutual_info(spark, sf_dir):
     ).where(F.col("n_hours") >= 24)
 
 
+def q_beta_daily(spark, sf_dir):
+    """Per-day OLS beta/alpha of each metric's hourly cent sums on
+    every other metric's — the directional hedge-ratio companion to
+    corr_matrix_daily, from the same exact decimal38 moments."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        beta_daily,
+    )
+
+    return beta_daily(
+        _series_from_events(spark, sf_dir), key="metric", min_hours=6
+    )
+
+
+def q_js_drift(spark, sf_dir):
+    """Jensen–Shannon divergence day-over-day per metric on
+    yesterday's-decile bins: bounded symmetric drift score, per-bin
+    terms micro-nat-snapped, each ln over one exact integer ratio."""
+    from timeseriescorrelation_spark.operators.drift import js_drift_daily
+
+    return js_drift_daily(_series_from_events(spark, sf_dir))
+
+
+def q_gini_daily(spark, sf_dir):
+    """Gini coefficient of per-conversation event counts within each
+    (metric, day): exact integer numerator/denominator from one rank
+    window over the collapsed per-actor table, one final divide."""
+    from timeseriescorrelation_spark.operators.activity import (
+        gini_concentration,
+    )
+
+    return gini_concentration(_series_from_events(spark, sf_dir))
+
+
+def q_na_hazard(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard per metric over the km_survival
+    risk table (1h censor horizon): per-step d/n snapped to integer
+    micro-units, exact cumulative sum."""
+    from timeseriescorrelation_spark.operators.survival import na_hazard
+
+    return na_hazard(
+        _series_from_events(spark, sf_dir), censor_horizon_s=3600
+    )
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov per (metric, day) vs the previous
     day: D maximized over the exact integer numerator
@@ -3395,6 +3439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_daily": q_corr_matrix_daily,
         "granger_gain": q_granger_gain,
         "mutual_info": q_mutual_info,
+        "beta_daily": q_beta_daily,
+        "js_drift": q_js_drift,
+        "gini_daily": q_gini_daily,
+        "na_hazard": q_na_hazard,
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
@@ -6401,6 +6449,160 @@ SELECT mx AS metric_x, my AS metric_y,
        cast(sum(term_u) AS bigint) AS mi_u,
        round(cast(sum(term_u) AS double) / 1000000.0, 6) AS mi_nats
 FROM g GROUP BY 1, 2 HAVING max(nn) >= 24
+""",
+        "beta_daily": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT x.metric AS metric_x, y.metric AS metric_y,
+         date_trunc('day', x.hour_ts) AS day_ts, x.y AS vx, y.y AS vy
+  FROM h x JOIN h y
+    ON x.hour_ts = y.hour_ts AND x.metric <> y.metric
+), g AS (
+  SELECT metric_x, metric_y, day_ts, count(*) AS n,
+         sum(vx) AS sx, sum(vy) AS sy,
+         sum(vx * vx) AS sxx, sum(vx * vy) AS sxy
+  FROM p GROUP BY 1, 2, 3
+  HAVING count(*) >= 6
+)
+SELECT metric_x, metric_y, day_ts, cast(n AS bigint) AS n_hours,
+       round(CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+             THEN cast(n * sxy - sx * sy AS double)
+                  / cast(n * sxx - sx * sx AS double) END, 6) AS beta,
+       round((cast(sy AS double)
+              - (CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+                 THEN cast(n * sxy - sx * sy AS double)
+                      / cast(n * sxx - sx * sx AS double) END)
+                * cast(sx AS double))
+             / cast(n AS double) / 100.0, 6) AS alpha
+FROM g
+""",
+        "js_drift": """
+WITH v AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS _v
+  FROM events
+), edges AS (
+  SELECT metric, day_ts,
+         quantile_cont(_v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS e
+  FROM v GROUP BY 1, 2
+), curb AS (
+  SELECT v.metric, v.day_ts,
+         cast(1 + list_sum(list_transform(ed.e,
+             x -> CASE WHEN v._v > x THEN 1 ELSE 0 END)) AS int) AS bin
+  FROM v JOIN edges ed
+    ON ed.metric = v.metric
+   AND ed.day_ts + INTERVAL 1 DAY = v.day_ts
+), cur AS (
+  SELECT metric, day_ts, bin, cast(count(*) AS bigint) AS c_t
+  FROM curb GROUP BY 1, 2, 3
+), baseb AS (
+  SELECT v.metric, v.day_ts + INTERVAL 1 DAY AS day_ts,
+         cast(1 + list_sum(list_transform(ed.e,
+             x -> CASE WHEN v._v > x THEN 1 ELSE 0 END)) AS int) AS bin
+  FROM v JOIN edges ed
+    ON ed.metric = v.metric AND ed.day_ts = v.day_ts
+), base AS (
+  SELECT metric, day_ts, bin, cast(count(*) AS bigint) AS c_b
+  FROM baseb GROUP BY 1, 2, 3
+), bb AS (
+  SELECT coalesce(cur.metric, base.metric) AS metric,
+         coalesce(cur.day_ts, base.day_ts) AS day_ts,
+         coalesce(cur.bin, base.bin) AS bin,
+         coalesce(c_t, 0) AS c_t, coalesce(c_b, 0) AS c_b
+  FROM cur FULL OUTER JOIN base
+    ON cur.metric = base.metric AND cur.day_ts = base.day_ts
+   AND cur.bin = base.bin
+), tot AS (
+  SELECT metric, day_ts,
+         cast(sum(c_t) AS bigint) AS n_t,
+         cast(sum(c_b) AS bigint) AS n_b
+  FROM bb GROUP BY 1, 2
+), terms AS (
+  SELECT b.metric, b.day_ts, n_t, n_b,
+         cast(round((
+             (CASE WHEN c_t > 0
+               THEN cast(c_t AS double) / cast(n_t AS double)
+                    * ln(cast(2 * c_t * n_b AS double)
+                         / cast(c_t * n_b + c_b * n_t AS double))
+               ELSE 0.0 END)
+           + (CASE WHEN c_b > 0
+               THEN cast(c_b AS double) / cast(n_b AS double)
+                    * ln(cast(2 * c_b * n_t AS double)
+                         / cast(c_t * n_b + c_b * n_t AS double))
+               ELSE 0.0 END)
+           ) / 2 * 1000000.0) AS bigint) AS tu
+  FROM bb b JOIN tot USING (metric, day_ts)
+  WHERE n_t > 0 AND n_b > 0
+)
+SELECT metric, day_ts, cast(sum(tu) AS bigint) AS js_u,
+       max(n_t) AS n_today, max(n_b) AS n_base,
+       round(cast(sum(tu) AS double) / 1000000.0, 6) AS js_nats
+FROM terms GROUP BY 1, 2
+""",
+        "gini_daily": """
+WITH pa AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS bucket_ts,
+         user_id AS actor, cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT metric, bucket_ts, c,
+         cast(row_number() OVER (PARTITION BY metric, bucket_ts
+                                 ORDER BY c, actor) AS bigint) AS i
+  FROM pa
+), g AS (
+  SELECT metric, bucket_ts, cast(count(*) AS bigint) AS n,
+         cast(sum(c) AS bigint) AS s,
+         cast(sum(i * c) AS bigint) AS si
+  FROM r GROUP BY 1, 2
+)
+SELECT metric, bucket_ts, n AS n_actors, s AS n_events,
+       round(cast(2 * si - (n + 1) * s AS double)
+             / cast(n * s AS double), 6) AS gini
+FROM g
+""",
+        "na_hazard": """
+WITH ev AS (
+  SELECT event_type AS metric, user_id AS conv,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), fr AS (
+  SELECT metric, max(t1) AS fmax FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.metric, t1 - t0 AS dur,
+         (fmax - t1) < 3600000000 AS censored
+  FROM ev JOIN fr USING (metric)
+), g AS (
+  SELECT metric, dur, censored, cast(count(*) AS bigint) AS c
+  FROM d GROUP BY 1, 2, 3
+), r AS (
+  SELECT metric, dur, censored, c,
+         cast(sum(c) OVER (PARTITION BY metric ORDER BY dur DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS bigint)
+           AS n_risk
+  FROM g
+), e AS (
+  SELECT metric, dur, c AS d, n_risk FROM r WHERE NOT censored
+), l AS (
+  SELECT metric, dur, d, n_risk,
+         cast(round(cast(d AS double) / cast(n_risk AS double)
+                    * 1000000.0) AS bigint) AS iu
+  FROM e
+), cm AS (
+  SELECT metric, dur, d, n_risk,
+         sum(iu) OVER (PARTITION BY metric ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+  FROM l
+)
+SELECT metric, dur AS t_us, n_risk, cast(d AS bigint) AS d_events,
+       cast(cum AS bigint) AS cumhaz_u,
+       round(cast(cum AS double) / 1000000.0, 6) AS cumhaz
+FROM cm
 """,
         "ks_drift": """
 WITH pt AS (

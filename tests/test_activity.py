@@ -223,3 +223,34 @@ def test_centroid_drift_identical_batches_zero(spark):
     assert out[2]["cos_prev"] == pytest.approx(0.0)
     assert out[2]["drift"] == pytest.approx(1.0)
     assert out[1]["n_vecs"] == 4
+
+
+def test_gini_even_whale_and_singleton(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.activity import (
+        gini_concentration,
+    )
+
+    T0 = dt.datetime(2024, 5, 1)
+    rows = []
+    # day 1: four actors with equal counts -> G = 0 exactly
+    for a in "abcd":
+        for i in range(5):
+            rows.append((a, "m", T0 + dt.timedelta(minutes=i), i, 1.0))
+    # day 2: whale -- counts (1, 99) -> G = 98/200 = 0.49 exactly
+    d2 = T0 + dt.timedelta(days=1)
+    rows.append(("small", "m", d2, 0, 1.0))
+    for i in range(99):
+        rows.append(("whale", "m", d2 + dt.timedelta(minutes=i), i, 1.0))
+    # day 3: a single actor -> G = 0 by the n = 1 degenerate rule
+    d3 = T0 + dt.timedelta(days=2)
+    rows.append(("solo", "m", d3, 0, 1.0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    got = {r.bucket_ts.day: r for r in gini_concentration(df).collect()}
+    assert got[1].gini == 0.0 and got[1].n_actors == 4
+    assert got[2].gini == 0.49 and got[2].n_events == 100
+    assert got[3].gini == 0.0 and got[3].n_actors == 1

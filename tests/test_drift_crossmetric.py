@@ -259,3 +259,44 @@ def test_mutual_info_identity_and_independence(spark):
     assert abs(got[("a", "b")].mi_nats - math.log(4)) < 1e-5
     assert got[("x", "z")].mi_u == 0
     assert got[("a", "b")].n_hours == 96
+
+
+def test_beta_daily_exact_affine(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        beta_daily,
+    )
+
+    # one point per hour; y = 2x + 5 in value units -> beta = 2,
+    # alpha = 5 exactly (the hourly cent sums inherit the affine map)
+    rows = []
+    for h in range(12):
+        x = float(10 + h)
+        rows.append(_pt("x", h * 60, h, x))
+        rows.append(("c", "y", T0 + dt.timedelta(hours=h), h, 2 * x + 5))
+    got = {
+        (r.metric_x, r.metric_y): r
+        for r in beta_daily(_series(spark, rows), min_hours=6).collect()
+    }
+    assert got[("x", "y")].beta == 2.0
+    assert got[("x", "y")].alpha == 5.0
+    # reverse direction inverts the slope: x = 0.5y - 2.5
+    assert got[("y", "x")].beta == 0.5
+    assert got[("y", "x")].alpha == -2.5
+
+
+def test_js_drift_zero_on_identical_bounded_on_disjoint(spark):
+    from timeseriescorrelation_spark.operators.drift import js_drift_daily
+
+    rows = []
+    # days 1 and 2 identical value mix -> every bin matches -> JS = 0
+    for d in (0, 1):
+        for i in range(50):
+            rows.append(_pt("m", d * 24 * 60 + i, i, float(i % 10)))
+    # day 3 disjoint from day 2 (all values above every edge)
+    for i in range(50):
+        rows.append(_pt("m", 2 * 24 * 60 + i, i, 500.0 + i))
+    got = {r.day_ts.day: r for r in js_drift_daily(_series(spark, rows)
+                                                   ).collect()}
+    assert got[2].js_u == 0
+    assert 0.3 < got[3].js_nats <= 0.693148
+    assert got[3].n_today == 50 and got[3].n_base == 50

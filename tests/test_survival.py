@@ -60,3 +60,29 @@ def test_km_all_die_reaches_zero(spark):
     # the final event exhausts the risk set: surv exactly 0, log -inf
     assert last.n_risk == last.d_events
     assert last.surv == 0.0 and last.logsurv_u is None
+
+
+def test_na_hazard_hand_computed(spark):
+    from timeseriescorrelation_spark.operators.survival import na_hazard
+
+    rows = [
+        _ev("A", 0, 0), _ev("A", 10, 1),     # dur 10m, dies
+        _ev("B", 5, 2), _ev("B", 15, 3),     # dur 10m, dies
+        _ev("C", 0, 4), _ev("C", 20, 5),     # dur 20m, dies
+        _ev("D", 0, 6), _ev("D", 180, 7),    # at frontier -> censored
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double"
+    )
+    out = sorted(
+        na_hazard(df, censor_horizon_s=3600).collect(),
+        key=lambda r: r.t_us,
+    )
+    # H(10m) = 2/4 = 0.5; H(20m) = 0.5 + 1/2 = 1.0 -- and NA stays
+    # finite at the n = d last event where KM's log would hit zero
+    assert [(r.t_us, r.n_risk, r.d_events, r.cumhaz_u) for r in out] == [
+        (600_000_000, 4, 2, 500_000),
+        (1_200_000_000, 2, 1, 1_000_000),
+    ]
+    assert out[1].cumhaz == 1.0

@@ -329,3 +329,55 @@ def conformal_pvalue(series: DataFrame, keys: list[str] | None = None,
     return out.withColumn(
         "is_anomalous", F.col("p_value") <= F.lit(float(alpha))
     )
+
+
+def gini_concentration(series: DataFrame, keys: list[str] | None = None,
+                       actor_col: str = "conv_id",
+                       trunc: str = "day") -> DataFrame:
+    """Gini coefficient of per-actor activity within each (keys...,
+    bucket) — "is this metric's volume spread across conversations or
+    owned by a few whales?".  The distributional companion to
+    key_skew_report: skew_report ranks the hot GROUPS, gini scores how
+    unequal each group's internal actor mix is (0 = perfectly even,
+    →1 = one actor owns everything), which is what decides whether the
+    salted path is worth it BEFORE a shuffle ever runs hot.
+
+    Over the ascending-sorted per-actor event counts c_(1) ≤ … ≤ c_(n)
+    (ties broken by actor id — a full deterministic order, though G is
+    tie-order-invariant because equal counts commute in Σ i·c_(i)):
+
+        G = (2·Σ i·c_(i) − (n+1)·Σc) / (n·Σc)
+
+    Exactness: numerator and denominator are exact integers
+    (decimal(38,0) accumulation); ONE double divide at the end, 6-dp
+    rounded — bit-identical cross-engine.  n = 1 gives G = 0 exactly.
+
+    Scale notes (100 TB): the raw scan collapses map-side to one row
+    per (keys, bucket, actor); the rank window partitions by (keys,
+    bucket) — group size = actors per bucket, the same bound every
+    per-bucket distinct pays.  No joins, no grids."""
+    keys = keys or ["metric"]
+    per_actor = series.groupBy(
+        *keys,
+        F.date_trunc(trunc, "ts").alias("bucket_ts"),
+        F.col(actor_col).alias("_actor"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(*keys, "bucket_ts").orderBy("c", "_actor")
+    ranked = per_actor.select(
+        *keys, "bucket_ts", "c",
+        F.row_number().over(w).alias("i"),
+    )
+    g = ranked.groupBy(*keys, "bucket_ts").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("i").cast("decimal(38,0)")
+               * F.col("c").cast("decimal(38,0)"))).alias("si"),
+    )
+    num = (2 * F.col("si") - (F.col("n") + 1) * F.col("s")).cast("double")
+    den = (F.col("n") * F.col("s")).cast("double")
+    return g.select(
+        *keys, "bucket_ts",
+        F.col("n").cast("long").alias("n_actors"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(num / den, 6).alias("gini"),
+    )

@@ -272,3 +272,60 @@ def mutual_information_pairs(series: DataFrame,
             F.round(F.col("mi_u").cast("double") / 1e6, 6),
         )
     )
+
+
+def beta_daily(series: DataFrame, key: str = "metric",
+               value_decimals: int = 2, min_hours: int = 4) -> DataFrame:
+    """(metric_x, metric_y, day_ts, n_hours, beta, alpha): per-day OLS
+    of y's hourly cent sums on x's — the hedge-ratio / sensitivity
+    companion to corr_matrix_daily (r says HOW TIGHTLY coupled; beta
+    says HOW MUCH y moves per unit of x, alpha the baseline offset).
+    Directional, so both (x, y) and (y, x) rows appear.
+
+        beta  = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        alpha = (Σy − beta·Σx) / n            [value units, not cents]
+
+    Exactness: same recipe as corr_matrix_daily — hourly values are
+    exact integer cent sums, moments accumulate in decimal(38,0), and
+    beta/alpha are each ONE identical double expression over those
+    exact integers, so they match bit-for-bit cross-engine after 6-dp
+    rounding.  Degenerate designs (zero x variance) → NULL.
+
+    Scale notes: identical shape to corr_matrix_daily — one map-side
+    hash-agg to |metrics|·|hours| rows, pair join k²·H on aggregates,
+    never raw rows.
+    """
+    scale = 10 ** int(value_decimals)
+    h = _hourly_cents(series, [key], value_decimals)
+    x = h.select(F.col(key).alias("metric_x"), "hour_ts",
+                 F.col("y").alias("vx"))
+    y = h.select(F.col(key).alias("metric_y"), "hour_ts",
+                 F.col("y").alias("vy"))
+    pairs = x.join(y, "hour_ts").where(
+        F.col("metric_x") != F.col("metric_y")
+    )
+    g = pairs.groupBy(
+        "metric_x", "metric_y",
+        F.date_trunc("day", "hour_ts").alias("day_ts"),
+    ).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("vx").cast(DEC)).alias("sx"),
+        F.sum(F.col("vy").cast(DEC)).alias("sy"),
+        F.sum((F.col("vx") * F.col("vx")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("vx") * F.col("vy")).cast(DEC)).alias("sxy"),
+    ).where(F.col("n") >= min_hours)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double")
+    beta = F.when(den > 0, num / den)
+    alpha = (
+        (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+        / F.col("n").cast("double") / F.lit(float(scale))
+    )
+    return g.select(
+        "metric_x", "metric_y", "day_ts",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 6).alias("alpha"),
+    )

@@ -286,3 +286,107 @@ def psi_daily(series: DataFrame, keys: list[str] | None = None,
             F.max("n_b").cast("long").alias("n_base"),
         )
     )
+
+
+def js_drift_daily(series: DataFrame, keys: list[str] | None = None,
+                   n_bins: int = 10) -> DataFrame:
+    """Jensen–Shannon divergence day-over-day per key — PSI's bounded,
+    symmetric sibling (JS ∈ [0, ln 2] nats; PSI is unbounded and blows
+    up on near-empty bins even smoothed).  Both days' values are
+    binned by YESTERDAY's decile edges (psi_daily's binning, so the
+    two scores are comparable on identical buckets), then
+
+        JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),   m = (p + q)/2
+
+    with p = a_i/A, q = b_i/B over raw integer bin counts — no Laplace
+    smoothing needed because 0·ln(0) = 0 is JS's own convention and m
+    > 0 whenever the bin exists on either side.
+
+    Exactness: both ln arguments reduce to ONE ratio of exact
+    integers — p/m = 2·a_i·B / (a_i·B + b_i·A) and symmetrically for
+    q/m — and the combined per-bin term is snapped to integer
+    micro-nats before summation (lm.py recipe).  Output
+    (keys..., day_ts, js_u, js_nats, n_today, n_base).
+
+    Scale notes: identical shape to psi_daily — two hash-aggs plus a
+    1-day self-join of |keys|·|days|·B rows; per-row work is the
+    in-row 9-edge fold."""
+    keys = keys or ["metric"]
+    b = int(n_bins)
+    pcts = [i / b for i in range(1, b)]
+    v = series.select(
+        *keys,
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    edges = v.groupBy(*keys, "day_ts").agg(
+        F.percentile("_v", F.lit(pcts).cast("array<double>")).alias("_edges")
+    )
+
+    def _binned(edge_day_offset):
+        e = edges.select(
+            *keys,
+            (F.col("day_ts") + F.expr(f"interval {edge_day_offset} days")
+             ).alias("day_ts"),
+            "_edges",
+        )
+        j = v.join(F.broadcast(e), [*keys, "day_ts"])
+        bin_id = F.lit(1) + F.aggregate(
+            "_edges",
+            F.lit(0),
+            lambda acc, ed: acc
+            + F.when(F.col("_v") > ed, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return j.groupBy(*keys, "day_ts", bin_id.alias("bin")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    cur = _binned(1)      # today's values vs yesterday's edges
+    base = _binned(0)     # yesterday's values vs its own edges
+    base = base.select(
+        *keys,
+        (F.col("day_ts") + F.expr("interval 1 day")).alias("day_ts"),
+        "bin",
+        F.col("c").alias("c_b"),
+    )
+    both = cur.withColumnRenamed("c", "c_t").join(
+        base, [*keys, "day_ts", "bin"], "full_outer"
+    ).select(
+        *keys, "day_ts", "bin",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    tot = both.groupBy(*keys, "day_ts").agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_b").alias("n_b")
+    )
+    jt = both.join(tot, [*keys, "day_ts"]).where(
+        (F.col("n_t") > 0) & (F.col("n_b") > 0)
+    )
+    # mix denominator a·B + b·A is shared by both ln arguments
+    mix = (F.col("c_t") * F.col("n_b") + F.col("c_b") * F.col("n_t"))
+    t_p = F.when(
+        F.col("c_t") > 0,
+        F.col("c_t").cast("double") / F.col("n_t").cast("double")
+        * F.log((2 * F.col("c_t") * F.col("n_b")).cast("double")
+                / mix.cast("double")),
+    ).otherwise(F.lit(0.0))
+    t_q = F.when(
+        F.col("c_b") > 0,
+        F.col("c_b").cast("double") / F.col("n_b").cast("double")
+        * F.log((2 * F.col("c_b") * F.col("n_t")).cast("double")
+                / mix.cast("double")),
+    ).otherwise(F.lit(0.0))
+    term_u = F.round((t_p + t_q) / 2 * F.lit(float(M))).cast("long")
+    return (
+        jt.select(*keys, "day_ts", "n_t", "n_b", term_u.alias("_t"))
+        .groupBy(*keys, "day_ts")
+        .agg(
+            F.sum("_t").cast("long").alias("js_u"),
+            F.max("n_t").cast("long").alias("n_today"),
+            F.max("n_b").cast("long").alias("n_base"),
+        )
+        .withColumn(
+            "js_nats", F.round(F.col("js_u").cast("double") / F.lit(float(M)),
+                               6)
+        )
+    )

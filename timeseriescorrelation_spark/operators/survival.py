@@ -39,16 +39,10 @@ from timeseriescorrelation_spark.functions.timeutil import epoch_us
 M_U = 1_000_000.0
 
 
-def km_survival(series: DataFrame, keys: list[str] | None = None,
-                conv_col: str = "conv_id", ts_col: str = "ts",
-                censor_horizon_s: int = 3600) -> DataFrame:
-    """(keys..., t_us, n_risk, d_events, logsurv_u, surv): the KM curve
-    evaluated at every uncensored event time (duration since the
-    conversation's first event, exact µs).  A conversation whose last
-    event lies within `censor_horizon_s` of its key's frontier is
-    censored (still alive when observation ended)."""
-    keys = keys or ["metric"]
-    horizon_us = int(censor_horizon_s) * 1_000_000
+def _risk_events(series: DataFrame, keys: list[str], conv_col: str,
+                 ts_col: str, horizon_us: int) -> DataFrame:
+    """Shared KM/NA scaffold: (keys..., dur, d, n_risk) — death count
+    and at-risk count at every uncensored event duration."""
     ev = series.groupBy(*keys, conv_col).agg(
         F.min(epoch_us(F.col(ts_col))).alias("t0"),
         F.max(epoch_us(F.col(ts_col))).alias("t1"),
@@ -73,9 +67,22 @@ def km_survival(series: DataFrame, keys: list[str] | None = None,
         *keys, "dur", "censored", "c",
         F.sum("c").over(w_risk).alias("n_risk"),
     )
-    events = r.where(~F.col("censored")).select(
+    return r.where(~F.col("censored")).select(
         *keys, "dur", F.col("c").alias("d"), "n_risk"
     )
+
+
+def km_survival(series: DataFrame, keys: list[str] | None = None,
+                conv_col: str = "conv_id", ts_col: str = "ts",
+                censor_horizon_s: int = 3600) -> DataFrame:
+    """(keys..., t_us, n_risk, d_events, logsurv_u, surv): the KM curve
+    evaluated at every uncensored event time (duration since the
+    conversation's first event, exact µs).  A conversation whose last
+    event lies within `censor_horizon_s` of its key's frontier is
+    censored (still alive when observation ended)."""
+    keys = keys or ["metric"]
+    events = _risk_events(series, keys, conv_col, ts_col,
+                          int(censor_horizon_s) * 1_000_000)
     lnu = F.when(
         F.col("n_risk") > F.col("d"),
         F.round(
@@ -109,4 +116,52 @@ def km_survival(series: DataFrame, keys: list[str] | None = None,
             F.round(F.exp(F.col("cum").cast("double") / F.lit(M_U)), 6)
         )
         .alias("surv"),
+    )
+
+
+def na_hazard(series: DataFrame, keys: list[str] | None = None,
+              conv_col: str = "conv_id", ts_col: str = "ts",
+              censor_horizon_s: int = 3600) -> DataFrame:
+    """(keys..., t_us, n_risk, d_events, cumhaz_u, cumhaz): the
+    Nelson–Aalen cumulative-hazard estimator over the same
+    censoring-aware risk table as km_survival,
+
+        H(t) = Σ_{t_i ≤ t} d_i / n_i
+
+    KM answers "what fraction survive past t"; NA answers "how much
+    death pressure has accumulated by t" — it stays finite and
+    well-defined at the n = d boundary where KM's log hits −∞, and its
+    increments ARE the hazard-rate estimates regulators/SRE burn-rate
+    alerts want.
+
+    Exactness: each increment is ONE divide of two exact integers
+    (d_i/n_i), snapped to integer micro-units before the cumulative
+    sum (the km logsurv_u recipe), so cumhaz_u is an exact integer
+    cross-engine; cumhaz = cumhaz_u/10⁶ rounded 6 dp.
+
+    Scale notes: identical to km_survival — map-side collapse to one
+    row per (key, conv), then windows over distinct durations."""
+    keys = keys or ["metric"]
+    events = _risk_events(series, keys, conv_col, ts_col,
+                          int(censor_horizon_s) * 1_000_000)
+    inc = F.round(
+        F.col("d").cast("double") / F.col("n_risk").cast("double")
+        * F.lit(M_U)
+    ).cast("long")
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        *keys, "dur", "d", "n_risk", inc.alias("_i")
+    ).select(
+        *keys,
+        F.col("dur").alias("t_us"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.sum("_i").over(w_cum).alias("cumhaz_u"),
+    ).withColumn(
+        "cumhaz",
+        F.round(F.col("cumhaz_u").cast("double") / F.lit(M_U), 6),
     )
