@@ -2589,6 +2589,46 @@ def q_na_hazard(spark, sf_dir):
     )
 
 
+def q_dow_anova(spark, sf_dir):
+    """One-way ANOVA of hourly volume across day-of-week groups per
+    metric: group moments exact in decimal38, each rational S²/n
+    unit-snapped, F one fixed double expression over exact integers."""
+    from timeseriescorrelation_spark.operators.decompose import dow_anova
+
+    return dow_anova(_series_from_events(spark, sf_dir))
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean per (metric, day) on cent ints: rank window
+    drops k lowest/highest (tie-invariant kept sum), one divide."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        trimmed_mean,
+    )
+
+    return trimmed_mean(_series_from_events(spark, sf_dir), trim=0.1)
+
+
+def q_peak_census(spark, sf_dir):
+    """Strict local maxima of each metric's hourly-mean series within
+    each day, with one-sided prominence (drop to taller neighbour)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        peak_census,
+    )
+
+    return peak_census(_series_from_events(spark, sf_dir))
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over doc-id ingestion batches:
+    never-before-seen token counts + running vocabulary, all exact
+    distinct counting."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    return vocab_growth(_docs(spark, sf_dir), batch_size=100)
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov per (metric, day) vs the previous
     day: D maximized over the exact integer numerator
@@ -3443,6 +3483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_drift": q_js_drift,
         "gini_daily": q_gini_daily,
         "na_hazard": q_na_hazard,
+        "dow_anova": q_dow_anova,
+        "trimmed_mean": q_trimmed_mean,
+        "peak_census": q_peak_census,
+        "vocab_growth": q_vocab_growth,
         "ks_drift": q_ks_drift,
         "entropy_daily": q_entropy_daily,
         "benford": q_benford,
@@ -6563,6 +6607,119 @@ SELECT metric, bucket_ts, n AS n_actors, s AS n_events,
        round(cast(2 * si - (n + 1) * s AS double)
              / cast(n * s AS double), 6) AS gini
 FROM g
+""",
+        "dow_anova": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pg AS (
+  SELECT metric, dayofweek(hour_ts) AS dow,
+         cast(count(*) AS bigint) AS ng,
+         cast(sum(y) AS bigint) AS sg,
+         cast(sum(y * y) AS hugeint) AS sxxg
+  FROM h GROUP BY 1, 2
+), tg AS (
+  SELECT metric, ng, sg, sxxg,
+         cast(round(cast(cast(sg AS hugeint) * sg AS double)
+                    / cast(ng AS double)) AS bigint) AS t
+  FROM pg
+), tot AS (
+  SELECT metric, cast(sum(ng) AS bigint) AS n,
+         cast(count(*) AS bigint) AS k,
+         cast(sum(sg) AS bigint) AS s,
+         cast(sum(sxxg) AS bigint) AS sxx,
+         cast(sum(t) AS bigint) AS sum_tg
+  FROM tg GROUP BY 1
+), g AS (
+  SELECT metric, n AS n_obs, k AS k_groups,
+         sum_tg - cast(round(cast(cast(s AS hugeint) * s AS double)
+                             / cast(n AS double)) AS bigint) AS ssb_u,
+         sxx - sum_tg AS ssw_u
+  FROM tot
+)
+SELECT metric, n_obs, k_groups,
+       cast(ssb_u AS bigint) AS ssb_u, cast(ssw_u AS bigint) AS ssw_u,
+       round(CASE WHEN k_groups >= 2 AND n_obs > k_groups
+                   AND ssw_u > 0
+             THEN (cast(ssb_u AS double) / cast(k_groups - 1 AS double))
+                  / (cast(ssw_u AS double)
+                     / cast(n_obs - k_groups AS double)) END, 6) AS f_stat
+FROM g
+""",
+        "trimmed_mean": """
+WITH v AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS bucket_ts,
+         cast(round(value * 100) AS bigint) AS _v
+  FROM events
+), r AS (
+  SELECT metric, bucket_ts, _v,
+         cast(row_number() OVER (PARTITION BY metric, bucket_ts
+                                 ORDER BY _v) AS bigint) AS i,
+         cast(count(*) OVER (PARTITION BY metric, bucket_ts)
+              AS bigint) AS n
+  FROM v
+), kept AS (
+  SELECT metric, bucket_ts, _v, n
+  FROM r
+  WHERE i > cast(floor(n * 0.1) AS bigint)
+    AND i <= n - cast(floor(n * 0.1) AS bigint)
+)
+SELECT metric, bucket_ts, max(n) AS n,
+       cast(count(*) AS bigint) AS n_kept,
+       round(cast(sum(_v) AS double) / cast(count(*) AS double)
+             / 100.0, 6) AS mean_trimmed
+FROM kept GROUP BY 1, 2
+""",
+        "peak_census": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS double)
+           / cast(count(*) AS double) AS m
+  FROM events GROUP BY 1, 2
+), x AS (
+  SELECT metric, hour_ts, m,
+         lag(m) OVER w AS lo, lead(m) OVER w AS hi
+  FROM h
+  WINDOW w AS (PARTITION BY metric, date_trunc('day', hour_ts)
+               ORDER BY hour_ts)
+)
+SELECT metric, hour_ts AS peak_ts,
+       round(m / 100.0, 6) AS mean_v,
+       round((m - greatest(lo, hi)) / 100.0, 6) AS drop
+FROM x
+WHERE lo IS NOT NULL AND hi IS NOT NULL AND m > lo AND m > hi
+""",
+        "vocab_growth": """
+WITH tk AS (
+  SELECT DISTINCT cast(floor(doc_id / 100) AS bigint) AS batch_id,
+         tok
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), pb AS (
+  SELECT batch_id, cast(count(*) AS bigint) AS batch_vocab
+  FROM tk GROUP BY 1
+), fs AS (
+  SELECT tok, min(batch_id) AS batch_id FROM tk GROUP BY 1
+), np AS (
+  SELECT batch_id, cast(count(*) AS bigint) AS new_tokens
+  FROM fs GROUP BY 1
+), nd AS (
+  SELECT cast(floor(doc_id / 100) AS bigint) AS batch_id,
+         cast(count(*) AS bigint) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT nd.batch_id, n_docs,
+       coalesce(batch_vocab, 0) AS batch_vocab,
+       coalesce(new_tokens, 0) AS new_tokens,
+       cast(sum(coalesce(new_tokens, 0))
+            OVER (ORDER BY nd.batch_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS bigint) AS cum_vocab
+FROM nd LEFT JOIN pb USING (batch_id) LEFT JOIN np USING (batch_id)
 """,
         "na_hazard": """
 WITH ev AS (

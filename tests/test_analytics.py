@@ -459,3 +459,60 @@ def test_mann_kendall_hand_computed(spark):
     assert up.z == round(27 / math.sqrt(var), 6)
     fl = got["fl"]
     assert fl.s_stat == 0 and fl.z is None
+
+
+def test_trimmed_mean_drops_tails(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        trimmed_mean,
+    )
+
+    # 10 values: 0..8 plus one 1000-outlier -> k = 1 trims the single
+    # min and max, kept mean = (1+..+8)/8 = 4.5; the plain mean would
+    # be ~104
+    data = _rows([(i * 60, float(i)) for i in range(9)] + [(540, 1000.0)])
+    df = spark.createDataFrame(data, SERIES_SCHEMA)
+    out = trimmed_mean(df, trim=0.1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.n_kept, r.mean_trimmed) == (10, 8, 4.5)
+
+
+def test_peak_census_strict_interior_maxima(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        peak_census,
+    )
+
+    # hourly means 1,5,2,7,3: peaks at h1 (drop 5-2=3) and h3 (7-3=4);
+    # boundary hours never qualify
+    vals = [1.0, 5.0, 2.0, 7.0, 3.0]
+    data = [
+        ("c", "m", T0 + dt.timedelta(hours=h), h, v)
+        for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(data, SERIES_SCHEMA)
+    out = sorted(peak_census(df).collect(), key=lambda r: r.peak_ts)
+    assert [(r.peak_ts.hour, r.mean_v, r.drop) for r in out] == [
+        (13, 5.0, 3.0), (15, 7.0, 4.0),
+    ]
+
+
+def test_dow_anova_hand_computed(spark):
+    from timeseriescorrelation_spark.operators.decompose import dow_anova
+
+    # two day-of-week groups, 4 hourly points each:
+    # Mon [1,1,3,3], Tue [5,5,7,7] (cents: x100)
+    # SSB = 320000, SSW = 80000, F = (320000/1)/(80000/6) = 24.0
+    mon = dt.datetime(2024, 3, 4)
+    tue = dt.datetime(2024, 3, 5)
+    data = []
+    for i, v in enumerate([1.0, 1.0, 3.0, 3.0]):
+        data.append(("c", "m", mon + dt.timedelta(hours=i), i, v))
+    for i, v in enumerate([5.0, 5.0, 7.0, 7.0]):
+        data.append(("c", "m", tue + dt.timedelta(hours=i), i, v))
+    df = spark.createDataFrame(data, SERIES_SCHEMA)
+    out = dow_anova(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_obs, r.k_groups, r.ssb_u, r.ssw_u, r.f_stat) == (
+        8, 2, 320_000, 80_000, 24.0,
+    )

@@ -85,3 +85,21 @@ def test_multimodal_frame_sample(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2]
     x = ord("x")
     assert [r.frame_sum for r in rows] == [64 * x, 64 * x, 2 * x]
+
+
+def test_vocab_growth_first_sightings(spark):
+    from timeseriescorrelation_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "c d"), (3, "d")],
+        "doc_id long, text string",
+    )
+    out = sorted(vocab_growth(docs, batch_size=2).collect(),
+                 key=lambda r: r.batch_id)
+    assert [(r.batch_id, r.n_docs, r.batch_vocab, r.new_tokens,
+             r.cum_vocab) for r in out] == [
+        (0, 2, 3, 3, 3),   # {a,b,c} all new
+        (1, 2, 2, 1, 4),   # {c,d}: only d new
+    ]

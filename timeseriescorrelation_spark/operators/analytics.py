@@ -1568,3 +1568,96 @@ def quantile_transform_daily(series: DataFrame,
         *keys, "day_ts", "ts", "turn_idx", "value",
         F.round(F.percent_rank().over(w), 6).alias("q"),
     )
+
+
+def trimmed_mean(series: DataFrame, keys: list[str] | None = None,
+                 trunc: str = "day", trim: float = 0.1) -> DataFrame:
+    """(keys..., bucket_ts, n, n_kept, mean_trimmed): mean of the
+    central mass after dropping the lowest and highest ⌊n·trim⌋ values
+    per bucket — the robust location estimate between mean (trim 0)
+    and median (trim 0.5): outlier-resistant like the median but with
+    far lower variance on clean data.
+
+    Exactness: values are cent-snapped ints; k = ⌊n·trim⌋ is integer
+    math; ranks come from row_number over the value order, and though
+    tie order within equal values is engine-arbitrary, the KEPT SUM is
+    tie-invariant (any k lowest-by-value rows have the same total), so
+    the final one-divide mean is bit-identical cross-engine.
+
+    Scale notes: one rank window per (keys, bucket) — the same
+    day-bounded sort quantile_transform pays — then a hash-agg."""
+    keys = keys or ["metric"]
+    v = series.select(
+        *keys,
+        F.date_trunc(trunc, "ts").alias("bucket_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy(*keys, "bucket_ts").orderBy("_v")
+    cnt = Window.partitionBy(*keys, "bucket_ts")
+    r = v.select(
+        *keys, "bucket_ts", "_v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    k = F.floor(F.col("n") * F.lit(float(trim))).cast("long")
+    kept = r.where((F.col("i") > k) & (F.col("i") <= F.col("n") - k))
+    g = kept.groupBy(*keys, "bucket_ts").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("_v").cast("long").alias("s"),
+    )
+    return g.select(
+        *keys, "bucket_ts", "n", "n_kept",
+        F.round(
+            F.col("s").cast("double") / F.col("n_kept").cast("double")
+            / F.lit(100.0), 6
+        ).alias("mean_trimmed"),
+    )
+
+
+def peak_census(series: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """(keys..., peak_ts, mean_v, drop): strict local maxima of the
+    hourly-mean series within each day — every hour whose mean exceeds
+    BOTH neighbours, with `drop` = height above the taller neighbour
+    (a one-sided prominence: how far the series falls off the peak).
+    First/last hours of a day have a missing neighbour and never
+    qualify — peaks are judged only where both sides are observed.
+
+    Exactness: hourly means are one divide of exact integers (cent sum
+    / count), so both engines hold identical doubles; the lag/lead
+    comparisons and the drop subtraction are fixed expressions over
+    those identical values, 6-dp rounded on output only.
+
+    Scale notes: one hash-agg to |keys|·|hours| rows, then one
+    day-partitioned window (lag+lead share the sort) — no joins."""
+    keys = keys or ["metric"]
+    hourly = series.groupBy(
+        *keys, F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+    ).select(
+        *keys, "hour_ts",
+        (F.col("sc").cast("double") / F.col("n").cast("double"))
+        .alias("m"),
+    )
+    w = Window.partitionBy(
+        *keys, F.date_trunc("day", "hour_ts")
+    ).orderBy("hour_ts")
+    lagm = F.lag("m").over(w)
+    leadm = F.lead("m").over(w)
+    x = hourly.select(
+        *keys, "hour_ts", "m",
+        lagm.alias("_lo"), leadm.alias("_hi"),
+    ).where(
+        F.col("_lo").isNotNull() & F.col("_hi").isNotNull()
+        & (F.col("m") > F.col("_lo")) & (F.col("m") > F.col("_hi"))
+    )
+    return x.select(
+        *keys,
+        F.col("hour_ts").alias("peak_ts"),
+        F.round(F.col("m") / F.lit(100.0), 6).alias("mean_v"),
+        F.round(
+            (F.col("m") - F.greatest("_lo", "_hi")) / F.lit(100.0), 6
+        ).alias("drop"),
+    )

@@ -97,3 +97,78 @@ def stl_lite(series: DataFrame, half_window_h: int = 84,
         F.round(seas, 6).alias("seasonal"),
         F.round(mean_r - trend_r - seas, 6).alias("resid"),
     )
+
+
+def dow_anova(series: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """One-way ANOVA of hourly volume across day-of-week groups per
+    key — the HYPOTHESIS TEST behind seasonal_profile: the profile
+    shows per-slot means, this says whether the weekly structure is
+    statistically real (F ≫ 1) or noise (F ≈ 1), i.e. whether
+    stl_lite's seasonal subtraction is buying anything.
+
+        SSB = Σ_g S_g²/n_g − S²/N     (between day-of-week groups)
+        SSW = Σxx − Σ_g S_g²/n_g      (within groups)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    over each metric's hourly integer cent sums.  Exactness: S_g, S,
+    Σxx accumulate exactly in decimal(38,0); each rational S_g²/n_g is
+    ONE double divide of exact integers snapped to the nearest integer
+    (unit cents² — the double's ulp at that magnitude is ~10 orders
+    below the snap, same safety argument as the micro-nat recipe), so
+    ssb_u/ssw_u are exact integers and F is one fixed double
+    expression over them.  Degenerate designs (k < 2, N ≤ k, or
+    SSW = 0) → NULL F.
+
+    Scale notes (100 TB): one map-side hash-agg to |metrics|·|hours|
+    rows, then two further hash-aggs down to |metrics|·7 and
+    |metrics| — no windows, no joins except the final |metrics|-row
+    assembly."""
+    keys = keys or ["metric"]
+    hourly = series.groupBy(
+        *keys, F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("y")
+    )
+    per_g = hourly.groupBy(
+        *keys, F.dayofweek("hour_ts").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sg"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("sxxg"),
+    )
+    tg_u = F.round(
+        (F.col("sg") * F.col("sg")).cast("double")
+        / F.col("ng").cast("double")
+    ).cast("long")
+    tot = per_g.select(*keys, "ng", "sg", "sxxg", tg_u.alias("tg")).groupBy(
+        *keys
+    ).agg(
+        F.sum(F.col("ng")).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum("sxxg").cast("decimal(38,0)").alias("sxx"),
+        F.sum("tg").cast("long").alias("sum_tg"),
+    )
+    sn_u = F.round(
+        (F.col("s") * F.col("s")).cast("double")
+        / F.col("n").cast("double")
+    ).cast("long")
+    n_l = F.col("n").cast("long")
+    g = tot.select(
+        *keys, n_l.alias("n_obs"), F.col("k").alias("k_groups"),
+        (F.col("sum_tg") - sn_u).alias("ssb_u"),
+        (F.col("sxx").cast("long") - F.col("sum_tg")).alias("ssw_u"),
+    )
+    f_stat = F.when(
+        (F.col("k_groups") >= 2) & (F.col("n_obs") > F.col("k_groups"))
+        & (F.col("ssw_u") > 0),
+        (F.col("ssb_u").cast("double")
+         / (F.col("k_groups") - 1).cast("double"))
+        / (F.col("ssw_u").cast("double")
+           / (F.col("n_obs") - F.col("k_groups")).cast("double")),
+    )
+    return g.select(
+        *keys, "n_obs", "k_groups", "ssb_u", "ssw_u",
+        F.round(f_stat, 6).alias("f_stat"),
+    )

@@ -349,3 +349,62 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 batch_size: int = 100) -> DataFrame:
+    """(batch_id, n_docs, batch_vocab, new_tokens, cum_vocab): the
+    Heaps-law vocabulary-growth curve over ingestion order — how many
+    NEVER-BEFORE-SEEN tokens each batch of `batch_size` docs
+    contributes, and the running vocabulary size.  A flattening curve
+    means the corpus is saturating (more data, no new language); a
+    batch spiking `new_tokens` off-trend is a domain shift or an
+    encoding bug arriving mid-ingest.
+
+    Exact by construction — everything is distinct-counting over
+    whitespace tokens (the engine's tokenizer convention), no floats.
+
+    Scale notes (100 TB): the token explode is linear and collapses
+    map-side to distinct (token, batch); first-sightings come from ONE
+    hash-agg min over those (state = |vocab|, the quantity being
+    measured); the cumulative window runs on |batches| rows —
+    metadata-sized, single-partition BY DESIGN (const_partition)."""
+    from timeseriescorrelation_spark.functions.timeutil import (
+        const_partition,
+    )
+
+    b = F.floor(F.col(id_col) / F.lit(int(batch_size))).cast("long")
+    toks = docs.select(
+        b.alias("batch_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "").distinct()
+    per_batch = toks.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("batch_vocab")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("batch_id").alias("batch_id"))
+    new_per = firsts.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    ndocs = docs.groupBy(
+        F.floor(F.col(id_col) / F.lit(int(batch_size)))
+        .cast("long").alias("batch_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    joined = (
+        ndocs.join(per_batch, "batch_id", "left")
+        .join(new_per, "batch_id", "left")
+        .select(
+            "batch_id", "n_docs",
+            F.coalesce("batch_vocab", F.lit(0)).alias("batch_vocab"),
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy(const_partition("batch_id"))
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "batch_id", "n_docs", "batch_vocab", "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )
