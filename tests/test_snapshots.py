@@ -263,3 +263,88 @@ def test_mor_expire_keeps_live_delete_files(spark, tmp_path):
     assert {
         r["k"] for r in snapshot_read_mor(spark, t).collect()
     } == {0, 2, 7}
+
+
+def test_rollback_commits_new_version(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_rollback,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).selectExpr("id AS v"), t, "append")
+    snapshot_write(
+        spark.range(900, 902).selectExpr("id AS v"), t, "overwrite"
+    )
+    v3 = snapshot_rollback(spark, t, 1)
+    assert v3 == 3
+    # head shows v1's data again; the bad v2 stays time-travelable
+    assert _vals(snapshot_read(spark, t)) == [0, 1, 2]
+    assert _vals(snapshot_read(spark, t, version=2)) == [900, 901]
+    log = snapshot_log(spark, t)
+    assert log[2]["operation"] == "rollback"
+    assert log[2]["rolled_back_to"] == 1 and log[2]["parent"] == 2
+    # rolling back to the current head is a no-op
+    assert snapshot_rollback(spark, t, 3) == 3
+    # expiry keeps the re-referenced v1 files alive through v3
+    expire_snapshots(spark, t, keep_last=1)
+    assert _vals(snapshot_read(spark, t)) == [0, 1, 2]
+
+
+def test_rollback_resolves_named_ref_and_validates(spark, tmp_path):
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_rollback,
+        snapshot_tag,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(2).selectExpr("id AS v"), t, "append")
+    snapshot_tag(spark, t, "good", 1)
+    snapshot_write(
+        spark.range(50, 53).selectExpr("id AS v"), t, "overwrite"
+    )
+    assert snapshot_rollback(spark, t, "good") == 3
+    assert _vals(snapshot_read(spark, t)) == [0, 1]
+    with pytest.raises(ValueError):
+        snapshot_rollback(spark, t, 99)
+    with pytest.raises(KeyError):
+        snapshot_rollback(spark, t, "nope")
+
+
+def test_remove_orphans_spares_staged_and_referenced(spark, tmp_path):
+    import os
+
+    from timeseriescorrelation_spark.sources.snapshots import (
+        publish_staged,
+        remove_orphan_files,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(4).selectExpr("id AS v"), t, "append")
+    handle = snapshot_write(
+        spark.range(10, 12).selectExpr("id AS v"), t, "append",
+        staged=True,
+    )
+    # simulate a crashed write: a commit dir with data but no manifest
+    stray_dir = tmp_path / "tbl" / "data" / "commit-99-deadbeef"
+    stray_dir.mkdir(parents=True)
+    stray = stray_dir / "part-00000-junk.parquet"
+    spark.range(1).write.mode("overwrite").parquet(str(stray_dir / "x"))
+    # move the real parquet up as the stray file
+    inner = [f for f in os.listdir(stray_dir / "x")
+             if f.endswith(".parquet")][0]
+    os.rename(stray_dir / "x" / inner, stray)
+
+    dry = remove_orphan_files(spark, t, dry_run=True)
+    assert dry["deleted"] == 0
+    assert any("commit-99-deadbeef" in f for f in dry["orphans"])
+    # the dry run also flags the helper dir's leftovers; the committed
+    # and staged files must NOT appear
+    assert not any("commit-1-" in f for f in dry["orphans"])
+
+    got = remove_orphan_files(spark, t)
+    assert got["deleted"] >= 1
+    assert not stray.exists()
+    # table and staged commit both still intact
+    assert _vals(snapshot_read(spark, t)) == [0, 1, 2, 3]
+    v2 = publish_staged(spark, t, handle)
+    assert _vals(snapshot_read(spark, t, version=v2)) == [0, 1, 2, 3, 10, 11]

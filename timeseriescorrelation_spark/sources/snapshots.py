@@ -356,6 +356,8 @@ def snapshot_log(spark: SparkSession, table_path: str) -> list[dict]:
             {k: m[k] for k in
              ("version", "parent", "operation", "added_files",
               "total_files")}
+            | ({"rolled_back_to": m["rolled_back_to"]}
+               if "rolled_back_to" in m else {})
         )
     return out
 
@@ -883,3 +885,99 @@ def snapshot_history_table(spark: SparkSession,
         "version int, parent int, operation string, added_files int, "
         "total_files int",
     )
+
+
+def snapshot_rollback(spark: SparkSession, table_path: str,
+                      to_version: int | str) -> int:
+    """Roll the table head back to an earlier snapshot by COMMITTING A
+    NEW VERSION that re-references the target's state (Iceberg's
+    rollback semantics) — history is never rewritten, readers pinned
+    to intermediate versions are untouched, and the bad versions stay
+    inspectable until expiry.  ``to_version`` may be an int or a named
+    ref (snapshot_tag).  Returns the new head version.
+
+    The new manifest duplicates the target's files / schema /
+    partition specs / file stats / in-force equality deletes, with
+    parent = current head and operation = "rollback" + the target
+    recorded, so snapshot_diff(head-1, head) shows exactly what the
+    rollback undid and expire_snapshots keeps the re-referenced files
+    alive."""
+    jvm, fs, _ = _fs(spark, table_path)
+    if isinstance(to_version, str):
+        refs = snapshot_refs(spark, table_path)
+        if to_version not in refs:
+            raise KeyError(f"no ref named {to_version!r}")
+        to_version = refs[to_version]
+    versions = _versions(jvm, fs, table_path)
+    if to_version not in versions:
+        raise ValueError(f"version {to_version} does not exist")
+    head = versions[-1]
+    if to_version == head:
+        return head
+    tgt = _manifest(jvm, fs, table_path, to_version)
+    new_v = head + 1
+    manifest = {
+        "version": new_v,
+        "parent": head,
+        "operation": "rollback",
+        "rolled_back_to": to_version,
+        "files": tgt["files"],
+        "added_files": 0,
+        "total_files": len(tgt["files"]),
+        "schema": tgt.get("schema"),
+    }
+    for k in ("file_stats", "specs", "delete_files"):
+        if tgt.get(k):
+            manifest[k] = tgt[k]
+    mp = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{SNAP_DIR}/v{new_v}.json"
+    )
+    _write_text_atomic(jvm, fs, mp, json.dumps(manifest, indent=1))
+    return new_v
+
+
+def remove_orphan_files(spark: SparkSession, table_path: str,
+                        dry_run: bool = False) -> dict:
+    """Delete data files under the table that NO manifest references —
+    the debris a crashed snapshot_write leaves behind (data lands
+    before the atomic manifest rename, so a mid-commit failure strands
+    a commit-dir) and the other half of the storage-hygiene pair with
+    expire_snapshots (which only deletes files that WERE referenced).
+
+    Every committed version, every staged (write-audit-publish)
+    manifest, and every in-force equality-delete file counts as a
+    reference.  Caveat (same as Iceberg's remove_orphan_files): a
+    write IN FLIGHT right now has data on disk and no manifest yet —
+    run this only when no writer is active, or dry_run first.
+
+    Returns {"orphans": [...], "deleted": n} (dry_run: deleted = 0)."""
+    jvm, fs, _ = _fs(spark, table_path)
+    referenced: set[str] = set()
+    for v in _versions(jvm, fs, table_path):
+        m = _manifest(jvm, fs, table_path, v)
+        referenced.update(m["files"])
+        for d in m.get("delete_files", []):
+            referenced.update(d["paths"])
+    # staged commits are references too: their data is real, their
+    # manifest just isn't in the version sequence yet
+    sd = jvm.org.apache.hadoop.fs.Path(table_path, SNAP_DIR)
+    if fs.exists(sd):
+        for st in fs.listStatus(sd):
+            name = st.getPath().getName()
+            if name.startswith("staged-") and name.endswith(".json"):
+                m = json.loads(_read_text(jvm, fs, st.getPath()))
+                referenced.update(m.get("files", []))
+                for d in m.get("delete_files", []):
+                    referenced.update(d["paths"])
+    data_dir = f"{table_path}/data"
+    dp = jvm.org.apache.hadoop.fs.Path(data_dir)
+    on_disk = (
+        _list_parquet(jvm, fs, data_dir) if fs.exists(dp) else []
+    )
+    orphans = sorted(set(on_disk) - referenced)
+    deleted = 0
+    if not dry_run:
+        for f in orphans:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+            deleted += 1
+    return {"orphans": orphans, "deleted": deleted}
