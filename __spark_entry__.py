@@ -2589,6 +2589,32 @@ def q_na_hazard(spark, sf_dir):
     )
 
 
+def q_lead_lag(spark, sf_dir):
+    """Best-alignment lead-lag screen: for every ordered metric pair,
+    the hourly lag in [-3, 3] maximizing |Pearson| on the shifted
+    cent-sum grid — argmax via a unique packed int64 key + max_by."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        lead_lag_best,
+    )
+
+    return lead_lag_best(
+        _series_from_events(spark, sf_dir), key="metric",
+        max_lag_h=3, min_n=24,
+    )
+
+
+def q_error_wilson(spark, sf_dir):
+    """Daily error-share Wilson 95% interval: exact integer counts in,
+    one identical IEEE expression tree out (granger contract)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        proportion_wilson,
+    )
+
+    return proportion_wilson(
+        _events(spark, sf_dir), F.col("event_type") == "error"
+    )
+
+
 def q_dow_anova(spark, sf_dir):
     """One-way ANOVA of hourly volume across day-of-week groups per
     metric: group moments exact in decimal38, each rational S²/n
@@ -3484,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_daily": q_gini_daily,
         "na_hazard": q_na_hazard,
         "dow_anova": q_dow_anova,
+        "lead_lag": q_lead_lag,
+        "error_wilson": q_error_wilson,
         "trimmed_mean": q_trimmed_mean,
         "peak_census": q_peak_census,
         "vocab_growth": q_vocab_growth,
@@ -6606,6 +6634,86 @@ WITH pa AS (
 SELECT metric, bucket_ts, n AS n_actors, s AS n_events,
        round(cast(2 * si - (n + 1) * s AS double)
              / cast(n * s AS double), 6) AS gini
+FROM g
+""",
+        "lead_lag": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), lx AS (
+  SELECT x.metric AS mx, x.y AS vx, l.lag_h,
+         epoch_us(x.hour_ts) + l.lag_h * 3600000000 AS hj
+  FROM h x CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3])
+                       AS lag_h) l
+), p AS (
+  SELECT lx.mx, y.metric AS my, lx.lag_h, lx.vx, y.y AS vy
+  FROM lx JOIN h y ON epoch_us(y.hour_ts) = lx.hj
+  WHERE lx.mx < y.metric
+), g AS (
+  SELECT mx, my, lag_h, count(*) AS n,
+         sum(vx) AS sx, sum(vy) AS sy,
+         sum(vx * vx) AS sxx, sum(vy * vy) AS syy,
+         sum(vx * vy) AS sxy
+  FROM p GROUP BY 1, 2, 3
+  HAVING count(*) >= 24
+), r AS (
+  SELECT mx, my, lag_h, cast(n AS bigint) AS n,
+         round(cast(n * sxy - sx * sy AS double)
+               / sqrt(cast(n * sxx - sx * sx AS double))
+               / sqrt(cast(n * syy - sy * sy AS double)), 6) AS r
+  FROM g
+  WHERE cast(n * sxx - sx * sx AS double) > 0
+    AND cast(n * syy - sy * sy AS double) > 0
+), k AS (
+  SELECT mx, my, lag_h, n, r,
+         cast(round(abs(r) * 1000000) AS bigint) * 10000
+         + (3 - abs(lag_h)) * 100 + (3 - lag_h) AS _k
+  FROM r WHERE r IS NOT NULL
+)
+SELECT mx AS metric_x, my AS metric_y,
+       cast(arg_max(lag_h, _k) AS int) AS best_lag_h,
+       arg_max(n, _k) AS n, arg_max(r, _k) AS r
+FROM k GROUP BY 1, 2
+""",
+        "error_wilson": """
+WITH g AS (
+  SELECT date_trunc('day', ts) AS bucket_ts,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS bigint) AS x
+  FROM events GROUP BY 1
+)
+SELECT bucket_ts, n, x,
+       round(cast(x AS double) / cast(n AS double), 6) AS p,
+       round(greatest(0.0,
+         (cast(x AS double) / cast(n AS double)
+          + (1.959963984540054 * 1.959963984540054)
+            / (2 * cast(n AS double)))
+         / (1.0 + (1.959963984540054 * 1.959963984540054)
+                  / cast(n AS double))
+         - 1.959963984540054
+           * sqrt(cast(x AS double) / cast(n AS double)
+                  * (1.0 - cast(x AS double) / cast(n AS double))
+                  / cast(n AS double)
+                  + (1.959963984540054 * 1.959963984540054)
+                    / (4 * cast(n AS double) * cast(n AS double)))
+           / (1.0 + (1.959963984540054 * 1.959963984540054)
+                    / cast(n AS double))), 6) AS ci_lo,
+       round(least(1.0,
+         (cast(x AS double) / cast(n AS double)
+          + (1.959963984540054 * 1.959963984540054)
+            / (2 * cast(n AS double)))
+         / (1.0 + (1.959963984540054 * 1.959963984540054)
+                  / cast(n AS double))
+         + 1.959963984540054
+           * sqrt(cast(x AS double) / cast(n AS double)
+                  * (1.0 - cast(x AS double) / cast(n AS double))
+                  / cast(n AS double)
+                  + (1.959963984540054 * 1.959963984540054)
+                    / (4 * cast(n AS double) * cast(n AS double)))
+           / (1.0 + (1.959963984540054 * 1.959963984540054)
+                    / cast(n AS double))), 6) AS ci_hi
 FROM g
 """,
         "dow_anova": """

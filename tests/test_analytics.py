@@ -516,3 +516,39 @@ def test_dow_anova_hand_computed(spark):
     assert (r.n_obs, r.k_groups, r.ssb_u, r.ssw_u, r.f_stat) == (
         8, 2, 320_000, 80_000, 24.0,
     )
+
+
+def test_proportion_wilson_hand_computed(spark):
+    import math
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        proportion_wilson,
+    )
+
+    # day 1: 1 error in 4; day 2: 0 errors in 5 (interval must still
+    # have width -- the naive p±z√(pq/n) collapses to a point at p=0)
+    data = []
+    for i, et in enumerate(["error", "view", "view", "view"]):
+        data.append((i, T0 + dt.timedelta(minutes=i), 1, et, 1.0))
+    d2 = T0 + dt.timedelta(days=1)
+    for i in range(5):
+        data.append((10 + i, d2 + dt.timedelta(minutes=i), 1, "view", 1.0))
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    got = {
+        r.bucket_ts.day: r
+        for r in proportion_wilson(ev, F.col("event_type") == "error"
+                                   ).collect()
+    }
+    z = 1.959963984540054
+    p, n = 0.25, 4.0
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    hw = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert got[1].p == 0.25
+    assert got[1].ci_lo == round(max(0.0, center - hw), 6)
+    assert got[1].ci_hi == round(min(1.0, center + hw), 6)
+    assert got[2].p == 0.0 and got[2].ci_lo == 0.0
+    assert got[2].ci_hi > 0.4  # n=5 zero-rate still genuinely uncertain

@@ -300,3 +300,27 @@ def test_js_drift_zero_on_identical_bounded_on_disjoint(spark):
     assert got[2].js_u == 0
     assert 0.3 < got[3].js_nats <= 0.693148
     assert got[3].n_today == 50 and got[3].n_base == 50
+
+
+def test_lead_lag_finds_exact_shift(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        lead_lag_best,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    xs = [float(rng.randint(1, 100)) for _ in range(60)]
+    rows = []
+    for h, x in enumerate(xs):
+        rows.append(_pt("a", h * 60, h, x))
+        # b at hour h repeats a's value from 2 hours earlier ->
+        # corr(a_t, b_{t+2}) = 1 exactly, best lag = +2
+        if h >= 2:
+            rows.append(("c", "b", T0 + dt.timedelta(hours=h), h,
+                         xs[h - 2]))
+    out = lead_lag_best(_series(spark, rows), max_lag_h=3,
+                        min_n=24).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.metric_x, r.metric_y, r.best_lag_h, r.r) == ("a", "b", 2, 1.0)

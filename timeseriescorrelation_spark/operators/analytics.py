@@ -1661,3 +1661,49 @@ def peak_census(series: DataFrame, keys: list[str] | None = None) -> DataFrame:
             (F.col("m") - F.greatest("_lo", "_hi")) / F.lit(100.0), 6
         ).alias("drop"),
     )
+
+
+def proportion_wilson(events: DataFrame, success_col,
+                      keys: list[str] | None = None,
+                      trunc: str = "day",
+                      z: float = 1.959963984540054) -> DataFrame:
+    """(keys..., bucket_ts, n, x, p, ci_lo, ci_hi): Wilson score
+    interval for a per-bucket proportion (default 95%) — the
+    uncertainty-aware form of a rate dashboard: a 100%-error hour with
+    n = 2 should NOT page anyone, and the naive p̂ ± z·√(p̂q̂/n)
+    interval that collapses to a point at p̂ ∈ {0, 1} is exactly the
+    case Wilson fixes.
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        hw     = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Exactness: x and n are exact integer counts; both engines evaluate
+    the IDENTICAL expression tree over them (every op deterministic
+    IEEE double, √ correctly rounded), so the 6-dp-rounded bounds
+    match bit-for-bit — same contract as granger_gain's R² tree.
+
+    Scale notes: ONE map-side-combined hash-agg (conditional count),
+    |keys|·|buckets| output rows, no joins or windows."""
+    keys = keys or []
+    g = events.groupBy(
+        *keys, F.date_trunc(trunc, "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(success_col, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    zz = F.lit(float(z)) * F.lit(float(z))
+    denom = F.lit(1.0) + zz / nd
+    center = (p + zz / (2 * nd)) / denom
+    hw = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + zz / (4 * nd * nd))
+        / denom
+    )
+    return g.select(
+        *keys, "bucket_ts", "n", "x",
+        F.round(p, 6).alias("p"),
+        F.round(F.greatest(F.lit(0.0), center - hw), 6).alias("ci_lo"),
+        F.round(F.least(F.lit(1.0), center + hw), 6).alias("ci_hi"),
+    )

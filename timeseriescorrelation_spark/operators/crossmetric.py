@@ -329,3 +329,88 @@ def beta_daily(series: DataFrame, key: str = "metric",
         F.round(beta, 6).alias("beta"),
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+def lead_lag_best(series: DataFrame, key: str = "metric",
+                  max_lag_h: int = 3, value_decimals: int = 2,
+                  min_n: int = 24) -> DataFrame:
+    """(metric_x, metric_y, best_lag_h, n, r): for every ordered
+    metric pair, the hourly lag in [−L, L] whose shifted Pearson
+    correlation has the largest |r| — "does x LEAD y, lag it, or move
+    with it?".  corr_matrix_daily answers coupling at lag 0;
+    granger_gain tests one-step predictivity; this SCREENS the lag
+    axis and names the best alignment (the StatStream-style lead-lag
+    report).
+
+    Argmax discipline: r is rounded to 6 dp FIRST (the exact-moments
+    recipe makes the rounded value bit-identical cross-engine), then
+    the winner is picked by a single packed int64 ordering key
+    (|r|·10⁶, smaller |lag|, smaller lag) via max_by — scalar key, so
+    the aggregate stays hash-aggregable (the packed_order_key rule),
+    and ties cannot diverge between engines because the key is unique
+    per (pair, lag).
+
+    Scale notes: |metrics|·|hours| grid → |lags| shifted copies join
+    on the shifted hour (equi-join, never theta); the argmax is one
+    hash-agg over |metrics|²·|lags| rows.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    lag_list = list(range(-int(max_lag_h), int(max_lag_h) + 1))
+    lags = F.array(*[F.lit(int(x)) for x in lag_list])
+    x = h.select(
+        F.col(key).alias("mx"), F.col("hour_ts").alias("hx"),
+        F.col("y").alias("vx"), F.explode(lags).alias("lag_h"),
+    ).withColumn(
+        "hj",
+        F.timestamp_micros(
+            F.unix_micros("hx") + F.col("lag_h").cast("long")
+            * 3_600_000_000
+        ),
+    )
+    yy = h.select(
+        F.col(key).alias("my"), F.col("hour_ts").alias("hj"),
+        F.col("y").alias("vy"),
+    )
+    g = (
+        x.join(yy, "hj")
+        .where(F.col("mx") < F.col("my"))
+        .groupBy("mx", "my", "lag_h")
+        .agg(
+            F.count(F.lit(1)).cast(DEC).alias("n"),
+            F.sum(F.col("vx").cast(DEC)).alias("sx"),
+            F.sum(F.col("vy").cast(DEC)).alias("sy"),
+            F.sum((F.col("vx") * F.col("vx")).cast(DEC)).alias("sxx"),
+            F.sum((F.col("vy") * F.col("vy")).cast(DEC)).alias("syy"),
+            F.sum((F.col("vx") * F.col("vy")).cast(DEC)).alias("sxy"),
+        )
+        .where(F.col("n") >= min_n)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double")
+    r = F.when(
+        (dx > 0) & (dy > 0),
+        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6),
+    )
+    L = int(max_lag_h)
+    per_lag = g.select(
+        "mx", "my", "lag_h",
+        F.col("n").cast("long").alias("n"), r.alias("r"),
+    ).where(F.col("r").isNotNull())
+    # packed ordering key: |r| micro-units dominate, then smaller
+    # |lag|, then smaller lag (unique per row within the pair group)
+    key_col = (
+        F.round(F.abs(F.col("r")) * 1_000_000).cast("long") * 10_000
+        + (F.lit(L) - F.abs(F.col("lag_h"))).cast("long") * 100
+        + (F.lit(L) - F.col("lag_h")).cast("long")
+    )
+    return per_lag.withColumn("_k", key_col).groupBy(
+        F.col("mx").alias("metric_x"), F.col("my").alias("metric_y")
+    ).agg(
+        F.expr("max_by(lag_h, _k)").cast("int").alias("best_lag_h"),
+        F.expr("max_by(n, _k)").alias("n"),
+        F.expr("max_by(r, _k)").alias("r"),
+    )
