@@ -3365,6 +3365,20 @@ def q_ann_dim_ablation(spark, sf_dir):
     )
 
 
+def q_expanding_zscore(spark, sf_dir):
+    """Expanding (all-priors) z-score per event: cold-start-honest
+    anomaly scoring that needs no window-length tuning.  Running
+    (n, Σx, Σx²) over cent-snapped int64s are EXACT, shared with the
+    DuckDB oracle and the streaming twin
+    (streaming/zscore_stream.py, bit-equal across any micro-batch
+    split); one shuffle to (conv, metric), one in-group sort."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        expanding_zscore,
+    )
+
+    return expanding_zscore(_series_from_events(spark, sf_dir), min_n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3556,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_pvalue": q_conformal_pvalue,
         "centroid_drift": q_centroid_drift,
         "ann_dim_ablation": q_ann_dim_ablation,
+        "expanding_zscore": q_expanding_zscore,
     }
 
 
@@ -7862,5 +7877,30 @@ SELECT b.qid, cast(10 AS int) AS k,
        round(cast(coalesce(h.n_overlap, 0) AS double) / 10.0, 6)
          AS overlap_frac
 FROM (SELECT DISTINCT qid FROM fullk) b LEFT JOIN hits h USING (qid)
+""",
+        "expanding_zscore": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric, ts,
+         cast(event_id AS INTEGER) AS turn_idx, value,
+         cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT conv_id, metric, ts, turn_idx, value, v,
+         count(v) OVER pre AS cn,
+         sum(v) OVER pre AS cs,
+         sum(v * v) OVER pre AS css
+  FROM s
+  WINDOW pre AS (PARTITION BY conv_id, metric
+                 ORDER BY epoch_us(ts), turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, metric, ts, turn_idx, value,
+       cast(coalesce(cn, 0) AS bigint) AS n_prior,
+       CASE WHEN cn >= 3 AND cn * css - cs * cs > 0
+            THEN floor(cast(v * cn - cs AS DOUBLE)
+                       / sqrt(cast(cn * css - cs * cs AS DOUBLE))
+                       * 1e6) / 1e6
+       END AS z
+FROM w
 """,
     }

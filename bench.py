@@ -169,6 +169,7 @@ HEADLINE_R3 = [
     "conformal_pvalue",
     "centroid_drift",
     "ann_dim_ablation",
+    "expanding_zscore",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -1707,3 +1707,57 @@ def proportion_wilson(events: DataFrame, success_col,
         F.round(F.greatest(F.lit(0.0), center - hw), 6).alias("ci_lo"),
         F.round(F.least(F.lit(1.0), center + hw), 6).alias("ci_hi"),
     )
+
+
+def expanding_zscore(series: DataFrame, min_n: int = 3) -> DataFrame:
+    """(conv_id, metric, ts, turn_idx, value, n_prior, z): each point
+    scored against ALL PRIOR points of its own series — the
+    cold-start-honest anomaly form (anomaly_zscore judges against a
+    trailing window and goes blind early; this has an opinion from
+    point min_n+1 on and needs no window-length tuning).
+
+        z_t = (x_t·n − Σx) / √(n·Σx² − (Σx)²)      over the n priors
+
+    — numerator and variance term are EXACT int64s on cent values
+    (running sums via one prior-rows frame), so z is one IEEE divide +
+    √ both engines share; output is floor-snapped to 6 dp (floor, not
+    round: the streaming twin computes the identical ints in numpy,
+    and floor is the rounding all three runtimes — JVM, numpy,
+    DuckDB — perform identically).  NULL until min_n priors or while
+    the priors are constant (zero variance).
+
+    int64 bound: Σx² < 2⁶³ holds to ~10⁸ points/series at 10⁴ cents —
+    beyond that the decimal38 batch form applies; the streaming twin
+    (streaming/zscore_stream.py) carries the same ints and is
+    BIT-EQUAL across any micro-batch split.
+
+    Scale notes: one shuffle to (conv, metric) groups, one in-group
+    sort shared by all three running sums — O(points) state-free."""
+    v = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("conv_id", "metric")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = series.select(
+        "conv_id", "metric", "ts", "turn_idx", "value", v.alias("_v")
+    ).select(
+        "conv_id", "metric", "ts", "turn_idx", "value", "_v",
+        F.count("_v").over(w).alias("_cn"),
+        F.sum("_v").over(w).alias("_cs"),
+        F.sum(F.col("_v") * F.col("_v")).over(w).alias("_css"),
+    )
+    var_num = F.col("_cn") * F.col("_css") - F.col("_cs") * F.col("_cs")
+    z_raw = (
+        (F.col("_v") * F.col("_cn") - F.col("_cs")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    z = F.when(
+        (F.col("_cn") >= int(min_n)) & (var_num > 0),
+        F.floor(z_raw * 1e6) / 1e6,
+    )
+    return base.select(
+        "conv_id", "metric", "ts", "turn_idx", "value",
+        F.coalesce(F.col("_cn"), F.lit(0)).cast("long").alias("n_prior"),
+        z.alias("z"),
+    )
