@@ -3379,6 +3379,21 @@ def q_expanding_zscore(spark, sf_dir):
     return expanding_zscore(_series_from_events(spark, sf_dir), min_n=3)
 
 
+def q_growth_accounting(spark, sf_dir):
+    """Daily growth-accounting ledger (new / retained / resurrected /
+    churned), the MAU decomposition every product pipeline reports;
+    telescoping identity active(d)−active(d−1) = new+resurrected−churned
+    is pytest-asserted.  Shuffles only on the actor key; the churn join
+    is |days| rows, broadcast."""
+    from timeseriescorrelation_spark.operators.activity import (
+        growth_accounting,
+    )
+
+    return growth_accounting(
+        _series_from_events(spark, sf_dir), actor_col="conv_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3571,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": q_centroid_drift,
         "ann_dim_ablation": q_ann_dim_ablation,
         "expanding_zscore": q_expanding_zscore,
+        "growth_accounting": q_growth_accounting,
     }
 
 
@@ -7902,5 +7918,32 @@ SELECT conv_id, metric, ts, turn_idx, value,
                        * 1e6) / 1e6
        END AS z
 FROM w
+""",
+        "growth_accounting": """
+WITH ud AS (
+  SELECT DISTINCT cast(user_id AS varchar) AS a,
+         date_trunc('day', ts) AS day_ts
+  FROM events
+), fl AS (
+  SELECT day_ts,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = day_ts - INTERVAL 1 DAY THEN 'retained'
+              ELSE 'resurrected' END AS st
+  FROM (SELECT a, day_ts,
+               lag(day_ts) OVER (PARTITION BY a ORDER BY day_ts) AS prev
+        FROM ud)
+), d AS (
+  SELECT day_ts, count(*) AS n_active,
+         cast(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS bigint)
+           AS n_new,
+         cast(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS bigint)
+           AS n_retained,
+         cast(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END)
+              AS bigint) AS n_resurrected
+  FROM fl GROUP BY 1
+)
+SELECT d.day_ts, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
+       cast(coalesce(p.n_active, 0) - d.n_retained AS bigint) AS n_churned
+FROM d LEFT JOIN d p ON p.day_ts = d.day_ts - INTERVAL 1 DAY
 """,
     }

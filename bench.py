@@ -170,6 +170,7 @@ HEADLINE_R3 = [
     "centroid_drift",
     "ann_dim_ablation",
     "expanding_zscore",
+    "growth_accounting",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -254,3 +254,38 @@ def test_gini_even_whale_and_singleton(spark):
     assert got[1].gini == 0.0 and got[1].n_actors == 4
     assert got[2].gini == 0.49 and got[2].n_events == 100
     assert got[3].gini == 0.0 and got[3].n_actors == 1
+
+
+def test_growth_accounting_hand_case(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        growth_accounting,
+    )
+
+    def d(n, h=9):
+        return T0 + dt.timedelta(days=n, hours=h)
+
+    # u1: days 0,1,3  (new, retained, resurrected; churn counted on 2)
+    # u2: days 0,2    (new, resurrected; churn on 1 and 3)
+    # u3: day 1       (new; churn on 2)
+    rows = [("u1", d(0)), ("u1", d(1)), ("u1", d(1, 12)), ("u1", d(3)),
+            ("u2", d(0)), ("u2", d(2)), ("u3", d(1))]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = {
+        r.day_ts.day: r
+        for r in growth_accounting(df, actor_col="conv_id").collect()
+    }
+    assert (got[1].n_active, got[1].n_new, got[1].n_retained,
+            got[1].n_resurrected, got[1].n_churned) == (2, 2, 0, 0, 0)
+    assert (got[2].n_active, got[2].n_new, got[2].n_retained,
+            got[2].n_resurrected, got[2].n_churned) == (2, 1, 1, 0, 1)
+    assert (got[3].n_active, got[3].n_resurrected,
+            got[3].n_churned) == (1, 1, 2)
+    # Jan 4: u1 resurrects; of Jan-3 actives ({u2}) none retained
+    assert (got[4].n_resurrected, got[4].n_churned) == (1, 1)
+    # telescoping ledger: active(d) - active(d-1) = new + res - churn
+    days = sorted(got)
+    for a, b in zip(days, days[1:]):
+        if b - a == 1:
+            assert (got[b].n_active - got[a].n_active
+                    == got[b].n_new + got[b].n_resurrected
+                    - got[b].n_churned)

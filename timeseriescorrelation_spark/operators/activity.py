@@ -381,3 +381,63 @@ def gini_concentration(series: DataFrame, keys: list[str] | None = None,
         F.col("s").cast("long").alias("n_events"),
         F.round(num / den, 6).alias("gini"),
     )
+
+
+def growth_accounting(events: DataFrame, actor_col: str = "conv_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Daily growth accounting — the standard MAU-ledger decomposition:
+    every active (actor, day) is exactly one of
+
+        new         first day this actor ever appears
+        retained    also active the previous calendar day
+        resurrected active before, but not the previous day
+
+    and churned(d) counts actors active on d−1 who did not return on d,
+    so the ledger telescopes: active(d) − active(d−1)
+    = new(d) + resurrected(d) − churned(d) (asserted in
+    tests/test_activity.py).
+
+    Output: (day_ts, n_active, n_new, n_retained, n_resurrected,
+    n_churned), ordered by day only at the consumer.
+
+    Shape: one distinct to (actor, day), one window per actor (lag of
+    the actor's previous active day — NOT a calendar join, so idle
+    stretches cost nothing), a day-level hash-agg, then churned joins
+    the day ledger to itself shifted one day — |days| rows, broadcast.
+    At 100 TB the only data-sized shuffles are the distinct and the
+    per-actor window, both keyed on the actor."""
+    ud = events.select(
+        F.col(actor_col).alias("_a"),
+        F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
+    ).distinct()
+    w = Window.partitionBy("_a").orderBy("day_ts")
+    flagged = ud.select(
+        "_a", "day_ts", F.lag("day_ts").over(w).alias("_prev")
+    ).select(
+        "day_ts",
+        F.when(F.col("_prev").isNull(), "new")
+        .when(
+            F.col("_prev") == F.col("day_ts") - F.expr("interval 1 day"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("_st"),
+    )
+    daily = flagged.groupBy("day_ts").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("_st") == "new", 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("_st") == "retained", 1).otherwise(0))
+        .cast("long").alias("n_retained"),
+        F.sum(F.when(F.col("_st") == "resurrected", 1).otherwise(0))
+        .cast("long").alias("n_resurrected"),
+    )
+    prev = daily.select(
+        (F.col("day_ts") + F.expr("interval 1 day")).alias("day_ts"),
+        F.col("n_active").alias("_prev_active"),
+    )
+    return daily.join(F.broadcast(prev), "day_ts", "left").select(
+        "day_ts", "n_active", "n_new", "n_retained", "n_resurrected",
+        (F.coalesce(F.col("_prev_active"), F.lit(0)) - F.col("n_retained"))
+        .cast("long").alias("n_churned"),
+    )
