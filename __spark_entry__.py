@@ -3394,6 +3394,18 @@ def q_growth_accounting(spark, sf_dir):
     )
 
 
+def q_ann_int8(spark, sf_dir):
+    """Int8 scalar-quantization recall@10 vs exact cosine for the 5
+    sample queries — the 4x-memory SQ index go/no-go, measured not
+    assumed.  Quantized dots are exact whole-number doubles; both
+    engines rank identical 6dp scores."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        int8_quantize_recall,
+    )
+
+    return int8_quantize_recall(_embs(spark, sf_dir), n_queries=5, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3587,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dim_ablation": q_ann_dim_ablation,
         "expanding_zscore": q_expanding_zscore,
         "growth_accounting": q_growth_accounting,
+        "ann_int8": q_ann_int8,
     }
 
 
@@ -7945,5 +7958,45 @@ WITH ud AS (
 SELECT d.day_ts, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
        cast(coalesce(p.n_active, 0) - d.n_retained AS bigint) AS n_churned
 FROM d LEFT JOIN d p ON p.day_ts = d.day_ts - INTERVAL 1 DAY
+""",
+        "ann_int8": f"""
+WITH {_UV_CTE},
+qz AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(v, x ->
+                round(x * 127.0 / list_max(list_transform(v, y -> abs(y)))))
+              ELSE list_transform(v, x -> x * 0.0)
+         END AS q
+  FROM uv
+), exact AS (
+  SELECT qid, nid FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.v), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+), approx AS (
+  SELECT qid, nid FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.q, c.q) * a.s * c.s
+                            / (127.0 * 127.0), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+), hits AS (
+  SELECT e.qid, cast(count(*) AS bigint) AS n_overlap
+  FROM exact e JOIN approx p ON e.qid = p.qid AND e.nid = p.nid
+  GROUP BY 1
+)
+SELECT b.qid, cast(10 AS int) AS k,
+       cast(coalesce(h.n_overlap, 0) AS bigint) AS n_overlap,
+       round(cast(coalesce(h.n_overlap, 0) AS double) / 10.0, 6) AS recall
+FROM (SELECT DISTINCT qid FROM exact) b LEFT JOIN hits h USING (qid)
 """,
     }

@@ -171,6 +171,7 @@ HEADLINE_R3 = [
     "ann_dim_ablation",
     "expanding_zscore",
     "growth_accounting",
+    "ann_int8",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -294,3 +294,41 @@ def test_dim_ablation_discriminating_prefix(spark):
     # degenerates to id order, so overlap is strictly below 1 for at
     # least one query (the tail carried all the signal)
     assert any(r["overlap_frac"] < 1.0 for r in out)
+
+
+def test_int8_recall_exact_on_orthogonal_and_zero_guard(spark):
+    from timeseriescorrelation_spark.operators.similarity import (
+        int8_quantize_recall,
+    )
+
+    # axis-aligned + mixtures: int8 SQ cannot reorder these; plus a
+    # zero vector (id 9) that must quantize to zeros, not crash
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.8, 0.2, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),
+        (6, [-1.0, 0.0, 0.0, 0.0]),
+        (7, [0.7, 0.3, 0.1, 0.0]),
+        (8, [0.1, 0.1, 0.8, 0.0]),
+        (9, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = int8_quantize_recall(df, n_queries=2, k=3).collect()
+    assert len(res) == 2
+    assert all(r.k == 3 for r in res)
+    assert all(r.recall == 1.0 for r in res)
+
+
+def test_int8_recall_on_driver_embeddings(spark, embs):
+    from timeseriescorrelation_spark.operators.similarity import (
+        int8_quantize_recall,
+    )
+
+    res = int8_quantize_recall(embs, n_queries=3, k=10).collect()
+    assert len(res) == 3
+    # 64-dim unit vectors at int8: recall@10 should be essentially
+    # perfect; anything under 0.8 means the quantizer is broken
+    assert min(r.recall for r in res) >= 0.8

@@ -951,3 +951,73 @@ def dim_ablation_overlap(emb: DataFrame, n_queries: int = 5, k: int = 10,
             / F.col("_kk").cast("double"), 6
         ).alias("overlap_frac"),
     )
+
+
+def int8_quantize_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Int8 scalar-quantization recall: for each sample query, the
+    overlap between the float cosine top-k and the top-k ranked by the
+    symmetric-SQ int8 score — (qid, k, n_overlap, recall).  The go/no-go
+    measurement for the standard 4x index-memory cut (unit vector →
+    per-vector scale s = max|v_i|, q_i = round(v_i·127/s), score =
+    ⟨qa,qb⟩·sa·sb/127²).
+
+    Quantized components are whole numbers in [−127, 127] carried as
+    doubles, so the dot product is EXACT (|Σ| ≤ d·127² ≪ 2⁵³) and both
+    engines rank identical scores; scores round to 6dp before ranking,
+    ties break on candidate id.  All-zero vectors quantize to the zero
+    vector (scale-0 guard, same policy as with_unit_vectors).
+
+    Scale notes: the quantization is one in-row pass (at 100 TB this is
+    the map stage that writes the int8 index); scoring is two brute
+    scans over broadcast sample queries, 2·k rows per query join after.
+    """
+    u = with_unit_vectors(emb, vec_col, id_col)
+    qz = u.withColumn(
+        "_s", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).select(
+        "vec_id", "v", "_s",
+        F.when(
+            F.col("_s") > 0,
+            F.transform(
+                "v", lambda x: F.round(x * F.lit(127.0) / F.col("_s"))
+            ),
+        ).otherwise(
+            F.transform("v", lambda x: x * F.lit(0.0))
+        ).alias("q"),
+    )
+
+    def _topk(score_col):
+        qs = qz.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("q").alias("qq"), F.col("_s").alias("qscale"),
+        )
+        scored = qz.join(
+            F.broadcast(qs), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid", F.col("vec_id").alias("nid"),
+            F.round(score_col, 6).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+        return scored.select(
+            "qid", "nid", F.row_number().over(w).alias("r")
+        ).where(F.col("r") <= int(k)).select("qid", "nid")
+
+    exact = _topk(_dot(F.col("qv"), F.col("v")))
+    approx = _topk(
+        _dot(F.col("qq"), F.col("q"))
+        * F.col("qscale") * F.col("_s") / F.lit(127.0 * 127.0)
+    )
+    hits = exact.join(approx, ["qid", "nid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    base = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("_kk"))
+    return base.join(hits, "qid", "left").select(
+        "qid", F.lit(int(k)).alias("k"),
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0)).cast("double")
+            / F.col("_kk").cast("double"), 6
+        ).alias("recall"),
+    )
