@@ -348,3 +348,63 @@ def test_remove_orphans_spares_staged_and_referenced(spark, tmp_path):
     assert _vals(snapshot_read(spark, t)) == [0, 1, 2, 3]
     v2 = publish_staged(spark, t, handle)
     assert _vals(snapshot_read(spark, t, version=v2)) == [0, 1, 2, 3, 10, 11]
+
+
+def test_merge_cdc_nets_log_and_deletes_in_one_commit(spark, tmp_path):
+    """CDC MERGE: the changelog nets per key (last op wins), deletes
+    drop the key, upserts replace/insert — one atomic commit, files
+    without a touched key carried by reference, old version intact."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.sources.snapshots import (
+        snapshot_merge_cdc,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 5).selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1), t, "append",
+    )
+    snapshot_write(
+        spark.range(5, 10).selectExpr("id AS k", "id * 10 AS v")
+        .coalesce(1), t, "append",
+    )
+    T = dt.datetime(2024, 1, 1)
+
+    def ts(n):
+        return T + dt.timedelta(seconds=n)
+
+    log = spark.createDataFrame(
+        [
+            (3, 333, "U", ts(1), 1),    # plain update
+            (4, 444, "U", ts(1), 2),    # updated...
+            (4, None, "D", ts(2), 3),   # ...then deleted -> nets to D
+            (6, None, "D", ts(1), 4),   # deleted...
+            (6, 666, "U", ts(2), 5),    # ...then re-upserted -> nets to U
+            (42, 4200, "I", ts(1), 6),  # brand-new key
+            (99, None, "D", ts(1), 7),  # delete of absent key: no-op
+        ],
+        "k long, v long, op string, ts timestamp, seq long",
+    )
+    stats = snapshot_merge_cdc(
+        log, t, key_cols=["k"], op_col="op", ts_col="ts", tie_col="seq",
+    )
+    # changelog rows carry (k, v, op, ts, seq); op is dropped on apply
+    after = {r["k"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert after[3] == 333
+    assert 4 not in after            # U then D nets to delete
+    assert after[6] == 666           # D then U nets to upsert
+    assert after[42] == 4200
+    assert 99 not in after
+    assert after[0] == 0 and after[9] == 90
+    assert len(after) == 10          # 10 original - (4) + 42, 6 replaced
+    assert stats["files_rewritten"] == 2   # keys 3,4 and 6 span both
+    assert stats["files_carried"] == 0
+    assert stats["keys_deleted"] == 2      # netted deletes: 4 and 99
+    assert stats["rows_upserted"] == 3     # keys 3, 6, 42
+    # time travel: pre-CDC version unchanged
+    old = {
+        r["k"]: r["v"]
+        for r in snapshot_read(spark, t, version=2).collect()
+    }
+    assert old[4] == 40 and 42 not in old

@@ -981,3 +981,94 @@ def remove_orphan_files(spark: SparkSession, table_path: str,
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
             deleted += 1
     return {"orphans": orphans, "deleted": deleted}
+
+
+def snapshot_merge_cdc(changelog: DataFrame, table_path: str,
+                       key_cols: list[str], op_col: str = "op",
+                       ts_col: str = "ts",
+                       tie_col: str | None = None) -> dict:
+    """Apply a CDC changelog in ONE atomic commit — MERGE INTO with
+    WHEN MATCHED DELETE: ``changelog`` rows carry the table schema plus
+    an ``op_col`` ('I'/'U' upsert, 'D' delete).  The log is first
+    NETTED per key (latest record by (ts_col, tie_col) wins, so
+    U-then-D nets to a delete and D-then-U to an upsert), then applied
+    with the same copy-on-write file surgery as snapshot_merge: only
+    files containing a touched key are rewritten, the rest are carried
+    by reference into the new manifest.
+
+    Netting before applying is what makes replaying a Debezium/binlog
+    batch idempotent and order-safe inside the batch; determinism of
+    the net requires (ts_col, tie_col) to totally order each key's
+    records (pass the log sequence number as tie_col).
+
+    Returns {"version", "files_rewritten", "files_carried",
+    "rows_upserted", "keys_deleted"}.
+
+    Scale notes (100 TB): netting is one shuffle keyed on the CDC key
+    over the (small) changelog; the table side touches only affected
+    files, exactly like snapshot_merge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = changelog.sparkSession
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tie_col).desc()] if tie_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    netted = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    netted = netted.localCheckpoint(eager=True)  # two branches below
+
+    jvm, fs, _ = _fs(spark, table_path)
+    versions = _versions(jvm, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    cur_manifest = _manifest(jvm, fs, table_path, versions[-1])
+    cur_files = cur_manifest["files"]
+    cur_specs = cur_manifest.get("specs") or {}
+    cur = snapshot_read(spark, table_path).withColumn(
+        "_f", F.input_file_name()
+    )
+    # upserts take the TABLE's schema: changelog bookkeeping columns
+    # (op, and ts/tie when they aren't table columns) are projected
+    # away, so a log can always carry more context than the table
+    table_cols = [c for c in cur.columns if c != "_f"]
+    upserts = netted.where(F.col(op_col) != "D").select(*table_cols)
+    n_deletes = netted.where(F.col(op_col) == "D").count()
+    keys = netted.select(*key_cols).distinct()
+    import re
+
+    def _np(uri: str) -> str:
+        return re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", uri)
+
+    touched = {
+        _np(r["_f"])
+        for r in cur.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("_f").distinct().collect()
+    }
+    affected = sorted(f for f in cur_files if _np(f) in touched)
+    carried = [f for f in cur_files if _np(f) not in touched]
+    if affected:
+        aff = _read_files(spark, affected, cur_specs)
+        if cur_manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            aff = _align(aff, StructType.fromJson(cur_manifest["schema"]))
+        survivors = aff.join(F.broadcast(keys), key_cols, "left_anti")
+        new_rows = survivors.unionByName(upserts)
+    else:
+        new_rows = upserts
+    v = snapshot_write(
+        new_rows, table_path, mode="overwrite", carry_files=carried,
+        extra_meta={"cdc_keys": list(key_cols)},
+    )
+    return {
+        "version": v,
+        "files_rewritten": len(affected),
+        "files_carried": len(carried),
+        "rows_upserted": upserts.count(),
+        "keys_deleted": n_deletes,
+    }
