@@ -3406,6 +3406,29 @@ def q_ann_int8(spark, sf_dir):
     return int8_quantize_recall(_embs(spark, sf_dir), n_queries=5, k=10)
 
 
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (period 24) over hourly event counts per
+    metric — one-step-ahead volume forecast with level/trend/season
+    decomposition.  Input is COUNTS (exact integers) so both engines
+    smooth the identical float64 series; the DuckDB oracle replays the
+    recursion in a recursive CTE with the same derived constants;
+    seasonality indexes by OBSERVATION position (every 24th row), so
+    compose a grid gap-fill (operators/gapfill.py) in front when
+    strict hour-of-day alignment is required
+    (repr(1−α), not a 0.7 literal — they differ in the last bit)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        holt_winters,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    hourly = s.groupBy(
+        "metric", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    return holt_winters(
+        hourly, period=24, alpha=0.3, beta=0.1, gamma=0.2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3600,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_zscore": q_expanding_zscore,
         "growth_accounting": q_growth_accounting,
         "ann_int8": q_ann_int8,
+        "holt_winters": q_holt_winters,
     }
 
 
@@ -7998,5 +8022,59 @@ SELECT b.qid, cast(10 AS int) AS k,
        cast(coalesce(h.n_overlap, 0) AS bigint) AS n_overlap,
        round(cast(coalesce(h.n_overlap, 0) AS double) / 10.0, 6) AS recall
 FROM (SELECT DISTINCT qid FROM exact) b LEFT JOIN hits h USING (qid)
+""",
+        # constants are repr() of the Python-derived values: 1.0-0.3
+        # is NOT the double literal 0.7, and the recursion amplifies a
+        # one-ulp constant difference into visible divergence
+        "holt_winters": f"""
+WITH RECURSIVE h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_ts,
+         cast(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT metric, bucket_ts, v,
+         row_number() OVER (PARTITION BY metric ORDER BY bucket_ts)
+           AS rn
+  FROM h
+), r AS (
+  SELECT metric, bucket_ts, v, rn,
+         v AS lvl, cast(0.0 AS DOUBLE) AS trd,
+         [cast(0.0 AS DOUBLE)] AS seas,
+         cast(NULL AS DOUBLE) AS fitted, cast(NULL AS DOUBLE) AS season
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT metric, bucket_ts, v, rn, lvl, trd,
+         CASE WHEN rn <= 24 THEN list_append(seas0, v - lvl)
+              ELSE list_append(seas0[2:], snew) END AS seas,
+         fitted,
+         CASE WHEN rn <= 24 THEN cast(NULL AS DOUBLE) ELSE snew END
+           AS season
+  FROM (
+    SELECT *,
+           {0.1!r} * (lvl - lp) + {1.0 - 0.1!r} * bp AS trd,
+           CASE WHEN rn <= 24 THEN cast(NULL AS DOUBLE)
+                ELSE {0.2!r} * (v - lp - bp) + {1.0 - 0.2!r} * sold
+           END AS snew
+    FROM (
+      SELECT s.metric AS metric, s.bucket_ts AS bucket_ts, s.v AS v,
+             s.rn AS rn, r.lvl AS lp, r.trd AS bp, r.seas AS seas0,
+             r.seas[1] AS sold,
+             CASE WHEN s.rn <= 24
+                  THEN {0.3!r} * s.v + {1.0 - 0.3!r} * (r.lvl + r.trd)
+                  ELSE {0.3!r} * (s.v - r.seas[1])
+                       + {1.0 - 0.3!r} * (r.lvl + r.trd)
+             END AS lvl,
+             CASE WHEN s.rn <= 24 THEN cast(NULL AS DOUBLE)
+                  ELSE r.lvl + r.trd + r.seas[1] END AS fitted
+      FROM r JOIN s ON s.metric = r.metric AND s.rn = r.rn + 1
+    )
+  )
+)
+SELECT metric, bucket_ts AS ts, v AS value,
+       floor(fitted * 1e6) / 1e6 AS fitted,
+       CASE WHEN rn > 24 THEN floor(lvl * 1e6) / 1e6 END AS level,
+       CASE WHEN rn > 24 THEN floor(trd * 1e6) / 1e6 END AS trend,
+       floor(season * 1e6) / 1e6 AS season
+FROM r
 """,
     }

@@ -172,6 +172,7 @@ HEADLINE_R3 = [
     "expanding_zscore",
     "growth_accounting",
     "ann_int8",
+    "holt_winters",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -65,3 +65,53 @@ def test_des_trend_sign_tracks_direction(spark):
             assert r.trend > 0
         else:
             assert r.trend < 0
+
+
+def test_holt_winters_warmup_nulls_and_hand_recursion(spark):
+    """First `period` rows NULL; afterwards the fitted/level/trend/
+    season match a straight Python replay of the documented recursion."""
+    import datetime as dt
+    import math
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        holt_winters,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    m, a, b, g = 3, 0.3, 0.1, 0.2
+    xs = [10.0, 12.0, 8.0, 11.0, 13.0, 7.0, 12.0, 14.0]
+    rows = [("m1", T0 + dt.timedelta(hours=i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    got = sorted(
+        holt_winters(df, period=m, alpha=a, beta=b, gamma=g).collect(),
+        key=lambda r: r.ts,
+    )
+
+    # replay of the docstring recursion
+    seas, l, tr = [0.0], xs[0], 0.0
+    want = [(None, None, None, None)]
+    for t in range(1, len(xs)):
+        x = xs[t]
+        if t < m:
+            lp = l
+            l = a * x + (1.0 - a) * (lp + tr)
+            tr = b * (l - lp) + (1.0 - b) * tr
+            seas.append(x - l)
+            want.append((None, None, None, None))
+        else:
+            s_old = seas[0]
+            fit = l + tr + s_old
+            lp, bp = l, tr
+            l = a * (x - s_old) + (1.0 - a) * (lp + bp)
+            tr = b * (l - lp) + (1.0 - b) * bp
+            s_new = g * (x - lp - bp) + (1.0 - g) * s_old
+            seas = seas[1:] + [s_new]
+            want.append((fit, l, tr, s_new))
+
+    def q(v):
+        return None if v is None else math.floor(v * 1e6) / 1e6
+
+    for r, (fit, lv, tr_, sn) in zip(got, want):
+        assert (r.fitted, r.level, r.trend, r.season) == (
+            q(fit), q(lv), q(tr_), q(sn)
+        )

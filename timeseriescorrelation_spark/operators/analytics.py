@@ -1761,3 +1761,122 @@ def expanding_zscore(series: DataFrame, min_n: int = 3) -> DataFrame:
         F.coalesce(F.col("_cn"), F.lit(0)).cast("long").alias("n_prior"),
         z.alias("z"),
     )
+
+
+def holt_winters(series: DataFrame, period: int = 24,
+                 alpha: float = 0.3, beta: float = 0.1,
+                 gamma: float = 0.2,
+                 keys: list[str] | None = None) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per series —
+    the seasonal member of the ewma → des_brown family, with the same
+    cross-engine contract: the float64 recursion is replayed
+    bit-for-bit by the DuckDB recursive-CTE oracle, outputs
+    floor-quantized to 6 dp.
+
+    Recursions (t is the 0-based position in ts order, m = period):
+
+        warm-up  t < m :  plain Holt level/trend
+                          l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})
+                          b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+                          and the season buffer records x_t − l_t
+                          (l_0 = x_0, b_0 = 0; outputs NULL — no
+                          seasonal estimate exists yet)
+        t ≥ m :           s_old = season recorded m steps ago
+                          fitted_t = l_{t−1} + b_{t−1} + s_old  (the
+                            one-step-ahead forecast, made BEFORE x_t)
+                          l_t = α(x_t − s_old) + (1−α)(l_{t−1}+b_{t−1})
+                          b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+                          s_t = γ(x_t − l_{t−1} − b_{t−1}) + (1−γ)s_old
+
+    The warm-up convention is deliberately elementwise (no mean over
+    the first season): every operation is a fixed-order IEEE
+    multiply/add both engines perform identically — a mean would hit
+    numpy-pairwise vs SQL-sequential summation-order divergence.
+
+    Output: (keys..., ts, value, fitted, level, trend, season); the
+    first `period` rows of each series carry NULLs.
+
+    Scale notes: same execution shape as des_brown — hash-repartition
+    on the series keys, ONE sorted python pass per partition; state is
+    O(period) per live series.  Series length is unbounded (the loop
+    streams), but a series must fit one partition — at 100 TB feed
+    BUCKETED series (hourly means), not raw events."""
+    keys = keys or ["metric"]
+    m = int(period)
+    a, bta, g = float(alpha), float(beta), float(gamma)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", ts timestamp, value double, fitted double,"
+        + " level double, trend double, season double"
+    )
+    cols = [*keys, "ts", "value"]
+
+    def _hw_one(x):
+        n = len(x)
+        fit = np.full(n, np.nan)
+        lev = np.full(n, np.nan)
+        trd = np.full(n, np.nan)
+        sea = np.full(n, np.nan)
+        if n == 0:
+            return fit, lev, trd, sea
+        seas = []
+        l = float(x[0])
+        b = 0.0
+        seas.append(float(x[0]) - l)
+        for t in range(1, n):
+            xv = float(x[t])
+            if t < m:
+                lp = l
+                l = a * xv + (1.0 - a) * (lp + b)
+                b = bta * (l - lp) + (1.0 - bta) * b
+                seas.append(xv - l)
+            else:
+                s_old = seas[0]
+                fit[t] = l + b + s_old
+                lp, bp = l, b
+                l = a * (xv - s_old) + (1.0 - a) * (lp + bp)
+                b = bta * (l - lp) + (1.0 - bta) * bp
+                s_new = g * (xv - lp - bp) + (1.0 - g) * s_old
+                seas = seas[1:]
+                seas.append(s_new)
+                lev[t], trd[t], sea[t] = l, b, s_new
+        return fit, lev, trd, sea
+
+    def _hw(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        outs = []
+        for _, grp in pdf.groupby(keys, sort=False):
+            fit, lev, trd, sea = _hw_one(
+                grp["value"].to_numpy(dtype=np.float64)
+            )
+            out = grp[cols].copy()
+            out["fitted"], out["level"] = fit, lev
+            out["trend"], out["season"] = trd, sea
+            outs.append(out)
+        yield pd.concat(outs, ignore_index=True)
+
+    with_ord = series.select(*cols, epoch_us(F.col("ts")).alias("_ord"))
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
+    )
+
+    n_part = shuffle_partition_count(series.sparkSession)
+    part = with_ord.repartition(n_part, *[F.col(k) for k in keys]) \
+        .sortWithinPartitions(*keys, "_ord")
+    raw = part.mapInPandas(_hw, schema)
+
+    def _q(c):
+        # floor quantization; NaN (warm-up) becomes NULL via nanvl
+        qq = F.floor(c * F.lit(1e6)) / F.lit(1e6)
+        return F.when(~F.isnan(c), qq)
+
+    return raw.select(
+        *cols,
+        _q(F.col("fitted")).alias("fitted"),
+        _q(F.col("level")).alias("level"),
+        _q(F.col("trend")).alias("trend"),
+        _q(F.col("season")).alias("season"),
+    )
