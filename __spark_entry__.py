@@ -3429,6 +3429,111 @@ def q_holt_winters(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier revenue: the 6-way snowflake join
+    (region→nation fans to BOTH customer and supplier sides, with the
+    c_nationkey = s_nationkey colocation predicate) — the canonical
+    multi-dim broadcast-join tree.  All dims broadcast; the only
+    shuffled table is lineitem.  Revenue snapped to integer cents per
+    row, summed exact."""
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    asia_nations = (
+        t("nation")
+        .join(
+            t("region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    j = (
+        t("lineitem")
+        .join(
+            t("orders").where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t("supplier")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev_c).alias("_rc"))
+        .select(
+            "n_name", F.round(F.col("_rc") / 100.0, 2).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change: the pure scan-filter-agg
+    probe — its whole point is predicate pushdown (the three filters
+    must reach the parquet scan, asserted for this fixture family in
+    tests/test_plans.py) and a one-row exact aggregate.  The discount
+    band compares on basis points (round(l_discount·10⁴)) so the
+    double column never enters a between."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    bp = F.round(F.col("l_discount") * 10000).cast("long")
+    rev_c = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    s = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_quantity") < 24)
+    ).where(bp.between(500, 700))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(rev_c) / 100.0, 2).alias("revenue"),
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: aggregate-filtered semi-join
+    (HAVING sum(qty) > 300 drives which orders survive) — the shape
+    where the group-by must run BEFORE the join tree.  Quantities are
+    whole doubles; cast to long so the threshold and output sums are
+    integer-exact."""
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    li = t("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    j = (
+        big.join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return j.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "total_qty",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3624,6 +3729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting": q_growth_accounting,
         "ann_int8": q_ann_int8,
         "holt_winters": q_holt_winters,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
     }
 
 
@@ -8076,5 +8184,42 @@ SELECT metric, bucket_ts AS ts, v AS value,
        CASE WHEN rn > 24 THEN floor(trd * 1e6) / 1e6 END AS trend,
        floor(season * 1e6) / 1e6 AS season
 FROM r
+""",
+        "tpch_q5": """
+SELECT n_name,
+       round(cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS bigint)) AS bigint)
+             / 100.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1
+""",
+        "tpch_q6": """
+SELECT count(*) AS n_items,
+       round(cast(sum(cast(round(l_extendedprice * l_discount * 100)
+                           AS bigint)) AS bigint) / 100.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_quantity < 24
+  AND cast(round(l_discount * 10000) AS bigint) BETWEEN 500 AND 700
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
     }

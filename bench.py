@@ -173,6 +173,9 @@ HEADLINE_R3 = [
     "growth_accounting",
     "ann_int8",
     "holt_winters",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
