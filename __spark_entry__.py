@@ -3534,6 +3534,57 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_current_pctile(spark, sf_dir):
+    """Where does the LATEST hourly value sit against the series' own
+    history — the "is current traffic unusual" monitor: per metric,
+    the last hour's event count and its mid-rank percentile
+    ((n_below + 0.5·n_equal)/n, exact integer counts, one division).
+    Shape: one hourly hash-agg, a per-metric max_by (simple timestamp
+    ordering key — hash-aggregable), then a broadcast join of the
+    |metrics|-row last-value table back onto the history for the
+    conditional counts."""
+    s = _series_from_events(spark, sf_dir)
+    hourly = s.groupBy(
+        "metric", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    last = hourly.groupBy("metric").agg(
+        F.max("bucket_ts").alias("last_ts"),
+        F.max_by("v", "bucket_ts").alias("last_v"),
+    )
+    j = hourly.join(F.broadcast(last), "metric")
+    return j.groupBy("metric").agg(
+        F.first("last_ts").alias("last_ts"),
+        F.first("last_v").cast("long").alias("last_value"),
+        F.count(F.lit(1)).alias("n_hist"),
+        F.round(
+            (
+                F.sum(F.when(F.col("v") < F.col("last_v"), 1).otherwise(0))
+                + F.sum(
+                    F.when(F.col("v") == F.col("last_v"), 1).otherwise(0)
+                ) * F.lit(0.5)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pctile"),
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy-hitter actors per metric with 8 counters of
+    state — the bounded-memory streaming top-k (guarantees pytest-
+    asserted vs exact counts; streaming twin bit-equal).  Order-
+    dependent summary, so no SQL oracle: rows-only check; token_topk
+    is the exact order-free form."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        heavy_hitters_mg,
+    )
+
+    return heavy_hitters_mg(
+        _series_from_events(spark, sf_dir),
+        keys=["metric"], item_col="conv_id", k=8, tie_col="turn_idx",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3732,6 +3783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
+        "current_pctile": q_current_pctile,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -8221,5 +8274,25 @@ SELECT c_name, c_custkey, o_orderkey, o_orderdate,
 FROM big
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+        "current_pctile": """
+WITH hourly AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS v
+  FROM events GROUP BY 1, 2
+), last AS (
+  SELECT metric, max(bucket_ts) AS last_ts,
+         arg_max(v, bucket_ts) AS last_v
+  FROM hourly GROUP BY 1
+)
+SELECT h.metric,
+       any_value(l.last_ts) AS last_ts,
+       cast(any_value(l.last_v) AS bigint) AS last_value,
+       count(*) AS n_hist,
+       round((sum(CASE WHEN h.v < l.last_v THEN 1 ELSE 0 END)
+              + sum(CASE WHEN h.v = l.last_v THEN 1 ELSE 0 END) * 0.5)
+             / count(*), 6) AS pctile
+FROM hourly h JOIN last l USING (metric)
+GROUP BY 1
 """,
     }

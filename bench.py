@@ -176,6 +176,8 @@ HEADLINE_R3 = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
+    "current_pctile",
+    "heavy_hitters",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

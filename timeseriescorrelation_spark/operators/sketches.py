@@ -473,3 +473,64 @@ def hll_rolling(regs: DataFrame, keys: list[str], day_col: str,
         merged.join(days, [*keys, "_wday"], "left_semi")
         .withColumnRenamed("_wday", day_col)
     )
+
+
+def heavy_hitters_mg(events: DataFrame, keys: list[str],
+                     item_col: str, k: int = 8,
+                     ts_col: str = "ts",
+                     tie_col: str | None = None) -> DataFrame:
+    """Misra-Gries heavy hitters per key group with k counters of
+    state — (keys..., item, mg_count, n_seen).  The bounded-memory
+    answer to "top items over an unbounded stream": any item with true
+    frequency > n/(k+1) is GUARANTEED present, and
+    true_count − n/(k+1) ≤ mg_count ≤ true_count.
+
+    The summary depends on PROCESSING ORDER, so the order is part of
+    the contract: (ts_col, tie_col) ascending.  The streaming twin
+    (streaming/topk_stream.py) carries the counter map across
+    micro-batches and replays the identical sequence — asserted
+    bit-equal in tests/test_topk_stream.py.  For order-independent
+    exact answers use token_topk (full groupBy) or cms_tokens; this
+    operator exists for the O(k)-state streaming regime.
+
+    Scale notes: one shuffle to the key groups, one in-group sort,
+    a pure-python dict loop per group via applyInPandas — the loop is
+    O(items) with O(k) state, the Spark contract (schema, ordering,
+    grouping) is what a 1000-executor run shards on."""
+    import pandas as pd
+
+    kk = int(k)
+    out_fields = ", ".join(f"{c} string" for c in keys)
+    schema = f"{out_fields}, item string, mg_count long, n_seen long"
+    sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+
+    def _mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        counters: dict[str, int] = {}
+        n = 0
+        for it in pdf[item_col].astype(str):
+            n += 1
+            if it in counters:
+                counters[it] += 1
+            elif len(counters) < kk:
+                counters[it] = 1
+            else:
+                dead = [key for key, c in counters.items() if c == 1]
+                for key in counters:
+                    counters[key] -= 1
+                for key in dead:
+                    del counters[key]
+        head = pdf.iloc[0]
+        rows = [
+            {**{c: head[c] for c in keys},
+             "item": it, "mg_count": c, "n_seen": n}
+            for it, c in counters.items()
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[*keys, "item", "mg_count", "n_seen"],
+        )
+
+    return events.select(
+        *keys, item_col, *sort_cols
+    ).groupBy(*keys).applyInPandas(_mg, schema)
