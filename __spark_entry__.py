@@ -3585,6 +3585,62 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_drawdown_daily(spark, sf_dir):
+    """Maximum drawdown of the cumulative value path per (metric, day)
+    — the peak-to-trough risk statistic: running cent-exact cumsum,
+    running max of that path, drawdown = max(peak − path).  Two
+    cumulative windows on ONE (metric, day) sort, integer throughout,
+    one division at the end."""
+    from pyspark.sql import Window
+
+    s = _series_from_events(spark, sf_dir)
+    v = F.round(F.col("value") * 100).cast("long")
+    day = F.date_trunc("day", "ts").alias("day_ts")
+    base = s.select("metric", day, "ts", "turn_idx", v.alias("_v"))
+    w = (
+        Window.partitionBy("metric", "day_ts")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    path = base.select(
+        "metric", "day_ts", "ts", "turn_idx", "_v",
+        F.sum("_v").over(w).alias("_cum"),
+    ).select(
+        "metric", "day_ts", "_v", "_cum",
+        F.max("_cum").over(w).alias("_peak"),
+    )
+    # final path value = the day's total (order-free sum), NOT last()
+    # over a hash-agg whose input order is unspecified
+    return path.groupBy("metric", "day_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(F.col("_peak") - F.col("_cum")) / 100.0, 2)
+        .alias("max_drawdown"),
+        F.round(F.max("_peak") / 100.0, 2).alias("peak"),
+        F.round(F.sum("_v") / 100.0, 2).alias("final"),
+    )
+
+
+def q_corr_clusters(spark, sf_dir):
+    """Correlated-actor clusters: the engine's two headline pieces
+    composed — ε-grid candidate prune → exact Pearson at θ (the
+    corr_report pipeline) gives the edge set, alternating-star
+    connected components collapse it into co-moving groups.  The
+    oracle recomputes the edges all-pairs (equality is the prune's
+    soundness proof, same as spearman_pruned) and closes them with a
+    recursive-CTE reachability closure."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    aligned = _aligned_from_events(spark, sf_dir)
+    vectors = dft_sketch(build_vectors(aligned)).cache()
+    cand = candidate_pairs(vectors, _CORR_THETA)
+    edges = exact_corr(cand, vectors, _CORR_THETA)
+    return connected_components_star(
+        edges.select("id_a", "id_b")
+    ).withColumnRenamed("doc_id", "conv_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3785,6 +3841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "current_pctile": q_current_pctile,
         "heavy_hitters": q_heavy_hitters,
+        "drawdown_daily": q_drawdown_daily,
+        "corr_clusters": q_corr_clusters,
     }
 
 
@@ -8294,5 +8352,57 @@ SELECT h.metric,
              / count(*), 6) AS pctile
 FROM hourly h JOIN last l USING (metric)
 GROUP BY 1
+""",
+        "drawdown_daily": """
+WITH s AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         ts, event_id,
+         cast(round(value * 100) AS bigint) AS v,
+         sum(cast(round(value * 100) AS bigint)) OVER w AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT metric, day_ts, v, cum,
+         max(cum) OVER (PARTITION BY metric, day_ts
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM s
+)
+SELECT metric, day_ts, count(*) AS n,
+       round(cast(max(peak - cum) AS bigint) / 100.0, 2)
+         AS max_drawdown,
+       round(cast(max(peak) AS bigint) / 100.0, 2) AS peak,
+       round(cast(sum(v) AS bigint) / 100.0, 2) AS final
+FROM p GROUP BY 1, 2
+""",
+        "corr_clusters": f"""
+WITH RECURSIVE h AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT cast(user_id AS varchar) AS sid, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM h
+), x AS (
+  SELECT sid, rn, v FROM r WHERE rn <= {_CORR_M} AND n >= {_CORR_M}
+), e AS (
+  SELECT a.sid AS id_a, b.sid AS id_b
+  FROM x a JOIN x b ON a.rn = b.rn AND a.sid < b.sid
+  GROUP BY 1, 2
+  HAVING corr(a.v, b.v) >= {_CORR_THETA}
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM e
+  UNION
+  SELECT id_b, id_a FROM e
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+)
+SELECT n AS conv_id, min(m) AS cluster FROM reach GROUP BY 1
 """,
     }

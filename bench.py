@@ -178,6 +178,8 @@ HEADLINE_R3 = [
     "tpch_q18",
     "current_pctile",
     "heavy_hitters",
+    "drawdown_daily",
+    "corr_clusters",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
