@@ -3641,6 +3641,124 @@ def q_corr_clusters(spark, sf_dir):
     ).withColumnRenamed("doc_id", "conv_id")
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent prior click/view within a 7-day lookback, else
+    'unattributed' — the standard marketing-credit query.  One window
+    per user (two last(..., ignorenulls) over the same (ts, event_id)
+    sort picks the ts and the type of the SAME touch row), then a
+    day-level hash-agg; no self-join."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.last(F.when(is_touch, F.col("ts")), True).over(w)
+        .alias("_touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), True).over(w)
+        .alias("_touch_type"),
+    )
+    purchases = touched.where(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.when(
+            F.col("_touch_ts")
+            >= F.col("ts") - F.expr("interval 7 days"),
+            F.col("_touch_type"),
+        ).otherwise(F.lit("unattributed")).alias("touch"),
+    )
+    return purchases.groupBy("day_ts", "touch").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
+def q_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (deterministic assignment
+    user_id % 2; pre-period = days before the range midpoint): per
+    variant, the raw post-period mean and the CUPED-adjusted mean
+    mean_post − θ·(mean_pre − mean_pre_pooled), θ = cov(post,pre)/
+    var(pre) pooled.  EVERYTHING derives from exact int64 cent sums
+    and counts — the per-user adjusted values are never materialized,
+    so no engine-order float summation anywhere; the variance-
+    reduction factor 1 − ρ² comes from the same moments."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    e = _events(spark, sf_dir)
+    mid = e.agg(
+        F.timestamp_micros(
+            (
+                (F.min(epoch_us(F.col("ts")))
+                 + F.max(epoch_us(F.col("ts")))) / 2
+            ).cast("long")
+        ).alias("_mid")
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy((F.col("user_id") % 2).cast("int").alias("variant"),
+                 "user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("_mid"), v).otherwise(0))
+            .alias("pre_c"),
+            F.sum(F.when(F.col("ts") >= F.col("_mid"), v).otherwise(0))
+            .alias("post_c"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").alias("sx"),
+        F.sum("post_c").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).alias("sxx"),
+        F.sum(F.col("post_c") * F.col("post_c")).alias("syy"),
+        F.sum(F.col("pre_c") * F.col("post_c")).alias("sxy"),
+    ).select(
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         .cast("double")
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+         .cast("double")).alias("_theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double"))
+        .alias("_mean_pre_all"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        ).alias("_rho2"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("post_c").alias("_spost"),
+        F.sum("pre_c").alias("_spre"),
+    )
+    j = per_variant.crossJoin(F.broadcast(pooled))
+    mean_post = F.col("_spost").cast("double") / (
+        F.col("n_users").cast("double") * 100.0
+    )
+    mean_pre = F.col("_spre").cast("double") / (
+        F.col("n_users").cast("double") * 100.0
+    )
+    return j.select(
+        "variant", "n_users",
+        F.round(mean_post, 6).alias("mean_post"),
+        F.round(
+            mean_post
+            - F.col("_theta")
+            * (mean_pre - F.col("_mean_pre_all") / 100.0),
+            6,
+        ).alias("mean_cuped"),
+        F.round(F.lit(1.0) - F.col("_rho2"), 6).alias("var_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3843,6 +3961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "drawdown_daily": q_drawdown_daily,
         "corr_clusters": q_corr_clusters,
+        "attribution": q_attribution,
+        "ab_cuped": q_ab_cuped,
     }
 
 
@@ -8404,5 +8524,72 @@ WITH RECURSIVE h AS (
   SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
 )
 SELECT n AS conv_id, min(m) AS cluster FROM reach GROUP BY 1
+""",
+        "attribution": """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS) OVER w
+           AS touch_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT date_trunc('day', ts) AS day_ts,
+       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type
+            ELSE 'unattributed' END AS touch,
+       count(*) AS n_purchases
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1, 2
+""",
+        "ab_cuped": """
+WITH mid AS (
+  SELECT cast((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS bigint)
+    AS m
+  FROM events
+), pu AS (
+  SELECT cast(user_id % 2 AS int) AS variant, user_id,
+         cast(sum(CASE WHEN epoch_us(ts) < m
+                       THEN cast(round(value * 100) AS bigint)
+                       ELSE 0 END) AS bigint) AS pre_c,
+         cast(sum(CASE WHEN epoch_us(ts) >= m
+                       THEN cast(round(value * 100) AS bigint)
+                       ELSE 0 END) AS bigint) AS post_c
+  FROM events, mid GROUP BY 1, 2
+), pooled AS (
+  SELECT count(*) AS n,
+         cast(sum(pre_c) AS bigint) AS sx,
+         cast(sum(post_c) AS bigint) AS sy,
+         cast(sum(pre_c * pre_c) AS bigint) AS sxx,
+         cast(sum(post_c * post_c) AS bigint) AS syy,
+         cast(sum(pre_c * post_c) AS bigint) AS sxy
+  FROM pu
+), cf AS (
+  SELECT cast(n * sxy - sx * sy AS double)
+           / cast(n * sxx - sx * sx AS double) AS theta,
+         cast(sx AS double) / cast(n AS double) AS mean_pre_all,
+         cast(n * sxy - sx * sy AS double)
+           * cast(n * sxy - sx * sy AS double)
+           / cast(n * sxx - sx * sx AS double)
+           / cast(n * syy - sy * sy AS double) AS rho2
+  FROM pooled
+), pv AS (
+  SELECT variant, count(*) AS n_users,
+         cast(sum(post_c) AS bigint) AS spost,
+         cast(sum(pre_c) AS bigint) AS spre
+  FROM pu GROUP BY 1
+)
+SELECT variant, n_users,
+       round(cast(spost AS double) / (cast(n_users AS double) * 100.0),
+             6) AS mean_post,
+       round(cast(spost AS double) / (cast(n_users AS double) * 100.0)
+             - theta * (cast(spre AS double)
+                        / (cast(n_users AS double) * 100.0)
+                        - mean_pre_all / 100.0), 6) AS mean_cuped,
+       round(1.0 - rho2, 6) AS var_ratio
+FROM pv, cf
 """,
     }

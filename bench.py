@@ -180,6 +180,8 @@ HEADLINE_R3 = [
     "heavy_hitters",
     "drawdown_daily",
     "corr_clusters",
+    "attribution",
+    "ab_cuped",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
