@@ -56,3 +56,51 @@ def test_sax_motifs_census_is_hash_agg_not_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    plan = _plan(em.queries()["tpch_q5"](spark, SF))
+    # every dimension side broadcasts; lineitem is the only big table
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+    # revenue is summed as exact bigint cents, hash-aggregable
+    assert "SortAggregate" not in plan, plan
+
+
+def test_tpch_q6_pushes_filters_to_scan(spark):
+    plan = _plan(em.queries()["tpch_q6"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # column pruning: only the 4 referenced columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" \
+        in plan, plan
+    assert "Join" not in plan
+
+
+def test_attribution_is_window_not_self_join(spark):
+    plan = _plan(em.queries()["attribution"](spark, SF))
+    # the touch lookup is a per-user window, never an event self-join
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_expanding_zscore_one_shuffle_one_sort(spark):
+    plan = _plan(em.queries()["expanding_zscore"](spark, SF))
+    # three running sums share ONE window sort on one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+
+
+def test_growth_accounting_churn_join_broadcasts(spark):
+    plan = _plan(em.queries()["growth_accounting"](spark, SF))
+    # the day-ledger self-join is |days| rows and must broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drawdown_two_windows_share_one_exchange(spark):
+    plan = _plan(em.queries()["drawdown_daily"](spark, SF))
+    # cumsum + running-peak share the (metric, day) sort; final agg
+    # groups on the same keys, so at most the window exchange + reuse
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Sort [") <= 2, plan
