@@ -3759,6 +3759,23 @@ def q_ab_cuped(spark, sf_dir):
     )
 
 
+def q_mm_audio(spark, sf_dir):
+    """Audio-style windowed feature extraction (per-frame RMS energy +
+    zero-crossing rate) over opaque binary payloads via mapInPandas —
+    the VAD/energy-gating preprocessing shape.  The byte→int16 step is
+    exact integer arithmetic, so the DuckDB oracle reproduces every
+    frame from the same bytes (the test payload is the docs' ASCII
+    utf-8, where codepoint == byte)."""
+    from timeseriescorrelation_spark.operators.multimodal import (
+        attach_payload,
+        audio_energy,
+    )
+
+    return audio_energy(
+        attach_payload(_docs(spark, sf_dir)), frame_len=64
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3963,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_clusters": q_corr_clusters,
         "attribution": q_attribution,
         "ab_cuped": q_ab_cuped,
+        "mm_audio": q_mm_audio,
     }
 
 
@@ -8591,5 +8609,31 @@ SELECT variant, n_users,
                         - mean_pre_all / 100.0), 6) AS mean_cuped,
        round(1.0 - rho2, 6) AS var_ratio
 FROM pv, cf
+""",
+        "mm_audio": """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) // 2 - 1)) AS i
+  FROM documents
+), samp AS (
+  SELECT doc_id, i,
+         ascii(substr(text, cast(2 * i + 1 AS int), 1))
+         + 256 * ascii(substr(text, cast(2 * i + 2 AS int), 1)) AS raw
+  FROM idx
+), s AS (
+  SELECT doc_id, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM samp
+), fl AS (
+  SELECT doc_id, i, v, cast(i // 64 AS int) AS frame_idx, i % 64 AS k,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, frame_idx, cast(count(*) AS int) AS n_samples,
+       floor(sqrt(cast(sum(v * v) AS double) / count(*)) * 1e6) / 1e6
+         AS rms,
+       cast(sum(CASE WHEN k > 0 AND ((v < 0) <> (pv < 0))
+                     THEN 1 ELSE 0 END) AS int) AS zcr
+FROM fl GROUP BY 1, 2
 """,
     }

@@ -182,6 +182,7 @@ HEADLINE_R3 = [
     "corr_clusters",
     "attribution",
     "ab_cuped",
+    "mm_audio",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

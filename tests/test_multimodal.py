@@ -83,3 +83,35 @@ def test_frame_sample_byte_parity_non_ascii(spark):
     )
     want = sorted(_oracle(FRAMES_SQL))
     assert got == want
+
+
+def test_audio_energy_hand_frames(spark):
+    """Known PCM: byte pairs -> int16 samples, per-frame RMS exact,
+    zero crossings counted within frames only."""
+    import math
+
+    from timeseriescorrelation_spark.operators.multimodal import (
+        audio_energy,
+    )
+
+    # samples: [+1, -1, +1, -1] (LE int16), then frame 2 all zeros
+    pcm = (b"\x01\x00\xff\xff\x01\x00\xff\xff"  # 4 samples frame 0
+           + b"\x00\x00" * 4)                   # 4 samples frame 1
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm))], "doc_id long, payload binary"
+    )
+    rows = {
+        r.frame_idx: r
+        for r in audio_energy(df, frame_len=4).collect()
+    }
+    assert rows[0].n_samples == 4
+    assert rows[0].zcr == 3                       # +-+- flips 3 times
+    assert rows[0].rms == math.floor(1.0 * 1e6) / 1e6
+    assert rows[1].rms == 0.0 and rows[1].zcr == 0
+    # odd trailing byte is dropped, partial frame keeps true length
+    df2 = spark.createDataFrame(
+        [(2, bytearray(b"\x02\x00\x02\x00\x02\x00" + b"\x07"))],
+        "doc_id long, payload binary",
+    )
+    (r0,) = audio_energy(df2, frame_len=4).collect()
+    assert r0.n_samples == 3 and r0.rms == 2.0 and r0.zcr == 0

@@ -98,3 +98,61 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return payloads.mapInPandas(_sample, schema)
+
+
+def audio_energy(payloads: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Windowed audio feature extraction over the opaque payload:
+    interpret the bytes as little-endian int16 PCM, frame into
+    non-overlapping `frame_len`-sample windows (the trailing partial
+    frame is kept with its true n_samples), and emit per frame
+
+        rms = √(Σ s² / n)      (energy)
+        zcr = #(sign flips between consecutive samples in the frame)
+
+    — the real shape of audio preprocessing (energy gating, VAD
+    features), with the byte→sample step in deterministic integer
+    arithmetic so the DuckDB oracle reproduces it from the same bytes.
+    An odd trailing byte is dropped (no half-sample).
+
+    Vectorized: one numpy reinterpret + reshape per Arrow batch, no
+    per-sample Python.  Output: (doc_id, frame_idx, n_samples, rms,
+    zcr)."""
+    import numpy as np
+
+    fl = int(frame_len)
+    schema = (
+        "doc_id bigint, frame_idx int, n_samples int,"
+        " rms double, zcr int"
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, rms, zcr = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(p)
+                n_samp = len(buf) // 2
+                if n_samp == 0:
+                    continue
+                s = np.frombuffer(
+                    buf[: 2 * n_samp], dtype="<i2"
+                ).astype(np.int64)
+                for f0 in range(0, n_samp, fl):
+                    fr = s[f0 : f0 + fl]
+                    ids.append(did)
+                    idxs.append(f0 // fl)
+                    ns.append(len(fr))
+                    e = float(int((fr * fr).sum())) / len(fr)
+                    rms.append(np.floor(np.sqrt(e) * 1e6) / 1e6)
+                    neg = fr < 0
+                    zcr.append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "zcr": zcr,
+                }
+            )
+
+    return payloads.mapInPandas(_frames, schema)
