@@ -3776,6 +3776,24 @@ def q_mm_audio(spark, sf_dir):
     )
 
 
+def q_sessions_capped(spark, sf_dir):
+    """GA-convention sessions: 30-minute idle gap AND a 24-hour hard
+    cap sliced at fixed offsets from the gap-session start — pure
+    window arithmetic on one per-user sort, no iteration.  A 1-hour
+    cap is used at gate SF so splits actually occur in the fixture's
+    dense streams."""
+    from timeseriescorrelation_spark.operators.intervals import (
+        sessions_capped,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    return sessions_capped(
+        e, keys=["conv_id"], gap_minutes=30, cap_hours=1
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -3981,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "ab_cuped": q_ab_cuped,
         "mm_audio": q_mm_audio,
+        "sessions_capped": q_sessions_capped,
     }
 
 
@@ -8635,5 +8654,31 @@ SELECT doc_id, frame_idx, cast(count(*) AS int) AS n_samples,
        cast(sum(CASE WHEN k > 0 AND ((v < 0) <> (pv < 0))
                      THEN 1 ELSE 0 END) AS int) AS zcr
 FROM fl GROUP BY 1, 2
+""",
+        "sessions_capped": """
+WITH e AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts FROM events
+), fl AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts))
+), isl AS (
+  SELECT conv_id, ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+  FROM fl
+), sl AS (
+  SELECT conv_id, ts, island,
+         (epoch_us(ts) - min(epoch_us(ts))
+            OVER (PARTITION BY conv_id, island)) // 3600000000 AS slice
+  FROM isl
+)
+SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end_ts,
+       count(*) AS n_events,
+       (any_value(slice) > 0) AS capped
+FROM sl GROUP BY conv_id, island, slice
 """,
     }

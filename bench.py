@@ -183,6 +183,7 @@ HEADLINE_R3 = [
     "attribution",
     "ab_cuped",
     "mm_audio",
+    "sessions_capped",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

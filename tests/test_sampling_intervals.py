@@ -300,3 +300,38 @@ def test_asof_nearest_tolerance_applies_both_sides(spark):
     # nearest is the backward row at distance 1000s; the 900s bound
     # nulls it rather than falling through to the farther forward row
     assert row.rv_asof is None
+
+
+def test_sessions_capped_gap_and_cap_rules(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.intervals import (
+        sessions_capped,
+    )
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    # u1: events every 20 min for 3h -> ONE gap-session, split into
+    # slices by the 1h cap at offsets 0/60/120 from session start
+    rows = [("u1", m(20 * i)) for i in range(10)]
+    # u2: two gap-sessions (idle 40 min > 30), neither capped
+    rows += [("u2", m(0)), ("u2", m(10)), ("u2", m(50)), ("u2", m(55))]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = sorted(
+        sessions_capped(
+            df, keys=["conv_id"], gap_minutes=30, cap_hours=1
+        ).collect(),
+        key=lambda r: (r.conv_id, r.session_start),
+    )
+    u1 = [r for r in got if r.conv_id == "u1"]
+    u2 = [r for r in got if r.conv_id == "u2"]
+    # u1 slices: [0,20,40], [60,80,100], [120,140,160], [180]
+    assert [(r.n_events, r.capped) for r in u1] == [
+        (3, False), (3, True), (3, True), (1, True)
+    ]
+    assert u1[1].session_start == m(60)
+    # u2: plain gap split, no caps
+    assert [(r.n_events, r.capped) for r in u2] == [(2, False), (2, False)]

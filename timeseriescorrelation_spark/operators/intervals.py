@@ -288,3 +288,55 @@ def interval_islands(spans: DataFrame, keys: list[str],
         F.sum(F.col("_e1") - F.col("_s0")).cast("long").alias("covered_us"),
         F.max(F.col("_e1") - F.col("_s0")).cast("long").alias("longest_us"),
     )
+
+
+def sessions_capped(events: DataFrame, keys: list[str],
+                    ts_col: str = "ts", gap_minutes: int = 30,
+                    cap_hours: int = 24) -> DataFrame:
+    """Web-analytics sessionization with BOTH standard rules: a new
+    session opens after `gap_minutes` idle OR when `cap_hours` have
+    elapsed since the current gap-session started (the GA 30-min/24-h
+    convention; long-polling clients otherwise produce week-long
+    sessions).  The cap splits at fixed offsets from the GAP-session
+    start — floor(Δt/cap) is plain arithmetic, so the whole operator
+    stays two cumulative windows + one hash-agg on ONE (keys, ts)
+    sort, no iteration.
+
+    Output: (keys..., session_start, session_end_ts, n_events,
+    capped boolean — true for the 2nd+ slice of a split session).
+
+    Scale notes: one shuffle keyed by the session keys; group size =
+    per-entity event count.  Note the cap rule is slice-by-offset, not
+    re-anchored at each split (re-anchoring is inherently sequential —
+    the streaming sessionizer with a state timeout is the operator for
+    that semantics)."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    gap_us = int(gap_minutes) * 60_000_000
+    cap_us = int(cap_hours) * 3_600_000_000
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    ep = epoch_us(F.col(ts_col))
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (ep - epoch_us(F.lag(ts_col).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islanded = events.select(
+        *keys, ts_col,
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_island"),
+    )
+    w_is = Window.partitionBy(*keys, "_island")
+    sliced = islanded.select(
+        *keys, ts_col, "_island",
+        F.floor(
+            (ep - F.min(ep).over(w_is)) / F.lit(cap_us)
+        ).alias("_slice"),
+    )
+    return sliced.groupBy(*keys, "_island", "_slice").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.first("_slice") > 0).alias("capped"),
+    ).drop("_island", "_slice")
