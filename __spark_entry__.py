@@ -3794,6 +3794,28 @@ def q_sessions_capped(spark, sf_dir):
     )
 
 
+def q_pattern_matches(spark, sf_dir):
+    """CEP-lite SEQ(click, view, purchase) within 1 h per user —
+    MATCH_RECOGNIZE's core re-expressed as an O(1)-state automaton per
+    key (non-overlapping matches, timeout resets; streaming twin
+    bit-equal).  The DuckDB oracle replays the SAME automaton in a
+    recursive CTE, so every transition is cross-checked, not just
+    match counts."""
+    from timeseriescorrelation_spark.operators.intervals import (
+        pattern_matches,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "event_type", "ts", "event_id",
+    )
+    return pattern_matches(
+        e, ["click", "view", "purchase"], keys=["conv_id"],
+        type_col="event_type", tie_col="event_id",
+        within_seconds=86400,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4000,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cuped": q_ab_cuped,
         "mm_audio": q_mm_audio,
         "sessions_capped": q_sessions_capped,
+        "pattern_matches": q_pattern_matches,
     }
 
 
@@ -8680,5 +8703,43 @@ SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end_ts,
        count(*) AS n_events,
        (any_value(slice) > 0) AS capped
 FROM sl GROUP BY conv_id, island, slice
+""",
+        "pattern_matches": """
+WITH RECURSIVE e AS (
+  SELECT cast(user_id AS varchar) AS k, event_type AS et,
+         epoch_us(ts) AS ep, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+), r AS (
+  SELECT k, rn, ts, ep,
+         CASE WHEN et = 'click' THEN 1 ELSE 0 END AS stage,
+         CASE WHEN et = 'click' THEN ep ELSE cast(0 AS bigint) END
+           AS t0,
+         false AS emit, cast(0 AS bigint) AS em_start
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT k, rn, ts, ep,
+         CASE WHEN advance AND eff = 2 THEN 0
+              WHEN advance THEN eff + 1 ELSE eff END AS stage,
+         CASE WHEN advance AND eff = 0 THEN ep ELSE pt0 END AS t0,
+         (advance AND eff = 2) AS emit,
+         pt0 AS em_start
+  FROM (
+    SELECT s.k AS k, s.rn AS rn, s.ts AS ts, s.ep AS ep, s.et AS et,
+           r.t0 AS pt0,
+           CASE WHEN r.stage > 0 AND s.ep - r.t0 > 86400000000
+                THEN 0 ELSE r.stage END AS eff,
+           s.et = (['click', 'view', 'purchase'])[
+             (CASE WHEN r.stage > 0 AND s.ep - r.t0 > 86400000000
+                   THEN 0 ELSE r.stage END) + 1] AS advance
+    FROM r JOIN e s ON s.k = r.k AND s.rn = r.rn + 1
+  )
+)
+SELECT k AS conv_id, make_timestamp(em_start) AS start_ts,
+       ts AS end_ts,
+       (ep - em_start) / 1e6 AS duration_s
+FROM r WHERE emit
 """,
     }

@@ -184,6 +184,7 @@ HEADLINE_R3 = [
     "ab_cuped",
     "mm_audio",
     "sessions_capped",
+    "pattern_matches",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

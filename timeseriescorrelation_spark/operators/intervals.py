@@ -340,3 +340,78 @@ def sessions_capped(events: DataFrame, keys: list[str],
         F.count(F.lit(1)).alias("n_events"),
         (F.first("_slice") > 0).alias("capped"),
     ).drop("_island", "_slice")
+
+
+def pattern_matches(events: DataFrame, steps: list[str],
+                    keys: list[str], type_col: str = "event_type",
+                    ts_col: str = "ts", tie_col: str = "event_id",
+                    within_seconds: int = 3600) -> DataFrame:
+    """CEP-lite ordered-pattern detection (MATCH_RECOGNIZE's
+    SEQ(A, B, C) core): per key, emit one row for every NON-OVERLAPPING
+    completion of `steps` in order within `within_seconds` of the
+    match's first step.  Automaton contract (shared verbatim by the
+    streaming twin, streaming/pattern_stream.py):
+
+    - events process in (ts_col, tie_col) order; non-step events are
+      ignored;
+    - at stage k the automaton advances only on steps[k] (no skips,
+      duplicates of earlier stages are ignored);
+    - if an event arrives past the window (ts − t0 > within), the
+      attempt resets — and that same event may open a NEW attempt if
+      it is steps[0];
+    - on completion the automaton resets (matches never share events).
+
+    Output: (keys..., start_ts, end_ts, duration_s double).
+
+    Scale notes: one shuffle to the keys, a per-group ordered pass with
+    O(1) automaton state — the applyInPandas loop touches only STEP
+    events (pre-filtered), so group cost is per-entity step count."""
+    import pandas as pd
+
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    step_list = [str(s) for s in steps]
+    win_us = int(within_seconds) * 1_000_000
+    key_fields = ", ".join(f"{c} string" for c in keys)
+    schema = (
+        f"{key_fields}, start_ts timestamp, end_ts timestamp,"
+        " duration_s double"
+    )
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", tie_col], kind="mergesort")
+        head = pdf.iloc[0]
+        stage, t0 = 0, 0
+        out_s, out_e = [], []
+        for ts_us, st in zip(pdf["_ord"], pdf[type_col]):
+            if stage > 0 and ts_us - t0 > win_us:
+                stage = 0
+            if st == step_list[stage]:
+                if stage == 0:
+                    t0 = ts_us
+                stage += 1
+                if stage == len(step_list):
+                    out_s.append(t0)
+                    out_e.append(ts_us)
+                    stage = 0
+        out = pd.DataFrame(
+            {
+                "start_ts": pd.Series(out_s, dtype="int64").astype(
+                    "datetime64[us]"
+                ),
+                "end_ts": pd.Series(out_e, dtype="int64").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+        for c in keys:
+            out[c] = head[c]
+        out["duration_s"] = [
+            (e - s) / 1e6 for s, e in zip(out_s, out_e)
+        ]
+        return out[[*keys, "start_ts", "end_ts", "duration_s"]]
+
+    pre = events.where(
+        F.col(type_col).isin(*step_list)
+    ).select(*keys, type_col, tie_col, epoch_us(F.col(ts_col)).alias("_ord"))
+    return pre.groupBy(*keys).applyInPandas(_scan, schema)
