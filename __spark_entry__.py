@@ -3816,6 +3816,86 @@ def q_pattern_matches(spark, sf_dir):
     )
 
 
+def q_scd2_enrich(spark, sf_dir):
+    """Temporal dimension enrichment: clicks joined to the SCD2 status
+    dimension (last signup/purchase run) VALID AT THE CLICK'S TIME —
+    scd2_history builds the half-open intervals, the binned interval
+    equi-join attaches them (never a nested-loop range join).  The
+    oracle derives the same attribution INDEPENDENTLY as an as-of
+    lookup (last status event at or before each click), so agreement
+    cross-checks the whole scd2+interval-join composition, not one
+    formulation against itself."""
+    from pyspark.sql import Window  # noqa: F401 (scd import path)
+
+    from timeseriescorrelation_spark.operators.intervals import (
+        interval_join_binned,
+    )
+    from timeseriescorrelation_spark.operators.scd import scd2_history
+
+    e = _events(spark, sf_dir)
+    dim_log = e.where(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("status"),
+    )
+    hist = scd2_history(
+        dim_log, keys=["user_id"], attr_cols=["status"], ts_col="ts",
+        tie_col="event_id",
+    )
+    horizon = e.agg(
+        (F.max("ts") + F.expr("interval 1 hour")).alias("_h")
+    )
+    spans = hist.crossJoin(F.broadcast(horizon)).select(
+        "user_id", "status",
+        F.col("valid_from").alias("start_ts"),
+        # half-open [from, to) -> inclusive end at to - 1 microsecond
+        (F.coalesce(F.col("valid_to"), F.col("_h"))
+         - F.expr("interval 1 microsecond")).alias("end_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = interval_join_binned(
+        clicks, spans, ["user_id"], "ts", "start_ts", "end_ts", "day"
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit across the fixture star schema:
+    orphan counts for lineitem→orders, lineitem→part, orders→customer
+    — three broadcast anti-joins unioned into one report (the DQ check
+    every warehouse load runs)."""
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    def orphans(child, fk, parent, pk, rel):
+        o = child.join(
+            F.broadcast(parent.select(pk).distinct()),
+            child[fk] == parent[pk], "left_anti",
+        )
+        return o.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.countDistinct(fk).alias("n_orphan_keys"),
+        )
+
+    li, od, cu, pt = t("lineitem"), t("orders"), t("customer"), t("part")
+    return (
+        orphans(li, "l_orderkey", od, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            orphans(li, "l_partkey", pt, "p_partkey", "lineitem->part")
+        )
+        .unionByName(
+            orphans(od, "o_custkey", cu, "c_custkey", "orders->customer")
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4023,6 +4103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "sessions_capped": q_sessions_capped,
         "pattern_matches": q_pattern_matches,
+        "scd2_enrich": q_scd2_enrich,
+        "fk_orphans": q_fk_orphans,
     }
 
 
@@ -8741,5 +8823,40 @@ SELECT k AS conv_id, make_timestamp(em_start) AS start_ts,
        ts AS end_ts,
        (ep - em_start) / 1e6 AS duration_s
 FROM r WHERE emit
+""",
+        # independent as-of formulation — NOT the scd2+interval-join
+        # the Spark side composes; agreement cross-checks both
+        "scd2_enrich": """
+WITH st AS (
+  SELECT user_id, epoch_us(ts) AS ep, event_id,
+         event_type AS status
+  FROM events WHERE event_type IN ('signup', 'purchase')
+), c AS (
+  SELECT user_id, epoch_us(ts) AS ep
+  FROM events WHERE event_type = 'click'
+), lookedup AS (
+  SELECT c.user_id,
+         (SELECT s.status FROM st s
+          WHERE s.user_id = c.user_id AND s.ep <= c.ep
+          ORDER BY s.ep DESC, s.event_id DESC LIMIT 1) AS status
+  FROM c
+)
+SELECT status, count(*) AS n_clicks,
+       count(DISTINCT user_id) AS n_users
+FROM lookedup WHERE status IS NOT NULL GROUP BY 1
+""",
+        "fk_orphans": """
+SELECT 'lineitem->orders' AS relation,
+       count(*) AS n_orphan_rows,
+       count(DISTINCT l_orderkey) AS n_orphan_keys
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part',
+       count(*), count(DISTINCT l_partkey)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'orders->customer',
+       count(*), count(DISTINCT o_custkey)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 """,
     }

@@ -185,6 +185,8 @@ HEADLINE_R3 = [
     "mm_audio",
     "sessions_capped",
     "pattern_matches",
+    "scd2_enrich",
+    "fk_orphans",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
