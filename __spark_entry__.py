@@ -3896,6 +3896,34 @@ def q_fk_orphans(spark, sf_dir):
     )
 
 
+def q_bfs_reach(spark, sf_dir):
+    """Shortest-hop depth of every user from the lowest-id seed over
+    the hourly co-activity graph (users sharing an active hour are
+    adjacent) — the blast-radius query.  Driver-paced BFS with
+    per-level localCheckpoint; the oracle closes reachability in a
+    recursive CTE and takes min(depth) per node."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        bfs_depths,
+    )
+
+    e = _events(spark, sf_dir)
+    active = e.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).distinct()
+    edges = (
+        active.alias("x")
+        .join(active.alias("y"), "b")
+        .where(F.col("x.u") < F.col("y.u"))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    seeds = e.agg(F.min("user_id").cast("long").alias("node"))
+    return bfs_depths(edges, seeds).select(
+        F.col("node").alias("conv_id"), "depth"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4105,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_matches": q_pattern_matches,
         "scd2_enrich": q_scd2_enrich,
         "fk_orphans": q_fk_orphans,
+        "bfs_reach": q_bfs_reach,
     }
 
 
@@ -8858,5 +8887,23 @@ UNION ALL
 SELECT 'orders->customer',
        count(*), count(DISTINCT o_custkey)
 FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+""",
+        "bfs_reach": """
+WITH RECURSIVE act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS b FROM events
+), ed AS (
+  SELECT DISTINCT x.u AS a, y.u AS b2
+  FROM act x JOIN act y ON x.b = y.b AND x.u <> y.u
+), seed AS (
+  SELECT min(user_id) AS s FROM events
+), reach(node, d) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT e.b2, r.d + 1
+  FROM reach r JOIN ed e ON e.a = r.node
+  WHERE r.d < 10
+)
+SELECT cast(node AS bigint) AS conv_id, cast(min(d) AS int) AS depth
+FROM reach GROUP BY 1
 """,
     }

@@ -187,6 +187,7 @@ HEADLINE_R3 = [
     "pattern_matches",
     "scd2_enrich",
     "fk_orphans",
+    "bfs_reach",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -85,3 +85,21 @@ def test_pagerank_fixedpoint_loses_dangling_mass(spark):
     )
     rows = pagerank_fixedpoint(edges, n_iter=3).collect()
     assert sum(r["pr_u"] for r in rows) < M_U * 4
+
+
+def test_bfs_depths_chain_and_early_exit(spark):
+    from timeseriescorrelation_spark.operators.graphrank import bfs_depths
+
+    # chain 1-2-3-4, triangle 2-5, island 9-10 (unreachable)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (9, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.depth for r in bfs_depths(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+    # max_depth clips the frontier
+    clipped = {
+        r.node: r.depth
+        for r in bfs_depths(edges, seeds, max_depth=1).collect()
+    }
+    assert clipped == {1: 0, 2: 1}

@@ -194,3 +194,48 @@ def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
             )
         )
     return pr
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               src_col: str = "src", dst_col: str = "dst",
+               max_depth: int = 10) -> DataFrame:
+    """Breadth-first shortest-hop depths from a seed set over an
+    undirected edge list — (node, depth), unreachable nodes absent.
+    The third graph primitive next to connected components ("which
+    touch") and PageRank ("which matter"): "how FAR is everything
+    from here" (blast-radius / influence-distance queries).
+
+    Driver-paced frontier expansion, one equi-join + anti-join per
+    level, localCheckpoint truncating lineage per level (the CC/
+    PageRank pacing policy): levels = eccentricity of the seed set,
+    each level's cost is |frontier ⋈ edges|.  Early-exits when the
+    frontier empties; max_depth bounds pathological chains."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("depth"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, int(max_depth) + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
