@@ -3924,6 +3924,19 @@ def q_bfs_reach(spark, sf_dir):
     )
 
 
+def q_emd_drift(spark, sf_dir):
+    """Earth mover's distance day-over-day on yesterday's-decile bins —
+    the transport-cost drift score (PSI/JS are blind to HOW FAR mass
+    moved).  Every |cum_p − cum_q| term is an exact integer
+    cross-multiply; one double divide at the end, no smoothing or
+    per-term snapping needed."""
+    from timeseriescorrelation_spark.operators.drift import (
+        emd_drift_daily,
+    )
+
+    return emd_drift_daily(_series_from_events(spark, sf_dir), n_bins=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4134,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_enrich": q_scd2_enrich,
         "fk_orphans": q_fk_orphans,
         "bfs_reach": q_bfs_reach,
+        "emd_drift": q_emd_drift,
     }
 
 
@@ -8905,5 +8919,71 @@ WITH RECURSIVE act AS (
 )
 SELECT cast(node AS bigint) AS conv_id, cast(min(d) AS int) AS depth
 FROM reach GROUP BY 1
+""",
+        "emd_drift": """
+WITH v AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS _v
+  FROM events
+), edges AS (
+  SELECT metric, day_ts,
+         quantile_cont(_v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS e
+  FROM v GROUP BY 1, 2
+), curb AS (
+  SELECT v.metric, v.day_ts,
+         cast(1 + list_sum(list_transform(ed.e,
+             x -> CASE WHEN v._v > x THEN 1 ELSE 0 END)) AS int) AS bin
+  FROM v JOIN edges ed
+    ON ed.metric = v.metric
+   AND ed.day_ts + INTERVAL 1 DAY = v.day_ts
+), cur AS (
+  SELECT metric, day_ts, bin, cast(count(*) AS bigint) AS c_t
+  FROM curb GROUP BY 1, 2, 3
+), baseb AS (
+  SELECT v.metric, v.day_ts + INTERVAL 1 DAY AS day_ts,
+         cast(1 + list_sum(list_transform(ed.e,
+             x -> CASE WHEN v._v > x THEN 1 ELSE 0 END)) AS int) AS bin
+  FROM v JOIN edges ed
+    ON ed.metric = v.metric AND ed.day_ts = v.day_ts
+), base AS (
+  SELECT metric, day_ts, bin, cast(count(*) AS bigint) AS c_b
+  FROM baseb GROUP BY 1, 2, 3
+), bb AS (
+  SELECT coalesce(cur.metric, base.metric) AS metric,
+         coalesce(cur.day_ts, base.day_ts) AS day_ts,
+         coalesce(cur.bin, base.bin) AS bin,
+         coalesce(c_t, 0) AS c_t, coalesce(c_b, 0) AS c_b
+  FROM cur FULL OUTER JOIN base
+    ON cur.metric = base.metric AND cur.day_ts = base.day_ts
+   AND cur.bin = base.bin
+), tot AS (
+  SELECT metric, day_ts,
+         cast(sum(c_t) AS bigint) AS n_t,
+         cast(sum(c_b) AS bigint) AS n_b
+  FROM bb GROUP BY 1, 2
+), grid AS (
+  SELECT metric, day_ts, n_t, n_b,
+         unnest(generate_series(1, 10)) AS bin
+  FROM tot WHERE n_t > 0 AND n_b > 0
+), dense AS (
+  SELECT g.metric, g.day_ts, g.bin, g.n_t, g.n_b,
+         coalesce(bb.c_t, 0) AS c_t, coalesce(bb.c_b, 0) AS c_b
+  FROM grid g LEFT JOIN bb
+    ON bb.metric = g.metric AND bb.day_ts = g.day_ts
+   AND bb.bin = g.bin
+), cums AS (
+  SELECT metric, day_ts, bin, n_t, n_b,
+         abs(sum(c_t) OVER w * n_b - sum(c_b) OVER w * n_t) AS num
+  FROM dense
+  WINDOW w AS (PARTITION BY metric, day_ts ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT metric, day_ts,
+       round(cast(sum(CASE WHEN bin < 10 THEN num ELSE 0 END)
+                  AS double)
+             / cast(max(n_t) * max(n_b) * 10 AS double), 6) AS emd,
+       max(n_t) AS n_today, max(n_b) AS n_base
+FROM cums GROUP BY 1, 2
 """,
     }

@@ -324,3 +324,24 @@ def test_lead_lag_finds_exact_shift(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.metric_x, r.metric_y, r.best_lag_h, r.r) == ("a", "b", 2, 1.0)
+
+
+def test_emd_drift_zero_identical_exact_on_full_shift(spark):
+    from timeseriescorrelation_spark.operators.drift import emd_drift_daily
+
+    rows = []
+    # days 1 and 2: identical uniform mix over 10 distinct values ->
+    # every cumulative bin matches -> EMD = 0 exactly
+    for d in (0, 1):
+        for i in range(50):
+            rows.append(_pt("m", d * 24 * 60 + i, i, float(i % 10)))
+    # day 3: every value above all of day 2's decile edges -> all mass
+    # lands in bin 10 while the base is 5-per-bin uniform, so
+    # EMD = (1/10)*sum_{i=1..9} i/10 = 0.45 exactly
+    for i in range(50):
+        rows.append(_pt("m", 2 * 24 * 60 + i, i, 500.0 + i))
+    got = {r.day_ts.day: r for r in emd_drift_daily(_series(spark, rows)
+                                                    ).collect()}
+    assert got[2].emd == 0.0
+    assert got[3].emd == 0.45
+    assert got[3].n_today == 50 and got[3].n_base == 50

@@ -390,3 +390,110 @@ def js_drift_daily(series: DataFrame, keys: list[str] | None = None,
                                6)
         )
     )
+
+
+def emd_drift_daily(series: DataFrame, keys: list[str] | None = None,
+                    n_bins: int = 10) -> DataFrame:
+    """Earth mover's distance day-over-day per key on yesterday's-decile
+    bins — the TRANSPORT-cost member of the drift family (PSI/JS score
+    density ratios per bin and are blind to WHERE mass moved; KS takes
+    one max; EMD charges each unit of probability by how many bins it
+    travelled, so a one-bin shimmer and a nine-bin exodus finally
+    separate).  For 1-D histograms over B equal-population bins,
+
+        EMD = (1/B) · Σ_{i<B} |CumP_i − CumQ_i|
+
+    and every |·| term is EXACT: |cum_ct·n_b − cum_cb·n_t| is integer
+    (cumulative bin counts cross-multiplied by the day totals), summed
+    exactly, with ONE double divide by n_t·n_b·B at the end — no
+    smoothing, no per-term snapping needed (contrast psi/js whose ln()
+    forces micro-snapping).  Output: (keys..., day_ts, emd, n_today,
+    n_base); emd ∈ [0, 1−1/B], rounded 6dp.
+
+    Scale notes: identical shape to psi_daily — two hash-aggs on cent
+    values, a 1-day self-join of |keys|·|days|·B metadata rows, one
+    cumulative window over B bins per (key, day)."""
+    from pyspark.sql import Window
+
+    keys = keys or ["metric"]
+    b = int(n_bins)
+    pcts = [i / b for i in range(1, b)]
+    v = series.select(
+        *keys,
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("_v"),
+    )
+    edges = v.groupBy(*keys, "day_ts").agg(
+        F.percentile("_v", F.lit(pcts).cast("array<double>")).alias("_edges")
+    )
+
+    def _binned(edge_day_offset):
+        e = edges.select(
+            *keys,
+            (F.col("day_ts") + F.expr(f"interval {edge_day_offset} days")
+             ).alias("day_ts"),
+            "_edges",
+        )
+        j = v.join(F.broadcast(e), [*keys, "day_ts"])
+        bin_id = F.lit(1) + F.aggregate(
+            "_edges",
+            F.lit(0),
+            lambda acc, ed: acc
+            + F.when(F.col("_v") > ed, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return j.groupBy(*keys, "day_ts", bin_id.alias("bin")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    cur = _binned(1)
+    base = _binned(0).select(
+        *keys,
+        (F.col("day_ts") + F.expr("interval 1 day")).alias("day_ts"),
+        "bin",
+        F.col("c").alias("c_b"),
+    )
+    both = cur.withColumnRenamed("c", "c_t").join(
+        base, [*keys, "day_ts", "bin"], "full_outer"
+    ).select(
+        *keys, "day_ts", "bin",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    tot = both.groupBy(*keys, "day_ts").agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_b").alias("n_b")
+    )
+    # densify to ALL B bins: a bin empty on BOTH days still carries
+    # the previous cum's |difference| — skipping it undercounts EMD
+    grid = tot.where(
+        (F.col("n_t") > 0) & (F.col("n_b") > 0)
+    ).select(
+        *keys, "day_ts", "n_t", "n_b",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("bin"),
+    )
+    jt = grid.join(both, [*keys, "day_ts", "bin"], "left").select(
+        *keys, "day_ts", "bin", "n_t", "n_b",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    w = (
+        Window.partitionBy(*keys, "day_ts")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = jt.select(
+        *keys, "day_ts", "bin", "n_t", "n_b",
+        F.abs(
+            F.sum("c_t").over(w) * F.col("n_b")
+            - F.sum("c_b").over(w) * F.col("n_t")
+        ).alias("_num"),
+    )
+    return cums.groupBy(*keys, "day_ts").agg(
+        F.round(
+            F.sum(F.when(F.col("bin") < b, F.col("_num")).otherwise(0))
+            .cast("double")
+            / (F.max("n_t") * F.max("n_b") * b).cast("double"),
+            6,
+        ).alias("emd"),
+        F.max("n_t").cast("long").alias("n_today"),
+        F.max("n_b").cast("long").alias("n_base"),
+    )
