@@ -3534,6 +3534,134 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking, adapted to the trimmed
+    fixture schema (no l_commitdate/l_receiptdate): "late" means a
+    lineitem shipped more than 30 days after the order date.  The
+    shape is the point — an EXISTS semi-join where the probe predicate
+    crosses tables (l_shipdate vs o_orderdate), compiled to a
+    LeftSemi join on the order key with the date comparison as a
+    residual condition; no lineitem column survives, so dedup happens
+    inside the join, not as a distinct after it."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = o.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01"))
+    )
+    late = q.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("interval 30 days")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: revenue lost to 'R'
+    returnflag lineitems per customer over a quarter, joined through
+    orders to the customer and nation dims (both broadcast — they are
+    the small sides by construction).  Top-20 cut ranks on EXACT
+    integer cents with the custkey tiebreak, same determinism
+    discipline as tpch_q3."""
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        t("lineitem").where(F.col("l_returnflag") == "R")
+        .join(
+            t("orders").where(
+                (F.col("o_orderdate") >= F.lit("1997-10-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t("customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t("nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev_c).alias("_rc")
+    )
+    return (
+        g.orderBy(F.col("_rc").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("_rc") / 100.0, 2).alias("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: PROMO revenue share of one
+    shipdate month (fixture p_type is the bare family name, so the
+    predicate is equality, not LIKE 'PROMO%').  Part broadcasts into
+    the filtered fact scan; both revenue sums are exact cent integers
+    and the percentage is ONE double divide at the end."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    ).join(F.broadcast(p.select("p_partkey", "p_type")),
+           F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev_c).otherwise(0))
+            / F.sum(rev_c),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue, adapted to the trimmed schema
+    (no container/shipmode): disjunction of three (brand, size-band,
+    quantity-band) conjunctions.  The OR-of-ANDs is the point — the
+    common p_partkey equi-key still drives ONE broadcast hash join and
+    the disjunction evaluates as a residual filter; brand/size legs
+    also push into the part scan as (A∨B∨C) column bounds."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    qty = F.col("l_quantity")
+    legs = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & qty.between(20, 30))
+    )
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).where(legs)
+    return j.agg(
+        F.round(F.sum(rev_c) / 100.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4148,6 +4276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": q_fk_orphans,
         "bfs_reach": q_bfs_reach,
         "emd_drift": q_emd_drift,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
     }
 
 
@@ -8985,5 +9117,59 @@ SELECT metric, day_ts,
              / cast(max(n_t) * max(n_b) * 10 AS double), 6) AS emd,
        max(n_t) AS n_today, max(n_b) AS n_base
 FROM cums GROUP BY 1, 2
+""",
+        "tpch_q4": """
+SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY 1
+""",
+        "tpch_q10": """
+WITH g AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS bigint)) AS bigint) AS _rc
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-10-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, round(_rc / 100.0, 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM g ORDER BY _rc DESC, c_custkey ASC LIMIT 20
+""",
+        "tpch_q14": """
+SELECT round(100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+           THEN cast(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS bigint) ELSE 0 END) AS double)
+       / cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS bigint)) AS double), 6) AS promo_revenue_pct,
+       cast(count(*) AS bigint) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+        "tpch_q19": """
+SELECT round(cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS bigint)) AS bigint)
+             / 100.0, 2) AS revenue,
+       cast(count(*) AS bigint) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """,
     }
