@@ -4065,6 +4065,18 @@ def q_emd_drift(spark, sf_dir):
     return emd_drift_daily(_series_from_events(spark, sf_dir), n_bins=10)
 
 
+def q_mix_weights(spark, sf_dir):
+    """α=0.5 temperature mixing weights over the documents corpus —
+    the data-mixing step of a training pipeline (which source gets
+    sampled how hard, and which ones will repeat)."""
+    from timeseriescorrelation_spark.operators.sampling import (
+        source_mix_weights,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return source_mix_weights(docs, alpha=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4276,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": q_fk_orphans,
         "bfs_reach": q_bfs_reach,
         "emd_drift": q_emd_drift,
+        "mix_weights": q_mix_weights,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9171,5 +9184,24 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
+""",
+        "mix_weights": """
+WITH per AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(cast(n_chars AS bigint)) AS bigint) AS mass,
+         cast(floor(pow(cast(sum(cast(n_chars AS bigint)) AS double),
+                        0.5) * 1e6) AS bigint) AS _w
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT cast(sum(mass) AS bigint) AS _m_tot,
+         cast(sum(_w) AS bigint) AS _w_tot
+  FROM per
+)
+SELECT source, n_docs, mass,
+       round(cast(mass AS double) / _m_tot, 6) AS natural_share,
+       round(cast(_w AS double) / _w_tot, 6) AS mix_weight,
+       round((cast(_w AS double) / _w_tot)
+             * cast(_m_tot AS double) / mass, 6) AS epochs_at_budget
+FROM per, tot
 """,
     }

@@ -99,3 +99,53 @@ def weighted_sample_topk(df: DataFrame, strata: list[str], weight_col,
             F.col("_es_key_n").alias("es_key_n"),
         )
     )
+
+
+def source_mix_weights(docs: DataFrame, alpha: float = 0.5,
+                       mass_col: str = "n_chars",
+                       source_col: str = "source") -> DataFrame:
+    """Temperature-based source mixing weights for training-data
+    assembly (the alpha-sampling rule from the multilingual-LM
+    literature: p_s = m_s^alpha / sum_t m_t^alpha, alpha < 1 upweights
+    small sources; alpha=1 is proportional, alpha=0 uniform).  Returns
+    one row per source: document count, exact token-mass total,
+    its natural share, the alpha-tempered sampling weight, and the
+    expected epochs over each source when one full corpus-mass budget
+    is drawn under the tempered distribution (epochs_at_budget =
+    p_s * M / m_s — >1 means that source repeats).
+
+    Cross-engine exactness: m_s and M are exact BIGINT sums; m_s^alpha
+    is micro-snapped (floor(pow * 1e6) as BIGINT) BEFORE the
+    denominator sum, so the normalizing constant is an exact integer
+    in both engines and every output is a single deterministic
+    double divide rounded 6dp — a raw double sum over sources would
+    inherit engine addition order.
+
+    Scale notes (100 TB): one hash-agg down to |sources| rows, then a
+    broadcast of the 1-row total back onto it; the corpus itself is
+    touched exactly once."""
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(mass_col).cast("long")).alias("mass"),
+    ).withColumn(
+        "_w",
+        F.floor(F.pow(F.col("mass").cast("double"), F.lit(float(alpha)))
+                * F.lit(1e6)).cast("long"),
+    )
+    tot = per.agg(
+        F.sum("mass").alias("_m_tot"), F.sum("_w").alias("_w_tot")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("mass").cast("long").alias("mass"),
+        F.round(F.col("mass").cast("double") / F.col("_m_tot"), 6)
+        .alias("natural_share"),
+        F.round(F.col("_w").cast("double") / F.col("_w_tot"), 6)
+        .alias("mix_weight"),
+        F.round(
+            (F.col("_w").cast("double") / F.col("_w_tot"))
+            * F.col("_m_tot").cast("double") / F.col("mass"),
+            6,
+        ).alias("epochs_at_budget"),
+    )
