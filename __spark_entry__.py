@@ -4077,6 +4077,17 @@ def q_mix_weights(spark, sf_dir):
     return source_mix_weights(docs, alpha=0.5)
 
 
+def q_markov_entropy(spark, sf_dir):
+    """Stream predictability per day: marginal vs first-order Markov
+    conditional entropy of next-event type, and the mutual information
+    between consecutive events."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_entropy_daily,
+    )
+
+    return markov_entropy_daily(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4289,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reach": q_bfs_reach,
         "emd_drift": q_emd_drift,
         "mix_weights": q_mix_weights,
+        "markov_entropy": q_markov_entropy,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9203,5 +9215,48 @@ SELECT source, n_docs, mass,
        round((cast(_w AS double) / _w_tot)
              * cast(_m_tot AS double) / mass, 6) AS epochs_at_budget
 FROM per, tot
+""",
+        "markov_entropy": """
+WITH tr AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type AS nxt
+  FROM events
+), tr2 AS (
+  SELECT * FROM tr WHERE prev IS NOT NULL
+), cell AS (
+  SELECT day_ts, prev, nxt, cast(count(*) AS bigint) AS c
+  FROM tr2 GROUP BY 1, 2, 3
+), cells AS (
+  SELECT day_ts,
+         cast(sum(cast(round(c * ln(c) * 1e6) AS bigint)) AS bigint)
+           AS u_cell,
+         cast(sum(c) AS bigint) AS n
+  FROM cell GROUP BY 1
+), prevm AS (
+  SELECT day_ts,
+         cast(sum(cast(round(ni * ln(ni) * 1e6) AS bigint)) AS bigint)
+           AS u_prev
+  FROM (SELECT day_ts, prev, cast(sum(c) AS bigint) AS ni
+        FROM cell GROUP BY 1, 2) GROUP BY 1
+), nxtm AS (
+  SELECT day_ts,
+         cast(sum(cast(round(nj * ln(nj) * 1e6) AS bigint)) AS bigint)
+           AS u_next
+  FROM (SELECT day_ts, nxt, cast(sum(c) AS bigint) AS nj
+        FROM cell GROUP BY 1, 2) GROUP BY 1
+)
+SELECT cells.day_ts, n AS n_transitions,
+       round(ln(n) - cast(u_next AS double) / 1e6 / n, 6)
+         AS h_next_nats,
+       round((cast(u_prev AS double) - cast(u_cell AS double))
+             / 1e6 / n, 6) AS h_cond_nats,
+       round((ln(n) - cast(u_next AS double) / 1e6 / n)
+             - (cast(u_prev AS double) - cast(u_cell AS double))
+               / 1e6 / n, 6) AS info_gain_nats
+FROM cells
+JOIN prevm ON prevm.day_ts = cells.day_ts
+JOIN nxtm ON nxtm.day_ts = cells.day_ts
 """,
     }

@@ -345,3 +345,37 @@ def test_emd_drift_zero_identical_exact_on_full_shift(spark):
     assert got[2].emd == 0.0
     assert got[3].emd == 0.45
     assert got[3].n_today == 50 and got[3].n_base == 50
+
+
+def test_markov_entropy_deterministic_vs_iid(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_entropy_daily,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = []
+    # day 1: deterministic alternation a,b,a,b,... -> H(next|prev)=0,
+    # H(next)=ln 2, info gain = ln 2
+    for i in range(40):
+        rows.append((i, T0 + dt.timedelta(minutes=i), 1,
+                     "a" if i % 2 == 0 else "b"))
+    # day 2, separate user (no boundary-crossing lag): "aabb"*10 + "a"
+    # gives 40 transitions with all four (prev,next) cells = 10, so
+    # P(next|prev) == P(next) == 1/2 exactly -> info gain = 0
+    base = 24 * 60
+    pat = "aabb" * 10 + "a"
+    for i, ch in enumerate(pat):
+        rows.append((100 + i, T0 + dt.timedelta(minutes=base + i), 2, ch))
+    got = {r.day_ts.day: r
+           for r in markov_entropy_daily(
+               spark.createDataFrame(rows, schema)).collect()}
+    ln2 = round(math.log(2), 6)
+    # day 1: 39 transitions, next marginal (20, 19)
+    h1 = math.log(39) - (20 * math.log(20) + 19 * math.log(19)) / 39
+    assert got[1].h_cond_nats == 0.0
+    assert abs(got[1].h_next_nats - h1) < 2e-6
+    assert got[1].info_gain_nats == got[1].h_next_nats
+    assert got[2].n_transitions == 40
+    assert got[2].h_next_nats == ln2
+    assert got[2].h_cond_nats == ln2
+    assert got[2].info_gain_nats == 0.0

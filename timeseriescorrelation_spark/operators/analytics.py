@@ -1880,3 +1880,79 @@ def holt_winters(series: DataFrame, period: int = 24,
         _q(F.col("trend")).alias("trend"),
         _q(F.col("season")).alias("season"),
     )
+
+
+def markov_entropy_daily(events: DataFrame, cat_col: str = "event_type",
+                         stream_col: str = "user_id",
+                         ord_col: str = "event_id") -> DataFrame:
+    """How predictable is the event stream — per day: the marginal
+    entropy of the next-event distribution H(next), the first-order
+    Markov conditional entropy H(next|prev), and their difference
+    (the mutual information between consecutive events; 0 = memoryless,
+    H(next) = deterministic chain).  Identity used:
+
+        H(next|prev) = (1/N)[ Σ_i n_i·ln n_i − Σ_ij c_ij·ln c_ij ]
+
+    so every float op is x·ln(x) of an EXACT integer count,
+    micro-nat-snapped before summation (the entropy_daily discipline —
+    the engine-variable ulp of ln() is absorbed by round(·1e6), the
+    sums are integer-exact, and the final divides are single
+    deterministic doubles).
+
+    Transitions are (prev → next) lags within each stream's
+    (ts, ord_col)-ordered sequence, labeled by the NEXT event's day.
+
+    Scale notes (100 TB): one per-stream window sort (the same
+    partitioning every sequence operator here uses), then three
+    hash-aggs over strictly shrinking keyspaces (day×type² → day×type
+    → day); no joins, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stream_col).orderBy(
+        epoch_us(F.col("ts")), ord_col
+    )
+    tr = (
+        events.select(
+            stream_col, "ts", ord_col,
+            F.lag(cat_col).over(w).alias("prev"),
+            F.col(cat_col).alias("nxt"),
+        )
+        .where(F.col("prev").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day_ts"), "prev", "nxt")
+    )
+
+    def xlx_u(c):
+        return F.round(
+            c.cast("double") * F.log(c.cast("double")) * F.lit(1e6)
+        ).cast("long")
+
+    cell = tr.groupBy("day_ts", "prev", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # per-day: Σ c_ij·ln c_ij (cells), Σ_i n_i·ln n_i (prev marginals),
+    # Σ_j n_j·ln n_j (next marginals), N
+    cells = cell.groupBy("day_ts").agg(
+        F.sum(xlx_u(F.col("c"))).alias("u_cell"),
+        F.sum("c").alias("n"),
+    )
+    prevm = (
+        cell.groupBy("day_ts", "prev").agg(F.sum("c").alias("ni"))
+        .groupBy("day_ts").agg(F.sum(xlx_u(F.col("ni"))).alias("u_prev"))
+    )
+    nxtm = (
+        cell.groupBy("day_ts", "nxt").agg(F.sum("c").alias("nj"))
+        .groupBy("day_ts").agg(F.sum(xlx_u(F.col("nj"))).alias("u_next"))
+    )
+    j = cells.join(prevm, "day_ts").join(nxtm, "day_ts")
+    nd = F.col("n").cast("double")
+    h_next = F.log(nd) - F.col("u_next").cast("double") / F.lit(1e6) / nd
+    h_cond = (
+        F.col("u_prev").cast("double") - F.col("u_cell").cast("double")
+    ) / F.lit(1e6) / nd
+    return j.select(
+        "day_ts",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(h_next, 6).alias("h_next_nats"),
+        F.round(h_cond, 6).alias("h_cond_nats"),
+        F.round(h_next - h_cond, 6).alias("info_gain_nats"),
+    )
