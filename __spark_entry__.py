@@ -4088,6 +4088,16 @@ def q_markov_entropy(spark, sf_dir):
     return markov_entropy_daily(_events(spark, sf_dir))
 
 
+def q_periodogram(spark, sf_dir):
+    """Sinusoid amplitude at candidate periods (6h…168h) per metric —
+    frequency-domain seasonality sizing next to acf_hourly's
+    time-domain detection; micro-snapped trig terms make the DFT
+    cross-engine exact."""
+    from timeseriescorrelation_spark.operators.acf import periodogram
+
+    return periodogram(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4301,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_drift": q_emd_drift,
         "mix_weights": q_mix_weights,
         "markov_entropy": q_markov_entropy,
+        "periodogram": q_periodogram,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9258,5 +9269,50 @@ SELECT cells.day_ts, n AS n_transitions,
 FROM cells
 JOIN prevm ON prevm.day_ts = cells.day_ts
 JOIN nxtm ON nxtm.day_ts = cells.day_ts
+""",
+        "periodogram": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), d2 AS (
+  SELECT metric, y,
+         cast((h_us - min(h_us) OVER (PARTITION BY metric))
+              / 3600000000 AS bigint) AS t,
+         cast(count(*) OVER (PARTITION BY metric) AS bigint) AS n,
+         cast(sum(y) OVER (PARTITION BY metric) AS bigint) AS s
+  FROM g
+), ex AS (
+  SELECT metric, y, t, n, s,
+         unnest([6, 8, 12, 24, 48, 84, 168]) AS period_h
+  FROM d2
+), fl AS (
+  SELECT *, cast(n * y - s AS double) AS a,
+         6.283185307179586 * (t % period_h) / period_h AS theta
+  FROM ex WHERE n >= 2 * period_h
+), gg AS (
+  SELECT metric, period_h,
+         cast(sum(cast(round(a * cos(theta) / n * 1e6) AS bigint))
+              AS bigint) AS _sc,
+         cast(sum(cast(round(a * sin(theta) / n * 1e6) AS bigint))
+              AS bigint) AS _ss,
+         cast(max(n) AS bigint) AS n_hours
+  FROM fl GROUP BY 1, 2
+)
+SELECT metric, cast(period_h AS int) AS period_h, n_hours,
+       round(2.0 * sqrt(cast(_sc AS double) * cast(_sc AS double)
+                        + cast(_ss AS double) * cast(_ss AS double))
+             / 1e6 / cast(n_hours AS double), 6) AS amp
+FROM gg
 """,
     }

@@ -263,3 +263,20 @@ def test_seasonal_strength_extremes(spark):
     )
     got = {r.metric: r.r2_u for r in seasonal_strength(df).collect()}
     assert got == {"m": 1_000_000, "w": 0}
+
+
+def test_periodogram_recovers_injected_24h_amplitude(spark):
+    from timeseriescorrelation_spark.operators.acf import periodogram
+    import math
+
+    # 14 full days of hourly counts 20 + round(10*cos(2*pi*t/24)):
+    # every candidate period divides 336, so the 24h tone projects
+    # onto the 24h probe only — amp(24) ~= 10, all others ~= 0
+    counts = [20 + round(10 * math.cos(2 * math.pi * t / 24))
+              for t in range(336)]
+    got = {r.period_h: r.amp
+           for r in periodogram(_hourly_events(spark, counts)).collect()}
+    assert set(got) == {6, 8, 12, 24, 48, 84, 168}
+    assert 9.5 < got[24] < 10.5
+    for p in (6, 8, 12, 48, 84, 168):
+        assert got[p] < 0.4, (p, got[p])

@@ -3,12 +3,15 @@
 The reference's statistic is pairwise Pearson between different series
 (SURVEY §3.1 step 3); here the SAME exact-moment machinery is pointed
 at a series against ITSELF at hourly shifts — the classic ACF route to
-seasonality detection ("does traffic repeat every 24 h?").  A DFT
-periodogram would need cos/sin, whose last-ulp varies across libm
-implementations and breaks a bit-exact cross-engine oracle; the ACF of
-integer hourly counts needs only BIGINT moment sums + IEEE sqrt/divide
-(same trick as rolling.rolling_corr / analytics._anomaly_moments), so
-Spark and DuckDB agree bit-for-bit.
+seasonality detection ("does traffic repeat every 24 h?").  A raw DFT
+periodogram needs cos/sin, whose last-ulp varies across libm
+implementations and would break a bit-exact cross-engine oracle; the
+ACF of integer hourly counts needs only BIGINT moment sums + IEEE
+sqrt/divide (same trick as rolling.rolling_corr /
+analytics._anomaly_moments), so Spark and DuckDB agree bit-for-bit.
+(`periodogram` below does ship a DFT — made oracle-exact by
+micro-snapping each trig term to integer units before summation, the
+same discipline drift.entropy_daily uses for ln().)
 
 Pipeline:
   1. hourly event counts per key (one hash-agg shuffle; counts are
@@ -277,4 +280,76 @@ def seasonal_strength(series: DataFrame, keys: list[str] | None = None,
                 / sst.cast("double")
             ).cast("long"),
         ).alias("r2_u"),
+    )
+
+
+def periodogram(series: DataFrame,
+                periods: tuple[int, ...] = (6, 8, 12, 24, 48, 84, 168),
+                keys: list[str] | None = None, ts_col: str = "ts",
+                ) -> DataFrame:
+    """Sinusoid amplitude at candidate periods — the frequency-domain
+    companion to acf_spectrum (ACF answers "does it repeat"; the
+    periodogram answers "how BIG is the P-hour cycle, in events/hour").
+    For each key and period P:
+
+        amp(P) = (2/n)·√(S_c² + S_s²),
+        S_c = Σ_t (y_t − ȳ)·cos(2πt/P),  S_s likewise with sin
+
+    over the dense hourly grid.  The module docstring rules out a
+    bit-exact cos/sin oracle; this operator gets a cross-engine-EXACT
+    one anyway by the micro-snap discipline: each demeaned term keeps
+    an integer numerator (a_t = n·y_t − S, exact), the trig factor is
+    evaluated on the REDUCED angle 2π·(t mod P)/P (an identical small
+    double in both engines), and round(a_t·cos(·)/n·1e6) snaps the
+    term to integer micro-units BEFORE the sum — the last-ulp libm
+    divergence (~1e-16 relative) is orders of magnitude below the
+    half-unit snap threshold, and integer sums don't care about
+    addition order.  S_c/S_s are cast to double only for the final
+    hypot (|S| < 2⁵³ long before int64 overflow matters).
+
+    Scale notes (100 TB): raw scan → |keys|·|hours| grid rows in one
+    hash-agg (map-side combine), ×|periods| explode on the GRID (not
+    the raw events), one more hash-agg.  No joins beyond the grid
+    densify, no windows over raw data."""
+    import math
+
+    keys = keys or ["metric"]
+    d = hourly_counts_dense(series, keys, ts_col)
+    w = Window.partitionBy(*keys)
+    d2 = d.select(
+        *keys, "y",
+        ((F.col("h_us") - F.min("h_us").over(w)) / F.lit(HOUR_US))
+        .cast("long").alias("t"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("y").over(w).alias("s"),
+    )
+    ex = d2.select(
+        *keys, "y", "t", "n", "s",
+        F.explode(F.array(*[F.lit(p) for p in periods])).alias("period_h"),
+    ).where(F.col("n") >= 2 * F.col("period_h"))
+    two_pi = F.lit(2.0 * math.pi)
+    a = (F.col("n") * F.col("y") - F.col("s")).cast("double")
+    theta = two_pi * (F.col("t") % F.col("period_h")) / F.col("period_h")
+
+    def snap(trig):
+        return F.round(a * trig / F.col("n") * F.lit(1e6)).cast("long")
+
+    g = ex.groupBy(*keys, "period_h").agg(
+        F.sum(snap(F.cos(theta))).alias("_sc"),
+        F.sum(snap(F.sin(theta))).alias("_ss"),
+        F.max("n").alias("n_hours"),
+    )
+    amp = (
+        F.lit(2.0)
+        * F.sqrt(
+            F.col("_sc").cast("double") * F.col("_sc").cast("double")
+            + F.col("_ss").cast("double") * F.col("_ss").cast("double")
+        )
+        / F.lit(1e6) / F.col("n_hours").cast("double")
+    )
+    return g.select(
+        *keys,
+        F.col("period_h").cast("int").alias("period_h"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.round(amp, 6).alias("amp"),
     )
