@@ -4098,6 +4098,16 @@ def q_periodogram(spark, sf_dir):
     return periodogram(_series_from_events(spark, sf_dir))
 
 
+def q_fano_factor(spark, sf_dir):
+    """Hourly-count overdispersion (Fano factor) per metric-day —
+    Poisson→1, bursty→>1, regularized→<1."""
+    from timeseriescorrelation_spark.operators.activity import (
+        fano_factor_daily,
+    )
+
+    return fano_factor_daily(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4312,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "markov_entropy": q_markov_entropy,
         "periodogram": q_periodogram,
+        "fano_factor": q_fano_factor,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9314,5 +9325,18 @@ SELECT metric, cast(period_h AS int) AS period_h, n_hours,
                         + cast(_ss AS double) * cast(_ss AS double))
              / 1e6 / cast(n_hours AS double), 6) AS amp
 FROM gg
+""",
+        "fano_factor": """
+WITH hc AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         extract(hour FROM ts) AS _h, cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT metric, day_ts,
+       cast(sum(c) AS bigint) AS n_events,
+       cast(count(*) AS bigint) AS nonzero_hours,
+       round(cast(24 * sum(c * c) - sum(c) * sum(c) AS double)
+             / cast(24 * sum(c) AS double), 6) AS fano
+FROM hc GROUP BY 1, 2
 """,
     }

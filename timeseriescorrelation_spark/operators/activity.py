@@ -441,3 +441,42 @@ def growth_accounting(events: DataFrame, actor_col: str = "conv_id",
         (F.coalesce(F.col("_prev_active"), F.lit(0)) - F.col("n_retained"))
         .cast("long").alias("n_churned"),
     )
+
+
+def fano_factor_daily(series: DataFrame, keys: list[str] | None = None,
+                      ts_col: str = "ts") -> DataFrame:
+    """Count overdispersion per (keys..., day): Fano factor
+    Var(c)/Mean(c) of the 24 hourly event counts — the COUNT-side
+    companion to burstiness_daily's inter-arrival view (Poisson
+    arrivals → 1; clumped/bursty → >1; quota-limited/regular → <1).
+
+    The day always has 24 hour slots and empty hours contribute 0 to
+    both Σc and Σc², so no grid densify is needed — with n fixed at
+    24,  F = Var/μ = (24·Σc² − (Σc)²) / (24·Σc),  one double divide
+    of exact BIGINT moments (counts ≤ ~6e8/hour before 24·Σc²
+    approaches int64; ANSI mode errors loudly past that).
+
+    Scale notes: two cascaded hash-aggs (metric×day×hour →
+    metric×day), both map-side combinable; no windows, no joins."""
+    keys = keys or ["metric"]
+    hc = series.groupBy(
+        *keys,
+        F.date_trunc("day", ts_col).alias("day_ts"),
+        F.hour(ts_col).alias("_h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    g = hc.groupBy(*keys, "day_ts").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    return g.select(
+        *keys, "day_ts",
+        F.col("s").cast("long").alias("n_events"),
+        F.col("nz").cast("long").alias("nonzero_hours"),
+        F.round(
+            (F.lit(24) * F.col("q") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.lit(24) * F.col("s")).cast("double"),
+            6,
+        ).alias("fano"),
+    )
