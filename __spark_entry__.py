@@ -4108,6 +4108,59 @@ def q_fano_factor(spark, sf_dir):
     return fano_factor_daily(_series_from_events(spark, sf_dir))
 
 
+def q_cluster_terms(spark, sf_dir):
+    """Topic keywords per semantic cluster (BERTopic's c-TF-IDF step,
+    rational variant): emb_clusters labels each near-dup doc, each
+    cluster becomes one super-document, and terms rank by
+    tf_c · T / f_t (T = total clustered term mass, f_t = the term's
+    corpus frequency) — the same monotone ln-free salience scoring
+    term_salience documents, so ordering is engine-exact.  Top-5 per
+    cluster.  Composition: cosine pair source → large/small-star CC →
+    explode/hash-agg/window — three operators from different modules
+    chained without materialization."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from timeseriescorrelation_spark.operators.similarity import (
+        cosine_neardup_pairs_blocked,
+    )
+
+    pairs = cosine_neardup_pairs_blocked(_embs(spark, sf_dir), min_cos=0.35)
+    labels = connected_components_star(pairs)
+    docs = _docs(spark, sf_dir).join(labels, "doc_id")
+    tf = (
+        docs.select(
+            "cluster",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("f_all"))
+    tot = ft.agg(F.sum("f_all").alias("t_all"))
+    s = tf.join(ft, "term").crossJoin(F.broadcast(tot)).withColumn(
+        "score",
+        F.round(
+            (F.col("tf") * F.col("t_all")).cast("double")
+            / F.col("f_all").cast("double"),
+            6,
+        ),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("cluster", "rank", "term", "tf",
+                F.col("f_all").cast("long").alias("f_all"), "score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4323,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy": q_markov_entropy,
         "periodogram": q_periodogram,
         "fano_factor": q_fano_factor,
+        "cluster_terms": q_cluster_terms,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9338,5 +9392,50 @@ SELECT metric, day_ts,
        round(cast(24 * sum(c * c) - sum(c) * sum(c) AS double)
              / cast(24 * sum(c) AS double), 6) AS fano
 FROM hc GROUP BY 1, 2
+""",
+        "cluster_terms": """
+WITH RECURSIVE
+uv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS v
+  FROM embeddings
+), prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM uv a JOIN uv b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v), 6) >= 0.35
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+), reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+), lbl AS (
+  SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY 1
+), tf AS (
+  SELECT cluster, term, cast(count(*) AS bigint) AS tf
+  FROM (
+    SELECT l.cluster,
+           unnest(regexp_split_to_array(lower(d.text), '\s+')) AS term
+    FROM documents d JOIN lbl l USING (doc_id)
+  ) GROUP BY 1, 2
+), ft AS (
+  SELECT term, cast(sum(tf) AS bigint) AS f_all FROM tf GROUP BY 1
+), tot AS (SELECT cast(sum(f_all) AS bigint) AS t_all FROM ft)
+SELECT cluster, rank, term, tf, f_all, score FROM (
+  SELECT tf.cluster, tf.term, tf.tf, ft.f_all,
+         round(cast(tf.tf * tot.t_all AS double)
+               / cast(ft.f_all AS double), 6) AS score,
+         cast(row_number() OVER (
+           PARTITION BY tf.cluster
+           ORDER BY round(cast(tf.tf * tot.t_all AS double)
+                          / cast(ft.f_all AS double), 6) DESC,
+                    tf.term ASC
+         ) AS int) AS rank
+  FROM tf JOIN ft USING (term) CROSS JOIN tot
+) WHERE rank <= 5
 """,
     }
