@@ -4161,6 +4161,16 @@ def q_cluster_terms(spark, sf_dir):
     )
 
 
+def q_moments(spark, sf_dir):
+    """Per metric-day skewness + excess kurtosis from exact decimal
+    power sums — distribution shape beyond mean/std."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        moments_daily,
+    )
+
+    return moments_daily(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4377,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": q_periodogram,
         "fano_factor": q_fano_factor,
         "cluster_terms": q_cluster_terms,
+        "moments": q_moments,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9437,5 +9448,40 @@ SELECT cluster, rank, term, tf, f_all, score FROM (
          ) AS int) AS rank
   FROM tf JOIN ft USING (term) CROSS JOIN tot
 ) WHERE rank <= 5
+""",
+        "moments": """
+WITH g AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS hugeint) AS n,
+         cast(sum(cast(round(value * 100) AS hugeint)) AS hugeint) AS s1,
+         cast(sum(cast(round(value * 100) AS hugeint)
+                  * cast(round(value * 100) AS hugeint)) AS hugeint) AS s2,
+         cast(sum(cast(round(value * 100) AS hugeint)
+                  * cast(round(value * 100) AS hugeint)
+                  * cast(round(value * 100) AS hugeint)) AS hugeint) AS s3,
+         cast(sum(cast(round(value * 100) AS hugeint)
+                  * cast(round(value * 100) AS hugeint)
+                  * cast(round(value * 100) AS hugeint)
+                  * cast(round(value * 100) AS hugeint)) AS hugeint) AS s4
+  FROM events GROUP BY 1, 2
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n,
+       round(cast(s1 AS double) / cast(n AS double) / 100, 6) AS mean,
+       round(sqrt(cast(n * s2 - s1 * s1 AS double))
+             / cast(n AS double) / 100, 6) AS std,
+       CASE WHEN n * s2 - s1 * s1 > 0 THEN
+         round(cast(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                    AS double)
+               / (cast(n * s2 - s1 * s1 AS double)
+                  * sqrt(cast(n * s2 - s1 * s1 AS double))), 6)
+       END AS skew_g1,
+       CASE WHEN n * s2 - s1 * s1 > 0 THEN
+         round(cast(n * n * n * s4 - 4 * n * n * s1 * s3
+                    + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                    AS double)
+               / (cast(n * s2 - s1 * s1 AS double)
+                  * cast(n * s2 - s1 * s1 AS double)) - 3.0, 6)
+       END AS kurt_excess
+FROM g
 """,
     }

@@ -379,3 +379,25 @@ def test_markov_entropy_deterministic_vs_iid(spark):
     assert got[2].h_next_nats == ln2
     assert got[2].h_cond_nats == ln2
     assert got[2].info_gain_nats == 0.0
+
+
+def test_moments_match_population_formulas(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        moments_daily,
+    )
+
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    rows = [_pt("m", i, i, v) for i, v in enumerate(vals)]
+    r = moments_daily(_series(spark, rows)).collect()[0]
+    x = np.array(vals)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    m4 = ((x - m) ** 4).mean()
+    assert r.n == 5
+    assert r.mean == round(m, 6)
+    assert abs(r.std - math.sqrt(m2)) < 1e-6
+    assert abs(r.skew_g1 - m3 / m2 ** 1.5) < 1e-6
+    assert abs(r.kurt_excess - (m4 / m2 ** 2 - 3)) < 1e-6
