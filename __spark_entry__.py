@@ -4171,6 +4171,17 @@ def q_moments(spark, sf_dir):
     return moments_daily(_series_from_events(spark, sf_dir))
 
 
+def q_partial_corr(spark, sf_dir):
+    """Confounder screen: partial correlation r_ab.z per day for every
+    pair and every control metric, from the exact-moment daily
+    correlation matrix."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        partial_corr_daily,
+    )
+
+    return partial_corr_daily(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4388,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fano_factor": q_fano_factor,
         "cluster_terms": q_cluster_terms,
         "moments": q_moments,
+        "partial_corr": q_partial_corr,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9483,5 +9495,50 @@ SELECT metric, day_ts, cast(n AS bigint) AS n,
                   * cast(n * s2 - s1 * s1 AS double)) - 3.0, 6)
        END AS kurt_excess
 FROM g
+""",
+        "partial_corr": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         date_trunc('day', a.hour_ts) AS day_ts, a.y AS ya, b.y AS yb
+  FROM h a JOIN h b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+), g AS (
+  SELECT metric_a, metric_b, day_ts, count(*) AS n,
+         sum(ya) AS sa, sum(yb) AS sb,
+         sum(ya * ya) AS saa, sum(yb * yb) AS sbb,
+         sum(ya * yb) AS sab
+  FROM p GROUP BY 1, 2, 3
+), mm AS (
+  SELECT metric_a, metric_b, day_ts,
+         round(CASE WHEN cast(n * saa - sa * sa AS double) > 0
+                     AND cast(n * sbb - sb * sb AS double) > 0
+               THEN cast(n * sab - sa * sb AS double)
+                    / sqrt(cast(n * saa - sa * sa AS double))
+                    / sqrt(cast(n * sbb - sb * sb AS double)) END, 6) AS r
+  FROM g WHERE n >= 4
+), m2 AS (
+  SELECT * FROM mm WHERE r IS NOT NULL
+), sym AS (
+  SELECT metric_a AS x, metric_b AS y, day_ts, r FROM m2
+  UNION ALL
+  SELECT metric_b, metric_a, day_ts, r FROM m2
+)
+SELECT xy.x AS metric_a, xy.y AS metric_b, xz.z AS control,
+       xy.day_ts, xy.r_xy,
+       CASE WHEN (1 - xz.r_xz * xz.r_xz) * (1 - yz.r_yz * yz.r_yz) > 0
+            THEN round((xy.r_xy - xz.r_xz * yz.r_yz)
+                       / sqrt((1 - xz.r_xz * xz.r_xz)
+                              * (1 - yz.r_yz * yz.r_yz)), 6)
+       END AS r_partial
+FROM (SELECT metric_a AS x, metric_b AS y, day_ts, r AS r_xy FROM m2) xy
+JOIN (SELECT x, y AS z, day_ts, r AS r_xz FROM sym) xz
+  ON xz.day_ts = xy.day_ts AND xz.x = xy.x
+JOIN (SELECT x AS y, y AS z, day_ts, r AS r_yz FROM sym) yz
+  ON yz.day_ts = xy.day_ts AND yz.y = xy.y AND yz.z = xz.z
+WHERE xz.z <> xy.y
 """,
     }

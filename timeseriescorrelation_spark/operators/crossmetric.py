@@ -414,3 +414,69 @@ def lead_lag_best(series: DataFrame, key: str = "metric",
         F.expr("max_by(n, _k)").alias("n"),
         F.expr("max_by(r, _k)").alias("r"),
     )
+
+
+def partial_corr_daily(series: DataFrame, key: str = "metric",
+                       min_hours: int = 4) -> DataFrame:
+    """First-order partial correlation per day: for every metric pair
+    (a, b) and every control metric z, the correlation that REMAINS
+    after linearly removing z from both —
+
+        r_ab·z = (r_ab − r_az·r_bz) / √((1 − r_az²)(1 − r_bz²))
+
+    — the standard confounder screen on top of corr_matrix_daily ("do
+    a and b move together, or do both just follow z?").  Computed from
+    the day's pairwise matrix (each r already exact-moment-derived and
+    6dp-snapped, so the formula sees IDENTICAL doubles in both engines
+    and its one sqrt/divide chain is deterministic).  Degenerate
+    controls (|r_az| = 1 or |r_bz| = 1) yield NULL, not ±inf.
+
+    Scale notes: all joins are on the |metrics|²·|days| correlation
+    matrix — metadata-sized next to the raw scan that built it; the
+    raw data is touched exactly once inside corr_matrix_daily."""
+    m = corr_matrix_daily(series, key=key, min_hours=min_hours).where(
+        F.col("r").isNotNull()
+    )
+    sym = m.select(
+        F.col("metric_a").alias("x"), F.col("metric_b").alias("y"),
+        "day_ts", "r",
+    ).unionByName(
+        m.select(
+            F.col("metric_b").alias("x"), F.col("metric_a").alias("y"),
+            "day_ts", "r",
+        )
+    )
+    xy = m.select(
+        "day_ts", F.col("metric_a").alias("x"),
+        F.col("metric_b").alias("y"), F.col("r").alias("r_xy"),
+    )
+    xz = sym.select(
+        "day_ts", "x", F.col("y").alias("z"), F.col("r").alias("r_xz")
+    )
+    yz = sym.select(
+        "day_ts", F.col("x").alias("y"), F.col("y").alias("z"),
+        F.col("r").alias("r_yz"),
+    )
+    t = (
+        xy.join(xz, ["day_ts", "x"])
+        .join(yz, ["day_ts", "y", "z"])
+        .where(F.col("z") != F.col("y"))
+    )
+    den = (1 - F.col("r_xz") * F.col("r_xz")) * (
+        1 - F.col("r_yz") * F.col("r_yz")
+    )
+    return t.select(
+        F.col("x").alias("metric_a"),
+        F.col("y").alias("metric_b"),
+        F.col("z").alias("control"),
+        "day_ts",
+        "r_xy",
+        F.when(
+            den > 0,
+            F.round(
+                (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+                / F.sqrt(den),
+                6,
+            ),
+        ).alias("r_partial"),
+    )
