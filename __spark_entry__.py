@@ -4182,6 +4182,15 @@ def q_partial_corr(spark, sf_dir):
     return partial_corr_daily(_series_from_events(spark, sf_dir))
 
 
+def q_hurst(spark, sf_dir):
+    """Long-range dependence per metric: Hurst exponent by R/S
+    analysis over dyadic block sizes 16..128 h on the dense hourly
+    grid (H≈0.5 memoryless, >0.5 persistent)."""
+    from timeseriescorrelation_spark.operators.acf import hurst_rs
+
+    return hurst_rs(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4400,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_terms": q_cluster_terms,
         "moments": q_moments,
         "partial_corr": q_partial_corr,
+        "hurst": q_hurst,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9540,5 +9550,78 @@ JOIN (SELECT x, y AS z, day_ts, r AS r_xz FROM sym) xz
 JOIN (SELECT x AS y, y AS z, day_ts, r AS r_yz FROM sym) yz
   ON yz.day_ts = xy.day_ts AND yz.y = xy.y AND yz.z = xz.z
 WHERE xz.z <> xy.y
+""",
+        "hurst": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), d2 AS (
+  SELECT metric, y,
+         cast((h_us - min(h_us) OVER (PARTITION BY metric))
+              / 3600000000 AS bigint) AS t
+  FROM g
+), ex AS (
+  SELECT metric, y, t, unnest([16, 32, 64, 128]) AS w FROM d2
+), ex2 AS (
+  SELECT metric, w, y, t, t // w AS blk, t % w + 1 AS k FROM ex
+), z AS (
+  SELECT metric, w, blk, k, y,
+         cast(count(*) OVER wb AS bigint) AS _n,
+         cast(sum(y) OVER wb AS bigint) AS s,
+         cast(sum(y * y) OVER wb AS bigint) AS q,
+         cast(sum(y) OVER (PARTITION BY metric, w, blk ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS bigint) AS cum
+  FROM ex2
+  WINDOW wb AS (PARTITION BY metric, w, blk)
+), z2 AS (
+  SELECT metric, w, blk, s, q, w * cum - k * s AS wz
+  FROM z WHERE _n = w
+), blk AS (
+  SELECT metric, w, blk,
+         w * max(q) - max(s) * max(s) AS s2,
+         max(wz) - min(wz) AS rng
+  FROM z2 GROUP BY 1, 2, 3
+), per_w AS (
+  SELECT metric, w, cast(count(*) AS bigint) AS nb,
+         cast(sum(cast(round(ln(cast(rng AS double)
+                                / sqrt(cast(s2 AS double))) * 1e6)
+                       AS bigint)) AS bigint) AS su
+  FROM blk WHERE s2 > 0 AND rng > 0 GROUP BY 1, 2
+), pw2 AS (
+  SELECT metric, w, nb,
+         cast(su AS double) / 1e6 / cast(nb AS double) AS ybar
+  FROM per_w
+), piv AS (
+  SELECT metric,
+         max(CASE WHEN w = 16 THEN ybar END) AS y16,
+         max(CASE WHEN w = 32 THEN ybar END) AS y32,
+         max(CASE WHEN w = 64 THEN ybar END) AS y64,
+         max(CASE WHEN w = 128 THEN ybar END) AS y128,
+         cast(sum(nb) AS bigint) AS n_blocks
+  FROM pw2 GROUP BY 1
+)
+SELECT metric, n_blocks,
+       round(y16, 6) AS ln_rs_16, round(y32, 6) AS ln_rs_32,
+       round(y64, 6) AS ln_rs_64, round(y128, 6) AS ln_rs_128,
+       CASE WHEN y16 IS NOT NULL AND y32 IS NOT NULL
+             AND y64 IS NOT NULL AND y128 IS NOT NULL THEN
+         round(-0.432808512266689 * y16
+               + -0.14426950408889622 * y32
+               + 0.14426950408889638 * y64
+               + 0.43280851226668915 * y128, 6)
+       END AS hurst
+FROM piv
 """,
     }

@@ -280,3 +280,36 @@ def test_periodogram_recovers_injected_24h_amplitude(spark):
     assert 9.5 < got[24] < 10.5
     for p in (6, 8, 12, 48, 84, 168):
         assert got[p] < 0.4, (p, got[p])
+
+
+def test_hurst_separates_iid_from_trend(spark):
+    from timeseriescorrelation_spark.operators.acf import hurst_rs
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for h in range(512):
+        # iid counts -> H near 0.5 (small-sample R/S bias pulls the
+        # naive slope to ~0.55-0.6; Anis-Lloyd correction deliberately
+        # omitted, documented)
+        for _ in range(rng.randint(1, 20)):
+            rows.append(("c", "iid",
+                         BASE + dt.timedelta(hours=h, seconds=eid % 3000),
+                         eid, 1.0))
+            eid += 1
+        # strong linear trend -> persistent, H near 1
+        for _ in range(1 + h // 8):
+            rows.append(("c", "trend",
+                         BASE + dt.timedelta(hours=h, seconds=eid % 3000),
+                         eid, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    got = {r.metric: r for r in hurst_rs(df).collect()}
+    assert got["iid"].n_blocks == 60  # 32+16+8+4 full blocks
+    assert 0.40 < got["iid"].hurst < 0.72
+    assert got["trend"].hurst > 0.85
+    assert got["trend"].hurst > got["iid"].hurst + 0.2

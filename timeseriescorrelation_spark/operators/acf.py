@@ -353,3 +353,109 @@ def periodogram(series: DataFrame,
         F.col("n_hours").cast("long").alias("n_hours"),
         F.round(amp, 6).alias("amp"),
     )
+
+
+# (X_i − X̄)/Σ(X−X̄)² for X = ln(16,32,64,128): the closed-form slope
+# weights of the R/S log-log regression, frozen as double literals so
+# Spark and the SQL oracle combine the four scale means with the SAME
+# four constants in the SAME order (no engine-ordered float sums).
+HURST_WINDOWS = (16, 32, 64, 128)
+HURST_COEF = (-0.432808512266689, -0.14426950408889622,
+              0.14426950408889638, 0.43280851226668915)
+
+
+def hurst_rs(series: DataFrame, keys: list[str] | None = None,
+             ts_col: str = "ts") -> DataFrame:
+    """Hurst exponent per key by rescaled-range (R/S) analysis over
+    the dense hourly count series — long-range dependence in one
+    number (H ≈ 0.5 memoryless, > 0.5 persistent/trending, < 0.5
+    mean-reverting), the classic complement to ACF's fixed-lag view.
+
+    Per scale w ∈ {16,32,64,128} hours, over each FULL w-hour block:
+    cumulative deviations Z_k = Σ_{i≤k}(y_i − μ); R/S = (max Z − min Z)
+    / σ.  Multiplying through by w makes every comparison integer:
+    w·Z_k = w·cum_k − k·S is exact, and R/S = (max wZ − min wZ) /
+    √(w·Q − S²) — the w's cancel, so ln() sees a quotient of an exact
+    integer and an exact-integer sqrt.  Each block's ln(R/S) is
+    micro-snapped before the per-scale integer sum (libm-ulp discipline
+    as in periodogram), the four scale means are exact-input divides,
+    and H is their FIXED-literal linear combination (HURST_COEF) —
+    deterministic cross-engine end to end.
+
+    Scale notes (100 TB): grid = |keys|·|hours| rows from one hash-agg;
+    ×4 explode on the grid; per-block windows are partitioned by
+    (key, w, block) — frames of ≤ 128 rows, never a global sort.  Keys
+    spanning < 256 h emit NULL H (fewer than two 128-blocks is not a
+    regression)."""
+    keys = keys or ["metric"]
+    d = hourly_counts_dense(series, keys, ts_col)
+    wk = Window.partitionBy(*keys)
+    d2 = d.select(
+        *keys, "y",
+        ((F.col("h_us") - F.min("h_us").over(wk)) / F.lit(HOUR_US))
+        .cast("long").alias("t"),
+    )
+    ex = d2.select(
+        *keys, "y", "t",
+        F.explode(F.array(*[F.lit(w) for w in HURST_WINDOWS])).alias("w"),
+    ).select(
+        "*",
+        F.floor(F.col("t") / F.col("w")).alias("blk"),
+        (F.col("t") % F.col("w") + 1).alias("k"),
+    )
+    wb = Window.partitionBy(*keys, "w", "blk")
+    wcum = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    z = ex.select(
+        *keys, "w", "blk", "k", "y",
+        F.count(F.lit(1)).over(wb).alias("_n"),
+        F.sum("y").over(wb).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wb).alias("q"),
+        F.sum("y").over(wcum).alias("cum"),
+    ).where(F.col("_n") == F.col("w")).select(
+        *keys, "w", "blk", "s", "q",
+        (F.col("w") * F.col("cum") - F.col("k") * F.col("s")).alias("wz"),
+    )
+    blk = z.groupBy(*keys, "w", "blk").agg(
+        F.max("wz").alias("mx"), F.min("wz").alias("mn"),
+        F.first("s").alias("s"), F.first("q").alias("q"),
+    ).select(
+        *keys, "w",
+        (F.col("w") * F.col("q") - F.col("s") * F.col("s")).alias("s2"),
+        (F.col("mx") - F.col("mn")).alias("rng"),
+    ).where((F.col("s2") > 0) & (F.col("rng") > 0))
+    per_w = blk.select(
+        *keys, "w",
+        F.round(
+            F.log(F.col("rng").cast("double")
+                  / F.sqrt(F.col("s2").cast("double"))) * F.lit(1e6)
+        ).cast("long").alias("u"),
+    ).groupBy(*keys, "w").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("u").alias("su")
+    ).select(
+        *keys, "w",
+        "nb",
+        (F.col("su").cast("double") / F.lit(1e6)
+         / F.col("nb").cast("double")).alias("ybar"),
+    )
+    piv = per_w.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col("w") == w, F.col("ybar"))).alias(f"y{w}")
+            for w in HURST_WINDOWS
+        ],
+        F.sum("nb").alias("n_blocks"),
+    )
+    hurst = None
+    for w, c in zip(HURST_WINDOWS, HURST_COEF):
+        term = F.lit(c) * F.col(f"y{w}")
+        hurst = term if hurst is None else hurst + term
+    return piv.select(
+        *keys,
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        *[F.round(F.col(f"y{w}"), 6).alias(f"ln_rs_{w}")
+          for w in HURST_WINDOWS],
+        F.when(
+            F.col("y16").isNotNull() & F.col("y32").isNotNull()
+            & F.col("y64").isNotNull() & F.col("y128").isNotNull(),
+            F.round(hurst, 6),
+        ).alias("hurst"),
+    )
