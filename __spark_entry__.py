@@ -4191,6 +4191,18 @@ def q_hurst(spark, sf_dir):
     return hurst_rs(_series_from_events(spark, sf_dir))
 
 
+def q_cusum_fixed(spark, sf_dir):
+    """Online (causal) two-sided CUSUM against a fixed reference —
+    the deployable variant of cusum_alerts, whose streaming twin
+    carries three exact ints of state and is bit-equal on any split
+    (tests/test_cusum_stream.py)."""
+    from timeseriescorrelation_spark.operators.analytics import cusum_fixed
+
+    return cusum_fixed(
+        _series_from_events(spark, sf_dir), mu=50.0, sigma=70.0, h=5.0
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4410,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments": q_moments,
         "partial_corr": q_partial_corr,
         "hurst": q_hurst,
+        "cusum_fixed": q_cusum_fixed,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9623,5 +9636,33 @@ SELECT metric, n_blocks,
                + 0.43280851226668915 * y128, 6)
        END AS hurst
 FROM piv
+""",
+        "cusum_fixed": """
+WITH base AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, cast(event_id AS int) AS turn_idx, value,
+         cast(round(value * 100) AS bigint) - 5000 AS dev
+  FROM events
+), cum AS (
+  SELECT conv_id, metric, ts, turn_idx, value,
+         cast(sum(dev) OVER pre AS bigint) AS p
+  FROM base
+  WINDOW pre AS (PARTITION BY conv_id, metric ORDER BY ts, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), w AS (
+  SELECT conv_id, metric, ts, turn_idx, value, p,
+         least(cast(0 AS bigint), cast(min(p) OVER pre AS bigint)) AS lo,
+         greatest(cast(0 AS bigint),
+                  cast(max(p) OVER pre AS bigint)) AS hi
+  FROM cum
+  WINDOW pre AS (PARTITION BY conv_id, metric ORDER BY ts, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, metric, ts, turn_idx, value,
+       cast(p - lo AS double) / 100 AS s_plus,
+       cast(hi - p AS double) / 100 AS s_minus,
+       (cast(p - lo AS double) > 35000.0
+        OR cast(hi - p AS double) > 35000.0) AS alert
+FROM w
 """,
     }

@@ -2009,3 +2009,50 @@ def moments_daily(series: DataFrame, keys: list[str] | None = None,
         F.when(b > 0, F.round(a / (b * F.sqrt(b)), 6)).alias("skew_g1"),
         F.when(b > 0, F.round(c / (b * b) - 3.0, 6)).alias("kurt_excess"),
     )
+
+
+def cusum_fixed(series: DataFrame, mu: float, sigma: float,
+                h: float = 5.0,
+                keys: list[str] | None = None) -> DataFrame:
+    """ONLINE two-sided CUSUM against a FIXED reference (μ, σ) — the
+    deployable form of `cusum` (which is retrospective: its μ is the
+    full-series mean and so changes as data arrives).  Same telescoped
+    window algebra — s⁺_t = p_t − min(0, min_{j≤t} p_j) with
+    p = Σ(v_cents − μ_cents) — but deviations are against the given
+    reference, so the statistic is causal: the score at t depends only
+    on rows ≤ t.  That causality is what lets the streaming twin
+    (streaming/cusum_stream.py) carry (p, min p, max p) as three
+    exact int64s and emit BIT-EQUAL scores across any micro-batch
+    split.  Alert when s± exceeds h·σ.
+
+    Scale notes: one sort-shuffle (the per-series ordered window),
+    O(1) state per row; cents integers throughout, the only doubles
+    are the final /100 rescale and the h·σ compare of exact ints."""
+    keys = keys or KEYS
+    mu_c = int(round(mu * 100))
+    sig_c = int(round(sigma * 100))
+    word = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_us(F.col("ts")), "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = F.round(F.col("value") * 100).cast("long") - F.lit(mu_c)
+    p = F.sum(dev).over(word)
+    scored = series.select(*keys, "ts", "turn_idx", "value").select(
+        "*",
+        p.alias("_p"),
+        F.least(F.lit(0).cast("long"), F.min(p).over(word)).alias("_lo"),
+        F.greatest(F.lit(0).cast("long"), F.max(p).over(word)).alias("_hi"),
+    )
+    sp = F.col("_p") - F.col("_lo")
+    sm = F.col("_hi") - F.col("_p")
+    thr = float(h) * sig_c
+    return scored.select(
+        *keys, "ts", "turn_idx", "value",
+        (sp.cast("double") / 100).alias("s_plus"),
+        (sm.cast("double") / 100).alias("s_minus"),
+        (
+            (sp.cast("double") > F.lit(thr))
+            | (sm.cast("double") > F.lit(thr))
+        ).alias("alert"),
+    )
