@@ -4203,6 +4203,14 @@ def q_cusum_fixed(spark, sf_dir):
     )
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law exponent + fit quality over the corpus token spectrum —
+    the LM-data sniff test (natural text sits near alpha = -1)."""
+    from timeseriescorrelation_spark.operators.lm import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_k=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4423,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_corr": q_partial_corr,
         "hurst": q_hurst,
         "cusum_fixed": q_cusum_fixed,
+        "zipf_fit": q_zipf_fit,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9664,5 +9673,46 @@ SELECT conv_id, metric, ts, turn_idx, value,
        (cast(p - lo AS double) > 35000.0
         OR cast(hi - p AS double) > 35000.0) AS alert
 FROM w
+""",
+        "zipf_fit": """
+WITH tf AS (
+  SELECT tok, cast(count(*) AS bigint) AS f FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY 1
+), tot AS (
+  SELECT cast(count(*) AS bigint) AS vocab,
+         cast(sum(f) AS bigint) AS n_tokens
+  FROM tf
+), ranked AS (
+  SELECT tok, f,
+         cast(row_number() OVER (ORDER BY f DESC, tok ASC) AS bigint) AS r
+  FROM tf ORDER BY f DESC, tok ASC LIMIT 100
+), m AS (
+  SELECT cast(count(*) AS double) AS n,
+         cast(sum(cast(round(ln(cast(r AS double)) * 1e6) AS bigint))
+              AS double) AS sx,
+         cast(sum(cast(round(ln(cast(r AS double))
+                             * ln(cast(r AS double)) * 1e6) AS bigint))
+              AS double) AS sxx,
+         cast(sum(cast(round(ln(cast(f AS double)) * 1e6) AS bigint))
+              AS double) AS sy,
+         cast(sum(cast(round(ln(cast(f AS double))
+                             * ln(cast(f AS double)) * 1e6) AS bigint))
+              AS double) AS syy,
+         cast(sum(cast(round(ln(cast(r AS double))
+                             * ln(cast(f AS double)) * 1e6) AS bigint))
+              AS double) AS sxy,
+         min(CASE WHEN r = 1 THEN tok END) AS top_token
+  FROM ranked
+)
+SELECT vocab, n_tokens,
+       round((n * sxy * 1e6 - sx * sy)
+             / (n * sxx * 1e6 - sx * sx), 6) AS zipf_alpha,
+       round((n * sxy * 1e6 - sx * sy) * (n * sxy * 1e6 - sx * sy)
+             / ((n * sxx * 1e6 - sx * sx)
+                * (n * syy * 1e6 - sy * sy)), 6) AS r2,
+       top_token
+FROM m, tot
 """,
     }

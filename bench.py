@@ -188,6 +188,21 @@ HEADLINE_R3 = [
     "scd2_enrich",
     "fk_orphans",
     "bfs_reach",
+    "emd_drift",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
+    "mix_weights",
+    "markov_entropy",
+    "periodogram",
+    "fano_factor",
+    "cluster_terms",
+    "moments",
+    "partial_corr",
+    "hurst",
+    "cusum_fixed",
+    "zipf_fit",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

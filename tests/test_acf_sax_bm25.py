@@ -313,3 +313,20 @@ def test_hurst_separates_iid_from_trend(spark):
     assert 0.40 < got["iid"].hurst < 0.72
     assert got["trend"].hurst > 0.85
     assert got["trend"].hurst > got["iid"].hurst + 0.2
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    from timeseriescorrelation_spark.operators.lm import zipf_fit
+
+    # construct freq(r) = round(2000/r) for 30 tokens -> alpha ~ -1
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}"] * round(2000 / r)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = zipf_fit(docs, top_k=100).collect()[0]
+    assert got.vocab == 30
+    assert got.top_token == "w01"
+    assert -1.05 < got.zipf_alpha < -0.95
+    assert got.r2 > 0.99

@@ -25,7 +25,7 @@ round-trips.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.operators.dedup import tokenize
@@ -328,4 +328,81 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     return (
         anchored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def zipf_fit(docs: DataFrame, top_k: int = 100,
+             text_col: str = "text") -> DataFrame:
+    """Zipf-law fit over the corpus token frequency spectrum: the
+    log-log regression ln(freq) ~ α·ln(rank) over the top_k tokens —
+    natural language sits near α ≈ −1, and a corpus that drifts far
+    from it (α ≈ 0: near-uniform boilerplate/spam; α « −1: tiny
+    effective vocabulary) fails the LM-data sniff test.  Returns one
+    row: (vocab, n_tokens, zipf_alpha, r2, top_token).
+
+    Ranking: top_k by (freq DESC, token ASC) — a TakeOrdered top-k,
+    never a full global sort; the subsequent rank window runs on the
+    top_k-row result (bounded, single small partition by construction).
+
+    Exactness: ranks are the integers 1..top_k and freqs exact BIGINTs,
+    so x = ln(rank), y = ln(freq) are deterministic up to libm's last
+    ulp — every regression moment (Σx, Σx², Σy, Σy², Σxy) is
+    micro-snapped per term and integer-summed (the periodogram/hurst
+    discipline), then α and r² are closed-form doubles of those exact
+    integers.
+
+    Scale notes (100 TB): one explode + hash-agg (map-side combinable)
+    collapses the corpus to its vocabulary; top-k + a 100-row window +
+    a 1-row aggregate after that."""
+    tf = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = tf.agg(
+        F.count(F.lit(1)).alias("vocab"), F.sum("f").alias("n_tokens")
+    )
+    top = tf.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(
+        int(top_k)
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = top.select(
+        "tok", "f", F.row_number().over(w).cast("long").alias("r")
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+
+    def snap(c):
+        return F.round(c * F.lit(1e6)).cast("long")
+
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(snap(x)).alias("sx"),
+        F.sum(snap(x * x)).alias("sxx"),
+        F.sum(snap(y)).alias("sy"),
+        F.sum(snap(y * y)).alias("syy"),
+        F.sum(snap(x * y)).alias("sxy"),
+        F.min(F.when(F.col("r") == 1, F.col("tok"))).alias("top_token"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    # micro-units cancel in the ratios: (n·Σxy − ΣxΣy) has units µ²
+    # in the cross terms and µ·n in the n-scaled ones — scale the
+    # n-scaled terms by 1e6 so everything is µ² before dividing
+    num = n * sxy * F.lit(1e6) - sx * sy
+    dx = n * sxx * F.lit(1e6) - sx * sx
+    dy = n * syy * F.lit(1e6) - sy * sy
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(num / dx, 6).alias("zipf_alpha"),
+        F.round(num * num / (dx * dy), 6).alias("r2"),
+        "top_token",
     )
