@@ -4211,6 +4211,47 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(_docs(spark, sf_dir), top_k=100)
 
 
+def q_dedup_cross_source(spark, sf_dir):
+    """Near-dup LEAKAGE matrix across sources — the train/test
+    contamination view of dedup: every verified Jaccard>=0.7 pair
+    (prefix-filter join, zero false negatives) labeled with its two
+    docs' sources, counted per unordered source pair.  cross=true rows
+    are the leakage a split-by-source pipeline must scrub before
+    training.  Two broadcast joins of the |docs|-row (doc_id, source)
+    dim onto the verified-pair set; the heavy lifting is the same
+    prefix-filter join dedup_prefix_jaccard already benches."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = prefix_jaccard_pairs(docs, n=3, tau_num=7, tau_den=10)
+    dim = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(dim.withColumnRenamed("source", "src_a")),
+            pairs["id_a"] == dim["doc_id"],
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(dim.withColumnRenamed("source", "src_b")),
+            pairs["id_b"] == dim["doc_id"],
+        )
+    )
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return j.groupBy(
+        lo.alias("source_lo"), hi.alias("source_hi")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.first(lo != hi).alias("cross"),
+    ).select(
+        "source_lo", "source_hi",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "cross",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4432,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst": q_hurst,
         "cusum_fixed": q_cusum_fixed,
         "zipf_fit": q_zipf_fit,
+        "dedup_cross_source": q_dedup_cross_source,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9714,5 +9756,50 @@ SELECT vocab, n_tokens,
                 * (n * syy * 1e6 - sy * sy)), 6) AS r2,
        top_token
 FROM m, tot
+""",
+        "dedup_cross_source": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), dfq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+), pd AS (
+  SELECT doc_id, list(shingle ORDER BY df, shingle) AS arr,
+         cast(count(*) AS int) AS sz
+  FROM sh JOIN dfq USING (shingle) GROUP BY doc_id
+), pre AS (
+  SELECT doc_id,
+         unnest(list_slice(arr, 1, sz - ((7 * sz + 10 - 1) // 10) + 1))
+           AS shingle
+  FROM pd
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), v AS (
+  SELECT id_a, id_b,
+         cast(len(list_intersect(pa.arr, pb.arr)) AS int) AS inter_n,
+         pa.sz + pb.sz AS szsum
+  FROM cand
+  JOIN pd pa ON id_a = pa.doc_id
+  JOIN pd pb ON id_b = pb.doc_id
+), ok AS (
+  SELECT id_a, id_b FROM v
+  WHERE 10 * inter_n >= 7 * (szsum - inter_n)
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       cast(count(*) AS bigint) AS n_pairs,
+       least(da.source, db.source) <> greatest(da.source, db.source)
+         AS cross
+FROM ok
+JOIN documents da ON ok.id_a = da.doc_id
+JOIN documents db ON ok.id_b = db.doc_id
+GROUP BY 1, 2, 4
 """,
     }

@@ -203,6 +203,7 @@ HEADLINE_R3 = [
     "hurst",
     "cusum_fixed",
     "zipf_fit",
+    "dedup_cross_source",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
