@@ -4252,6 +4252,17 @@ def q_dedup_cross_source(spark, sf_dir):
     )
 
 
+def q_source_scorecard(spark, sf_dir):
+    """Per-source training-data quality scorecard: counts, exact-dup
+    docs, corpus-level token/uniqueness/stopword/BPE ratios from exact
+    integer sums, majority language + share."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        source_scorecard,
+    )
+
+    return source_scorecard(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4474,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_fixed": q_cusum_fixed,
         "zipf_fit": q_zipf_fit,
         "dedup_cross_source": q_dedup_cross_source,
+        "source_scorecard": q_source_scorecard,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9801,5 +9813,63 @@ FROM ok
 JOIN documents da ON ok.id_a = da.doc_id
 JOIN documents db ON ok.id_b = db.doc_id
 GROUP BY 1, 2, 4
+""",
+        "source_scorecard": """
+WITH base AS (
+  SELECT source, doc_id, md5(text) AS _h, length(text) AS n_chars,
+         lower(text) AS lt,
+         regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), ints AS (
+  SELECT source, doc_id, _h, n_chars,
+         cast(len(t) AS bigint) AS nt,
+         cast(len(list_distinct(t)) AS bigint) AS nu,
+         cast(len(list_filter(t, x -> x IN
+           ('the','a','of','and','to','in','is','it'))) AS bigint) AS sc,
+         cast(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+              AS bigint) AS bc
+  FROM base
+), hc AS (
+  SELECT _h, count(*) AS _dn FROM ints GROUP BY 1
+), per AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(CASE WHEN _dn > 1 THEN 1 ELSE 0 END) AS bigint)
+           AS n_dup_docs,
+         cast(sum(n_chars) AS bigint) AS schars,
+         cast(sum(nt) AS bigint) AS st, cast(sum(nu) AS bigint) AS su,
+         cast(sum(sc) AS bigint) AS ss, cast(sum(bc) AS bigint) AS sb
+  FROM ints JOIN hc USING (_h) GROUP BY 1
+), lid AS (
+  SELECT doc_id, source,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0
+              THEN cast(len(regexp_extract_all(lower(text), '[aeiou]'))
+                        AS double)
+                   / len(regexp_extract_all(lower(text), '[a-z]'))
+              ELSE 0.0 END AS ratio
+  FROM documents
+), lmode AS (
+  SELECT source,
+         CASE WHEN ratio >= 0.46 THEN 'fi'
+              WHEN ratio >= 0.42 THEN 'es'
+              WHEN ratio >= 0.38 THEN 'en'
+              WHEN ratio >= 0.34 THEN 'fr'
+              ELSE 'de' END AS pred_lang,
+         cast(count(*) AS bigint) AS lc
+  FROM lid GROUP BY 1, 2
+), top_lang AS (
+  SELECT source, pred_lang AS top_lang, lc FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY lc DESC, pred_lang ASC) AS _r
+    FROM lmode
+  ) WHERE _r = 1
+)
+SELECT per.source, n_docs, n_dup_docs, schars AS total_chars,
+       round(cast(st AS double) / n_docs, 6) AS tok_per_doc,
+       round(cast(su AS double) / st, 6) AS uniq_ratio,
+       round(cast(ss AS double) / st, 6) AS stop_ratio,
+       round(cast(sb AS double) / schars, 6) AS bpe_per_char,
+       top_lang,
+       round(cast(lc AS double) / n_docs, 6) AS lang_share
+FROM per JOIN top_lang ON top_lang.source = per.source
 """,
     }

@@ -204,6 +204,7 @@ HEADLINE_R3 = [
     "cusum_fixed",
     "zipf_fit",
     "dedup_cross_source",
+    "source_scorecard",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

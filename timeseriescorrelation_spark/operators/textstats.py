@@ -408,3 +408,89 @@ def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
         "batch_id", "n_docs", "batch_vocab", "new_tokens",
         F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+def source_scorecard(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Per-source training-data quality scorecard — the one-screen
+    answer to "which corpus slices are worth their tokens": document
+    and exact-duplicate counts, tokens/doc, distinct-token ratio,
+    stopword ratio, BPE-pieces-per-char, and the majority language
+    with its share.
+
+    Every ratio is a corpus-level quotient of EXACT integer sums
+    (Σstop_cnt/Σn_tokens etc.), never a mean of per-doc float ratios —
+    means of rounded doubles would inherit engine summation order,
+    and corpus-level ratios are the statistically right weighting
+    anyway (a 10-token doc should not count like a 10k-token one).
+    The per-doc integer columns inline text_stats' expressions rather
+    than joining its output back on doc_id: that join would shuffle
+    the corpus for per-row arithmetic (see text_stats' own note).
+
+    Scale notes (100 TB): one projection over the corpus → two
+    hash-aggs (md5 dup counts keyed by the hash; the scorecard keyed
+    by source) + one narrow (doc_id, lang)⋈(doc_id, source) shuffle
+    join for the language mode — all map-side combinable, output is
+    |sources| rows."""
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.lower(F.col(text_col)).alias("_lt"),
+    ).withColumn("t", F.split(F.col("_lt"), r"\s+"))
+    ints = base.select(
+        "source", "_h", "n_chars",
+        F.size("t").alias("nt"),
+        F.size(F.array_distinct("t")).alias("nu"),
+        F.size(F.filter("t", lambda x: F.array_contains(stops, x)))
+        .alias("sc"),
+        F.regexp_count("_lt", F.lit(BPE_RE)).alias("bc"),
+    )
+    hc = ints.groupBy("_h").agg(F.count(F.lit(1)).alias("_dn"))
+    per = ints.join(hc, "_h").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_dn") > 1, 1).otherwise(0)).alias("n_dup"),
+        F.sum("n_chars").alias("schars"),
+        F.sum("nt").alias("st"),
+        F.sum("nu").alias("su"),
+        F.sum("sc").alias("ss"),
+        F.sum("bc").alias("sb"),
+    )
+    lid = langid_heuristic(docs, text_col=text_col, id_col=id_col)
+    lmode = (
+        lid.join(
+            docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(source_col).alias("source")),
+            "doc_id",
+        )
+        .groupBy("source", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lc").desc(), F.col("pred_lang").asc()
+    )
+    top_lang = (
+        lmode.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("source", F.col("pred_lang").alias("top_lang"),
+                F.col("lc").alias("_lc"))
+    )
+    return per.join(F.broadcast(top_lang), "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dup").cast("long").alias("n_dup_docs"),
+        F.col("schars").cast("long").alias("total_chars"),
+        F.round(F.col("st").cast("double") / F.col("n_docs"), 6)
+        .alias("tok_per_doc"),
+        F.round(F.col("su").cast("double") / F.col("st"), 6)
+        .alias("uniq_ratio"),
+        F.round(F.col("ss").cast("double") / F.col("st"), 6)
+        .alias("stop_ratio"),
+        F.round(F.col("sb").cast("double") / F.col("schars"), 6)
+        .alias("bpe_per_char"),
+        "top_lang",
+        F.round(F.col("_lc").cast("double") / F.col("n_docs"), 6)
+        .alias("lang_share"),
+    )
