@@ -4263,6 +4263,27 @@ def q_source_scorecard(spark, sf_dir):
     return source_scorecard(_docs(spark, sf_dir))
 
 
+def q_assortativity(spark, sf_dir):
+    """How the co-activity graph is wired: Newman degree assortativity
+    (hubs-to-hubs vs hubs-to-leaves) plus node/edge/degree summary."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        degree_assortativity,
+    )
+
+    e = _events(spark, sf_dir)
+    active = e.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).distinct()
+    edges = (
+        active.alias("x")
+        .join(active.alias("y"), "b")
+        .where(F.col("x.u") < F.col("y.u"))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+    )
+    return degree_assortativity(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4486,6 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "dedup_cross_source": q_dedup_cross_source,
         "source_scorecard": q_source_scorecard,
+        "assortativity": q_assortativity,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9871,5 +9893,42 @@ SELECT per.source, n_docs, n_dup_docs, schars AS total_chars,
        top_lang,
        round(cast(lc AS double) / n_docs, 6) AS lang_share
 FROM per JOIN top_lang ON top_lang.source = per.source
+""",
+        "assortativity": """
+WITH active AS (
+  SELECT DISTINCT cast(user_id AS bigint) AS u,
+         date_trunc('hour', ts) AS b
+  FROM events
+), e AS (
+  SELECT DISTINCT x.u AS a, y.u AS b
+  FROM active x JOIN active y ON x.b = y.b AND x.u < y.u
+), sym AS (
+  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT a, cast(count(*) AS hugeint) AS d FROM sym GROUP BY 1
+), j AS (
+  SELECT d1.d AS da, d2.d AS db
+  FROM sym JOIN deg d1 ON sym.a = d1.a JOIN deg d2 ON sym.b = d2.a
+), m AS (
+  SELECT cast(count(*) AS hugeint) AS n,
+         sum(da) AS sx, sum(db) AS sy,
+         sum(da * da) AS sxx, sum(db * db) AS syy,
+         sum(da * db) AS sxy
+  FROM j
+), nodes AS (
+  SELECT cast(count(*) AS bigint) AS n_nodes,
+         cast(max(d) AS bigint) AS max_degree
+  FROM deg
+)
+SELECT n_nodes, cast(n / 2 AS bigint) AS n_edges,
+       round(cast(n AS double) / n_nodes, 6) AS mean_degree,
+       max_degree,
+       CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+             AND cast(n * syy - sy * sy AS double) > 0 THEN
+         round(cast(n * sxy - sx * sy AS double)
+               / (sqrt(cast(n * sxx - sx * sx AS double))
+                  * sqrt(cast(n * syy - sy * sy AS double))), 6)
+       END AS assortativity
+FROM m, nodes
 """,
     }

@@ -205,6 +205,7 @@ HEADLINE_R3 = [
     "zipf_fit",
     "dedup_cross_source",
     "source_scorecard",
+    "assortativity",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
