@@ -4265,7 +4265,14 @@ def q_source_scorecard(spark, sf_dir):
 
 def q_assortativity(spark, sf_dir):
     """How the co-activity graph is wired: Newman degree assortativity
-    (hubs-to-hubs vs hubs-to-leaves) plus node/edge/degree summary."""
+    (hubs-to-hubs vs hubs-to-leaves) plus node/edge/degree summary.
+
+    Scale note: the co-activity pair source (shared-hour self-join,
+    same as bfs_reach) is quadratic in users-per-hour — at
+    dense-cohort scale, cap or sample the per-hour membership before
+    the self-join exactly as the LSH bucket joins cap hot buckets
+    (operators/dedup.py max_bucket); the assortativity math downstream
+    is linear in edges."""
     from timeseriescorrelation_spark.operators.graphrank import (
         degree_assortativity,
     )

@@ -1926,9 +1926,12 @@ def markov_entropy_daily(events: DataFrame, cat_col: str = "event_type",
             c.cast("double") * F.log(c.cast("double")) * F.lit(1e6)
         ).cast("long")
 
+    # day×type² metadata, referenced by three downstream aggs — the
+    # checkpoint keeps the per-stream lag window (the expensive sort
+    # over raw events) to ONE execution
     cell = tr.groupBy("day_ts", "prev", "nxt").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     # per-day: Σ c_ij·ln c_ij (cells), Σ_i n_i·ln n_i (prev marginals),
     # Σ_j n_j·ln n_j (next marginals), N
     cells = cell.groupBy("day_ts").agg(

@@ -434,9 +434,12 @@ def partial_corr_daily(series: DataFrame, key: str = "metric",
     Scale notes: all joins are on the |metrics|²·|days| correlation
     matrix — metadata-sized next to the raw scan that built it; the
     raw data is touched exactly once inside corr_matrix_daily."""
+    # the matrix is referenced three times (xy + both sym sides) —
+    # checkpoint the metadata-sized result so the raw-data hash-agg +
+    # hourly self-join behind it runs ONCE, not per reference
     m = corr_matrix_daily(series, key=key, min_hours=min_hours).where(
         F.col("r").isNotNull()
-    )
+    ).localCheckpoint(eager=True)
     sym = m.select(
         F.col("metric_a").alias("x"), F.col("metric_b").alias("y"),
         "day_ts", "r",

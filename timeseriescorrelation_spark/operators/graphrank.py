@@ -261,9 +261,16 @@ def degree_assortativity(edges: DataFrame, src_col: str = "src",
     two shuffle joins of the edge list against the |nodes|-row degree
     table + a 1-row aggregate — no windows, no iteration."""
     dec = "decimal(38,0)"
+    # the deduped edge list is referenced five times downstream (sym
+    # twice, degree agg, both sides of the moment join) — without a
+    # checkpoint the whole upstream pair-construction pipeline
+    # re-executes per reference (measured 29 shuffles on the
+    # co-activity source; the pagerank_dangling fix, same cause)
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).where(F.col("a") != F.col("b")).distinct()
+    ).where(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=True
+    )
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
