@@ -4291,6 +4291,20 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(edges)
 
 
+PSI_EDGES = [5.0, 15.0, 30.0, 50.0, 80.0, 120.0, 180.0, 280.0, 400.0]
+
+
+def q_psi_fixed(spark, sf_dir):
+    """Expanding PSI vs a fixed reference histogram per metric-hour —
+    the online drift monitor's batch semantics; its streaming twin
+    (streaming/psi_stream.py) is bit-equal at hour closures."""
+    from timeseriescorrelation_spark.operators.drift import (
+        psi_fixed_hourly,
+    )
+
+    return psi_fixed_hourly(_series_from_events(spark, sf_dir), PSI_EDGES)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -4515,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source": q_dedup_cross_source,
         "source_scorecard": q_source_scorecard,
         "assortativity": q_assortativity,
+        "psi_fixed": q_psi_fixed,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -9937,5 +9952,55 @@ SELECT n_nodes, cast(n / 2 AS bigint) AS n_edges,
                   * sqrt(cast(n * syy - sy * sy AS double))), 6)
        END AS assortativity
 FROM m, nodes
+""",
+        "psi_fixed": """
+WITH hb AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         1 + (CASE WHEN cast(round(value * 100) AS bigint) > 500 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 1500 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 3000 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 5000 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 8000 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 12000 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 18000 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 28000 THEN 1 ELSE 0 END) + (CASE WHEN cast(round(value * 100) AS bigint) > 40000 THEN 1 ELSE 0 END) AS bin,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2, 3
+), cums AS (
+  SELECT metric, hour_ts,
+         sum(CASE WHEN bin = 1 THEN c ELSE 0 END) OVER cw AS c1,
+         sum(CASE WHEN bin = 2 THEN c ELSE 0 END) OVER cw AS c2,
+         sum(CASE WHEN bin = 3 THEN c ELSE 0 END) OVER cw AS c3,
+         sum(CASE WHEN bin = 4 THEN c ELSE 0 END) OVER cw AS c4,
+         sum(CASE WHEN bin = 5 THEN c ELSE 0 END) OVER cw AS c5,
+         sum(CASE WHEN bin = 6 THEN c ELSE 0 END) OVER cw AS c6,
+         sum(CASE WHEN bin = 7 THEN c ELSE 0 END) OVER cw AS c7,
+         sum(CASE WHEN bin = 8 THEN c ELSE 0 END) OVER cw AS c8,
+         sum(CASE WHEN bin = 9 THEN c ELSE 0 END) OVER cw AS c9,
+         sum(CASE WHEN bin = 10 THEN c ELSE 0 END) OVER cw AS c10
+  FROM hb
+  WINDOW cw AS (PARTITION BY metric ORDER BY hour_ts
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), per_hour AS (
+  SELECT metric, hour_ts,
+         cast(max(c1) AS bigint) AS c1,
+         cast(max(c2) AS bigint) AS c2,
+         cast(max(c3) AS bigint) AS c3,
+         cast(max(c4) AS bigint) AS c4,
+         cast(max(c5) AS bigint) AS c5,
+         cast(max(c6) AS bigint) AS c6,
+         cast(max(c7) AS bigint) AS c7,
+         cast(max(c8) AS bigint) AS c8,
+         cast(max(c9) AS bigint) AS c9,
+         cast(max(c10) AS bigint) AS c10
+  FROM cums GROUP BY 1, 2
+), withn AS (
+  SELECT *, c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9 + c10 AS _n FROM per_hour
+)
+SELECT metric, hour_ts, cast(_n AS bigint) AS n_total,
+       cast(cast(round(((10 * cast(greatest(c1, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c1, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c2, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c2, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c3, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c3, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c4, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c4, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c5, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c5, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c6, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c6, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c7, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c7, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c8, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c8, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c9, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c9, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
+           cast(round(((10 * cast(greatest(c10, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c10, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) AS double) / 1e6 AS psi
+FROM withn
 """,
     }

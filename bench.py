@@ -206,6 +206,7 @@ HEADLINE_R3 = [
     "dedup_cross_source",
     "source_scorecard",
     "assortativity",
+    "psi_fixed",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -497,3 +497,73 @@ def emd_drift_daily(series: DataFrame, keys: list[str] | None = None,
         F.max("n_t").cast("long").alias("n_today"),
         F.max("n_b").cast("long").alias("n_base"),
     )
+
+
+def psi_fixed_hourly(series: DataFrame, edges: list[float],
+                     keys: list[str] | None = None) -> DataFrame:
+    """Expanding PSI against a FIXED reference histogram, one row per
+    (keys..., hour-with-data): the population-stability score of ALL
+    values seen up to and including that hour, binned on the given
+    edge list, against the uniform reference those edges were built
+    from (B = len(edges)+1 equal-mass bins).  This is the ONLINE drift
+    monitor's exact batch semantics — streaming/psi_stream.py carries
+    the same cumulative bin counts as int64 state and emits BIT-EQUAL
+    rows at hour closures.
+
+    psi = Σ_b (p_b − 1/B)·ln(B·p_b),  p_b = c'_b/n,  c' = max(c, 1)
+    (the standard ε-floor so empty bins don't produce ln 0; counts are
+    exact cumulative ints, each bin term is micro-snapped before the
+    10-term sum — engine addition order can't matter).
+
+    Hours with no events emit nothing (their cumulative state equals
+    the previous row's) — matching the stream, which only closes an
+    hour when a later event arrives.
+
+    Scale notes (100 TB): one hash-agg to (keys, hour, bin), then B
+    fixed conditional cumulative sums over ONE per-key hour-ordered
+    window — never a per-bin join or a dense grid."""
+    keys = keys or ["metric"]
+    b_n = len(edges) + 1
+    edges_c = [int(round(e * 100)) for e in edges]
+    v = F.round(F.col("value") * 100).cast("long")
+    bin_id = F.lit(1)
+    for e in edges_c:
+        bin_id = bin_id + F.when(v > e, 1).otherwise(0)
+    hb = series.select(
+        *keys,
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        bin_id.alias("bin"),
+    ).groupBy(*keys, "hour_ts", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("hour_ts")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cums = [
+        F.sum(F.when(F.col("bin") == i, F.col("c")).otherwise(0))
+        .over(w).alias(f"c{i}")
+        for i in range(1, b_n + 1)
+    ]
+    per_hour = (
+        hb.select(*keys, "hour_ts", "bin", "c", *cums)
+        .groupBy(*keys, "hour_ts")
+        .agg(*[F.max(f"c{i}").alias(f"c{i}") for i in range(1, b_n + 1)])
+    )
+    n = sum(F.col(f"c{i}") for i in range(1, b_n + 1))
+    terms = []
+    for i in range(1, b_n + 1):
+        cp = F.greatest(F.col(f"c{i}"), F.lit(1)).cast("double")
+        nd = F.col("_n").cast("double")
+        t = (
+            (F.lit(b_n) * cp - nd) / (F.lit(b_n) * nd)
+        ) * F.log(F.lit(b_n) * cp / nd)
+        terms.append(F.round(t * F.lit(1e6)).cast("long"))
+    out = per_hour.withColumn("_n", n)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return out.select(
+        *keys, "hour_ts",
+        F.col("_n").cast("long").alias("n_total"),
+        (total.cast("double") / F.lit(1e6)).alias("psi"),
+    )
