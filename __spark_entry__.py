@@ -9572,7 +9572,7 @@ uv AS (
   SELECT cluster, term, cast(count(*) AS bigint) AS tf
   FROM (
     SELECT l.cluster,
-           unnest(regexp_split_to_array(lower(d.text), '\s+')) AS term
+           unnest(regexp_split_to_array(lower(d.text), '\\s+')) AS term
     FROM documents d JOIN lbl l USING (doc_id)
   ) GROUP BY 1, 2
 ), ft AS (
