@@ -4291,6 +4291,48 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(edges)
 
 
+def q_heavy_hitters_verified(spark, sf_dir):
+    """Sketch-then-verify two-pass heavy hitters: Misra-Gries (k=8,
+    O(k) state) proposes candidates — GUARANTEED to contain every item
+    with share > 1/9 — then one exact rescan counts only the ≤k
+    candidates per key and keeps true share ≥ 1/8.  The verified
+    output is exactly the SQL answer (integer compare 8·c ≥ n), so the
+    order-dependent sketch becomes fully oracle-checkable; this is the
+    production pattern for top-item queries too hot for a full
+    groupBy(item) (the rescan joins against a broadcast candidate
+    list, never shuffling raw rows by item)."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        heavy_hitters_mg,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    cand = heavy_hitters_mg(
+        s, keys=["conv_id"], item_col="metric", k=8, tie_col="turn_idx"
+    ).select("conv_id", "item")
+    tot = s.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        s.join(
+            F.broadcast(cand),
+            (s["conv_id"] == cand["conv_id"])
+            & (s["metric"] == cand["item"]),
+        )
+        .groupBy(s["conv_id"].alias("conv_id"), "item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    return (
+        exact.join(tot, "conv_id")
+        .where(F.lit(8) * F.col("n_item") >= F.col("n_total"))
+        .select(
+            "conv_id", "item",
+            F.col("n_item").cast("long").alias("n_item"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(
+                F.col("n_item").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+    )
+
+
 PSI_EDGES = [5.0, 15.0, 30.0, 50.0, 80.0, 120.0, 180.0, 280.0, 400.0]
 
 
@@ -4530,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_scorecard": q_source_scorecard,
         "assortativity": q_assortativity,
         "psi_fixed": q_psi_fixed,
+        "heavy_hitters_verified": q_heavy_hitters_verified,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -10002,5 +10045,19 @@ SELECT metric, hour_ts, cast(_n AS bigint) AS n_total,
            cast(round(((10 * cast(greatest(c9, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c9, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) +
            cast(round(((10 * cast(greatest(c10, 1) AS double) - cast(_n AS double)) / (10 * cast(_n AS double))) * ln(10 * cast(greatest(c10, 1) AS double) / cast(_n AS double)) * 1e6) AS bigint) AS double) / 1e6 AS psi
 FROM withn
+""",
+        "heavy_hitters_verified": """
+WITH c AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS item,
+         cast(count(*) AS bigint) AS n_item
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT conv_id, cast(sum(n_item) AS bigint) AS n_total
+  FROM c GROUP BY 1
+)
+SELECT c.conv_id, item, n_item, n_total,
+       round(cast(n_item AS double) / n_total, 6) AS share
+FROM c JOIN t ON t.conv_id = c.conv_id
+WHERE 8 * n_item >= n_total
 """,
     }

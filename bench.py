@@ -207,6 +207,7 @@ HEADLINE_R3 = [
     "source_scorecard",
     "assortativity",
     "psi_fixed",
+    "heavy_hitters_verified",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
