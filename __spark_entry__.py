@@ -3662,6 +3662,240 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def _tpch_t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tpch_rev_c():
+    # exact revenue cents; a function, not a module-level Column —
+    # building a Column requires a live SparkContext at import time
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: revenue flowing between two nations
+    (either direction) by shipment year.  Shape: the fact scan joins
+    orders (fact-fact, shuffled on the order key), then THREE
+    broadcast dims (customer, supplier, nation twice under different
+    aliases); the two-nation predicate is applied to the already-
+    joined names so Catalyst pushes each half into its own dim scan.
+    Revenue is exact cent integers per the repo discipline."""
+    li = _tpch_t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _tpch_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _tpch_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _tpch_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _tpch_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("ck"),
+                  F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_tpch_rev_c()) / 100.0, 2).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: NATION_3's share of STANDARD-
+    part revenue sold into ASIA, by order year.  Both the numerator
+    and denominator are exact cent sums inside ONE conditional
+    hash-agg (no second pass); the share is a single double divide
+    rounded to 6dp at the very end — the q14 precedent.  part /
+    customer / supplier / nation / region all broadcast."""
+    li = _tpch_t(spark, sf_dir, "lineitem")
+    o = _tpch_t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    p = _tpch_t(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD").select("p_partkey")
+    c = _tpch_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _tpch_t(spark, sf_dir, "nation")
+    r = _tpch_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _tpch_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = n.join(F.broadcast(r),
+                F.col("n_regionkey") == F.col("r_regionkey")) \
+          .select(F.col("n_nationkey").alias("ck"))
+    ns = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             _tpch_rev_c()).otherwise(F.lit(0)))
+                / F.sum(_tpch_rev_c()),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(_tpch_rev_c()) / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit, adapted to the trimmed fixture
+    (no partsupp, so profit omits the ps_supplycost·l_quantity term
+    and is revenue = extprice·(1−disc); the part filter is the name
+    LIKE, kept from the original).  Group by supplier nation × order
+    year; part broadcasts into the fact scan BEFORE the fact-fact
+    orders join so the join input is pre-filtered to matching parts."""
+    li = _tpch_t(spark, sf_dir, "lineitem")
+    p = _tpch_t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    o = _tpch_t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _tpch_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _tpch_t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(_tpch_rev_c()) / 100.0, 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution, adapted: the
+    original excludes orders by an o_comment LIKE (column absent), so
+    the exclusion is o_orderpriority <> '1-URGENT'.  Shape is the
+    point: LEFT join customer→filtered orders so zero-order customers
+    appear with c_count = 0, then a second hash-agg over the count —
+    the classic double-aggregation whose first shuffle is by custkey
+    and second by the (tiny-domain) count."""
+    c = _tpch_t(spark, sf_dir, "customer").select("c_custkey")
+    o = _tpch_t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: the supplier(s) whose Q4-1996 revenue
+    equals the maximum.  Revenue per supplier is ONE hash-agg on
+    exact cents; the max is a 1-row agg crossJoin-broadcast back onto
+    the |suppliers|-row revenue table (never a global sort), and ties
+    — which the cents make well-defined — all surface, per the spec's
+    own footnote."""
+    li = _tpch_t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-10-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    s = _tpch_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_tpch_rev_c()).alias("rev_c"))
+    mx = rev.agg(F.max("rev_c").alias("mx_c"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_c") == F.col("mx_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue, adapted (no
+    p_container → the second part predicate is p_type = 'SMALL').
+    The correlated per-part AVG becomes a window average over the
+    part-filtered fact rows; the 'quantity < 0.2·avg' test is the
+    integer cross-multiply 5·qty·cnt < sum_qty — quantities are
+    integral doubles (fixture-verified), so both sides are exact
+    int64 and no float boundary exists.  avg_yearly = sum/7 is one
+    double divide of an exact cent integer at the end."""
+    li = _tpch_t(spark, sf_dir, "lineitem")
+    p = _tpch_t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")) \
+          .select("l_partkey",
+                  F.col("l_quantity").cast("long").alias("qty_i"),
+                  _tpch_rev_c().alias("rev_c"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_partkey")
+    flt = j.withColumn("sum_qty", F.sum("qty_i").over(w)) \
+           .withColumn("cnt_qty", F.count(F.lit(1)).over(w)) \
+           .where(F.lit(5) * F.col("qty_i") * F.col("cnt_qty")
+                  < F.col("sum_qty"))
+    return flt.agg(
+        F.round(F.sum("rev_c") / 700.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity, adapted (no c_phone → the
+    'country code' is c_nationkey itself, restricted to five keys).
+    Three classic shapes in one query: a 1-row scalar threshold (the
+    average POSITIVE balance over the candidate nations) broadcast
+    back via crossJoin, the threshold test as the integer
+    cross-multiply bal_c·n_pos > sum_pos_c on exact cents, and an
+    ANTI join against RECENT orders for the lapsed customers (the
+    spec's 'no orders for 7 years', windowed so the fixture's dense
+    order history still yields a populated answer)."""
+    keys = [3, 8, 13, 18, 23]
+    c = _tpch_t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(keys)
+    ).select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    thr = c.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    o = _tpch_t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    cand = (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return cand.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("bal_c") / 100.0, 2).alias("totacctbal"),
+    )
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4577,6 +4811,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -9468,6 +9709,125 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
+""",
+        "tpch_q7": """
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       cast(year(l_shipdate) AS int) AS l_year,
+       round(cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS bigint)) AS bigint)
+             / 100.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+       OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+        "tpch_q8": """
+SELECT cast(year(o_orderdate) AS int) AS o_year,
+       round(cast(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN cast(round(l_extendedprice
+                                           * (1 - l_discount) * 100)
+                                     AS bigint)
+                           ELSE 0 END) AS double)
+             / cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                   * 100) AS bigint)) AS double),
+             6) AS mkt_share,
+       round(cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS bigint)) AS bigint)
+             / 100.0, 2) AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1
+""",
+        "tpch_q9": """
+SELECT n_name AS nation, cast(year(o_orderdate) AS int) AS o_year,
+       round(cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS bigint)) AS bigint)
+             / 100.0, 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+        "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, cast(count(o_orderkey) AS bigint) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, cast(count(*) AS bigint) AS custdist
+FROM per_cust GROUP BY 1
+""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS bigint)) AS bigint) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= '1996-10-01' AND l_shipdate < '1997-01-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(rev_c / 100.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+""",
+        "tpch_q17": """
+WITH j AS (
+  SELECT l_partkey, cast(l_quantity AS bigint) AS qty_i,
+         cast(round(l_extendedprice * (1 - l_discount) * 100)
+              AS bigint) AS rev_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+), flt AS (
+  SELECT rev_c FROM (
+    SELECT rev_c, qty_i,
+           cast(sum(qty_i) OVER (PARTITION BY l_partkey) AS bigint)
+             AS sum_qty,
+           cast(count(*) OVER (PARTITION BY l_partkey) AS bigint)
+             AS cnt_qty
+    FROM j
+  ) WHERE 5 * qty_i * cnt_qty < sum_qty
+)
+SELECT round(cast(sum(rev_c) AS bigint) / 700.0, 2) AS avg_yearly,
+       cast(count(*) AS bigint) AS n_items
+FROM flt
+""",
+        "tpch_q22": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         cast(round(c_acctbal * 100) AS bigint) AS bal_c
+  FROM customer WHERE c_nationkey IN (3, 8, 13, 18, 23)
+), thr AS (
+  SELECT cast(sum(bal_c) AS bigint) AS sum_pos_c,
+         cast(count(*) AS bigint) AS n_pos
+  FROM c WHERE bal_c > 0
+)
+SELECT c_nationkey AS cntrycode, cast(count(*) AS bigint) AS numcust,
+       round(cast(sum(bal_c) AS bigint) / 100.0, 2) AS totacctbal
+FROM c, thr
+WHERE bal_c * n_pos > sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= '1999-01-01')
+GROUP BY 1
 """,
         "mix_weights": """
 WITH per AS (

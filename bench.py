@@ -193,6 +193,13 @@ HEADLINE_R3 = [
     "tpch_q10",
     "tpch_q14",
     "tpch_q19",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
     "mix_weights",
     "markov_entropy",
     "periodogram",
