@@ -3896,6 +3896,37 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_fleet_coverage(spark, sf_dir):
+    """Fleet-wide covered time per UTC day: every event opens a
+    5-minute activity span, spans are CLIPPED at day boundaries
+    (clip_to_buckets — a midnight-crossing span contributes to both
+    days, each piece exact int64 µs), then the per-day UNION across
+    ALL users merges via gaps-and-islands.  Output adds utilization =
+    covered_us / 86 400 s as the one terminal double divide (6 dp).
+
+    Scale notes: clip is in-partition (no shuffle); the islands merge
+    shuffles once keyed by day — per-day span counts are the hot-key
+    bound, so at 1000× shard the day key by a hash salt and merge the
+    salted islands' boundary spans in a cheap second pass."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+    from timeseriescorrelation_spark.operators.intervals import (
+        clip_to_buckets, interval_islands,
+    )
+
+    spans = _events(spark, sf_dir).select(
+        epoch_us(F.col("ts")).alias("s_us"),
+        (epoch_us(F.col("ts")) + F.lit(300_000_000)).alias("e_us"),
+    )
+    pieces = clip_to_buckets(spans, bucket="day")
+    cov = interval_islands(pieces, keys=["bucket_ts"])
+    return cov.select(
+        F.col("bucket_ts").alias("day_ts"),
+        "n_spans", "n_islands", "covered_us", "longest_us",
+        F.round(F.col("covered_us") / 86_400_000_000.0, 6)
+         .alias("utilization"),
+    )
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4818,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "fleet_coverage": q_fleet_coverage,
     }
 
 
@@ -9709,6 +9741,49 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
+""",
+        "fleet_coverage": """
+WITH sp AS (
+  SELECT epoch_us(ts) AS s_us, epoch_us(ts) + 300000000 AS e_us
+  FROM events
+), pieces AS (
+  SELECT b,
+         greatest(s_us, b * 86400000000) AS ps,
+         least(e_us, (b + 1) * 86400000000) AS pe
+  FROM sp,
+       unnest(generate_series(s_us // 86400000000,
+                              greatest(e_us - 1, s_us) // 86400000000))
+         AS t(b)
+), flagged AS (
+  SELECT b, ps, pe,
+         CASE WHEN max(pe) OVER (PARTITION BY b ORDER BY ps, pe
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) IS NULL
+                OR ps > max(pe) OVER (PARTITION BY b ORDER BY ps, pe
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM pieces
+), isl AS (
+  SELECT b, ps, pe,
+         cast(sum(new_island) OVER (PARTITION BY b ORDER BY ps, pe
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+              AS bigint) AS island
+  FROM flagged
+), per_island AS (
+  SELECT b, island, min(ps) AS s0, max(pe) AS e1,
+         cast(count(*) AS bigint) AS n
+  FROM isl GROUP BY 1, 2
+)
+SELECT make_timestamp(b * 86400000000) AS day_ts,
+       cast(sum(n) AS bigint) AS n_spans,
+       cast(count(*) AS bigint) AS n_islands,
+       cast(sum(e1 - s0) AS bigint) AS covered_us,
+       cast(max(e1 - s0) AS bigint) AS longest_us,
+       round(cast(sum(e1 - s0) AS bigint) / 86400000000.0, 6)
+         AS utilization
+FROM per_island GROUP BY 1
 """,
         "tpch_q7": """
 SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,

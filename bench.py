@@ -200,6 +200,7 @@ HEADLINE_R3 = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q22",
+    "fleet_coverage",
     "mix_weights",
     "markov_entropy",
     "periodogram",

@@ -335,3 +335,41 @@ def test_sessions_capped_gap_and_cap_rules(spark):
     assert u1[1].session_start == m(60)
     # u2: plain gap split, no caps
     assert [(r.n_events, r.capped) for r in u2] == [(2, False), (2, False)]
+
+
+def test_clip_to_buckets_hand_cases(spark):
+    from timeseriescorrelation_spark.operators.intervals import (
+        clip_to_buckets,
+    )
+
+    DAY = 86_400_000_000
+    rows = [
+        # fully inside day 0
+        (1, 1_000, 2_000),
+        # crosses one midnight: two pieces, lengths 100 and 50
+        (2, DAY - 100, DAY + 50),
+        # spans three days entirely
+        (3, DAY - 10, 3 * DAY + 7),
+        # ends exactly on a boundary: NO empty piece in the next day
+        (4, DAY // 2, DAY),
+        # zero-length: one zero-length piece in its own day
+        (5, 2 * DAY + 5, 2 * DAY + 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, s_us long, e_us long")
+    out = clip_to_buckets(df, bucket="day").collect()
+    got = sorted(
+        (r.id, r.bucket_ts.day - 1, r.e_us - r.s_us) for r in out
+    )
+    assert got == [
+        (1, 0, 1_000),
+        (2, 0, 100), (2, 1, 50),
+        (3, 0, 10), (3, 1, DAY), (3, 2, DAY), (3, 3, 7),
+        (4, 0, DAY // 2),
+        (5, 2, 0),
+    ]
+    # pieces tile the original span exactly: per-id length sum matches
+    back = {}
+    for r in out:
+        back[r.id] = back.get(r.id, 0) + (r.e_us - r.s_us)
+    for i, s, e in rows:
+        assert back[i] == e - s

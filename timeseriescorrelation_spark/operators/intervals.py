@@ -415,3 +415,54 @@ def pattern_matches(events: DataFrame, steps: list[str],
         F.col(type_col).isin(*step_list)
     ).select(*keys, type_col, tie_col, epoch_us(F.col(ts_col)).alias("_ord"))
     return pre.groupBy(*keys).applyInPandas(_scan, schema)
+
+
+_US_PER = {"hour": 3_600_000_000, "day": 86_400_000_000}
+
+
+def clip_to_buckets(spans: DataFrame, bucket: str = "day",
+                    start_col: str = "s_us",
+                    end_col: str = "e_us") -> DataFrame:
+    """Slice [start, end) µs spans at fixed bucket boundaries: each
+    span explodes to one row per bucket it touches, with the piece
+    clipped to that bucket —
+
+        (input columns..., bucket_ts, s_us/e_us overwritten by the
+         clipped piece)
+
+    so downstream per-bucket aggregation (union coverage, time-weighted
+    means) never double-counts a midnight-crossing span into the wrong
+    day.  Everything is exact int64 µs arithmetic (floor-div for the
+    bucket index, greatest/least for the clip) — no timestamp rounding,
+    bit-identical across engines.  Zero-length spans (e == s) survive
+    as one zero-length piece in their own bucket.
+
+    Fixed-width epoch buckets (UTC), unlike interval_join_binned's
+    calendar buckets: coverage math needs constant bucket lengths so
+    `covered / bucket_len` is well-defined; the engine pins UTC.
+
+    Scale notes (100 TB): output rows = Σ buckets-touched per span —
+    for spans shorter than the bucket this is ~|spans|; no shuffle at
+    all (explode is in-partition), the downstream agg pays the only
+    one."""
+    if bucket not in _US_PER:
+        raise ValueError(f"bucket must be one of {sorted(_US_PER)}")
+    us = _US_PER[bucket]
+    b0 = F.floor(F.col(start_col) / us).cast("long")
+    # e-1 so an end exactly on a boundary does not open an empty piece;
+    # zero-length spans keep their own bucket
+    b1 = F.floor(
+        (F.greatest(F.col(end_col) - 1, F.col(start_col))) / us
+    ).cast("long")
+    keep = [c for c in spans.columns if c not in (start_col, end_col)]
+    return (
+        spans.withColumn("_b", F.explode(F.sequence(b0, b1)))
+        .select(
+            *keep,
+            F.timestamp_micros(F.col("_b") * us).alias("bucket_ts"),
+            F.greatest(F.col(start_col), F.col("_b") * us)
+             .alias(start_col),
+            F.least(F.col(end_col), (F.col("_b") + 1) * us)
+             .alias(end_col),
+        )
+    )
