@@ -3927,6 +3927,31 @@ def q_fleet_coverage(spark, sf_dir):
     )
 
 
+def q_edge_similarity(spark, sf_dir):
+    """SCAN-style structural similarity over the co-activity graph:
+    per EDGE, the Jaccard of the endpoints' neighbor sets — separates
+    in-community edges (endpoints see the same crowd) from bridges.
+    Same quadratic-per-hour pair source caveat as assortativity; the
+    wedge join downstream is the standard triangle cost with the same
+    hub-cap mitigation."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        edge_jaccard,
+    )
+
+    e = _events(spark, sf_dir)
+    active = e.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).distinct()
+    edges = (
+        active.alias("x")
+        .join(active.alias("y"), "b")
+        .where(F.col("x.u") < F.col("y.u"))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+    )
+    return edge_jaccard(edges)
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4850,6 +4875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "fleet_coverage": q_fleet_coverage,
+        "edge_similarity": q_edge_similarity,
     }
 
 
@@ -9741,6 +9767,34 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
+""",
+        "edge_similarity": """
+WITH active AS (
+  SELECT DISTINCT cast(user_id AS bigint) AS u,
+         date_trunc('hour', ts) AS b
+  FROM events
+), e AS (
+  SELECT DISTINCT x.u AS u, y.u AS v
+  FROM active x JOIN active y USING (b) WHERE x.u < y.u
+), adj AS (
+  SELECT u, v AS w FROM e UNION ALL SELECT v AS u, u AS w FROM e
+), deg AS (
+  SELECT u, cast(count(*) AS bigint) AS d FROM adj GROUP BY 1
+), com AS (
+  SELECT e.u, e.v, cast(count(*) AS bigint) AS c
+  FROM e JOIN adj a ON a.u = e.u
+  WHERE EXISTS (SELECT 1 FROM adj t WHERE t.u = e.v AND t.w = a.w)
+  GROUP BY 1, 2
+)
+SELECT e.u, e.v, coalesce(c, 0) AS common,
+       du.d AS deg_u, dv.d AS deg_v,
+       round(coalesce(c, 0)
+             / cast(du.d + dv.d - coalesce(c, 0) AS double), 6)
+         AS jaccard
+FROM e
+LEFT JOIN com USING (u, v)
+JOIN deg du ON du.u = e.u
+JOIN deg dv ON dv.u = e.v
 """,
         "fleet_coverage": """
 WITH sp AS (

@@ -201,6 +201,7 @@ HEADLINE_R3 = [
     "tpch_q17",
     "tpch_q22",
     "fleet_coverage",
+    "edge_similarity",
     "mix_weights",
     "markov_entropy",
     "periodogram",
