@@ -3952,6 +3952,20 @@ def q_edge_similarity(spark, sf_dir):
     return edge_jaccard(edges)
 
 
+def q_ols_multi(spark, sf_dir):
+    """Daily two-regressor OLS: purchase hourly cent-volume on click
+    and view jointly — the confounder-aware version of beta_daily
+    (Cramer on exact centered decimal moments; see ols2_daily)."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        ols2_daily,
+    )
+
+    return ols2_daily(
+        _series_from_events(spark, sf_dir),
+        y_key="purchase", x1_key="click", x2_key="view",
+    )
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4876,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "fleet_coverage": q_fleet_coverage,
         "edge_similarity": q_edge_similarity,
+        "ols_multi": q_ols_multi,
     }
 
 
@@ -9767,6 +9782,62 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
+""",
+        "ols_multi": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT hy.hour_ts, hy.y AS vy, h1.y AS v1, h2.y AS v2
+  FROM h hy
+  JOIN h h1 ON h1.hour_ts = hy.hour_ts
+  JOIN h h2 ON h2.hour_ts = hy.hour_ts
+  WHERE hy.metric = 'purchase' AND h1.metric = 'click'
+    AND h2.metric = 'view'
+), g AS (
+  SELECT date_trunc('day', hour_ts) AS day_ts,
+         cast(count(*) AS hugeint) AS n,
+         sum(cast(v1 AS hugeint)) AS s1,
+         sum(cast(v2 AS hugeint)) AS s2,
+         sum(cast(vy AS hugeint)) AS sy,
+         sum(cast(v1 AS hugeint) * v1) AS s11,
+         sum(cast(v2 AS hugeint) * v2) AS s22,
+         sum(cast(v1 AS hugeint) * v2) AS s12,
+         sum(cast(v1 AS hugeint) * vy) AS s1y,
+         sum(cast(v2 AS hugeint) * vy) AS s2y,
+         sum(cast(vy AS hugeint) * vy) AS syy
+  FROM j GROUP BY 1 HAVING count(*) >= 4
+), m AS (
+  SELECT day_ts, cast(n AS bigint) AS n_hours,
+         cast(n AS double) AS nd,
+         cast(s1 AS double) AS s1d, cast(s2 AS double) AS s2d,
+         cast(sy AS double) AS syd,
+         cast(n * s11 - s1 * s1 AS double) AS S11,
+         cast(n * s22 - s2 * s2 AS double) AS S22,
+         cast(n * s12 - s1 * s2 AS double) AS S12,
+         cast(n * s1y - s1 * sy AS double) AS S1y,
+         cast(n * s2y - s2 * sy AS double) AS S2y,
+         cast(n * syy - sy * sy AS double) AS Syy
+  FROM g
+), sol AS (
+  SELECT day_ts, n_hours, nd, s1d, s2d, syd, S1y, S2y, Syy,
+         S11 * S22 - S12 * S12 AS det,
+         CASE WHEN S11 * S22 - S12 * S12 > 0
+              THEN (S22 * S1y - S12 * S2y) / (S11 * S22 - S12 * S12)
+         END AS b1,
+         CASE WHEN S11 * S22 - S12 * S12 > 0
+              THEN (S11 * S2y - S12 * S1y) / (S11 * S22 - S12 * S12)
+         END AS b2
+  FROM m
+)
+SELECT day_ts, n_hours,
+       round((syd - b1 * s1d - b2 * s2d) / nd / 100.0, 6) AS b0,
+       round(b1, 6) AS b1,
+       round(b2, 6) AS b2,
+       round(CASE WHEN det > 0 AND Syy > 0
+                  THEN (b1 * S1y + b2 * S2y) / Syy END, 6) AS r2
+FROM sol
 """,
         "edge_similarity": """
 WITH active AS (

@@ -202,6 +202,7 @@ HEADLINE_R3 = [
     "tpch_q22",
     "fleet_coverage",
     "edge_similarity",
+    "ols_multi",
     "mix_weights",
     "markov_entropy",
     "periodogram",

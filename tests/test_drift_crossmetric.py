@@ -401,3 +401,48 @@ def test_moments_match_population_formulas(spark):
     assert abs(r.std - math.sqrt(m2)) < 1e-6
     assert abs(r.skew_g1 - m3 / m2 ** 1.5) < 1e-6
     assert abs(r.kurt_excess - (m4 / m2 ** 2 - 3)) < 1e-6
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    """ols2_daily's Cramer solve on exact decimal moments equals
+    numpy's least-squares fit on the same (hourly cent) design."""
+    import numpy as np
+
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        ols2_daily,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rng = np.random.RandomState(7)
+    x1 = rng.randint(100, 5000, size=24)
+    x2 = rng.randint(100, 5000, size=24)
+    noise = rng.randint(-200, 200, size=24)
+    y = 300 + 2 * x1 - x2 + noise  # cents
+    rows = []
+    for h in range(24):
+        ts = base + dt.timedelta(hours=h)
+        rows.append(("c", "y", ts, h, float(y[h]) / 100))
+        rows.append(("c", "x1", ts, h, float(x1[h]) / 100))
+        rows.append(("c", "x2", ts, h, float(x2[h]) / 100))
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    out = ols2_daily(df, "y", "x1", "x2").collect()
+    assert len(out) == 1
+    r = out[0]
+    A = np.column_stack([np.ones(24), x1, x2])
+    coef, *_ = np.linalg.lstsq(A, y.astype(float), rcond=None)
+    assert abs(r.b0 - coef[0] / 100) < 1e-4  # b0 descaled to value units
+    assert abs(r.b1 - coef[1]) < 1e-4
+    assert abs(r.b2 - coef[2]) < 1e-4
+    assert 0.9 < r.r2 <= 1.0
+    # collinear design -> NULL, not inf
+    rows2 = [t for t in rows if t[1] != "x2"] + [
+        ("c", "x2", base + dt.timedelta(hours=h), h, float(x1[h]) / 100)
+        for h in range(24)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "conv_id string, metric string, ts timestamp, "
+               "turn_idx int, value double")
+    r2 = ols2_daily(df2, "y", "x1", "x2").collect()[0]
+    assert r2.b1 is None and r2.b2 is None

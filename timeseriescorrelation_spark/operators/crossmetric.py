@@ -483,3 +483,93 @@ def partial_corr_daily(series: DataFrame, key: str = "metric",
             ),
         ).alias("r_partial"),
     )
+
+
+def ols2_daily(series: DataFrame, y_key: str, x1_key: str, x2_key: str,
+               key: str = "metric", value_decimals: int = 2,
+               min_hours: int = 4) -> DataFrame:
+    """Per-day TWO-regressor OLS with intercept — beta_daily's big
+    sibling: y's hourly cent sums regressed on two other metrics
+    jointly, which is what "does purchase volume follow clicks once
+    views are held fixed" actually asks (the single-regressor beta
+    conflates the two whenever the regressors co-move).
+
+        (day_ts, n_hours, b0, b1, b2, r2)
+
+    Solved by Cramer's rule on the CENTERED normal equations: the
+    centered second moments S·· = n·Σab − Σa·Σb are exact
+    decimal(38,0)/hugeint integers (cent-scaled inputs, same recipe as
+    corr_matrix_daily); each is then cast once to double — an exact,
+    correctly-rounded cast both engines share — and the 2×2 solve
+
+        det = S11·S22 − S12²
+        b1  = (S22·S1y − S12·S2y) / det
+        b2  = (S11·S2y − S12·S1y) / det
+        b0  = (Σy − b1·Σx1 − b2·Σx2) / n      [descaled to value units]
+        r2  = (b1·S1y + b2·S2y) / Syy
+
+    is ONE fixed double expression over identical doubles, so results
+    match bit-for-bit cross-engine after the 6-dp round.  det in
+    double (not decimal) because three-moment products overflow 38
+    digits long before they overflow a double's range.  Collinear
+    designs (det ≤ 0 after the exact-int cancellation) and zero-
+    variance y yield NULL, not ±inf.
+
+    Scale notes: one map-side hash-agg to |metrics|·|hours| rows, a
+    3-way hour equi-join on that aggregate (never raw rows), then a
+    per-day hash-agg of 10 moments — no windows, no iteration."""
+    h = _hourly_cents(series, [key], value_decimals)
+    scale = 10 ** int(value_decimals)
+
+    def part(k, alias):
+        return h.where(F.col(key) == k).select(
+            "hour_ts", F.col("y").alias(alias)
+        )
+
+    j = (
+        part(y_key, "vy")
+        .join(part(x1_key, "v1"), "hour_ts")
+        .join(part(x2_key, "v2"), "hour_ts")
+    )
+    c = lambda e: e.cast(DEC)  # noqa: E731
+    g = j.groupBy(
+        F.date_trunc("day", "hour_ts").alias("day_ts")
+    ).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(c(F.col("v1"))).alias("s1"),
+        F.sum(c(F.col("v2"))).alias("s2"),
+        F.sum(c(F.col("vy"))).alias("sy"),
+        F.sum(c(F.col("v1") * F.col("v1"))).alias("s11"),
+        F.sum(c(F.col("v2") * F.col("v2"))).alias("s22"),
+        F.sum(c(F.col("v1") * F.col("v2"))).alias("s12"),
+        F.sum(c(F.col("v1") * F.col("vy"))).alias("s1y"),
+        F.sum(c(F.col("v2") * F.col("vy"))).alias("s2y"),
+        F.sum(c(F.col("vy") * F.col("vy"))).alias("syy"),
+    ).where(F.col("n") >= int(min_hours))
+
+    def cen(sab, sa, sb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        )
+
+    S11, S22, S12 = cen("s11", "s1", "s1"), cen("s22", "s2", "s2"), \
+        cen("s12", "s1", "s2")
+    S1y, S2y, Syy = cen("s1y", "s1", "sy"), cen("s2y", "s2", "sy"), \
+        cen("syy", "sy", "sy")
+    det = S11 * S22 - S12 * S12
+    b1 = F.when(det > 0, (S22 * S1y - S12 * S2y) / det)
+    b2 = F.when(det > 0, (S11 * S2y - S12 * S1y) / det)
+    b0 = (
+        F.col("sy").cast("double")
+        - b1 * F.col("s1").cast("double")
+        - b2 * F.col("s2").cast("double")
+    ) / F.col("n").cast("double") / F.lit(float(scale))
+    r2 = F.when((det > 0) & (Syy > 0), (b1 * S1y + b2 * S2y) / Syy)
+    return g.select(
+        "day_ts",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
