@@ -3966,6 +3966,18 @@ def q_ols_multi(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights for data selection: score every
+    non-src0 document by the hashed-bigram log-likelihood ratio
+    target-vs-raw (see lm.dsir_weights; Xie et al. 2023).  Gated in
+    vocab mode (oracle-replicable bucket ids); the xxhash64 mode is
+    the statistics-identical scale path."""
+    from timeseriescorrelation_spark.operators.lm import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target_source="src0",
+                        n_buckets=4096)
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4891,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleet_coverage": q_fleet_coverage,
         "edge_similarity": q_edge_similarity,
         "ols_multi": q_ols_multi,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -5122,6 +5135,52 @@ WITH d AS (
   FROM nodes LEFT JOIN c{i} USING (node)
 )""")
     return "".join(ctes) + f"\nSELECT node, pr_u FROM p{n_iter}\n"
+
+
+def _dsir_oracle(n_buckets: int = 4096) -> str:
+    from timeseriescorrelation_spark.operators.dedup import A_J, B_J, P31
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM base
+), vocab AS (
+  SELECT bg,
+         ((row_number() OVER (ORDER BY bg)) * {A_J[0]} + {B_J[0]})
+           % {P31} % {n_buckets} AS bkt
+  FROM (SELECT DISTINCT bg FROM bg)
+), bk AS (
+  SELECT doc_id, source, bkt FROM bg JOIN vocab USING (bg)
+), per AS (
+  SELECT bkt,
+         cast(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS bigint) AS ct,
+         cast(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+              AS bigint) AS cr
+  FROM bk GROUP BY 1
+), tot AS (
+  SELECT cast(sum(ct) AS bigint) AS nt, cast(sum(cr) AS bigint) AS nr
+  FROM per
+), model AS (
+  SELECT bkt,
+         cast(round((ln(cast(ct + 1 AS double)
+                        / cast(nt + {n_buckets} AS double))
+                     - ln(cast(cr + 1 AS double)
+                          / cast(nr + {n_buckets} AS double)))
+                    * 1000000.0) AS bigint) AS lr_u
+  FROM per CROSS JOIN tot
+)
+SELECT doc_id, source, cast(count(*) AS bigint) AS n_bigrams,
+       cast(sum(lr_u) AS bigint) AS logw_u
+FROM bk JOIN model USING (bkt)
+WHERE source <> 'src0' GROUP BY 1, 2
+"""
 
 
 def _pagerank_dangling_oracle(n_iter: int = 3) -> str:
@@ -7486,6 +7545,7 @@ FROM t GROUP BY 1
 """,
         "pagerank_events": _pagerank_oracle(3),
         "pagerank_dangling": _pagerank_dangling_oracle(3),
+        "dsir_weights": _dsir_oracle(4096),
         "seasonal_strength": """
 WITH pt AS (
   SELECT event_type AS metric, dayofweek(ts) AS dow,

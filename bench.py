@@ -203,6 +203,7 @@ HEADLINE_R3 = [
     "fleet_coverage",
     "edge_similarity",
     "ols_multi",
+    "dsir_weights",
     "mix_weights",
     "markov_entropy",
     "periodogram",

@@ -97,3 +97,31 @@ def test_phrase_search_order_and_adjacency(spark):
     got = {r.doc_id: r.n_hits for r in
            phrase_search(docs, ["a", "b", "c"]).collect()}
     assert got == {1: 2}
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """Raw docs written in the target's vocabulary must score a higher
+    importance weight than raw docs from a disjoint vocabulary, in
+    BOTH bucket modes; n_bigrams is exact; sub-2-token docs drop."""
+    from timeseriescorrelation_spark.operators.lm import dsir_weights
+
+    target = [
+        (i, "alpha beta gamma delta alpha beta", "tgt") for i in range(8)
+    ]
+    like = [(100, "alpha beta gamma alpha", "raw")]
+    unlike = [(200, "zig zag zip zag zig zag", "raw")]
+    tiny = [(300, "alpha", "raw")]
+    df = spark.createDataFrame(
+        target + like + unlike + tiny,
+        "doc_id long, text string, source string")
+    for mode in ("vocab", "xxhash64"):
+        out = {r.doc_id: r for r in dsir_weights(
+            df, target_source="tgt", n_buckets=64, mode=mode,
+        ).collect()}
+        assert set(out) == {100, 200}          # tiny doc dropped
+        assert out[100].n_bigrams == 3
+        assert out[200].n_bigrams == 5
+        # per-bigram mean ratio: target-like positive-ish, disjoint negative
+        assert out[100].logw_u / out[100].n_bigrams \
+            > out[200].logw_u / out[200].n_bigrams
+        assert out[200].logw_u < 0

@@ -406,3 +406,111 @@ def zipf_fit(docs: DataFrame, top_k: int = 100,
         F.round(num * num / (dx * dy), 6).alias("r2"),
         "top_token",
     )
+
+
+def dsir_weights(docs: DataFrame, target_source: str,
+                 n_buckets: int = 4096, source_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "vocab") -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every NON-target document by how much more
+    likely its hashed-bigram bag is under the target domain's unigram
+    bucket model than under the raw pool's —
+
+        logw = Σ_bigram [ ln p̂_target(bucket) − ln p̂_raw(bucket) ]
+
+    with add-1 smoothing on both models.  Resampling itself is then
+    just weighted_sample / topk_global on the returned weights.
+
+    Output (doc_id, source, n_bigrams, logw_u) — logw in integer
+    micro-nats, the module's fixed-point discipline: each bucket's
+    log-ratio is ln of exact-integer ratios snapped to µ-nats BEFORE
+    the per-doc sum, so the sum is exact integer arithmetic and
+    bit-equal cross-engine.  Docs with < 2 tokens have no bigrams and
+    drop out (score undefined, not 0).
+
+    Bucketing: bigram → dense vocab rank → affine mix → mod B.
+    mode="vocab" (default) ranks by global sort — oracle-replicable,
+    test scale; mode="xxhash64" skips the vocabulary entirely
+    (bucket = xxhash64(bigram) mod B) — the 100 TB path, identical
+    statistics, no global sort.  The B-row model table broadcasts;
+    the only wide shuffle is the bigram count hash-agg."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        A_J, B_J, P31,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = base.select(
+        "doc_id", "source",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i),
+                    F.element_at("toks", i + F.lit(1)),
+                ),
+            )
+        ).alias("bg"),
+    )
+    if mode == "xxhash64":
+        bucketed = bg.select(
+            "doc_id", "source",
+            F.pmod(F.xxhash64("bg"), F.lit(n_buckets)).alias("bkt"),
+        )
+    else:
+        w = Window.orderBy("bg")
+        vocab = (
+            bg.select("bg").distinct()
+            .withColumn("tid", F.row_number().over(w).cast("long"))
+            .select(
+                "bg",
+                F.pmod(
+                    F.col("tid") * F.lit(A_J[0]) + F.lit(B_J[0]),
+                    F.lit(P31),
+                ).__mod__(F.lit(n_buckets)).alias("bkt"),
+            )
+        )
+        bucketed = bg.join(F.broadcast(vocab), "bg").select(
+            "doc_id", "source", "bkt"
+        )
+    is_t = F.col("source") == target_source
+    per_bkt = bucketed.groupBy("bkt").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    )
+    tot = per_bkt.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    model = per_bkt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + n_buckets).cast("double")
+                )
+            )
+            * M
+        ).cast("long").alias("lr_u"),
+    )
+    return (
+        bucketed.where(~is_t)
+        .join(F.broadcast(model), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lr_u").cast("long").alias("logw_u"),
+        )
+    )
