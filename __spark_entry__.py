@@ -3978,6 +3978,64 @@ def q_dsir_weights(spark, sf_dir):
                         n_buckets=4096)
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the token ADJACENCY graph — nodes are tokens with document
+    frequency ≥ 5 (the POS-filter stand-in), undirected edges weighted
+    by adjacent-co-occurrence count.  Rides pagerank_conserving, so
+    the 3-iteration scores are exact integer µ-units and the DuckDB
+    oracle unrolls them bit-exactly (the pagerank_dangling machinery
+    pointed at a text graph).
+
+    Scale notes: the graph is vocab-sized (edges = distinct adjacent
+    pairs, zipfian-bounded), built by two hash-aggs + one broadcast
+    vocab-filter join over the token stream; the rank loop then runs
+    on metadata-scale tables."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        pagerank_conserving,
+    )
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+    )
+    tk = base.select("doc_id", F.explode("toks").alias("tok"))
+    vf = (
+        tk.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 5)
+        .select("tok")
+    )
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pair = base.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("a"),
+                    F.element_at("toks", i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")) \
+     .where(F.col("a") != F.col("b"))
+    fp = pair.join(
+        F.broadcast(vf.withColumnRenamed("tok", "a")), "a"
+    ).join(F.broadcast(vf.withColumnRenamed("tok", "b")), "b") \
+     .select("a", "b")
+    edges = (
+        fp.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            fp.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return pagerank_conserving(edges, n_iter=3)
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4904,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_similarity": q_edge_similarity,
         "ols_multi": q_ols_multi,
         "dsir_weights": q_dsir_weights,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -5137,6 +5196,49 @@ WITH d AS (
     return "".join(ctes) + f"\nSELECT node, pr_u FROM p{n_iter}\n"
 
 
+_COACTIVITY_EDGE_CTES = """d AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS src,
+         event_type AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, cast(count(*) AS bigint) AS w
+  FROM d WHERE src IS NOT NULL GROUP BY 1, 2
+)"""
+
+_TEXTRANK_EDGE_CTES = """base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(t) AS tok FROM base
+), vf AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1
+  ) WHERE df >= 5
+), pair AS (
+  SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM base
+  )
+), fp AS (
+  SELECT a, b FROM pair
+  WHERE a <> b
+    AND a IN (SELECT tok FROM vf) AND b IN (SELECT tok FROM vf)
+), e AS (
+  SELECT src, dst, cast(count(*) AS bigint) AS w FROM (
+    SELECT a AS src, b AS dst FROM fp
+    UNION ALL
+    SELECT b AS src, a AS dst FROM fp
+  ) GROUP BY 1, 2
+)"""
+
+
+def _pagerank_dangling_oracle(n_iter: int = 3) -> str:
+    return _pagerank_unrolled_oracle(_COACTIVITY_EDGE_CTES, n_iter)
+
+
 def _dsir_oracle(n_buckets: int = 4096) -> str:
     from timeseriescorrelation_spark.operators.dedup import A_J, B_J, P31
 
@@ -5183,21 +5285,15 @@ WHERE source <> 'src0' GROUP BY 1, 2
 """
 
 
-def _pagerank_dangling_oracle(n_iter: int = 3) -> str:
-    """Unroll graphrank.pagerank_conserving: damped per-edge floors +
-    per-src remainder to min(dst), dangling + undamped shares pooled
-    and paid out pool//N with the mod-N remainder on the min node.
-    Pure bigint arithmetic — bit-exact vs the Spark loop."""
-    ctes = ["""
-WITH d AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY epoch_us(ts), event_id) AS src,
-         event_type AS dst
-  FROM events
-), e AS (
-  SELECT src, dst, cast(count(*) AS bigint) AS w
-  FROM d WHERE src IS NOT NULL GROUP BY 1, 2
-), wo AS (
+def _pagerank_unrolled_oracle(edge_ctes: str, n_iter: int) -> str:
+    """Unroll graphrank.pagerank_conserving over ANY edge source:
+    damped per-edge floors + per-src remainder to min(dst), dangling +
+    undamped shares pooled and paid out pool//N with the mod-N
+    remainder on the min node.  Pure bigint arithmetic — bit-exact vs
+    the Spark loop.  `edge_ctes` must end with a CTE named e(src,
+    dst, w)."""
+    ctes = [f"""
+WITH {edge_ctes}, wo AS (
   SELECT src, cast(sum(w) AS bigint) AS wout FROM e GROUP BY 1
 ), ew AS (
   SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)
@@ -7546,6 +7642,8 @@ FROM t GROUP BY 1
         "pagerank_events": _pagerank_oracle(3),
         "pagerank_dangling": _pagerank_dangling_oracle(3),
         "dsir_weights": _dsir_oracle(4096),
+        "textrank_keywords": _pagerank_unrolled_oracle(
+            _TEXTRANK_EDGE_CTES, 3),
         "seasonal_strength": """
 WITH pt AS (
   SELECT event_type AS metric, dayofweek(ts) AS dow,

@@ -204,6 +204,7 @@ HEADLINE_R3 = [
     "edge_similarity",
     "ols_multi",
     "dsir_weights",
+    "textrank_keywords",
     "mix_weights",
     "markov_entropy",
     "periodogram",
