@@ -4036,6 +4036,17 @@ def q_textrank_keywords(spark, sf_dir):
     return pagerank_conserving(edges, n_iter=3)
 
 
+def q_emb_cov(spark, sf_dir):
+    """Exact d×d covariance of the embedding corpus (see
+    similarity.embedding_covariance) — eigen-decompose driver-side
+    for PCA; pytest pins the eigen step to numpy."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_embs(spark, sf_dir))
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4963,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_multi": q_ols_multi,
         "dsir_weights": q_dsir_weights,
         "textrank_keywords": q_textrank_keywords,
+        "emb_cov": q_emb_cov,
     }
 
 
@@ -10024,6 +10036,26 @@ FROM e
 LEFT JOIN com USING (u, v)
 JOIN deg du ON du.u = e.u
 JOIN deg dv ON dv.u = e.v
+""",
+        "emb_cov": """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         cast(round(unnest(embedding)::DOUBLE * 1000000) AS bigint)
+           AS xu
+  FROM embeddings
+), g AS (
+  SELECT a.dim AS i, b.dim AS j,
+         cast(count(*) AS hugeint) AS n,
+         sum(cast(a.xu AS hugeint)) AS sa,
+         sum(cast(b.xu AS hugeint)) AS sb,
+         sum(cast(a.xu AS hugeint) * b.xu) AS sab
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+)
+SELECT i, j, cast(n AS bigint) AS n,
+       round(cast(n * sab - sa * sb AS double)
+             / cast(n * n AS double) / 1e12, 6) AS cov
+FROM g
 """,
         "fleet_coverage": """
 WITH sp AS (

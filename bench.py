@@ -205,6 +205,7 @@ HEADLINE_R3 = [
     "ols_multi",
     "dsir_weights",
     "textrank_keywords",
+    "emb_cov",
     "mix_weights",
     "markov_entropy",
     "periodogram",

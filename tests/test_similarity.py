@@ -332,3 +332,38 @@ def test_int8_recall_on_driver_embeddings(spark, embs):
     # 64-dim unit vectors at int8: recall@10 should be essentially
     # perfect; anything under 0.8 means the quantizer is broken
     assert min(r.recall for r in res) >= 0.8
+
+
+def test_embedding_covariance_matches_numpy_and_pca(spark):
+    """Entry-exact covariance equals numpy's population cov of the
+    SAME µ-snapped matrix, and driver-side eigh on the assembled
+    matrix recovers the planted dominant direction."""
+    import numpy as np
+
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(3)
+    d, n = 6, 400
+    direction = rng.randn(d); direction /= np.linalg.norm(direction)
+    X = rng.randn(n, d) * 0.05 + np.outer(rng.randn(n) * 2.0, direction)
+    Xu = np.round(X * 1e6) / 1e6  # what the operator sees after snap
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # NOTE: operator snaps from the FLOAT column cast to double
+    Xf = np.round(np.array(X, dtype=np.float32).astype(np.float64)
+                  * 1e6) / 1e6
+    out = embedding_covariance(df).collect()
+    C = np.zeros((d, d))
+    for r in out:
+        C[r.i - 1, r.j - 1] = r.cov
+        C[r.j - 1, r.i - 1] = r.cov
+    ref = np.cov(Xf, rowvar=False, bias=True)
+    assert np.abs(C - ref).max() < 2e-6  # 6-dp rounding of exact cov
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(abs(top @ direction)) > 0.99
+    assert evals[-1] / evals.sum() > 0.9

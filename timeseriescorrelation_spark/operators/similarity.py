@@ -1021,3 +1021,58 @@ def int8_quantize_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
             / F.col("_kk").cast("double"), 6
         ).alias("recall"),
     )
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Exact population covariance of the embedding matrix — the PCA
+    precursor (eigen-decompose the returned d×d matrix on the driver;
+    it is metadata-sized at any corpus scale):
+
+        (i, j, n, cov)   for 1 ≤ i ≤ j ≤ d
+
+    Exactness: elements snap to integer µ-units once, the centered
+    second moment S_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ accumulates in
+    decimal(38,0)/hugeint (µ-products overflow int64 past ~10⁶ rows),
+    and cov = S_ij / n² descaled by 1e12 is one double expression over
+    the exact integers — bit-equal cross-engine after 6 dp.
+
+    Shape: posexplode to (row, dim, xu), one self-equi-join on the row
+    id restricted to i ≤ j, one hash-agg of d(d+1)/2 groups.  Scale
+    notes (100 TB): the join blows each row up d(d+1)/2× — past ~10⁸
+    rows switch to the mapInPandas partial-Gram form (per-partition
+    numpy X^T X in float64, exactness traded for one pass); this
+    entry-exact form is the oracle-checkable reference."""
+    dec = "decimal(38,0)"
+    x = emb.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(vec_col).alias("dim0", "v"),
+    ).select(
+        "rid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+         .alias("xu"),
+    )
+    a = x.select("rid", F.col("dim").alias("i"), F.col("xu").alias("xa"))
+    b = x.select("rid", F.col("dim").alias("j"), F.col("xu").alias("xb"))
+    g = (
+        a.join(b, "rid")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("xa").cast(dec)).alias("sa"),
+            F.sum(F.col("xb").cast(dec)).alias("sb"),
+            F.sum((F.col("xa") * F.col("xb")).cast(dec)).alias("sab"),
+        )
+    )
+    s = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    return g.select(
+        "i", "j",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            s / (F.col("n") * F.col("n")).cast("double") / 1e12, 6
+        ).alias("cov"),
+    )
