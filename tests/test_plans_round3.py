@@ -104,3 +104,59 @@ def test_drawdown_two_windows_share_one_exchange(spark):
     # groups on the same keys, so at most the window exchange + reuse
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert plan.count("Sort [") <= 2, plan
+
+
+def test_tpch_q7_facts_shuffle_dims_broadcast(spark):
+    plan = _plan(em.queries()["tpch_q7"](spark, SF))
+    # lineitem-orders is the one fact-fact join; all four dim joins
+    # (customer, supplier, nation x2) broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_tpch_q15_max_filter_is_broadcast_not_sort(spark):
+    plan = _plan(em.queries()["tpch_q15"](spark, SF))
+    # the max-revenue cut is a 1-row broadcast back onto the
+    # per-supplier aggregate (Catalyst even rewrites the crossJoin +
+    # equality filter into a BroadcastHashJoin on rev_c), never a
+    # global sort
+    assert "BroadcastHashJoin [rev_c" in plan \
+        or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "GlobalSort" not in plan and "Sort [rev_c" not in plan, plan
+
+
+def test_tpch_q17_window_shares_one_exchange(spark):
+    plan = _plan(em.queries()["tpch_q17"](spark, SF))
+    # both per-part window stats ride ONE hashpartitioning exchange
+    # over the broadcast part-filtered fact rows
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fleet_coverage_single_shuffle(spark):
+    plan = _plan(em.queries()["fleet_coverage"](spark, SF))
+    # clip is in-partition (explode, no exchange before it); the
+    # islands merge is the only hashpartitioning exchange chain keyed
+    # by day: two cumulative windows on one sort + two hash-aggs
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_dsir_model_join_broadcasts(spark):
+    plan = _plan(em.queries()["dsir_weights"](spark, SF))
+    # both the 4096-row model probe and the vocab-id join broadcast;
+    # the only wide shuffles are the count hash-aggs
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_emb_cov_is_one_selfjoin_one_hashagg(spark):
+    plan = _plan(em.queries()["emb_cov"](spark, SF))
+    # the i<=j restriction rides the rid equi-join as a residual;
+    # moments are decimal hash-aggregable (never SortAggregate)
+    assert "SortAggregate" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan, plan
