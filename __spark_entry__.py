@@ -4047,6 +4047,18 @@ def q_emb_cov(spark, sf_dir):
     return embedding_covariance(_embs(spark, sf_dir))
 
 
+def q_triplet_mining(spark, sf_dir):
+    """Hard-negative triplet mining over the labeled embedding corpus
+    (see similarity.triplet_mining): 20 anchors, top-10 hard negatives
+    each, margins against the nearest same-label positive."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        triplet_mining,
+    )
+
+    e = _embs(spark, sf_dir)
+    return triplet_mining(e, e.where(F.col("vec_id") < 20), k=10)
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4975,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "textrank_keywords": q_textrank_keywords,
         "emb_cov": q_emb_cov,
+        "triplet_mining": q_triplet_mining,
     }
 
 
@@ -10036,6 +10049,36 @@ FROM e
 LEFT JOIN com USING (u, v)
 JOIN deg du ON du.u = e.u
 JOIN deg dv ON dv.u = e.v
+""",
+        "triplet_mining": f"""
+WITH {_UV_CTE}, lab AS (
+  SELECT vec_id, label FROM embeddings
+), q AS (
+  SELECT u.vec_id AS qid, u.v AS qv, l.label AS q_label
+  FROM uv u JOIN lab l USING (vec_id) WHERE u.vec_id < 20
+), scored AS (
+  SELECT q.qid, q.q_label, c.vec_id AS nid, l.label AS n_label,
+         round(list_dot_product(q.qv, c.v), 6) AS cos
+  FROM q JOIN uv c ON c.vec_id <> q.qid
+  JOIN lab l ON l.vec_id = c.vec_id
+), pos AS (
+  SELECT qid, nid AS pos_id, cos AS cos_pos FROM (
+    SELECT qid, nid, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nid) AS r
+    FROM scored WHERE n_label = q_label
+  ) WHERE r = 1
+), neg AS (
+  SELECT qid, rank, nid AS neg_id, cos AS cos_neg FROM (
+    SELECT qid, nid, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, nid) AS rank
+    FROM scored WHERE n_label <> q_label
+  ) WHERE rank <= 10
+)
+SELECT n.qid, n.rank, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+       round(p.cos_pos - n.cos_neg, 6) AS margin
+FROM neg n JOIN pos p USING (qid)
 """,
         "emb_cov": """
 WITH x AS (

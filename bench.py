@@ -206,6 +206,7 @@ HEADLINE_R3 = [
     "dsir_weights",
     "textrank_keywords",
     "emb_cov",
+    "triplet_mining",
     "mix_weights",
     "markov_entropy",
     "periodogram",

@@ -1076,3 +1076,62 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
             s / (F.col("n") * F.col("n")).cast("double") / 1e12, 6
         ).alias("cov"),
     )
+
+
+def triplet_mining(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative triplet mining for contrastive training: per
+    anchor, the nearest SAME-label vector (the positive) and the k
+    nearest DIFFERENT-label vectors (the hard negatives), with the
+    triplet margin cos_pos − cos_neg — the quantity a triplet/InfoNCE
+    loss trains against; rows with margin ≤ 0 are the active
+    (violating) triplets worth sampling first.
+
+        (qid, rank, pos_id, cos_pos, neg_id, cos_neg, margin)
+
+    Determinism: cosines snap to 6 dp BEFORE ranking (broadcast
+    brute-force scoring, ann_topk_bruteforce's discipline) with the
+    neighbor-id tiebreak; the margin is one subtraction of two snapped
+    doubles.  Anchors with no same-label peer drop out (no positive
+    exists).
+
+    Scale notes (100 TB): one broadcast of the |queries|-row anchor
+    set against the corpus scan — no corpus self-join; both rankings
+    ride the SAME scored relation (one window sort per ranking, k
+    small).  Past brute-force scale, feed the scored relation from
+    ann_topk_ivf's probe set instead; the mining logic is unchanged."""
+    corpus = with_unit_vectors(emb, vec_col, id_col)
+    lbl = emb.select(F.col(id_col).alias("vec_id"),
+                     F.col(label_col).alias("n_label"))
+    corpus = corpus.join(lbl, "vec_id")
+    q = with_unit_vectors(queries, vec_col, id_col).join(lbl, "vec_id") \
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                F.col("n_label").alias("q_label"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "q_label",
+            F.col("vec_id").alias("nid"), "n_label",
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    pos = (
+        scored.where(F.col("n_label") == F.col("q_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("qid", F.col("nid").alias("pos_id"),
+                F.col("cos").alias("cos_pos"))
+    )
+    neg = (
+        scored.where(F.col("n_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", F.col("nid").alias("neg_id"),
+                F.col("cos").alias("cos_neg"))
+    )
+    return neg.join(pos, "qid").select(
+        "qid", "rank", "pos_id", "cos_pos", "neg_id", "cos_neg",
+        F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+    )
