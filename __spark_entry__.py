@@ -4059,6 +4059,17 @@ def q_triplet_mining(spark, sf_dir):
     return triplet_mining(e, e.where(F.col("vec_id") < 20), k=10)
 
 
+def q_bitmap_retention(spark, sf_dir):
+    """Day-over-day retention on 32-bit activity bitmap words (see
+    sketches.bitmap_retention) — exact counts at ~32x the row density
+    of the distinct (day, actor) set."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        bitmap_retention,
+    )
+
+    return bitmap_retention(_events(spark, sf_dir))
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -4988,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "emb_cov": q_emb_cov,
         "triplet_mining": q_triplet_mining,
+        "bitmap_retention": q_bitmap_retention,
     }
 
 
@@ -10049,6 +10061,36 @@ FROM e
 LEFT JOIN com USING (u, v)
 JOIN deg du ON du.u = e.u
 JOIN deg dv ON dv.u = e.v
+""",
+        "bitmap_retention": """
+WITH act AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day_ts,
+         cast(user_id AS bigint) // 32 AS bkt,
+         cast(cast(user_id AS bigint) % 32 AS int) AS bit
+  FROM events
+), words AS (
+  SELECT day_ts, bkt, bit_or(1::BIGINT << bit) AS w
+  FROM act GROUP BY 1, 2
+), tot AS (
+  SELECT day_ts, cast(sum(bit_count(w)) AS bigint) AS active
+  FROM words GROUP BY 1
+), ret AS (
+  SELECT b.day_ts,
+         cast(sum(bit_count(a.w & b.w)) AS bigint) AS retained
+  FROM words b
+  JOIN words a ON a.bkt = b.bkt
+              AND b.day_ts = a.day_ts + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT t.day_ts, t.active, p.active AS active_prev,
+       coalesce(r.retained, 0) AS retained,
+       t.active - coalesce(r.retained, 0) AS new_actors,
+       p.active - coalesce(r.retained, 0) AS churned,
+       round(coalesce(r.retained, 0) / cast(p.active AS double), 6)
+         AS retention_rate
+FROM tot t
+JOIN tot p ON t.day_ts = p.day_ts + INTERVAL 1 DAY
+LEFT JOIN ret r ON r.day_ts = t.day_ts
 """,
         "triplet_mining": f"""
 WITH {_UV_CTE}, lab AS (

@@ -207,6 +207,7 @@ HEADLINE_R3 = [
     "textrank_keywords",
     "emb_cov",
     "triplet_mining",
+    "bitmap_retention",
     "mix_weights",
     "markov_entropy",
     "periodogram",

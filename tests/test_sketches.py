@@ -191,3 +191,31 @@ def test_hll_overlap_identical_and_disjoint(spark):
     # disjoint: overlap small relative to the sets (3x compounded err)
     assert ac.overlap_est < 150
     assert abs(ac.est_union - 1000) / 1000 < 0.15
+
+
+def test_bitmap_retention_equals_row_level_sets(spark):
+    """Word-packed retention is EXACT: equals the row-level distinct
+    set intersection/difference on a hand-built two-day overlap,
+    including ids straddling word boundaries (31/32) and id 0."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.sketches import (
+        bitmap_retention,
+    )
+
+    d1, d2 = dt.datetime(2024, 5, 1, 9), dt.datetime(2024, 5, 2, 9)
+    day1 = [0, 1, 31, 32, 33, 64, 100]
+    day2 = [1, 31, 32, 65, 100, 200]
+    rows = [(u, d1) for u in day1] + [(u, d2) for u in day2]
+    # duplicates within a day must not double-count
+    rows += [(1, d1.replace(hour=12)), (200, d2.replace(hour=15))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = bitmap_retention(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    s1, s2 = set(day1), set(day2)
+    assert r.active == len(s2)
+    assert r.active_prev == len(s1)
+    assert r.retained == len(s1 & s2)
+    assert r.new_actors == len(s2 - s1)
+    assert r.churned == len(s1 - s2)

@@ -534,3 +534,79 @@ def heavy_hitters_mg(events: DataFrame, keys: list[str],
     return events.select(
         *keys, item_col, *sort_cols
     ).groupBy(*keys).applyInPandas(_mg, schema)
+
+
+def bitmap_day_words(events: DataFrame, id_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Per-day activity bitmaps, roaring-style: actor ids pack into
+    32-bit words (word index = id DIV 32, bit = id % 32) so one int64
+    row answers membership for 32 actors.  32-bit, not 64: a set bit
+    63 is UB territory across engines (DuckDB refuses 1<<63), while
+    ≤ 2³¹ keeps every word positive and bit-identical everywhere.
+
+        (day_ts, bkt, w)
+
+    Scale notes (100 TB): the words table is |days|·|active-words|
+    rows — a ~32× compression of the distinct (day, actor) set, and
+    every downstream set operation (AND/OR/ANDNOT + popcount) is a
+    word-level equi-join on (bkt), never a row-per-actor join.  This
+    is the bitmap-index trick OLAP engines use for segment overlap."""
+    act = events.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
+        (F.col(id_col).cast("long") / 32).cast("long").alias("bkt"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(32)).cast("int")
+         .alias("bit"),
+    ).distinct()
+    return act.groupBy("day_ts", "bkt").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), bit))"
+        ).alias("w")
+    )
+
+
+def bitmap_retention(events: DataFrame, id_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Day-over-day actor retention computed ENTIRELY on bitmap words:
+
+        (day_ts, active, active_prev, retained, new_actors, churned,
+         retention_rate)
+
+    retained = Σ popcount(w_today AND w_yesterday) — the intersection
+    never materializes actor rows; new/churned are popcounts of the
+    ANDNOT sides; rate is the one terminal divide (6 dp).  Exact (no
+    sketch error): bitmaps are lossless membership, just 32× denser
+    than rows.  growth_accounting gives the same ledger row-shaped;
+    this is the form that survives 10⁹-actor days."""
+    words = bitmap_day_words(events, id_col, ts_col)
+    a = words.select(F.col("day_ts").alias("prev_ts"), "bkt",
+                     F.col("w").alias("wa"))
+    b = words.select("day_ts", "bkt", F.col("w").alias("wb"))
+    pair = b.join(
+        a,
+        (a["bkt"] == b["bkt"])
+        & (F.col("day_ts") == F.col("prev_ts")
+           + F.expr("interval 1 day")),
+    )
+    ret = pair.groupBy("day_ts").agg(
+        F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+         .cast("long").alias("retained"),
+    )
+    tot = words.groupBy("day_ts").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("active")
+    )
+    prev = tot.select(
+        (F.col("day_ts") + F.expr("interval 1 day")).alias("day_ts"),
+        F.col("active").alias("active_prev"),
+    )
+    return (
+        tot.join(prev, "day_ts")
+        .join(ret, "day_ts", "left")
+        .na.fill({"retained": 0})
+        .select(
+            "day_ts", "active", "active_prev", "retained",
+            (F.col("active") - F.col("retained")).alias("new_actors"),
+            (F.col("active_prev") - F.col("retained")).alias("churned"),
+            F.round(F.col("retained") / F.col("active_prev"), 6)
+             .alias("retention_rate"),
+        )
+    )
