@@ -4070,6 +4070,22 @@ def q_bitmap_retention(spark, sf_dir):
     return bitmap_retention(_events(spark, sf_dir))
 
 
+def q_rolling_slope_24h(spark, sf_dir):
+    """Trailing-24h OLS slope per metric over hourly cent sums (see
+    rolling.rolling_slope) — the always-on trend monitor next to the
+    per-calendar-day trend_daily."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        _hourly_cents,
+    )
+    from timeseriescorrelation_spark.operators.rolling import (
+        rolling_slope,
+    )
+
+    h = _hourly_cents(_series_from_events(spark, sf_dir), ["metric"], 2)
+    h = h.withColumnRenamed("hour_ts", "hour_ts")
+    return rolling_slope(h, keys=["metric"], window_hours=24)
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -5000,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cov": q_emb_cov,
         "triplet_mining": q_triplet_mining,
         "bitmap_retention": q_bitmap_retention,
+        "rolling_slope_24h": q_rolling_slope_24h,
     }
 
 
@@ -10061,6 +10078,33 @@ FROM e
 LEFT JOIN com USING (u, v)
 JOIN deg du ON du.u = e.u
 JOIN deg dv ON dv.u = e.v
+""",
+        "rolling_slope_24h": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, hour_ts, y,
+         epoch_us(hour_ts) // 3600000000 AS tt
+  FROM h
+), m AS (
+  SELECT metric, hour_ts, y,
+         cast(count(*) OVER w AS bigint) AS n,
+         cast(sum(tt) OVER w AS bigint) AS st,
+         cast(sum(y) OVER w AS bigint) AS sy,
+         cast(sum(tt * tt) OVER w AS bigint) AS stt,
+         cast(sum(tt * y) OVER w AS bigint) AS sty
+  FROM t
+  WINDOW w AS (PARTITION BY metric ORDER BY tt
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT metric, hour_ts, y, n AS slope_n,
+       round(CASE WHEN n * stt - st * st > 0
+                  THEN cast(n * sty - st * sy AS double)
+                       / cast(n * stt - st * st AS double) / 100.0
+             END, 6) AS slope
+FROM m
 """,
         "bitmap_retention": """
 WITH act AS (

@@ -208,6 +208,7 @@ HEADLINE_R3 = [
     "emb_cov",
     "triplet_mining",
     "bitmap_retention",
+    "rolling_slope_24h",
     "mix_weights",
     "markov_entropy",
     "periodogram",

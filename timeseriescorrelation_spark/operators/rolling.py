@@ -106,3 +106,53 @@ def rolling_corr(df: DataFrame, keys: list[str], range_seconds: int,
         ),
     )
     return df.select("*", n.alias("roll_n"), rho.alias("roll_corr"))
+
+
+def rolling_slope(hourly: DataFrame, keys: list[str],
+                  window_hours: int = 24, t_col: str = "hour_ts",
+                  y_col: str = "y") -> DataFrame:
+    """Trailing OLS slope over the last `window_hours` hourly points —
+    the continuous trend monitor ("is this metric accelerating RIGHT
+    NOW"), where trend_daily answers the same per calendar day.
+
+    Input is an hourly aggregate (key, hour_ts, y) with y an exact
+    integer (cent sums); output appends (slope_n, slope) where
+
+        slope = (n·Σty − Σt·Σy) / (n·Σtt − Σt²)    [y-units/hour]
+
+    over the frame [t − (W−1), t] in integer hour indexes
+    (t = epoch hours).  All five moments are int64 window sums on ONE
+    rangeBetween frame/sort (hour indexes ≈ 5·10⁵, y cents ≈ 10⁶ →
+    n·Σty ≈ 10¹⁴, three orders under int64), the divide is the one
+    terminal double op (6 dp), den = 0 (single distinct hour) → NULL.
+
+    Scale notes: identical shape to rolling_stats — one shuffle on the
+    key, one ordered pass, O(W) frame memory; never a range self-join.
+    """
+    w_us = 3_600_000_000
+    t = (epoch_us(F.col(t_col)) / w_us).cast("long")
+    src = hourly.select(
+        *keys, F.col(t_col),
+        t.alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t")
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    st = F.sum("_t").over(w)
+    sy = F.sum("_y").over(w)
+    stt = F.sum(F.col("_t") * F.col("_t")).over(w)
+    sty = F.sum(F.col("_t") * F.col("_y")).over(w)
+    num = (n * sty - st * sy).cast("double")
+    den = (n * stt - st * st).cast("double")
+    return src.select(
+        *keys, t_col,
+        F.col("_y").alias(y_col),
+        n.cast("long").alias("slope_n"),
+        F.round(
+            F.when(den > 0, num / den / 100.0), 6
+        ).alias("slope"),
+    )
