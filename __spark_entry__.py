@@ -4082,8 +4082,26 @@ def q_rolling_slope_24h(spark, sf_dir):
     )
 
     h = _hourly_cents(_series_from_events(spark, sf_dir), ["metric"], 2)
-    h = h.withColumnRenamed("hour_ts", "hour_ts")
     return rolling_slope(h, keys=["metric"], window_hours=24)
+
+
+def q_corr_upsert(spark, sf_dir):
+    """Incremental maintenance of the pair-correlation report — the
+    continuous-aggregate property applied to the reference's core
+    operator, tier_upsert_1h's policy on correlation state: pair
+    moments over SEALED hours (< Jan 16) and the LIVE tail (>= Jan 16)
+    are computed separately, merged by exact decimal addition, and the
+    assembled report is BIT-IDENTICAL to a full rescan (the oracle
+    computes the rescan; the hash compare is the equality proof)."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        corr_from_moments, corr_pair_moments, merge_corr_moments,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    sealed = corr_pair_moments(s.where(F.col("ts") < split))
+    live = corr_pair_moments(s.where(F.col("ts") >= split))
+    return corr_from_moments(merge_corr_moments(sealed, live))
 
 
 def q_current_pctile(spark, sf_dir):
@@ -5017,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triplet_mining": q_triplet_mining,
         "bitmap_retention": q_bitmap_retention,
         "rolling_slope_24h": q_rolling_slope_24h,
+        "corr_upsert": q_corr_upsert,
     }
 
 
@@ -7954,6 +7973,31 @@ SELECT nd.metric, nd.day_ts, n, n_pairs,
        round(med, 6) AS sen_slope_per_hour
 FROM nd JOIN sl USING (metric, day_ts)
 WHERE n >= 8
+""",
+        "corr_upsert": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         date_trunc('day', a.hour_ts) AS day_ts, a.y AS ya, b.y AS yb
+  FROM h a JOIN h b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+), g AS (
+  SELECT metric_a, metric_b, day_ts, count(*) AS n,
+         sum(ya) AS sa, sum(yb) AS sb,
+         sum(ya * ya) AS saa, sum(yb * yb) AS sbb,
+         sum(ya * yb) AS sab
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT metric_a, metric_b, day_ts, cast(n AS bigint) AS n_hours,
+       round(CASE WHEN cast(n * saa - sa * sa AS double) > 0
+                   AND cast(n * sbb - sb * sb AS double) > 0
+             THEN cast(n * sab - sa * sb AS double)
+                  / sqrt(cast(n * saa - sa * sa AS double))
+                  / sqrt(cast(n * sbb - sb * sb AS double)) END, 6) AS r
+FROM g WHERE n >= 4
 """,
         "corr_matrix_daily": """
 WITH h AS (

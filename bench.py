@@ -209,6 +209,7 @@ HEADLINE_R3 = [
     "triplet_mining",
     "bitmap_retention",
     "rolling_slope_24h",
+    "corr_upsert",
     "mix_weights",
     "markov_entropy",
     "periodogram",

@@ -573,3 +573,74 @@ def ols2_daily(series: DataFrame, y_key: str, x1_key: str, x2_key: str,
         F.round(b2, 6).alias("b2"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def corr_pair_moments(series: DataFrame, key: str = "metric",
+                      value_decimals: int = 2) -> DataFrame:
+    """The mergeable state behind corr_matrix_daily: per (pair, day)
+    the six exact decimal(38,0) moments (n, sa, sb, saa, sbb, sab)
+    over hourly cent sums.  Moments over disjoint HOUR sets are
+    element-wise additive — the continuous-aggregate property that
+    lets a correlation report update incrementally (sealed days +
+    live tail) instead of rescanning history; hours are the atomic
+    unit because splitting an hour breaks Σab additivity."""
+    h = _hourly_cents(series, [key], value_decimals)
+    a = h.select(F.col(key).alias("metric_a"), "hour_ts",
+                 F.col("y").alias("ya"))
+    b = h.select(F.col(key).alias("metric_b"), "hour_ts",
+                 F.col("y").alias("yb"))
+    pairs = a.join(b, "hour_ts").where(
+        F.col("metric_a") < F.col("metric_b")
+    )
+    return pairs.groupBy(
+        "metric_a", "metric_b",
+        F.date_trunc("day", "hour_ts").alias("day_ts"),
+    ).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("ya").cast(DEC)).alias("sa"),
+        F.sum(F.col("yb").cast(DEC)).alias("sb"),
+        F.sum((F.col("ya") * F.col("ya")).cast(DEC)).alias("saa"),
+        F.sum((F.col("yb") * F.col("yb")).cast(DEC)).alias("sbb"),
+        F.sum((F.col("ya") * F.col("yb")).cast(DEC)).alias("sab"),
+    )
+
+
+_MOMENT_COLS = ["n", "sa", "sb", "saa", "sbb", "sab"]
+
+
+def merge_corr_moments(*parts: DataFrame) -> DataFrame:
+    """Element-wise sum of corr_pair_moments tables over disjoint hour
+    sets — the MERGE of the incremental maintenance story.  Exact:
+    decimal integer addition has no order sensitivity."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("metric_a", "metric_b", "day_ts").agg(
+        *[F.sum(c).cast(DEC).alias(c) for c in _MOMENT_COLS]
+    )
+
+
+def corr_from_moments(m: DataFrame, min_hours: int = 4) -> DataFrame:
+    """Assemble (metric_a, metric_b, day_ts, n_hours, r) from exact
+    moments — corr_matrix_daily's terminal expression, factored so
+    merged (incremental) state produces BIT-IDENTICAL reports to a
+    full rescan."""
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    da = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    )
+    db = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    )
+    return m.where(F.col("n") >= int(min_hours)).select(
+        "metric_a", "metric_b", "day_ts",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(
+            F.when(
+                (da > 0) & (db > 0), num / F.sqrt(da) / F.sqrt(db)
+            ),
+            6,
+        ).alias("r"),
+    )
