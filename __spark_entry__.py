@@ -3674,6 +3674,99 @@ def _tpch_rev_c():
     ).cast("long")
 
 
+def _tpch_partsupp(spark, sf_dir):
+    """The fixture has no partsupp table, so the remaining TPC-H
+    queries (Q2/Q11/Q16/Q20) run over a DERIVED one — a pure integer
+    function of (part × 4 hash-chosen suppliers), computed identically
+    in Spark and the DuckDB oracle:
+
+        ps_suppkey   = (p_partkey·293 + 71·s) mod max(s_suppkey) + 1
+        ps_cost_c    = (p_partkey·31 + ps_suppkey·17) mod 90000 + 10000
+        ps_availqty  = (p_partkey·7 + ps_suppkey·3) mod 9999 + 1
+
+    (cost in exact cents; hash collisions dedup via DISTINCT, so the
+    PK is clean in both engines).  This keeps the JOIN SHAPES of the
+    six queries real — the adaptation is the data, not the plan."""
+    p = _tpch_t(spark, sf_dir, "part").select("p_partkey")
+    smax = _tpch_t(spark, sf_dir, "supplier").agg(
+        F.max("s_suppkey").alias("_smax"))
+    ps = (
+        p.crossJoin(F.broadcast(smax))
+        .withColumn("_s", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            "p_partkey",
+            (F.pmod(F.col("p_partkey") * 293 + 71 * F.col("_s"),
+                    F.col("_smax")) + 1).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return ps.select(
+        "p_partkey", "ps_suppkey",
+        (F.pmod(F.col("p_partkey") * 31 + F.col("ps_suppkey") * 17,
+                F.lit(90000)) + 10000).alias("ps_cost_c"),
+        (F.pmod(F.col("p_partkey") * 7 + F.col("ps_suppkey") * 3,
+                F.lit(9999)) + 1).alias("ps_availqty"),
+    )
+
+
+_TPCH_PS_CTES = """smax AS (
+  SELECT max(s_suppkey) AS m FROM supplier
+), ps0 AS (
+  SELECT DISTINCT p_partkey,
+         (p_partkey * 293 + 71 * t.s) % (SELECT m FROM smax) + 1
+           AS ps_suppkey
+  FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) t
+), ps AS (
+  SELECT p_partkey, ps_suppkey,
+         (p_partkey * 31 + ps_suppkey * 17) % 90000 + 10000
+           AS ps_cost_c,
+         (p_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty
+  FROM ps0
+)"""
+
+
+def _tpch_lineitem_days(spark, sf_dir):
+    """lineitem + DERIVED commit/receipt DAY NUMBERS for Q12/Q21 (the
+    fixture lacks both date columns).  Everything stays integer epoch
+    days — the queries only ever COMPARE these dates, so no timestamp
+    round-trip exists to disagree on:
+
+        ship_day    = epoch_us(l_shipdate) // 86400e6
+        commit_day  = ship_day − (l_orderkey·7 + l_linenumber·3) % 45
+                      + 22            [±: some commits precede ship]
+        receipt_day = ship_day + (l_orderkey·11 + l_linenumber·5) % 30
+                      + 1
+    """
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    li = _tpch_t(spark, sf_dir, "lineitem")
+    ship_day = (epoch_us(F.col("l_shipdate")) / 86_400_000_000) \
+        .cast("long")
+    return li.select(
+        "*",
+        ship_day.alias("ship_day"),
+        (ship_day
+         - F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3,
+                  F.lit(45)) + 22).alias("commit_day"),
+        (ship_day
+         + F.pmod(F.col("l_orderkey") * 11 + F.col("l_linenumber") * 5,
+                  F.lit(30)) + 1).alias("receipt_day"),
+    )
+
+
+_TPCH_LID_CTES = """lid AS (
+  SELECT l.*,
+         epoch_us(l_shipdate) // 86400000000 AS ship_day,
+         epoch_us(l_shipdate) // 86400000000
+           - (l_orderkey * 7 + l_linenumber * 3) % 45 + 22
+           AS commit_day,
+         epoch_us(l_shipdate) // 86400000000
+           + (l_orderkey * 11 + l_linenumber * 5) % 30 + 1
+           AS receipt_day
+  FROM lineitem l
+)"""
+
+
 def q_tpch_q7(spark, sf_dir):
     """TPC-H Q7 volume shipping: revenue flowing between two nations
     (either direction) by shipment year.  Shape: the fact scan joins
@@ -3893,6 +3986,213 @@ def q_tpch_q22(spark, sf_dir):
     return cand.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("bal_c") / 100.0, 2).alias("totacctbal"),
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier over the DERIVED partsupp
+    (_tpch_partsupp; p_type equality replaces LIKE '%BRASS' — fixture
+    types are bare families).  The correlated regional min-cost
+    subquery is a window min over p_partkey on the region-filtered
+    join; the top-100 cut is a TakeOrdered on exact acctbal cents with
+    a full deterministic tiebreak."""
+    ps = _tpch_partsupp(spark, sf_dir)
+    p = _tpch_t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 3) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey")
+    s = _tpch_t(spark, sf_dir, "supplier")
+    n = _tpch_t(spark, sf_dir, "nation")
+    r = _tpch_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = (
+        s.join(F.broadcast(
+            n.join(F.broadcast(r),
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name",
+                F.round(F.col("s_acctbal") * 100).cast("long")
+                 .alias("bal_c"))
+    )
+    j = (
+        ps.join(F.broadcast(p), "p_partkey")
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("p_partkey")
+    best = j.withColumn("_mn", F.min("ps_cost_c").over(w)).where(
+        F.col("ps_cost_c") == F.col("_mn"))
+    return (
+        best.select(
+            F.round(F.col("bal_c") / 100.0, 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey",
+            F.round(F.col("ps_cost_c") / 100.0, 2).alias("ps_supplycost"),
+            "bal_c", "s_suppkey",
+        )
+        .orderBy(F.desc("bal_c"), "n_name", "s_name", "p_partkey",
+                 "s_suppkey")
+        .limit(100)
+        .drop("bal_c", "s_suppkey")
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock: per-part inventory value of
+    NATION_5's suppliers, HAVING value·1000 > national total — the
+    scalar-subquery threshold as an exact integer cross-multiply on a
+    1-row broadcast (no doubles until the final descale)."""
+    ps = _tpch_partsupp(spark, sf_dir)
+    s = _tpch_t(spark, sf_dir, "supplier")
+    n = _tpch_t(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_5")
+    sn = s.join(F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey")) \
+          .select("s_suppkey")
+    j = ps.join(F.broadcast(sn),
+                F.col("ps_suppkey") == F.col("s_suppkey")) \
+          .select("p_partkey",
+                  (F.col("ps_cost_c") * F.col("ps_availqty"))
+                  .alias("v_c"))
+    per = j.groupBy("p_partkey").agg(F.sum("v_c").alias("val_c"))
+    tot = per.agg(F.sum("val_c").alias("tot_c"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("val_c") * 1000 > F.col("tot_c"))
+        .select("p_partkey",
+                F.round(F.col("val_c") / 100.0, 2).alias("value"))
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipmode priority split over DERIVED shipmode and
+    commit/receipt day numbers (_tpch_lineitem_days): late-commit
+    logic compares integer epoch days only; the priority split is one
+    conditional hash-agg after the orders join (fact-fact, the one
+    shuffle)."""
+    modes = ["MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "REG AIR", "FOB"]
+    li = _tpch_lineitem_days(spark, sf_dir).withColumn(
+        "shipmode",
+        F.element_at(
+            F.array(*[F.lit(m) for m in modes]),
+            (F.pmod(F.col("l_orderkey") + F.col("l_linenumber"),
+                    F.lit(7)) + 1).cast("int"),
+        ),
+    )
+    d0 = 9496   # 1996-01-01 epoch day
+    d1 = 9862   # 1997-01-01
+    flt = li.where(
+        F.col("shipmode").isin("MAIL", "SHIP")
+        & (F.col("commit_day") < F.col("receipt_day"))
+        & (F.col("ship_day") < F.col("commit_day"))
+        & (F.col("receipt_day") >= d0) & (F.col("receipt_day") < d1)
+    )
+    o = _tpch_t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        flt.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 supplier count per part attribute bucket over the
+    derived partsupp; the complaint-supplier exclusion (no comment
+    column) is s_suppkey % 10 = 0, applied as a LEFT ANTI join so the
+    shape (NOT IN subquery) survives the adaptation."""
+    ps = _tpch_partsupp(spark, sf_dir)
+    p = _tpch_t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _tpch_t(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 10 == 0).select("s_suppkey")
+    j = (
+        ps.join(F.broadcast(p), "p_partkey")
+        .join(F.broadcast(bad),
+              F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 excess-stock suppliers: NATION_7 suppliers holding a
+    'small%' part whose derived availqty exceeds half the 1996 shipped
+    quantity of that (part, supplier) — 2·avail > Σqty, exact ints.
+    The correlated subquery chain compiles to one fact hash-agg + two
+    broadcast joins + a final LEFT SEMI onto supplier."""
+    ps = _tpch_partsupp(spark, sf_dir)
+    p = _tpch_t(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")).select("p_partkey")
+    li = _tpch_t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    excess = (
+        ps.join(F.broadcast(p), "p_partkey")
+        .join(
+            shipped,
+            (F.col("p_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _tpch_t(spark, sf_dir, "supplier")
+    n = _tpch_t(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7")
+    return (
+        s.join(F.broadcast(n),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 waiting suppliers over derived receipt/commit days:
+    for finished orders, NATION_2 suppliers whose lineitem was the
+    ONLY late one among a multi-supplier order.  The EXISTS /
+    NOT EXISTS pair is two aggregated semi-structures on ONE per-order
+    hash-agg (count distinct suppliers, count distinct LATE suppliers)
+    — never two correlated re-scans of lineitem."""
+    lid = _tpch_lineitem_days(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("receipt_day") > F.col("commit_day")).alias("late"),
+    )
+    o = _tpch_t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    lo = lid.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+         .alias("n_late_supp"),
+    )
+    cand = (
+        lo.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = _tpch_t(spark, sf_dir, "supplier")
+    n = _tpch_t(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_2")
+    sn = s.join(F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey")) \
+          .select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(sn),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
@@ -5026,6 +5326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "fleet_coverage": q_fleet_coverage,
         "edge_similarity": q_edge_similarity,
         "ols_multi": q_ols_multi,
@@ -10272,6 +10578,121 @@ SELECT make_timestamp(b * 86400000000) AS day_ts,
        round(cast(sum(e1 - s0) AS bigint) / 86400000000.0, 6)
          AS utilization
 FROM per_island GROUP BY 1
+""",
+        "tpch_q2": f"""
+WITH {_TPCH_PS_CTES}, sn AS (
+  SELECT s_suppkey, s_name, n_name,
+         cast(round(s_acctbal * 100) AS bigint) AS bal_c
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), j AS (
+  SELECT ps.p_partkey, ps.ps_cost_c, sn.s_name, sn.n_name, sn.bal_c,
+         sn.s_suppkey,
+         min(ps.ps_cost_c) OVER (PARTITION BY ps.p_partkey) AS mn
+  FROM ps
+  JOIN part ON ps.p_partkey = part.p_partkey
+           AND p_size = 3 AND p_type = 'LARGE'
+  JOIN sn ON ps.ps_suppkey = sn.s_suppkey
+)
+SELECT round(bal_c / 100.0, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       round(ps_cost_c / 100.0, 2) AS ps_supplycost
+FROM j WHERE ps_cost_c = mn
+ORDER BY bal_c DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+""",
+        "tpch_q11": f"""
+WITH {_TPCH_PS_CTES}, j AS (
+  SELECT p_partkey, cast(ps_cost_c * ps_availqty AS bigint) AS v_c
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+), per AS (
+  SELECT p_partkey, cast(sum(v_c) AS bigint) AS val_c
+  FROM j GROUP BY 1
+), tot AS (
+  SELECT cast(sum(val_c) AS bigint) AS tot_c FROM per
+)
+SELECT p_partkey, round(val_c / 100.0, 2) AS value
+FROM per, tot WHERE val_c * 1000 > tot_c
+""",
+        "tpch_q12": f"""
+WITH {_TPCH_LID_CTES}, lm AS (
+  SELECT l_orderkey,
+         ['MAIL', 'SHIP', 'AIR', 'RAIL', 'TRUCK', 'REG AIR',
+          'FOB'][(l_orderkey + l_linenumber) % 7 + 1] AS shipmode,
+         ship_day, commit_day, receipt_day
+  FROM lid
+)
+SELECT shipmode,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS bigint) AS low_line_count
+FROM lm JOIN orders ON lm.l_orderkey = o_orderkey
+WHERE shipmode IN ('MAIL', 'SHIP')
+  AND commit_day < receipt_day AND ship_day < commit_day
+  AND receipt_day >= 9496 AND receipt_day < 9862
+GROUP BY 1
+""",
+        "tpch_q16": f"""
+WITH {_TPCH_PS_CTES}
+SELECT p_brand, p_type, p_size,
+       cast(count(DISTINCT ps_suppkey) AS bigint) AS supplier_cnt
+FROM ps
+JOIN part ON ps.p_partkey = part.p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0)
+GROUP BY 1, 2, 3
+""",
+        "tpch_q20": f"""
+WITH {_TPCH_PS_CTES}, shipped AS (
+  SELECT l_partkey, l_suppkey,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY 1, 2
+), excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM ps
+  JOIN part ON ps.p_partkey = part.p_partkey
+           AND p_name LIKE 'small%'
+  JOIN shipped ON ps.p_partkey = shipped.l_partkey
+              AND ps.ps_suppkey = shipped.l_suppkey
+  WHERE 2 * ps_availqty > qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+""",
+        "tpch_q21": f"""
+WITH {_TPCH_LID_CTES}, lo AS (
+  SELECT l_orderkey, l_suppkey,
+         receipt_day > commit_day AS late
+  FROM lid
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         cast(count(DISTINCT l_suppkey) AS bigint) AS n_supp,
+         cast(count(DISTINCT CASE WHEN late THEN l_suppkey END)
+              AS bigint) AS n_late_supp
+  FROM lo GROUP BY 1
+)
+SELECT s_name, cast(count(*) AS bigint) AS numwait
+FROM lo
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE lo.late AND n_supp >= 2 AND n_late_supp = 1
+  AND n_name = 'NATION_2'
+GROUP BY 1
 """,
         "tpch_q7": """
 SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,

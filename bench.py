@@ -200,6 +200,12 @@ HEADLINE_R3 = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "fleet_coverage",
     "edge_similarity",
     "ols_multi",
