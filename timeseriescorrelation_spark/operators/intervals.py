@@ -234,7 +234,8 @@ def max_concurrency(spans: DataFrame, start_col: str = "start_ts",
 
 def interval_islands(spans: DataFrame, keys: list[str],
                      start_col: str = "s_us",
-                     end_col: str = "e_us") -> DataFrame:
+                     end_col: str = "e_us",
+                     count_col: str | None = None) -> DataFrame:
     """Union coverage per key group via gaps-and-islands: merge
     overlapping/touching [start, end) spans into maximal islands and
     report per group
@@ -266,13 +267,16 @@ def interval_islands(spans: DataFrame, keys: list[str],
     runmax = F.max(end_col).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # count_col: when the input is PRE-MERGED spans (merge_spans),
+    # n_spans still reports the raw count folded into them
+    cnt = F.col(count_col) if count_col else F.lit(1)
     flagged = spans.select(
-        *keys, start_col, end_col,
+        *keys, start_col, end_col, cnt.alias("_c"),
         F.when(
             runmax.isNull() | (F.col(start_col) > runmax), F.lit(1)
         ).otherwise(F.lit(0)).alias("_new"),
     ).select(
-        *keys, start_col, end_col,
+        *keys, start_col, end_col, "_c",
         F.sum("_new").over(
             w_ord.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("_island"),
@@ -280,7 +284,7 @@ def interval_islands(spans: DataFrame, keys: list[str],
     per_island = flagged.groupBy(*keys, "_island").agg(
         F.min(start_col).alias("_s0"),
         F.max(end_col).alias("_e1"),
-        F.count(F.lit(1)).alias("_n"),
+        F.sum("_c").alias("_n"),
     )
     return per_island.groupBy(*keys).agg(
         F.sum("_n").cast("long").alias("n_spans"),
@@ -288,6 +292,46 @@ def interval_islands(spans: DataFrame, keys: list[str],
         F.sum(F.col("_e1") - F.col("_s0")).cast("long").alias("covered_us"),
         F.max(F.col("_e1") - F.col("_s0")).cast("long").alias("longest_us"),
     )
+
+
+def merge_spans(spans: DataFrame, keys: list[str],
+                start_col: str = "s_us", end_col: str = "e_us",
+                count_col: str | None = None) -> DataFrame:
+    """Merge overlapping/touching spans per key group and RETURN the
+    merged spans (keys..., s_us, e_us, n_merged) instead of
+    interval_islands' aggregates — the composable half of the
+    gaps-and-islands pair.  n_merged counts the RAW spans folded into
+    each island (or sums `count_col` when the input is itself
+    pre-merged), so multi-level merges preserve the original span
+    count.
+
+    Union-merge is ASSOCIATIVE: merge per (day, user) first — cheap,
+    embarrassingly parallel, shrinks bursty per-entity spans by the
+    burst factor — then merge the survivors per day, and the result
+    is identical to one global merge (fleet_coverage does exactly
+    this; the two-level form also bounds the per-day hot-key group at
+    |users|·islands instead of |raw spans|)."""
+    w_ord = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    runmax = F.max(end_col).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.col(count_col) if count_col else F.lit(1)
+    flagged = spans.select(
+        *keys, start_col, end_col, cnt.alias("_c"),
+        F.when(
+            runmax.isNull() | (F.col(start_col) > runmax), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_new"),
+    ).select(
+        *keys, start_col, end_col, "_c",
+        F.sum("_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_island"),
+    )
+    return flagged.groupBy(*keys, "_island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.sum("_c").cast("long").alias("n_merged"),
+    ).drop("_island")
 
 
 def sessions_capped(events: DataFrame, keys: list[str],
