@@ -4424,6 +4424,55 @@ def q_corr_upsert(spark, sf_dir):
     return corr_from_moments(merge_corr_moments(sealed, live))
 
 
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index estimator per metric — HOW heavy is the value
+    tail (α < 2: infinite variance, percentiles unstable, cost
+    forecasts lie; the number zipf_fit computes for token ranks, here
+    for metric values):
+
+        α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1))      over the top k+1
+
+    order statistics of positive value cents.  Each ln is of one
+    exact-integer ratio, snapped to µ-nats BEFORE the integer sum (the
+    lm.py fixed-point discipline), so both engines assemble α from the
+    same integer; ranking ties break by event_id.  The top-(k+1) cut
+    is a per-metric window row_number — partition-parallel by metric,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    k = 100
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric"), "event_id",
+        cents.alias("c"),
+    ).where(F.col("c") > 0)
+    w = Window.partitionBy("metric").orderBy(F.desc("c"), "event_id")
+    top = e.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k + 1)
+    xk1 = top.where(F.col("r") == k + 1).select(
+        "metric", F.col("c").alias("c_k1"))
+    s = (
+        top.where(F.col("r") <= k)
+        .join(xk1, "metric")
+        .select(
+            "metric",
+            F.round(
+                F.log(F.col("c").cast("double")
+                      / F.col("c_k1").cast("double")) * 1_000_000
+            ).cast("long").alias("lu"),
+            "c_k1",
+        )
+        .groupBy("metric", "c_k1")
+        .agg(F.sum("lu").alias("sum_u"), F.count(F.lit(1)).alias("k"))
+    )
+    return s.select(
+        "metric", "k",
+        F.round(F.col("c_k1") / 100.0, 2).alias("x_k1"),
+        F.round(F.col("k") * 1_000_000.0 / F.col("sum_u"), 6)
+         .alias("alpha"),
+    )
+
+
 def q_current_pctile(spark, sf_dir):
     """Where does the LATEST hourly value sit against the series' own
     history — the "is current traffic unusual" monitor: per metric,
@@ -5352,6 +5401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "hill_tail": q_hill_tail,
         "fleet_coverage": q_fleet_coverage,
         "edge_similarity": q_edge_similarity,
         "ols_multi": q_ols_multi,
@@ -10480,6 +10530,33 @@ SELECT metric, hour_ts, y, n AS slope_n,
                        / cast(n * stt - st * st AS double) / 100.0
              END, 6) AS slope
 FROM m
+""",
+        "hill_tail": """
+WITH e AS (
+  SELECT event_type AS metric, event_id,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+  WHERE cast(round(value * 100) AS bigint) > 0
+), top AS (
+  SELECT metric, c,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY c DESC, event_id) AS r
+  FROM e
+), xk1 AS (
+  SELECT metric, c AS c_k1 FROM top WHERE r = 101
+), s AS (
+  SELECT t.metric, x.c_k1,
+         cast(sum(cast(round(ln(cast(t.c AS double)
+                              / cast(x.c_k1 AS double)) * 1000000)
+                       AS bigint)) AS bigint) AS sum_u,
+         cast(count(*) AS bigint) AS k
+  FROM top t JOIN xk1 x ON t.metric = x.metric
+  WHERE t.r <= 100
+  GROUP BY 1, 2
+)
+SELECT metric, k, round(c_k1 / 100.0, 2) AS x_k1,
+       round(k * 1000000.0 / sum_u, 6) AS alpha
+FROM s
 """,
         "bitmap_retention": """
 WITH act AS (
