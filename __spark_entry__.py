@@ -5158,6 +5158,126 @@ def q_psi_fixed(spark, sf_dir):
     return psi_fixed_hourly(_series_from_events(spark, sf_dir), PSI_EDGES)
 
 
+def _coactivity_minute_edges(spark, sf_dir):
+    """Distinct (a < b) user pairs sharing a minute bucket — the
+    SPARSE co-activity graph (minute grain: ~1k edges at sf0.01 vs
+    ~11k at hour grain where the graph is near-complete).  Same
+    quadratic-per-bucket caveat as q_assortativity: cap per-bucket
+    membership at dense-cohort scale before the self-join."""
+    active = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("user_id").cast("long").alias("u"),
+            F.date_trunc("minute", "ts").alias("b"),
+        )
+        .distinct()
+    )
+    return (
+        active.alias("x")
+        .join(active.alias("y"), "b")
+        .where(F.col("x.u") < F.col("y.u"))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+
+
+def q_kcore_events(spark, sf_dir):
+    """Bounded parallel k-core peel (k=10, 6 synchronous rounds) of
+    the minute-grain co-activity graph: survivors with their degree
+    inside the survivor set.  Parallel peeling is order-free — each
+    round's deletions depend only on the survivor SET — so the DuckDB
+    oracle unrolls the same 6 rounds bit-exactly (the pagerank-unroll
+    pattern); pytest separately asserts full convergence (peel depth)
+    on a fixture where n_rounds exceeds it."""
+    from timeseriescorrelation_spark.operators.graphrank import kcore_peel
+
+    return kcore_peel(
+        _coactivity_minute_edges(spark, sf_dir), k=10, n_rounds=6
+    )
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Top-100 link-prediction pairs on the minute-grain co-activity
+    graph: common-neighbor count + Resource-Allocation and Adamic-
+    Adar scores in exact pico-units (integer div by deg and by the
+    micro-nat floor(1e6·ln deg) — the km_survival snap), TakeOrdered
+    (aa_p desc, u, v)."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        adamic_adar_scores,
+    )
+
+    return adamic_adar_scores(
+        _coactivity_minute_edges(spark, sf_dir), top_k=100
+    )
+
+
+def q_cvar_daily(spark, sf_dir):
+    """Per-(metric, day) VaR / CVaR at the worst-5% tail over exact
+    integer cents — both are order-statistic functionals (k-th
+    largest, top-k mean), so the undetermined rank order among equal
+    cents cannot change the answer; ONE rounded IEEE division at the
+    end."""
+    from timeseriescorrelation_spark.operators.analytics import cvar_daily
+
+    return cvar_daily(_series_from_events(spark, sf_dir), alpha_denom=20)
+
+
+def q_conv_quality(spark, sf_dir):
+    """Per-conversation quality scorecard, all-integer: turn count,
+    distinct metrics, exact µs span, floor-div mean inter-turn gap,
+    total cents, and a composite score_u = 10·n_turns +
+    100·n_metrics + min(span_s, 3600) — the transcript-triage row a
+    training-data pipeline filters on before sampling."""
+    s = _series_from_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (
+        s.select(
+            "conv_id",
+            us.alias("us"),
+            F.col("metric"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("metric").alias("n_metrics"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+            F.sum("c").alias("total_cents"),
+        )
+    )
+    return per.select(
+        "conv_id",
+        "n_turns",
+        "n_metrics",
+        "span_us",
+        F.when(
+            F.col("n_turns") > 1,
+            F.expr("span_us div (n_turns - 1)"),
+        ).alias("mean_gap_us"),
+        "total_cents",
+        (
+            F.lit(10) * F.col("n_turns")
+            + F.lit(100) * F.col("n_metrics")
+            + F.least(
+                F.expr("span_us div 1000000"), F.lit(3600).cast("long")
+            )
+        ).alias("score_u"),
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dups (smaller shingle set ≥80%
+    inside the intersection) — catches quote-inclusion / truncation
+    dups symmetric Jaccard misses; integer threshold, posting-list
+    candidates, verification tier of the dedup ladder."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_docs(spark, sf_dir), n=3, min_inter=2,
+                             tau_pct=80)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5412,6 +5532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_retention": q_bitmap_retention,
         "rolling_slope_24h": q_rolling_slope_24h,
         "corr_upsert": q_corr_upsert,
+        "kcore_events": q_kcore_events,
+        "adamic_adar": q_adamic_adar,
+        "cvar_daily": q_cvar_daily,
+        "conv_quality": q_conv_quality,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -5686,6 +5811,42 @@ _TEXTRANK_EDGE_CTES = """base AS (
 
 def _pagerank_dangling_oracle(n_iter: int = 3) -> str:
     return _pagerank_unrolled_oracle(_COACTIVITY_EDGE_CTES, n_iter)
+
+
+_MINUTE_COACT_CTES = """active AS (
+  SELECT DISTINCT cast(user_id AS bigint) AS u,
+         date_trunc('minute', ts) AS b
+  FROM events
+), e AS (
+  SELECT DISTINCT x.u AS a, y.u AS b
+  FROM active x JOIN active y ON x.b = y.b AND x.u < y.u
+), und AS (
+  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+)"""
+
+
+def _kcore_oracle(k: int = 10, n_rounds: int = 6) -> str:
+    """Unroll n_rounds of synchronous k-core peeling as CTEs —
+    order-free (each round depends only on the survivor set), so
+    this is bit-exact vs graphrank.kcore_peel."""
+    ctes = [f"WITH {_MINUTE_COACT_CTES}, a0 AS (\n"
+            "  SELECT DISTINCT a AS node FROM und\n)"]
+    for i in range(1, n_rounds + 1):
+        ctes.append(f""", d{i} AS (
+  SELECT a, count(*) AS c FROM und
+  WHERE a IN (SELECT node FROM a{i - 1})
+    AND b IN (SELECT node FROM a{i - 1})
+  GROUP BY 1
+), a{i} AS (
+  SELECT a AS node FROM d{i} WHERE c >= {k}
+)""")
+    return "".join(ctes) + f"""
+SELECT a AS node, cast(count(*) AS bigint) AS core_deg
+FROM und
+WHERE a IN (SELECT node FROM a{n_rounds})
+  AND b IN (SELECT node FROM a{n_rounds})
+GROUP BY 1
+"""
 
 
 def _dsir_oracle(n_buckets: int = 4096) -> str:
@@ -11505,5 +11666,90 @@ SELECT c.conv_id, item, n_item, n_total,
        round(cast(n_item AS double) / n_total, 6) AS share
 FROM c JOIN t ON t.conv_id = c.conv_id
 WHERE 8 * n_item >= n_total
+""",
+        "kcore_events": _kcore_oracle(10, 6),
+        "adamic_adar": f"""
+WITH {_MINUTE_COACT_CTES}, deg AS (
+  SELECT a AS w, cast(count(*) AS bigint) AS d FROM und GROUP BY 1
+), wd AS (
+  SELECT w,
+         1000000000000 // d AS ra_w,
+         1000000000000
+           // cast(floor(ln(cast(d AS double)) * 1000000.0) AS bigint)
+           AS aa_w
+  FROM deg
+), wedge AS (
+  SELECT x.b AS u, y.b AS v, x.a AS w
+  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+), sc AS (
+  SELECT u, v, cast(count(*) AS bigint) AS common_n,
+         cast(sum(ra_w) AS bigint) AS ra_p,
+         cast(sum(aa_w) AS bigint) AS aa_p
+  FROM wedge JOIN wd USING (w) GROUP BY 1, 2
+)
+SELECT u, v, common_n, ra_p, aa_p
+FROM sc ORDER BY aa_p DESC, u, v LIMIT 100
+""",
+        "cvar_daily": """
+WITH b AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), r AS (
+  SELECT metric, day_ts, c,
+         row_number() OVER (PARTITION BY metric, day_ts
+                            ORDER BY c DESC) AS rn,
+         count(*) OVER (PARTITION BY metric, day_ts) AS n
+  FROM b
+), k AS (
+  SELECT *, (n + 19) // 20 AS kt FROM r
+), t AS (
+  SELECT metric, day_ts, n, kt,
+         min(c) AS vc, cast(sum(c) AS bigint) AS tc
+  FROM k WHERE rn <= kt GROUP BY 1, 2, 3, 4
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n_points,
+       cast(kt AS bigint) AS k_tail,
+       round(cast(vc AS double) / 100.0, 6) AS var_amt,
+       round(cast(tc AS double) / (100.0 * kt), 6) AS cvar_amt
+FROM t
+""",
+        "conv_quality": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         epoch_us(ts) AS us, cast(round(value * 100) AS bigint) AS c
+  FROM events
+), per AS (
+  SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+         cast(count(DISTINCT metric) AS bigint) AS n_metrics,
+         cast(max(us) - min(us) AS bigint) AS span_us,
+         cast(sum(c) AS bigint) AS total_cents
+  FROM s GROUP BY 1
+)
+SELECT conv_id, n_turns, n_metrics, span_us,
+       CASE WHEN n_turns > 1
+            THEN cast(span_us // (n_turns - 1) AS bigint) END
+         AS mean_gap_us,
+       total_cents,
+       cast(10 * n_turns + 100 * n_metrics
+            + least(span_us // 1000000, 3600) AS bigint) AS score_u
+FROM per
+""",
+        "dedup_containment": f"""
+WITH {_SHINGLE_CTES}, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, cast(inter_n AS int) AS inter_n,
+       cast(sa.sz AS bigint) AS sz_a, cast(sb.sz AS bigint) AS sz_b,
+       round(cast(inter_n AS double) / sa.sz, 6) AS cont_a,
+       round(cast(inter_n AS double) / sb.sz, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter_n * 100 >= 80 * least(sa.sz, sb.sz)
 """,
     }

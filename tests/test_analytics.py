@@ -552,3 +552,29 @@ def test_proportion_wilson_hand_computed(spark):
     assert got[1].ci_hi == round(min(1.0, center + hw), 6)
     assert got[2].p == 0.0 and got[2].ci_lo == 0.0
     assert got[2].ci_hi > 0.4  # n=5 zero-rate still genuinely uncertain
+
+
+def test_cvar_daily_tie_invariant(spark):
+    """n=40 points, k=ceil(40/20)=2: VaR = 2nd-largest cents, CVaR =
+    mean of the top 2 — with THREE ties at the boundary value so any
+    row_number tie order must give the same answer (order-statistic
+    functional)."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.analytics import cvar_daily
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [9.0] + [5.0] * 3 + [1.0] * 36   # top2 = {9.00, 5.00}
+    rows = [
+        ("c1", "m", base + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    s = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    out = cvar_daily(s, alpha_denom=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_points, r.k_tail) == (40, 2)
+    assert r.var_amt == 5.0
+    assert r.cvar_amt == 7.0   # (900+500)/(100*2)

@@ -316,3 +316,34 @@ def test_cc_star_fewer_rounds_on_chain(spark):
     assert got == want and set(got.values()) == {0}
     assert s_star["rounds"] < s_prop["rounds"], (s_star, s_prop)
     assert s_star["rounds"] <= 8, s_star  # ~log2(64) + probe round
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: Jaccard is low (no
+    ngram_jaccard hit at 20%) but containment of the smaller set is
+    100% — exactly the asymmetric case the operator exists for."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(0, 60, 3))
+    big = filler + " " + small + " " + filler.upper()
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(docs, n=3, min_inter=2, tau_pct=80).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.inter_n == r.sz_a          # fully contained
+    assert r.cont_a == 1.0 and r.cont_b < 0.2
+    # symmetric Jaccard at the 20% gate misses this pair entirely
+    jac = ngram_jaccard_pairs(docs, n=3, min_inter=2).collect()
+    assert all(
+        p.inter_n * 5 < p.union_n
+        for p in jac
+        if (p.id_a, p.id_b) == (1, 2)
+    )

@@ -103,3 +103,58 @@ def test_bfs_depths_chain_and_early_exit(spark):
         for r in bfs_depths(edges, seeds, max_depth=1).collect()
     }
     assert clipped == {1: 0, 2: 1}
+
+
+def test_kcore_parallel_peel_converges(spark):
+    """Two triangles joined by a bridge: the 2-core is both triangles
+    (bridge endpoints survive, their degree includes the bridge);
+    the 3-core is empty.  n_rounds beyond the peel depth must be a
+    no-op (fixed point), and kcore_peel must report degrees inside
+    the survivor set, not raw degrees."""
+    from timeseriescorrelation_spark.operators.graphrank import kcore_peel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"),
+         ("c", "d"),                       # bridge
+         ("f", "g")],                      # pendant leaf g
+        "src string, dst string",
+    )
+    got = {
+        r.node: r.core_deg for r in kcore_peel(edges, 2, 5).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 3, "d": 3, "e": 2, "f": 2}
+    assert kcore_peel(edges, 3, 8).count() == 0
+
+
+def test_kcore_chain_peels_inward(spark):
+    """A path graph has an empty 2-core but parallel peeling takes
+    ceil(n/2) rounds (both ends peel simultaneously): bounded
+    n_rounds exposes the intermediate survivor set exactly."""
+    from timeseriescorrelation_spark.operators.graphrank import kcore_peel
+
+    path = [(str(i), str(i + 1)) for i in range(6)]  # 0-1-...-6
+    edges = spark.createDataFrame(path, "src string, dst string")
+    after1 = {r.node for r in kcore_peel(edges, 2, 1).collect()}
+    assert after1 == {"1", "2", "3", "4", "5"}
+    assert kcore_peel(edges, 2, 4).count() == 0
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Square a-b-c-d-a: every adjacent pair shares 0 neighbors, the
+    two diagonals share 2 (all degrees 2).  ln 2 micro-nat snap:
+    L = 693147, aa_w = 10^12 // 693147 = 1442695, ra_w = 5*10^11."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        adamic_adar_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    rows = adamic_adar_scores(edges, top_k=10).collect()
+    got = {(r.u, r.v): (r.common_n, r.ra_p, r.aa_p) for r in rows}
+    assert got == {
+        ("a", "c"): (2, 10**12, 2 * 1442695),
+        ("b", "d"): (2, 10**12, 2 * 1442695),
+    }

@@ -2059,3 +2059,64 @@ def cusum_fixed(series: DataFrame, mu: float, sigma: float,
             | (sm.cast("double") > F.lit(thr))
         ).alias("alert"),
     )
+
+
+def cvar_daily(series: DataFrame, alpha_denom: int = 20) -> DataFrame:
+    """Per-(metric, day) upper-tail risk on exact integer cents:
+    VaR = the k-th largest value and CVaR (expected shortfall) = the
+    mean of the k largest values, with k = ceil(n / alpha_denom)
+    (alpha_denom=20 -> the worst 5%).
+
+    Exactness: cents = round(value*100) as int64; row_number over
+    cents DESC needs NO tiebreak because both outputs are order-
+    statistic functionals of the multiset — the k-th largest VALUE
+    and the sum of the k largest values are invariant to how equal
+    cents are ranked among themselves.  The single float op is the
+    final mean: one IEEE division of two exact int64s rounded to
+    6 dp, identical cross-engine.
+
+    Scale shape: one shuffle on (metric, day) for the window, one
+    hash-agg — the window frame is within-day so the sort is
+    per-partition-key, never global.  Days are the natural time
+    partition, so at 10^12 rows this runs day-sharded with the same
+    plan per shard.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    day = F.date_trunc("day", "ts")
+    base = series.select(
+        F.col("metric"), day.alias("day_ts"), cents.alias("c")
+    )
+    w = Window.partitionBy("metric", "day_ts").orderBy(F.desc("c"))
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    per = (
+        ranked.groupBy("metric", "day_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr(
+                f"(count(1) + {int(alpha_denom) - 1}) div "
+                f"{int(alpha_denom)}"
+            ).alias("k_tail"),
+            F.max(F.col("c")).alias("max_c"),
+        )
+    )
+    tail = (
+        ranked.join(per, ["metric", "day_ts"])
+        .where(F.col("rn") <= F.col("k_tail"))
+        .groupBy("metric", "day_ts", "n_points", "k_tail")
+        .agg(
+            F.min("c").alias("var_cents"),
+            F.sum("c").alias("tail_cents"),
+        )
+    )
+    return tail.select(
+        "metric",
+        "day_ts",
+        "n_points",
+        "k_tail",
+        F.round(F.col("var_cents") / 100.0, 6).alias("var_amt"),
+        F.round(
+            F.col("tail_cents")
+            / (F.lit(100.0) * F.col("k_tail").cast("double")),
+            6,
+        ).alias("cvar_amt"),
+    )

@@ -751,3 +751,61 @@ def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
     raise RuntimeError(
         f"connected_components_star: no fixpoint after {max_iter} rounds"
     )
+
+
+def containment_pairs(docs: DataFrame, n: int = 3, min_inter: int = 2,
+                      tau_pct: int = 80, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric near-dup detection: doc pairs where the SMALLER
+    shingle set is >= tau_pct% contained in the intersection —
+    catches quote-inclusion / prefix-truncation dups that symmetric
+    Jaccard misses (a 50-line doc fully embedded in a 5000-line doc
+    has Jaccard ~1% but containment 100%).
+
+    Candidates come from the shared-shingle posting-list equi-join
+    (the ngram_jaccard_pairs source) with an integer threshold
+    inter * 100 >= tau_pct * min(sz_a, sz_b) — all-integer, so the
+    DuckDB oracle is exact.  Both directed containments are reported
+    6-dp (ONE IEEE int/int division each).
+
+    Scale shape: identical to ngram_jaccard_pairs — quadratic in
+    posting-list length, so this is the VERIFICATION tier; at corpus
+    scale run it only on LSH/prefix-filter candidates (the
+    minhash_lsh_pairs or prefix_jaccard_pairs output joined back to
+    shingle sets), which this function accepts unchanged since it
+    keys only on (doc_id, shingle).
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+        .where(F.col("inter_n") >= int(min_inter))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "id_a").join(sb, "id_b")
+    return (
+        j.where(
+            F.col("inter_n") * 100
+            >= F.lit(int(tau_pct)) * F.least("sz_a", "sz_b")
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("inter_n").cast("int").alias("inter_n"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.round(F.col("inter_n") / F.col("sz_a"), 6)
+            .alias("cont_a"),
+            F.round(F.col("inter_n") / F.col("sz_b"), 6)
+            .alias("cont_b"),
+        )
+    )

@@ -371,3 +371,122 @@ def edge_jaccard(edges: DataFrame, src_col: str = "src",
             6,
         ).alias("jaccard"),
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, n_rounds: int,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, core_deg): survivors of ``n_rounds`` of PARALLEL k-core
+    peeling — each round simultaneously deletes every node whose
+    degree inside the current survivor set is < k — with their degree
+    inside the final survivor set.
+
+    Parallel (synchronous) peeling is deterministic with no tie rule
+    at all: a round's deletions depend only on the survivor SET, never
+    on intra-round order, so the DuckDB oracle unrolls the same K
+    rounds bit-exactly (the pagerank unroll pattern).  Once a round
+    deletes nothing the set is the true k-core and further rounds are
+    no-ops, so with n_rounds >= the graph's peel depth the output IS
+    the k-core; pytest asserts convergence at the fixture scale.
+
+    Scale shape: each round is one hash-agg over surviving edges plus
+    two semi-joins on node keys (partition-parallel, no global sort);
+    rounds needed = peel depth, typically O(10) on social-ish graphs.
+    For 10^12-edge graphs, checkpoint the survivor frame every few
+    rounds (the dedup.connected_components localCheckpoint policy)
+    to cap lineage; at this fixed small K the plan stays shallow.
+    Input may be directed or undirected; it is symmetrized and
+    self-loops dropped before peeling.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    alive = und.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for _ in range(int(n_rounds)):
+        deg = (
+            und.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        alive = deg.where(F.col("core_deg") >= k).select(
+            F.col("a").alias("node")
+        )
+    final_deg = (
+        und.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+        .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return final_deg.select(F.col("a").alias("node"), "core_deg")
+
+
+def adamic_adar_scores(edges: DataFrame, top_k: int = 100,
+                       src_col: str = "src",
+                       dst_col: str = "dst") -> DataFrame:
+    """Top-k link-prediction scores over an undirected graph given as
+    distinct (src < dst) pairs: for each node pair (u, v) sharing at
+    least one neighbor, common-neighbor count plus two weighted
+    variants in exact pico-units —
+
+      ra_p = sum over common w of 10^12 // deg(w)          (Resource
+             Allocation index, pure integer arithmetic), and
+      aa_p = sum over common w of 10^12 // L(w) with
+             L(w) = floor(10^6 * ln(deg(w)))               (Adamic-
+             Adar with the micro-nat integer-ln snap that km_survival
+             uses: ONE float op per node quantized to the 1e-6 grid,
+             every sum afterwards exact, so DuckDB reproduces it
+             bit-for-bit).
+
+    Wedge centers have deg >= 2, so L >= floor(1e6*ln 2) = 693147 and
+    the integer division never sees zero.
+
+    Scale shape: the wedge join costs sum(deg(w)^2) rows — on skewed
+    graphs cap or sample high-degree centers first (their 1/ln(deg)
+    weight contributes least per wedge; the bounded co-activity
+    builder in hybrid.py is the upstream cap for event graphs).  The
+    degree table is nodes-sized and broadcast; output is TakeOrdered
+    top-k (aa_p desc, u, v), never a global sort.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wdim = deg.select(
+        "w",
+        F.expr("1000000000000L div deg").alias("ra_w"),
+        F.expr(
+            "1000000000000L div cast(floor(log(cast(deg as double))"
+            " * 1000000.0) as long)"
+        ).alias("aa_w"),
+    )
+    x, y = und.alias("x"), und.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.a") == F.col("y.a"))
+               & (F.col("x.b") < F.col("y.b")))
+        .select(
+            F.col("x.b").alias("u"),
+            F.col("y.b").alias("v"),
+            F.col("x.a").alias("w"),
+        )
+    )
+    scored = (
+        wedges.join(F.broadcast(wdim), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_n"),
+            F.sum("ra_w").alias("ra_p"),
+            F.sum("aa_w").alias("aa_p"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("aa_p"), "u", "v")
+        .limit(int(top_k))
+        .select("u", "v", "common_n", "ra_p", "aa_p")
+    )
