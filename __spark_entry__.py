@@ -11677,7 +11677,7 @@ WITH {_MINUTE_COACT_CTES}, deg AS (
          1000000000000
            // cast(floor(ln(cast(d AS double)) * 1000000.0) AS bigint)
            AS aa_w
-  FROM deg
+  FROM deg WHERE d >= 2
 ), wedge AS (
   SELECT x.b AS u, y.b AS v, x.a AS w
   FROM und x JOIN und y ON x.a = y.a AND x.b < y.b

@@ -231,6 +231,12 @@ HEADLINE_R3 = [
     "assortativity",
     "psi_fixed",
     "heavy_hitters_verified",
+    "hill_tail",
+    "kcore_events",
+    "adamic_adar",
+    "cvar_daily",
+    "conv_quality",
+    "dedup_containment",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

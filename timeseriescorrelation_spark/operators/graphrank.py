@@ -458,7 +458,9 @@ def adamic_adar_scores(edges: DataFrame, top_k: int = 100,
     deg = und.groupBy(F.col("a").alias("w")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    wdim = deg.select(
+    # only wedge centers (deg >= 2) ever need a weight — and deg=1
+    # would put ln(1)=0 in the divisor
+    wdim = deg.where(F.col("deg") >= 2).select(
         "w",
         F.expr("1000000000000L div deg").alias("ra_w"),
         F.expr(
