@@ -5278,6 +5278,46 @@ def q_dedup_containment(spark, sf_dir):
                              tau_pct=80)
 
 
+def q_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities (4 rounds, ties →
+    min label) on the minute-grain co-activity graph — the fifth
+    graph primitive (CC: which touch; PageRank: which matter; BFS:
+    how far; k-core: how dense; LPA: which CLUSTER).  Order-free per
+    round, so the oracle unrolls the same 4 rounds bit-exactly."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        label_propagation,
+    )
+
+    return label_propagation(
+        _coactivity_minute_edges(spark, sf_dir), n_rounds=4
+    )
+
+
+def q_emb_auc(spark, sf_dir):
+    """One-vs-rest centroid-retrieval ROC-AUC per label (even-id
+    centroids, odd-id eval — leakage-honest): exact integer
+    micro-unit dots/norms, tie-correct Mann-Whitney midrank AUC via
+    one cumulative window over distinct scores — never a pos×neg
+    pair join."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        auc_by_label,
+    )
+
+    return auc_by_label(_embs(spark, sf_dir))
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Per-metric mean with a 32-replica Poisson-multiplier bootstrap
+    CI: weights are eight integer threshold compares on a 60-bit md5
+    integer (inverse Poisson(1) CDF on the hash grid) — the one-pass
+    web-scale bootstrap, deterministic across engines/restarts."""
+    from timeseriescorrelation_spark.operators.sampling import (
+        bootstrap_mean_ci,
+    )
+
+    return bootstrap_mean_ci(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5537,6 +5577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvar_daily": q_cvar_daily,
         "conv_quality": q_conv_quality,
         "dedup_containment": q_dedup_containment,
+        "label_prop": q_label_prop,
+        "emb_auc": q_emb_auc,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -5847,6 +5890,29 @@ WHERE a IN (SELECT node FROM a{n_rounds})
   AND b IN (SELECT node FROM a{n_rounds})
 GROUP BY 1
 """
+
+
+def _lpa_oracle(n_rounds: int = 4) -> str:
+    """Unroll synchronous label propagation (mode of neighbor labels,
+    ties -> min, packed into cnt*2^32 - (lbl+1) exactly as
+    graphrank.label_propagation does) as n_rounds CTE blocks."""
+    two32 = 1 << 32
+    ctes = [f"WITH {_MINUTE_COACT_CTES}, l0 AS (\n"
+            "  SELECT DISTINCT a AS node, a AS lbl FROM und\n)"]
+    for i in range(1, n_rounds + 1):
+        ctes.append(f""", v{i} AS (
+  SELECT und.a, l{i - 1}.lbl AS nl, count(*) AS c
+  FROM und JOIN l{i - 1} ON und.b = l{i - 1}.node GROUP BY 1, 2
+), m{i} AS (
+  SELECT a, max(c * {two32} - (nl + 1)) AS m FROM v{i} GROUP BY 1
+), l{i} AS (
+  SELECT a AS node,
+         ((m // {two32}) + 1) * {two32} - m - 1 AS lbl
+  FROM m{i}
+)""")
+    return "".join(ctes) + (
+        f"\nSELECT node, cast(lbl AS bigint) AS lbl FROM l{n_rounds}\n"
+    )
 
 
 def _dsir_oracle(n_buckets: int = 4096) -> str:
@@ -11751,5 +11817,101 @@ FROM inter
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE inter_n * 100 >= 80 * least(sa.sz, sb.sz)
+""",
+        "label_prop": _lpa_oracle(4),
+        "emb_auc": """
+WITH base AS (
+  SELECT vec_id AS vid, label AS lab,
+         generate_subscripts(embedding, 1) AS dim,
+         cast(round(unnest(embedding::DOUBLE[]) * 1e6) AS bigint) AS xu
+  FROM embeddings
+), cent AS (
+  SELECT lab AS L, dim, cast(sum(xu) AS bigint) AS s
+  FROM base WHERE vid % 2 = 0 GROUP BY 1, 2
+), ncn AS (
+  SELECT L, cast(sum(s * s) AS bigint) AS nc FROM cent GROUP BY 1
+), dots AS (
+  SELECT b.vid, b.lab, c.L,
+         cast(sum(b.xu * c.s) AS bigint) AS dot,
+         cast(sum(b.xu * b.xu) AS bigint) AS nv
+  FROM base b JOIN cent c USING (dim)
+  WHERE b.vid % 2 = 1
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.L,
+         CASE WHEN d.lab = d.L THEN 1 ELSE 0 END AS y,
+         cast(round(cast(dot AS double)
+              / (sqrt(cast(nv AS double)) * sqrt(cast(n.nc AS double)))
+              * 1e6) AS bigint) AS score_u
+  FROM dots d JOIN ncn n USING (L)
+), g AS (
+  SELECT L, score_u, cast(sum(y) AS bigint) AS np,
+         cast(sum(1 - y) AS bigint) AS nn
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT *, cast(coalesce(sum(nn) OVER (
+           PARTITION BY L ORDER BY score_u
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS bigint) AS cumnn
+  FROM g
+), per AS (
+  SELECT L AS label, cast(sum(np) AS bigint) AS n_pos,
+         cast(sum(nn) AS bigint) AS n_neg,
+         cast(sum(np * (2 * cumnn + nn)) AS bigint) AS u2
+  FROM cum GROUP BY 1
+)
+SELECT label, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(cast(u2 AS double) / (2.0 * n_pos * n_neg), 6)
+       END AS auc
+FROM per
+""",
+        "bootstrap_ci": f"""
+WITH s AS (
+  SELECT event_type AS metric,
+         cast(round(value * 100) AS bigint) AS c,
+         cast(event_id AS bigint) AS eid
+  FROM events
+), reps AS (
+  SELECT metric, c, eid, b
+  FROM s CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) bs
+), wtab AS (
+  SELECT metric, c, b,
+         {" + ".join(
+             f"(CASE WHEN ('0x' || substr(md5(cast(eid AS varchar)"
+             f" || ':' || cast(b AS varchar)), 1, 15))::BIGINT"
+             f" >= {t} THEN 1 ELSE 0 END)"
+             for t in [424136118829305344, 848272237658610688,
+                       1060340297073263360, 1131029650211480960,
+                       1148701988496035328, 1152236456152946176,
+                       1152825534095764608, 1152909688087595776]
+         )} AS w
+  FROM reps
+), rep AS (
+  SELECT metric, b, cast(sum(w) AS bigint) AS sw,
+         cast(sum(w * c) AS bigint) AS swc
+  FROM wtab GROUP BY 1, 2
+), mb AS (
+  SELECT metric, b, cast(swc AS double) / cast(sw AS double) AS mean_b
+  FROM rep WHERE sw > 0
+), rk AS (
+  SELECT metric, mean_b,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY mean_b, b) AS rk
+  FROM mb
+), ci AS (
+  SELECT metric, max(CASE WHEN rk = 2 THEN mean_b END) AS lo_c,
+         max(CASE WHEN rk = 31 THEN mean_b END) AS hi_c
+  FROM rk GROUP BY 1
+), pt AS (
+  SELECT metric, cast(count(*) AS bigint) AS n_points,
+         cast(sum(c) AS bigint) AS sc
+  FROM s GROUP BY 1
+)
+SELECT pt.metric, n_points,
+       round(cast(sc AS double) / (100.0 * n_points), 6) AS mean_amt,
+       round(lo_c / 100.0, 6) AS boot_lo,
+       round(hi_c / 100.0, 6) AS boot_hi
+FROM pt JOIN ci USING (metric)
 """,
     }

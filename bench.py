@@ -237,6 +237,9 @@ HEADLINE_R3 = [
     "cvar_daily",
     "conv_quality",
     "dedup_containment",
+    "label_prop",
+    "emb_auc",
+    "bootstrap_ci",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

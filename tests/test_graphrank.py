@@ -158,3 +158,23 @@ def test_adamic_adar_hand_computed(spark):
         ("a", "c"): (2, 10**12, 2 * 1442695),
         ("b", "d"): (2, 10**12, 2 * 1442695),
     }
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: sync LPA with min-tie
+    converges to each clique's minimum node id; the bridge endpoints
+    stay with their own clique (3 same-clique votes vs 1 across)."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    got = {r.node: r.lbl for r in label_propagation(edges, 4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10}

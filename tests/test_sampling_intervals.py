@@ -373,3 +373,31 @@ def test_clip_to_buckets_hand_cases(spark):
         back[r.id] = back.get(r.id, 0) + (r.e_us - r.s_us)
     for i, s, e in rows:
         assert back[i] == e - s
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """CI from the Poisson-multiplier bootstrap must bracket the point
+    mean on a well-behaved sample, have lo < hi, and be bit-identical
+    across two invocations (pure function of ids)."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.sampling import (
+        bootstrap_mean_ci,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        ("c", "m", base + dt.timedelta(minutes=i), i,
+         float(50 + (i * 37 % 41) - 20))
+        for i in range(400)
+    ]
+    s = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    a = bootstrap_mean_ci(s).collect()
+    assert len(a) == 1
+    r = a[0]
+    assert r.boot_lo < r.mean_amt < r.boot_hi
+    assert (r.boot_hi - r.boot_lo) < 10.0   # tight at n=400
+    b = bootstrap_mean_ci(s).collect()
+    assert a == b

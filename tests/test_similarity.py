@@ -367,3 +367,43 @@ def test_embedding_covariance_matches_numpy_and_pca(spark):
     top = evecs[:, -1]
     assert abs(abs(top @ direction)) > 0.99
     assert evals[-1] / evals.sum() > 0.9
+
+
+def test_auc_by_label_separable_and_ties(spark):
+    """Perfectly separable geometry: label-0 train+eval vectors along
+    +e1, label-1 along +e2 (unit axes) — centroid cosine ranks every
+    same-label eval vector strictly above the rest, so AUC = 1.0 for
+    both labels.  n_pos/n_neg bookkeeping checked exactly."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        auc_by_label,
+    )
+
+    rows = []
+    # even ids = train, odd ids = eval; 4 of each label in each half
+    for i in range(8):
+        vid = i            # 0..7: label 0 on axis e1
+        rows.append((vid * 2, [1.0, 0.0], 0))
+        rows.append((vid * 2 + 1, [1.0, 0.0], 0))
+    for i in range(8):
+        rows.append((100 + i * 2, [0.0, 1.0], 1))
+        rows.append((101 + i * 2, [0.0, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {r.label: r for r in auc_by_label(emb).collect()}
+    assert got[0].auc == 1.0 and got[1].auc == 1.0
+    assert got[0].n_pos == 8 and got[0].n_neg == 8
+
+
+def test_auc_by_label_all_tied_is_half(spark):
+    """Every eval vector identical -> every score ties -> the midrank
+    formula must give exactly 0.5 (the degenerate case a naive
+    greater-than count gets wrong)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        auc_by_label,
+    )
+
+    rows = [(i, [1.0, 1.0], (i // 2) % 2) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    for r in auc_by_label(emb).collect():
+        assert r.auc == 0.5

@@ -492,3 +492,65 @@ def adamic_adar_scores(edges: DataFrame, top_k: int = 100,
         .limit(int(top_k))
         .select("u", "v", "common_n", "ra_p", "aa_p")
     )
+
+
+def label_propagation(edges: DataFrame, n_rounds: int,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """(node, lbl): community labels after ``n_rounds`` of SYNCHRONOUS
+    label propagation (Raghavan et al. 2007) — every node
+    simultaneously adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label; labels start as own id.
+
+    Synchronous + min-tie makes each round a pure function of the
+    previous labeling (no visit order), so the DuckDB oracle unrolls
+    the same K rounds bit-exactly — the kcore_peel/pagerank policy
+    for iterative graph ops.  The mode-with-min-tie pick packs into
+    ONE int64 (cnt·2³² − (lbl+1), max-agg, decode) so the per-round
+    aggregate stays hash-aggregable — never a struct max_by
+    (SortAggregate trap) or a rank window.
+
+    Node ids must be integers in [0, 2³²−1) (pack bound); hash or
+    dense-rank string ids upstream.  Sync LPA can 2-cycle on
+    bipartite-ish structure rather than converge — n_rounds is the
+    contract, matching the bounded-peel semantics.
+
+    Scale shape per round: one edge⋈labels equi-join + two hash-aggs
+    ((node, lbl) counts, then per-node max) — all partition-parallel;
+    per-round localCheckpoint truncates lineage (the
+    pagerank_conserving lesson).
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
+    )
+    two32 = 1 << 32
+    for _ in range(int(n_rounds)):
+        lbl = lbl.localCheckpoint(eager=False)
+        votes = (
+            und.join(lbl, und["b"] == lbl["node"])
+            .groupBy(F.col("a"), F.col("lbl").alias("nl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        packed = (
+            votes.groupBy("a")
+            .agg(
+                F.max(
+                    F.col("cnt") * F.lit(two32) - (F.col("nl") + 1)
+                ).alias("m")
+            )
+        )
+        lbl = packed.select(
+            F.col("a").alias("node"),
+            (
+                (F.expr(f"m div {two32}") + 1) * F.lit(two32)
+                - F.col("m") - 1
+            ).alias("lbl"),
+        )
+    return lbl

@@ -149,3 +149,104 @@ def source_mix_weights(docs: DataFrame, alpha: float = 0.5,
             6,
         ).alias("epochs_at_budget"),
     )
+
+
+# Poisson(1) CDF quantized to the 60-bit hash grid: T[k] =
+# floor(cdf(k)·2^60).  A 60-bit md5 integer h maps to the multiplier
+# w = |{k : h >= T[k]}| (capped at 8, beyond which cdf ~ 1 - 1e-5) —
+# the inverse-CDF draw as EIGHT integer comparisons, no floats, so
+# every engine derives the identical weight from the identical id.
+POISSON1_T60 = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+]
+
+
+def bootstrap_mean_ci(series: DataFrame, n_boot: int = 32,
+                      lo_rank: int = 2, hi_rank: int = 31) -> DataFrame:
+    """Per-metric mean of cent values with a percentile-bootstrap CI
+    from the Poisson multiplier bootstrap (the web-scale bootstrap:
+    resampling n rows WITH replacement is a shuffle of the whole
+    dataset per replica, but Poisson(1) multipliers approximate the
+    same multinomial in ONE pass — each row independently weighted,
+    no coordination, the standard trick for CIs over data too large
+    to resample).
+
+    Determinism: replica b's weight for a row is a pure function of
+    md5(event_id:b) through the integer threshold table POISSON1_T60
+    — reproducible across engines, clusters, and restarts, and the
+    DuckDB oracle replays every draw exactly.  Replica means are one
+    IEEE divide of exact int64 sums; the CI bounds are order
+    statistics of the n_boot replica means (rank lo/hi over (mean,
+    b) — deterministic because tied doubles fall back to b).
+
+    Scale shape: the explode is rows×n_boot but purely map-side
+    (md5 + comparisons in whole-stage codegen); the only shuffle is
+    the (metric, b) hash-agg — |metrics|·n_boot cells of partial
+    sums.  lo=2/hi=31 of 32 ≈ a 94% interval.
+    """
+    b = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_boot)))
+    ).alias("b")
+    rows = series.select(
+        "metric",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.col("turn_idx").cast("long").alias("eid"),
+        b,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("eid"), F.col("b"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    w = sum(
+        (h >= F.lit(t)).cast("long") for t in POISSON1_T60
+    )
+    rep = (
+        rows.withColumn("w", w)
+        .groupBy("metric", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("c")).alias("swc"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "metric", "b",
+            (F.col("swc").cast("double") / F.col("sw").cast("double"))
+            .alias("mean_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("metric").orderBy("mean_b", "b")
+    ci = (
+        rep.withColumn("rk", F.row_number().over(win))
+        .groupBy("metric")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == int(lo_rank), F.col("mean_b"))
+            ).alias("lo_c"),
+            F.max(
+                F.when(F.col("rk") == int(hi_rank), F.col("mean_b"))
+            ).alias("hi_c"),
+        )
+    )
+    point = series.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+    )
+    return (
+        point.join(ci, "metric")
+        .select(
+            "metric", "n_points",
+            F.round(
+                F.col("sc").cast("double")
+                / (F.lit(100.0) * F.col("n_points").cast("double")),
+                6,
+            ).alias("mean_amt"),
+            F.round(F.col("lo_c") / 100.0, 6).alias("boot_lo"),
+            F.round(F.col("hi_c") / 100.0, 6).alias("boot_hi"),
+        )
+    )

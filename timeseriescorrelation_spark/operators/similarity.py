@@ -1135,3 +1135,96 @@ def triplet_mining(emb: DataFrame, queries: DataFrame, k: int = 10,
         "qid", "rank", "pos_id", "cos_pos", "neg_id", "cos_neg",
         F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
     )
+
+
+def auc_by_label(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """One-vs-rest retrieval ROC-AUC per label — the embedding-space
+    eval primitive: can "cosine to the class centroid" rank same-label
+    vectors above the rest?  (label, n_pos, n_neg, auc) per label.
+
+    Leakage-honest split: centroids from EVEN ids only, every ODD id
+    scored against every label's centroid.  Determinism end-to-end:
+
+    - components snap to int64 micro-units (round(x·10⁶)), so per-
+      (label, dim) centroid sums, per-(vec, label) dot products, and
+      both squared norms are EXACT integer hash-aggs (order-free);
+    - score = dot/(√nv·√nc) is one fixed IEEE expression over those
+      exact ints, snapped to micro-units;
+    - AUC uses the tie-correct Mann-Whitney midrank identity WITHOUT
+      a pos×neg pair join: group by distinct score, one cumulative
+      window over the |distinct scores| rows per label, then
+      2U = Σ np_s·(2·cum_neg_below + nn_s) — exact integers; AUC =
+      2U / (2·n_pos·n_neg), ONE divide, 6 dp.
+
+    Scale shape: the centroid table is |labels|·d rows (broadcast);
+    scoring shuffles |vecs|·|labels| aggregate cells, never pairs;
+    the AUC window is metadata-sized per label.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lab"),
+        F.posexplode(_to_double(F.col(vec_col))).alias("dim", "x"),
+    ).select(
+        "vid", "lab", "dim",
+        F.round(F.col("x") * 1e6).cast("long").alias("xu"),
+    )
+    cent = (
+        base.where(F.col("vid") % 2 == 0)
+        .groupBy(F.col("lab").alias("L"), "dim")
+        .agg(F.sum("xu").alias("s"))
+    )
+    nc = cent.groupBy("L").agg(
+        F.sum(F.col("s") * F.col("s")).alias("nc")
+    )
+    ev = base.where(F.col("vid") % 2 == 1)
+    dots = (
+        ev.join(F.broadcast(cent), "dim")
+        .groupBy("vid", "lab", "L")
+        .agg(
+            F.sum(F.col("xu") * F.col("s")).alias("dot"),
+            F.sum(F.col("xu") * F.col("xu")).alias("nv"),
+        )
+    )
+    scored = dots.join(F.broadcast(nc), "L").select(
+        "L",
+        F.when(F.col("lab") == F.col("L"), F.lit(1))
+        .otherwise(F.lit(0)).alias("y"),
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nv").cast("double"))
+               * F.sqrt(F.col("nc").cast("double")))
+            * 1e6
+        ).cast("long").alias("score_u"),
+    )
+    g = scored.groupBy("L", "score_u").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"),
+    )
+    w = (
+        Window.partitionBy("L").orderBy("score_u")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.withColumn(
+        "cumnn", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    per = cum.groupBy(F.col("L").alias("label")).agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cumnn") + F.col("nn"))
+        ).alias("u2"),
+    )
+    return per.select(
+        "label", "n_pos", "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos").cast("double")
+                   * F.col("n_neg").cast("double")),
+                6,
+            ),
+        ).alias("auc"),   # one-class eval sets have no ROC: NULL
+    )
