@@ -5318,6 +5318,44 @@ def q_bootstrap_ci(spark, sf_dir):
     return bootstrap_mean_ci(_series_from_events(spark, sf_dir))
 
 
+def q_markov_accuracy(spark, sf_dir):
+    """Time-split top-1 accuracy of the first-order Markov next-event
+    predictor (train = first 3/5 of the day span, mode transition
+    with min-tie; eval = the rest) — the sequence-model baseline,
+    leakage-honest by an exact integer split-date derivation."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_accuracy,
+    )
+
+    return markov_accuracy(_series_from_events(spark, sf_dir))
+
+
+def q_stl_anomaly(spark, sf_dir):
+    """Seasonality-aware robust anomalies: stl_lite residuals fenced
+    by per-metric Tukey far-out quartile bounds — trend and weekly
+    profile removed first, fences quartile-based so the anomalies
+    can't inflate them; resid_u is an exact int64 (resid carries
+    exactly 6 decimals), quartiles are tie-invariant rank picks."""
+    from timeseriescorrelation_spark.operators.decompose import (
+        stl_anomaly,
+    )
+
+    return stl_anomaly(_series_from_events(spark, sf_dir))
+
+
+def q_ndcg_int8(spark, sf_dir):
+    """NDCG@10 of the int8-quantized ranking against graded exact-
+    cosine relevance (rel = 11−exact_rank): position-weighted where
+    recall@k is position-blind; integer DCG via precomputed
+    round(1e6/log2(p+1)) discounts, ONE divide by the constant
+    ideal."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        ndcg_int8_at_k,
+    )
+
+    return ndcg_int8_at_k(_embs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5580,6 +5618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "emb_auc": q_emb_auc,
         "bootstrap_ci": q_bootstrap_ci,
+        "markov_accuracy": q_markov_accuracy,
+        "stl_anomaly": q_stl_anomaly,
+        "ndcg_int8": q_ndcg_int8,
     }
 
 
@@ -5890,6 +5931,46 @@ WHERE a IN (SELECT node FROM a{n_rounds})
   AND b IN (SELECT node FROM a{n_rounds})
 GROUP BY 1
 """
+
+
+_STL_CTES = """h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS cs,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, bucket_ts, cs, n,
+         cast(sum(cs) OVER w AS bigint) AS csw,
+         cast(sum(n) OVER w AS bigint) AS nw
+  FROM h
+  WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(bucket_ts)
+               RANGE BETWEEN 302400000000 PRECEDING
+                         AND 302400000000 FOLLOWING)
+), d AS (
+  SELECT metric, bucket_ts,
+         cast(cs AS double) / cast(n AS double) / 100.0 AS meanv,
+         cast(csw AS double) / cast(nw AS double) / 100.0 AS trend,
+         cast(dayofweek(bucket_ts) + 1 AS int) AS dow,
+         cast(hour(bucket_ts) AS int) AS hod
+  FROM t
+), d2 AS (
+  SELECT *,
+         cast(round((meanv - trend) * 1000000.0) AS bigint) AS du
+  FROM d
+), prof AS (
+  SELECT metric, dow, hod,
+         cast(floor(cast(sum(du) AS double)
+                    / cast(count(*) AS double)) AS bigint) AS su
+  FROM d2 GROUP BY 1, 2, 3
+), stl AS (
+  SELECT d2.metric, d2.bucket_ts,
+         round(meanv, 6) AS mean_v,
+         round(trend, 6) AS trend,
+         round(cast(su AS double) / 1000000.0, 6) AS seasonal,
+         round(round(meanv, 6) - round(trend, 6)
+               - cast(su AS double) / 1000000.0, 6) AS resid
+  FROM d2 JOIN prof USING (metric, dow, hod)
+)"""
 
 
 def _lpa_oracle(n_rounds: int = 4) -> str:
@@ -9769,44 +9850,9 @@ SELECT n_a, x_a, n_b, x_b,
        round(CASE WHEN sev > 0 THEN (pb - pa) / sev END, 6) AS z
 FROM m2
 """,
-        "stl_lite": """
-WITH h AS (
-  SELECT event_type AS metric, date_trunc('hour', ts) AS bucket_ts,
-         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS cs,
-         cast(count(*) AS bigint) AS n
-  FROM events GROUP BY 1, 2
-), t AS (
-  SELECT metric, bucket_ts, cs, n,
-         cast(sum(cs) OVER w AS bigint) AS csw,
-         cast(sum(n) OVER w AS bigint) AS nw
-  FROM h
-  WINDOW w AS (PARTITION BY metric ORDER BY epoch_us(bucket_ts)
-               RANGE BETWEEN 302400000000 PRECEDING
-                         AND 302400000000 FOLLOWING)
-), d AS (
-  SELECT metric, bucket_ts,
-         cast(cs AS double) / cast(n AS double) / 100.0 AS meanv,
-         cast(csw AS double) / cast(nw AS double) / 100.0 AS trend,
-         cast(dayofweek(bucket_ts) + 1 AS int) AS dow,
-         cast(hour(bucket_ts) AS int) AS hod
-  FROM t
-), d2 AS (
-  SELECT *,
-         cast(round((meanv - trend) * 1000000.0) AS bigint) AS du
-  FROM d
-), prof AS (
-  SELECT metric, dow, hod,
-         cast(floor(cast(sum(du) AS double)
-                    / cast(count(*) AS double)) AS bigint) AS su
-  FROM d2 GROUP BY 1, 2, 3
-)
-SELECT d2.metric, d2.bucket_ts,
-       round(meanv, 6) AS mean_v,
-       round(trend, 6) AS trend,
-       round(cast(su AS double) / 1000000.0, 6) AS seasonal,
-       round(round(meanv, 6) - round(trend, 6)
-             - cast(su AS double) / 1000000.0, 6) AS resid
-FROM d2 JOIN prof USING (metric, dow, hod)
+        "stl_lite": f"""
+WITH {_STL_CTES}
+SELECT metric, bucket_ts, mean_v, trend, seasonal, resid FROM stl
 """,
         "trailing_active_24h": """
 WITH p AS (
@@ -11913,5 +11959,115 @@ SELECT pt.metric, n_points,
        round(lo_c / 100.0, 6) AS boot_lo,
        round(hi_c / 100.0, 6) AS boot_hi
 FROM pt JOIN ci USING (metric)
+""",
+        "markov_accuracy": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, cast(event_id AS int) AS turn_idx
+  FROM events
+), tr AS (
+  SELECT lag(metric) OVER (PARTITION BY conv_id
+                           ORDER BY epoch_us(ts), turn_idx) AS prev,
+         metric AS nxt, ts
+  FROM s
+), b AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM s
+), sp AS (
+  SELECT d0 + (cast((date_diff('day', d0, d1) * 3) // 5 AS int)
+               * INTERVAL 1 DAY) AS split_ts
+  FROM b
+), trn AS (
+  SELECT prev, nxt FROM tr, sp
+  WHERE prev IS NOT NULL AND ts < split_ts
+), model AS (
+  SELECT prev, nxt AS pred FROM (
+    SELECT prev, nxt, count(*) AS cnt,
+           row_number() OVER (PARTITION BY prev
+                              ORDER BY count(*) DESC, nxt) AS r
+    FROM trn GROUP BY 1, 2
+  ) WHERE r = 1
+), ev AS (
+  SELECT prev, nxt FROM tr, sp
+  WHERE prev IS NOT NULL AND ts >= split_ts
+)
+SELECT ev.prev, pred,
+       cast(count(*) AS bigint) AS n_eval,
+       cast(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS bigint)
+         AS n_hit,
+       round(cast(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+                  AS double) / count(*), 6) AS accuracy
+FROM ev JOIN model ON ev.prev = model.prev
+GROUP BY 1, 2
+""",
+        "stl_anomaly": f"""
+WITH {_STL_CTES}, base AS (
+  SELECT metric, bucket_ts, mean_v, resid,
+         cast(round(resid * 1e6) AS bigint) AS ru
+  FROM stl
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY metric
+                               ORDER BY ru, bucket_ts) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM base
+), qs AS (
+  SELECT metric,
+         max(CASE WHEN rn = (n + 3) // 4 THEN ru END) AS q1,
+         max(CASE WHEN rn = (3 * n + 3) // 4 THEN ru END) AS q3
+  FROM ranked GROUP BY 1
+), f AS (
+  SELECT metric, q1 - 3 * (q3 - q1) AS lo, q3 + 3 * (q3 - q1) AS hi
+  FROM qs
+)
+SELECT b.metric, bucket_ts, mean_v, resid,
+       round(cast(lo AS double) / 1e6, 6) AS fence_lo,
+       round(cast(hi AS double) / 1e6, 6) AS fence_hi,
+       CASE WHEN ru > hi THEN 'high' ELSE 'low' END AS side
+FROM base b JOIN f ON b.metric = f.metric
+WHERE ru < lo OR ru > hi
+""",
+        "ndcg_int8": f"""
+WITH {_UV_CTE},
+qz AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(v, x ->
+                round(x * 127.0 / list_max(list_transform(v, y -> abs(y)))))
+              ELSE list_transform(v, x -> x * 0.0)
+         END AS q
+  FROM uv
+), exact AS (
+  SELECT qid, nid, 11 - r AS rel FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.v), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+), approx AS (
+  SELECT qid, nid,
+         ([1000000, 630930, 500000, 430677, 386853, 356207,
+           333333, 315465, 301030, 289065])[r] AS wp
+  FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.q, c.q) * a.s * c.s
+                            / (127.0 * 127.0), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+), per AS (
+  SELECT p.qid,
+         cast(sum(coalesce(e.rel, 0) * p.wp) AS bigint) AS dcg_u
+  FROM approx p LEFT JOIN exact e ON e.qid = p.qid AND e.nid = p.nid
+  GROUP BY 1
+)
+SELECT qid, cast(10 AS int) AS k, dcg_u,
+       round(cast(dcg_u AS double) / 29966114.0, 6) AS ndcg
+FROM per
 """,
     }

@@ -240,6 +240,9 @@ HEADLINE_R3 = [
     "label_prop",
     "emb_auc",
     "bootstrap_ci",
+    "markov_accuracy",
+    "stl_anomaly",
+    "ndcg_int8",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

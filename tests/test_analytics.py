@@ -578,3 +578,41 @@ def test_cvar_daily_tie_invariant(spark):
     assert (r.n_points, r.k_tail) == (40, 2)
     assert r.var_amt == 5.0
     assert r.cvar_amt == 7.0   # (900+500)/(100*2)
+
+
+def test_markov_accuracy_hand_computed(spark):
+    """10-day span, split at day 6 (3/5 of 10): train teaches a->b
+    (2:1 over a->c); eval has three a->? transitions of which two are
+    a->b -> accuracy 2/3 for antecedent 'a'."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_accuracy,
+    )
+
+    d = dt.datetime
+    rows = []
+
+    def seq(conv, day, events):
+        for i, ev in enumerate(events):
+            rows.append(
+                (conv, ev, d(2024, 1, day, 10, i), len(rows), 1.0)
+            )
+
+    # train side (days 1-5): a->b twice, a->c once
+    seq("c1", 1, ["a", "b"])
+    seq("c2", 2, ["a", "b"])
+    seq("c3", 3, ["a", "c"])
+    # eval side (days 7-9): a->b, a->b, a->c
+    seq("c4", 7, ["a", "b"])
+    seq("c5", 8, ["a", "b"])
+    seq("c6", 9, ["a", "c"])
+    # pin the day span to 10 days
+    rows.append(("c0", "z", d(2024, 1, 11, 0, 0), len(rows), 1.0))
+    s = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    got = {r.prev: r for r in markov_accuracy(s).collect()}
+    assert got["a"].pred == "b"
+    assert got["a"].n_eval == 3 and got["a"].n_hit == 2
+    assert got["a"].accuracy == 0.666667

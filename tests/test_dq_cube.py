@@ -125,3 +125,40 @@ def test_cube_gid_disambiguates_subtotals(spark):
     assert d1.gid == 2 and d1.n == 2 and d1.sum_cents == 400
     # leaf rows: gid 0
     assert by_key[("b", 1)].gid == 0
+
+
+def test_stl_anomaly_flags_injected_spike(spark):
+    """Three weeks of a flat value with one huge spike hour: after
+    trend/seasonal removal the spike must be the ONLY flagged hour,
+    on the 'high' side."""
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.decompose import (
+        stl_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(21 * 24):
+        v = 10.0
+        if h == 250:
+            v = 500.0
+        rows.append(
+            ("c", "m", base + dt.timedelta(hours=h), h, v)
+        )
+    s = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    got = stl_anomaly(s).collect()
+    spike_ts = base + dt.timedelta(hours=250)
+    high = [r for r in got if r.side == "high"]
+    assert [r.bucket_ts for r in high] == [spike_ts]
+    # the spike inflates its own (dow, hour) seasonal cell, so the
+    # SIBLING weeks of that cell go strongly negative — expected for
+    # a mean-based profile; every other flagged row must be one of
+    # those siblings on the 'low' side
+    for r in got:
+        if r.side == "low":
+            assert r.bucket_ts.hour == spike_ts.hour
+            assert r.bucket_ts.weekday() == spike_ts.weekday()
+            assert r.bucket_ts != spike_ts

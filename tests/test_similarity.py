@@ -407,3 +407,24 @@ def test_auc_by_label_all_tied_is_half(spark):
         rows, "vec_id long, embedding array<double>, label int")
     for r in auc_by_label(emb).collect():
         assert r.auc == 0.5
+
+
+def test_ndcg_int8_perfect_when_order_preserved(spark):
+    """Well-separated axis-aligned vectors: int8 quantization cannot
+    reorder them, so every query's NDCG@10 is exactly 1.0 and
+    dcg_u equals the ideal 29966114."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        ndcg_int8_at_k,
+    )
+
+    # components [127, 5i]: after unit-normalization the max|comp|
+    # scale is 127/n, so q = round(127*v/s) recovers the ORIGINAL
+    # integers exactly and the quantized score equals the true cosine
+    # in exact arithmetic — rankings provably identical
+    rows = [(i, [127.0, float(5 * i)]) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = ndcg_int8_at_k(emb, n_queries=3).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.ndcg == 1.0 and r.dcg_u == 29966114

@@ -2120,3 +2120,78 @@ def cvar_daily(series: DataFrame, alpha_denom: int = 20) -> DataFrame:
             6,
         ).alias("cvar_amt"),
     )
+
+
+def markov_accuracy(series: DataFrame, num: int = 3,
+                    den: int = 5) -> DataFrame:
+    """Time-split eval of the first-order Markov next-event predictor
+    — the sequence-modeling baseline every fancier model must beat:
+    train the mode transition prev→argmax on the FIRST num/den of the
+    observed day span, score top-1 accuracy per antecedent on the
+    rest.  (prev, pred, n_eval, n_hit, accuracy).
+
+    Leakage-honest by construction: the split timestamp is
+    min_day + (span_days·num) div den — an exact integer date
+    derivation both engines compute identically from the data — and
+    a transition belongs to train/eval by the time of its COMPLETING
+    event.  The model pick is mode-with-min-tie via a rank window
+    over the |states|² count table (metadata-sized); eval joins the
+    broadcast model on the antecedent.  Antecedents never seen in
+    train drop out of the inner join (reported upstream by
+    profile_events, not silently scored).
+
+    Scale shape: one per-conv lag window (the engine's standard
+    transition source), two hash-aggs, one broadcast join — raw rows
+    shuffle once.
+    """
+    w = Window.partitionBy("conv_id").orderBy(
+        epoch_us(F.col("ts")), "turn_idx"
+    )
+    tr = series.select(
+        F.lag("metric").over(w).alias("prev"),
+        F.col("metric").alias("nxt"),
+        F.col("ts"),
+    ).where(F.col("prev").isNotNull())
+    bounds = series.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    ).select(
+        F.to_timestamp(
+            F.date_add(
+                F.col("d0").cast("date"),
+                F.expr(
+                    f"cast((datediff(d1, d0) * {int(num)})"
+                    f" div {int(den)} as int)"
+                ),
+            )
+        ).alias("split_ts")
+    )
+    tr = tr.crossJoin(F.broadcast(bounds))
+    train = tr.where(F.col("ts") < F.col("split_ts"))
+    cnts = train.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wm = Window.partitionBy("prev").orderBy(F.desc("cnt"), "nxt")
+    model = (
+        cnts.withColumn("r", F.row_number().over(wm))
+        .where(F.col("r") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    ev = tr.where(F.col("ts") >= F.col("split_ts"))
+    return (
+        ev.join(F.broadcast(model), "prev")
+        .groupBy("prev", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("nxt") == F.col("pred")).cast("long")
+            ).alias("n_hit"),
+        )
+        .select(
+            "prev", "pred", "n_eval", "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_eval").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )

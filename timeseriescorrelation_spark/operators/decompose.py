@@ -172,3 +172,73 @@ def dow_anova(series: DataFrame, keys: list[str] | None = None) -> DataFrame:
         *keys, "n_obs", "k_groups", "ssb_u", "ssw_u",
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+def stl_anomaly(series: DataFrame, half_window_h: int = 84,
+                keys: list[str] | None = None,
+                fence_mult: int = 3) -> DataFrame:
+    """Seasonality-aware robust anomaly hours: stl_lite residuals
+    fenced by per-key Tukey far-out bounds (q1 − m·IQR, q3 + m·IQR)
+    — trend and weekly profile removed FIRST, so a busy Monday 9am is
+    only anomalous relative to Monday-9am-after-trend, and the fence
+    is quartile-based so the anomalies being hunted cannot inflate
+    it (σ-based fences self-mask).
+
+    Exactness: stl_lite's resid carries exactly six decimals, so
+    resid_u = round(resid·10⁶) is an EXACT int64; q1/q3 are type-1
+    order statistics at ceil(n/4)/ceil(3n/4) picked by rank — the
+    value at a sorted position is tie-order-invariant — and the
+    fences stay integers.  Output rows are the flagged hours with
+    their bounds (6 dp).
+
+    Scale shape: stl_lite's two windows + one rank window and one
+    tiny per-key quartile aggregate, all keyed by (keys); days/hours
+    per key bound the window memory.
+    """
+    keys = keys or ["metric"]
+    s = stl_lite(series, half_window_h=half_window_h, keys=keys)
+    base = s.select(
+        *keys, "bucket_ts", "mean_v", "resid",
+        F.round(F.col("resid") * 1e6).cast("long").alias("_ru"),
+    )
+    wr = Window.partitionBy(*keys).orderBy("_ru", "bucket_ts")
+    ranked = base.withColumn("_rn", F.row_number().over(wr))
+    # q1/q3 positions need n first: join count back, then pick by rank
+    n = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    pos = n.select(
+        *keys, "_n",
+        F.expr("(_n + 3) div 4").alias("_p1"),
+        F.expr("(3 * _n + 3) div 4").alias("_p3"),
+    )
+    qs = (
+        ranked.join(F.broadcast(pos), [*keys])
+        .groupBy(*keys)
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.col("_p1"), F.col("_ru"))
+            ).alias("_q1"),
+            F.max(
+                F.when(F.col("_rn") == F.col("_p3"), F.col("_ru"))
+            ).alias("_q3"),
+        )
+        .select(
+            *keys, "_q1", "_q3",
+            (F.col("_q1")
+             - F.lit(int(fence_mult)) * (F.col("_q3") - F.col("_q1"))
+             ).alias("_lo"),
+            (F.col("_q3")
+             + F.lit(int(fence_mult)) * (F.col("_q3") - F.col("_q1"))
+             ).alias("_hi"),
+        )
+    )
+    return (
+        base.join(F.broadcast(qs), [*keys])
+        .where((F.col("_ru") < F.col("_lo")) | (F.col("_ru") > F.col("_hi")))
+        .select(
+            *keys, "bucket_ts", "mean_v", "resid",
+            F.round(F.col("_lo").cast("double") / 1e6, 6).alias("fence_lo"),
+            F.round(F.col("_hi").cast("double") / 1e6, 6).alias("fence_hi"),
+            F.when(F.col("_ru") > F.col("_hi"), F.lit("high"))
+            .otherwise(F.lit("low")).alias("side"),
+        )
+    )

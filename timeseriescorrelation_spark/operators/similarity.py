@@ -1228,3 +1228,94 @@ def auc_by_label(emb: DataFrame, id_col: str = "vec_id",
             ),
         ).alias("auc"),   # one-class eval sets have no ROC: NULL
     )
+
+
+# DCG position weights: W[p] = round(10^6 / log2(p+1)) for p = 1..10,
+# precomputed so the discount is an exact INTEGER constant in every
+# engine (log2 never runs at query time).
+NDCG_W10 = [1000000, 630930, 500000, 430677, 386853, 356207,
+            333333, 315465, 301030, 289065]
+
+
+def ndcg_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Position-weighted ranking quality of the int8 index:
+    NDCG@k of the symmetric-SQ int8 ranking against graded relevance
+    from the exact cosine ranking (rel = k+1−exact_rank for the exact
+    top-k, 0 beyond) — (qid, k, dcg_u, ndcg) per sample query.
+
+    recall@k (int8_quantize_recall) treats a #1-for-#10 swap and a
+    #10-for-#11 swap identically; NDCG charges by POSITION — the
+    standard retrieval metric when rank order matters downstream.
+
+    Determinism: both rankings snap scores to 6dp and tie-break on
+    candidate id (the ann_int8 contract); relevance grades and the
+    NDCG_W10 discounts are integers, so dcg_u = Σ rel·W[pos] is an
+    exact integer and ndcg is ONE divide by the constant ideal
+    Σ(k+1−i)·W[i].
+
+    Scale notes: two brute scans over broadcast sample queries (k·|q|
+    rows after ranking), the rel⋈pos join is 2k rows per query.
+    """
+    if k != 10:
+        raise ValueError("NDCG_W10 is precomputed for k=10")
+    u = with_unit_vectors(emb, vec_col, id_col)
+    qz = u.withColumn(
+        "_s", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).select(
+        "vec_id", "v", "_s",
+        F.when(
+            F.col("_s") > 0,
+            F.transform(
+                "v", lambda x: F.round(x * F.lit(127.0) / F.col("_s"))
+            ),
+        ).otherwise(
+            F.transform("v", lambda x: x * F.lit(0.0))
+        ).alias("q"),
+    )
+
+    def _ranked(score_col):
+        qs = qz.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("q").alias("qq"), F.col("_s").alias("qscale"),
+        )
+        scored = qz.join(
+            F.broadcast(qs), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid", F.col("vec_id").alias("nid"),
+            F.round(score_col, 6).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+        return scored.select(
+            "qid", "nid", F.row_number().over(w).alias("r")
+        ).where(F.col("r") <= int(k))
+
+    exact = _ranked(_dot(F.col("qv"), F.col("v"))).select(
+        "qid", "nid", (F.lit(int(k) + 1) - F.col("r")).alias("rel")
+    )
+    wmap = F.array(*[F.lit(x) for x in NDCG_W10])
+    approx = _ranked(
+        _dot(F.col("qq"), F.col("q"))
+        * F.col("qscale") * F.col("_s") / F.lit(127.0 * 127.0)
+    ).select(
+        "qid", "nid",
+        F.element_at(wmap, F.col("r")).cast("long").alias("wp"),
+    )
+    idcg = sum((k + 1 - i) * w for i, w in enumerate(NDCG_W10, 1))
+    per = (
+        approx.join(exact, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0)).cast("long")
+                * F.col("wp")
+            ).alias("dcg_u")
+        )
+    )
+    return per.select(
+        "qid", F.lit(int(k)).alias("k"), "dcg_u",
+        F.round(
+            F.col("dcg_u").cast("double") / F.lit(float(idcg)), 6
+        ).alias("ndcg"),
+    )
