@@ -267,6 +267,7 @@ def _scale_overrides():
     from timeseriescorrelation_spark.operators.similarity import (
         ann_topk_bruteforce_np,
     )
+    from timeseriescorrelation_spark.operators.lm import dsir_weights
     from timeseriescorrelation_spark.operators.textstats import (
         doc_fingerprints,
     )
@@ -292,6 +293,13 @@ def _scale_overrides():
         ),
         "doc_fingerprint": lambda spark, sf: doc_fingerprints(
             _docs(spark, sf)
+        ),
+        # dsir vocab mode carries THREE global-sort vocab windows (the
+        # oracle id crutch); xxhash64 is the statistics-identical
+        # bucket model with zero global sorts
+        "dsir_weights": lambda spark, sf: dsir_weights(
+            _docs(spark, sf), target_source="src0", n_buckets=4096,
+            mode="xxhash64",
         ),
     }
 

@@ -370,9 +370,19 @@ def zipf_fit(docs: DataFrame, top_k: int = 100,
     top = tf.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(
         int(top_k)
     )
-    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
-    ranked = top.select(
-        "tok", "f", F.row_number().over(w).cast("long").alias("r")
+    # rank WITHOUT a global window: (f desc, tok) is a total order on
+    # the top_k-row table, so r = 1 + |rows strictly ahead| via a
+    # broadcast self-join — top_k² comparisons on ≤100 rows, versus a
+    # WindowExec that drags the table to one partition (and warns);
+    # identical to row_number because the key is unique per tok
+    a, b = top.alias("a"), top.alias("b")
+    ahead = (F.col("b.f") > F.col("a.f")) | (
+        (F.col("b.f") == F.col("a.f")) & (F.col("b.tok") < F.col("a.tok"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.f").alias("f"))
+        .agg((F.count(F.col("b.tok")) + 1).cast("long").alias("r"))
     )
     x = F.log(F.col("r").cast("double"))
     y = F.log(F.col("f").cast("double"))
