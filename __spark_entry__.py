@@ -5356,6 +5356,28 @@ def q_ndcg_int8(spark, sf_dir):
     return ndcg_int8_at_k(_embs(spark, sf_dir))
 
 
+def q_did_readout(spark, sf_dir):
+    """Difference-in-differences on per-unit mean value (md5-bucket
+    placebo arms, exact integer 3/5 period split): cancels static arm
+    differences AND the common time trend; twelve exact int64 cell
+    moments -> one fixed IEEE expression for DiD/SE/z."""
+    from timeseriescorrelation_spark.operators.abtest import did_readout
+
+    return did_readout(_series_from_events(spark, sf_dir))
+
+
+def q_rbo_int8(spark, sf_dir):
+    """Truncated rank-biased overlap (p=0.9, k=10) between exact and
+    int8 rankings: each common candidate contributes the integer
+    suffix weight at depth max(pos_a, pos_b) — exact int64 rbo_u, ONE
+    terminal divide."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        rbo_int8_at_k,
+    )
+
+    return rbo_int8_at_k(_embs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5621,6 +5643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_accuracy": q_markov_accuracy,
         "stl_anomaly": q_stl_anomaly,
         "ndcg_int8": q_ndcg_int8,
+        "did_readout": q_did_readout,
+        "rbo_int8": q_rbo_int8,
     }
 
 
@@ -12069,5 +12093,127 @@ qz AS (
 SELECT qid, cast(10 AS int) AS k, dcg_u,
        round(cast(dcg_u AS double) / 29966114.0, 6) AS ndcg
 FROM per
+""",
+        "did_readout": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS unit, ts,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), bnd AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM events
+), sp AS (
+  SELECT d0 + (cast((date_diff('day', d0, d1) * 3) // 5 AS int)
+               * INTERVAL 1 DAY) AS split_ts
+  FROM bnd
+), per AS (
+  SELECT unit,
+         CASE WHEN ts < split_ts THEN 'pre' ELSE 'post' END AS period,
+         cast((sum(c) * 10000) // count(*) AS bigint) AS mu
+  FROM s, sp GROUP BY 1, 2
+), asg AS (
+  SELECT unit, period, mu,
+         CASE WHEN ('0x' || substr(md5(unit), 1, 4))::BIGINT < 32768
+              THEN 'B' ELSE 'A' END AS arm
+  FROM per
+), cells AS (
+  SELECT
+    cast(sum(CASE WHEN arm = 'A' AND period = 'pre' THEN 1 ELSE 0 END) AS bigint) AS n_a_pre,
+    cast(sum(CASE WHEN arm = 'A' AND period = 'pre' THEN mu ELSE 0 END) AS bigint) AS sx_a_pre,
+    cast(sum(CASE WHEN arm = 'A' AND period = 'pre' THEN mu * mu ELSE 0 END) AS bigint) AS sxx_a_pre,
+    cast(sum(CASE WHEN arm = 'A' AND period = 'post' THEN 1 ELSE 0 END) AS bigint) AS n_a_post,
+    cast(sum(CASE WHEN arm = 'A' AND period = 'post' THEN mu ELSE 0 END) AS bigint) AS sx_a_post,
+    cast(sum(CASE WHEN arm = 'A' AND period = 'post' THEN mu * mu ELSE 0 END) AS bigint) AS sxx_a_post,
+    cast(sum(CASE WHEN arm = 'B' AND period = 'pre' THEN 1 ELSE 0 END) AS bigint) AS n_b_pre,
+    cast(sum(CASE WHEN arm = 'B' AND period = 'pre' THEN mu ELSE 0 END) AS bigint) AS sx_b_pre,
+    cast(sum(CASE WHEN arm = 'B' AND period = 'pre' THEN mu * mu ELSE 0 END) AS bigint) AS sxx_b_pre,
+    cast(sum(CASE WHEN arm = 'B' AND period = 'post' THEN 1 ELSE 0 END) AS bigint) AS n_b_post,
+    cast(sum(CASE WHEN arm = 'B' AND period = 'post' THEN mu ELSE 0 END) AS bigint) AS sx_b_post,
+    cast(sum(CASE WHEN arm = 'B' AND period = 'post' THEN mu * mu ELSE 0 END) AS bigint) AS sxx_b_post
+  FROM asg
+)
+SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+  round((cast(sx_a_pre AS double) / n_a_pre) / 1e6, 6) AS mean_a_pre,
+  round((cast(sx_a_post AS double) / n_a_post) / 1e6, 6) AS mean_a_post,
+  round((cast(sx_b_pre AS double) / n_b_pre) / 1e6, 6) AS mean_b_pre,
+  round((cast(sx_b_post AS double) / n_b_post) / 1e6, 6) AS mean_b_post,
+  round(((cast(sx_b_post AS double) / n_b_post
+          - cast(sx_b_pre AS double) / n_b_pre)
+         - (cast(sx_a_post AS double) / n_a_post
+            - cast(sx_a_pre AS double) / n_a_pre)) / 1e6, 6) AS did,
+  round(sqrt(
+      (n_a_pre * cast(sxx_a_pre AS double) - cast(sx_a_pre AS double) * cast(sx_a_pre AS double))
+        / (cast(n_a_pre AS double) * n_a_pre * (n_a_pre - 1))
+    + (n_a_post * cast(sxx_a_post AS double) - cast(sx_a_post AS double) * cast(sx_a_post AS double))
+        / (cast(n_a_post AS double) * n_a_post * (n_a_post - 1))
+    + (n_b_pre * cast(sxx_b_pre AS double) - cast(sx_b_pre AS double) * cast(sx_b_pre AS double))
+        / (cast(n_b_pre AS double) * n_b_pre * (n_b_pre - 1))
+    + (n_b_post * cast(sxx_b_post AS double) - cast(sx_b_post AS double) * cast(sx_b_post AS double))
+        / (cast(n_b_post AS double) * n_b_post * (n_b_post - 1))
+  ) / 1e6, 6) AS se,
+  round((((cast(sx_b_post AS double) / n_b_post
+           - cast(sx_b_pre AS double) / n_b_pre)
+          - (cast(sx_a_post AS double) / n_a_post
+             - cast(sx_a_pre AS double) / n_a_pre)))
+        / sqrt(
+      (n_a_pre * cast(sxx_a_pre AS double) - cast(sx_a_pre AS double) * cast(sx_a_pre AS double))
+        / (cast(n_a_pre AS double) * n_a_pre * (n_a_pre - 1))
+    + (n_a_post * cast(sxx_a_post AS double) - cast(sx_a_post AS double) * cast(sx_a_post AS double))
+        / (cast(n_a_post AS double) * n_a_post * (n_a_post - 1))
+    + (n_b_pre * cast(sxx_b_pre AS double) - cast(sx_b_pre AS double) * cast(sx_b_pre AS double))
+        / (cast(n_b_pre AS double) * n_b_pre * (n_b_pre - 1))
+    + (n_b_post * cast(sxx_b_post AS double) - cast(sx_b_post AS double) * cast(sx_b_post AS double))
+        / (cast(n_b_post AS double) * n_b_post * (n_b_post - 1))
+  ), 6) AS z
+FROM cells
+""",
+        "rbo_int8": f"""
+WITH {_UV_CTE},
+qz AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(v, x ->
+                round(x * 127.0 / list_max(list_transform(v, y -> abs(y)))))
+              ELSE list_transform(v, x -> x * 0.0)
+         END AS q
+  FROM uv
+), exact AS (
+  SELECT qid, nid, r AS pa FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.v), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+), approx AS (
+  SELECT qid, nid, r AS pb FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.q, c.q) * a.s * c.s
+                            / (127.0 * 127.0), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+), common AS (
+  SELECT e.qid,
+         ([5932493265528, 3412493265528, 2278493265528, 1598093265528,
+           1138823265528, 808148865528, 560143065528, 368824305528,
+           218160782028, 97629963228])[greatest(pa, pb)] AS contrib
+  FROM exact e JOIN approx p ON e.qid = p.qid AND e.nid = p.nid
+), per AS (
+  SELECT qid, cast(count(*) AS bigint) AS n_common,
+         cast(sum(contrib) AS bigint) AS rbo_u
+  FROM common GROUP BY 1
+)
+SELECT q.qid, cast(10 AS int) AS k,
+       cast(coalesce(n_common, 0) AS bigint) AS n_common,
+       cast(coalesce(rbo_u, 0) AS bigint) AS rbo_u,
+       round(cast(coalesce(rbo_u, 0) AS double) / 16413303309480.0, 6)
+         AS rbo
+FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN per USING (qid)
 """,
     }

@@ -243,6 +243,8 @@ HEADLINE_R3 = [
     "markov_accuracy",
     "stl_anomaly",
     "ndcg_int8",
+    "did_readout",
+    "rbo_int8",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

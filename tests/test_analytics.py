@@ -616,3 +616,41 @@ def test_markov_accuracy_hand_computed(spark):
     assert got["a"].pred == "b"
     assert got["a"].n_eval == 3 and got["a"].n_hit == 2
     assert got["a"].accuracy == 0.666667
+
+
+def test_did_readout_recovers_injected_effect(spark):
+    """Per-unit values constant in pre; in post, arm-B units (derived
+    with the SAME md5 rule as ab_assign) get +7.00 — DiD must recover
+    exactly 7.0, arms must have both periods populated, and z must be
+    huge (zero within-cell variance is avoided by a tiny per-unit
+    offset that cancels in the means)."""
+    import datetime as dt
+    import hashlib
+
+    from timeseriescorrelation_spark.operators.abtest import did_readout
+
+    def arm(u):
+        return "B" if int(
+            hashlib.md5(u.encode()).hexdigest()[:4], 16) < 32768 else "A"
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    units = [f"u{i}" for i in range(40)]
+    for ui, u in enumerate(units):
+        jitter = (ui % 5) - 2          # per-unit level, same pre/post
+        for day in (0, 1, 2, 9, 10, 11):   # split at day 6 of 0..11
+            v = 50.0 + jitter
+            if day >= 6 and arm(u) == "B":
+                v += 7.0
+            rows.append(
+                (u, "m", base + dt.timedelta(days=day, hours=ui % 24),
+                 len(rows), v)
+            )
+    s = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts timestamp, "
+              "turn_idx int, value double")
+    r = did_readout(s).collect()[0]
+    assert r.n_a_pre > 5 and r.n_b_pre > 5
+    assert r.n_a_pre == r.n_a_post and r.n_b_pre == r.n_b_post
+    assert r.did == 7.0
+    assert abs(r.mean_b_post - r.mean_b_pre - 7.0) < 1e-6

@@ -428,3 +428,24 @@ def test_ndcg_int8_perfect_when_order_preserved(spark):
     assert len(got) == 3
     for r in got:
         assert r.ndcg == 1.0 and r.dcg_u == 29966114
+
+
+def test_rbo_identical_rankings_is_one(spark):
+    """Losslessly-quantizable vectors ([127, 5i]) force identical
+    exact/int8 rankings: normalized truncated RBO must be exactly 1.0
+    with all 10 candidates common and rbo_u equal to the constant
+    2520*(10^10 - 9^10)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        RBO_C10,
+        rbo_int8_at_k,
+    )
+
+    rows = [(i, [127.0, float(5 * i)]) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = rbo_int8_at_k(emb, n_queries=3).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.n_common == 10
+        assert r.rbo_u == RBO_C10
+        assert r.rbo == 1.0

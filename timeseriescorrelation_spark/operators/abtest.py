@@ -97,3 +97,103 @@ def ab_readout(events: DataFrame, target_event: str,
             F.when(se > 0, (p_b - p_a) / se), 6
         ).alias("z"),
     )
+
+
+def did_readout(series: DataFrame, treat_frac: float = 0.5,
+                num: int = 3, den: int = 5) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    companion to ab_readout for launches WITHOUT randomized exposure:
+    DiD = (post_B − pre_B) − (post_A − pre_A) on per-unit mean value,
+    cancelling both static arm differences and the common time trend.
+
+    The period split is the exact integer num/den date rule
+    (markov_accuracy's contract); arms are md5-bucket assigned (here
+    a deterministic placebo partition — with a real rollout pass the
+    actual exposure flag).  Per-unit-period outcome = (Σcents·10⁴)
+    div k — integer micro-cents, so every cell moment (n, Σx, Σx²)
+    is an EXACT int64 hash-agg and mean/variance/SE/z are one fixed
+    IEEE expression over twelve exact integers:
+
+        se² = Σ_cells s²_c / n_c,   z = DiD / se   (Welch-style)
+
+    Scale shape: one (unit, period) hash-agg over raw rows, then ONE
+    conditional-sum aggregate collapsing to a single row — no pivot
+    join, no window.
+    """
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    bounds = series.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    ).select(
+        F.to_timestamp(
+            F.date_add(
+                F.col("d0").cast("date"),
+                F.expr(
+                    f"cast((datediff(d1, d0) * {int(num)})"
+                    f" div {int(den)} as int)"
+                ),
+            )
+        ).alias("split_ts")
+    )
+    per = (
+        series.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("conv_id").alias("unit"),
+            F.when(epoch_us(F.col("ts")) < epoch_us(F.col("split_ts")),
+                   F.lit("pre")).otherwise(F.lit("post")).alias("period"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("unit", "period")
+        .agg(
+            F.expr("(sum(c) * 10000) div count(1)").alias("mu"),
+        )
+    )
+    assigned = ab_assign(per, id_col="unit", treat_frac=treat_frac)
+
+    def cell(arm, period, col):
+        m = (F.col("arm") == arm) & (F.col("period") == period)
+        return F.sum(F.when(m, col).otherwise(F.lit(0))).cast("long")
+
+    cells = assigned.agg(
+        *[
+            agg.alias(f"{n}_{a}_{p}".lower())
+            for a in ("A", "B")
+            for p in ("pre", "post")
+            for n, agg in [
+                ("n", cell(a, p, F.lit(1))),
+                ("sx", cell(a, p, F.col("mu"))),
+                ("sxx", cell(a, p, F.col("mu") * F.col("mu"))),
+            ]
+        ]
+    )
+
+    def mean(a, p):
+        return (F.col(f"sx_{a}_{p}").cast("double")
+                / F.col(f"n_{a}_{p}").cast("double"))
+
+    def var_over_n(a, p):
+        n = F.col(f"n_{a}_{p}").cast("double")
+        sx = F.col(f"sx_{a}_{p}").cast("double")
+        sxx = F.col(f"sxx_{a}_{p}").cast("double")
+        return (n * sxx - sx * sx) / (n * n * (n - 1))
+
+    did = (mean("b", "post") - mean("b", "pre")) - (
+        mean("a", "post") - mean("a", "pre")
+    )
+    se = F.sqrt(
+        var_over_n("a", "pre") + var_over_n("a", "post")
+        + var_over_n("b", "pre") + var_over_n("b", "post")
+    )
+    um = 1e6  # micro-cents -> currency units
+    return cells.select(
+        F.col("n_a_pre"), F.col("n_a_post"),
+        F.col("n_b_pre"), F.col("n_b_post"),
+        F.round(mean("a", "pre") / um, 6).alias("mean_a_pre"),
+        F.round(mean("a", "post") / um, 6).alias("mean_a_post"),
+        F.round(mean("b", "pre") / um, 6).alias("mean_b_pre"),
+        F.round(mean("b", "post") / um, 6).alias("mean_b_post"),
+        F.round(did / um, 6).alias("did"),
+        F.round(se / um, 6).alias("se"),
+        F.round(did / se, 6).alias("z"),
+    )

@@ -1319,3 +1319,102 @@ def ndcg_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
             F.col("dcg_u").cast("double") / F.lit(float(idcg)), 6
         ).alias("ndcg"),
     )
+
+
+# Truncated RBO (p = 9/10, k = 10) as EXACT integers: the depth-d
+# term (1-p)·p^(d-1)·o_d/d scales by C = 2520·10^10 (2520 = lcm 1..10
+# clears every /d) to W'_d = 9^(d-1)·10^(10-d)·(2520/d); a candidate
+# at positions (pa, pb) in the two rankings joins the overlap at
+# every depth >= max(pa, pb), contributing the SUFFIX sum
+# RBO_S[max(pa,pb)].  rbo = Σ contributions / C, one divide; C is the
+# identical-rankings total Σ_d d·W'_d = 2520·(10^10 − 9^10), so the
+# reported score is the NORMALIZED truncated RBO (identical → exactly
+# 1.0 — raw truncated RBO tops out at 1−p^k ≈ 0.651).
+RBO_S10 = [5932493265528, 3412493265528, 2278493265528, 1598093265528,
+           1138823265528, 808148865528, 560143065528, 368824305528,
+           218160782028, 97629963228]
+RBO_C10 = 16413303309480
+
+
+def rbo_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at k,
+    p=0.9) between the exact-cosine and int8-quantized rankings —
+    (qid, k, n_common, rbo_u, rbo).  The third member of the ranking-
+    eval family: recall@k is position-blind, NDCG needs graded
+    relevance, RBO compares two RANKINGS directly with top-weighted
+    geometric emphasis — the right metric for "did quantization
+    change what users see first?".
+
+    Exactness: both rankings snap scores to 6dp with id tie-breaks
+    (the ann_int8 contract); each common candidate contributes the
+    integer suffix weight RBO_S10[max(pos_exact, pos_int8)], so
+    rbo_u = Σ contributions is an exact int64 and rbo is ONE divide
+    by the constant C.
+
+    Scale shape: two brute scans over broadcast sample queries, then
+    a 2k-row-per-query positions join.
+    """
+    if k != 10:
+        raise ValueError("RBO_S10 is precomputed for k=10")
+    u = with_unit_vectors(emb, vec_col, id_col)
+    qz = u.withColumn(
+        "_s", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).select(
+        "vec_id", "v", "_s",
+        F.when(
+            F.col("_s") > 0,
+            F.transform(
+                "v", lambda x: F.round(x * F.lit(127.0) / F.col("_s"))
+            ),
+        ).otherwise(
+            F.transform("v", lambda x: x * F.lit(0.0))
+        ).alias("q"),
+    )
+
+    def _ranked(score_col, pos_name):
+        qs = qz.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("q").alias("qq"), F.col("_s").alias("qscale"),
+        )
+        scored = qz.join(
+            F.broadcast(qs), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid", F.col("vec_id").alias("nid"),
+            F.round(score_col, 6).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+        return scored.select(
+            "qid", "nid", F.row_number().over(w).alias(pos_name)
+        ).where(F.col(pos_name) <= int(k))
+
+    exact = _ranked(_dot(F.col("qv"), F.col("v")), "pa")
+    approx = _ranked(
+        _dot(F.col("qq"), F.col("q"))
+        * F.col("qscale") * F.col("_s") / F.lit(127.0 * 127.0),
+        "pb",
+    )
+    smap = F.array(*[F.lit(x) for x in RBO_S10])
+    common = exact.join(approx, ["qid", "nid"]).select(
+        "qid",
+        F.element_at(smap, F.greatest("pa", "pb")).alias("contrib"),
+    )
+    qids = exact.select("qid").distinct()
+    per = common.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("contrib").alias("rbo_u"),
+    )
+    return (
+        qids.join(per, "qid", "left")
+        .select(
+            "qid", F.lit(int(k)).alias("k"),
+            F.coalesce("n_common", F.lit(0)).cast("long")
+            .alias("n_common"),
+            F.coalesce("rbo_u", F.lit(0)).cast("long").alias("rbo_u"),
+            F.round(
+                F.coalesce("rbo_u", F.lit(0)).cast("double")
+                / F.lit(float(RBO_C10)), 6
+            ).alias("rbo"),
+        )
+    )
