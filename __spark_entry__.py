@@ -5378,6 +5378,64 @@ def q_rbo_int8(spark, sf_dir):
     return rbo_int8_at_k(_embs(spark, sf_dir))
 
 
+def q_slo_burn(spark, sf_dir):
+    """Multi-window error-budget burn alerting (the SRE fast+slow
+    burn rule for a 99% SLO): per hour, burn = err_share/(1−SLO)
+    over the hour itself and the trailing 6 h; page only when BOTH
+    windows burn hot (1h > 14.4 AND 6h > 6 — fast burn confirmed by
+    the slow window).  The alert decision is two exact integer
+    cross-multiplies (500·err > 72·total; 50·err6 > 3·total6) — the
+    rounded burn columns are display-only, so threshold flips can't
+    come from float noise.
+
+    Scale shape: one hour-grain hash-agg over raw events; the 6-hour
+    trailing sums use the collapse-then-EXPLODE recipe
+    (trailing_active_24h / hll_rolling_7d): each hour row fans out to
+    the ≤6 window-end hours it covers and one hash-agg re-collects —
+    6·|hours| slim rows, partition-parallel, NO unpartitioned range
+    window dragging the series to one task."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("n_err"),
+        )
+    )
+    hr = 3_600_000_000
+    hidx = (epoch_us(F.col("hour_ts")) / hr).cast("long")
+    fan = hourly.select(
+        hidx.alias("h0"), "n_total", "n_err",
+        F.explode(
+            F.sequence(hidx, hidx + F.lit(5))
+        ).alias("hw"),
+    )
+    sums6 = fan.groupBy("hw").agg(
+        F.sum("n_total").alias("t6"), F.sum("n_err").alias("e6")
+    )
+    j = hourly.join(
+        sums6, hidx == F.col("hw")
+    )
+    return j.select(
+        "hour_ts", "n_total", "n_err",
+        F.col("t6").cast("long").alias("n_total_6h"),
+        F.col("e6").cast("long").alias("n_err_6h"),
+        F.round(
+            F.lit(100.0) * F.col("n_err") / F.col("n_total"), 6
+        ).alias("burn_1h"),
+        F.round(F.lit(100.0) * F.col("e6") / F.col("t6"), 6)
+        .alias("burn_6h"),
+        (
+            (F.lit(500) * F.col("n_err") > F.lit(72) * F.col("n_total"))
+            & (F.lit(50) * F.col("e6") > F.lit(3) * F.col("t6"))
+        ).alias("page"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5645,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_int8": q_ndcg_int8,
         "did_readout": q_did_readout,
         "rbo_int8": q_rbo_int8,
+        "slo_burn": q_slo_burn,
     }
 
 
@@ -12215,5 +12274,29 @@ SELECT q.qid, cast(10 AS int) AS k,
        round(cast(coalesce(rbo_u, 0) AS double) / 16413303309480.0, 6)
          AS rbo
 FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN per USING (qid)
+""",
+        "slo_burn": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         cast(count(*) AS bigint) AS n_total,
+         cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS bigint) AS n_err
+  FROM events GROUP BY 1
+), fan AS (
+  SELECT n_total, n_err,
+         unnest(generate_series(epoch_us(hour_ts) // 3600000000,
+                                epoch_us(hour_ts) // 3600000000 + 5))
+           AS hw
+  FROM hourly
+), s6 AS (
+  SELECT hw, cast(sum(n_total) AS bigint) AS t6,
+         cast(sum(n_err) AS bigint) AS e6
+  FROM fan GROUP BY 1
+)
+SELECT hour_ts, n_total, n_err, t6 AS n_total_6h, e6 AS n_err_6h,
+       round(100.0 * n_err / n_total, 6) AS burn_1h,
+       round(100.0 * e6 / t6, 6) AS burn_6h,
+       (500 * n_err > 72 * n_total AND 50 * e6 > 3 * t6) AS page
+FROM hourly JOIN s6 ON epoch_us(hour_ts) // 3600000000 = s6.hw
 """,
     }

@@ -245,6 +245,7 @@ HEADLINE_R3 = [
     "ndcg_int8",
     "did_readout",
     "rbo_int8",
+    "slo_burn",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -654,3 +654,42 @@ def test_did_readout_recovers_injected_effect(spark):
     assert r.n_a_pre == r.n_a_post and r.n_b_pre == r.n_b_post
     assert r.did == 7.0
     assert abs(r.mean_b_post - r.mean_b_pre - 7.0) < 1e-6
+
+
+def test_slo_burn_multiwindow_gate(spark, tmp_path):
+    """Hand-built hours: a 20%-error hour after five clean heavy hours
+    must NOT page (slow window healthy); the same 20%-error hour at
+    the end of a six-hour dirty stretch must page — the multi-window
+    burn rule."""
+    import datetime as dt
+    import os
+
+    import __spark_entry__ as em
+
+    base = dt.datetime(2024, 2, 1)
+    rows = []
+
+    def hour(h, n_ok, n_err):
+        for i in range(n_ok):
+            rows.append((len(rows), base + dt.timedelta(hours=h, minutes=i % 60), i, "view", 1.0))
+        for i in range(n_err):
+            rows.append((len(rows), base + dt.timedelta(hours=h, minutes=i % 60), i, "error", 1.0))
+
+    for h in range(5):            # clean heavy stretch
+        hour(h, 400, 0)
+    hour(5, 80, 20)               # blip: fast burn 20x, slow window ok
+    for h in range(20, 26):       # sustained dirty stretch
+        hour(h, 80, 20)
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id int, "
+              "event_type string, value double")
+    d = str(tmp_path)
+    events.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.hour_ts: r for r in em.q_slo_burn(spark, d).collect()}
+
+    def at(h):
+        return got[base + dt.timedelta(hours=h)]
+
+    assert at(5).burn_1h == 20.0 and not at(5).page
+    assert at(25).burn_1h == 20.0 and at(25).page
+    assert not at(0).page and not at(4).page
