@@ -5436,6 +5436,54 @@ def q_slo_burn(spark, sf_dir):
     )
 
 
+def q_fdr_anomalies(spark, sf_dir):
+    """Benjamini–Hochberg step-up over the conformal anomaly p-values,
+    one test family per metric at q = 1/4: the fleet-scale anomaly
+    list with a controlled false-discovery rate instead of a per-test
+    alpha (which pages on noise alone once |metrics|·|days| tests run
+    daily).  Everything after the daily aggregate is exact: conformal
+    p-values are integer fractions, the BH compare is the cross-
+    multiply p_num·4·m ≤ i·p_den, and the sort key num/den cannot
+    misorder fractions with denominators ≤ 29."""
+    from timeseriescorrelation_spark.operators.activity import (
+        bh_fdr,
+        conformal_pvalue,
+    )
+
+    pv = conformal_pvalue(
+        _series_from_events(spark, sf_dir), exact_cols=True
+    )
+    out = bh_fdr(
+        pv, ["metric"], "p_num", "p_den", q_num=1, q_den=4,
+        order_cols=["day_ts"],
+    )
+    return out.select(
+        "metric", "day_ts", "n_prior", "p_value", "rank_i", "m",
+        "rejected",
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Continuous-ingest near-dup gate: the batch (doc_id % 5 = 4)
+    probes the standing corpus (the rest) through the LSH band index —
+    batch-bands ⋈ corpus-bands, never a corpus self-join — and every
+    batch doc comes back with its verified-duplicate count (exact
+    Jaccard ≥ 1/5, integer cross-multiply) and smallest matching
+    corpus id; clean docs stay in the output with n_dup_matches = 0.
+    vocab id mode for oracle parity; production uses xxhash64 ids so
+    the corpus index persists across ingests."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return incremental_minhash_dedup(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 4),
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 4),
+        n=3, n_hashes=16, bands=8, tau_num=1, tau_den=5, mode="vocab",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5704,6 +5752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_readout": q_did_readout,
         "rbo_int8": q_rbo_int8,
         "slo_burn": q_slo_burn,
+        "fdr_anomalies": q_fdr_anomalies,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -5797,10 +5847,41 @@ JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE inter_n * 5 >= sa.sz + sb.sz - inter_n
 """
+    incremental = f"""
+WITH {_SHINGLE_CTES}, sig AS (
+  SELECT doc_id, {mins} FROM ids GROUP BY doc_id
+), banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+  FROM banded b JOIN banded c
+    ON b.band_idx = c.band_idx AND b.key = c.key
+  WHERE b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+), sets AS (
+  SELECT doc_id, count(*) AS sz, list(tid) AS tids FROM ids GROUP BY doc_id
+), ver AS (
+  SELECT cand.new_id, cand.old_id
+  FROM cand
+  JOIN sets sn ON cand.new_id = sn.doc_id
+  JOIN sets so ON cand.old_id = so.doc_id
+  WHERE len(list_intersect(sn.tids, so.tids)) * 5
+        >= (sn.sz + so.sz - len(list_intersect(sn.tids, so.tids)))
+), m AS (
+  SELECT new_id, cast(count(*) AS bigint) AS n_dup_matches,
+         min(old_id) AS first_match_id
+  FROM ver GROUP BY 1
+)
+SELECT s.doc_id, cast(s.sz AS bigint) AS n_shingles,
+       cast(coalesce(m.n_dup_matches, 0) AS bigint) AS n_dup_matches,
+       m.first_match_id
+FROM sets s LEFT JOIN m ON s.doc_id = m.new_id
+WHERE s.doc_id % 5 = 4
+"""
     return {
         "dedup_minhash_lsh": minhash,
         "dedup_simhash": simhash,
         "dedup_ngram_jaccard": ngram,
+        "dedup_incremental": incremental,
     }
 
 
@@ -10096,6 +10177,48 @@ SELECT cast(k AS int) AS k, cast(count(*) AS bigint) AS n_groups,
        round(cast(sum(CASE WHEN gn < k THEN gn ELSE 0 END) AS double)
              / cast(sum(gn) AS double), 6) AS pct_rows_below
 FROM per_k GROUP BY 1
+""",
+        "fdr_anomalies": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sc
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.metric, a.day_ts,
+         cast(count(*) AS bigint) AS n_prior,
+         cast(sum(CASE WHEN b.sc * a.n >= a.sc * b.n
+                       THEN 1 ELSE 0 END) AS bigint) AS n_ge
+  FROM d a JOIN d b
+    ON a.metric = b.metric
+   AND date_diff('day', b.day_ts, a.day_ts) BETWEEN 1 AND 28
+  GROUP BY 1, 2
+), pv AS (
+  SELECT d.metric, d.day_ts,
+         cast(coalesce(j.n_prior, 0) AS bigint) AS n_prior,
+         cast(1 + coalesce(j.n_ge, 0) AS bigint) AS p_num,
+         cast(coalesce(j.n_prior, 0) + 1 AS bigint) AS p_den
+  FROM d LEFT JOIN j USING (metric, day_ts)
+), ranked AS (
+  SELECT *,
+         cast(row_number() OVER (
+           PARTITION BY metric
+           ORDER BY cast(p_num AS double) / cast(p_den AS double),
+                    day_ts) AS bigint) AS rank_i,
+         cast(count(*) OVER (PARTITION BY metric) AS bigint) AS m
+  FROM pv
+), flagged AS (
+  SELECT *, CASE WHEN p_num * 4 * m <= rank_i * p_den
+                 THEN rank_i END AS pass_rank
+  FROM ranked
+)
+SELECT metric, day_ts, n_prior,
+       round(cast(p_num AS double) / cast(p_den AS double), 6)
+         AS p_value,
+       rank_i, m,
+       rank_i <= coalesce(max(pass_rank)
+                          OVER (PARTITION BY metric), 0) AS rejected
+FROM flagged
 """,
         "conformal_pvalue": """
 WITH d AS (

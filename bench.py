@@ -246,6 +246,8 @@ HEADLINE_R3 = [
     "did_readout",
     "rbo_int8",
     "slo_burn",
+    "fdr_anomalies",
+    "dedup_incremental",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -1,0 +1,116 @@
+"""bh_fdr (Benjamini–Hochberg step-up) and incremental_minhash_dedup."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _bh(spark, rows, q_num=1, q_den=10):
+    from timeseriescorrelation_spark.operators.activity import bh_fdr
+
+    df = spark.createDataFrame(rows, "fam string, tid long, p_num long,"
+                                     " p_den long")
+    out = bh_fdr(df, ["fam"], "p_num", "p_den", q_num, q_den,
+                 order_cols=["tid"])
+    return {r["tid"]: r.asDict() for r in out.collect()}
+
+
+def test_bh_textbook(spark):
+    # classic step-up: m=10, q=0.25. p (as /1000): 10, 20, 30, 40, 200,
+    # 300, 400, 500, 600, 900. BH line i*q/m = 25i/1000: ranks 1..4 pass
+    # (10<=25, 20<=50, 30<=75, 40<=100), rank 5 fails (200>125) and no
+    # later rank recovers -> exactly the first four rejected.
+    ps = [10, 20, 30, 40, 200, 300, 400, 500, 600, 900]
+    rows = [("a", i, p, 1000) for i, p in enumerate(ps)]
+    got = _bh(spark, rows, q_num=1, q_den=4)
+    rejected = sorted(t for t, r in got.items() if r["rejected"])
+    assert rejected == [0, 1, 2, 3]
+    assert all(r["m"] == 10 for r in got.values())
+
+
+def test_bh_step_up_rescues_earlier_failures(spark):
+    # step-up, not step-down: p = (40, 40, 40)/1000, m=3, q=0.1.
+    # Rank 1 fails (40 > 33.3) but rank 3 passes (40 <= 100), so ALL
+    # THREE are rejected — the largest passing rank wins.
+    rows = [("a", i, 40, 1000) for i in range(3)]
+    got = _bh(spark, rows, q_num=1, q_den=10)
+    assert all(r["rejected"] for r in got.values())
+
+
+def test_bh_ties_reject_together_and_families_isolate(spark):
+    # family "a": two tied small p's pass at the tie group's top rank;
+    # family "b": same p-values but m is larger via junk tests, so the
+    # line is lower per rank and nothing passes — families must not
+    # leak into each other's m.
+    rows = [("a", 0, 1, 100), ("a", 1, 1, 100), ("a", 2, 90, 100)]
+    rows += [("b", i, 1, 100) for i in (10, 11)]
+    rows += [("b", i, 99, 100) for i in range(12, 40)]
+    got_a = {t: r for t, r in _bh(spark, rows, 1, 50).items() if t < 10}
+    got_b = {t: r for t, r in _bh(spark, rows, 1, 50).items() if t >= 10}
+    assert got_a[0]["rejected"] and got_a[1]["rejected"]
+    assert not got_a[2]["rejected"]
+    # family b: m=30, q=0.02 -> rank-2 line = 2*0.02/30 = 0.00133 < 0.01
+    assert not any(r["rejected"] for r in got_b.values())
+
+
+def test_bh_nothing_passes(spark):
+    rows = [("a", i, 900 + i, 1000) for i in range(5)]
+    got = _bh(spark, rows, q_num=1, q_den=20)
+    assert not any(r["rejected"] for r in got.values())
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight")
+
+
+def test_incremental_dedup_flags_only_batch_vs_corpus(spark):
+    from timeseriescorrelation_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    # corpus: two exact copies of BASE (a corpus-internal dup pair that
+    # must NOT appear in the output) + one unrelated doc
+    corpus = _docs(spark, [
+        (1, BASE),
+        (2, BASE),
+        (3, "completely different words about spark partitions and "
+            "shuffle behavior at massive scale today"),
+    ])
+    # batch: one near-copy of BASE, one clean doc
+    batch = _docs(spark, [
+        (10, BASE + " extra"),
+        (11, "totally novel content nothing shared with anything else "
+             "whatsoever in this corpus of text"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in incremental_minhash_dedup(batch, corpus).collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["n_dup_matches"] == 2
+    assert out[10]["first_match_id"] == 1
+    assert out[11]["n_dup_matches"] == 0
+    assert out[11]["first_match_id"] is None
+
+
+def test_incremental_dedup_xxhash_matches_vocab_decisions(spark):
+    from timeseriescorrelation_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    corpus = _docs(spark, [(1, BASE), (3, "unrelated filler text with "
+                                          "many distinct tokens in it "
+                                          "for padding out the doc")])
+    batch = _docs(spark, [(10, BASE + " tail"), (11, "fresh novel "
+                          "unseen sentence completely apart from all "
+                          "others here")])
+    a = {r["doc_id"]: r["n_dup_matches"]
+         for r in incremental_minhash_dedup(
+             batch, corpus, mode="vocab").collect()}
+    b = {r["doc_id"]: r["n_dup_matches"]
+         for r in incremental_minhash_dedup(
+             batch, corpus, mode="xxhash64").collect()}
+    # id spaces differ but the verified DECISIONS must agree (exact
+    # Jaccard is id-space-invariant; both id modes are injective here)
+    assert a == b

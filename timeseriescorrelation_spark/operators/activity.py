@@ -271,7 +271,8 @@ def conformal_pvalue(series: DataFrame, keys: list[str] | None = None,
                      ts_col: str = "ts", value_col: str = "value",
                      window_days: int = 28,
                      alpha: float = 0.05,
-                     value_decimals: int = 2) -> DataFrame:
+                     value_decimals: int = 2,
+                     exact_cols: bool = False) -> DataFrame:
     """Conformal anomaly p-value per (keys..., day): the rank of
     today's daily mean among the trailing `window_days` daily means,
     p = (1 + #{prior days with mean ≥ today}) / (n_prior + 1) — the
@@ -317,6 +318,20 @@ def conformal_pvalue(series: DataFrame, keys: list[str] | None = None,
             .cast("long")
         ).alias("n_ge"),
     )
+    # exact_cols=True additionally exposes the p-value's exact integer
+    # numerator/denominator (p = p_num/p_den before any rounding) for
+    # downstream all-integer procedures (bh_fdr) — default off so the
+    # original output schema is unchanged
+    extra = (
+        [
+            (F.lit(1) + F.coalesce("n_ge", F.lit(0)))
+            .cast("long").alias("p_num"),
+            (F.coalesce("n_prior", F.lit(0)) + F.lit(1))
+            .cast("long").alias("p_den"),
+        ]
+        if exact_cols
+        else []
+    )
     out = a.join(cnt, [*keys, "day_ts"], "left").select(
         *keys, "day_ts",
         F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
@@ -325,10 +340,66 @@ def conformal_pvalue(series: DataFrame, keys: list[str] | None = None,
             / (F.coalesce("n_prior", F.lit(0)) + F.lit(1)).cast("double"),
             6,
         ).alias("p_value"),
+        *extra,
     )
     return out.withColumn(
         "is_anomalous", F.col("p_value") <= F.lit(float(alpha))
     )
+
+
+def bh_fdr(pvals: DataFrame, family_keys: list[str],
+           num_col: str = "p_num", den_col: str = "p_den",
+           q_num: int = 1, q_den: int = 10,
+           order_cols: list[str] | None = None) -> DataFrame:
+    """Benjamini–Hochberg step-up over EXACT rational p-values, one
+    test family per distinct `family_keys` tuple: with the family's m
+    p-values sorted ascending, reject ranks 1..i* where
+
+        i* = max { i : p_(i) <= i/m * q },   q = q_num/q_den,
+
+    i.e. every discovery's p-value sits under the rising BH line — the
+    multiple-testing control that turns per-test p-values (e.g.
+    conformal_pvalue's) into a defensible anomaly list when thousands
+    of (metric, day) tests run every day (per-test alpha would page
+    on noise alone at fleet scale).
+
+    Exactness: p-values arrive as integer num/den pairs, the BH
+    compare is the cross-multiply num·q_den·m <= i·q_num·den (int64 —
+    bounded by den·m·q_den, metadata-sized here), and `rejected` is
+    rank <= max passing rank.  The SORT is by the double num/den,
+    which cannot misorder fractions whose denominators are small
+    (conformal's den <= window+1: distinct fractions differ by
+    >= 1/(den_max·(den_max−1)), ~12 orders above double rounding);
+    ties in p are broken by `order_cols` for a deterministic rank,
+    and the rejection SET is tie-order-invariant (equal p's pass or
+    fail together at the group's max rank).
+
+    Scale notes: three windows, all PARTITIONED by the family keys —
+    families are independent, so the procedure parallelizes across
+    them; within a family the input is the test list (|days| rows per
+    metric here), never raw events."""
+    order_cols = order_cols or []
+    fam = Window.partitionBy(*family_keys)
+    w = fam.orderBy(
+        (F.col(num_col).cast("double") / F.col(den_col)).asc(),
+        *[F.col(c).asc() for c in order_cols],
+    )
+    ranked = pvals.withColumn(
+        "rank_i", F.row_number().over(w).cast("long")
+    ).withColumn("m", F.count(F.lit(1)).over(fam).cast("long"))
+    passing = ranked.withColumn(
+        "_pass_rank",
+        F.when(
+            F.col(num_col) * F.lit(int(q_den)) * F.col("m")
+            <= F.col("rank_i") * F.lit(int(q_num)) * F.col(den_col),
+            F.col("rank_i"),
+        ),
+    )
+    return passing.withColumn(
+        "rejected",
+        F.col("rank_i")
+        <= F.coalesce(F.max("_pass_rank").over(fam), F.lit(0)),
+    ).drop("_pass_rank")
 
 
 def gini_concentration(series: DataFrame, keys: list[str] | None = None,

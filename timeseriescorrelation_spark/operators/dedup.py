@@ -389,6 +389,150 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def incremental_minhash_dedup(batch: DataFrame, corpus: DataFrame,
+                              n: int = 3, n_hashes: int = 16,
+                              bands: int = 8, tau_num: int = 1,
+                              tau_den: int = 5, mode: str = "vocab",
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              max_bucket: int | None = None) -> DataFrame:
+    """Continuous-ingest near-dup gate: score every BATCH (new) doc
+    against the existing CORPUS only — the band join is batch-bands ⋈
+    corpus-bands, never a self-join, so a daily increment probes the
+    standing index at O(|batch|·bands) lookup rows instead of re-
+    running all-pairs LSH over corpus ∪ batch (the T3 pipeline's
+    shape, which re-pays the corpus quadratically every ingest).
+
+    Output: ONE row per batch doc —
+      (doc_id, n_shingles, n_dup_matches, first_match_id)
+    where n_dup_matches counts corpus docs whose exact Jaccard with
+    this doc is >= tau (integer cross-multiply verify, same rule as
+    minhash_lsh_pairs) and first_match_id is the smallest matching
+    corpus id (deterministic witness; NULL when clean).  Clean docs
+    (n_dup_matches = 0) stay in the output — they ARE the ingest
+    decision.
+
+    mode="xxhash64" is the production path: shingle ids are corpus-
+    independent, so corpus signatures/bands are computed once,
+    persisted, and only probed here.  mode="vocab" (oracle/test) must
+    rank the shingle vocabulary over corpus ∪ batch so both sides
+    share one id space.
+
+    Scale notes (100 TB corpus, daily batches): corpus bands are a
+    precomputed table bucketed on (band_idx, key) — the probe is a
+    bucket-local equi-join; `max_bucket` caps boilerplate-hot corpus
+    buckets exactly like lsh_candidate_pairs; the verify joins tid
+    SETS for candidate docs only (batch-sized left side)."""
+    b_docs = batch.select(F.col(id_col).alias("doc_id"), text_col)
+    c_docs = corpus.select(F.col(id_col).alias("doc_id"), text_col)
+    b_sh = shingles(b_docs, n, text_col)
+    c_sh = shingles(c_docs, n, text_col)
+    if mode == "vocab":
+        # one shared id space: vocab over corpus ∪ batch (test/oracle
+        # mode only — the scale path hashes and never builds a vocab)
+        vocab = shingle_vocab(b_sh.unionByName(c_sh))
+        b_ids = b_sh.join(F.broadcast(vocab), "shingle").select(
+            "doc_id", "tid"
+        )
+        c_ids = c_sh.join(F.broadcast(vocab), "shingle").select(
+            "doc_id", "tid"
+        )
+    else:
+        # hash ids are content-derived — each side stands alone, which
+        # is exactly what lets the corpus index persist across ingests
+        b_ids = shingle_ids(b_sh, mode)
+        c_ids = shingle_ids(c_sh, mode)
+    b_sig = minhash_signatures(b_ids, n_hashes)
+    c_sig = minhash_signatures(c_ids, n_hashes)
+
+    rows = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.array(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+    def _banded(sig):
+        return sig.select(
+            "doc_id", F.explode(band_structs).alias("bk")
+        ).select("doc_id", "bk.band_idx", "bk.key")
+
+    c_banded = _banded(c_sig)
+    if max_bucket is not None:
+        ok = (
+            c_banded.groupBy("band_idx", "key")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_idx", "key")
+        )
+        c_banded = c_banded.join(ok, ["band_idx", "key"], "left_semi")
+    cand = (
+        _banded(b_sig)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            c_banded.withColumnRenamed("doc_id", "old_id"),
+            ["band_idx", "key"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+    def _sets(ids):
+        return ids.groupBy("doc_id").agg(
+            F.collect_set("tid").alias("tids"), F.count("*").alias("sz")
+        )
+
+    verified = (
+        cand.join(
+            _sets(b_ids).select(F.col("doc_id").alias("new_id"),
+                                F.col("tids").alias("t_n"),
+                                F.col("sz").alias("sz_n")),
+            "new_id",
+        )
+        .join(
+            _sets(c_ids).select(F.col("doc_id").alias("old_id"),
+                                F.col("tids").alias("t_o"),
+                                F.col("sz").alias("sz_o")),
+            "old_id",
+        )
+        .select(
+            "new_id", "old_id",
+            F.size(F.array_intersect("t_n", "t_o")).alias("inter_n"),
+            (F.col("sz_n") + F.col("sz_o")).alias("sum_sz"),
+        )
+        .where(
+            F.col("inter_n") * F.lit(tau_den)
+            >= (F.col("sum_sz") - F.col("inter_n")) * F.lit(tau_num)
+        )
+    )
+    matches = verified.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_dup_matches"),
+        F.min("old_id").alias("first_match_id"),
+    )
+    per_doc = b_ids.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    return (
+        per_doc.join(
+            matches.withColumnRenamed("new_id", "doc_id"), "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_dup_matches", F.lit(0))
+            .cast("long").alias("n_dup_matches"),
+            "first_match_id",
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b",
                          max_iter: int = 25, hops: int = 2,
