@@ -5484,6 +5484,18 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_dq_sequence(spark, sf_dir):
+    """Per-conversation sequence invariants — the transcript-shaped DQ
+    checks column counters can't see: same-type adjacent turns (role-
+    alternation violations), timestamp ties, and turn-index/-time
+    order disagreements.  One shuffle to conv_id, one window pass in
+    the deterministic (ts, turn_idx) total order, all exact integer
+    counts."""
+    from timeseriescorrelation_spark.operators.dq import dq_sequence
+
+    return dq_sequence(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5754,6 +5766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn": q_slo_burn,
         "fdr_anomalies": q_fdr_anomalies,
         "dedup_incremental": q_dedup_incremental,
+        "dq_sequence": q_dq_sequence,
     }
 
 
@@ -10177,6 +10190,31 @@ SELECT cast(k AS int) AS k, cast(count(*) AS bigint) AS n_groups,
        round(cast(sum(CASE WHEN gn < k THEN gn ELSE 0 END) AS double)
              / cast(sum(gn) AS double), 6) AS pct_rows_below
 FROM per_k GROUP BY 1
+""",
+        "dq_sequence": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS tp, ts,
+         cast(event_id AS int) AS idx
+  FROM events
+), l AS (
+  SELECT conv_id, tp, ts, idx,
+         lag(tp)  OVER w AS ptp,
+         lag(ts)  OVER w AS pts,
+         lag(idx) OVER w AS pidx
+  FROM s WINDOW w AS (PARTITION BY conv_id ORDER BY ts, idx)
+), agg AS (
+  SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+         cast(sum(CASE WHEN tp = ptp THEN 1 ELSE 0 END) AS bigint)
+           AS n_same_adjacent,
+         cast(sum(CASE WHEN ts = pts THEN 1 ELSE 0 END) AS bigint)
+           AS n_time_ties,
+         cast(sum(CASE WHEN ts > pts AND idx < pidx THEN 1 ELSE 0 END)
+              AS bigint) AS n_idx_inversions
+  FROM l GROUP BY 1
+)
+SELECT *, (n_same_adjacent + n_time_ties + n_idx_inversions) = 0
+         AS is_clean
+FROM agg
 """,
         "fdr_anomalies": """
 WITH d AS (

@@ -248,6 +248,7 @@ HEADLINE_R3 = [
     "slo_burn",
     "fdr_anomalies",
     "dedup_incremental",
+    "dq_sequence",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
@@ -266,6 +267,7 @@ def _scale_overrides():
     keeps vocab mode, so CORRECTNESS rows are unaffected."""
     from pyspark.sql import functions as F
     from timeseriescorrelation_spark.operators.dedup import (
+        incremental_minhash_dedup,
         minhash_lsh_pairs,
         simhash_pairs,
     )
@@ -304,6 +306,12 @@ def _scale_overrides():
         # bucket model with zero global sorts
         "dsir_weights": lambda spark, sf: dsir_weights(
             _docs(spark, sf), target_source="src0", n_buckets=4096,
+            mode="xxhash64",
+        ),
+        "dedup_incremental": lambda spark, sf: incremental_minhash_dedup(
+            _docs(spark, sf).where(F.pmod(F.col("doc_id"), F.lit(5)) == 4),
+            _docs(spark, sf).where(F.pmod(F.col("doc_id"), F.lit(5)) != 4),
+            n=3, n_hashes=16, bands=8, tau_num=1, tau_den=5,
             mode="xxhash64",
         ),
     }

@@ -114,3 +114,39 @@ def test_incremental_dedup_xxhash_matches_vocab_decisions(spark):
     # id spaces differ but the verified DECISIONS must agree (exact
     # Jaccard is id-space-invariant; both id modes are injective here)
     assert a == b
+
+
+def test_dq_sequence_invariants(spark):
+    from datetime import datetime
+
+    from timeseriescorrelation_spark.operators.dq import dq_sequence
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # conv "a": clean alternation, strictly increasing ts and idx
+        ("a", t(1), 1, "user"), ("a", t(2), 2, "asst"),
+        ("a", t(3), 3, "user"),
+        # conv "b": one same-type adjacency (asst, asst), one time tie
+        # (same second 5-6 boundary), one idx inversion (ts up, idx
+        # down)
+        ("b", t(1), 1, "user"), ("b", t(2), 2, "asst"),
+        ("b", t(3), 3, "asst"),              # same-adjacent
+        ("b", t(3), 4, "user"),              # time tie with idx 3
+        ("b", t(9), 2, "asst"),              # ts up, idx 4 -> 2: inversion
+        # conv "c": single turn — no adjacent pairs at all
+        ("c", t(1), 1, "user"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, turn_idx int, metric string"
+    )
+    out = {r["conv_id"]: r.asDict() for r in dq_sequence(df).collect()}
+    assert out["a"]["is_clean"] and out["a"]["n_turns"] == 3
+    b = out["b"]
+    assert b["n_same_adjacent"] == 1
+    assert b["n_time_ties"] == 1
+    assert b["n_idx_inversions"] == 1
+    assert not b["is_clean"]
+    c = out["c"]
+    assert c["n_turns"] == 1 and c["is_clean"]
+    assert (c["n_same_adjacent"], c["n_time_ties"],
+            c["n_idx_inversions"]) == (0, 0, 0)

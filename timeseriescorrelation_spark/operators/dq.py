@@ -29,7 +29,7 @@ Results are |checks| rows — driver-safe to alert on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,4 +143,61 @@ def dq_ref_check(child: DataFrame, parent: DataFrame,
         ).alias("frac"),
         F.lit(0.0).alias("expected_frac"),
         (F.col("orphans") == 0).alias("passed"),
+    )
+
+
+def dq_sequence(series: DataFrame, conv_col: str = "conv_id",
+                ts_col: str = "ts", idx_col: str = "turn_idx",
+                type_col: str = "metric") -> DataFrame:
+    """Per-conversation SEQUENCE invariants — the transcript-shaped
+    checks dq_checks' per-column counters can't see because they are
+    properties of ADJACENT rows in turn order:
+
+      n_same_adjacent — consecutive turns with the same type (role-
+                        alternation violations: a well-formed dialog
+                        never has two same-role turns back to back)
+      n_time_ties     — consecutive turns sharing a timestamp (the
+                        time-tie hazard mann_kendall/pattern oracles
+                        break on tie ordinals)
+      n_idx_inversions— the time order and the turn-index order
+                        disagree (ts strictly increases while
+                        turn_idx decreases) — the corruption an
+                        out-of-order ingest writes
+      is_clean        — all three are zero
+
+    Output: (conv_id, n_turns, n_same_adjacent, n_time_ties,
+    n_idx_inversions, is_clean) — one row per conversation, all exact
+    integer counts.
+
+    Scale notes (100 TB): ONE shuffle to conv_id, ONE window pass per
+    group ordered by (ts, turn_idx) (the deterministic total order —
+    ties can't make adjacency ambiguous), then a hash-agg reusing the
+    same partitioning.  Rows per group = turns per conversation, the
+    same bound every per-conv op in the engine already carries."""
+    w = Window.partitionBy("conv_id").orderBy("_ts", "_idx")
+    flagged = series.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(idx_col).alias("_idx"),
+        F.col(type_col).alias("_tp"),
+    ).select(
+        "conv_id",
+        (F.col("_tp") == F.lag("_tp").over(w)).cast("long")
+        .alias("same_adj"),
+        (F.col("_ts") == F.lag("_ts").over(w)).cast("long")
+        .alias("time_tie"),
+        (
+            (F.col("_ts") > F.lag("_ts").over(w))
+            & (F.col("_idx") < F.lag("_idx").over(w))
+        ).cast("long").alias("idx_inv"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.coalesce(F.sum("same_adj"), F.lit(0)).alias("n_same_adjacent"),
+        F.coalesce(F.sum("time_tie"), F.lit(0)).alias("n_time_ties"),
+        F.coalesce(F.sum("idx_inv"), F.lit(0)).alias("n_idx_inversions"),
+    ).withColumn(
+        "is_clean",
+        (F.col("n_same_adjacent") + F.col("n_time_ties")
+         + F.col("n_idx_inversions")) == 0,
     )
