@@ -150,3 +150,65 @@ def test_dq_sequence_invariants(spark):
     assert c["n_turns"] == 1 and c["is_clean"]
     assert (c["n_same_adjacent"], c["n_time_ties"],
             c["n_idx_inversions"]) == (0, 0, 0)
+
+
+def test_stream_dq_sequence_batch_equal_across_split(spark, tmp_path):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.dq import dq_sequence
+    from timeseriescorrelation_spark.streaming.dq_stream import (
+        stream_dq_sequence,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    m = lambda mm: T0 + dt.timedelta(minutes=mm)  # noqa: E731
+    schema = "conv_id string, ts timestamp, turn_idx int, metric string"
+    rows = [
+        # "a": violations on BOTH sides of the split and ONE ACROSS it
+        # (asst@25 | asst@45: the carried last_tp makes it countable)
+        ("a", m(10), 1, "user"), ("a", m(10), 2, "asst"),   # time tie
+        ("a", m(25), 3, "asst"),                            # same-adj
+        ("a", m(45), 4, "asst"),                            # same-adj ACROSS
+        ("a", m(50), 2, "user"),                            # idx inversion
+        # "b": clean, entirely pre-split
+        ("b", m(5), 1, "user"), ("b", m(6), 2, "asst"),
+        # "c": clean, entirely post-split
+        ("c", m(60), 1, "user"), ("c", m(61), 2, "asst"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    split = m(40)
+    src = tmp_path / "src"
+    df.where(F.col("ts") < split).coalesce(1).write.parquet(
+        str(src / "chunk1")
+    )
+    df.where(F.col("ts") >= split).coalesce(1).write.parquet(
+        str(src / "chunk2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk*")
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        stream_dq_sequence(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dq_seq_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from dq_seq_test").collect()
+    # update mode re-emits per batch; counters are monotone in n_turns,
+    # so each conversation's final verdict is its max-n_turns row
+    last = {}
+    for r in emitted:
+        if (r["conv_id"] not in last
+                or r["n_turns"] > last[r["conv_id"]]["n_turns"]):
+            last[r["conv_id"]] = r.asDict()
+    want = {r["conv_id"]: r.asDict() for r in dq_sequence(df).collect()}
+    assert last == want
+    a = last["a"]
+    assert (a["n_same_adjacent"], a["n_time_ties"],
+            a["n_idx_inversions"]) == (2, 1, 1)
