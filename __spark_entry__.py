@@ -5496,6 +5496,19 @@ def q_dq_sequence(spark, sf_dir):
     return dq_sequence(_series_from_events(spark, sf_dir))
 
 
+def q_markov_calibration(spark, sf_dir):
+    """Reliability diagram of the Markov next-event model on the
+    markov_accuracy time split: every eval transition scores the whole
+    probability table (one pair per train-vocabulary class, p = exact
+    train fraction, y = realized indicator), deciles by integer
+    cross-multiply, mean predicted vs observed frequency per bin."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_calibration,
+    )
+
+    return markov_calibration(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5767,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_anomalies": q_fdr_anomalies,
         "dedup_incremental": q_dedup_incremental,
         "dq_sequence": q_dq_sequence,
+        "markov_calibration": q_markov_calibration,
     }
 
 
@@ -10215,6 +10229,55 @@ WITH s AS (
 SELECT *, (n_same_adjacent + n_time_ties + n_idx_inversions) = 0
          AS is_clean
 FROM agg
+""",
+        "markov_calibration": """
+WITH s AS (
+  SELECT cast(user_id AS varchar) AS conv_id, event_type AS metric,
+         ts, cast(event_id AS int) AS turn_idx
+  FROM events
+), tr AS (
+  SELECT lag(metric) OVER (PARTITION BY conv_id
+                           ORDER BY epoch_us(ts), turn_idx) AS prev,
+         metric AS nxt, ts
+  FROM s
+), b AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM s
+), sp AS (
+  SELECT d0 + (cast((date_diff('day', d0, d1) * 3) // 5 AS int)
+               * INTERVAL 1 DAY) AS split_ts
+  FROM b
+), trn AS (
+  SELECT prev, nxt FROM tr, sp
+  WHERE prev IS NOT NULL AND ts < split_ts
+), cnts AS (
+  SELECT prev, nxt AS cls, cast(count(*) AS bigint) AS cnt
+  FROM trn GROUP BY 1, 2
+), tot AS (
+  SELECT prev, cast(sum(cnt) AS bigint) AS tot FROM cnts GROUP BY 1
+), classes AS (
+  SELECT DISTINCT nxt AS cls FROM trn
+), prob AS (
+  SELECT t.prev, c.cls, coalesce(n.cnt, 0) AS cnt, t.tot
+  FROM tot t CROSS JOIN classes c
+  LEFT JOIN cnts n ON n.prev = t.prev AND n.cls = c.cls
+), ev AS (
+  SELECT prev, nxt FROM tr, sp
+  WHERE prev IS NOT NULL AND ts >= split_ts
+), pairs AS (
+  SELECT least(9, (10 * p.cnt) // p.tot) AS bin,
+         (1000000 * p.cnt) // p.tot AS p_u,
+         CASE WHEN p.cls = ev.nxt THEN 1 ELSE 0 END AS y
+  FROM ev JOIN prob p ON ev.prev = p.prev
+)
+SELECT cast(bin AS bigint) AS bin,
+       cast(count(*) AS bigint) AS n_pairs,
+       cast(sum(y) AS bigint) AS n_pos,
+       round(cast(sum(p_u) AS double) / (1e6 * count(*)), 6)
+         AS mean_pred,
+       round(cast(sum(y) AS double) / count(*), 6) AS frac_obs
+FROM pairs GROUP BY 1
 """,
         "fdr_anomalies": """
 WITH d AS (

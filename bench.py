@@ -249,6 +249,7 @@ HEADLINE_R3 = [
     "fdr_anomalies",
     "dedup_incremental",
     "dq_sequence",
+    "markov_calibration",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -212,3 +212,38 @@ def test_stream_dq_sequence_batch_equal_across_split(spark, tmp_path):
     a = last["a"]
     assert (a["n_same_adjacent"], a["n_time_ties"],
             a["n_idx_inversions"]) == (2, 1, 1)
+
+
+def test_markov_calibration_hand_case(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_calibration,
+    )
+
+    D = lambda d, h=0: dt.datetime(2024, 1, 1 + d, h)  # noqa: E731
+    schema = ("conv_id string, metric string, ts timestamp,"
+              " turn_idx int, value double")
+    # span days 0..4 -> split at day 0 + (4*3)//5 = day 2
+    # train conv "t" (days 0-1): A B A B A B A C
+    #   transitions: A->B x3, A->C x1 (tot_A=4), B->A x3 (tot_B=3)
+    #   classes = {A, B, C}
+    #   p(B|A)=0.75 (bin 7), p(C|A)=0.25 (bin 2), p(A|A)=0 (bin 0)
+    #   p(A|B)=1.0 (bin 9), p(B|B)=p(C|B)=0 (bin 0)
+    seq = ["A", "B", "A", "B", "A", "B", "A", "C"]
+    rows = [("t", m, D(0, h), h, 1.0) for h, m in enumerate(seq)]
+    # eval convs (days 3-4): e1 has A->B, e2 has A->C
+    rows += [("e1", "A", D(3), 0, 1.0), ("e1", "B", D(3, 1), 1, 1.0)]
+    rows += [("e2", "A", D(4), 0, 1.0), ("e2", "C", D(4, 1), 1, 1.0)]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["bin"]: r.asDict()
+           for r in markov_calibration(df).collect()}
+    # each eval transition (prev=A) scores all 3 classes:
+    #   bin 0: the two p(A|A)=0 cells, never realized
+    #   bin 7: p(B|A)=0.75 twice, realized once
+    #   bin 2: p(C|A)=0.25 twice, realized once
+    assert set(got) == {0, 2, 7}
+    assert (got[0]["n_pairs"], got[0]["n_pos"]) == (2, 0)
+    assert got[7]["n_pairs"] == 2 and got[7]["n_pos"] == 1
+    assert got[7]["mean_pred"] == 0.75 and got[7]["frac_obs"] == 0.5
+    assert got[2]["mean_pred"] == 0.25 and got[2]["frac_obs"] == 0.5

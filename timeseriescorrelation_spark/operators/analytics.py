@@ -2195,3 +2195,107 @@ def markov_accuracy(series: DataFrame, num: int = 3,
             ).alias("accuracy"),
         )
     )
+
+
+def markov_calibration(series: DataFrame, num: int = 3,
+                       den: int = 5, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram of the first-order Markov next-event model
+    on the same leakage-honest time split as markov_accuracy — is a
+    "70%" transition probability actually right 70% of the time?  Top-1
+    accuracy (markov_accuracy) scores only the argmax; calibration
+    scores the whole probability TABLE, which is what matters the
+    moment the model's probabilities feed a downstream decision
+    (sampling temperature, abstention thresholds, expected-cost
+    routing).
+
+    Every eval transition expands to one (row, class) pair per train-
+    vocabulary class with p = cnt/tot (the train transition fraction,
+    0 for never-seen pairs) and y = [class == actual next].  Pairs
+    bucket by decile of p and each bin reports mean predicted
+    probability vs observed frequency:
+
+        (bin, n_pairs, n_pos, mean_pred, frac_obs)
+
+    Exactness: bin = least(n_bins−1, (n_bins·cnt) div tot) and the
+    micro-unit p_u = (10⁶·cnt) div tot are pure integer ops; the two
+    output ratios are ONE rounded IEEE divide each, so DuckDB matches
+    bit-for-bit.  Classes absent from train score y against p = 0
+    cells; eval antecedents unseen in train drop with the inner join
+    (markov_accuracy's contract — profile_events reports them).
+
+    Scale shape: the class expansion multiplies eval transitions by
+    |vocabulary| (single digits for event types) entirely map-side
+    via a broadcast of the |states|·|classes| prob table; ONE hash-agg
+    to ≤ n_bins rows ends the plan."""
+    w = Window.partitionBy("conv_id").orderBy(
+        epoch_us(F.col("ts")), "turn_idx"
+    )
+    tr = series.select(
+        F.lag("metric").over(w).alias("prev"),
+        F.col("metric").alias("nxt"),
+        F.col("ts"),
+    ).where(F.col("prev").isNotNull())
+    bounds = series.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    ).select(
+        F.to_timestamp(
+            F.date_add(
+                F.col("d0").cast("date"),
+                F.expr(
+                    f"cast((datediff(d1, d0) * {int(num)})"
+                    f" div {int(den)} as int)"
+                ),
+            )
+        ).alias("split_ts")
+    )
+    tr = tr.crossJoin(F.broadcast(bounds))
+    train = tr.where(F.col("ts") < F.col("split_ts"))
+    cnts = train.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnts.groupBy("prev").agg(F.sum("cnt").alias("tot"))
+    classes = train.select(F.col("nxt").alias("cls")).distinct()
+    prob = (
+        tot.crossJoin(classes)
+        .join(
+            cnts.select("prev", F.col("nxt").alias("cls"), "cnt"),
+            ["prev", "cls"],
+            "left",
+        )
+        .select(
+            "prev", "cls",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+            F.col("tot").cast("long").alias("tot"),
+        )
+    )
+    ev = tr.where(F.col("ts") >= F.col("split_ts")).select("prev", "nxt")
+    pairs = ev.join(F.broadcast(prob), "prev").select(
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.expr(f"({int(n_bins)} * cnt) div tot"),
+        ).cast("long").alias("bin"),
+        F.expr("(1000000 * cnt) div tot").alias("p_u"),
+        (F.col("cls") == F.col("nxt")).cast("long").alias("y"),
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("y").alias("n_pos"),
+            F.sum("p_u").alias("sp_u"),
+        )
+        .select(
+            "bin", "n_pairs", "n_pos",
+            F.round(
+                F.col("sp_u").cast("double")
+                / (F.lit(1e6) * F.col("n_pairs").cast("double")),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.col("n_pos").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("frac_obs"),
+        )
+    )
