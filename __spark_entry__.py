@@ -5509,6 +5509,35 @@ def q_markov_calibration(spark, sf_dir):
     return markov_calibration(_series_from_events(spark, sf_dir))
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient of the hub-capped hourly
+    co-activity graph — the fifth classic graph primitive: triangles
+    through each node (exact integers, derived from the edge-Jaccard
+    common counts without a new wedge join) over the node's neighbor
+    pairs; ONE rounded divide, NULL for deg < 2."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.graphrank import (
+        clustering_coefficients,
+    )
+
+    e = _events(spark, sf_dir)
+    active = e.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.date_trunc("hour", "ts").alias("b"),
+    ).distinct()
+    w = Window.partitionBy("b").orderBy("u")
+    capped = active.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= 24).drop("_r")
+    edges = (
+        capped.alias("x")
+        .join(capped.alias("y"), "b")
+        .where(F.col("x.u") < F.col("y.u"))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+    )
+    return clustering_coefficients(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5781,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dq_sequence": q_dq_sequence,
         "markov_calibration": q_markov_calibration,
+        "clustering_coeff": q_clustering_coeff,
     }
 
 
@@ -10229,6 +10259,44 @@ WITH s AS (
 SELECT *, (n_same_adjacent + n_time_ties + n_idx_inversions) = 0
          AS is_clean
 FROM agg
+""",
+        "clustering_coeff": """
+WITH active AS (
+  SELECT DISTINCT cast(user_id AS bigint) AS u,
+         date_trunc('hour', ts) AS b
+  FROM events
+), capped AS (
+  SELECT u, b FROM (
+    SELECT u, b, row_number() OVER (PARTITION BY b ORDER BY u) AS r
+    FROM active
+  ) WHERE r <= 24
+), e AS (
+  SELECT DISTINCT x.u AS u, y.u AS v
+  FROM capped x JOIN capped y USING (b) WHERE x.u < y.u
+), adj AS (
+  SELECT u, v AS w FROM e UNION ALL SELECT v AS u, u AS w FROM e
+), deg AS (
+  SELECT u, cast(count(*) AS bigint) AS d FROM adj GROUP BY 1
+), com AS (
+  SELECT e.u, e.v, cast(count(*) AS bigint) AS c
+  FROM e JOIN adj a ON a.u = e.u
+  WHERE EXISTS (SELECT 1 FROM adj t WHERE t.u = e.v AND t.w = a.w)
+  GROUP BY 1, 2
+), ec AS (
+  SELECT e.u, e.v, coalesce(c, 0) AS common FROM e LEFT JOIN com USING (u, v)
+), st AS (
+  SELECT u AS node, common FROM ec
+  UNION ALL SELECT v AS node, common FROM ec
+), agg AS (
+  SELECT node, cast(sum(common) AS bigint) AS s2 FROM st GROUP BY 1
+)
+SELECT d.u AS node, d.d AS deg,
+       cast(coalesce(a.s2, 0) // 2 AS bigint) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN round(cast(coalesce(a.s2, 0) AS double)
+                       / cast(d.d * (d.d - 1) AS double), 6)
+       END AS coeff
+FROM deg d LEFT JOIN agg a ON a.node = d.u
 """,
         "markov_calibration": """
 WITH s AS (

@@ -250,6 +250,7 @@ HEADLINE_R3 = [
     "dedup_incremental",
     "dq_sequence",
     "markov_calibration",
+    "clustering_coeff",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -247,3 +247,22 @@ def test_markov_calibration_hand_case(spark):
     assert got[7]["n_pairs"] == 2 and got[7]["n_pos"] == 1
     assert got[7]["mean_pred"] == 0.75 and got[7]["frac_obs"] == 0.5
     assert got[2]["mean_pred"] == 0.25 and got[2]["frac_obs"] == 0.5
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    from timeseriescorrelation_spark.operators.graphrank import (
+        clustering_coefficients,
+    )
+
+    # triangle {1,2,3} plus pendant 4 hanging off 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r.asDict()
+           for r in clustering_coefficients(edges).collect()}
+    assert got[1]["n_triangles"] == 1 and got[1]["coeff"] == 1.0
+    assert got[2]["coeff"] == 1.0
+    assert got[3]["deg"] == 3 and got[3]["n_triangles"] == 1
+    assert got[3]["coeff"] == 0.333333
+    assert got[4]["deg"] == 1 and got[4]["n_triangles"] == 0
+    assert got[4]["coeff"] is None

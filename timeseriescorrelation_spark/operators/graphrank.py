@@ -574,3 +574,52 @@ def label_propagation(edges: DataFrame, n_rounds: int,
             ).alias("lbl"),
         )
     return lbl
+
+
+def clustering_coefficients(edges: DataFrame, src_col: str = "src",
+                            dst_col: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient — the fifth classic graph
+    primitive next to CC / PageRank / BFS / assortativity: of the
+    pairs of my neighbors, what fraction know each other?
+
+        coeff(u) = 2·tri(u) / (deg(u)·(deg(u)−1))
+
+    Derivation rides the edge_jaccard wedge machinery: a triangle
+    {u, v, w} contributes to the common-neighbor count of BOTH of u's
+    incident edges (w on (u,v), v on (u,w)), so Σ_{edges at u} common
+    = 2·tri(u) exactly — one unpivot + one hash-agg after the per-edge
+    counts, no new wedge join.  tri is an exact integer (the halving
+    divides an even int); coeff is ONE rounded divide, NULL for
+    deg < 2 (no neighbor pairs to close).
+
+    Output: (node, deg, n_triangles, coeff).
+
+    Scale notes: inherits edge_jaccard's bound (wedge join capped by
+    the hub-capped builder upstream); the per-node reduce adds one
+    |E|-row unpivot and a nodes-sized hash-agg."""
+    ej = edge_jaccard(edges, src_col, dst_col)
+    stacked = ej.select(
+        F.col("u").alias("node"), "common", F.col("deg_u").alias("deg")
+    ).unionByName(
+        ej.select(
+            F.col("v").alias("node"), "common",
+            F.col("deg_v").alias("deg"),
+        )
+    )
+    per = stacked.groupBy("node").agg(
+        F.max("deg").alias("deg"),
+        F.sum("common").alias("s2"),
+    )
+    return per.select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.expr("s2 div 2").cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.col("s2").cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ),
+        ).alias("coeff"),
+    )
