@@ -5538,6 +5538,18 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficients(edges)
 
 
+def q_mrr_int8(spark, sf_dir):
+    """MRR of the int8 ranking against each query's TRUE (exact-cosine)
+    nearest neighbor — the known-item-search member of the ranking-
+    eval family; rr_u = 2520 div position is an exact integer (lcm
+    1..10), 0 when the true neighbor fell past k."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        mrr_int8_at_k,
+    )
+
+    return mrr_int8_at_k(_embs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5811,6 +5823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_sequence": q_dq_sequence,
         "markov_calibration": q_markov_calibration,
         "clustering_coeff": q_clustering_coeff,
+        "mrr_int8": q_mrr_int8,
     }
 
 
@@ -12518,6 +12531,45 @@ SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
         / (cast(n_b_post AS double) * n_b_post * (n_b_post - 1))
   ), 6) AS z
 FROM cells
+""",
+        "mrr_int8": f"""
+WITH {_UV_CTE},
+qz AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(v, x ->
+                round(x * 127.0 / list_max(list_transform(v, y -> abs(y)))))
+              ELSE list_transform(v, x -> x * 0.0)
+         END AS q
+  FROM uv
+), top1 AS (
+  SELECT qid, nid AS exact_top1 FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.v), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r = 1
+), approx AS (
+  SELECT qid, nid, r AS pb FROM (
+    SELECT a.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.q, c.q) * a.s * c.s
+                            / (127.0 * 127.0), 6) DESC,
+                      c.vec_id) AS r
+    FROM qz a JOIN qz c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE r <= 10
+)
+SELECT t.qid, cast(10 AS int) AS k, t.exact_top1,
+       cast(p.pb AS bigint) AS int8_pos,
+       cast(coalesce(2520 // p.pb, 0) AS bigint) AS rr_u,
+       round(cast(coalesce(2520 // p.pb, 0) AS double) / 2520.0, 6)
+         AS rr
+FROM top1 t
+LEFT JOIN approx p ON p.qid = t.qid AND p.nid = t.exact_top1
 """,
         "rbo_int8": f"""
 WITH {_UV_CTE},

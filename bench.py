@@ -251,6 +251,7 @@ HEADLINE_R3 = [
     "dq_sequence",
     "markov_calibration",
     "clustering_coeff",
+    "mrr_int8",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -266,3 +266,19 @@ def test_clustering_coefficients_hand_graph(spark):
     assert got[3]["coeff"] == 0.333333
     assert got[4]["deg"] == 1 and got[4]["n_triangles"] == 0
     assert got[4]["coeff"] is None
+
+
+def test_mrr_int8_perfect_when_order_preserved(spark):
+    from timeseriescorrelation_spark.operators.similarity import (
+        mrr_int8_at_k,
+    )
+
+    # losslessly-quantizable vectors -> identical exact/int8 rankings,
+    # so every query's true top-1 sits at int8 position 1: rr == 1.0
+    rows = [(i, [127.0, float(5 * i)]) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = mrr_int8_at_k(emb, n_queries=3).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.int8_pos == 1 and r.rr_u == 2520 and r.rr == 1.0

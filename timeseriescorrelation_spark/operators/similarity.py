@@ -1434,3 +1434,86 @@ def rbo_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
             ).alias("rbo"),
         )
     )
+
+
+def mrr_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Mean-reciprocal-rank view of int8 quantization loss: where does
+    each query's TRUE nearest neighbor (exact-cosine rank 1) land in
+    the int8 ranking?  (qid, k, exact_top1, int8_pos, rr_u, rr) — the
+    fourth member of the ranking-eval family: recall@k is position-
+    blind, NDCG needs grades, RBO compares whole rankings; MRR answers
+    the single-best-answer question (known-item search, dedup lookup,
+    "find THE canonical doc"), charging 1/position for the one item
+    that matters.
+
+    Exactness: both rankings snap scores to 6dp with id tie-breaks
+    (the ann_int8 contract); rr_u = 2520 div pos is an EXACT integer
+    (2520 = lcm 1..10 clears every /pos), 0 when the true neighbor
+    fell past k — rr is rr_u/2520, ONE display divide.  Averaging
+    across queries stays exact in integer space (Σ rr_u div n).
+
+    Scale shape: the same two brute scans over broadcast sample
+    queries the sibling evals pay; the positions join is 1 row (the
+    exact top-1) against k rows per query."""
+    if k != 10:
+        raise ValueError("the 2520 reciprocal table is for k=10")
+    u = with_unit_vectors(emb, vec_col, id_col)
+    qz = u.withColumn(
+        "_s", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).select(
+        "vec_id", "v", "_s",
+        F.when(
+            F.col("_s") > 0,
+            F.transform(
+                "v", lambda x: F.round(x * F.lit(127.0) / F.col("_s"))
+            ),
+        ).otherwise(
+            F.transform("v", lambda x: x * F.lit(0.0))
+        ).alias("q"),
+    )
+
+    def _ranked(score_col, pos_name, depth):
+        qs = qz.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("q").alias("qq"), F.col("_s").alias("qscale"),
+        )
+        scored = qz.join(
+            F.broadcast(qs), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid", F.col("vec_id").alias("nid"),
+            F.round(score_col, 6).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nid")
+        return scored.select(
+            "qid", "nid", F.row_number().over(w).alias(pos_name)
+        ).where(F.col(pos_name) <= int(depth))
+
+    top1 = _ranked(_dot(F.col("qv"), F.col("v")), "pa", 1).select(
+        "qid", F.col("nid").alias("exact_top1")
+    )
+    approx = _ranked(
+        _dot(F.col("qq"), F.col("q"))
+        * F.col("qscale") * F.col("_s") / F.lit(127.0 * 127.0),
+        "pb", k,
+    )
+    j = top1.join(
+        approx,
+        (top1["qid"] == approx["qid"])
+        & (top1["exact_top1"] == approx["nid"]),
+        "left",
+    ).select(
+        top1["qid"], "exact_top1",
+        F.col("pb").cast("long").alias("int8_pos"),
+    )
+    return j.select(
+        "qid", F.lit(int(k)).alias("k"), "exact_top1", "int8_pos",
+        F.coalesce(
+            F.expr("2520 div int8_pos"), F.lit(0)
+        ).cast("long").alias("rr_u"),
+        F.round(
+            F.coalesce(F.expr("2520 div int8_pos"), F.lit(0))
+            .cast("double") / F.lit(2520.0), 6
+        ).alias("rr"),
+    )
