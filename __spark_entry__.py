@@ -5550,6 +5550,18 @@ def q_mrr_int8(spark, sf_dir):
     return mrr_int8_at_k(_embs(spark, sf_dir))
 
 
+def q_croston(spark, sf_dir):
+    """Croston's intermittent-demand forecast per metric over the
+    hourly count grid: separate EWMA recursions for nonzero demand
+    sizes and inter-demand intervals, forecast = z/p — the sparse-
+    series member of the EWMA/DES/Holt-Winters family.  Smoothed
+    values floor-quantized at 1e-6 (the ewma bit-identical-recursion
+    contract)."""
+    from timeseriescorrelation_spark.operators.analytics import croston
+
+    return croston(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5824,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_calibration": q_markov_calibration,
         "clustering_coeff": q_clustering_coeff,
         "mrr_int8": q_mrr_int8,
+        "croston": q_croston,
     }
 
 
@@ -12531,6 +12544,37 @@ SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
         / (cast(n_b_post AS double) * n_b_post * (n_b_post - 1))
   ), 6) AS z
 FROM cells
+""",
+        "croston": """
+WITH RECURSIVE h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(count(*) AS bigint) AS demand
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT metric, hour_ts, demand,
+         coalesce(
+           epoch_us(hour_ts) // 3600000000
+           - lag(epoch_us(hour_ts) // 3600000000)
+             OVER (PARTITION BY metric ORDER BY hour_ts),
+           1) AS gap,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY hour_ts) AS rn
+  FROM h
+), r AS (
+  SELECT metric, hour_ts, demand, gap, rn,
+         demand * 1000000 AS z_u, gap * 1000000 AS p_u
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.metric, g.hour_ts, g.demand, g.gap, g.rn,
+         (7 * r.z_u + 3 * g.demand * 1000000) // 10,
+         (7 * r.p_u + 3 * g.gap * 1000000) // 10
+  FROM r JOIN g ON g.metric = r.metric AND g.rn = r.rn + 1
+)
+SELECT metric, hour_ts, demand, cast(gap AS bigint) AS gap,
+       cast(z_u AS bigint) AS z_u, cast(p_u AS bigint) AS p_u,
+       cast(z_u * 1000000 // p_u AS bigint) AS forecast_u,
+       cast(z_u * 1000000 // p_u AS double) / 1e6 AS forecast
+FROM r
 """,
         "mrr_int8": f"""
 WITH {_UV_CTE},

@@ -252,6 +252,7 @@ HEADLINE_R3 = [
     "markov_calibration",
     "clustering_coeff",
     "mrr_int8",
+    "croston",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -282,3 +282,31 @@ def test_mrr_int8_perfect_when_order_preserved(spark):
     assert len(got) == 3
     for r in got:
         assert r.int8_pos == 1 and r.rr_u == 2520 and r.rr == 1.0
+
+
+def test_croston_hand_case(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.analytics import croston
+
+    H = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    schema = ("conv_id string, metric string, ts timestamp,"
+              " turn_idx int, value double")
+    # metric "m": demand 2 at hour 0, 5 at hour 3 (gap 3), 1 at hour 4
+    rows = []
+    for i in range(2):
+        rows.append(("c", "m", H(0), i, 1.0))
+    for i in range(5):
+        rows.append(("c", "m", H(3), 10 + i, 1.0))
+    rows.append(("c", "m", H(4), 20, 1.0))
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(croston(df).collect(), key=lambda r: r["hour_ts"])
+    assert [(r["demand"], r["gap"]) for r in got] == [(2, 1), (5, 3),
+                                                      (1, 1)]
+    # z: 2e6 -> (7*2e6+3*5e6)//10 = 2.9e6 -> (7*2.9e6+3*1e6)//10 = 2.33e6
+    assert [r["z_u"] for r in got] == [2_000_000, 2_900_000, 2_330_000]
+    # p: 1e6 -> (7*1e6+3*3e6)//10 = 1.6e6 -> (7*1.6e6+3*1e6)//10 = 1.42e6
+    assert [r["p_u"] for r in got] == [1_000_000, 1_600_000, 1_420_000]
+    assert [r["forecast_u"] for r in got] == [2_000_000, 1_812_500,
+                                              1_640_845]
+    assert got[1]["forecast"] == 1.8125

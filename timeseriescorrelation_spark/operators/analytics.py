@@ -2299,3 +2299,99 @@ def markov_calibration(series: DataFrame, num: int = 3,
             ).alias("frac_obs"),
         )
     )
+
+
+def croston(series: DataFrame, alpha_num: int = 3,
+            alpha_den: int = 10,
+            keys: list[str] | None = None) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) — the
+    forecast family member EWMA/DES/Holt-Winters get wrong on sparse
+    series: smoothing zeros drags the level toward 0 and the forecast
+    oscillates with the gaps.  Croston smooths the nonzero demand
+    SIZES and the INTERVALS between them separately and forecasts
+    their ratio (expected demand per period):
+
+        on each nonzero hour t:  z ← (1−α)z + α·d_t
+                                 p ← (1−α)p + α·I_t
+        forecast = z / p
+
+    with d_t the hour's demand (event count), I_t the hour-index gap
+    since the previous nonzero hour (first point: z₁ = d₁, I₁ := 1 —
+    the standard init), over the per-key hour grid.
+
+    Exactness: the recursion runs in INTEGER micro-units with
+    α = alpha_num/alpha_den —
+
+        z_u ← ((den−num)·z_u + num·d·10⁶) DIV den
+
+    — a floor at every step (a deterministically-quantized Croston,
+    biased < 1e-6 per step), because the float recursion is NOT
+    portable: DuckDB contracts (1−α)·z + α·d into an FMA and lands one
+    ulp off CPython/pandas exactly when integer-valued series sit ON
+    the 1e-6 display grid (measured: 4.239 vs 4.238999999999999).
+    forecast_u = (z_u·10⁶) DIV p_u; the display double is the integer
+    over 10⁶, always on-grid.  Int64 bound: den·z_u < 2⁶³ needs
+    demand < 9·10¹¹ per hour.
+
+    Scale shape: one hash-agg to the hourly grid (metadata-sized —
+    |keys|·|hours| regardless of raw rows), one lag window for gaps,
+    then ONE Python pass per partition with per-series integer state
+    carried across Arrow batches (never per-series applyInPandas; a
+    series never straddles partitions)."""
+    keys = keys or ["metric"]
+    num, den = int(alpha_num), int(alpha_den)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", hour_ts timestamp, demand long, gap long,"
+        " z_u long, p_u long, forecast_u long, forecast double"
+    )
+
+    hourly = series.groupBy(
+        *keys, F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    hidx = (epoch_us(F.col("hour_ts")) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    w = Window.partitionBy(*keys).orderBy("hour_ts")
+    gapped = hourly.withColumn("_h", hidx).withColumn(
+        "gap",
+        F.coalesce(F.col("_h") - F.lag("_h").over(w), F.lit(1))
+        .cast("long"),
+    ).drop("_h")
+
+    cols = [*keys, "hour_ts", "demand", "gap"]
+    M = 1_000_000
+
+    def _smooth(batches):
+        cur_key, z, p = None, 0, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            key_tup = list(zip(*(pdf[k] for k in keys)))
+            dem = pdf["demand"].to_numpy()
+            gap = pdf["gap"].to_numpy()
+            zs, ps, fs = [], [], []
+            for kt, d, g in zip(key_tup, dem, gap):
+                if kt != cur_key:
+                    cur_key, z, p = kt, int(d) * M, int(g) * M
+                else:
+                    z = ((den - num) * z + num * int(d) * M) // den
+                    p = ((den - num) * p + num * int(g) * M) // den
+                zs.append(z)
+                ps.append(p)
+                fs.append(z * M // p)
+            out = pdf[cols].copy()
+            out["z_u"] = zs
+            out["p_u"] = ps
+            out["forecast_u"] = fs
+            out["forecast"] = [f / 1e6 for f in fs]
+            yield out
+
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
+    )
+
+    n_part = shuffle_partition_count(series.sparkSession)
+    part = gapped.repartition(n_part, *[F.col(k) for k in keys]) \
+        .sortWithinPartitions(*keys, "hour_ts")
+    return part.mapInPandas(_smooth, schema)
