@@ -5562,6 +5562,18 @@ def q_croston(spark, sf_dir):
     return croston(_series_from_events(spark, sf_dir))
 
 
+def q_rate_decomposition(spark, sf_dir):
+    """Kitagawa/Oaxaca decomposition of the error-rate move between
+    the two halves of the span: per md5-cohort segment, how much of
+    the delta is mix shift vs within-segment rate change — the two
+    effect columns sum exactly to the headline rate delta."""
+    from timeseriescorrelation_spark.operators.abtest import (
+        rate_decomposition,
+    )
+
+    return rate_decomposition(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5837,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "mrr_int8": q_mrr_int8,
         "croston": q_croston,
+        "rate_decomposition": q_rate_decomposition,
     }
 
 
@@ -12544,6 +12557,51 @@ SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
         / (cast(n_b_post AS double) * n_b_post * (n_b_post - 1))
   ), 6) AS z
 FROM cells
+""",
+        "rate_decomposition": """
+WITH b AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM events
+), sp AS (
+  SELECT d0 + (cast((date_diff('day', d0, d1) * 1) // 2 AS int)
+               * INTERVAL 1 DAY) AS split_ts
+  FROM b
+), rows_t AS (
+  SELECT ('0x' || substr(md5(cast(user_id AS varchar)), 1, 4))::INT % 4
+           AS segment,
+         ts < split_ts AS is_a,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+  FROM events, sp
+), cells AS (
+  SELECT segment,
+         cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS bigint) AS n_a,
+         cast(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS bigint) AS n_b,
+         cast(coalesce(sum(CASE WHEN is_a THEN e END), 0) AS bigint)
+           AS err_a,
+         cast(coalesce(sum(CASE WHEN is_a THEN NULL ELSE e END), 0)
+              AS bigint) AS err_b
+  FROM rows_t GROUP BY 1
+), tot AS (
+  SELECT cast(sum(n_a) AS bigint) AS tn_a,
+         cast(sum(n_b) AS bigint) AS tn_b
+  FROM cells
+)
+SELECT segment, n_a, n_b, err_a, err_b,
+       round(cast(n_a AS double) / tn_a, 6) AS w_a,
+       round(cast(n_b AS double) / tn_b, 6) AS w_b,
+       CASE WHEN n_a > 0
+            THEN round(cast(err_a AS double) / n_a, 6) END AS rate_a,
+       CASE WHEN n_b > 0
+            THEN round(cast(err_b AS double) / n_b, 6) END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round((cast(n_b AS double) / tn_b - cast(n_a AS double) / tn_a)
+               * (cast(err_a AS double) / n_a), 6) END AS mix_effect,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round((cast(n_b AS double) / tn_b)
+               * (cast(err_b AS double) / n_b
+                  - cast(err_a AS double) / n_a), 6) END AS rate_effect
+FROM cells CROSS JOIN tot
 """,
         "croston": """
 WITH RECURSIVE h AS (

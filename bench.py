@@ -253,6 +253,7 @@ HEADLINE_R3 = [
     "clustering_coeff",
     "mrr_int8",
     "croston",
+    "rate_decomposition",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -310,3 +310,40 @@ def test_croston_hand_case(spark):
     assert [r["forecast_u"] for r in got] == [2_000_000, 1_812_500,
                                               1_640_845]
     assert got[1]["forecast"] == 1.8125
+
+
+def test_rate_decomposition_identity(spark):
+    import datetime as dt
+
+    from timeseriescorrelation_spark.operators.abtest import (
+        rate_decomposition,
+    )
+
+    D = lambda d, h=0: dt.datetime(2024, 1, 1 + d, h)  # noqa: E731
+    rows = []
+    eid = 0
+    # 4 days -> split at day 2; vary volume and error share per user
+    # cohort and period so both effects are nonzero
+    for day in range(4):
+        for uid in range(40):
+            n = 3 if (day < 2) == (uid % 2 == 0) else 1
+            for i in range(n):
+                et = "error" if (uid + day + i) % 3 == 0 else "view"
+                rows.append((eid, D(day, i % 24), uid, et, 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    )
+    out = rate_decomposition(df).collect()
+    n_a = sum(r["n_a"] for r in out)
+    n_b = sum(r["n_b"] for r in out)
+    e_a = sum(r["err_a"] for r in out)
+    e_b = sum(r["err_b"] for r in out)
+    headline = e_b / n_b - e_a / n_a
+    total = sum((r["mix_effect"] or 0) + (r["rate_effect"] or 0)
+                for r in out)
+    # effects are 6dp-rounded, one segment contributes <= 1e-6 error
+    assert abs(total - headline) <= 2e-6 * len(out)
+    assert any((r["mix_effect"] or 0) != 0 for r in out)
+    assert any((r["rate_effect"] or 0) != 0 for r in out)

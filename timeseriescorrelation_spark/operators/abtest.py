@@ -197,3 +197,95 @@ def did_readout(series: DataFrame, treat_frac: float = 0.5,
         F.round(se / um, 6).alias("se"),
         F.round(did / se, 6).alias("z"),
     )
+
+
+def rate_decomposition(events: DataFrame, target_event: str = "error",
+                       n_segments: int = 4,
+                       num: int = 1, den: int = 2,
+                       id_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts") -> DataFrame:
+    """Kitagawa/Oaxaca rate decomposition — "the error rate moved:
+    did the SEGMENTS get worse, or did the MIX shift toward worse
+    segments?"  For period A (first num/den of the day span) vs
+    period B (the rest), the total-rate delta splits exactly:
+
+        rate_B − rate_A = Σ_s (w_B − w_A)·rate_A   (mix effect)
+                        + Σ_s w_B·(rate_B − rate_A) (rate effect)
+
+    with w = the segment's share of period events and rate = the
+    segment's target-event share.  One row per segment with both
+    effects; the two columns' totals reconstruct the headline delta
+    to the last bit of the shared expression (the pytest asserts the
+    identity).
+
+    Segments here are md5-bucket unit cohorts (ab_assign's hash, mod
+    n_segments — a deterministic placebo dimension; pass a real
+    segment column by pre-projecting it into id_col at call sites).
+    Every statistic is a fixed IEEE expression over six exact integer
+    counts per row (no recursion, no order dependence), so the DuckDB
+    oracle matches bit-for-bit; display columns round 6dp.  Segments
+    empty on either side emit NULL effects (excluded from the
+    identity) rather than a silent zero.
+
+    Scale shape: one hash-agg over raw rows to |segments|·2 cells,
+    one self-join-free pivot via conditional sums — metadata-sized
+    output regardless of input."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+    from timeseriescorrelation_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    bounds = events.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("d0"),
+        F.date_trunc("day", F.max(ts_col)).alias("d1"),
+    ).select(
+        F.to_timestamp(
+            F.date_add(
+                F.col("d0").cast("date"),
+                F.expr(
+                    f"cast((datediff(d1, d0) * {int(num)})"
+                    f" div {int(den)} as int)"
+                ),
+            )
+        ).alias("split_ts")
+    )
+    cells = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            F.pmod(hash_bucket(id_col), F.lit(int(n_segments)))
+            .cast("long").alias("segment"),
+            (epoch_us(F.col(ts_col))
+             < epoch_us(F.col("split_ts"))).alias("is_a"),
+            (F.col(type_col) == target_event).cast("long").alias("e"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("n_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("e"))).alias("err_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("e"))).alias("err_b"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_a").alias("tn_a"), F.sum("n_b").alias("tn_b")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    w_a = F.col("n_a").cast("double") / F.col("tn_a").cast("double")
+    w_b = F.col("n_b").cast("double") / F.col("tn_b").cast("double")
+    r_a = F.col("err_a").cast("double") / F.col("n_a").cast("double")
+    r_b = F.col("err_b").cast("double") / F.col("n_b").cast("double")
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return j.select(
+        "segment",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce("err_a", F.lit(0)).cast("long").alias("err_a"),
+        F.coalesce("err_b", F.lit(0)).cast("long").alias("err_b"),
+        F.round(w_a, 6).alias("w_a"),
+        F.round(w_b, 6).alias("w_b"),
+        F.when(F.col("n_a") > 0, F.round(r_a, 6)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(r_b, 6)).alias("rate_b"),
+        F.when(both, F.round((w_b - w_a) * r_a, 6)).alias("mix_effect"),
+        F.when(both, F.round(w_b * (r_b - r_a), 6)).alias("rate_effect"),
+    )
