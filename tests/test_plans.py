@@ -342,3 +342,46 @@ def test_hybrid_fusion_is_takeordered(spark):
     (per-partition heaps), never a global Sort+Limit."""
     plan = _plan(em.queries()["hybrid_search"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pattern_matches_single_shuffle_no_groupmap(spark):
+    """The CEP scan must be ONE hash repartition + one mapInPandas
+    pass — never groupBy().applyInPandas (FlatMapGroupsInPandas),
+    whose per-key pandas construction cost 5 s of overhead at 1 500
+    keys (round-3b measurement)."""
+    plan = _plan(em.queries()["pattern_matches"](spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_adamic_adar_wedge_join_is_hash_not_smj(spark):
+    """The wedge self-join must be a (shuffled) hash join: sort-merge
+    on the duplicate-heavy center key buffers each key group
+    quadratically during the merge (7.2 s vs 2.9 s at sf0.1), and the
+    weight dimension must be folded in BEFORE the wedge join (exactly
+    one broadcast join, none after the wedge output)."""
+    plan = _plan(em.queries()["adamic_adar"](spark, SF))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_croston_grid_agg_before_python(spark):
+    """Croston's Python pass must see the metadata-sized hourly grid,
+    not raw rows: the hash aggregation runs BEFORE the MapInPandas
+    node in the plan tree (partial agg on raw rows, then the smoother
+    over |keys|x|hours|)."""
+    plan = _plan(em.queries()["croston"](spark, SF))
+    assert "MapInPandas" in plan
+    # the aggregate must appear deeper in the tree (later in the
+    # printed plan string) than the python node
+    assert plan.index("MapInPandas") < plan.index("HashAggregate"), plan
+
+
+def test_bh_fdr_windows_partitioned_by_family(spark):
+    """Every BH window must be partitioned by the metric family — an
+    unpartitioned rank over all tests would drag the whole table to
+    one task at fleet scale."""
+    plan = _plan(em.queries()["fdr_anomalies"](spark, SF))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "metric" in m.group(1), plan
