@@ -5574,6 +5574,47 @@ def q_rate_decomposition(spark, sf_dir):
     return rate_decomposition(_events(spark, sf_dir))
 
 
+def q_prune_sweep(spark, sf_dir):
+    """θ-sweep pruning-efficiency report — the evaluation artifact the
+    reference PUBLISHES (pruning ratios per threshold): for θ ∈
+    {0.5, 0.7, 0.9}, the ε-grid candidate count vs the all-pairs
+    space and the confirmed-pair yield, ratios rounded for display.
+    Rows-only by construction (candidate counts are sketch-internal;
+    the prune's SOUNDNESS is separately gate-proven — corr_report's
+    oracle IS the naive all-pairs answer — and pytest-asserted
+    pruned ⊇ all-pairs at θ)."""
+    aligned = _aligned_from_events(spark, sf_dir)
+    vectors = dft_sketch(build_vectors(aligned)).cache()
+    n = vectors.agg(F.count(F.lit(1)).alias("n_series"))
+    frames = []
+    for theta in (0.5, 0.7, 0.9):
+        cand = candidate_pairs(vectors, theta)
+        conf = exact_corr(cand, vectors, theta)
+        frames.append(
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                conf.agg(F.count(F.lit(1)).alias("n_confirmed"))
+            )
+            .withColumn("theta", F.lit(theta))
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u.crossJoin(F.broadcast(n)).select(
+        "theta", "n_series",
+        (F.col("n_series") * (F.col("n_series") - 1) / 2)
+        .cast("long").alias("n_pairs_total"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_confirmed").cast("long").alias("n_confirmed"),
+        F.round(
+            1.0
+            - F.col("n_candidates").cast("double")
+            / (F.col("n_series") * (F.col("n_series") - 1) / 2.0),
+            6,
+        ).alias("prune_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -5850,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr_int8": q_mrr_int8,
         "croston": q_croston,
         "rate_decomposition": q_rate_decomposition,
+        "prune_sweep": q_prune_sweep,
     }
 
 

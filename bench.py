@@ -254,6 +254,7 @@ HEADLINE_R3 = [
     "mrr_int8",
     "croston",
     "rate_decomposition",
+    "prune_sweep",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -347,3 +347,19 @@ def test_rate_decomposition_identity(spark):
     assert abs(total - headline) <= 2e-6 * len(out)
     assert any((r["mix_effect"] or 0) != 0 for r in out)
     assert any((r["rate_effect"] or 0) != 0 for r in out)
+
+
+def test_prune_sweep_monotone_and_sound(spark):
+    import __spark_entry__ as em
+
+    rows = {r["theta"]: r.asDict()
+            for r in em.queries()["prune_sweep"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {0.5, 0.7, 0.9}
+    # tighter theta -> smaller epsilon ball -> never MORE candidates
+    assert (rows[0.5]["n_candidates"] >= rows[0.7]["n_candidates"]
+            >= rows[0.9]["n_candidates"])
+    assert (rows[0.5]["prune_ratio"] <= rows[0.7]["prune_ratio"]
+            <= rows[0.9]["prune_ratio"])
+    for r in rows.values():
+        assert r["n_confirmed"] <= r["n_candidates"] <= r["n_pairs_total"]
