@@ -363,3 +363,36 @@ def test_prune_sweep_monotone_and_sound(spark):
             <= rows[0.9]["prune_ratio"])
     for r in rows.values():
         assert r["n_confirmed"] <= r["n_candidates"] <= r["n_pairs_total"]
+
+
+def test_pq_index_persist_and_probe(spark, tmp_path):
+    from timeseriescorrelation_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+    from timeseriescorrelation_spark.sources.ann_index import (
+        build_pq_index,
+        load_pq_index,
+        pq_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "pqidx")
+    build_pq_index(emb, path, m=16, ksub=32, n_iter=2)
+    cb, codes = load_pq_index(spark, path)
+    assert cb.count() > 0 and codes.count() == emb.count()
+    got = sorted(
+        map(tuple, pq_index_topk(emb, q, path, k=5, m=16, ksub=32,
+                                 refine=50).collect())
+    )
+    # probing the persisted index must equal the in-session pipeline
+    cb2 = pq_codebooks(emb, m=16, ksub=32, n_iter=2)
+    codes2 = pq_encode(emb, cb2, m=16)
+    want = sorted(
+        map(tuple, pq_topk_adc(emb, q, k=5, m=16, ksub=32,
+                               codebooks=cb2, codes=codes2,
+                               refine=50).collect())
+    )
+    assert got == want and len(got) == 15
