@@ -5574,6 +5574,60 @@ def q_rate_decomposition(spark, sf_dir):
     return rate_decomposition(_events(spark, sf_dir))
 
 
+def q_ar2_forecast(spark, sf_dir):
+    """Per-day AR(2) Yule-Walker fit + one-step forecast per metric
+    over the hourly cent-sum sequence: autocovariances C_0..C_2 as
+    exact decimal38 integers (n-scaled so the normalization cancels),
+    φ coefficients and forecast one identical double tree, 6 dp."""
+    from timeseriescorrelation_spark.operators.tsdiag import ar2_forecast
+
+    return ar2_forecast(_series_from_events(spark, sf_dir))
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio VR(4) per metric-day on the hourly
+    cent-sum sequence — random-walk diagnostic from exact integer
+    1-step and 4-step delta moments."""
+    from timeseriescorrelation_spark.operators.tsdiag import variance_ratio
+
+    return variance_ratio(_series_from_events(spark, sf_dir), q=4)
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the signs of nonzero hourly deltas
+    per metric-day: integer run/sign counts, one double z expression."""
+    from timeseriescorrelation_spark.operators.tsdiag import runs_test
+
+    return runs_test(_series_from_events(spark, sf_dir))
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points randomness test per metric-day: strict local
+    extrema counted over the hourly sequence, z vs the i.i.d.
+    expectation 2(n-2)/3."""
+    from timeseriescorrelation_spark.operators.tsdiag import turning_points
+
+    return turning_points(_series_from_events(spark, sf_dir))
+
+
+def q_allan_variance(spark, sf_dir):
+    """Allan variance of each metric's hourly cent-sum level at
+    τ ∈ {1,2,4} hours: full-bucket sums, consecutive-pair squared
+    diffs summed exactly in decimal38, one final divide."""
+    from timeseriescorrelation_spark.operators.tsdiag import allan_variance
+
+    return allan_variance(_series_from_events(spark, sf_dir))
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift scan per metric: max upward excursion of the
+    n-scaled cumulative deviation (pure integer under a running
+    window), argmax hour deterministic under ties."""
+    from timeseriescorrelation_spark.operators.tsdiag import page_hinkley
+
+    return page_hinkley(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -5892,6 +5946,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": q_croston,
         "rate_decomposition": q_rate_decomposition,
         "prune_sweep": q_prune_sweep,
+        "ar2_forecast": q_ar2_forecast,
+        "variance_ratio": q_variance_ratio,
+        "runs_test": q_runs_test,
+        "turning_points": q_turning_points,
+        "allan_variance": q_allan_variance,
+        "page_hinkley": q_page_hinkley,
     }
 
 
@@ -12786,5 +12846,268 @@ SELECT hour_ts, n_total, n_err, t6 AS n_total_6h, e6 AS n_err_6h,
        round(100.0 * e6 / t6, 6) AS burn_6h,
        (500 * n_err > 72 * n_total AND 50 * e6 > 3 * t6) AS page
 FROM hourly JOIN s6 ON epoch_us(hour_ts) // 3600000000 = s6.hw
+""",
+        "ar2_forecast": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts, hour_ts, y,
+         lag(y, 1) OVER (PARTITION BY metric, date_trunc('day', hour_ts)
+                         ORDER BY hour_ts) AS y1,
+         lag(y, 2) OVER (PARTITION BY metric, date_trunc('day', hour_ts)
+                         ORDER BY hour_ts) AS y2
+  FROM h
+), g AS (
+  SELECT metric, day_ts, cast(count(*) AS hugeint) AS n,
+         sum(y) AS s,
+         sum(y * y) AS p0, sum(y * y1) AS p1, sum(y * y2) AS p2,
+         sum(y1) AS a1,
+         sum(CASE WHEN y1 IS NOT NULL THEN y END) AS b1,
+         sum(y2) AS a2,
+         sum(CASE WHEN y2 IS NOT NULL THEN y END) AS b2,
+         max_by(y, hour_ts) AS xn, max_by(y1, hour_ts) AS xn1
+  FROM l GROUP BY 1, 2 HAVING count(*) >= 8
+), c AS (
+  SELECT metric, day_ts, n, s, xn, xn1,
+         cast(n * n * p0 - n * s * (s + s) + n * s * s AS double) AS c0,
+         cast(n * n * p1 - n * s * (a1 + b1) + (n - 1) * s * s
+              AS double) AS c1,
+         cast(n * n * p2 - n * s * (a2 + b2) + (n - 2) * s * s
+              AS double) AS c2
+  FROM g
+), ph AS (
+  SELECT metric, day_ts, n, s, xn, xn1, c0, c1, c2,
+         CASE WHEN c0 * c0 - c1 * c1 <> 0
+              THEN c1 * (c0 - c2) / (c0 * c0 - c1 * c1) END AS phi1,
+         CASE WHEN c0 * c0 - c1 * c1 <> 0
+              THEN (c2 * c0 - c1 * c1) / (c0 * c0 - c1 * c1) END AS phi2
+  FROM c WHERE c0 > 0
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n_hours,
+       round(c1 / c0, 6) AS r1, round(c2 / c0, 6) AS r2,
+       round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+       round((cast(s AS double) / cast(n AS double)
+              + phi1 * (cast(xn AS double)
+                        - cast(s AS double) / cast(n AS double))
+              + phi2 * (cast(xn1 AS double)
+                        - cast(s AS double) / cast(n AS double)))
+             / 100.0, 6) AS forecast
+FROM ph
+""",
+        "variance_ratio": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts,
+         y - lag(y, 1) OVER (PARTITION BY metric,
+                             date_trunc('day', hour_ts)
+                             ORDER BY hour_ts) AS d1,
+         y - lag(y, 4) OVER (PARTITION BY metric,
+                             date_trunc('day', hour_ts)
+                             ORDER BY hour_ts) AS dq
+  FROM h
+), g AS (
+  SELECT metric, day_ts,
+         cast(count(d1) AS hugeint) AS n1, sum(d1) AS s1,
+         sum(d1 * d1) AS s11,
+         cast(count(dq) AS hugeint) AS nq, sum(dq) AS sq,
+         sum(dq * dq) AS sqq
+  FROM l GROUP BY 1, 2
+  HAVING count(d1) + 1 >= 10 AND count(dq) >= 2
+), v AS (
+  SELECT metric, day_ts, n1, nq,
+         cast(n1 * s11 - s1 * s1 AS double) AS var1,
+         cast(nq * sqq - sq * sq AS double) AS varq
+  FROM g
+)
+SELECT metric, day_ts, cast(4 AS int) AS q,
+       cast(n1 AS bigint) AS n1, cast(nq AS bigint) AS nq,
+       round(varq * cast(n1 AS double) * cast(n1 AS double)
+             / (4.0 * cast(nq AS double) * cast(nq AS double) * var1),
+             6) AS vr
+FROM v WHERE var1 > 0
+""",
+        "runs_test": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT * FROM (
+    SELECT metric, date_trunc('day', hour_ts) AS day_ts, hour_ts,
+           y - lag(y, 1) OVER (PARTITION BY metric,
+                               date_trunc('day', hour_ts)
+                               ORDER BY hour_ts) AS d
+    FROM h
+  ) WHERE d IS NOT NULL AND d <> 0
+), sg AS (
+  SELECT metric, day_ts,
+         CASE WHEN d > 0 THEN 1 ELSE 0 END AS s,
+         lag(CASE WHEN d > 0 THEN 1 ELSE 0 END, 1)
+           OVER (PARTITION BY metric, day_ts ORDER BY hour_ts) AS sp
+  FROM d
+), g AS (
+  SELECT metric, day_ts,
+         cast(sum(s) AS bigint) AS pos,
+         cast(sum(1 - s) AS bigint) AS neg,
+         cast(1 + sum(CASE WHEN sp IS NOT NULL AND s <> sp
+                           THEN 1 ELSE 0 END) AS bigint) AS runs
+  FROM sg GROUP BY 1, 2
+  HAVING sum(s) > 0 AND sum(1 - s) > 0 AND count(*) >= 8
+)
+SELECT metric, day_ts, pos, neg, runs,
+       round(CASE WHEN 2.0 * pos * neg
+                       * (2.0 * pos * neg - (cast(pos AS double)
+                                             + cast(neg AS double)))
+                       / ((cast(pos AS double) + cast(neg AS double))
+                          * (cast(pos AS double) + cast(neg AS double))
+                          * (cast(pos AS double) + cast(neg AS double)
+                             - 1.0)) > 0
+             THEN (cast(runs AS double)
+                   - (2.0 * pos * neg / (cast(pos AS double)
+                                         + cast(neg AS double)) + 1.0))
+                  / sqrt(2.0 * pos * neg
+                         * (2.0 * pos * neg - (cast(pos AS double)
+                                               + cast(neg AS double)))
+                         / ((cast(pos AS double) + cast(neg AS double))
+                            * (cast(pos AS double)
+                               + cast(neg AS double))
+                            * (cast(pos AS double)
+                               + cast(neg AS double) - 1.0)))
+             END, 6) AS z
+FROM g
+""",
+        "turning_points": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts,
+         y - lag(y, 1) OVER (PARTITION BY metric,
+                             date_trunc('day', hour_ts)
+                             ORDER BY hour_ts) AS db,
+         lead(y, 1) OVER (PARTITION BY metric,
+                          date_trunc('day', hour_ts)
+                          ORDER BY hour_ts) - y AS df
+  FROM h
+), g AS (
+  SELECT metric, day_ts, cast(count(*) AS bigint) AS n_hours,
+         cast(sum(CASE WHEN (db > 0 AND df < 0)
+                         OR (db < 0 AND df > 0)
+                       THEN 1 ELSE 0 END) AS bigint) AS tp
+  FROM d GROUP BY 1, 2 HAVING count(*) >= 8
+)
+SELECT metric, day_ts, n_hours, tp,
+       round((cast(tp AS double)
+              - 2.0 * (cast(n_hours AS double) - 2.0) / 3.0)
+             / sqrt((16.0 * cast(n_hours AS double) - 29.0) / 90.0),
+             6) AS z
+FROM g
+""",
+        "allan_variance": """
+WITH h AS (
+  SELECT event_type AS metric,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+),
+b1 AS (SELECT metric, hidx AS bkt, sum(y) AS sb
+       FROM h GROUP BY 1, 2 HAVING count(*) = 1),
+d1 AS (SELECT metric,
+              bkt - lag(bkt) OVER (PARTITION BY metric ORDER BY bkt)
+                AS gap,
+              sb - lag(sb) OVER (PARTITION BY metric ORDER BY bkt)
+                AS dd
+       FROM b1),
+g1 AS (SELECT metric, cast(count(*) AS bigint) AS m_pairs,
+              sum(dd * dd) AS num
+       FROM d1 WHERE gap = 1 GROUP BY 1 HAVING count(*) >= 2),
+b2 AS (SELECT metric, hidx // 2 AS bkt, sum(y) AS sb
+       FROM h GROUP BY 1, 2 HAVING count(*) = 2),
+d2 AS (SELECT metric,
+              bkt - lag(bkt) OVER (PARTITION BY metric ORDER BY bkt)
+                AS gap,
+              sb - lag(sb) OVER (PARTITION BY metric ORDER BY bkt)
+                AS dd
+       FROM b2),
+g2 AS (SELECT metric, cast(count(*) AS bigint) AS m_pairs,
+              sum(dd * dd) AS num
+       FROM d2 WHERE gap = 1 GROUP BY 1 HAVING count(*) >= 2),
+b4 AS (SELECT metric, hidx // 4 AS bkt, sum(y) AS sb
+       FROM h GROUP BY 1, 2 HAVING count(*) = 4),
+d4 AS (SELECT metric,
+              bkt - lag(bkt) OVER (PARTITION BY metric ORDER BY bkt)
+                AS gap,
+              sb - lag(sb) OVER (PARTITION BY metric ORDER BY bkt)
+                AS dd
+       FROM b4),
+g4 AS (SELECT metric, cast(count(*) AS bigint) AS m_pairs,
+              sum(dd * dd) AS num
+       FROM d4 WHERE gap = 1 GROUP BY 1 HAVING count(*) >= 2)
+SELECT metric, cast(1 AS int) AS tau_h, m_pairs,
+       cast(num AS double) AS avar_num,
+       round(cast(num AS double)
+             / (2.0 * cast(m_pairs AS double) * 10000.0), 6) AS avar
+FROM g1
+UNION ALL
+SELECT metric, cast(2 AS int) AS tau_h, m_pairs,
+       cast(num AS double) AS avar_num,
+       round(cast(num AS double)
+             / (2.0 * cast(m_pairs AS double) * 40000.0), 6) AS avar
+FROM g2
+UNION ALL
+SELECT metric, cast(4 AS int) AS tau_h, m_pairs,
+       cast(num AS double) AS avar_num,
+       round(cast(num AS double)
+             / (2.0 * cast(m_pairs AS double) * 160000.0), 6) AS avar
+FROM g4
+""",
+        "page_hinkley": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT metric, sum(y) AS s_all,
+         cast(count(*) AS hugeint) AS n_all
+  FROM h GROUP BY 1
+), cum AS (
+  SELECT h.metric, h.hour_ts, t.n_all,
+         t.n_all * sum(h.y) OVER (PARTITION BY h.metric
+                                  ORDER BY h.hour_ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+         - cast(count(*) OVER (PARTITION BY h.metric
+                               ORDER BY h.hour_ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS hugeint) * t.s_all
+           AS mprime
+  FROM h JOIN tot t ON h.metric = t.metric
+), exc AS (
+  SELECT metric, hour_ts, n_all,
+         mprime - min(mprime) OVER (PARTITION BY metric
+                                    ORDER BY hour_ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS exc
+  FROM cum
+), best AS (
+  SELECT metric, cast(max(n_all) AS bigint) AS n_hours,
+         max(exc) AS ph_raw, max(n_all) AS n0
+  FROM exc GROUP BY 1
+), hit AS (
+  SELECT e.metric, min(e.hour_ts) AS ph_hour_ts
+  FROM exc e JOIN best b ON e.metric = b.metric AND e.exc = b.ph_raw
+  GROUP BY 1
+)
+SELECT b.metric, b.n_hours,
+       round(cast(b.ph_raw AS double)
+             / (cast(b.n0 AS double) * 100.0), 6) AS ph_max,
+       t.ph_hour_ts
+FROM best b JOIN hit t ON b.metric = t.metric
 """,
     }

@@ -255,6 +255,12 @@ HEADLINE_R3 = [
     "croston",
     "rate_decomposition",
     "prune_sweep",
+    "ar2_forecast",
+    "variance_ratio",
+    "runs_test",
+    "turning_points",
+    "allan_variance",
+    "page_hinkley",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -1,0 +1,391 @@
+"""Sequence diagnostics over the hourly aggregate grid: AR(2)
+Yule-Walker fit + one-step forecast, Lo-MacKinlay variance-ratio,
+Wald-Wolfowitz runs test, turning-points randomness test, Allan
+variance, and a Page-Hinkley drift scan.
+
+All six follow the engine's aggregate-first discipline: the raw scan
+collapses to |metrics|·|hours| rows in ONE map-side-combined hash
+aggregation (exact integer cent sums, `crossmetric._hourly_cents`),
+and every statistic after that runs over the tiny grid — window lags
+partitioned per (metric, day) are ≤24-row frames over aggregates, so
+the whole family is 100-TB-safe regardless of raw turn count.
+
+Exactness recipe (same as trend_daily / beta_daily / acf): every
+moment accumulates in decimal(38,0) on Spark and hugeint on DuckDB;
+each statistic is ONE identical double expression tree over those
+exact integers, rounded to 6 dp, so the engines agree bit-for-bit.
+Divisions never happen in integer space except documented floor-DIVs.
+
+Sequence convention: operators that need consecutive observations
+(lags, runs, turning points) operate on the SEQUENCE of observed
+hourly values ordered by hour_ts — a gap in the grid splices the
+neighbours together rather than injecting zeros/NULLs.  That matches
+the reference's normalized-dataset view (missing hour = missing, not
+zero); the dense-grid variant is one gapfill (`operators/gapfill`)
+away and composes in front of any of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.crossmetric import (
+    DEC,
+    _hourly_cents,
+)
+
+
+def _dbl(c):
+    return c.cast("double")
+
+
+def ar2_forecast(series: DataFrame, key: str = "metric",
+                 value_decimals: int = 2,
+                 min_hours: int = 8) -> DataFrame:
+    """(metric, day_ts, n_hours, r1, r2, phi1, phi2, forecast):
+    per-day AR(2) fit by Yule-Walker over each metric's hourly
+    cent-sum sequence, plus the one-step-ahead forecast from the last
+    two observations.  The closed form over exact integer moments:
+
+        C_k  = n²·P_k − n·S·(A_k + B_k) + (n−k)·S²      (integer)
+        r_k  = C_k / C_0
+        φ1   = C_1·(C_0 − C_2) / (C_0² − C_1²)
+        φ2   = (C_2·C_0 − C_1²) / (C_0² − C_1²)
+        x̂    = m + φ1·(x_n − m) + φ2·(x_{n−1} − m),  m = S/n
+
+    where P_k = Σ x_t·x_{t+k}, A_k = Σ_{t≤n−k} x_t (head sum),
+    B_k = Σ_{t>k} x_t (tail sum) — the n³ scaling of the sample
+    autocovariance cancels in every ratio, so the integers C_k are
+    the only state.  C_k values (~10²⁰ at extreme hours) exceed 2⁵³,
+    but both engines convert the SAME exact integer to double with
+    round-to-nearest before the identical expression tree, so the
+    6-dp rounded outputs still agree (the beta_daily precedent).
+
+    Degenerate days (constant series → C0²=C1², or n < min_hours)
+    drop out.  Scale: one hash-agg to the grid, one ≤24-row window
+    per (metric, day), one hash-agg — no raw-row shuffle.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    scale = 10 ** int(value_decimals)
+    day = F.date_trunc("day", "hour_ts")
+    lagged = h.select(
+        F.col(key), day.alias("day_ts"), "hour_ts", "y",
+        F.lag("y", 1).over(
+            Window.partitionBy(key, day).orderBy("hour_ts")
+        ).alias("y1"),
+        F.lag("y", 2).over(
+            Window.partitionBy(key, day).orderBy("hour_ts")
+        ).alias("y2"),
+    )
+    g = lagged.groupBy(key, "day_ts").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("y").cast(DEC)).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("p0"),
+        F.sum((F.col("y") * F.col("y1")).cast(DEC)).alias("p1"),
+        F.sum((F.col("y") * F.col("y2")).cast(DEC)).alias("p2"),
+        F.sum(F.col("y1").cast(DEC)).alias("a1"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y"))
+              .cast(DEC)).alias("b1"),
+        F.sum(F.col("y2").cast(DEC)).alias("a2"),
+        F.sum(F.when(F.col("y2").isNotNull(), F.col("y"))
+              .cast(DEC)).alias("b2"),
+        F.max_by("y", "hour_ts").alias("xn"),
+        F.max_by("y1", "hour_ts").alias("xn1"),
+    ).where(F.col("n") >= min_hours)
+
+    n, s = F.col("n"), F.col("s")
+    c0 = _dbl(n * n * F.col("p0") - n * s * (s + s) + n * s * s)
+    c1 = _dbl(n * n * F.col("p1") - n * s * (F.col("a1") + F.col("b1"))
+              + (n - 1) * s * s)
+    c2 = _dbl(n * n * F.col("p2") - n * s * (F.col("a2") + F.col("b2"))
+              + (n - 2) * s * s)
+    den = c0 * c0 - c1 * c1
+    phi1 = F.when(den != 0, c1 * (c0 - c2) / den)
+    phi2 = F.when(den != 0, (c2 * c0 - c1 * c1) / den)
+    m = _dbl(s) / _dbl(n)
+    fc = (
+        (m + phi1 * (_dbl(F.col("xn")) - m)
+         + phi2 * (_dbl(F.col("xn1")) - m)) / F.lit(float(scale))
+    )
+    return g.where(c0 > 0).select(
+        key, "day_ts", n.cast("long").alias("n_hours"),
+        F.round(c1 / c0, 6).alias("r1"),
+        F.round(c2 / c0, 6).alias("r2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(fc, 6).alias("forecast"),
+    )
+
+
+def variance_ratio(series: DataFrame, key: str = "metric",
+                   q: int = 4, value_decimals: int = 2,
+                   min_hours: int = 10) -> DataFrame:
+    """(metric, day_ts, q, n1, nq, vr): Lo-MacKinlay variance-ratio
+    test statistic per metric-day — VR(q) = Var(q-step deltas) /
+    (q · Var(1-step deltas)) over overlapping windows of the hourly
+    cent-sum sequence.  VR ≈ 1 for a random walk; < 1 mean-reverting;
+    > 1 trending.  Population variances over exact integer deltas:
+
+        VR = (nq·Σdq² − (Σdq)²) · n1² / (q · nq² · (n1·Σd1² − (Σd1)²))
+
+    one double expression over decimal moments, rounded 6 dp.  Days
+    with zero 1-step variance (constant series) drop out.
+
+    Scale: identical shape to ar2_forecast — grid agg, per-(metric,
+    day) ≤24-row lag window, hash-agg.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    day = F.date_trunc("day", "hour_ts")
+    wspec = Window.partitionBy(key, day).orderBy("hour_ts")
+    d = h.select(
+        F.col(key), day.alias("day_ts"),
+        (F.col("y") - F.lag("y", 1).over(wspec)).alias("d1"),
+        (F.col("y") - F.lag("y", int(q)).over(wspec)).alias("dq"),
+    )
+    g = d.groupBy(key, "day_ts").agg(
+        F.count("d1").cast(DEC).alias("n1"),
+        F.sum(F.col("d1").cast(DEC)).alias("s1"),
+        F.sum((F.col("d1") * F.col("d1")).cast(DEC)).alias("s11"),
+        F.count("dq").cast(DEC).alias("nq"),
+        F.sum(F.col("dq").cast(DEC)).alias("sq"),
+        F.sum((F.col("dq") * F.col("dq")).cast(DEC)).alias("sqq"),
+    ).where(
+        (F.col("n1") + 1 >= min_hours) & (F.col("nq") >= 2)
+    )
+    var1 = _dbl(F.col("n1") * F.col("s11") - F.col("s1") * F.col("s1"))
+    varq = _dbl(F.col("nq") * F.col("sqq") - F.col("sq") * F.col("sq"))
+    vr = F.when(
+        var1 > 0,
+        varq * _dbl(F.col("n1")) * _dbl(F.col("n1"))
+        / (F.lit(float(q)) * _dbl(F.col("nq")) * _dbl(F.col("nq"))
+           * var1),
+    )
+    return g.where(var1 > 0).select(
+        key, "day_ts", F.lit(int(q)).alias("q"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("nq").cast("long").alias("nq"),
+        F.round(vr, 6).alias("vr"),
+    )
+
+
+def runs_test(series: DataFrame, key: str = "metric",
+              value_decimals: int = 2,
+              min_signs: int = 8) -> DataFrame:
+    """(metric, day_ts, pos, neg, runs, z): Wald-Wolfowitz runs test
+    on the SIGNS of nonzero hourly deltas per metric-day — too few
+    runs means momentum/trending, too many means oscillation.  Zero
+    deltas are dropped (the conditional-on-signs convention), then
+
+        R  = 1 + Σ 1[s_t ≠ s_{t−1}]     (over the filtered sequence)
+        μR = 2pm/(p+m) + 1
+        σR² = 2pm(2pm−p−m) / ((p+m)²(p+m−1))
+        z  = (R − μR)/σR
+
+    p = #positive, m = #negative — all integers; z is one double
+    expression, 6 dp.  Days with p=0 or m=0 (monotone) drop out.
+
+    Scale: grid agg → two ≤24-row windows (delta, then sign-change
+    over the filtered rows) → hash-agg; aggregates only.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    day = F.date_trunc("day", "hour_ts")
+    wspec = Window.partitionBy(key, day).orderBy("hour_ts")
+    d = h.select(
+        F.col(key), day.alias("day_ts"), "hour_ts",
+        (F.col("y") - F.lag("y", 1).over(wspec)).alias("d"),
+    ).where(F.col("d").isNotNull() & (F.col("d") != 0))
+    w2 = Window.partitionBy(key, "day_ts").orderBy("hour_ts")
+    signs = d.select(
+        F.col(key), "day_ts",
+        (F.col("d") > 0).cast("int").alias("s"),
+        F.lag((F.col("d") > 0).cast("int"), 1).over(w2).alias("sp"),
+    )
+    g = signs.groupBy(key, "day_ts").agg(
+        F.sum("s").alias("pos"),
+        F.sum(1 - F.col("s")).alias("neg"),
+        (1 + F.sum(
+            F.when(F.col("sp").isNotNull()
+                   & (F.col("s") != F.col("sp")), 1).otherwise(0)
+        )).alias("runs"),
+    ).where(
+        (F.col("pos") > 0) & (F.col("neg") > 0)
+        & (F.col("pos") + F.col("neg") >= min_signs)
+    )
+    p, mm, r = (_dbl(F.col("pos")), _dbl(F.col("neg")),
+                _dbl(F.col("runs")))
+    nn = p + mm
+    mu = F.lit(2.0) * p * mm / nn + F.lit(1.0)
+    var = (F.lit(2.0) * p * mm * (F.lit(2.0) * p * mm - nn)
+           / (nn * nn * (nn - F.lit(1.0))))
+    z = F.when(var > 0, (r - mu) / F.sqrt(var))
+    return g.select(
+        key, "day_ts",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def turning_points(series: DataFrame, key: str = "metric",
+                   value_decimals: int = 2,
+                   min_hours: int = 8) -> DataFrame:
+    """(metric, day_ts, n_hours, tp, z): turning-points randomness
+    test per metric-day — count strict local extrema of the hourly
+    sequence (sign flip between the backward and forward delta) and
+    z-score against the i.i.d. expectation
+
+        E[T] = 2(n−2)/3,   Var[T] = (16n − 29)/90.
+
+    Ties (a zero delta on either side) do not count as turning
+    points — the strict-extremum convention, deterministic in both
+    engines.  Counts are integers; z is one double expression, 6 dp.
+
+    Scale: grid agg → one ≤24-row lag/lead window → hash-agg.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    day = F.date_trunc("day", "hour_ts")
+    wspec = Window.partitionBy(key, day).orderBy("hour_ts")
+    d = h.select(
+        F.col(key), day.alias("day_ts"),
+        (F.col("y") - F.lag("y", 1).over(wspec)).alias("db"),
+        (F.lead("y", 1).over(wspec) - F.col("y")).alias("df"),
+    )
+    g = d.groupBy(key, "day_ts").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(
+            F.when(
+                ((F.col("db") > 0) & (F.col("df") < 0))
+                | ((F.col("db") < 0) & (F.col("df") > 0)), 1
+            ).otherwise(0)
+        ).alias("tp"),
+    ).where(F.col("n_hours") >= min_hours)
+    nd, td = _dbl(F.col("n_hours")), _dbl(F.col("tp"))
+    mu = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    return g.select(
+        key, "day_ts", F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round((td - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+def allan_variance(series: DataFrame, key: str = "metric",
+                   taus: tuple[int, ...] = (1, 2, 4),
+                   value_decimals: int = 2) -> DataFrame:
+    """(metric, tau_h, m_pairs, avar_num, avar): Allan variance of
+    each metric's hourly cent-sum rate at averaging windows of τ
+    hours — the clock-stability statistic, here reading "how stable
+    is this metric's level once averaged over τ hours?".  With
+    S_b = Σ cents over a FULL τ-hour bucket (exactly τ observed
+    hours) and consecutive buckets b, b+1:
+
+        AVAR(τ) = Σ (S_{b+1} − S_b)² / (2·M·τ²·scale²)
+
+    M = #consecutive full-bucket pairs.  The numerator is a pure
+    integer (decimal) sum; partial buckets and gap-adjacent pairs are
+    excluded so every difference compares equal-length windows.
+    avar is in value²-units (scale² divides the cents² numerator).
+
+    Scale: one grid agg, one bucket hash-agg (|metrics|·|hours|/τ
+    rows), one lag window over buckets, one final hash-agg.
+    """
+    scale = 10 ** int(value_decimals)
+    h = _hourly_cents(series, [key], value_decimals)
+    hidx = (F.unix_micros("hour_ts") / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    rows = []
+    for tau in taus:
+        t = int(tau)
+        b = h.select(
+            F.col(key), (hidx / t).cast("long").alias("bkt"), "y"
+        ).groupBy(key, "bkt").agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum(F.col("y").cast(DEC)).alias("sb"),
+        ).where(F.col("nh") == t)
+        wspec = Window.partitionBy(key).orderBy("bkt")
+        d = b.select(
+            F.col(key),
+            (F.col("bkt") - F.lag("bkt", 1).over(wspec)).alias("gap"),
+            (F.col("sb") - F.lag("sb", 1).over(wspec)).alias("dd"),
+        ).where(F.col("gap") == 1)
+        g = d.groupBy(key).agg(
+            F.count(F.lit(1)).alias("m_pairs"),
+            F.sum((F.col("dd") * F.col("dd")).cast(DEC)).alias("num"),
+        ).where(F.col("m_pairs") >= 2)
+        rows.append(
+            g.select(
+                key, F.lit(t).alias("tau_h"),
+                F.col("m_pairs").cast("long").alias("m_pairs"),
+                _dbl(F.col("num")).alias("avar_num"),
+                F.round(
+                    _dbl(F.col("num"))
+                    / (F.lit(2.0) * _dbl(F.col("m_pairs"))
+                       * F.lit(float(t * t * scale * scale))),
+                    6,
+                ).alias("avar"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def page_hinkley(series: DataFrame, key: str = "metric",
+                 value_decimals: int = 2) -> DataFrame:
+    """(metric, n_hours, ph_max, ph_hour_ts): Page-Hinkley drift scan
+    per metric over the full hourly sequence — the maximum upward
+    excursion of the cumulative deviation from the series' own mean:
+
+        PH = max_t [ m_t − min_{s≤t} m_s ],
+        m_t = Σ_{i≤t} (x_i − x̄)
+
+    Division-free exact form: scale by n — m'_t = n·cumsum_t − t·S is
+    a pure integer (decimal) under a per-metric running window, the
+    running min and the max excursion stay integer, and only the
+    final report divides: ph_max = PH'/(n·scale).  The argmax hour is
+    chosen by (excursion DESC, hour ASC) — deterministic under ties.
+
+    Scale: per-metric window over the |hours| grid (metadata-sized
+    partitions); one hash-agg ends it.  This is the batch scan; the
+    streaming twin is the cusum family (`streaming/cusum_stream`).
+    """
+    scale = 10 ** int(value_decimals)
+    h = _hourly_cents(series, [key], value_decimals)
+    wcum = (
+        Window.partitionBy(key).orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = h.groupBy(key).agg(
+        F.sum(F.col("y").cast(DEC)).alias("s_all"),
+        F.count(F.lit(1)).cast(DEC).alias("n_all"),
+    )
+    cum = h.join(tot, key).select(
+        F.col(key), "hour_ts", "n_all",
+        (
+            F.col("n_all") * F.sum(F.col("y").cast(DEC)).over(wcum)
+            - F.count(F.lit(1)).over(wcum).cast(DEC) * F.col("s_all")
+        ).alias("mprime"),
+    )
+    exc = cum.select(
+        F.col(key), "hour_ts", "n_all",
+        (F.col("mprime") - F.min("mprime").over(wcum)).alias("exc"),
+    )
+    # earliest hour achieving the max excursion — a second window
+    # pass over the same per-metric aggregate partition (exact
+    # decimal comparison), deterministic under ties via min(hour_ts)
+    wall = Window.partitionBy(key)
+    scored = exc.withColumn("ph_raw", F.max("exc").over(wall))
+    return scored.where(F.col("exc") == F.col("ph_raw")).groupBy(
+        key
+    ).agg(
+        F.max("n_all").cast("long").alias("n_hours"),
+        F.round(
+            _dbl(F.max("ph_raw"))
+            / (_dbl(F.max("n_all")) * F.lit(float(scale))), 6
+        ).alias("ph_max"),
+        F.min("hour_ts").alias("ph_hour_ts"),
+    )
