@@ -5628,6 +5628,60 @@ def q_page_hinkley(spark, sf_dir):
     return page_hinkley(_series_from_events(spark, sf_dir))
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau Q per metric over the dense hourly-count
+    ACF (lags 1..24): per-lag terms snapped to integer pico-units so
+    the sum is order-free, one final double expression."""
+    from timeseriescorrelation_spark.operators.acf import ljung_box
+
+    return ljung_box(_series_from_events(spark, sf_dir))
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test of event_type x
+    day-of-week over raw event counts — complete-grid cells (absent
+    cells enter as O=0), per-cell terms micro-snapped from exact
+    decimal38 integers."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        chi2_independence,
+    )
+
+    return chi2_independence(_events(spark, sf_dir))
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H of hourly cent-sum level across day-of-week
+    groups per metric — dow_anova's rank-based twin; doubled average
+    ranks stay integer, per-group R²/n floor-DIV'd to micro-units,
+    tie-corrected."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        kruskal_wallis,
+    )
+
+    return kruskal_wallis(_series_from_events(spark, sf_dir))
+
+
+def q_sign_test_dod(spark, sf_dir):
+    """Paired day-over-day sign test per metric-day: each observed
+    hour vs the same hour yesterday, ties dropped, z = (w-l)/sqrt(w+l)
+    — the distribution-free wow_delta companion at day grain."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        sign_test_dod,
+    )
+
+    return sign_test_dod(_series_from_events(spark, sf_dir))
+
+
+def q_record_counts(spark, sf_dir):
+    """Record-counting trend screen per metric: strict running-max /
+    running-min breaks over the hourly sequence vs the i.i.d.
+    harmonic expectation (floor-quantized at 1e-6 per term) — the
+    O(n) trend screen next to O(n²) mann_kendall."""
+    from timeseriescorrelation_spark.operators.tsdiag import record_counts
+
+    return record_counts(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -5952,6 +6006,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_points": q_turning_points,
         "allan_variance": q_allan_variance,
         "page_hinkley": q_page_hinkley,
+        "ljung_box": q_ljung_box,
+        "chi2_independence": q_chi2_independence,
+        "kruskal_wallis": q_kruskal_wallis,
+        "sign_test_dod": q_sign_test_dod,
+        "record_counts": q_record_counts,
     }
 
 
@@ -6512,6 +6571,21 @@ def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
+    # Ljung-Box rides the shared ACF CTE: per-lag terms snapped to
+    # integer pico-units (order-free sum), Q one double expression
+    d["ljung_box"] = (
+        "WITH acf AS (" + _ACF_SQL + """)
+SELECT metric, cast(max(n_pairs + lag_h) AS bigint) AS n_hours,
+       cast(count(acf) AS bigint) AS k_used,
+       round(cast(max(n_pairs + lag_h) AS double)
+             * (cast(max(n_pairs + lag_h) AS double) + 2.0)
+             * (cast(sum(cast(round(acf * acf / n_pairs
+                                    * 1000000000000.0) AS bigint))
+                     AS double)
+                / 1000000000000.0), 6) AS q_lb
+FROM acf GROUP BY metric
+"""
+    )
     return d
 
 
@@ -13109,5 +13183,124 @@ SELECT b.metric, b.n_hours,
              / (cast(b.n0 AS double) * 100.0), 6) AS ph_max,
        t.ph_hour_ts
 FROM best b JOIN hit t ON b.metric = t.metric
+""",
+        "chi2_independence": """
+WITH cells AS (
+  SELECT event_type AS rv, dayofweek(ts) AS cv,
+         cast(count(*) AS bigint) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT rv, cast(sum(o) AS hugeint) AS r FROM cells GROUP BY 1),
+ct AS (SELECT cv, cast(sum(o) AS hugeint) AS c FROM cells GROUP BY 1),
+tt AS (SELECT cast(sum(o) AS hugeint) AS nn FROM cells),
+full_g AS (
+  SELECT rt.rv, ct.cv, tt.nn, rt.r, ct.c,
+         cast(coalesce(cells.o, 0) AS hugeint) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN tt
+  LEFT JOIN cells ON cells.rv = rt.rv AND cells.cv = ct.cv
+), t AS (
+  SELECT rv, cv, nn,
+         cast(round(cast((nn * o - r * c) * (nn * o - r * c) AS double)
+                    / cast(nn * r * c AS double) * 1000000.0)
+              AS bigint) AS t_u
+  FROM full_g
+)
+SELECT cast(max(nn) AS bigint) AS n_events,
+       cast(count(DISTINCT rv) AS bigint) AS n_rows,
+       cast(count(DISTINCT cv) AS bigint) AS n_cols,
+       cast((count(DISTINCT rv) - 1) * (count(DISTINCT cv) - 1)
+            AS bigint) AS df,
+       round(cast(sum(t_u) AS double) / 1000000.0, 6) AS chi2
+FROM t
+""",
+        "kruskal_wallis": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT metric, dayofweek(hour_ts) AS dow, y,
+         2 * rank() OVER (PARTITION BY metric ORDER BY y)
+           + count(*) OVER (PARTITION BY metric, y) - 1 AS r2
+  FROM h
+), pg AS (
+  SELECT metric, dow, cast(count(*) AS hugeint) AS ng,
+         cast(sum(r2) AS hugeint) AS r2g
+  FROM r GROUP BY 1, 2
+), pm AS (
+  SELECT metric, cast(sum(ng) AS hugeint) AS n,
+         cast(count(*) AS bigint) AS k_groups,
+         sum((r2g * r2g * 250000) // ng) AS s_u
+  FROM pg GROUP BY 1
+), tie AS (
+  SELECT metric, sum(t * t * t - t) AS tt
+  FROM (SELECT metric, y, cast(count(*) AS hugeint) AS t
+        FROM h GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT pm.metric, cast(n AS bigint) AS n_hours, k_groups,
+       cast(tt AS bigint) AS tie_sum,
+       round(CASE WHEN k_groups >= 2
+                   AND 1.0 - cast(tt AS double)
+                       / cast(n * n * n - n AS double) > 0
+             THEN (12.0 * (cast(s_u AS double) / 1000000.0)
+                   / (cast(n AS double) * (cast(n AS double) + 1.0))
+                   - 3.0 * (cast(n AS double) + 1.0))
+                  / (1.0 - cast(tt AS double)
+                     / cast(n * n * n - n AS double))
+             END, 6) AS h
+FROM pm JOIN tie ON pm.metric = tie.metric
+""",
+        "sign_test_dod": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric, a.hour_ts, a.y, b.y AS y_prev
+  FROM h a JOIN h b
+    ON a.metric = b.metric
+   AND b.hour_ts + INTERVAL 24 HOUR = a.hour_ts
+), g AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts,
+         cast(sum(CASE WHEN y > y_prev THEN 1 ELSE 0 END)
+              AS bigint) AS wins,
+         cast(sum(CASE WHEN y < y_prev THEN 1 ELSE 0 END)
+              AS bigint) AS losses
+  FROM p GROUP BY 1, 2
+)
+SELECT metric, day_ts, wins + losses AS n_pairs, wins, losses,
+       round((cast(wins AS double) - cast(losses AS double))
+             / sqrt(cast(wins AS double) + cast(losses AS double)),
+             6) AS z
+FROM g WHERE wins + losses >= 6
+""",
+        "record_counts": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT metric,
+         CASE WHEN max(y) OVER w IS NULL OR y > max(y) OVER w
+              THEN 1 ELSE 0 END AS up,
+         CASE WHEN min(y) OVER w IS NULL OR y < min(y) OVER w
+              THEN 1 ELSE 0 END AS down
+  FROM h
+  WINDOW w AS (PARTITION BY metric ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), g AS (
+  SELECT metric, cast(count(*) AS bigint) AS n_hours,
+         cast(sum(up) AS bigint) AS up_records,
+         cast(sum(down) AS bigint) AS down_records
+  FROM f GROUP BY 1
+), harm AS (
+  SELECT metric, cast(sum(1000000 // k) AS bigint) AS h_u
+  FROM (SELECT metric, unnest(generate_series(1, n_hours)) AS k
+        FROM g)
+  GROUP BY 1
+)
+SELECT g.metric, n_hours, up_records, down_records,
+       round(cast(h_u AS double) / 1000000.0, 6) AS expected_records
+FROM g JOIN harm ON g.metric = harm.metric
 """,
     }

@@ -261,6 +261,11 @@ HEADLINE_R3 = [
     "turning_points",
     "allan_variance",
     "page_hinkley",
+    "ljung_box",
+    "chi2_independence",
+    "kruskal_wallis",
+    "sign_test_dod",
+    "record_counts",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

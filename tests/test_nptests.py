@@ -1,0 +1,190 @@
+"""Nonparametric/contingency tests (operators/nptests, plus
+acf.ljung_box and tsdiag.record_counts): hand-built fixtures with
+closed-form answers — zero-chi2 independence, perfect 2x2 association
+(chi2 = N), two-group Kruskal-Wallis by hand, all-wins sign test,
+monotone record counts, and a Ljung-Box consistency check against the
+engine's own ACF rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from timeseriescorrelation_spark.operators.acf import (
+    acf_spectrum,
+    ljung_box,
+)
+from timeseriescorrelation_spark.operators.nptests import (
+    chi2_independence,
+    kruskal_wallis,
+    sign_test_dod,
+)
+from timeseriescorrelation_spark.operators.tsdiag import record_counts
+
+T0 = dt.datetime(2024, 3, 4, 0, 0, 0)  # a Monday
+
+SERIES_SCHEMA = (
+    "conv_id string, metric string, ts timestamp, turn_idx int, value double"
+)
+EVENTS_SCHEMA = "event_type string, ts timestamp"
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, SERIES_SCHEMA)
+
+
+def test_chi2_zero_when_independent(spark):
+    # row shares identical across two weekdays -> N*O == R*C exactly
+    rows = []
+    for day, mult in ((0, 1), (1, 2)):
+        ts = T0 + dt.timedelta(days=day)
+        rows += [("A", ts)] * (20 * mult) + [("B", ts)] * (10 * mult)
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    r = chi2_independence(df).collect()
+    assert len(r) == 1
+    assert r[0].n_events == 90 and r[0].df == 1
+    assert r[0].chi2 == 0.0
+
+
+def test_chi2_perfect_association_equals_n(spark):
+    # 2x2 diagonal table -> chi2 == N (phi coefficient 1)
+    rows = (
+        [("A", T0)] * 10
+        + [("B", T0 + dt.timedelta(days=1))] * 10
+    )
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    r = chi2_independence(df).collect()[0]
+    assert r.n_events == 20 and r.n_rows == 2 and r.n_cols == 2
+    assert r.chi2 == pytest.approx(20.0, abs=2e-6)
+
+
+def test_kruskal_two_groups_hand_math(spark):
+    # Monday values rank 1-5, Tuesday 6-10, no ties:
+    # H = 12/(10*11) * (15^2/5 + 40^2/5) - 3*11
+    rows = []
+    for i in range(5):
+        rows.append(("c", "m", T0 + dt.timedelta(hours=i), i, 1.0 + i))
+    for i in range(5):
+        rows.append(
+            ("c", "m", T0 + dt.timedelta(days=1, hours=i), i, 6.0 + i)
+        )
+    r = kruskal_wallis(_series(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_hours == 10 and row.k_groups == 2 and row.tie_sum == 0
+    expected = 12.0 * 365.0 / 110.0 - 33.0
+    assert row.h == pytest.approx(expected, abs=2e-6)
+
+
+def test_kruskal_all_tied_null(spark):
+    # every value identical -> tie correction hits 0 -> NULL H
+    rows = [
+        ("c", "m", T0 + dt.timedelta(days=d, hours=i), i, 5.0)
+        for d in range(2) for i in range(5)
+    ]
+    r = kruskal_wallis(_series(spark, rows)).collect()
+    assert len(r) == 1 and r[0].h is None
+    assert r[0].tie_sum == 10 ** 3 - 10
+
+
+def test_sign_test_all_wins(spark):
+    rows = []
+    for i in range(8):
+        rows.append(("c", "m", T0 + dt.timedelta(hours=i), i, 1.0))
+        rows.append(
+            ("c", "m", T0 + dt.timedelta(days=1, hours=i), i, 2.0)
+        )
+    r = sign_test_dod(_series(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.wins == 8 and row.losses == 0 and row.n_pairs == 8
+    assert row.z == pytest.approx(8.0 / math.sqrt(8.0), abs=2e-6)
+
+
+def test_sign_test_ties_dropped(spark):
+    # 2 of 8 hours equal -> they contribute to neither side
+    rows = []
+    for i in range(8):
+        rows.append(("c", "m", T0 + dt.timedelta(hours=i), i, 1.0))
+        v2 = 1.0 if i < 2 else 2.0
+        rows.append(
+            ("c", "m", T0 + dt.timedelta(days=1, hours=i), i, v2)
+        )
+    r = sign_test_dod(_series(spark, rows)).collect()
+    assert len(r) == 1
+    assert r[0].n_pairs == 6 and r[0].wins == 6 and r[0].losses == 0
+
+
+def test_sign_test_min_pairs_filters(spark):
+    rows = []
+    for i in range(5):  # only 5 pairs < min_pairs=6
+        rows.append(("c", "m", T0 + dt.timedelta(hours=i), i, 1.0))
+        rows.append(
+            ("c", "m", T0 + dt.timedelta(days=1, hours=i), i, 2.0)
+        )
+    assert sign_test_dod(_series(spark, rows)).count() == 0
+
+
+def test_record_counts_monotone(spark):
+    rows = [
+        ("c", "m", T0 + dt.timedelta(hours=i), i, float(i + 1))
+        for i in range(10)
+    ]
+    r = record_counts(_series(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_hours == 10
+    assert row.up_records == 10 and row.down_records == 1
+    h_u = sum(1_000_000 // k for k in range(1, 11))
+    assert row.expected_records == pytest.approx(h_u / 1e6, abs=2e-6)
+
+
+def test_record_counts_retouch_not_record(spark):
+    # 1, 3, 3, 2, 3 -> ups at t0 (first) and t1 only: re-touching the
+    # running max (t2, t4) is not a record
+    vals = [1.0, 3.0, 3.0, 2.0, 3.0]
+    rows = [
+        ("c", "m", T0 + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    r = record_counts(_series(spark, rows)).collect()[0]
+    assert r.up_records == 2 and r.down_records == 1
+
+
+def test_ljung_box_consistent_with_acf(spark):
+    # alternating event counts (2 per even hour, 1 per odd) over 30 h
+    # -> strong negative lag-1 ACF; Q must equal the hand-assembled
+    # portmanteau over the engine's own ACF rows (same pico-snap)
+    rows = []
+    for i in range(30):
+        n = 2 if i % 2 == 0 else 1
+        for j in range(n):
+            rows.append(
+                ("c", "m", T0 + dt.timedelta(hours=i), i * 10 + j, 1.0)
+            )
+    df = _series(spark, rows)
+    acf_rows = acf_spectrum(df).collect()
+    n_grid = max(r.n_pairs + r.lag_h for r in acf_rows)
+    s_u = sum(
+        int(r.acf * r.acf / r.n_pairs * 1e12 + 0.5)
+        for r in acf_rows if r.acf is not None
+    )
+    expected = n_grid * (n_grid + 2.0) * (s_u / 1e12)
+    out = ljung_box(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_hours == 30 == n_grid
+    assert row.k_used == sum(1 for r in acf_rows if r.acf is not None)
+    assert row.q_lb == pytest.approx(expected, abs=2e-6)
+    assert row.q_lb > 10.0  # alternation is real serial structure
+
+
+def test_ljung_box_degenerate_constant(spark):
+    # constant counts -> zero variance at every lag -> no terms
+    rows = [
+        ("c", "m", T0 + dt.timedelta(hours=i), i, 1.0) for i in range(30)
+    ]
+    r = ljung_box(_series(spark, rows)).collect()
+    assert len(r) == 1 and r[0].k_used == 0 and r[0].q_lb is None

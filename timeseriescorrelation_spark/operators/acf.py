@@ -459,3 +459,52 @@ def hurst_rs(series: DataFrame, keys: list[str] | None = None,
             F.round(hurst, 6),
         ).alias("hurst"),
     )
+
+
+def ljung_box(series: DataFrame, max_lag: int = 24,
+              keys: list[str] | None = None, ts_col: str = "ts",
+              min_n: int = 8) -> DataFrame:
+    """(keys..., n_hours, k_used, q_lb): Ljung-Box portmanteau
+    statistic per key over the dense hourly-count ACF — "is there ANY
+    serial structure in the first max_lag lags?", the one-number
+    companion to the per-lag acf_spectrum rows:
+
+        Q = n(n+2) Σ_{k=1..K} ρ_k² / (n − k)
+
+    with n the dense-grid length and ρ_k the engine's own 6-dp-rounded
+    per-lag Pearson (so both engines start from bit-identical inputs).
+    Each term ρ_k²/(n−k) is snapped to integer pico-units (1e-12 —
+    terms are ≤ 1, so the ulp sits ~7 orders below the snap), the
+    pico-units sum exactly, and Q is one final double expression.
+    Lags with NULL ρ (degenerate variance or < min_n pairs) are
+    excluded; k_used reports how many lags contributed.  n−k equals
+    the lag's own pair count on a dense grid, so no second pass is
+    needed.
+
+    Scale: rides acf_spectrum (one hash-agg + one grid equi-join);
+    the final reduction is |keys| rows.
+    """
+    keys = keys or ["metric"]
+    a = acf_spectrum(series, max_lag, keys, ts_col, min_n)
+    term_u = F.round(
+        F.col("acf") * F.col("acf") / F.col("n_pairs") * F.lit(1e12)
+    ).cast("long")
+    g = a.select(
+        *keys,
+        (F.col("n_pairs") + F.col("lag_h")).alias("n_grid"),
+        F.col("acf"),
+        term_u.alias("t_u"),
+    ).groupBy(*keys).agg(
+        F.max("n_grid").cast("long").alias("n_hours"),
+        F.count("acf").cast("long").alias("k_used"),
+        F.sum("t_u").alias("q_u"),
+    )
+    nd = F.col("n_hours").cast("double")
+    return g.select(
+        *keys, "n_hours", "k_used",
+        F.round(
+            nd * (nd + F.lit(2.0))
+            * (F.col("q_u").cast("double") / F.lit(1e12)),
+            6,
+        ).alias("q_lb"),
+    )

@@ -1,0 +1,204 @@
+"""Nonparametric & contingency tests over the hourly aggregate grid:
+chi-square independence (metric × day-of-week), Kruskal-Wallis rank
+ANOVA, and the paired day-over-day sign test.
+
+These complete the hypothesis-test family: dow_anova (decompose.py) is
+the parametric mean comparison, kruskal_wallis is its rank-based twin
+(outlier-immune, no normality assumption), chi2 tests count-mix
+independence, and the sign test is the paired nonparametric
+contrast.
+
+Exactness recipe (house style): every count/rank/moment accumulates as
+an exact integer (decimal(38,0) on Spark / hugeint on DuckDB); each
+per-group rational is snapped to integer micro-units (round for one
+double divide of exact ints, floor-DIV where the quotient itself must
+be engine-exact), the micro-units sum exactly, and the final statistic
+is ONE identical double expression, rounded to 6 dp.
+
+Day-of-week is used as a GROUPING only and never output: Spark's
+dayofweek() is 1-7 Sunday-first and DuckDB's is 0-6 Sunday-first —
+the induced partitions are identical, the labels are not.
+
+Scale notes (100 TB): each operator is one map-side-combined hash-agg
+from the raw scan down to |metrics|·|hours| (or |metrics|·7 /
+|metrics|·|dows| directly), then aggregate-sized joins/windows; no raw
+self-joins, no global sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.operators.crossmetric import (
+    DEC,
+    _hourly_cents,
+)
+
+
+def _dbl(c):
+    return c.cast("double")
+
+
+def chi2_independence(events: DataFrame, row_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """(n_events, n_rows, n_cols, df, chi2): Pearson chi-square test
+    of independence between `row_col` and day-of-week over raw event
+    counts — "is the metric mix the same every weekday?".
+
+        chi2 = Σ_cells (N·O − R·C)² / (N·R·C)
+
+    computed over the COMPLETE row×col grid (absent cells enter as
+    O = 0, contributing R·C/N — omitting them understates the
+    statistic).  (N·O − R·C)² is an exact decimal38 integer; each
+    cell's term is one double divide of exact integers snapped to
+    integer micro-units (1e-6), the micro-units sum exactly, one final
+    divide reports chi2.
+
+    Scale: one hash-agg to |rows|·7 cells, then broadcast-sized
+    margin joins — the grid never exceeds |distinct row values|·7.
+    """
+    cells = events.groupBy(
+        F.col(row_col).alias("rv"), F.dayofweek(ts_col).alias("cv")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("rv").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("cv").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").cast(DEC).alias("nn"))
+    full = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["rv", "cv"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rv", "cv", "nn",
+            F.col("r").cast(DEC).alias("r"),
+            F.col("c").cast(DEC).alias("c"),
+            F.coalesce(F.col("o"), F.lit(0)).cast(DEC).alias("o"),
+        )
+    )
+    num = F.col("nn") * F.col("o") - F.col("r") * F.col("c")
+    term_u = F.round(
+        _dbl(num * num)
+        / _dbl(F.col("nn") * F.col("r") * F.col("c")) * F.lit(1e6)
+    ).cast("long")
+    g = full.select("rv", "cv", "nn", term_u.alias("t_u")).groupBy().agg(
+        F.max("nn").cast("long").alias("n_events"),
+        F.countDistinct("rv").alias("n_rows"),
+        F.countDistinct("cv").alias("n_cols"),
+        F.sum("t_u").alias("chi2_u"),
+    )
+    return g.select(
+        "n_events", "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("df"),
+        F.round(_dbl(F.col("chi2_u")) / F.lit(1e6), 6).alias("chi2"),
+    )
+
+
+def kruskal_wallis(series: DataFrame, key: str = "metric",
+                   value_decimals: int = 2) -> DataFrame:
+    """(metric, n_hours, k_groups, tie_sum, h): Kruskal-Wallis H test
+    of hourly cent-sum level across day-of-week groups per metric —
+    dow_anova's rank-based twin (no normality assumption, immune to
+    the heavy hours that drag a mean-based F).
+
+    Average ranks stay integer by doubling: a tie group of size t
+    starting at dense position m has average rank (2m + t − 1)/2, so
+    r2 = 2·rank() + cnt_over(y) − 1 is exact.  Per-group
+    Σ(R_g²/n_g) is accumulated as t_u = (R2_g²·250000) DIV n_g
+    (floor-quantized micro-units; 250000 = 10⁶/4 undoes the
+    doubling), then
+
+        H = 12·(Σt_u/10⁶)/(N(N+1)) − 3(N+1),
+        H' = H / (1 − Σ(t³−t)/(N³−N))        (tie correction)
+
+    one double expression over exact integers.  NULL when k < 2 or
+    all values tie (correction → 0).  Overflow bound: R2_g²·250000
+    needs N ≲ 2·10³ hours per metric in int64 — the decimal38 cast
+    used here extends that to ~10¹³; ANSI errors loudly beyond.
+
+    Scale: grid hash-agg → per-metric rank window over ≤|hours| rows
+    (aggregate-sized partitions) → two tiny hash-aggs.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    wr = Window.partitionBy(key).orderBy("y")
+    wt = Window.partitionBy(key, "y")
+    ranked = h.select(
+        F.col(key), F.dayofweek("hour_ts").alias("dow"), "y",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .alias("r2"),
+    )
+    per_g = ranked.groupBy(key, "dow").agg(
+        F.count(F.lit(1)).cast(DEC).alias("ng"),
+        F.sum(F.col("r2").cast(DEC)).alias("r2g"),
+    )
+    t_u = F.expr(
+        "CAST((r2g * r2g * CAST(250000 AS DECIMAL(38,0))) DIV ng AS LONG)"
+    )
+    per_m = per_g.select(key, "ng", t_u.alias("t_u")).groupBy(key).agg(
+        F.sum("ng").cast(DEC).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("t_u").alias("s_u"),
+    )
+    ties = h.groupBy(key, "y").agg(
+        F.count(F.lit(1)).cast(DEC).alias("t")
+    ).groupBy(key).agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tt")
+    )
+    j = per_m.join(ties, key)
+    nd = _dbl(F.col("n"))
+    h_raw = (
+        F.lit(12.0) * (_dbl(F.col("s_u")) / F.lit(1e6))
+        / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - _dbl(F.col("tt")) / _dbl(
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    )
+    h_stat = F.when((F.col("k_groups") >= 2) & (corr > 0), h_raw / corr)
+    return j.select(
+        key, F.col("n").cast("long").alias("n_hours"), "k_groups",
+        F.col("tt").cast("long").alias("tie_sum"),
+        F.round(h_stat, 6).alias("h"),
+    )
+
+
+def sign_test_dod(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2,
+                  min_pairs: int = 6) -> DataFrame:
+    """(metric, day_ts, n_pairs, wins, losses, z): paired day-over-day
+    sign test per metric-day — each observed hour is paired with the
+    SAME hour yesterday (both observed), ties dropped, and
+
+        z = (wins − losses) / sqrt(wins + losses)
+
+    the distribution-free "is today systematically above yesterday?"
+    contrast (wow_delta's hypothesis-test companion at day grain).
+    Exact integer counts; z one double expression, 6 dp.
+
+    Scale: grid hash-agg, then ONE equi-join of the grid against
+    itself shifted 24 h on (metric, hour) — aggregate-sized shuffle.
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    prev = h.select(
+        F.col(key),
+        (F.col("hour_ts") + F.expr("INTERVAL 24 HOURS")).alias("hour_ts"),
+        F.col("y").alias("y_prev"),
+    )
+    pairs = h.join(prev, [key, "hour_ts"])
+    g = pairs.groupBy(
+        key, F.date_trunc("day", "hour_ts").alias("day_ts")
+    ).agg(
+        F.sum(F.when(F.col("y") > F.col("y_prev"), 1).otherwise(0))
+        .alias("wins"),
+        F.sum(F.when(F.col("y") < F.col("y_prev"), 1).otherwise(0))
+        .alias("losses"),
+    ).where(F.col("wins") + F.col("losses") >= min_pairs)
+    w, lo = _dbl(F.col("wins")), _dbl(F.col("losses"))
+    return g.select(
+        key, "day_ts",
+        (F.col("wins") + F.col("losses")).cast("long").alias("n_pairs"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("losses").cast("long").alias("losses"),
+        F.round((w - lo) / F.sqrt(w + lo), 6).alias("z"),
+    )

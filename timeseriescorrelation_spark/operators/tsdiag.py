@@ -389,3 +389,61 @@ def page_hinkley(series: DataFrame, key: str = "metric",
         ).alias("ph_max"),
         F.min("hour_ts").alias("ph_hour_ts"),
     )
+
+
+def record_counts(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2) -> DataFrame:
+    """(metric, n_hours, up_records, down_records, expected_records):
+    record-counting trend test per metric over the full hourly
+    cent-sum sequence — the number of strict running-maximum breaks
+    (and running-minimum breaks), vs the i.i.d. expectation H_n =
+    Σ_{k=1..n} 1/k.  Many more up-records than H_n is drift the same
+    way too few runs is momentum; unlike mann_kendall this is O(n)
+    per series, so it IS a scale-path trend screen.
+
+    The first observation counts as both an up- and a down-record
+    (the textbook convention).  Strict inequality: re-touching the
+    running max is not a record — ties resolve identically in both
+    engines on exact integers.  expected_records is floor-quantized
+    at 1e-6 per term (Σ 10⁶ DIV k), so the harmonic sum is an exact
+    integer cross-engine — no float summation-order hazard.
+
+    Scale: grid hash-agg → one per-metric running-extreme window over
+    aggregate rows → per-metric hash-agg; the harmonic sum explodes a
+    1..n sequence per METRIC (|metrics|·|hours| rows, born post-agg).
+    """
+    h = _hourly_cents(series, [key], value_decimals)
+    wprev = (
+        Window.partitionBy(key).orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = h.select(
+        F.col(key),
+        F.when(
+            F.max("y").over(wprev).isNull()
+            | (F.col("y") > F.max("y").over(wprev)), 1
+        ).otherwise(0).alias("up"),
+        F.when(
+            F.min("y").over(wprev).isNull()
+            | (F.col("y") < F.min("y").over(wprev)), 1
+        ).otherwise(0).alias("down"),
+    )
+    g = flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("up").alias("up_records"),
+        F.sum("down").alias("down_records"),
+    )
+    harm = g.select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(1), F.col("n_hours"))).alias("k"),
+    ).groupBy(key).agg(
+        F.sum(F.expr("CAST(1000000 DIV k AS LONG)")).alias("h_u")
+    )
+    return g.join(harm, key).select(
+        key,
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("up_records").cast("long").alias("up_records"),
+        F.col("down_records").cast("long").alias("down_records"),
+        F.round(_dbl(F.col("h_u")) / F.lit(1e6), 6)
+        .alias("expected_records"),
+    )
