@@ -5682,6 +5682,41 @@ def q_record_counts(spark, sf_dir):
     return record_counts(_series_from_events(spark, sf_dir))
 
 
+def q_engle_granger(spark, sf_dir):
+    """Engle-Granger cointegration screen for every ordered metric
+    pair — spurious-correlation guard: closed-form OLS from exact
+    decimal38 moments, residual exact up to ONE shared double then
+    micro-snapped, lag-1 residual autoregression + n(rho-1) DF
+    statistic."""
+    from timeseriescorrelation_spark.operators.causality import (
+        engle_granger,
+    )
+
+    return engle_granger(_series_from_events(spark, sf_dir))
+
+
+def q_transfer_entropy(spark, sf_dir):
+    """Binned transfer entropy TE(X->Y) per ordered metric pair over
+    quartile-binned hourly means — the DIRECTIONAL nonparametric
+    companion to granger_gain (linear) and mutual_info (symmetric);
+    micro-nat-snapped terms over exact integer count ratios."""
+    from timeseriescorrelation_spark.operators.causality import (
+        transfer_entropy,
+    )
+
+    return transfer_entropy(_series_from_events(spark, sf_dir))
+
+
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation at lags 1-3 per metric via
+    Durbin-Levinson over the hourly-count ACF — AR-order
+    identification (PACF cuts off at the true order); one double tree
+    over the engine's 6-dp-rounded rho."""
+    from timeseriescorrelation_spark.operators.acf import pacf3
+
+    return pacf3(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6011,6 +6046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "sign_test_dod": q_sign_test_dod,
         "record_counts": q_record_counts,
+        "engle_granger": q_engle_granger,
+        "transfer_entropy": q_transfer_entropy,
+        "pacf": q_pacf,
     }
 
 
@@ -6584,6 +6622,33 @@ SELECT metric, cast(max(n_pairs + lag_h) AS bigint) AS n_hours,
                      AS double)
                 / 1000000000000.0), 6) AS q_lb
 FROM acf GROUP BY metric
+"""
+    )
+    # PACF via Durbin-Levinson over the same ACF CTE: one double tree
+    # per level, NULL-guarded on each denominator
+    d["pacf"] = (
+        "WITH acf AS (" + _ACF_SQL + """), p AS (
+  SELECT metric, cast(max(n_pairs + lag_h) AS bigint) AS n_hours,
+         max(CASE WHEN lag_h = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag_h = 2 THEN acf END) AS r2,
+         max(CASE WHEN lag_h = 3 THEN acf END) AS r3
+  FROM acf GROUP BY 1
+), l2 AS (
+  SELECT metric, n_hours, r1, r2, r3,
+         CASE WHEN 1.0 - r1 * r1 <> 0
+              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+  FROM p
+), l3 AS (
+  SELECT metric, n_hours, r1, r2, r3, p22,
+         r1 - p22 * r1 AS p21,
+         1.0 - ((r1 - p22 * r1) * r1 + p22 * r2) AS den3
+  FROM l2
+)
+SELECT metric, n_hours,
+       round(r1, 6) AS phi11, round(p22, 6) AS phi22,
+       round(CASE WHEN den3 <> 0
+             THEN (r3 - (p21 * r2 + p22 * r1)) / den3 END, 6) AS phi33
+FROM l3
 """
     )
     return d
@@ -13302,5 +13367,104 @@ WITH h AS (
 SELECT g.metric, n_hours, up_records, down_records,
        round(cast(h_u AS double) / 1000000.0, 6) AS expected_records
 FROM g JOIN harm ON g.metric = harm.metric
+""",
+        "engle_granger": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric AS mx, b.metric AS my, a.hour_ts,
+         a.y AS vx, b.y AS vy
+  FROM h a JOIN h b ON a.hour_ts = b.hour_ts
+  WHERE a.metric <> b.metric
+), mom AS (
+  SELECT mx, my, cast(count(*) AS hugeint) AS n,
+         sum(vx) AS sx, sum(vy) AS sy,
+         sum(vx * vx) AS sxx, sum(vx * vy) AS sxy
+  FROM p GROUP BY 1, 2 HAVING count(*) >= 48
+), mc AS (
+  SELECT mx, my, n, sx, sy,
+         n * sxx - sx * sx AS sxxc, n * sxy - sx * sy AS sxyc
+  FROM mom WHERE n * sxx - sx * sx > 0
+), r AS (
+  SELECT p.mx, p.my, p.hour_ts, mc.n, mc.sxxc, mc.sxyc,
+         cast(round(cast(mc.sxxc * (mc.n * p.vy - mc.sy)
+                         - mc.sxyc * (mc.n * p.vx - mc.sx) AS double)
+                    / (cast(mc.n * mc.sxxc AS double) * 100.0)
+                    * 1000000.0) AS bigint) AS eu
+  FROM p JOIN mc ON p.mx = mc.mx AND p.my = mc.my
+), rl AS (
+  SELECT mx, my, n, sxxc, sxyc, eu,
+         lag(eu) OVER (PARTITION BY mx, my ORDER BY hour_ts) AS ep
+  FROM r
+), g AS (
+  SELECT mx, my, max(n) AS n, max(sxxc) AS sxxc, max(sxyc) AS sxyc,
+         cast(count(ep) AS bigint) AS n_lag,
+         sum(cast(eu AS hugeint) * ep) AS s01,
+         sum(cast(ep AS hugeint) * ep) AS s11
+  FROM rl GROUP BY 1, 2 HAVING sum(cast(ep AS hugeint) * ep) > 0
+)
+SELECT mx AS metric_x, my AS metric_y, cast(n AS bigint) AS n_hours,
+       round(cast(sxyc AS double) / cast(sxxc AS double), 6) AS beta,
+       round(cast(s01 AS double) / cast(s11 AS double), 6) AS rho_res,
+       round(cast(n_lag AS double)
+             * (cast(s01 AS double) / cast(s11 AS double) - 1.0),
+             6) AS df_stat
+FROM g
+""",
+        "transfer_entropy": """
+WITH h AS (
+  SELECT event_type AS m, date_trunc('hour', ts) AS hh,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sc
+  FROM events GROUP BY 1, 2
+), bn AS (
+  SELECT m, hh,
+         ntile(4) OVER (PARTITION BY m
+                        ORDER BY cast(sc AS double) / cast(n AS double),
+                                 hh) AS b
+  FROM h
+), tr AS (
+  SELECT xp.m AS mx, ycur.m AS my,
+         ycur.b AS by1, yp.b AS by0, xp.b AS bx0
+  FROM bn ycur
+  JOIN bn yp ON yp.m = ycur.m
+            AND yp.hh + INTERVAL 1 HOUR = ycur.hh
+  JOIN bn xp ON xp.hh + INTERVAL 1 HOUR = ycur.hh
+            AND xp.m <> ycur.m
+), cxyz AS (
+  SELECT mx, my, by1, by0, bx0, cast(count(*) AS bigint) AS cxyz
+  FROM tr GROUP BY 1, 2, 3, 4, 5
+), cyz AS (
+  SELECT mx, my, by0, bx0, cast(count(*) AS bigint) AS cyz
+  FROM tr GROUP BY 1, 2, 3, 4
+), cyy AS (
+  SELECT mx, my, by1, by0, cast(count(*) AS bigint) AS cyy
+  FROM tr GROUP BY 1, 2, 3, 4
+), cy AS (
+  SELECT mx, my, by0, cast(count(*) AS bigint) AS cy
+  FROM tr GROUP BY 1, 2, 3
+), tot AS (
+  SELECT mx, my, cast(count(*) AS bigint) AS nn FROM tr GROUP BY 1, 2
+), g AS (
+  SELECT j.mx, j.my, t.nn,
+         cast(round(cast(j.cxyz AS double) / cast(t.nn AS double)
+                    * ln(cast(j.cxyz * y.cy AS double)
+                         / cast(z.cyz * w.cyy AS double))
+                    * 1000000) AS bigint) AS term_u
+  FROM cxyz j
+  JOIN cyz z ON j.mx = z.mx AND j.my = z.my AND j.by0 = z.by0
+            AND j.bx0 = z.bx0
+  JOIN cyy w ON j.mx = w.mx AND j.my = w.my AND j.by1 = w.by1
+            AND j.by0 = w.by0
+  JOIN cy y ON j.mx = y.mx AND j.my = y.my AND j.by0 = y.by0
+  JOIN tot t ON j.mx = t.mx AND j.my = t.my
+)
+SELECT mx AS metric_x, my AS metric_y,
+       cast(max(nn) AS bigint) AS n_triples,
+       cast(sum(term_u) AS bigint) AS te_u,
+       round(cast(sum(term_u) AS double) / 1000000.0, 6) AS te_nats
+FROM g GROUP BY 1, 2 HAVING max(nn) >= 24
 """,
     }

@@ -266,6 +266,9 @@ HEADLINE_R3 = [
     "kruskal_wallis",
     "sign_test_dod",
     "record_counts",
+    "engle_granger",
+    "transfer_entropy",
+    "pacf",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -508,3 +508,53 @@ def ljung_box(series: DataFrame, max_lag: int = 24,
             6,
         ).alias("q_lb"),
     )
+
+
+def pacf3(series: DataFrame, keys: list[str] | None = None,
+          ts_col: str = "ts", min_n: int = 8) -> DataFrame:
+    """(keys..., n_hours, phi11, phi22, phi33): partial autocorrelation
+    at lags 1-3 per key via the Durbin-Levinson recursion over the
+    dense hourly-count ACF — the classic AR-order identification
+    companion to acf_spectrum (ACF tails off, PACF cuts off at the AR
+    order; ar2_forecast's model choice is justified when phi33 ≈ 0):
+
+        φ11 = ρ1
+        φ22 = (ρ2 − ρ1²) / (1 − ρ1²),   φ21 = ρ1 − φ22·ρ1
+        φ33 = (ρ3 − (φ21·ρ2 + φ22·ρ1)) / (1 − (φ21·ρ1 + φ22·ρ2))
+
+    one double tree over the engine's 6-dp-rounded ρ (bit-identical
+    inputs both engines), each level NULL-guarded on its denominator
+    and on missing ρ.  Scale: rides acf_spectrum, final reduction is
+    |keys| rows.
+    """
+    keys = keys or ["metric"]
+    a = acf_spectrum(series, 3, keys, ts_col, min_n)
+    p = a.groupBy(*keys).agg(
+        F.max(F.col("n_pairs") + F.col("lag_h")).cast("long")
+        .alias("n_hours"),
+        F.max(F.when(F.col("lag_h") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag_h") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag_h") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    den2 = F.lit(1.0) - r1 * r1
+    l2 = p.select(
+        *keys, "n_hours", "r1", "r2", "r3",
+        F.when(den2 != 0, (r2 - r1 * r1) / den2).alias("p22"),
+    )
+    p21 = r1 - F.col("p22") * r1
+    l3 = l2.select(
+        *keys, "n_hours", "r1", "r2", "r3", "p22",
+        p21.alias("p21"),
+        (F.lit(1.0) - (p21 * r1 + F.col("p22") * r2)).alias("den3"),
+    )
+    phi33 = F.when(
+        F.col("den3") != 0,
+        (r3 - (F.col("p21") * r2 + F.col("p22") * r1)) / F.col("den3"),
+    )
+    return l3.select(
+        *keys, "n_hours",
+        F.round(r1, 6).alias("phi11"),
+        F.round(F.col("p22"), 6).alias("phi22"),
+        F.round(phi33, 6).alias("phi33"),
+    )
