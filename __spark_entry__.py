@@ -5717,6 +5717,42 @@ def q_pacf(spark, sf_dir):
     return pacf3(_series_from_events(spark, sf_dir))
 
 
+def q_l_diversity(spark, sf_dir):
+    """Distinct l-diversity release gate over documents: QI = (lang,
+    source), sensitive = n_chars//100 — k-anonymity's companion
+    (large groups can still leak a shared sensitive value); exact
+    two-level distinct count, thresholds explode on the collapsed
+    group table."""
+    from timeseriescorrelation_spark.operators.privacy import l_diversity
+
+    d = _docs(spark, sf_dir)
+    return l_diversity(
+        d, [F.col("lang"), F.col("source")],
+        F.floor(F.col("n_chars") / 100).cast("long"),
+        ls=[2, 3, 5],
+    )
+
+
+def q_category_churn(spark, sf_dir):
+    """Day-over-day event_type churn: new/dropped categories per day
+    plus the row mass arriving under new categories — the
+    schema-drift tripwire; aggregate-sized full-outer self-join of
+    the (day, category) table shifted one day."""
+    from timeseriescorrelation_spark.operators.dq import category_churn
+
+    return category_churn(_events(spark, sf_dir))
+
+
+def q_newey_west(spark, sf_dir):
+    """Newey-West (Bartlett, L=6) HAC standard error of each metric's
+    mean hourly cent sum vs the i.i.d. SE — the honest error bar for
+    autocorrelated series; V' = (L+1)C0 + 2Σ(L+1−k)Ck exact in
+    decimal38, PSD by the Bartlett guarantee."""
+    from timeseriescorrelation_spark.operators.tsdiag import newey_west
+
+    return newey_west(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6049,6 +6085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engle_granger": q_engle_granger,
         "transfer_entropy": q_transfer_entropy,
         "pacf": q_pacf,
+        "l_diversity": q_l_diversity,
+        "category_churn": q_category_churn,
+        "newey_west": q_newey_west,
     }
 
 
@@ -13466,5 +13505,118 @@ SELECT mx AS metric_x, my AS metric_y,
        cast(sum(term_u) AS bigint) AS te_u,
        round(cast(sum(term_u) AS double) / 1000000.0, 6) AS te_nats
 FROM g GROUP BY 1, 2 HAVING max(nn) >= 24
+""",
+        "l_diversity": """
+WITH pv AS (
+  SELECT lang AS q0, source AS q1, n_chars // 100 AS sv,
+         cast(count(*) AS bigint) AS vn
+  FROM documents GROUP BY 1, 2, 3
+), g AS (
+  SELECT q0, q1, cast(sum(vn) AS bigint) AS gn,
+         cast(count(*) AS bigint) AS gd
+  FROM pv GROUP BY 1, 2
+), pl AS (
+  SELECT gn, gd, unnest([2, 3, 5]) AS l FROM g
+)
+SELECT l, cast(count(*) AS bigint) AS n_groups,
+       cast(sum(CASE WHEN gd < l THEN 1 ELSE 0 END) AS bigint)
+         AS n_groups_below,
+       cast(sum(CASE WHEN gd < l THEN gn ELSE 0 END) AS bigint)
+         AS n_rows_below,
+       round(cast(sum(CASE WHEN gd < l THEN gn ELSE 0 END) AS double)
+             / cast(sum(gn) AS double), 6) AS pct_rows_below
+FROM pl GROUP BY 1
+""",
+        "category_churn": """
+WITH per AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type AS cat,
+         cast(count(*) AS bigint) AS rn
+  FROM events GROUP BY 1, 2
+), yest AS (
+  SELECT day_ts + INTERVAL 24 HOUR AS day_ts, cat, 1 AS was_there
+  FROM per
+), dwp AS (
+  SELECT DISTINCT d.day_ts
+  FROM (SELECT DISTINCT day_ts FROM per) d
+  JOIN (SELECT DISTINCT day_ts + INTERVAL 24 HOUR AS day_ts
+        FROM per) p USING (day_ts)
+), j AS (
+  SELECT coalesce(t.day_ts, y.day_ts) AS day_ts, t.rn, y.was_there
+  FROM per t FULL OUTER JOIN yest y
+    ON t.day_ts = y.day_ts AND t.cat = y.cat
+), jj AS (
+  SELECT j.* FROM j JOIN dwp USING (day_ts)
+)
+SELECT day_ts,
+       cast(sum(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END)
+            AS bigint) AS n_cats,
+       cast(sum(CASE WHEN rn IS NOT NULL AND was_there IS NULL
+                     THEN 1 ELSE 0 END) AS bigint) AS n_new,
+       cast(sum(CASE WHEN rn IS NULL AND was_there IS NOT NULL
+                     THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+       cast(sum(CASE WHEN rn IS NOT NULL AND was_there IS NULL
+                     THEN rn ELSE 0 END) AS bigint) AS new_rows,
+       round(cast(sum(CASE WHEN rn IS NOT NULL AND was_there IS NULL
+                           THEN rn ELSE 0 END) AS double)
+             / cast(sum(coalesce(rn, 0)) AS double), 6)
+         AS new_rows_share
+FROM jj GROUP BY 1
+""",
+        "newey_west": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, y,
+         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+         lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4,
+         lag(y, 5) OVER w AS y5, lag(y, 6) OVER w AS y6
+  FROM h WINDOW w AS (PARTITION BY metric ORDER BY hour_ts)
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n, sum(y) AS s,
+         sum(y * y) AS p0,
+         sum(y * y1) AS p1, sum(y1) AS a1,
+         sum(CASE WHEN y1 IS NOT NULL THEN y END) AS b1,
+         sum(y * y2) AS p2, sum(y2) AS a2,
+         sum(CASE WHEN y2 IS NOT NULL THEN y END) AS b2,
+         sum(y * y3) AS p3, sum(y3) AS a3,
+         sum(CASE WHEN y3 IS NOT NULL THEN y END) AS b3,
+         sum(y * y4) AS p4, sum(y4) AS a4,
+         sum(CASE WHEN y4 IS NOT NULL THEN y END) AS b4,
+         sum(y * y5) AS p5, sum(y5) AS a5,
+         sum(CASE WHEN y5 IS NOT NULL THEN y END) AS b5,
+         sum(y * y6) AS p6, sum(y6) AS a6,
+         sum(CASE WHEN y6 IS NOT NULL THEN y END) AS b6
+  FROM l GROUP BY 1 HAVING count(*) >= 24
+), c AS (
+  SELECT metric, n, s,
+         n * n * p0 - n * s * (s + s) + n * s * s AS c0,
+         n * n * p1 - n * s * (a1 + b1) + (n - 1) * s * s AS c1,
+         n * n * p2 - n * s * (a2 + b2) + (n - 2) * s * s AS c2,
+         n * n * p3 - n * s * (a3 + b3) + (n - 3) * s * s AS c3,
+         n * n * p4 - n * s * (a4 + b4) + (n - 4) * s * s AS c4,
+         n * n * p5 - n * s * (a5 + b5) + (n - 5) * s * s AS c5,
+         n * n * p6 - n * s * (a6 + b6) + (n - 6) * s * s AS c6
+  FROM g
+), v AS (
+  SELECT metric, n, s, c0,
+         7 * c0 + 2 * 6 * c1 + 2 * 5 * c2 + 2 * 4 * c3
+         + 2 * 3 * c4 + 2 * 2 * c5 + 2 * 1 * c6 AS vp
+  FROM c
+)
+SELECT metric, cast(n AS bigint) AS n_hours,
+       round(cast(s AS double) / cast(n AS double) / 100.0, 6)
+         AS mean_v,
+       round(sqrt(cast(c0 AS double))
+             / (cast(n AS double) * cast(n AS double) * 100.0), 6)
+         AS se_iid,
+       round(sqrt(cast(vp AS double) / 7.0)
+             / (cast(n AS double) * cast(n AS double) * 100.0), 6)
+         AS se_hac,
+       round(sqrt(cast(vp AS double) / (7.0 * cast(c0 AS double))), 6)
+         AS hac_ratio
+FROM v
+WHERE cast(c0 AS double) > 0 AND cast(vp AS double) >= 0
 """,
     }

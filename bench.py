@@ -269,6 +269,9 @@ HEADLINE_R3 = [
     "engle_granger",
     "transfer_entropy",
     "pacf",
+    "l_diversity",
+    "category_churn",
+    "newey_west",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -201,3 +201,74 @@ def dq_sequence(series: DataFrame, conv_col: str = "conv_id",
         (F.col("n_same_adjacent") + F.col("n_time_ties")
          + F.col("n_idx_inversions")) == 0,
     )
+
+
+def category_churn(events: DataFrame, cat_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """(day_ts, n_cats, n_new, n_dropped, new_rows, new_rows_share):
+    day-over-day category churn — the schema-drift tripwire upstream
+    pipelines need ("a new event_type appeared yesterday; did anyone
+    tell the rollup?").  For each day after the first: categories
+    present today but not yesterday (new), present yesterday but not
+    today (dropped), and the ROW mass arriving under new categories
+    (a new category carrying 40% of rows is an incident; one carrying
+    3 rows is a canary).
+
+    Scale: one hash-agg to |days|·|categories| rows (map-side
+    combine), then a self full-outer join of that tiny table shifted
+    by one day — aggregate-sized everywhere, no windows over raw
+    rows.  Day 1 has no baseline and is excluded.
+    """
+    per = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("rn"))
+    today = per.select("day_ts", "cat", "rn")
+    yest = per.select(
+        (F.col("day_ts") + F.expr("INTERVAL 24 HOURS")).alias("day_ts"),
+        F.col("cat").alias("cat"),
+        F.lit(1).alias("was_there"),
+    )
+    # restrict to days that HAVE a baseline (previous day observed)
+    days_with_prev = per.select("day_ts").distinct().alias("d").join(
+        per.select(
+            (F.col("day_ts") + F.expr("INTERVAL 24 HOURS"))
+            .alias("day_ts")
+        ).distinct().alias("p"),
+        "day_ts",
+    )
+    j = today.join(yest, ["day_ts", "cat"], "full_outer").join(
+        days_with_prev, "day_ts"
+    )
+    g = j.groupBy("day_ts").agg(
+        F.sum(F.when(F.col("rn").isNotNull(), 1).otherwise(0))
+        .alias("n_cats"),
+        F.sum(
+            F.when(
+                F.col("rn").isNotNull() & F.col("was_there").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("rn").isNull() & F.col("was_there").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_dropped"),
+        F.sum(
+            F.when(
+                F.col("rn").isNotNull() & F.col("was_there").isNull(),
+                F.col("rn"),
+            ).otherwise(0)
+        ).alias("new_rows"),
+        F.sum(F.coalesce(F.col("rn"), F.lit(0))).alias("tot_rows"),
+    )
+    return g.select(
+        "day_ts",
+        F.col("n_cats").cast("long").alias("n_cats"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.col("new_rows").cast("long").alias("new_rows"),
+        F.round(
+            F.col("new_rows").cast("double")
+            / F.col("tot_rows").cast("double"), 6
+        ).alias("new_rows_share"),
+    )

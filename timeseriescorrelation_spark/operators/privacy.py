@@ -58,3 +58,57 @@ def kanon_report(df: DataFrame, quasi: list[Column | str],
             / F.col("_total").cast("double"), 6
         ).alias("pct_rows_below"),
     )
+
+
+def l_diversity(df: DataFrame, quasi: list[Column | str],
+                sensitive: Column | str,
+                ls: list[int] = (2, 3, 5)) -> DataFrame:
+    """(l, n_groups, n_groups_below, n_rows_below, pct_rows_below):
+    distinct l-diversity — k-anonymity's companion gate.  A QI group
+    can be large (k-anonymous) yet still leak: if every row in it
+    shares ONE sensitive value, membership reveals the attribute.
+    Per policy threshold l, report the QI groups whose sensitive
+    column carries fewer than l distinct values, the rows they hold,
+    and that population's share.
+
+    Same shape discipline as kanon_report: ONE hash-agg keyed by the
+    QI tuple (count + exact count-distinct of the sensitive value via
+    a two-level agg), thresholds explode on the collapsed group
+    table.  Exact integers + one double divide.
+    """
+    cols = [
+        (F.col(q) if isinstance(q, str) else q).alias(f"_q{i}")
+        for i, q in enumerate(quasi)
+    ]
+    s = (F.col(sensitive) if isinstance(sensitive, str)
+         else sensitive).alias("_s")
+    qnames = [f"_q{i}" for i in range(len(cols))]
+    # exact distinct: collapse (QI, sensitive) first, then count —
+    # two map-side-combinable hash-aggs, no expensive distinct agg
+    per_val = df.select(*cols, s).groupBy(*qnames, "_s").agg(
+        F.count(F.lit(1)).alias("vn")
+    )
+    groups = per_val.groupBy(*qnames).agg(
+        F.sum("vn").alias("gn"),
+        F.count(F.lit(1)).alias("gd"),
+    )
+    per_l = groups.select(
+        "gn", "gd",
+        F.explode(F.array(*[F.lit(int(v)) for v in ls])).alias("l"),
+    )
+    rep = per_l.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("gd") < F.col("l"), 1).otherwise(0))
+        .alias("n_groups_below"),
+        F.sum(F.when(F.col("gd") < F.col("l"), F.col("gn")).otherwise(0))
+        .alias("n_rows_below"),
+        F.sum("gn").alias("n_rows"),
+    )
+    return rep.select(
+        "l", "n_groups", "n_groups_below",
+        F.col("n_rows_below").cast("long").alias("n_rows_below"),
+        F.round(
+            F.col("n_rows_below").cast("double")
+            / F.col("n_rows").cast("double"), 6
+        ).alias("pct_rows_below"),
+    )

@@ -447,3 +447,77 @@ def record_counts(series: DataFrame, key: str = "metric",
         F.round(_dbl(F.col("h_u")) / F.lit(1e6), 6)
         .alias("expected_records"),
     )
+
+
+def newey_west(series: DataFrame, key: str = "metric",
+               max_lag: int = 6, value_decimals: int = 2,
+               min_hours: int = 24) -> DataFrame:
+    """(metric, n_hours, mean_v, se_iid, se_hac, hac_ratio): the
+    serial-correlation-robust (Newey-West/HAC, Bartlett kernel)
+    standard error of each metric's mean hourly cent sum — the honest
+    error bar for autocorrelated series, where the i.i.d. SE is a lie
+    (hourly traffic IS autocorrelated; hac_ratio > 1 says by how
+    much every downstream t-test was overconfident):
+
+        se²_hac = [C₀ + 2·Σ_{k≤L} (1 − k/(L+1))·C_k] / n⁴
+
+    with the same n-scaled exact-integer autocovariances C_k as
+    ar2_forecast (C_k = n²P_k − nS(A_k+B_k) + (n−k)S²).  Multiplying
+    through by (L+1) keeps the Bartlett weights integral:
+
+        V' = (L+1)·C₀ + 2·Σ (L+1−k)·C_k        (exact decimal38)
+        se_hac = sqrt(V'/(L+1)) / (n²·scale)
+
+    V' ≥ 0 is the Bartlett kernel's PSD guarantee.  The sequence
+    follows the splice convention (observed hours; gaps join
+    neighbours).  Degenerate series (constant → C₀ = 0, or
+    n < min_hours) drop out.
+
+    Scale: grid hash-agg → per-metric lag window over aggregate rows
+    (max_lag lag columns in ONE window pass) → one hash-agg.
+    """
+    lags = list(range(1, int(max_lag) + 1))
+    h = _hourly_cents(series, [key], value_decimals)
+    scale = 10 ** int(value_decimals)
+    wspec = Window.partitionBy(key).orderBy("hour_ts")
+    sel = [F.col(key), F.col("y")]
+    for k in lags:
+        sel.append(F.lag("y", k).over(wspec).alias(f"y{k}"))
+    lagged = h.select(*sel)
+    aggs = [
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("y").cast(DEC)).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("p0"),
+    ]
+    for k in lags:
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.sum((F.col("y") * yk).cast(DEC)).alias(f"p{k}"),
+            F.sum(yk.cast(DEC)).alias(f"a{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y")).cast(DEC))
+            .alias(f"b{k}"),
+        ]
+    g = lagged.groupBy(key).agg(*aggs).where(F.col("n") >= min_hours)
+    n, s = F.col("n"), F.col("s")
+    c0 = n * n * F.col("p0") - n * s * (s + s) + n * s * s
+    vprime = (max_lag + 1) * c0
+    for k in lags:
+        ck = (
+            n * n * F.col(f"p{k}")
+            - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + (n - k) * s * s
+        )
+        vprime = vprime + 2 * (max_lag + 1 - k) * ck
+    lp1 = float(max_lag + 1)
+    nd = _dbl(n)
+    den = nd * nd * F.lit(float(scale))
+    se_iid = F.sqrt(_dbl(c0)) / den
+    se_hac = F.sqrt(_dbl(vprime) / F.lit(lp1)) / den
+    ratio = F.sqrt(_dbl(vprime) / (F.lit(lp1) * _dbl(c0)))
+    return g.where((_dbl(c0) > 0) & (_dbl(vprime) >= 0)).select(
+        key, n.cast("long").alias("n_hours"),
+        F.round(_dbl(s) / nd / F.lit(float(scale)), 6).alias("mean_v"),
+        F.round(se_iid, 6).alias("se_iid"),
+        F.round(se_hac, 6).alias("se_hac"),
+        F.round(ratio, 6).alias("hac_ratio"),
+    )
