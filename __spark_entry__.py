@@ -5753,6 +5753,49 @@ def q_newey_west(spark, sf_dir):
     return newey_west(_series_from_events(spark, sf_dir))
 
 
+def q_ccc_pairs(spark, sf_dir):
+    """Lin's concordance correlation per metric pair — agreement, not
+    just co-movement (CCC charges for location/scale offsets Pearson
+    forgives); one exact-integer ratio since the n²-scaling is uniform
+    across all three variance terms."""
+    from timeseriescorrelation_spark.operators.crossmetric import ccc_pairs
+
+    return ccc_pairs(_series_from_events(spark, sf_dir))
+
+
+def q_corr_deseasonalized(spark, sf_dir):
+    """Pearson between metric pairs AFTER removing each metric's own
+    hour-of-day profile — the shared-seasonality pitfall fix; hod-mean
+    residuals micro-snapped from exact integer ratios, then exact
+    decimal38 pair moments."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        corr_deseasonalized,
+    )
+
+    return corr_deseasonalized(_series_from_events(spark, sf_dir))
+
+
+def q_corr_winsorized(spark, sf_dir):
+    """Robust Pearson per metric pair after winsorizing each metric at
+    its own [5, 95] ORDER STATISTICS (integer-exact selection, not
+    interpolated percentiles) — the correlation one incident spike
+    can't fake."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        corr_winsorized,
+    )
+
+    return corr_winsorized(_series_from_events(spark, sf_dir))
+
+
+def q_rank_churn(spark, sf_dir):
+    """Day-over-day leaderboard churn: each event_type's daily volume
+    rank vs yesterday's (ties broken on name — deterministic);
+    category_churn's 'what moved' complement."""
+    from timeseriescorrelation_spark.operators.activity import rank_churn
+
+    return rank_churn(_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6088,6 +6131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "category_churn": q_category_churn,
         "newey_west": q_newey_west,
+        "ccc_pairs": q_ccc_pairs,
+        "corr_deseasonalized": q_corr_deseasonalized,
+        "corr_winsorized": q_corr_winsorized,
+        "rank_churn": q_rank_churn,
     }
 
 
@@ -13618,5 +13665,140 @@ SELECT metric, cast(n AS bigint) AS n_hours,
          AS hac_ratio
 FROM v
 WHERE cast(c0 AS double) > 0 AND cast(vp AS double) >= 0
+""",
+        "ccc_pairs": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         a.y AS ya, b.y AS yb
+  FROM h a JOIN h b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+), g AS (
+  SELECT metric_a, metric_b, cast(count(*) AS hugeint) AS n,
+         sum(ya) AS sa, sum(yb) AS sb,
+         sum(ya * ya) AS saa, sum(yb * yb) AS sbb,
+         sum(ya * yb) AS sab
+  FROM p GROUP BY 1, 2 HAVING count(*) >= 24
+)
+SELECT metric_a, metric_b, cast(n AS bigint) AS n_hours,
+       round(CASE WHEN cast(n * saa - sa * sa AS double) > 0
+                   AND cast(n * sbb - sb * sb AS double) > 0
+             THEN cast(n * sab - sa * sb AS double)
+                  / sqrt(cast(n * saa - sa * sa AS double))
+                  / sqrt(cast(n * sbb - sb * sb AS double)) END, 6)
+         AS r,
+       round(CASE WHEN cast((n * saa - sa * sa) + (n * sbb - sb * sb)
+                            + (sa - sb) * (sa - sb) AS double) > 0
+             THEN 2.0 * cast(n * sab - sa * sb AS double)
+                  / cast((n * saa - sa * sa) + (n * sbb - sb * sb)
+                         + (sa - sb) * (sa - sb) AS double) END, 6)
+         AS ccc
+FROM g
+""",
+        "corr_deseasonalized": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), res AS (
+  SELECT metric, hour_ts,
+         cast(round(cast(cast(count(*) OVER w AS hugeint) * y
+                         - sum(y) OVER w AS double)
+                    / (cast(count(*) OVER w AS double) * 100.0)
+                    * 1000000.0) AS bigint) AS ru
+  FROM h
+  WINDOW w AS (PARTITION BY metric, hour(hour_ts))
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         a.ru AS ra, b.ru AS rb
+  FROM res a JOIN res b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+), g AS (
+  SELECT metric_a, metric_b, cast(count(*) AS hugeint) AS n,
+         sum(ra) AS sa, sum(rb) AS sb,
+         sum(cast(ra AS hugeint) * ra) AS saa,
+         sum(cast(rb AS hugeint) * rb) AS sbb,
+         sum(cast(ra AS hugeint) * rb) AS sab
+  FROM p GROUP BY 1, 2 HAVING count(*) >= 48
+)
+SELECT metric_a, metric_b, cast(n AS bigint) AS n_hours,
+       round(CASE WHEN cast(n * saa - sa * sa AS double) > 0
+                   AND cast(n * sbb - sb * sb AS double) > 0
+             THEN cast(n * sab - sa * sb AS double)
+                  / sqrt(cast(n * saa - sa * sa AS double))
+                  / sqrt(cast(n * sbb - sb * sb AS double)) END, 6)
+         AS r_deseason
+FROM g
+""",
+        "corr_winsorized": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT metric, hour_ts, y,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY y, hour_ts) AS rk,
+         count(*) OVER (PARTITION BY metric) AS nn
+  FROM h
+), thr AS (
+  SELECT metric,
+         max(CASE WHEN rk = (5 * nn) // 100 + 1 THEN y END) AS lo,
+         max(CASE WHEN rk = nn - (5 * nn) // 100 THEN y END) AS hi
+  FROM rk GROUP BY 1
+), c AS (
+  SELECT h.metric, h.hour_ts,
+         least(greatest(h.y, t.lo), t.hi) AS y
+  FROM h JOIN thr t ON h.metric = t.metric
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         a.y AS ya, b.y AS yb
+  FROM c a JOIN c b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+), g AS (
+  SELECT metric_a, metric_b, cast(count(*) AS hugeint) AS n,
+         sum(ya) AS sa, sum(yb) AS sb,
+         sum(ya * ya) AS saa, sum(yb * yb) AS sbb,
+         sum(ya * yb) AS sab
+  FROM p GROUP BY 1, 2 HAVING count(*) >= 24
+)
+SELECT metric_a, metric_b, cast(n AS bigint) AS n_hours,
+       round(CASE WHEN cast(n * saa - sa * sa AS double) > 0
+                   AND cast(n * sbb - sb * sb AS double) > 0
+             THEN cast(n * sab - sa * sb AS double)
+                  / sqrt(cast(n * saa - sa * sa AS double))
+                  / sqrt(cast(n * sbb - sb * sb AS double)) END, 6)
+         AS r_wins
+FROM g
+""",
+        "rank_churn": """
+WITH per AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type AS cat,
+         cast(count(*) AS bigint) AS n_rows
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT day_ts, cat, n_rows,
+         cast(row_number() OVER (PARTITION BY day_ts
+                                 ORDER BY n_rows DESC, cat) AS int)
+           AS rank_today
+  FROM per
+), prev AS (
+  SELECT day_ts + INTERVAL 24 HOUR AS day_ts, cat,
+         rank_today AS rank_prev
+  FROM rk
+), dwp AS (
+  SELECT DISTINCT d.day_ts
+  FROM (SELECT DISTINCT day_ts FROM per) d
+  JOIN (SELECT DISTINCT day_ts + INTERVAL 24 HOUR AS day_ts
+        FROM per) p USING (day_ts)
+)
+SELECT r.day_ts, r.cat, r.n_rows, r.rank_today, p.rank_prev,
+       p.rank_prev - r.rank_today AS rank_delta
+FROM rk r
+LEFT JOIN prev p ON r.day_ts = p.day_ts AND r.cat = p.cat
+JOIN dwp ON r.day_ts = dwp.day_ts
 """,
     }

@@ -272,6 +272,10 @@ HEADLINE_R3 = [
     "l_diversity",
     "category_churn",
     "newey_west",
+    "ccc_pairs",
+    "corr_deseasonalized",
+    "corr_winsorized",
+    "rank_churn",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

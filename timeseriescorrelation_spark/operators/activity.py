@@ -551,3 +551,57 @@ def fano_factor_daily(series: DataFrame, keys: list[str] | None = None,
             6,
         ).alias("fano"),
     )
+
+
+def rank_churn(events: DataFrame, cat_col: str = "event_type",
+               ts_col: str = "ts") -> DataFrame:
+    """(day_ts, cat, n_rows, rank_today, rank_prev, rank_delta):
+    day-over-day leaderboard churn — each category's daily volume
+    rank vs yesterday's (positive delta = climbed).  The "what moved"
+    complement to category_churn's "what appeared/vanished": a
+    category can exist both days yet silently triple its share.
+
+    Rank ties break on the category name (rank by (rows DESC, cat)),
+    so the leaderboard is deterministic in both engines.  Categories
+    absent yesterday carry NULL rank_prev/rank_delta rather than a
+    fake rank.  Day 1 has no baseline and is excluded.
+
+    Scale: one hash-agg to |days|·|categories| rows, one rank window
+    per day over that tiny table, one self-join shifted a day.
+    """
+    from pyspark.sql import Window
+
+    per = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    wd = Window.partitionBy("day_ts").orderBy(
+        F.col("n_rows").desc(), F.col("cat")
+    )
+    ranked = per.select(
+        "day_ts", "cat", "n_rows",
+        F.row_number().over(wd).alias("rank_today"),
+    )
+    prev = ranked.select(
+        (F.col("day_ts") + F.expr("INTERVAL 24 HOURS")).alias("day_ts"),
+        "cat",
+        F.col("rank_today").alias("rank_prev"),
+    )
+    days_with_prev = per.select("day_ts").distinct().join(
+        per.select(
+            (F.col("day_ts") + F.expr("INTERVAL 24 HOURS"))
+            .alias("day_ts")
+        ).distinct(),
+        "day_ts",
+    )
+    return (
+        ranked.join(prev, ["day_ts", "cat"], "left")
+        .join(days_with_prev, "day_ts")
+        .select(
+            "day_ts", "cat",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "rank_today", "rank_prev",
+            (F.col("rank_prev") - F.col("rank_today"))
+            .alias("rank_delta"),
+        )
+    )

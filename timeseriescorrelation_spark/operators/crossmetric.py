@@ -644,3 +644,196 @@ def corr_from_moments(m: DataFrame, min_hours: int = 4) -> DataFrame:
             6,
         ).alias("r"),
     )
+
+
+def ccc_pairs(series: DataFrame, key: str = "metric",
+              value_decimals: int = 2,
+              min_hours: int = 24) -> DataFrame:
+    """(metric_a, metric_b, n_hours, r, ccc): Lin's concordance
+    correlation coefficient per unordered metric pair over
+    co-occurring hours — AGREEMENT, not just co-movement: Pearson is
+    blind to scale/location (y = 2x + 5 scores r = 1), CCC charges
+    for it.  The n²-scaling is uniform across all three variance
+    terms, so CCC is ONE exact-integer ratio:
+
+        CCC = 2·(nΣxy − ΣxΣy)
+              / [(nΣx² − (Σx)²) + (nΣy² − (Σy)²) + (Σx − Σy)²]
+
+    (each term is the population moment × n² — the scale cancels).
+    Pearson r is reported alongside; CCC ≤ |r| always, with equality
+    only at perfect location/scale agreement.
+
+    Scale: corr_matrix_daily's shape — one grid hash-agg, pair equi-
+    join on hour, one hash-agg per pair."""
+    h = _hourly_cents(series, [key], value_decimals)
+    a = h.select(
+        F.col(key).alias("metric_a"), "hour_ts", F.col("y").alias("ya")
+    )
+    b = h.select(
+        F.col(key).alias("metric_b"), "hour_ts", F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "hour_ts").where(
+        F.col("metric_a") < F.col("metric_b")
+    )
+    g = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("ya").cast(DEC)).alias("sa"),
+        F.sum(F.col("yb").cast(DEC)).alias("sb"),
+        F.sum((F.col("ya") * F.col("ya")).cast(DEC)).alias("saa"),
+        F.sum((F.col("yb") * F.col("yb")).cast(DEC)).alias("sbb"),
+        F.sum((F.col("ya") * F.col("yb")).cast(DEC)).alias("sab"),
+    ).where(F.col("n") >= min_hours)
+    n = F.col("n")
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    da = n * F.col("saa") - F.col("sa") * F.col("sa")
+    db = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    dd = F.col("sa") - F.col("sb")
+    denc = da + db + dd * dd
+    r = F.when(
+        (da.cast("double") > 0) & (db.cast("double") > 0),
+        num.cast("double")
+        / F.sqrt(da.cast("double")) / F.sqrt(db.cast("double")),
+    )
+    ccc = F.when(
+        denc.cast("double") > 0,
+        F.lit(2.0) * num.cast("double") / denc.cast("double"),
+    )
+    return g.select(
+        "metric_a", "metric_b", n.cast("long").alias("n_hours"),
+        F.round(r, 6).alias("r"), F.round(ccc, 6).alias("ccc"),
+    )
+
+
+def corr_deseasonalized(series: DataFrame, key: str = "metric",
+                        value_decimals: int = 2,
+                        min_hours: int = 48) -> DataFrame:
+    """(metric_a, metric_b, n_hours, r_deseason): Pearson between
+    metric pairs AFTER removing each metric's own hour-of-day profile
+    — the shared-seasonality pitfall fix: two metrics that both peak
+    at 14:00 read r ≈ 0.9 raw while their fluctuations are unrelated;
+    correlating the residuals y_t − mean(same hour-of-day) answers
+    the question users actually ask.
+
+    Exactness: the hour-of-day mean is the exact integer ratio
+    S_h/C_h; the residual (C_h·y_t − S_h)/(C_h·scale) is ONE shared
+    double expression over exact integers, snapped to integer
+    micro-units, and the pair Pearson then runs over exact decimal38
+    moments of those integers (the engle_granger recipe).
+
+    Scale: grid hash-agg → hod-mean window per (metric, hod) over
+    aggregate rows → pair equi-join on hour → hash-agg."""
+    scale = 10 ** int(value_decimals)
+    h = _hourly_cents(series, [key], value_decimals)
+    from pyspark.sql import Window
+
+    whod = Window.partitionBy(key, F.hour("hour_ts"))
+    res = h.select(
+        F.col(key), "hour_ts",
+        F.round(
+            (
+                F.count(F.lit(1)).over(whod).cast(DEC) * F.col("y")
+                - F.sum(F.col("y").cast(DEC)).over(whod)
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).over(whod).cast("double")
+                * F.lit(float(scale))
+            )
+            * F.lit(1e6)
+        ).cast("long").alias("ru"),
+    )
+    a = res.select(
+        F.col(key).alias("metric_a"), "hour_ts", F.col("ru").alias("ra")
+    )
+    b = res.select(
+        F.col(key).alias("metric_b"), "hour_ts", F.col("ru").alias("rb")
+    )
+    pairs = a.join(b, "hour_ts").where(
+        F.col("metric_a") < F.col("metric_b")
+    )
+    g = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("ra").cast(DEC)).alias("sa"),
+        F.sum(F.col("rb").cast(DEC)).alias("sb"),
+        F.sum(F.col("ra").cast(DEC) * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb").cast(DEC) * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra").cast(DEC) * F.col("rb")).alias("sab"),
+    ).where(F.col("n") >= min_hours)
+    n = F.col("n")
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r = F.when(
+        (da > 0) & (db > 0), num / F.sqrt(da) / F.sqrt(db)
+    )
+    return g.select(
+        "metric_a", "metric_b", n.cast("long").alias("n_hours"),
+        F.round(r, 6).alias("r_deseason"),
+    )
+
+
+def corr_winsorized(series: DataFrame, key: str = "metric",
+                    pct: int = 5, value_decimals: int = 2,
+                    min_hours: int = 24) -> DataFrame:
+    """(metric_a, metric_b, n_hours, lo_clip_a?, r_wins): Pearson
+    between metric pairs after winsorizing each metric's hourly cents
+    at its own [pct, 100−pct] order statistics — the robust
+    correlation that one incident spike can't fake.
+
+    Thresholds are ORDER STATISTICS, not interpolated percentiles:
+    lo = the k_lo-th smallest value with k_lo = (pct·n) DIV 100 + 1
+    and hi = the (n − (pct·n) DIV 100)-th, selected by row_number
+    over the deterministic (y, hour_ts) order — integer-exact in both
+    engines (interpolated percentile_cont would hand each engine its
+    own float edge cases).  Clipped values stay exact integers, so
+    the pair Pearson is the standard exact-moment tree.
+
+    Scale: one rank window per metric over the aggregate grid, a
+    broadcast-sized threshold join, then the usual pair machinery."""
+    h = _hourly_cents(series, [key], value_decimals)
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy(key).orderBy("y", "hour_ts")
+    ranked = h.select(
+        F.col(key), "hour_ts", "y",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("nn"),
+    )
+    k_lo = F.expr(f"CAST(({int(pct)} * nn) DIV 100 AS INT) + 1")
+    k_hi = F.col("nn") - F.expr(
+        f"CAST(({int(pct)} * nn) DIV 100 AS INT)"
+    )
+    thr = ranked.groupBy(key).agg(
+        F.max(F.when(F.col("rk") == k_lo, F.col("y"))).alias("lo"),
+        F.max(F.when(F.col("rk") == k_hi, F.col("y"))).alias("hi"),
+    )
+    clipped = h.join(thr, key).select(
+        F.col(key), "hour_ts",
+        F.least(F.greatest(F.col("y"), F.col("lo")), F.col("hi"))
+        .alias("y"),
+    )
+    a = clipped.select(
+        F.col(key).alias("metric_a"), "hour_ts", F.col("y").alias("ya")
+    )
+    b = clipped.select(
+        F.col(key).alias("metric_b"), "hour_ts", F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "hour_ts").where(
+        F.col("metric_a") < F.col("metric_b")
+    )
+    g = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("ya").cast(DEC)).alias("sa"),
+        F.sum(F.col("yb").cast(DEC)).alias("sb"),
+        F.sum((F.col("ya") * F.col("ya")).cast(DEC)).alias("saa"),
+        F.sum((F.col("yb") * F.col("yb")).cast(DEC)).alias("sbb"),
+        F.sum((F.col("ya") * F.col("yb")).cast(DEC)).alias("sab"),
+    ).where(F.col("n") >= min_hours)
+    n = F.col("n")
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r = F.when((da > 0) & (db > 0), num / F.sqrt(da) / F.sqrt(db))
+    return g.select(
+        "metric_a", "metric_b", n.cast("long").alias("n_hours"),
+        F.round(r, 6).alias("r_wins"),
+    )
