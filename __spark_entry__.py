@@ -5796,6 +5796,18 @@ def q_rank_churn(spark, sf_dir):
     return rank_churn(_events(spark, sf_dir))
 
 
+def q_allen_census(spark, sf_dir):
+    """Allen interval-relation census between metric pairs' per-hour
+    activity micro-spans — sub-hour lead/lag fingerprint (before/after
+    keep direction; the other relations collapse onto the unordered
+    pair); pair space bounded by the hour grid."""
+    from timeseriescorrelation_spark.operators.intervals import (
+        allen_census,
+    )
+
+    return allen_census(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6135,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
         "rank_churn": q_rank_churn,
+        "allen_census": q_allen_census,
     }
 
 
@@ -13800,5 +13813,45 @@ SELECT r.day_ts, r.cat, r.n_rows, r.rank_today, p.rank_prev,
 FROM rk r
 LEFT JOIN prev p ON r.day_ts = p.day_ts AND r.cat = p.cat
 JOIN dwp ON r.day_ts = dwp.day_ts
+""",
+        "allen_census": """
+WITH sp AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         CASE
+           WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+           WHEN a.e < b.s THEN 'before'
+           WHEN b.e < a.s THEN 'after'
+           WHEN a.e = b.s OR b.e = a.s THEN 'meets'
+           WHEN a.s = b.s THEN 'starts'
+           WHEN a.e = b.e THEN 'finishes'
+           WHEN (a.s > b.s AND a.e < b.e)
+             OR (b.s > a.s AND b.e < a.e) THEN 'during'
+           ELSE 'overlaps'
+         END AS rel
+  FROM sp a JOIN sp b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+)
+SELECT metric_a, metric_b, cast(count(*) AS bigint) AS n_hours,
+       cast(sum(CASE WHEN rel = 'before' THEN 1 ELSE 0 END)
+            AS bigint) AS n_before,
+       cast(sum(CASE WHEN rel = 'after' THEN 1 ELSE 0 END)
+            AS bigint) AS n_after,
+       cast(sum(CASE WHEN rel = 'meets' THEN 1 ELSE 0 END)
+            AS bigint) AS n_meets,
+       cast(sum(CASE WHEN rel = 'equals' THEN 1 ELSE 0 END)
+            AS bigint) AS n_equals,
+       cast(sum(CASE WHEN rel = 'starts' THEN 1 ELSE 0 END)
+            AS bigint) AS n_starts,
+       cast(sum(CASE WHEN rel = 'finishes' THEN 1 ELSE 0 END)
+            AS bigint) AS n_finishes,
+       cast(sum(CASE WHEN rel = 'during' THEN 1 ELSE 0 END)
+            AS bigint) AS n_during,
+       cast(sum(CASE WHEN rel = 'overlaps' THEN 1 ELSE 0 END)
+            AS bigint) AS n_overlaps
+FROM p GROUP BY 1, 2 HAVING count(*) >= 8
 """,
     }

@@ -276,6 +276,7 @@ HEADLINE_R3 = [
     "corr_deseasonalized",
     "corr_winsorized",
     "rank_churn",
+    "allen_census",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

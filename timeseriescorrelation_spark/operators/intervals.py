@@ -526,3 +526,74 @@ def clip_to_buckets(spans: DataFrame, bucket: str = "day",
              .alias(end_col),
         )
     )
+
+
+def allen_census(series: DataFrame, key: str = "metric",
+                 ts_col: str = "ts",
+                 min_hours: int = 8) -> DataFrame:
+    """(metric_a, metric_b, n_hours, n_before, n_after, n_meets,
+    n_equals, n_starts, n_finishes, n_during, n_overlaps): Allen
+    interval-relation census between each metric pair's PER-HOUR
+    activity micro-spans ([first event, last event] within each
+    shared hour) — a temporal-precedence fingerprint: a pair that is
+    mostly `before` leads/lags at sub-hour grain (xcorr_lagged sees
+    only whole-hour shifts); mostly `during` means one metric's
+    bursts sit inside the other's envelope.
+
+    Pairing by the HOUR GRID — not by overlap — is what makes the
+    full 13-relation algebra (incl. before/after) countable at scale:
+    the pair space is |metrics|²·|hours| aggregates, never the
+    quadratic all-overlapping-spans blowup.  Relations are decided on
+    exact µs endpoints with a fixed precedence (equals, then
+    before/after, then meets, then starts/finishes, then during,
+    else overlaps), so degenerate single-event spans classify
+    identically in both engines; inverse relations collapse onto the
+    unordered pair except before/after, which keep direction (a
+    before b ≠ b before a — that's the lead/lag signal).
+
+    Scale: one hash-agg to the hourly span grid, one equi-join on
+    hour, one hash-agg per pair."""
+    spans = series.groupBy(
+        key, F.date_trunc("hour", F.col(ts_col)).alias("hour_ts")
+    ).agg(F.min(ts_col).alias("s"), F.max(ts_col).alias("e"))
+    a = spans.select(
+        F.col(key).alias("metric_a"), "hour_ts",
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = spans.select(
+        F.col(key).alias("metric_b"), "hour_ts",
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    p = a.join(b, "hour_ts").where(F.col("metric_a") < F.col("metric_b"))
+    sa, ea, sb, eb = (F.col(c) for c in ("sa", "ea", "sb", "eb"))
+    rel = (
+        F.when((sa == sb) & (ea == eb), "equals")
+        .when(ea < sb, "before")
+        .when(eb < sa, "after")
+        .when((ea == sb) | (eb == sa), "meets")
+        .when(sa == sb, "starts")
+        .when(ea == eb, "finishes")
+        .when(((sa > sb) & (ea < eb)) | ((sb > sa) & (eb < ea)),
+              "during")
+        .otherwise("overlaps")
+    )
+    g = p.select("metric_a", "metric_b", rel.alias("rel")).groupBy(
+        "metric_a", "metric_b"
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        *[
+            F.sum(F.when(F.col("rel") == r, 1).otherwise(0))
+            .alias(f"n_{r}")
+            for r in ("before", "after", "meets", "equals", "starts",
+                      "finishes", "during", "overlaps")
+        ],
+    ).where(F.col("n_hours") >= min_hours)
+    return g.select(
+        "metric_a", "metric_b",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        *[
+            F.col(f"n_{r}").cast("long").alias(f"n_{r}")
+            for r in ("before", "after", "meets", "equals", "starts",
+                      "finishes", "during", "overlaps")
+        ],
+    )
