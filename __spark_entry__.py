@@ -5808,6 +5808,90 @@ def q_allen_census(spark, sf_dir):
     return allen_census(_series_from_events(spark, sf_dir))
 
 
+def q_pair_scorecard(spark, sf_dir):
+    """THE pair-diagnostics view: every unordered metric pair with its
+    full co-movement workup in one row — Pearson + CCC agreement,
+    seasonality-removed and winsorized correlations, cointegration
+    beta/rho/DF, best lead-lag alignment, mutual information, both
+    transfer-entropy directions, and the Allen sub-hour lead share.
+    Pure composition of the already-gated aggregates (every input is
+    |metrics|²-row), so the joins are broadcast-sized; the oracle is
+    the same composition of the already-verified oracle CTEs.
+
+    Scale note: each component re-aggregates the raw scan to its own
+    hourly grid (9 column-pruned parquet scans, no extra shuffles) —
+    at 100 TB a user feeds the engine's 1h TIER table instead of raw
+    events and every component becomes a grid-only job; the
+    composition itself never touches more than |metrics|² rows."""
+    from timeseriescorrelation_spark.operators.causality import (
+        engle_granger,
+        transfer_entropy,
+    )
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        ccc_pairs,
+        corr_deseasonalized,
+        corr_winsorized,
+        lead_lag_best,
+        mutual_information_pairs,
+    )
+    from timeseriescorrelation_spark.operators.intervals import (
+        allen_census,
+    )
+
+    s = _series_from_events(spark, sf_dir)
+    pk = ["metric_a", "metric_b"]
+    base = ccc_pairs(s)
+    des = corr_deseasonalized(s).select(*pk, "r_deseason")
+    win = corr_winsorized(s).select(*pk, "r_wins")
+    eg = engle_granger(s).where(
+        F.col("metric_x") < F.col("metric_y")
+    ).select(
+        F.col("metric_x").alias("metric_a"),
+        F.col("metric_y").alias("metric_b"),
+        "beta", "rho_res", "df_stat",
+    )
+    ll = lead_lag_best(s, key="metric", max_lag_h=3, min_n=24).where(
+        F.col("metric_x") < F.col("metric_y")
+    ).select(
+        F.col("metric_x").alias("metric_a"),
+        F.col("metric_y").alias("metric_b"),
+        "best_lag_h",
+    )
+    mi = mutual_information_pairs(s, key_col="metric").where(
+        F.col("n_hours") >= 24
+    ).select(
+        F.col("metric_x").alias("metric_a"),
+        F.col("metric_y").alias("metric_b"),
+        "mi_nats",
+    )
+    te = transfer_entropy(s)
+    tf = te.where(F.col("metric_x") < F.col("metric_y")).select(
+        F.col("metric_x").alias("metric_a"),
+        F.col("metric_y").alias("metric_b"),
+        F.col("te_nats").alias("te_fwd"),
+    )
+    tb = te.where(F.col("metric_x") > F.col("metric_y")).select(
+        F.col("metric_y").alias("metric_a"),
+        F.col("metric_x").alias("metric_b"),
+        F.col("te_nats").alias("te_bwd"),
+    )
+    al = allen_census(s).select(
+        *pk,
+        F.when(
+            F.col("n_before") + F.col("n_after") > 0,
+            F.round(
+                F.col("n_before").cast("double")
+                / (F.col("n_before") + F.col("n_after")).cast("double"),
+                6,
+            ),
+        ).alias("lead_share"),
+    )
+    out = base
+    for piece in (des, win, eg, ll, mi, tf, tb, al):
+        out = out.join(piece, pk, "left")
+    return out
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6148,6 +6232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_winsorized": q_corr_winsorized,
         "rank_churn": q_rank_churn,
         "allen_census": q_allen_census,
+        "pair_scorecard": q_pair_scorecard,
     }
 
 
@@ -6748,6 +6833,56 @@ SELECT metric, n_hours,
        round(CASE WHEN den3 <> 0
              THEN (r3 - (p21 * r2 + p22 * r1)) / den3 END, 6) AS phi33
 FROM l3
+"""
+    )
+    # pair_scorecard: the SAME composition as the Spark query, built
+    # from the already-verified per-component oracles as nested CTEs
+    d["pair_scorecard"] = (
+        "WITH cccq AS (" + d["ccc_pairs"] + "),\n"
+        "desq AS (" + d["corr_deseasonalized"] + "),\n"
+        "winq AS (" + d["corr_winsorized"] + "),\n"
+        "egq AS (" + d["engle_granger"] + "),\n"
+        "llq AS (" + d["lead_lag"] + "),\n"
+        "miq AS (" + d["mutual_info"] + "),\n"
+        "teq AS (" + d["transfer_entropy"] + "),\n"
+        "alq AS (" + d["allen_census"] + ")\n"
+        """
+SELECT cccq.metric_a, cccq.metric_b, cccq.n_hours, cccq.r, cccq.ccc,
+       desq.r_deseason, winq.r_wins,
+       eg.beta, eg.rho_res, eg.df_stat,
+       ll.best_lag_h, mi.mi_nats, tf.te_fwd, tb.te_bwd,
+       al.lead_share
+FROM cccq
+LEFT JOIN desq ON cccq.metric_a = desq.metric_a
+              AND cccq.metric_b = desq.metric_b
+LEFT JOIN winq ON cccq.metric_a = winq.metric_a
+              AND cccq.metric_b = winq.metric_b
+LEFT JOIN (SELECT metric_x AS metric_a, metric_y AS metric_b,
+                  beta, rho_res, df_stat
+           FROM egq WHERE metric_x < metric_y) eg
+       ON cccq.metric_a = eg.metric_a AND cccq.metric_b = eg.metric_b
+LEFT JOIN (SELECT metric_x AS metric_a, metric_y AS metric_b,
+                  best_lag_h
+           FROM llq WHERE metric_x < metric_y) ll
+       ON cccq.metric_a = ll.metric_a AND cccq.metric_b = ll.metric_b
+LEFT JOIN (SELECT metric_x AS metric_a, metric_y AS metric_b, mi_nats
+           FROM miq) mi
+       ON cccq.metric_a = mi.metric_a AND cccq.metric_b = mi.metric_b
+LEFT JOIN (SELECT metric_x AS metric_a, metric_y AS metric_b,
+                  te_nats AS te_fwd
+           FROM teq WHERE metric_x < metric_y) tf
+       ON cccq.metric_a = tf.metric_a AND cccq.metric_b = tf.metric_b
+LEFT JOIN (SELECT metric_y AS metric_a, metric_x AS metric_b,
+                  te_nats AS te_bwd
+           FROM teq WHERE metric_x > metric_y) tb
+       ON cccq.metric_a = tb.metric_a AND cccq.metric_b = tb.metric_b
+LEFT JOIN (SELECT metric_a, metric_b,
+                  CASE WHEN n_before + n_after > 0
+                       THEN round(cast(n_before AS double)
+                                  / cast(n_before + n_after AS double),
+                                  6) END AS lead_share
+           FROM alq) al
+       ON cccq.metric_a = al.metric_a AND cccq.metric_b = al.metric_b
 """
     )
     return d

@@ -277,6 +277,7 @@ HEADLINE_R3 = [
     "corr_winsorized",
     "rank_churn",
     "allen_census",
+    "pair_scorecard",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
