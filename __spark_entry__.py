@@ -5892,6 +5892,20 @@ def q_pair_scorecard(spark, sf_dir):
     return out
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's τ-b per metric pair over the DAILY cent-sum grid —
+    the rank-concordance member of the pair family (Pearson/Spearman/
+    CCC already gated); exact integer concordant/discordant/tie
+    counts via sign comparisons, τ one shared double.  The O(n²)
+    day-pair enumeration is calendar-bounded (k²·D²/4 grid rows),
+    independent of raw corpus size."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        kendall_tau_pairs,
+    )
+
+    return kendall_tau_pairs(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6233,6 +6247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_churn": q_rank_churn,
         "allen_census": q_allen_census,
         "pair_scorecard": q_pair_scorecard,
+        "kendall_tau": q_kendall_tau,
     }
 
 
@@ -13988,5 +14003,49 @@ SELECT metric_a, metric_b, cast(count(*) AS bigint) AS n_hours,
        cast(sum(CASE WHEN rel = 'overlaps' THEN 1 ELSE 0 END)
             AS bigint) AS n_overlaps
 FROM p GROUP BY 1, 2 HAVING count(*) >= 8
+""",
+        "kendall_tau": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pd AS (
+  SELECT a.m AS metric_a, b.m AS metric_b, a.day_ts,
+         a.y AS ya, b.y AS yb
+  FROM d a JOIN d b ON a.day_ts = b.day_ts AND a.m < b.m
+), pp AS (
+  SELECT i.metric_a, i.metric_b,
+         CASE WHEN (j.ya > i.ya AND j.yb > i.yb)
+                OR (j.ya < i.ya AND j.yb < i.yb) THEN 1 ELSE 0
+         END AS conc,
+         CASE WHEN (j.ya > i.ya AND j.yb < i.yb)
+                OR (j.ya < i.ya AND j.yb > i.yb) THEN 1 ELSE 0
+         END AS disc,
+         CASE WHEN j.ya = i.ya THEN 1 ELSE 0 END AS t1,
+         CASE WHEN j.yb = i.yb THEN 1 ELSE 0 END AS t2
+  FROM pd i JOIN pd j
+    ON i.metric_a = j.metric_a AND i.metric_b = j.metric_b
+   AND i.day_ts < j.day_ts
+), g AS (
+  SELECT metric_a, metric_b, count(*) AS n0,
+         sum(conc) AS concordant, sum(disc) AS discordant,
+         sum(t1) AS n1, sum(t2) AS n2
+  FROM pp GROUP BY 1, 2
+), days AS (
+  SELECT metric_a, metric_b, count(*) AS n_days
+  FROM pd GROUP BY 1, 2
+)
+SELECT g.metric_a, g.metric_b,
+       cast(days.n_days AS bigint) AS n_days,
+       cast(g.concordant AS bigint) AS concordant,
+       cast(g.discordant AS bigint) AS discordant,
+       round(CASE WHEN cast((g.n0 - g.n1) * (g.n0 - g.n2) AS double) > 0
+             THEN cast(g.concordant - g.discordant AS double)
+                  / sqrt(cast((g.n0 - g.n1) * (g.n0 - g.n2) AS double))
+             END, 6) AS tau_b
+FROM g JOIN days
+  ON g.metric_a = days.metric_a AND g.metric_b = days.metric_b
+WHERE days.n_days >= 10
+ORDER BY 1, 2
 """,
     }

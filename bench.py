@@ -278,6 +278,7 @@ HEADLINE_R3 = [
     "rank_churn",
     "allen_census",
     "pair_scorecard",
+    "kendall_tau",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -161,3 +161,70 @@ def test_rank_churn_hand_days(spark):
     assert out[(d1, "D")].rank_today == 4
     assert out[(d1, "D")].rank_prev is None
     assert out[(d1, "D")].rank_delta is None
+
+
+def _mk_daily(spark, by_metric):
+    # one observation per DAY per metric (kendall runs on the day grid)
+    rows = []
+    for metric, values in by_metric.items():
+        for i, v in enumerate(values):
+            rows.append(
+                ("c", metric, T0 + dt.timedelta(days=i), i, float(v))
+            )
+    return spark.createDataFrame(rows, SERIES_SCHEMA)
+
+
+def _tau_b_expected(xa, xb):
+    n = len(xa)
+    conc = disc = t1 = t2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xa[j] - xa[i]
+            dy = xb[j] - xb[i]
+            if dx == 0:
+                t1 += 1
+            if dy == 0:
+                t2 += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    return (conc - disc) / math.sqrt((n0 - t1) * (n0 - t2))
+
+
+def test_kendall_monotone_is_one_reversed_minus_one(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        kendall_tau_pairs,
+    )
+
+    up = [float(i * 3 + 1) for i in range(12)]
+    down = list(reversed(up))
+    curved = [float(v * v) for v in up]  # monotone transform of up
+    df = _mk_daily(spark, dict(a=up, b=down, c=curved))
+    out = {
+        (r["metric_a"], r["metric_b"]): r["tau_b"]
+        for r in kendall_tau_pairs(df, min_days=5).collect()
+    }
+    # tau is invariant under monotone transforms — Pearson is not
+    assert out[("a", "c")] == pytest.approx(1.0)
+    assert out[("a", "b")] == pytest.approx(-1.0)
+    assert out[("b", "c")] == pytest.approx(-1.0)
+
+
+def test_kendall_tie_correction_matches_bruteforce(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        kendall_tau_pairs,
+    )
+
+    # deliberate value ties in both series (cents after *100)
+    xa = [1, 2, 2, 3, 3, 3, 4, 5, 5, 6, 7, 7]
+    xb = [2, 1, 3, 3, 2, 5, 4, 4, 6, 5, 8, 8]
+    df = _mk_daily(spark, dict(a=[float(v) for v in xa],
+                               b=[float(v) for v in xb]))
+    row = kendall_tau_pairs(df, min_days=5).collect()[0]
+    exp = _tau_b_expected([v * 100 for v in xa], [v * 100 for v in xb])
+    assert row["tau_b"] == pytest.approx(exp, abs=1e-6)
+    assert row["n_days"] == 12
+    # ties keep |tau_b| strictly below 1 here, the -b correction's point
+    assert abs(row["tau_b"]) < 1.0

@@ -837,3 +837,88 @@ def corr_winsorized(series: DataFrame, key: str = "metric",
         "metric_a", "metric_b", n.cast("long").alias("n_hours"),
         F.round(r, 6).alias("r_wins"),
     )
+
+
+def kendall_tau_pairs(series: DataFrame, key: str = "metric",
+                      value_decimals: int = 2,
+                      min_days: int = 10) -> DataFrame:
+    """(metric_a, metric_b, n_days, concordant, discordant, tau_b):
+    Kendall's τ-b between every unordered metric pair's DAILY cent-sum
+    series — the rank-concordance member of the pair-correlation
+    family (Pearson = linear, Spearman = monotone-via-ranks, CCC =
+    agreement; τ-b = monotone-via-pair-concordance, the most
+    outlier-robust of the four and the one with an exact finite-sample
+    tie correction):
+
+        τ_b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂))
+
+    with n₀ = n(n−1)/2 day-pairs, n₁/n₂ = pairs tied in a/b (ties in
+    BOTH count toward each).  Every count is an exact integer — sign
+    comparisons only, never the dx·dy product (which would overflow
+    long at ~10¹² daily cents) — so C, D and the tie terms match
+    DuckDB bit-for-bit and τ is ONE shared double expression.
+
+    Scale (100 TB): the day grid is bounded by CALENDAR, not corpus —
+    the raw scan collapses to |metrics|·|days| rows in one map-side-
+    combined hash agg, and the O(n²) pair enumeration runs over that
+    grid only: k²·D²/4 comparison rows (k=100 metrics, D=365 days →
+    ~1.6×10⁸ integer comparisons, a few seconds of one stage)
+    regardless of how many trillion raw rows fed the days.  This is
+    the same bounded-grid policy as mann_kendall, but benchable
+    because the grid is daily.  An O(n log n) merge-sort τ exists for
+    single long series; at the pair-matrix shape the bounded
+    quadratic over aggregates is simpler and shuffle-free beyond the
+    one grid agg."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    a = d.select(F.col("m").alias("metric_a"), "day_ts",
+                 F.col("y").alias("ya"))
+    b = d.select(F.col("m").alias("metric_b"), "day_ts",
+                 F.col("y").alias("yb"))
+    pd_ = a.join(b, "day_ts").where(F.col("metric_a") < F.col("metric_b"))
+    i = pd_.select("metric_a", "metric_b",
+                   F.col("day_ts").alias("di"),
+                   F.col("ya").alias("yai"), F.col("yb").alias("ybi"))
+    j = pd_.select("metric_a", "metric_b",
+                   F.col("day_ts").alias("dj"),
+                   F.col("ya").alias("yaj"), F.col("yb").alias("ybj"))
+    pp = i.join(j, ["metric_a", "metric_b"]).where(F.col("di") < F.col("dj"))
+    dxp = F.col("yaj") > F.col("yai")
+    dxn = F.col("yaj") < F.col("yai")
+    dyp = F.col("ybj") > F.col("ybi")
+    dyn = F.col("ybj") < F.col("ybi")
+    dx0 = F.col("yaj") == F.col("yai")
+    dy0 = F.col("ybj") == F.col("ybi")
+    one = F.lit(1)
+    g = pp.groupBy("metric_a", "metric_b").agg(
+        F.count(one).alias("n0"),
+        F.sum(F.when((dxp & dyp) | (dxn & dyn), one).otherwise(0))
+         .alias("concordant"),
+        F.sum(F.when((dxp & dyn) | (dxn & dyp), one).otherwise(0))
+         .alias("discordant"),
+        F.sum(F.when(dx0, one).otherwise(0)).alias("n1"),
+        F.sum(F.when(dy0, one).otherwise(0)).alias("n2"),
+    )
+    days = pd_.groupBy("metric_a", "metric_b").agg(
+        F.count(one).alias("n_days")
+    )
+    g = g.join(F.broadcast(days), ["metric_a", "metric_b"]).where(
+        F.col("n_days") >= min_days
+    )
+    den = ((F.col("n0") - F.col("n1"))
+           * (F.col("n0") - F.col("n2"))).cast("double")
+    tau = F.when(
+        den > 0,
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(den),
+    )
+    return g.select(
+        "metric_a", "metric_b", F.col("n_days").cast("long").alias("n_days"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    ).orderBy("metric_a", "metric_b")
