@@ -5906,6 +5906,41 @@ def q_kendall_tau(spark, sf_dir):
     return kendall_tau_pairs(_series_from_events(spark, sf_dir))
 
 
+def q_apdex_hourly(spark, sf_dir):
+    """Apdex score per metric-hour (value as latency, T=50):
+    (satisfied + tolerating/2)/n as one exact rational; rating bands
+    decided by integer cross-multiplication so band-edge scores
+    classify identically cross-engine.  One map-side-combined hash
+    agg — grid-sized output."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        apdex_hourly,
+    )
+
+    return apdex_hourly(_series_from_events(spark, sf_dir))
+
+
+def q_theil_daily(spark, sf_dir):
+    """Theil T inequality of per-day (user, event_type) value cells
+    with the exact between/within decomposition — composition-across-
+    types vs inequality-inside-types; micro-nat-snapped entropy terms,
+    two stacked hash aggs, day-grid output."""
+    from timeseriescorrelation_spark.operators.activity import (
+        theil_index_daily,
+    )
+
+    return theil_index_daily(_events(spark, sf_dir))
+
+
+def q_panel_fe(spark, sf_dir):
+    """One-way fixed-effects (within) estimator over the user panel:
+    daily cents on daily event count with every user's level absorbed
+    by exact demeaning; micro-snapped residuals, decimal38 cross
+    products, classical SE at dof = n − N − 1."""
+    from timeseriescorrelation_spark.operators.crossmetric import panel_fe
+
+    return panel_fe(_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6248,6 +6283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_census": q_allen_census,
         "pair_scorecard": q_pair_scorecard,
         "kendall_tau": q_kendall_tau,
+        "apdex_hourly": q_apdex_hourly,
+        "theil_daily": q_theil_daily,
+        "panel_fe": q_panel_fe,
     }
 
 
@@ -14047,5 +14085,126 @@ FROM g JOIN days
   ON g.metric_a = days.metric_a AND g.metric_b = days.metric_b
 WHERE days.n_days >= 10
 ORDER BY 1, 2
+""",
+        "apdex_hourly": """
+WITH c AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(round(value * 100) AS bigint) AS cents
+  FROM events
+), g AS (
+  SELECT metric, hour_ts, count(*) AS n,
+         sum(CASE WHEN cents <= 5000 THEN 1 ELSE 0 END) AS satisfied,
+         sum(CASE WHEN cents > 5000 AND cents <= 20000 THEN 1 ELSE 0
+             END) AS tolerating
+  FROM c GROUP BY 1, 2
+)
+SELECT metric, hour_ts, cast(n AS bigint) AS n,
+       cast(satisfied AS bigint) AS satisfied,
+       cast(tolerating AS bigint) AS tolerating,
+       round(cast(2 * satisfied + tolerating AS double)
+             / cast(2 * n AS double), 6) AS apdex,
+       CASE WHEN 100 * (2 * satisfied + tolerating) >= 94 * 2 * n
+              THEN 'excellent'
+            WHEN 100 * (2 * satisfied + tolerating) >= 85 * 2 * n
+              THEN 'good'
+            WHEN 100 * (2 * satisfied + tolerating) >= 70 * 2 * n
+              THEN 'fair'
+            WHEN 100 * (2 * satisfied + tolerating) >= 50 * 2 * n
+              THEN 'poor'
+            ELSE 'unacceptable' END AS rating
+FROM g
+""",
+        "theil_daily": """
+WITH cells AS (
+  SELECT date_trunc('day', ts) AS day_ts, event_type AS grp,
+         user_id AS unit,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2, 3
+  HAVING sum(cast(round(value * 100) AS bigint)) > 0
+), cu AS (
+  SELECT day_ts, grp, y,
+         cast(round(cast(y AS double) * ln(cast(y AS double))
+                    * 1000000.0) AS bigint) AS yln_u
+  FROM cells
+), g AS (
+  SELECT day_ts, grp, cast(sum(y) AS bigint) AS yg,
+         count(*) AS ng, cast(sum(yln_u) AS bigint) AS s_yln
+  FROM cu GROUP BY 1, 2
+), gb AS (
+  SELECT day_ts, yg, ng, s_yln,
+         cast(round(cast(yg AS double)
+                    * ln(cast(yg AS double) / cast(ng AS double))
+                    * 1000000.0) AS bigint) AS bterm_u
+  FROM g
+), d AS (
+  SELECT day_ts, cast(sum(yg) AS bigint) AS ytot,
+         cast(sum(ng) AS bigint) AS n_cells,
+         count(*) AS n_groups,
+         cast(sum(s_yln) AS bigint) AS s_yln,
+         cast(sum(bterm_u) AS bigint) AS s_b
+  FROM gb GROUP BY 1 HAVING sum(ng) >= 10
+)
+SELECT day_ts, n_cells, cast(n_groups AS bigint) AS n_groups,
+       round(cast(s_yln AS double) / 1000000.0 / cast(ytot AS double)
+             + ln(cast(n_cells AS double)) - ln(cast(ytot AS double)),
+             6) AS theil_total,
+       round(cast(s_b AS double) / 1000000.0 / cast(ytot AS double)
+             + ln(cast(n_cells AS double)) - ln(cast(ytot AS double)),
+             6) AS theil_between,
+       round(cast(s_yln - s_b AS double) / 1000000.0
+             / cast(ytot AS double), 6) AS theil_within
+FROM d
+""",
+        "panel_fe": """
+WITH cells AS (
+  SELECT user_id AS u, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), um AS (
+  SELECT u, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x) AS bigint) AS sx, count(*) AS c
+  FROM cells GROUP BY 1 HAVING count(*) >= 2
+), p AS (
+  SELECT cells.u,
+         cast(round((cast(y AS double)
+                     - cast(sy AS double) / cast(c AS double))
+                    * 1000000.0) AS bigint) AS yt,
+         cast(round((cast(x AS double)
+                     - cast(sx AS double) / cast(c AS double))
+                    * 1000000.0) AS bigint) AS xt
+  FROM cells JOIN um ON cells.u = um.u
+), g AS (
+  SELECT count(*) AS n, count(DISTINCT u) AS ne,
+         sum(cast(xt AS hugeint) * xt) AS sxx,
+         sum(cast(xt AS hugeint) * yt) AS sxy,
+         sum(cast(yt AS hugeint) * yt) AS syy
+  FROM p
+)
+SELECT round(CASE WHEN cast(sxx AS double) > 0
+             THEN cast(sxy AS double) / cast(sxx AS double) END, 6)
+         AS beta,
+       round(CASE WHEN cast(sxx AS double) > 0 AND n - ne - 1 > 0
+             THEN sqrt((cast(syy AS double)
+                        - cast(sxy AS double) * cast(sxy AS double)
+                          / cast(sxx AS double))
+                       / cast(n - ne - 1 AS double)
+                       / cast(sxx AS double)) END, 6) AS se,
+       round(CASE WHEN cast(sxx AS double) > 0 AND n - ne - 1 > 0
+              AND cast(syy AS double) - cast(sxy AS double)
+                  * cast(sxy AS double) / cast(sxx AS double) > 0
+             THEN (cast(sxy AS double) / cast(sxx AS double))
+                  / sqrt((cast(syy AS double)
+                          - cast(sxy AS double) * cast(sxy AS double)
+                            / cast(sxx AS double))
+                         / cast(n - ne - 1 AS double)
+                         / cast(sxx AS double)) END, 6) AS t_stat,
+       round(CASE WHEN cast(sxx AS double) > 0
+                   AND cast(syy AS double) > 0
+             THEN cast(sxy AS double) * cast(sxy AS double)
+                  / cast(sxx AS double) / cast(syy AS double) END, 6)
+         AS r2_within,
+       cast(n AS bigint) AS n_obs, cast(ne AS bigint) AS n_entities
+FROM g
 """,
     }

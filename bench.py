@@ -279,6 +279,9 @@ HEADLINE_R3 = [
     "allen_census",
     "pair_scorecard",
     "kendall_tau",
+    "apdex_hourly",
+    "theil_daily",
+    "panel_fe",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

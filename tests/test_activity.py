@@ -289,3 +289,61 @@ def test_growth_accounting_hand_case(spark):
             assert (got[b].n_active - got[a].n_active
                     == got[b].n_new + got[b].n_resurrected
                     - got[b].n_churned)
+
+
+EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string")
+
+
+def _theil_rows(cells):
+    # cells: list of (user_id, event_type, value) all on one day
+    return [
+        (i, T0 + dt.timedelta(minutes=i), u, g, float(v), "{}")
+        for i, (u, g, v) in enumerate(cells)
+    ]
+
+
+def test_theil_equal_cells_is_zero(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        theil_index_daily,
+    )
+
+    cells = [(u, g, 25.0) for u in range(6) for g in ("a", "b")]
+    df = spark.createDataFrame(_theil_rows(cells), EV_SCHEMA)
+    r = theil_index_daily(df, min_cells=1).collect()[0]
+    assert r["theil_total"] == pytest.approx(0.0, abs=1e-6)
+    assert r["theil_between"] == pytest.approx(0.0, abs=1e-6)
+    assert r["theil_within"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_theil_decomposition_additivity_and_between_only(spark):
+    from timeseriescorrelation_spark.operators.activity import (
+        theil_index_daily,
+    )
+    import math
+
+    # groups internally equal but different across groups:
+    # ALL inequality is between-group
+    cells = [(u, "a", 10.0) for u in range(5)] + [
+        (u + 10, "b", 40.0) for u in range(5)
+    ]
+    df = spark.createDataFrame(_theil_rows(cells), EV_SCHEMA)
+    r = theil_index_daily(df, min_cells=1).collect()[0]
+    assert r["theil_within"] == pytest.approx(0.0, abs=1e-6)
+    assert r["theil_total"] == pytest.approx(r["theil_between"], abs=2e-6)
+    # closed form: shares 0.2/0.8 over cell shares 0.5/0.5
+    exp = 0.2 * math.log(0.2 / 0.5) + 0.8 * math.log(0.8 / 0.5)
+    assert r["theil_total"] == pytest.approx(exp, abs=1e-5)
+
+    # arbitrary mixed case: additivity is an identity
+    vals = [3, 7, 11, 2, 9, 5, 13, 1, 6, 8]
+    cells2 = [
+        (i, "a" if i % 2 else "b", float(v)) for i, v in enumerate(vals)
+    ]
+    r2 = theil_index_daily(
+        spark.createDataFrame(_theil_rows(cells2), EV_SCHEMA), min_cells=1
+    ).collect()[0]
+    assert r2["theil_total"] == pytest.approx(
+        r2["theil_between"] + r2["theil_within"], abs=3e-6
+    )
+    assert r2["theil_total"] > 0

@@ -693,3 +693,37 @@ def test_slo_burn_multiwindow_gate(spark, tmp_path):
     assert at(5).burn_1h == 20.0 and not at(5).page
     assert at(25).burn_1h == 20.0 and at(25).page
     assert not at(0).page and not at(4).page
+
+
+def test_apdex_bands_and_edge(spark):
+    from timeseriescorrelation_spark.operators.analytics import apdex_hourly
+
+    # one hour, T=50: 46 satisfied (<=50), 2 tolerating (<=200),
+    # 2 frustrated -> apdex = (46 + 2/2)/50 = 0.94 EXACTLY on the
+    # excellent band edge (the integer cross-multiplication must
+    # classify it 'excellent', not fall to 'good' on a float wobble).
+    vals = [10.0] * 46 + [100.0] * 2 + [500.0] * 2
+    rows = [
+        ("c", "m", T0 + dt.timedelta(seconds=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    out = apdex_hourly(df, threshold=50.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["satisfied"], r["tolerating"]) == (50, 46, 2)
+    assert r["apdex"] == pytest.approx(0.94)
+    assert r["rating"] == "excellent"
+
+    # all frustrated -> 0.0 / unacceptable; threshold boundary value
+    # 50.00 itself counts satisfied (<= T on integer cents)
+    rows2 = [
+        ("c", "m", T0 + dt.timedelta(seconds=i), i, 50.0 if i < 3 else 999.0)
+        for i in range(10)
+    ]
+    out2 = apdex_hourly(
+        spark.createDataFrame(rows2, SERIES_SCHEMA), threshold=50.0
+    ).collect()[0]
+    assert out2["satisfied"] == 3
+    assert out2["apdex"] == pytest.approx(0.3)
+    assert out2["rating"] == "unacceptable"

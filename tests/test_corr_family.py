@@ -228,3 +228,49 @@ def test_kendall_tie_correction_matches_bruteforce(spark):
     assert row["n_days"] == 12
     # ties keep |tau_b| strictly below 1 here, the -b correction's point
     assert abs(row["tau_b"]) < 1.0
+
+
+def test_panel_fe_within_vs_pooled_sign_flip(spark):
+    """Across-user levels are engineered so pooled OLS slope is
+    NEGATIVE while every user's within-slope is +5 cents/event —
+    the FE estimator must recover the within truth exactly."""
+    from timeseriescorrelation_spark.operators.crossmetric import panel_fe
+
+    # user u has base level (3-u)*1000 cents and x_ud events on day d;
+    # y_ud = base_u + 5*x_ud cents  ->  within slope exactly 5.
+    # Higher-x users get LOWER bases -> pooled slope negative.
+    panel = {
+        1: (3000, [1, 2, 3, 4]),
+        2: (2000, [4, 5, 6, 7]),
+        3: (1000, [7, 8, 9, 10]),
+    }
+    rows, eid = [], 0
+    for u, (base, xs) in panel.items():
+        for d, x in enumerate(xs):
+            total_cents = base + 5 * x
+            # x events on day d summing to total_cents: first event
+            # carries the remainder, the rest 1 cent each
+            cents = [total_cents - (x - 1)] + [1] * (x - 1)
+            for i, c in enumerate(cents):
+                rows.append((
+                    eid,
+                    dt.datetime(2024, 3, 1 + d, 12, 0, 0)
+                    + dt.timedelta(seconds=i),
+                    u, "e", c / 100.0, "{}",
+                ))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = panel_fe(df).collect()[0]
+    assert r["n_obs"] == 12 and r["n_entities"] == 3
+    assert r["beta"] == pytest.approx(5.0, abs=1e-5)
+    assert r["r2_within"] == pytest.approx(1.0, abs=1e-5)
+
+    # pooled slope really is negative (sanity of the construction)
+    import numpy as np
+    xs = np.array([x for _, (b, xl) in sorted(panel.items()) for x in xl])
+    ys = np.array([
+        b + 5 * x for _, (b, xl) in sorted(panel.items()) for x in xl
+    ])
+    assert np.polyfit(xs, ys, 1)[0] < 0

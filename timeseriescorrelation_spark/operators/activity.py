@@ -605,3 +605,77 @@ def rank_churn(events: DataFrame, cat_col: str = "event_type",
             .alias("rank_delta"),
         )
     )
+
+
+def theil_index_daily(events: DataFrame, group_col: str = "event_type",
+                      unit_col: str = "user_id",
+                      value_decimals: int = 2,
+                      min_cells: int = 10) -> DataFrame:
+    """(day_ts, n_cells, n_groups, theil_total, theil_between,
+    theil_within): Theil T inequality index of per-day activity value
+    across (unit, group) cells, with the exact between/within
+    decomposition — the question gini_concentration can't answer:
+    HOW MUCH of today's concentration is composition across groups
+    vs inequality inside them.
+
+        T        = (Σ y·ln y)/Y + ln N − ln Y
+        T_between = (Σ_g Y_g·ln(Y_g/N_g))/Y + ln N − ln Y
+        T_within  = T − T_between        (additivity is an identity,
+                                          pytest-asserted, not assumed)
+
+    Cells with y ≤ 0 carry no entropy mass and are excluded
+    (standard).  Each y·ln y and Y_g·ln(Y_g/N_g) term is
+    micro-nat-snapped to a long before summation (the repo-wide
+    entropy recipe, drift.entropy_daily), so the only engine-variable
+    floats are one ln per distinct cell/group absorbed by the snap,
+    plus the final ln N / ln Y under round(6).
+
+    Scale (100 TB): two stacked hash aggregations (cells → groups →
+    days), all map-side combinable; no window, no join, output
+    day-grid-sized."""
+    m = 1_000_000
+    scale = 10 ** int(value_decimals)
+    cells = events.groupBy(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.col(group_col).alias("grp"),
+        F.col(unit_col).alias("unit"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    ).where(F.col("y") > 0)
+    yd = F.col("y").cast("double")
+    cells = cells.withColumn(
+        "yln_u", F.round(yd * F.log(yd) * m).cast("long")
+    )
+    g = cells.groupBy("day_ts", "grp").agg(
+        F.sum("y").alias("yg"),
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("yln_u").alias("s_yln"),
+    )
+    ygd = F.col("yg").cast("double")
+    ngd = F.col("ng").cast("double")
+    g = g.withColumn(
+        "bterm_u", F.round(ygd * F.log(ygd / ngd) * m).cast("long")
+    )
+    d = g.groupBy("day_ts").agg(
+        F.sum("yg").alias("ytot"),
+        F.sum("ng").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("s_yln").alias("s_yln"),
+        F.sum("bterm_u").alias("s_b"),
+    ).where(F.col("n_cells") >= min_cells)
+    ytd = F.col("ytot").cast("double")
+    nd = F.col("n_cells").cast("double")
+    base = F.log(nd) - F.log(ytd)
+    t_total = F.col("s_yln").cast("double") / m / ytd + base
+    t_between = F.col("s_b").cast("double") / m / ytd + base
+    t_within = (
+        (F.col("s_yln") - F.col("s_b")).cast("double") / m / ytd
+    )
+    return d.select(
+        "day_ts",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(t_between, 6).alias("theil_between"),
+        F.round(t_within, 6).alias("theil_within"),
+    )

@@ -2395,3 +2395,56 @@ def croston(series: DataFrame, alpha_num: int = 3,
     part = gapped.repartition(n_part, *[F.col(k) for k in keys]) \
         .sortWithinPartitions(*keys, "hour_ts")
     return part.mapInPandas(_smooth, schema)
+
+
+def apdex_hourly(series: DataFrame, key: str = "metric",
+                 threshold: float = 50.0,
+                 value_decimals: int = 2) -> DataFrame:
+    """(metric, hour_ts, n, satisfied, tolerating, apdex, rating):
+    Apdex score per metric-hour treating `value` as a latency —
+    satisfied ≤ T, tolerating ≤ 4T, frustrated beyond:
+
+        Apdex = (satisfied + tolerating/2) / n
+
+    Exactness: classification compares integer cents against integer
+    thresholds (no float edges); the score is the exact rational
+    (2·sat + tol) / (2n) evaluated as ONE double division, and the
+    rating bands (excellent ≥ .94, good ≥ .85, fair ≥ .70,
+    poor ≥ .50) are decided by INTEGER cross-multiplication
+    (100·(2·sat+tol) vs band·2n), so a score landing exactly on a
+    band edge classifies identically in Spark and DuckDB.
+
+    Scale (100 TB): one map-side-combined hash aggregation on
+    (metric, hour) — conditional counts only, no distinct, no window;
+    the output is grid-sized (|metrics|·|hours|)."""
+    scale = 10 ** int(value_decimals)
+    t_cents = int(round(threshold * scale))
+    cents = F.round(F.col("value") * scale).cast("long")
+    one = F.lit(1)
+    g = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+    ).agg(
+        F.count(one).alias("n"),
+        F.sum(F.when(cents <= t_cents, one).otherwise(0))
+         .alias("satisfied"),
+        F.sum(
+            F.when((cents > t_cents) & (cents <= 4 * t_cents), one)
+            .otherwise(0)
+        ).alias("tolerating"),
+    )
+    num = 2 * F.col("satisfied") + F.col("tolerating")  # = apdex * 2n
+    den = 2 * F.col("n")
+    band = F.when(100 * num >= 94 * den, "excellent") \
+        .when(100 * num >= 85 * den, "good") \
+        .when(100 * num >= 70 * den, "fair") \
+        .when(100 * num >= 50 * den, "poor") \
+        .otherwise("unacceptable")
+    return g.select(
+        "metric", "hour_ts", F.col("n").cast("long").alias("n"),
+        F.col("satisfied").cast("long").alias("satisfied"),
+        F.col("tolerating").cast("long").alias("tolerating"),
+        F.round(num.cast("double") / den.cast("double"), 6)
+         .alias("apdex"),
+        band.alias("rating"),
+    )

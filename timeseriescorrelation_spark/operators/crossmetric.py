@@ -922,3 +922,80 @@ def kendall_tau_pairs(series: DataFrame, key: str = "metric",
         F.col("discordant").cast("long").alias("discordant"),
         F.round(tau, 6).alias("tau_b"),
     ).orderBy("metric_a", "metric_b")
+
+
+def panel_fe(events: DataFrame, unit_col: str = "user_id",
+             value_decimals: int = 2, min_days: int = 2) -> DataFrame:
+    """(beta, se, t_stat, r2_within, n_obs, n_entities): one-way
+    fixed-effects (within) estimator of daily value-cents on daily
+    event count across the user panel — "does a user's spend rise on
+    their own busier days?", with every user's level absorbed.  The
+    pooled-OLS answer (ols2_daily's shape) confounds across-user
+    levels; demeaning INSIDE each user kills that, which is the whole
+    point of FE.  β = Σx̃ỹ / Σx̃² over ỹ = y − ȳ_u, x̃ = x − x̄_u;
+    classical SE with dof = n − N − 1 (one slope + N absorbed means).
+    Exact for unbalanced panels (one-way demeaning is an exact
+    projection; the two-way case needs alternating projections and is
+    deliberately NOT offered).
+
+    Exactness: the demeaned residual (y − S_u/C_u) is ONE shared
+    double expression over exact integer sums, snapped to micro-units;
+    all cross-products then accumulate in decimal(38,0)/hugeint, so β,
+    SE and R²_within agree cross-engine bit-for-bit under round(6).
+
+    Scale (100 TB): cell hash-agg → per-unit hash-agg → one equi-join
+    back on the unit key (both sides already unit-partitioned by the
+    shuffle) → one global agg.  No window, no quadratic anything;
+    entities with < min_days cells carry zero within variance and are
+    dropped (they only inflate dof)."""
+    m = 1_000_000
+    scale = 10 ** int(value_decimals)
+    cells = events.groupBy(
+        F.col(unit_col).alias("u"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y"),
+        F.count(F.lit(1)).alias("x"),
+    )
+    um = cells.groupBy("u").agg(
+        F.sum("y").alias("sy"), F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("c"),
+    ).where(F.col("c") >= min_days)
+    j = cells.join(um, "u")
+    yt = F.round(
+        (F.col("y").cast("double")
+         - F.col("sy").cast("double") / F.col("c").cast("double")) * m
+    ).cast("long")
+    xt = F.round(
+        (F.col("x").cast("double")
+         - F.col("sx").cast("double") / F.col("c").cast("double")) * m
+    ).cast("long")
+    p = j.select(yt.alias("yt"), xt.alias("xt"), "u")
+    g = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("u").alias("ne"),
+        F.sum(F.col("xt").cast(DEC) * F.col("xt")).alias("sxx"),
+        F.sum(F.col("xt").cast(DEC) * F.col("yt")).alias("sxy"),
+        F.sum(F.col("yt").cast(DEC) * F.col("yt")).alias("syy"),
+    )
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    n = F.col("n").cast("double")
+    ne = F.col("ne").cast("double")
+    beta = sxy / sxx                      # micro-units cancel
+    rss = syy - sxy * sxy / sxx
+    dof = n - ne - 1
+    se = F.sqrt(rss / dof / sxx)
+    return g.select(
+        F.round(F.when(sxx > 0, beta), 6).alias("beta"),
+        F.round(F.when((sxx > 0) & (dof > 0), se), 6).alias("se"),
+        F.round(
+            F.when((sxx > 0) & (dof > 0) & (rss > 0), beta / se), 6
+        ).alias("t_stat"),
+        F.round(
+            F.when((sxx > 0) & (syy > 0), sxy * sxy / sxx / syy), 6
+        ).alias("r2_within"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("ne").cast("long").alias("n_entities"),
+    )
