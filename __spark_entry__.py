@@ -5941,6 +5941,75 @@ def q_panel_fe(spark, sf_dir):
     return panel_fe(_events(spark, sf_dir))
 
 
+def q_emb_pca(spark, sf_dir):
+    """PCA projection of the embedding corpus onto its top-4
+    principal components (+ explained-variance ratios): exact
+    decimal38 covariance on the cluster, d×d eigh on the driver
+    (metadata-sized, the k-means-centroid policy), broadcast
+    components applied as one BLAS matmul per Arrow batch.  Rows-only
+    by construction (no SQL engine eigendecomposes); Var(pc_k)=λ_k /
+    orthogonality / whitening invariants are pytest-pinned."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        pca_project,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pca_project(emb, n_components=4)
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document from three regex run counts
+    (words, sentence terminators, vowel-group syllables) — in-row,
+    codegen'd, no shuffle; 3-way band decided by integer
+    cross-multiplication so 60/30 edge scores classify identically
+    cross-engine."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        text_readability,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return text_readability(docs)
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAVA) calibration table: hour-of-day purchase share
+    learned on the first half of days scores each later event; PAVA
+    pools adjacent violators with exact integer cross-multiplication
+    on the driver over ≤1001 quantized-score bins.  Rows-only
+    (sequential pooling isn't SQL-expressible); hand-PAVA pytest."""
+    from timeseriescorrelation_spark.operators.abtest import (
+        isotonic_calibration,
+    )
+
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_add(F.date_trunc("day", F.min("ts")), 15).alias("d")
+    ).collect()[0]["d"]
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    train = ev.where(F.col("ts") < F.lit(split)).groupBy(
+        F.hour("ts").alias("hod")
+    ).agg(
+        (F.sum(is_p).cast("double") / F.count(F.lit(1))).alias("score")
+    )
+    test = ev.where(F.col("ts") >= F.lit(split)).select(
+        F.hour("ts").alias("hod"), is_p.alias("outcome")
+    )
+    scored = test.join(F.broadcast(train), "hod")
+    return isotonic_calibration(scored)
+
+
+def q_capacity_projection(spark, sf_dir):
+    """Capacity-planning readout per metric: OLS daily-total trend,
+    fitted current level, projected days until 2× today's peak (NULL
+    for flat/falling trends); exact decimal38 OLS sums, one shared
+    double tree."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        capacity_projection,
+    )
+
+    return capacity_projection(_series_from_events(spark, sf_dir))
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6286,6 +6355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex_hourly": q_apdex_hourly,
         "theil_daily": q_theil_daily,
         "panel_fe": q_panel_fe,
+        "emb_pca": q_emb_pca,
+        "text_readability": q_text_readability,
+        "isotonic_calibration": q_isotonic_calibration,
+        "capacity_projection": q_capacity_projection,
     }
 
 
@@ -14206,5 +14279,74 @@ SELECT round(CASE WHEN cast(sxx AS double) > 0
          AS r2_within,
        cast(n AS bigint) AS n_obs, cast(ne AS bigint) AS n_entities
 FROM g
+""",
+        "text_readability": """
+WITH d AS (
+  SELECT doc_id,
+         cast(len(regexp_extract_all(lower(text), '[a-z]+'))
+              AS bigint) AS n_words,
+         cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS bigint) AS n_sentences,
+         cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS bigint) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(cast(206835 * n_sentences * n_words
+                  - 1015 * n_words * n_words
+                  - 84600 * n_syllables * n_sentences AS double)
+             / cast(1000 * n_sentences * n_words AS double), 6)
+         AS flesch,
+       CASE WHEN 206835 * n_sentences * n_words
+                 - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 >= 60000 * n_sentences * n_words THEN 'easy'
+            WHEN 206835 * n_sentences * n_words
+                 - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 >= 30000 * n_sentences * n_words THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM d WHERE n_words > 0
+""",
+        "capacity_projection": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), d0 AS (SELECT min(day_ts) AS d0 FROM d),
+dx AS (
+  SELECT metric, y,
+         cast(date_diff('day', d0.d0, day_ts) AS bigint) AS x
+  FROM d, d0
+), g AS (
+  SELECT metric, count(*) AS n, cast(sum(x) AS bigint) AS sx,
+         cast(sum(y) AS hugeint) AS sy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         sum(cast(x AS hugeint) * y) AS sxy,
+         cast(max(y) AS bigint) AS peak,
+         cast(max(x) AS bigint) AS xmax
+  FROM dx GROUP BY 1 HAVING count(*) >= 7
+), s AS (
+  SELECT metric, n, peak, xmax, sx, sy,
+         CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+           THEN cast(cast(n AS hugeint) * sxy
+                     - cast(sx AS hugeint) * sy AS double)
+                / cast(n * sxx - sx * sx AS double) END AS slope
+  FROM g
+), lvl AS (
+  SELECT metric, n, peak, slope,
+         (cast(sy AS double) - slope * cast(sx AS double))
+           / cast(n AS double)
+         + slope * cast(xmax AS double) AS level_now
+  FROM s
+)
+SELECT metric, cast(n AS bigint) AS n_days,
+       round(slope, 6) AS slope_cents_per_day,
+       round(level_now, 6) AS level_now,
+       cast(2 * peak AS bigint) AS target_cents,
+       round(CASE WHEN slope > 0
+             THEN (cast(2 * peak AS double) - level_now) / slope END,
+             6) AS days_to_2x
+FROM lvl
 """,
     }

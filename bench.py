@@ -282,6 +282,10 @@ HEADLINE_R3 = [
     "apdex_hourly",
     "theil_daily",
     "panel_fe",
+    "emb_pca",
+    "text_readability",
+    "isotonic_calibration",
+    "capacity_projection",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

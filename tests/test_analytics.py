@@ -727,3 +727,65 @@ def test_apdex_bands_and_edge(spark):
     assert out2["satisfied"] == 3
     assert out2["apdex"] == pytest.approx(0.3)
     assert out2["rating"] == "unacceptable"
+
+
+def test_isotonic_pava_pools_violators(spark):
+    from timeseriescorrelation_spark.operators.abtest import (
+        isotonic_calibration,
+    )
+
+    # 4 score bins, equal n=10; raw rates 0.1, 0.5, 0.3, 0.7:
+    # the (0.5, 0.3) violator pair pools to 0.4
+    def bin_rows(score, successes, n=10):
+        return [(score, 1 if i < successes else 0) for i in range(n)]
+
+    rows = (
+        bin_rows(0.1, 1) + bin_rows(0.2, 5)
+        + bin_rows(0.3, 3) + bin_rows(0.4, 7)
+    )
+    df = spark.createDataFrame(rows, "score double, outcome int")
+    out = sorted(
+        isotonic_calibration(df).collect(), key=lambda r: r["score"]
+    )
+    assert [r["rate_raw"] for r in out] == [0.1, 0.5, 0.3, 0.7]
+    assert [r["rate_iso"] for r in out] == [0.1, 0.4, 0.4, 0.7]
+    # monotone non-decreasing and mass-conserving inside the pool
+    isos = [r["rate_iso"] for r in out]
+    assert all(a <= b for a, b in zip(isos, isos[1:]))
+
+
+def test_isotonic_cascade_pool(spark):
+    from timeseriescorrelation_spark.operators.abtest import (
+        isotonic_calibration,
+    )
+
+    # strictly decreasing rates -> everything pools to the grand mean
+    rows = []
+    for score, succ in [(0.2, 9), (0.4, 6), (0.6, 3), (0.8, 2)]:
+        rows += [(score, 1 if i < succ else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, outcome int")
+    out = isotonic_calibration(df).collect()
+    assert all(r["rate_iso"] == 0.5 for r in out)  # 20/40
+
+
+def test_capacity_projection_exact_linear(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        capacity_projection,
+    )
+
+    # metric g: exactly +100 cents/day from 1000; metric f: flat
+    rows = []
+    for d in range(10):
+        ts = dt.datetime(2024, 3, 1 + d, 9, 0, 0)
+        rows.append(("c", "g", ts, d, (1000 + 100 * d) / 100.0))
+        rows.append(("c", "f", ts, d, 7.0))
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    out = {r["metric"]: r for r in capacity_projection(df).collect()}
+    g = out["g"]
+    assert g["slope_cents_per_day"] == pytest.approx(100.0, abs=1e-6)
+    assert g["level_now"] == pytest.approx(1900.0, abs=1e-6)
+    assert g["target_cents"] == 2 * 1900
+    # (3800 - 1900) / 100 = 19 days
+    assert g["days_to_2x"] == pytest.approx(19.0, abs=1e-6)
+    # flat trend -> no projection
+    assert out["f"]["days_to_2x"] is None

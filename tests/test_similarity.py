@@ -449,3 +449,39 @@ def test_rbo_identical_rankings_is_one(spark):
         assert r.n_common == 10
         assert r.rbo_u == RBO_C10
         assert r.rbo == 1.0
+
+
+def test_pca_invariants(spark, embs):
+    from timeseriescorrelation_spark.operators.similarity import pca_project
+
+    p = 3
+    pdf = pca_project(embs, n_components=p).toPandas().sort_values("vec_id")
+    raw = embs.toPandas()
+    X = np.stack(
+        raw.sort_values("vec_id")["embedding"].to_numpy()
+    ).astype(np.float64)
+    # snap to the operator's µ-unit grid so the reference covariance
+    # matches the exact-decimal path it eigendecomposes
+    Xu = np.round(X * 1e6) / 1e6
+    Xc = Xu - Xu.mean(axis=0)
+    cov = (Xc.T @ Xc) / len(Xu)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    S = pdf[[f"pc{i + 1}" for i in range(p)]].to_numpy()
+    # Var(pc_k) == lambda_k (population), components uncorrelated
+    got_var = S.var(axis=0)
+    assert np.allclose(got_var, evals[:p], rtol=1e-3)
+    C = np.cov(S.T, bias=True)
+    off = C - np.diag(np.diag(C))
+    assert np.max(np.abs(off)) < 1e-3 * evals[0]
+    # explained-variance ratios descend and match eigenvalues/trace
+    evr = pdf[[f"evr{i + 1}" for i in range(p)]].iloc[0].to_numpy()
+    assert np.all(np.diff(evr) <= 1e-12)
+    assert np.allclose(evr, evals[:p] / np.trace(cov), atol=1e-4)
+
+
+def test_pca_whiten_unit_variance(spark, embs):
+    from timeseriescorrelation_spark.operators.similarity import pca_project
+
+    pdf = pca_project(embs, n_components=2, whiten=True).toPandas()
+    S = pdf[["pc1", "pc2"]].to_numpy()
+    assert np.allclose(S.var(axis=0), 1.0, rtol=1e-3)

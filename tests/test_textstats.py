@@ -103,3 +103,30 @@ def test_vocab_growth_first_sightings(spark):
         (0, 2, 3, 3, 3),   # {a,b,c} all new
         (1, 2, 2, 1, 4),   # {c,d}: only d new
     ]
+
+
+def test_readability_hand_counts(spark):
+    from timeseriescorrelation_spark.operators.textstats import (
+        text_readability,
+    )
+
+    rows = [
+        # 6 words, 2 sentences, 6 vowel groups:
+        # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19  -> easy
+        (0, "The cat sat. The dog ran!"),
+        # polysyllabic mush: 2 words, 1 sentence (floor), 8 groups
+        # flesch = 206.835 - 2.03 - 84.6*4 = -133.595 -> difficult
+        (1, "unbelievable organization"),
+        (2, ""),  # zero words -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_readability(df).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (6, 2, 6)
+    assert r0["flesch"] == pytest.approx(119.19, abs=1e-6)
+    assert r0["band"] == "easy"
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (2, 1)
+    assert r1["band"] == "difficult"
+    assert r1["flesch"] < 0

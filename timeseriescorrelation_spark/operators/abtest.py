@@ -289,3 +289,64 @@ def rate_decomposition(events: DataFrame, target_event: str = "error",
         F.when(both, F.round((w_b - w_a) * r_a, 6)).alias("mix_effect"),
         F.when(both, F.round(w_b * (r_b - r_a), 6)).alias("rate_effect"),
     )
+
+
+def isotonic_calibration(scored: DataFrame, score_col: str = "score",
+                         outcome_col: str = "outcome",
+                         score_decimals: int = 3) -> DataFrame:
+    """(bin_idx, score, n, successes, rate_raw, rate_iso): isotonic
+    (monotone non-decreasing) calibration of a probabilistic score
+    against binary outcomes via Pool-Adjacent-Violators — the standard
+    post-hoc calibrator when reliability bins (markov_calibration)
+    show the score is mis-calibrated but its RANKING is trusted.
+
+    Stage split (the eigh/k-means policy): the cluster reduces the
+    corpus to one (n, successes) pair per DISTINCT quantized score —
+    score_decimals=3 bounds that at 1001 bins no matter the corpus
+    size — and PAVA runs on the driver over that metadata-sized list.
+    PAVA itself is EXACT integer arithmetic: blocks hold (Σsucc, Σn)
+    and the violator test succ_i·n_j ≥ succ_j·n_i is integer
+    cross-multiplication, so pooling decisions never touch a float;
+    rate_iso = pooled succ/n is one final division.  Deterministic
+    bit-for-bit, but not SQL-oracle-able (PAVA is inherently
+    sequential pooling) — rows-only gate, hand-PAVA pytest.
+
+    Output is the calibration TABLE (bin → calibrated rate); applying
+    it to new traffic is a broadcast range join on score."""
+    q = 10 ** int(score_decimals)
+    g = scored.groupBy(
+        (F.round(F.col(score_col).cast("double") * q) / q).alias("score")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(outcome_col).cast("long")).alias("successes"),
+    )
+    rows = sorted(
+        ((r["score"], int(r["n"]), int(r["successes"]))
+         for r in g.collect()),
+        key=lambda t: t[0],
+    )
+    # PAVA over (succ, n) blocks — integer cross-multiplied merges
+    blocks: list[list] = []  # [succ, n, members]
+    for score, n, s in rows:
+        blocks.append([s, n, [(score, n, s)]])
+        while len(blocks) >= 2:
+            s2, n2, m2 = blocks[-1]
+            s1, n1, m1 = blocks[-2]
+            if s1 * n2 <= s2 * n1:  # monotone already (s1/n1 <= s2/n2)
+                break
+            blocks[-2:] = [[s1 + s2, n1 + n2, m1 + m2]]
+    out = []
+    idx = 0
+    for s_blk, n_blk, members in blocks:
+        for score, n, s in members:
+            out.append((
+                idx, float(score), n, s,
+                round(s / n, 6), round(s_blk / n_blk, 6),
+            ))
+            idx += 1
+    spark = scored.sparkSession
+    return spark.createDataFrame(
+        out,
+        "bin_idx int, score double, n long, successes long,"
+        " rate_raw double, rate_iso double",
+    )

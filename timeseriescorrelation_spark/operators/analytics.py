@@ -2448,3 +2448,67 @@ def apdex_hourly(series: DataFrame, key: str = "metric",
          .alias("apdex"),
         band.alias("rating"),
     )
+
+
+def capacity_projection(series: DataFrame, key: str = "metric",
+                        value_decimals: int = 2,
+                        min_days: int = 7) -> DataFrame:
+    """(metric, n_days, slope_cents_per_day, level_now, target_cents,
+    days_to_2x): capacity-planning readout — per metric, the OLS
+    linear trend of DAILY cent totals over the day index, the fitted
+    current level, and the projected days until the trend line crosses
+    2× today's observed daily peak (NULL when the trend is flat or
+    falling — a projection from a non-growing series is a lie).
+
+    Exactness: day index = datediff vs the GLOBAL min day (integer,
+    engine-identical), all five OLS sums accumulate exactly
+    (decimal38), slope/intercept/projection form one shared double
+    expression tree; days_to_2x stays a rounded DOUBLE — ceiling it
+    to whole days would put an engine-variable ulp exactly on integer
+    boundaries.
+
+    Scale: one day-grid hash agg, one broadcast of the 1-row global
+    min, one per-metric agg.  Calendar-bounded like the trend
+    family."""
+    dec = "decimal(38,0)"
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    d0 = d.agg(F.min("day_ts").alias("d0"))
+    dx = d.crossJoin(F.broadcast(d0)).select(
+        "metric", "y",
+        F.datediff(F.col("day_ts"), F.col("d0")).cast("long").alias("x"),
+    )
+    g = dx.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.max("y").alias("peak"),
+        F.max("x").alias("xmax"),
+    ).where(F.col("n") >= min_days)
+    n = F.col("n").cast(dec)
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")) \
+        .cast("double")
+    slope = F.when(den > 0, num / den)
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    level_now = intercept + slope * F.col("xmax").cast("double")
+    target = 2 * F.col("peak")
+    days = F.when(
+        slope > 0, (target.cast("double") - level_now) / slope
+    )
+    return g.select(
+        "metric", F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(level_now, 6).alias("level_now"),
+        target.cast("long").alias("target_cents"),
+        F.round(days, 6).alias("days_to_2x"),
+    )

@@ -1517,3 +1517,96 @@ def mrr_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
             .cast("double") / F.lit(2520.0), 6
         ).alias("rr"),
     )
+
+
+def pca_project(emb: DataFrame, n_components: int = 4,
+                whiten: bool = False, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, label?, pc1..pcP, evr1..evrP): project every embedding
+    onto its corpus's top-P principal components — the standard
+    dimensionality cut in front of IVF/PQ indexing and the
+    decorrelation step (whiten=True) OPQ-style quantizers assume.
+
+    Three stages, each at its natural home:
+      1. exact d×d covariance on the CLUSTER (embedding_covariance —
+         decimal38 moments, metadata-sized output at any corpus scale);
+      2. eigendecomposition on the DRIVER (numpy.linalg.eigh of a d×d
+         symmetric matrix — microseconds; the same driver-paced-small
+         policy as the k-means centroid step, similarity.py:354);
+      3. projection back on the CLUSTER: the (P×d) component matrix is
+         closed over (broadcast-sized) and applied as one BLAS matmul
+         per Arrow batch via mapInPandas — no shuffle at all; the
+         output is narrow (P doubles/row).
+
+    Determinism: eigh of a fixed symmetric matrix is deterministic
+    within one numpy build, eigenvalues are returned ascending and
+    re-sorted descending, and each component's sign is fixed by
+    making its largest-|loading| coordinate positive — so scores are
+    reproducible run-to-run.  Cross-ENGINE exactness is deliberately
+    not claimed (no SQL engine eigendecomposes): this is a rows-only
+    surface whose invariants — Var(pc_k) = λ_k, zero cross-covariance,
+    descending explained variance, unit variance when whitened — are
+    pinned by pytest instead.
+
+    evr columns repeat the corpus-level explained-variance ratios on
+    every row (cheap, keeps the result self-describing through
+    downstream joins)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    d = len(emb.select(vec_col).first()[0])
+    # exact mean (µ-snapped, same units as embedding_covariance)
+    mean_rows = (
+        emb.select(F.posexplode(vec_col).alias("dim0", "v"))
+        .groupBy("dim0")
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double") * 1_000_000)
+                .cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in mean_rows:
+        mean[r["dim0"]] = (r["s"] / r["c"]) / 1e6
+    cov_rows = embedding_covariance(emb, vec_col, id_col).collect()
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    lam = np.maximum(evals[order], 0.0)
+    W = evecs[:, order].T  # P x d
+    for p in range(W.shape[0]):  # sign fix: largest |loading| positive
+        j = int(np.argmax(np.abs(W[p])))
+        if W[p, j] < 0:
+            W[p] = -W[p]
+    evr = lam / max(float(np.trace(cov)), 1e-300)
+    scale = np.ones(len(lam))
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(lam, 1e-300))
+    P = len(lam)
+    pc_cols = ", ".join(f"pc{i + 1} double" for i in range(P))
+    evr_cols = ", ".join(f"evr{i + 1} double" for i in range(P))
+    schema = f"{id_col} long, {pc_cols}, {evr_cols}"
+    evr_r = [round(float(v), 6) for v in evr]
+
+    def _proj(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sc = ((m - mean) @ W.T) * scale
+            out = {id_col: pdf[id_col].to_numpy()}
+            for i in range(P):
+                out[f"pc{i + 1}"] = np.round(sc[:, i], 6)
+            for i in range(P):
+                out[f"evr{i + 1}"] = evr_r[i]
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(_proj, schema)
