@@ -6010,6 +6010,23 @@ def q_capacity_projection(spark, sf_dir):
     return capacity_projection(_series_from_events(spark, sf_dir))
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness release gate over documents (QI = lang×source,
+    sensitive = n_chars//100): total-variation distance between each
+    QI group's sensitive distribution and the global one, exact
+    decimal38 numerators with the group-absent mass in closed form;
+    every threshold decision is an integer comparison.  Completes the
+    k-anonymity → l-diversity → t-closeness family."""
+    from timeseriescorrelation_spark.operators.privacy import t_closeness
+
+    d = _docs(spark, sf_dir)
+    return t_closeness(
+        d, [F.col("lang"), F.col("source")],
+        F.floor(F.col("n_chars") / 100).cast("long"),
+        ts10=[2, 3, 5],
+    )
+
+
 def q_prune_sweep(spark, sf_dir):
     """θ-sweep pruning-efficiency report — the evaluation artifact the
     reference PUBLISHES (pruning ratios per threshold): for θ ∈
@@ -6359,6 +6376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "isotonic_calibration": q_isotonic_calibration,
         "capacity_projection": q_capacity_projection,
+        "t_closeness": q_t_closeness,
     }
 
 
@@ -14348,5 +14366,52 @@ SELECT metric, cast(n AS bigint) AS n_days,
              THEN (cast(2 * peak AS double) - level_now) / slope END,
              6) AS days_to_2x
 FROM lvl
+""",
+        "t_closeness": """
+WITH pv AS (
+  SELECT lang AS q0, source AS q1,
+         cast(floor(n_chars / 100) AS bigint) AS s,
+         cast(count(*) AS bigint) AS cgv
+  FROM documents GROUP BY 1, 2, 3
+), ghist AS (
+  SELECT s, cast(sum(cgv) AS bigint) AS cv FROM pv GROUP BY 1
+), tot AS (SELECT cast(sum(cv) AS bigint) AS n FROM ghist),
+gsz AS (
+  SELECT q0, q1, cast(sum(cgv) AS bigint) AS ng FROM pv GROUP BY 1, 2
+), pg AS (
+  SELECT pv.q0, pv.q1, any_value(gsz.ng) AS ng, any_value(tot.n) AS n,
+         sum(abs(cast(cgv AS hugeint) * tot.n
+                 - cast(cv AS hugeint) * gsz.ng)
+             - cast(cv AS hugeint) * gsz.ng) AS psum
+  FROM pv
+  JOIN ghist ON pv.s = ghist.s
+  JOIN gsz ON pv.q0 = gsz.q0 AND pv.q1 = gsz.q1
+  CROSS JOIN tot
+  GROUP BY 1, 2
+), gnum AS (
+  SELECT ng, n, psum + cast(n AS hugeint) * ng AS num FROM pg
+), pt AS (
+  SELECT ng, n, num, t10
+  FROM gnum CROSS JOIN (VALUES (2), (3), (5)) AS t(t10)
+), rep AS (
+  SELECT t10, count(*) AS n_groups,
+         sum(CASE WHEN 10 * num > cast(t10 AS hugeint) * 2 * ng * n
+             THEN 1 ELSE 0 END) AS n_groups_above,
+         sum(CASE WHEN 10 * num > cast(t10 AS hugeint) * 2 * ng * n
+             THEN ng ELSE 0 END) AS n_rows_above,
+         sum(ng) AS n_rows,
+         max(round(cast(num AS double)
+                   / (2.0 * cast(ng AS double) * cast(n AS double)),
+                   6)) AS max_tvd
+  FROM pt GROUP BY 1
+)
+SELECT cast(t10 AS double) / 10.0 AS t,
+       cast(n_groups AS bigint) AS n_groups,
+       cast(n_groups_above AS bigint) AS n_groups_above,
+       cast(n_rows_above AS bigint) AS n_rows_above,
+       round(cast(n_rows_above AS double) / cast(n_rows AS double), 6)
+         AS pct_rows_above,
+       max_tvd
+FROM rep
 """,
     }

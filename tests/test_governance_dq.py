@@ -10,7 +10,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.operators.dq import category_churn
-from timeseriescorrelation_spark.operators.privacy import l_diversity
+from timeseriescorrelation_spark.operators.privacy import (
+    l_diversity,
+    t_closeness,
+)
 from timeseriescorrelation_spark.operators.tsdiag import newey_west
 
 T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
@@ -40,6 +43,34 @@ def test_l_diversity_hand_counts(spark):
     assert out[2].pct_rows_below == pytest.approx(10 / 16, abs=2e-6)
     assert out[3].n_groups_below == 1  # 3 distinct >= 3 passes
     assert out[5].n_groups_below == 2 and out[5].n_rows_below == 16
+
+
+def test_t_closeness_hand_tvd(spark):
+    # global sensitive dist: {100: 5, 200: 5} over n=10.
+    # (en, a): 4 rows all 100 -> dist {1, 0},  TVD = 0.5
+    # (fr, b): 4 rows all 200 -> dist {0, 1},  TVD = 0.5
+    # (de, c): 1 row each     -> dist {.5,.5}, TVD = 0.0
+    rows = (
+        [("en", "a", 100)] * 4
+        + [("fr", "b", 200)] * 4
+        + [("de", "c", 100), ("de", "c", 200)]
+    )
+    df = spark.createDataFrame(rows, "lang string, source string, sv int")
+    out = {
+        round(r.t, 1): r
+        for r in t_closeness(
+            df, ["lang", "source"], F.col("sv"), ts10=[2, 3, 5]
+        ).collect()
+    }
+    for t in (0.2, 0.3, 0.5):
+        assert out[t].n_groups == 3
+        assert out[t].max_tvd == pytest.approx(0.5, abs=2e-6)
+    # TVD 0.5 exceeds t=0.2 and t=0.3 for the two pure groups,
+    # but 0.5 > 0.5 is false (strict integer comparison).
+    assert out[0.2].n_groups_above == 2 and out[0.2].n_rows_above == 8
+    assert out[0.2].pct_rows_above == pytest.approx(0.8, abs=2e-6)
+    assert out[0.3].n_groups_above == 2
+    assert out[0.5].n_groups_above == 0 and out[0.5].n_rows_above == 0
 
 
 def test_category_churn_hand_days(spark):

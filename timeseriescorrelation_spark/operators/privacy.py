@@ -112,3 +112,94 @@ def l_diversity(df: DataFrame, quasi: list[Column | str],
             / F.col("n_rows").cast("double"), 6
         ).alias("pct_rows_below"),
     )
+
+
+def t_closeness(df: DataFrame, quasi: list[Column | str],
+                sensitive: Column | str,
+                ts10: list[int] = (2, 3, 5)) -> DataFrame:
+    """(t, n_groups, n_groups_above, n_rows_above, pct_rows_above,
+    max_tvd): t-closeness — the third gate of the release family
+    (k-anonymity: groups big enough; l-diversity: values varied
+    enough; t-closeness: the group's sensitive DISTRIBUTION must stay
+    within t of the global one, else group membership itself shifts
+    an attacker's posterior).  Distance = total variation (the
+    categorical EMD with uniform ground distance):
+
+        TVD_g = ½ Σ_v |c_gv/n_g − c_v/n|
+
+    evaluated EXACTLY: the numerator Σ_v |c_gv·n − c_v·n_g| handles
+    group-absent values in closed form (Σ_{v∉g} c_v·n_g = n·n_g −
+    Σ_{v∈g} c_v·n_g — no dense (group × value) grid is ever built),
+    accumulates in decimal(38,0), and every threshold decision is the
+    integer comparison 10·num > t10·2·n_g·n — no float ever decides.
+    max_tvd is the one display double (round 6).
+
+    Thresholds are t10 = 10·t (t ∈ {0.2, 0.3, 0.5} by default).
+
+    Scale: (QI, value) hash-agg → QI hash-agg → broadcast of the
+    |values|-row global histogram → threshold explode on the
+    collapsed group table.  Same shape family as kanon_report."""
+    dec = "decimal(38,0)"
+    cols = [
+        (F.col(q) if isinstance(q, str) else q).alias(f"_q{i}")
+        for i, q in enumerate(quasi)
+    ]
+    s = (F.col(sensitive) if isinstance(sensitive, str)
+         else sensitive).alias("_s")
+    qnames = [f"_q{i}" for i in range(len(cols))]
+    per_val = df.select(*cols, s).groupBy(*qnames, "_s").agg(
+        F.count(F.lit(1)).alias("cgv")
+    )
+    glob = per_val.groupBy("_s").agg(F.sum("cgv").alias("cv"))
+    tot = glob.agg(F.sum("cv").alias("n"))
+    gsz = per_val.groupBy(*qnames).agg(F.sum("cgv").alias("ng"))
+    j = per_val.join(F.broadcast(glob), "_s") \
+        .join(gsz, qnames).crossJoin(F.broadcast(tot))
+    term = (
+        F.abs(
+            F.col("cgv").cast(dec) * F.col("n")
+            - F.col("cv").cast(dec) * F.col("ng")
+        )
+        - F.col("cv").cast(dec) * F.col("ng")
+    )
+    per_g = j.groupBy(*qnames).agg(
+        F.first("ng").alias("ng"),
+        F.first("n").alias("n"),
+        F.sum(term).alias("present_sum"),
+    ).select(
+        "ng", "n",
+        (F.col("present_sum")
+         + F.col("n").cast(dec) * F.col("ng")).alias("num"),
+    )
+    per_t = per_g.select(
+        "ng", "n", "num",
+        F.explode(
+            F.array(*[F.lit(int(v)) for v in ts10])
+        ).alias("t10"),
+    )
+    above = (
+        10 * F.col("num")
+        > F.col("t10").cast(dec) * 2 * F.col("ng") * F.col("n")
+    )
+    tvd = F.col("num").cast("double") / (
+        2.0 * F.col("ng").cast("double") * F.col("n").cast("double")
+    )
+    rep = per_t.groupBy("t10").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(above, 1).otherwise(0)).alias("n_groups_above"),
+        F.sum(F.when(above, F.col("ng")).otherwise(0))
+        .alias("n_rows_above"),
+        F.sum("ng").alias("n_rows"),
+        F.max(F.round(tvd, 6)).alias("max_tvd"),
+    )
+    return rep.select(
+        (F.col("t10").cast("double") / 10.0).alias("t"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_groups_above").cast("long").alias("n_groups_above"),
+        F.col("n_rows_above").cast("long").alias("n_rows_above"),
+        F.round(
+            F.col("n_rows_above").cast("double")
+            / F.col("n_rows").cast("double"), 6
+        ).alias("pct_rows_above"),
+        F.col("max_tvd").alias("max_tvd"),
+    )
