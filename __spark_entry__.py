@@ -6068,6 +6068,50 @@ def q_prune_sweep(spark, sf_dir):
     )
 
 
+def q_icc_oneway(spark, sf_dir):
+    """ICC(1) of the k metrics' daily cent-sums over the complete-day
+    panel — one-way random-effects intraclass correlation ("is the
+    day the signal, or the metric?").  Exact decimal38 sufficient
+    statistics, one shared double tree; grid-bounded."""
+    from timeseriescorrelation_spark.operators.agreement import icc_oneway
+
+    return icc_oneway(_series_from_events(spark, sf_dir))
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's α of the metric set as a scale over days — internal
+    consistency via the telescoped item-variance sum (Σx² − ΣC_j²/n,
+    exact integers; never k float variances added in arbitrary
+    order)."""
+    from timeseriescorrelation_spark.operators.agreement import (
+        cronbach_alpha,
+    )
+
+    return cronbach_alpha(_series_from_events(spark, sf_dir))
+
+
+def q_friedman_test(spark, sf_dir):
+    """Friedman rank test across metrics over complete days — doubled
+    average ranks keep every statistic integer until the final Q; tie
+    correction from the exact Σ(t³−t) term.  Ranks via a k²-per-day
+    grid self-join, never a raw-data window."""
+    from timeseriescorrelation_spark.operators.agreement import (
+        friedman_test,
+    )
+
+    return friedman_test(_series_from_events(spark, sf_dir))
+
+
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's κ between two hour-grid labelers (event-count band vs
+    distinct-user band, tercile ntiles over a deterministic total
+    order inside a 2-partition window).  Exact integer confusion
+    counts; κ one shared double."""
+    from timeseriescorrelation_spark.operators.agreement import cohen_kappa
+
+    return cohen_kappa(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6377,6 +6421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "capacity_projection": q_capacity_projection,
         "t_closeness": q_t_closeness,
+        "icc_oneway": q_icc_oneway,
+        "cronbach_alpha": q_cronbach_alpha,
+        "friedman_test": q_friedman_test,
+        "cohen_kappa": q_cohen_kappa,
     }
 
 
@@ -14413,5 +14461,180 @@ SELECT cast(t10 AS double) / 10.0 AS t,
          AS pct_rows_above,
        max_tvd
 FROM rep
+""",
+        "icc_oneway": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), cd AS (
+  SELECT day_ts FROM d GROUP BY day_ts
+  HAVING count(*) = (SELECT count(DISTINCT m) FROM d)
+), g AS (
+  SELECT d.m, d.day_ts, d.y FROM d JOIN cd USING (day_ts)
+), day AS (
+  SELECT day_ts, cast(sum(y) AS bigint) AS s_i,
+         sum(cast(y AS hugeint) * y) AS sxx_i, count(*) AS k
+  FROM g GROUP BY 1
+), a AS (
+  SELECT count(*) AS n_days, max(k) AS k_raters,
+         cast(sum(s_i) AS bigint) AS t_tot, sum(sxx_i) AS sxx,
+         sum(cast(s_i AS hugeint) * s_i) AS srow
+  FROM day
+), s AS (
+  SELECT k_raters, n_days, t_tot,
+         (cast(srow AS double) / cast(k_raters AS double)
+          - cast(t_tot AS double) * cast(t_tot AS double)
+            / (cast(n_days AS double) * cast(k_raters AS double)))
+         / (cast(n_days AS double) - 1.0) AS msb,
+         (cast(sxx AS double)
+          - cast(srow AS double) / cast(k_raters AS double))
+         / (cast(n_days AS double)
+            * (cast(k_raters AS double) - 1.0)) AS msw
+  FROM a
+)
+SELECT cast(k_raters AS bigint) AS k_raters,
+       cast(n_days AS bigint) AS n_days,
+       t_tot AS grand_total,
+       round(msb / 10000.0, 6) AS msb, round(msw / 10000.0, 6) AS msw,
+       round(CASE WHEN msb + (cast(k_raters AS double) - 1.0) * msw > 0
+             THEN (msb - msw)
+                  / (msb + (cast(k_raters AS double) - 1.0) * msw)
+             END, 6) AS icc1
+FROM s WHERE n_days >= 2 AND k_raters >= 2
+""",
+        "cronbach_alpha": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), cd AS (
+  SELECT day_ts FROM d GROUP BY day_ts
+  HAVING count(*) = (SELECT count(DISTINCT m) FROM d)
+), g AS (
+  SELECT d.m, d.day_ts, d.y FROM d JOIN cd USING (day_ts)
+), item AS (
+  SELECT m, cast(sum(y) AS bigint) AS c_j,
+         sum(cast(y AS hugeint) * y) AS sxx_j, count(*) AS n
+  FROM g GROUP BY 1
+), day AS (
+  SELECT day_ts, cast(sum(y) AS bigint) AS s_i FROM g GROUP BY 1
+), a1 AS (
+  SELECT count(*) AS k_items, max(n) AS n_days,
+         cast(sum(c_j) AS bigint) AS t_tot, sum(sxx_j) AS sxx,
+         sum(cast(c_j AS hugeint) * c_j) AS scol
+  FROM item
+), a2 AS (
+  SELECT sum(cast(s_i AS hugeint) * s_i) AS srow FROM day
+), s AS (
+  SELECT k_items, n_days,
+         (cast(sxx AS double)
+          - cast(scol AS double) / cast(n_days AS double))
+         / (cast(n_days AS double) - 1.0) AS ivs,
+         (cast(srow AS double)
+          - cast(t_tot AS double) * cast(t_tot AS double)
+            / cast(n_days AS double))
+         / (cast(n_days AS double) - 1.0) AS tv
+  FROM a1 CROSS JOIN a2
+)
+SELECT cast(k_items AS bigint) AS k_items,
+       cast(n_days AS bigint) AS n_days,
+       round(ivs / 10000.0, 6) AS item_var_sum,
+       round(tv / 10000.0, 6) AS total_var,
+       round(CASE WHEN tv > 0
+             THEN cast(k_items AS double)
+                  / (cast(k_items AS double) - 1.0)
+                  * (1.0 - ivs / tv) END, 6) AS alpha
+FROM s WHERE n_days >= 2 AND k_items >= 2
+""",
+        "friedman_test": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), cd AS (
+  SELECT day_ts FROM d GROUP BY day_ts
+  HAVING count(*) = (SELECT count(DISTINCT m) FROM d)
+), g AS (
+  SELECT d.m, d.day_ts, d.y FROM d JOIN cd USING (day_ts)
+), r2 AS (
+  SELECT g.day_ts, g.m,
+         2 * sum(CASE WHEN o.yo < g.y THEN 1 ELSE 0 END)
+         + sum(CASE WHEN o.yo = g.y THEN 1 ELSE 0 END) + 1 AS r2
+  FROM g JOIN (SELECT day_ts, m AS mo, y AS yo FROM g) o
+    ON g.day_ts = o.day_ts
+  GROUP BY 1, 2
+), pm AS (
+  SELECT m, cast(sum(r2) AS bigint) AS r2_j, count(*) AS n
+  FROM r2 GROUP BY 1
+), ties AS (
+  SELECT cast(sum(t * t * t - t) AS bigint) AS tie_term
+  FROM (SELECT count(*) AS t FROM g GROUP BY day_ts, y)
+), tot AS (
+  SELECT count(*) AS k_raters, max(n) AS n_days FROM pm
+), dev AS (
+  SELECT k_raters, n_days,
+         cast(sum((r2_j - n_days * (k_raters + 1))
+                  * (r2_j - n_days * (k_raters + 1))) AS bigint) AS dev2
+  FROM pm CROSS JOIN tot GROUP BY 1, 2
+), s AS (
+  SELECT n_days, k_raters, dev2, tie_term,
+         3.0 * cast(dev2 AS double)
+         / (cast(n_days AS double) * cast(k_raters AS double)
+            * (cast(k_raters AS double) + 1.0)) AS q,
+         1.0 - cast(tie_term AS double)
+               / (cast(n_days AS double) * cast(k_raters AS double)
+                  * (cast(k_raters AS double) * cast(k_raters AS double)
+                     - 1.0)) AS c
+  FROM dev CROSS JOIN ties
+)
+SELECT cast(n_days AS bigint) AS n_days,
+       cast(k_raters AS bigint) AS k_raters,
+       dev2, tie_term,
+       round(q, 6) AS q_stat,
+       round(CASE WHEN c > 0 THEN q / c END, 6) AS q_tiecorr
+FROM s WHERE n_days >= 2 AND k_raters >= 2
+""",
+        "cohen_kappa": """
+WITH hrs AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_events, count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+), lng AS (
+  SELECT hour_ts, 'a' AS meas, cast(n_events AS bigint) AS v FROM hrs
+  UNION ALL
+  SELECT hour_ts, 'b' AS meas, cast(n_users AS bigint) AS v FROM hrs
+), banded AS (
+  SELECT hour_ts, meas,
+         ntile(3) OVER (PARTITION BY meas ORDER BY v, hour_ts) AS band
+  FROM lng
+), wide AS (
+  SELECT hour_ts,
+         max(CASE WHEN meas = 'a' THEN band END) AS a,
+         max(CASE WHEN meas = 'b' THEN band END) AS b
+  FROM banded GROUP BY 1
+), conf AS (
+  SELECT a, b, count(*) AS c FROM wide GROUP BY 1, 2
+), tot AS (SELECT cast(sum(c) AS bigint) AS n_subjects FROM conf),
+diag AS (
+  SELECT cast(coalesce(sum(c), 0) AS bigint) AS n_agree
+  FROM conf WHERE a = b
+), rws AS (SELECT a, cast(sum(c) AS bigint) AS ra FROM conf GROUP BY 1),
+cls AS (SELECT b, cast(sum(c) AS bigint) AS cb FROM conf GROUP BY 1),
+chance AS (
+  SELECT coalesce(sum(cast(ra AS hugeint) * cb), 0) AS chance_num
+  FROM rws JOIN cls ON rws.a = cls.b
+), s AS (
+  SELECT n_subjects, n_agree,
+         cast(n_agree AS double) / cast(n_subjects AS double) AS po,
+         cast(chance_num AS double)
+         / (cast(n_subjects AS double)
+            * cast(n_subjects AS double)) AS pe
+  FROM tot CROSS JOIN diag CROSS JOIN chance
+)
+SELECT n_subjects, n_agree,
+       round(po, 6) AS po, round(pe, 6) AS pe,
+       round(CASE WHEN pe < 1 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+FROM s WHERE n_subjects > 0
 """,
     }

@@ -286,6 +286,11 @@ HEADLINE_R3 = [
     "text_readability",
     "isotonic_calibration",
     "capacity_projection",
+    "t_closeness",
+    "icc_oneway",
+    "cronbach_alpha",
+    "friedman_test",
+    "cohen_kappa",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]
