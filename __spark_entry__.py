@@ -6112,6 +6112,62 @@ def q_cohen_kappa(spark, sf_dir):
     return cohen_kappa(_events(spark, sf_dir))
 
 
+
+def q_littles_law(spark, sf_dir):
+    """Little's-law conservation readout per hour over the canonical
+    30-min-gap sessions: arrivals, mean time-in-system W, predicted
+    L = lambda*W vs observed time-average concurrency (exact integer
+    microsecond sums, one double division each).  The flow_balance
+    column is the session-pipeline integrity check."""
+    from timeseriescorrelation_spark.operators.queueing import littles_law
+    from timeseriescorrelation_spark.streaming.rollup_stream import (
+        sessionize,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    return littles_law(sessionize(e))
+
+
+def q_mtbf_mttr(spark, sf_dir):
+    """MTBF/MTTR/availability per metric from the hourly heartbeat
+    grid — zero-event hours are DOWN; islands via the row_number
+    difference inside metric partitions over the calendar-bounded
+    grid."""
+    from timeseriescorrelation_spark.operators.queueing import mtbf_mttr
+
+    return mtbf_mttr(_series_from_events(spark, sf_dir))
+
+
+def q_p_chart(spark, sf_dir):
+    """Shewhart p-chart per metric-day: defect share (cents > 10000)
+    against binomial 3-sigma limits around the metric's exact-rational
+    centerline; varying limits (per-day n), ooc flag from the shared
+    double tree."""
+    from timeseriescorrelation_spark.operators.spc import p_chart
+
+    return p_chart(_series_from_events(spark, sf_dir))
+
+
+def q_c_chart(spark, sf_dir):
+    """Shewhart c-chart per metric-day: event counts against Poisson
+    3-sigma limits, with MISSING grid days scored as c=0 (the silent
+    day is the loudest alarm)."""
+    from timeseriescorrelation_spark.operators.spc import c_chart
+
+    return c_chart(_series_from_events(spark, sf_dir))
+
+
+def q_hhi_hourly(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of the event-type mix per
+    hour (exact integer share numerators in decimal38) plus the
+    normalized index — the retry-loop/monopoly tripwire."""
+    from timeseriescorrelation_spark.operators.activity import hhi_hourly
+
+    return hhi_hourly(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6425,6 +6481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach_alpha": q_cronbach_alpha,
         "friedman_test": q_friedman_test,
         "cohen_kappa": q_cohen_kappa,
+        "littles_law": q_littles_law,
+        "mtbf_mttr": q_mtbf_mttr,
+        "p_chart": q_p_chart,
+        "c_chart": q_c_chart,
+        "hhi_hourly": q_hhi_hourly,
     }
 
 
@@ -14636,5 +14697,185 @@ SELECT n_subjects, n_agree,
        round(po, 6) AS po, round(pe, 6) AS pe,
        round(CASE WHEN pe < 1 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
 FROM s WHERE n_subjects > 0
+""",
+        "littles_law": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), gg AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), s AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+  FROM gg GROUP BY 1, 2
+), arr AS (
+  SELECT date_trunc('hour', st) AS hour_ts, count(*) AS arrivals,
+         cast(sum(epoch_us(en) - epoch_us(st)) AS bigint) AS dur_us
+  FROM s GROUP BY 1
+), hrs AS (
+  SELECT unnest(generate_series(date_trunc('hour', st),
+                                date_trunc('hour', en),
+                                INTERVAL 1 HOUR)) AS hour_ts, st, en
+  FROM s
+), busy AS (
+  SELECT hour_ts,
+         cast(sum(epoch_us(least(en, hour_ts + INTERVAL 1 HOUR))
+                  - epoch_us(greatest(st, hour_ts))) AS bigint) AS busy_us
+  FROM hrs GROUP BY 1
+), j AS (
+  SELECT coalesce(arr.hour_ts, busy.hour_ts) AS hour_ts,
+         coalesce(arrivals, 0) AS arrivals,
+         coalesce(dur_us, 0) AS dur_us,
+         coalesce(busy_us, 0) AS busy_us
+  FROM arr FULL JOIN busy ON arr.hour_ts = busy.hour_ts
+)
+SELECT hour_ts, cast(arrivals AS bigint) AS arrivals,
+       round(CASE WHEN arrivals > 0
+             THEN cast(dur_us AS double) / cast(arrivals AS double)
+                  / 1000000.0 END, 6) AS w_mean_sec,
+       round(cast(dur_us AS double) / 3600000000.0, 6) AS l_arrival,
+       round(cast(busy_us AS double) / 3600000000.0, 6) AS l_observed,
+       round(CASE WHEN dur_us > 0
+             THEN (cast(busy_us AS double) / 3600000000.0)
+                  / (cast(dur_us AS double) / 3600000000.0)
+             END, 6) AS flow_balance
+FROM j
+""",
+        "mtbf_mttr": """
+WITH ph AS (
+  SELECT event_type AS m, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT m, min(h) AS h0, max(h) AS h1 FROM ph GROUP BY 1
+), grid AS (
+  SELECT m, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span
+), st AS (
+  SELECT g.m, g.h, CASE WHEN ph.n IS NULL THEN 0 ELSE 1 END AS up
+  FROM grid g LEFT JOIN ph ON g.m = ph.m AND g.h = ph.h
+), isl AS (
+  SELECT m, up,
+         row_number() OVER (PARTITION BY m ORDER BY h)
+         - row_number() OVER (PARTITION BY m, up ORDER BY h) AS isl
+  FROM st
+), runs AS (
+  SELECT m, up, isl, count(*) AS len FROM isl GROUP BY 1, 2, 3
+), agg AS (
+  SELECT m, cast(sum(len) AS bigint) AS total_hours,
+         cast(sum(CASE WHEN up = 0 THEN len ELSE 0 END) AS bigint)
+           AS down_hours,
+         cast(sum(CASE WHEN up = 0 THEN 1 ELSE 0 END) AS bigint)
+           AS n_down_runs,
+         cast(sum(CASE WHEN up = 1 THEN len ELSE 0 END) AS bigint)
+           AS up_hours,
+         cast(sum(CASE WHEN up = 1 THEN 1 ELSE 0 END) AS bigint)
+           AS n_up_runs
+  FROM runs GROUP BY 1
+)
+SELECT m AS metric, total_hours, down_hours, n_down_runs,
+       round(cast(up_hours AS double) / cast(total_hours AS double), 6)
+         AS availability,
+       round(CASE WHEN n_down_runs > 0
+             THEN cast(down_hours AS double)
+                  / cast(n_down_runs AS double) END, 6) AS mttr_hours,
+       round(CASE WHEN n_up_runs > 0
+             THEN cast(up_hours AS double)
+                  / cast(n_up_runs AS double) END, 6) AS mtbf_hours
+FROM agg
+""",
+        "p_chart": """
+WITH day AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         count(*) AS n,
+         sum(CASE WHEN cast(round(value * 100) AS bigint) > 10000
+             THEN 1 ELSE 0 END) AS defects
+  FROM events GROUP BY 1, 2
+), ctr AS (
+  SELECT metric, cast(sum(n) AS bigint) AS tot_n,
+         cast(sum(defects) AS bigint) AS tot_d
+  FROM day GROUP BY 1
+), j AS (
+  SELECT day.metric, day_ts, cast(n AS bigint) AS n,
+         cast(defects AS bigint) AS defects,
+         cast(tot_d AS double) / cast(tot_n AS double) AS p_bar
+  FROM day JOIN ctr ON day.metric = ctr.metric
+), e AS (
+  SELECT metric, day_ts, n, defects, p_bar,
+         cast(defects AS double) / cast(n AS double) AS p_day,
+         p_bar + 3.0 * sqrt(p_bar * (1.0 - p_bar)
+                            / cast(n AS double)) AS ucl,
+         greatest(0.0, p_bar - 3.0 * sqrt(p_bar * (1.0 - p_bar)
+                                          / cast(n AS double))) AS lcl
+  FROM j
+)
+SELECT metric, day_ts, n, defects,
+       round(p_day, 6) AS p_day, round(p_bar, 6) AS p_bar,
+       round(ucl, 6) AS ucl, round(lcl, 6) AS lcl,
+       cast(CASE WHEN p_day > ucl THEN 1
+                 WHEN p_day < lcl THEN -1 ELSE 0 END AS int) AS ooc
+FROM e
+""",
+        "c_chart": """
+WITH day AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(day_ts) AS d0, max(day_ts) AS d1,
+         cast(sum(c) AS bigint) AS tot_c
+  FROM day GROUP BY 1
+), grid AS (
+  SELECT metric, tot_c,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+  FROM span
+), fg AS (
+  SELECT g.metric, g.day_ts, g.tot_c, coalesce(day.c, 0) AS c
+  FROM grid g LEFT JOIN day
+    ON g.metric = day.metric AND g.day_ts = day.day_ts
+), nd AS (
+  SELECT metric, count(*) AS n_days FROM fg GROUP BY 1
+), e AS (
+  SELECT f.metric, day_ts, cast(c AS bigint) AS c,
+         cast(tot_c AS double) / cast(n_days AS double) AS c_bar
+  FROM fg f JOIN nd ON f.metric = nd.metric
+), e2 AS (
+  SELECT metric, day_ts, c, c_bar,
+         c_bar + 3.0 * sqrt(c_bar) AS ucl,
+         greatest(0.0, c_bar - 3.0 * sqrt(c_bar)) AS lcl
+  FROM e
+)
+SELECT metric, day_ts, c, round(c_bar, 6) AS c_bar,
+       round(ucl, 6) AS ucl, round(lcl, 6) AS lcl,
+       cast(CASE WHEN cast(c AS double) > ucl THEN 1
+                 WHEN cast(c AS double) < lcl THEN -1
+                 ELSE 0 END AS int) AS ooc
+FROM e2
+""",
+        "hhi_hourly": """
+WITH pc AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type AS cat,
+         count(*) AS n_c
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT hour_ts, cast(sum(n_c) AS bigint) AS n, count(*) AS n_cats,
+         sum(cast(n_c AS hugeint) * n_c) AS sq
+  FROM pc GROUP BY 1
+)
+SELECT hour_ts, n, cast(n_cats AS bigint) AS n_cats,
+       round(cast(sq AS double)
+             / (cast(n AS double) * cast(n AS double)), 6) AS hhi,
+       round(CASE WHEN n_cats > 1
+             THEN (cast(sq AS double)
+                   / (cast(n AS double) * cast(n AS double))
+                   - 1.0 / cast(n_cats AS double))
+                  / (1.0 - 1.0 / cast(n_cats AS double))
+             END, 6) AS hhi_norm
+FROM a
 """,
     }

@@ -291,6 +291,11 @@ HEADLINE_R3 = [
     "cronbach_alpha",
     "friedman_test",
     "cohen_kappa",
+    "littles_law",
+    "mtbf_mttr",
+    "p_chart",
+    "c_chart",
+    "hhi_hourly",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

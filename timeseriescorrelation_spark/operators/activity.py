@@ -679,3 +679,44 @@ def theil_index_daily(events: DataFrame, group_col: str = "event_type",
         F.round(t_between, 6).alias("theil_between"),
         F.round(t_within, 6).alias("theil_within"),
     )
+
+
+def hhi_hourly(events: DataFrame, cat_col: str = "event_type",
+               ts_col: str = "ts") -> DataFrame:
+    """(hour_ts, n, n_cats, hhi, hhi_norm): Herfindahl-Hirschman
+    concentration of the category mix per hour — the antitrust
+    statistic read as an ops one: hhi → 1 means one event type owns
+    the hour (a runaway retry loop looks exactly like a monopoly).
+
+        HHI = Σ_c (n_c/n)² = Σ n_c² / n²       (exact integers)
+        HHI_norm = (HHI − 1/k) / (1 − 1/k)      (NULL when k = 1)
+
+    Σ n_c² accumulates in decimal(38,0) (hour counts can reach 10⁹
+    at fleet scale; squares overflow long).  One (cat, hour) hash
+    agg then one hour agg — grid-sized, map-side combined."""
+    per_cat = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+        F.col(cat_col).alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("n_c"))
+    agg = per_cat.groupBy("hour_ts").agg(
+        F.sum("n_c").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(
+            F.col("n_c").cast("decimal(38,0)")
+            * F.col("n_c").cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("n_cats").cast("double")
+    hhi = F.col("sq").cast("double") / (nn * nn)
+    hhi_norm = F.when(
+        F.col("n_cats") > 1,
+        (hhi - F.lit(1.0) / kk) / (F.lit(1.0) - F.lit(1.0) / kk),
+    )
+    return agg.select(
+        "hour_ts",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(hhi_norm, 6).alias("hhi_norm"),
+    )

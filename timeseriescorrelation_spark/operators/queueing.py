@@ -1,0 +1,189 @@
+"""Queueing / reliability diagnostics over gap-based sessions and the
+hourly heartbeat grid: Little's law conservation (L = λW) and
+MTBF/MTTR from missing-hour downtime runs.
+
+Little's law is the flow-conservation identity every capacity model
+leans on: time-average concurrency L equals arrival rate λ times mean
+time-in-system W.  Computed per hour from the SAME 30-minute-gap
+sessions as event_sessions/session_stats, it becomes an integrity
+check on the session pipeline itself — hours where observed
+concurrency diverges from λW flag boundary effects (long sessions
+straddling the hour) or definition drift.
+
+MTBF/MTTR reads the heartbeat grid (gap_report's subject) as an
+uptime signal: a metric-hour with zero events is DOWN; maximal down
+runs are repair intervals (MTTR), maximal up runs are times between
+failures (MTBF).
+
+Exactness: every duration is an exact integer of MICROSECONDS (or
+whole hours), summed with map-side-combinable hash aggs; each
+reported rate/mean is one shared double expression rounded to 6.
+
+Scale (100 TB): sessions are one session_window agg over (user)
+partitions; the hour explode is bounded by Σ session-hours (a session
+rarely spans many hours at a 30-min gap); the heartbeat grid is
+|metrics| × |hours| — calendar-bounded.  The islands windows
+partition by metric/user — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+_HOUR_US = 3_600_000_000
+
+
+def littles_law(sessions: DataFrame,
+                start_col: str = "session_start",
+                end_col: str = "session_end_ts") -> DataFrame:
+    """(hour_ts, arrivals, w_mean_sec, l_arrival, l_observed,
+    flow_balance): per-hour Little's-law readout over sessions.
+
+    - arrivals: sessions STARTING in the hour (λ·3600)
+    - w_mean_sec: mean duration of those arrivals (W)
+    - l_arrival = λW = Σ arrival durations / 3600 s — predicted
+      time-average concurrency if every arrival's work landed in its
+      start hour
+    - l_observed = Σ overlap(session, hour) / 3600 s — the actual
+      time-average concurrency (the integral concurrency_1h peaks)
+    - flow_balance = l_observed / l_arrival (NULL when no arrivals):
+      ≈1 in steady state, <1 in ramp-up hours, >1 where earlier
+      long sessions spill in
+
+    Single-event sessions have zero duration and contribute 0 to both
+    L terms while still counting as arrivals — w_mean_sec reports the
+    honest mean including them.
+
+    Exact: all sums are integer µs; each output is one double
+    division mirrored verbatim in the oracle."""
+    s = sessions.select(
+        F.col(start_col).alias("st"),
+        F.col(end_col).alias("en"),
+        epoch_us(F.col(start_col)).alias("st_us"),
+        epoch_us(F.col(end_col)).alias("en_us"),
+    )
+    arr = s.groupBy(F.date_trunc("hour", "st").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("arrivals"),
+        F.sum(F.col("en_us") - F.col("st_us")).alias("dur_us"),
+    )
+    hrs = s.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "st"),
+                F.date_trunc("hour", "en"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_ts"),
+        "st_us", "en_us",
+    )
+    busy = hrs.select(
+        "hour_ts",
+        (
+            F.least(
+                F.col("en_us"),
+                epoch_us(F.col("hour_ts")) + F.lit(_HOUR_US),
+            )
+            - F.greatest(F.col("st_us"), epoch_us(F.col("hour_ts")))
+        ).alias("ov_us"),
+    ).groupBy("hour_ts").agg(F.sum("ov_us").alias("busy_us"))
+    j = arr.join(busy, "hour_ts", "full_outer").select(
+        "hour_ts",
+        F.coalesce("arrivals", F.lit(0)).cast("long").alias("arrivals"),
+        F.coalesce("dur_us", F.lit(0)).cast("long").alias("dur_us"),
+        F.coalesce("busy_us", F.lit(0)).cast("long").alias("busy_us"),
+    )
+    w_mean = (
+        F.col("dur_us").cast("double") / F.col("arrivals").cast("double")
+        / F.lit(1.0e6)
+    )
+    l_arr = F.col("dur_us").cast("double") / F.lit(3.6e9)
+    l_obs = F.col("busy_us").cast("double") / F.lit(3.6e9)
+    return j.select(
+        "hour_ts",
+        "arrivals",
+        F.round(F.when(F.col("arrivals") > 0, w_mean), 6)
+        .alias("w_mean_sec"),
+        F.round(l_arr, 6).alias("l_arrival"),
+        F.round(l_obs, 6).alias("l_observed"),
+        F.round(
+            F.when(F.col("dur_us") > 0, l_obs / l_arr), 6
+        ).alias("flow_balance"),
+    )
+
+
+def mtbf_mttr(series: DataFrame, key: str = "metric") -> DataFrame:
+    """(metric, total_hours, down_hours, n_down_runs, availability,
+    mttr_hours, mtbf_hours): uptime diagnostics from the heartbeat
+    grid — an hour with zero observations is DOWN; runs are maximal
+    same-state stretches inside each metric's own [first, last]
+    observed-hour span (edges never count as downtime: absence before
+    first sight is ignorance, not failure).
+
+    MTTR = mean down-run length, MTBF = mean up-run length, both in
+    whole hours (exact integer sums / integer counts); availability =
+    up_hours / total_hours as one double.
+
+    Islands via the row_number-difference trick inside (metric)
+    partitions — the grid is calendar-bounded so the per-metric sort
+    is |hours| rows, and the whole operator never touches raw rows
+    after the first hash agg."""
+    present = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = present.groupBy("m").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "m",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    st = grid.join(present, ["m", "h"], "left").select(
+        "m", "h", (F.col("n").isNotNull()).cast("int").alias("up")
+    )
+    w_all = Window.partitionBy("m").orderBy("h")
+    w_state = Window.partitionBy("m", "up").orderBy("h")
+    runs = st.select(
+        "m", "up",
+        (F.row_number().over(w_all) - F.row_number().over(w_state))
+        .alias("isl"),
+    ).groupBy("m", "up", "isl").agg(F.count(F.lit(1)).alias("len"))
+    agg = runs.groupBy("m").agg(
+        F.sum("len").alias("total_hours"),
+        F.sum(F.when(F.col("up") == 0, F.col("len")).otherwise(0))
+        .alias("down_hours"),
+        F.sum(F.when(F.col("up") == 0, 1).otherwise(0))
+        .alias("n_down_runs"),
+        F.sum(F.when(F.col("up") == 1, F.col("len")).otherwise(0))
+        .alias("up_hours"),
+        F.sum(F.when(F.col("up") == 1, 1).otherwise(0))
+        .alias("n_up_runs"),
+    )
+    return agg.select(
+        F.col("m").alias("metric"),
+        F.col("total_hours").cast("long").alias("total_hours"),
+        F.col("down_hours").cast("long").alias("down_hours"),
+        F.col("n_down_runs").cast("long").alias("n_down_runs"),
+        F.round(
+            F.col("up_hours").cast("double")
+            / F.col("total_hours").cast("double"), 6
+        ).alias("availability"),
+        F.round(
+            F.when(
+                F.col("n_down_runs") > 0,
+                F.col("down_hours").cast("double")
+                / F.col("n_down_runs").cast("double"),
+            ), 6
+        ).alias("mttr_hours"),
+        F.round(
+            F.when(
+                F.col("n_up_runs") > 0,
+                F.col("up_hours").cast("double")
+                / F.col("n_up_runs").cast("double"),
+            ), 6
+        ).alias("mtbf_hours"),
+    )

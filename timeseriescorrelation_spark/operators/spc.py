@@ -1,0 +1,119 @@
+"""Statistical process control charts over the metric-day grid:
+p-chart (defect PROPORTION, binomial limits) and c-chart (event
+COUNT, Poisson limits) — the Shewhart complements of the model-based
+detectors already gated (cusum_alerts: drift; anomaly_1h: rolling-z;
+page_hinkley: online mean shift).  Control charts answer the simpler
+audit question "is today inside the historical common-cause band",
+with limits every SRE can recompute by hand.
+
+Exactness: defect/event counts are exact integers; the centerline is
+an exact rational (total_defects/total_n); control limits involve one
+sqrt so they are doubles — but BOTH engines derive them from the SAME
+exact integers through the SAME expression tree, so the out-of-
+control FLAG (a double comparison of identically-computed doubles)
+matches bit-for-bit cross-engine, same policy as anomaly_1h's z.
+
+Scale: one hash agg raw → (metric, day), one tiny agg → per-metric
+centerline, broadcast back.  Nothing after the first agg sees raw
+rows; output is grid-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def p_chart(series: DataFrame, key: str = "metric",
+            defect_cents: int = 10_000,
+            value_decimals: int = 2) -> DataFrame:
+    """(metric, day_ts, n, defects, p_day, p_bar, ucl, lcl, ooc):
+    per-metric-day defect-proportion chart; a "defect" is an
+    observation whose cent-snapped value exceeds `defect_cents`
+    (value-as-latency: a slow request).
+
+        p̄   = Σ defects / Σ n          (per metric, exact rational)
+        UCL = p̄ + 3·√(p̄(1−p̄)/n_day)   (varying limits — n differs
+        LCL = max(0, p̄ − 3·√(...))       by day, the textbook form)
+
+    ooc ∈ {-1, 0, 1}: below LCL / in control / above UCL."""
+    scale = 10 ** int(value_decimals)
+    day = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.round(F.col("value") * scale).cast("long")
+             > F.lit(int(defect_cents))).cast("long")
+        ).alias("defects"),
+    )
+    center = day.groupBy("metric").agg(
+        F.sum("n").alias("tot_n"), F.sum("defects").alias("tot_d")
+    )
+    j = day.join(F.broadcast(center), "metric")
+    p_bar = F.col("tot_d").cast("double") / F.col("tot_n").cast("double")
+    nn = F.col("n").cast("double")
+    sig = F.sqrt(p_bar * (F.lit(1.0) - p_bar) / nn)
+    ucl = p_bar + F.lit(3.0) * sig
+    lcl = F.greatest(F.lit(0.0), p_bar - F.lit(3.0) * sig)
+    p_day = F.col("defects").cast("double") / nn
+    return j.select(
+        "metric", "day_ts",
+        F.col("n").cast("long").alias("n"),
+        F.col("defects").cast("long").alias("defects"),
+        F.round(p_day, 6).alias("p_day"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when(p_day > ucl, F.lit(1))
+        .when(p_day < lcl, F.lit(-1))
+        .otherwise(F.lit(0)).cast("int").alias("ooc"),
+    )
+
+
+def c_chart(series: DataFrame, key: str = "metric") -> DataFrame:
+    """(metric, day_ts, c, c_bar, ucl, lcl, ooc): per-metric-day event
+    COUNT chart with Poisson limits c̄ ± 3√c̄ over the metric's own
+    observed-day span — missing grid days count as c = 0 (a silent
+    day is the strongest out-of-control signal a counter can emit).
+
+    The day grid comes from each metric's [first, last] day span
+    (sequence + explode), so c̄ divides by calendar days, not by
+    days-with-data."""
+    day = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = day.groupBy("metric").agg(
+        F.min("day_ts").alias("d0"), F.max("day_ts").alias("d1"),
+        F.sum("c").alias("tot_c"),
+    )
+    grid = span.select(
+        "metric", "tot_c",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day_ts"),
+    )
+    full = grid.join(day, ["metric", "day_ts"], "left").select(
+        "metric", "day_ts", "tot_c",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    n_days = full.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    j = full.join(F.broadcast(n_days), "metric")
+    c_bar = F.col("tot_c").cast("double") / F.col("n_days").cast("double")
+    sig = F.sqrt(c_bar)
+    ucl = c_bar + F.lit(3.0) * sig
+    lcl = F.greatest(F.lit(0.0), c_bar - F.lit(3.0) * sig)
+    cc = F.col("c").cast("double")
+    return j.select(
+        "metric", "day_ts", "c",
+        F.round(c_bar, 6).alias("c_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when(cc > ucl, F.lit(1))
+        .when(cc < lcl, F.lit(-1))
+        .otherwise(F.lit(0)).cast("int").alias("ooc"),
+    )
