@@ -6168,6 +6168,89 @@ def q_hhi_hourly(spark, sf_dir):
     return hhi_hourly(_events(spark, sf_dir))
 
 
+
+def q_atkinson_daily(spark, sf_dir):
+    """Atkinson(ε=1) inequality per day over per-user cent sums — the
+    welfare member of the inequality family (gini: rank; theil:
+    entropy).  Micro-nat-snapped ln terms, one shared double tree."""
+    from timeseriescorrelation_spark.operators.activity import (
+        atkinson_daily,
+    )
+
+    return atkinson_daily(_events(spark, sf_dir))
+
+
+def q_grubbs_daily(spark, sf_dir):
+    """Grubbs' single-outlier statistic per metric-day with the
+    suspect observation — the argmax decided by INTEGER deviation
+    order (max|n·c − T| is always at min c or max c), no float ever
+    picks a row; G one shared double tree."""
+    from timeseriescorrelation_spark.operators.nptests import grubbs_daily
+
+    return grubbs_daily(_series_from_events(spark, sf_dir))
+
+
+def q_crossing_rate(spark, sf_dir):
+    """Mean-crossing rate per metric-day — sign against the daily
+    mean as the integer sign of n·c − T, crossings from one lag
+    window inside (metric, day) partitions; white noise ≈ 0.5,
+    sticky/trending series much less."""
+    from timeseriescorrelation_spark.operators.tsdiag import crossing_rate
+
+    return crossing_rate(_series_from_events(spark, sf_dir))
+
+
+def q_reciprocity(spark, sf_dir):
+    """Weighted reciprocity of the event-type transition graph —
+    dialogue vs one-way-funnel share of transition mass; exact
+    integer min/sums over the vocabulary-bounded edge list."""
+    from pyspark.sql import Window
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+    from timeseriescorrelation_spark.operators.graphrank import (
+        reciprocity,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us(F.col("ts")), "event_id"
+    )
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+    )
+    edges = d.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return reciprocity(edges)
+
+
+
+def q_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per k-means cluster —
+    the clustering-quality gauge for the ANN/cluster family; per-point
+    scores micro-snapped before the mean (order-free integer sum);
+    oracle = the unrolled deterministic Lloyd's CTEs + a/b distance
+    aggregation."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        silhouette_clusters,
+    )
+
+    return silhouette_clusters(_embs(spark, sf_dir), k=8, n_iter=2)
+
+
+def q_stickiness_daily(spark, sf_dir):
+    """DAU / trailing-30d-distinct-users per day — exact MAU via the
+    bounded contribution explode (|user-days|*30 rows), the exact gate
+    for the HLL sketched path."""
+    from timeseriescorrelation_spark.operators.retention import (
+        stickiness_daily,
+    )
+
+    return stickiness_daily(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6486,6 +6569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_chart": q_p_chart,
         "c_chart": q_c_chart,
         "hhi_hourly": q_hhi_hourly,
+        "atkinson_daily": q_atkinson_daily,
+        "grubbs_daily": q_grubbs_daily,
+        "crossing_rate": q_crossing_rate,
+        "reciprocity": q_reciprocity,
+        "silhouette": q_silhouette,
+        "stickiness_daily": q_stickiness_daily,
     }
 
 
@@ -6711,6 +6800,65 @@ SELECT qid, rank, nid, cos FROM (
   FROM probes p JOIN asg a USING (cell)
   WHERE a.vec_id <> p.qid
 ) WHERE rank <= 10
+"""
+
+
+def _silhouette_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Silhouette on top of the same unrolled Lloyd's CTEs as
+    _kmeans_ivf_oracle: per-point a/b distances against the final
+    centroid table, micro-snapped before the mean (order-free)."""
+
+    def mean_cte(src: str) -> str:
+        return (
+            "SELECT cell, list(m ORDER BY dim) AS c FROM ("
+            "SELECT cell, dim, avg(x) AS m FROM ("
+            "SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS dim "
+            f"FROM {src}) GROUP BY 1, 2) GROUP BY 1"
+        )
+
+    def assign_cte(cent: str) -> str:
+        return (
+            "SELECT vec_id, v, cell FROM ("
+            "SELECT u.vec_id, u.v, c.cell, row_number() OVER ("
+            "PARTITION BY u.vec_id ORDER BY "
+            "list_dot_product(u.v, c.c) / sqrt(list_dot_product(c.c, c.c)) "
+            "DESC, c.cell) AS r "
+            f"FROM uv u CROSS JOIN {cent} c) WHERE r = 1"
+        )
+
+    parts = [
+        f"a0 AS (SELECT vec_id, v, cast(vec_id % {k} AS int) AS cell FROM uv)",
+        f"cent0 AS ({mean_cte('a0')})",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"a{i} AS ({assign_cte(f'cent{i - 1}')})")
+        parts.append(f"cent{i} AS ({mean_cte(f'a{i}')})")
+    final = f"cent{n_iter}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {_UV_CTE}, {ctes}, asg AS (
+  {assign_cte(final)}
+), dist AS (
+  SELECT a.vec_id, a.cell AS own, c.cell,
+         1.0 - list_dot_product(a.v, c.c)
+               / sqrt(list_dot_product(c.c, c.c)) AS d
+  FROM asg a CROSS JOIN {final} c
+), ab AS (
+  SELECT vec_id, own,
+         max(CASE WHEN cell = own THEN d END) AS a_d,
+         min(CASE WHEN cell <> own THEN d END) AS b_d
+  FROM dist GROUP BY 1, 2
+), per AS (
+  SELECT own AS cell,
+         cast(round(CASE WHEN greatest(a_d, b_d) > 0
+                    THEN (b_d - a_d) / greatest(a_d, b_d)
+                    ELSE 0.0 END * 1000000.0) AS bigint) AS sm
+  FROM ab
+)
+SELECT cast(cell AS int) AS cell, cast(count(*) AS bigint) AS n,
+       round(cast(sum(sm) AS double) / 1000000.0
+             / cast(count(*) AS double), 6) AS mean_silhouette
+FROM per GROUP BY cell
 """
 
 
@@ -7046,6 +7194,7 @@ def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
+    d["silhouette"] = _silhouette_oracle(k=8, n_iter=2)
     # Ljung-Box rides the shared ACF CTE: per-lag terms snapped to
     # integer pico-units (order-free sum), Q one double expression
     d["ljung_box"] = (
@@ -14877,5 +15026,130 @@ SELECT hour_ts, n, cast(n_cats AS bigint) AS n_cats,
                   / (1.0 - 1.0 / cast(n_cats AS double))
              END, 6) AS hhi_norm
 FROM a
+""",
+        "atkinson_daily": """
+WITH cells AS (
+  SELECT date_trunc('day', ts) AS day_ts, user_id AS unit,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+  HAVING sum(cast(round(value * 100) AS bigint)) > 0
+), a AS (
+  SELECT day_ts, count(*) AS n_units, cast(sum(y) AS bigint) AS t_tot,
+         cast(sum(cast(round(ln(cast(y AS double)) * 1000000.0)
+                       AS bigint)) AS bigint) AS lnsum
+  FROM cells GROUP BY 1
+)
+SELECT day_ts, cast(n_units AS bigint) AS n_units,
+       t_tot AS total_cents,
+       round(1.0 - exp((cast(lnsum AS double) / 1000000.0)
+                       / cast(n_units AS double))
+                   / (cast(t_tot AS double)
+                      / cast(n_units AS double)), 6) AS atkinson1
+FROM a
+""",
+        "grubbs_daily": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), agg AS (
+  SELECT metric, day_ts, count(*) AS n, cast(sum(c) AS bigint) AS t_tot,
+         sum(cast(c AS hugeint) * c) AS sxx,
+         min(c) AS c_min, max(c) AS c_max
+  FROM pt GROUP BY 1, 2 HAVING count(*) >= 3
+), e AS (
+  SELECT metric, day_ts, n, t_tot, c_min, c_max,
+         n * c_max - t_tot AS d_hi, t_tot - n * c_min AS d_lo,
+         (cast(sxx AS double)
+          - cast(t_tot AS double) * cast(t_tot AS double)
+            / cast(n AS double))
+         / (cast(n AS double) - 1.0) AS var
+  FROM agg
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n,
+       round(cast(t_tot AS double) / cast(n AS double) / 100.0, 6)
+         AS mean_v,
+       round(sqrt(greatest(var, 0.0)) / 100.0, 6) AS sd_v,
+       round(cast(CASE WHEN d_hi >= d_lo THEN c_max ELSE c_min END
+                  AS double) / 100.0, 6) AS suspect_value,
+       round(CASE WHEN var > 0
+             THEN (cast(greatest(d_hi, d_lo) AS double)
+                   / cast(n AS double))
+                  / sqrt(greatest(var, 0.0)) END, 6) AS g_stat
+FROM e
+""",
+        "crossing_rate": """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) AS t_us, event_id AS o,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), day AS (
+  SELECT metric, day_ts, count(*) AS n, cast(sum(c) AS bigint) AS t_tot
+  FROM pt GROUP BY 1, 2
+), s AS (
+  SELECT pt.metric, pt.day_ts, day.n,
+         sign(day.n * pt.c - day.t_tot) AS sgn,
+         lag(sign(day.n * pt.c - day.t_tot)) OVER (
+           PARTITION BY pt.metric, pt.day_ts ORDER BY t_us, o
+         ) AS sgn_prev
+  FROM pt JOIN day
+    ON pt.metric = day.metric AND pt.day_ts = day.day_ts
+), g AS (
+  SELECT metric, day_ts, max(n) AS n,
+         sum(CASE WHEN sgn * sgn_prev = -1 THEN 1 ELSE 0 END)
+           AS crossings
+  FROM s GROUP BY 1, 2
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n,
+       cast(crossings AS bigint) AS crossings,
+       round(cast(crossings AS double)
+             / (cast(n AS double) - 1.0), 6) AS crossing_rate
+FROM g WHERE n >= 2
+""",
+        "reciprocity": """
+WITH d AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+), e AS (
+  SELECT prev_type AS s, event_type AS d2, count(*) AS w
+  FROM d WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  GROUP BY 1, 2
+), j AS (
+  SELECT a.w, coalesce(b.w, 0) AS w_rev
+  FROM e a LEFT JOIN e b ON a.s = b.d2 AND a.d2 = b.s
+)
+SELECT cast(count(*) AS bigint) AS n_edges,
+       cast(sum(w) AS bigint) AS w_total,
+       cast(sum(least(w, w_rev)) AS bigint) AS w_reciprocated,
+       round(cast(sum(least(w, w_rev)) AS double)
+             / cast(sum(w) AS double), 6) AS reciprocity
+FROM j
+""",
+        "stickiness_daily": """
+WITH du AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events
+), span AS (
+  SELECT max(d) AS d1 FROM du
+), tgt AS (
+  SELECT DISTINCT u, td FROM (
+    SELECT u, unnest(generate_series(
+      d, least((SELECT d1 FROM span), d + INTERVAL 29 DAY),
+      INTERVAL 1 DAY)) AS td
+    FROM du)
+), mau AS (
+  SELECT td, count(*) AS mau FROM tgt GROUP BY 1
+), dau AS (
+  SELECT d, count(*) AS dau FROM du GROUP BY 1
+)
+SELECT mau.td AS day_ts,
+       cast(coalesce(dau.dau, 0) AS bigint) AS dau,
+       cast(mau.mau AS bigint) AS mau,
+       round(cast(coalesce(dau.dau, 0) AS double)
+             / cast(mau.mau AS double), 6) AS stickiness
+FROM mau LEFT JOIN dau ON mau.td = dau.d
 """,
     }

@@ -296,6 +296,12 @@ HEADLINE_R3 = [
     "p_chart",
     "c_chart",
     "hhi_hourly",
+    "atkinson_daily",
+    "grubbs_daily",
+    "crossing_rate",
+    "reciprocity",
+    "silhouette",
+    "stickiness_daily",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

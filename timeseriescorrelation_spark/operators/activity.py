@@ -720,3 +720,49 @@ def hhi_hourly(events: DataFrame, cat_col: str = "event_type",
         F.round(hhi, 6).alias("hhi"),
         F.round(hhi_norm, 6).alias("hhi_norm"),
     )
+
+
+def atkinson_daily(events: DataFrame, unit_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   value_decimals: int = 2) -> DataFrame:
+    """(day_ts, n_units, total_cents, atkinson1): Atkinson inequality
+    index at ε = 1 of per-day per-unit value sums — the
+    WELFARE-weighted member of the inequality family (gini_daily:
+    rank-based; theil_daily: entropy-based; Atkinson(1) = 1 −
+    geomean/mean answers "what share of total value could be
+    sacrificed if it were spread evenly, at log utility").
+
+        A₁ = 1 − exp(Σ ln y_u / n) / (T/n)
+
+    ln terms are snapped to integer MICRO-NATS (round(ln(y)·10⁶),
+    the theil_daily policy) so the sum is an exact order-free
+    integer; exp and the final ratio are one shared double tree.
+    Units with y ≤ 0 are excluded (log utility undefined), matching
+    the oracle's HAVING clause.
+
+    Scale: (unit, day) hash agg → day agg; grid-sized after the
+    first pass."""
+    scale = 10 ** int(value_decimals)
+    cells = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day_ts"),
+        F.col(unit_col).alias("unit"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("y")
+    ).where(F.col("y") > 0)
+    agg = cells.groupBy("day_ts").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("y").alias("t_tot"),
+        F.sum(
+            F.round(F.log(F.col("y").cast("double")) * 1e6).cast("long")
+        ).alias("lnsum_micro"),
+    )
+    n = F.col("n_units").cast("double")
+    t = F.col("t_tot").cast("double")
+    geo = F.exp((F.col("lnsum_micro").cast("double") / F.lit(1.0e6)) / n)
+    atk = F.lit(1.0) - geo / (t / n)
+    return agg.select(
+        "day_ts",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("t_tot").cast("long").alias("total_cents"),
+        F.round(atk, 6).alias("atkinson1"),
+    )

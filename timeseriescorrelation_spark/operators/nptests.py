@@ -202,3 +202,63 @@ def sign_test_dod(series: DataFrame, key: str = "metric",
         F.col("losses").cast("long").alias("losses"),
         F.round((w - lo) / F.sqrt(w + lo), 6).alias("z"),
     )
+
+
+def grubbs_daily(series: DataFrame, key: str = "metric",
+                 value_decimals: int = 2,
+                 min_n: int = 3) -> DataFrame:
+    """(metric, day_ts, n, mean_v, sd_v, suspect_value, g_stat):
+    Grubbs' statistic per metric-day — the single-outlier screen
+    G = max|x − x̄| / s, reported with the suspect observation so an
+    operator can eyeball it (the critical value depends on a
+    t-quantile; compare downstream, the mann_kendall |z|>1.96
+    policy).
+
+    The argmax needs NO float comparison: with integer cents c and
+    T = Σc, the deviation order is the INTEGER order of
+    d = |n·c − T|, and the extreme is always one of {min c, max c} —
+    so min/max aggregates decide the suspect, and the cross-engine
+    tie rule (max side wins when both deviations equal) is one
+    integer CASE.  G itself is one shared double tree over the exact
+    (n, T, Σc², maxd) integers.
+
+    Scale: one hash agg per (metric, day) — no self-join, no window,
+    grid-sized output."""
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    dec = "decimal(38,0)"
+    agg = pt.groupBy("metric", "day_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("t_tot"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sxx"),
+        F.min("c").alias("c_min"),
+        F.max("c").alias("c_max"),
+    ).where(F.col("n") >= int(min_n))
+    d_hi = F.col("n") * F.col("c_max") - F.col("t_tot")
+    d_lo = F.col("t_tot") - F.col("n") * F.col("c_min")
+    maxd = F.greatest(d_hi, d_lo)
+    suspect_c = F.when(d_hi >= d_lo, F.col("c_max")).otherwise(
+        F.col("c_min")
+    )
+    n = F.col("n").cast("double")
+    t = F.col("t_tot").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = (sxx - t * t / n) / (n - F.lit(1.0))
+    # t²/n can exceed sxx by one ulp when the true variance is 0 —
+    # clamp so sqrt never sees a negative (both engines mirror this)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    g = F.when(var > 0, (maxd.cast("double") / n) / sd)
+    return agg.select(
+        "metric", "day_ts",
+        F.col("n").cast("long").alias("n"),
+        F.round(t / n / F.lit(float(scale)), 6).alias("mean_v"),
+        F.round(sd / F.lit(float(scale)), 6).alias("sd_v"),
+        F.round(
+            suspect_c.cast("double") / F.lit(float(scale)), 6
+        ).alias("suspect_value"),
+        F.round(g, 6).alias("g_stat"),
+    )

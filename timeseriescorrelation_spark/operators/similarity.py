@@ -1610,3 +1610,65 @@ def pca_project(emb: DataFrame, n_components: int = 4,
             yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(_proj, schema)
+
+
+def silhouette_clusters(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(cell, n, mean_silhouette): simplified (centroid-based)
+    silhouette per k-means cluster — the clustering-quality gauge for
+    emb_clusters/ann_ivf: for each point, a = cosine distance to its
+    OWN centroid, b = min distance to any OTHER centroid,
+    s = (b − a)/max(a, b) ∈ [−1, 1]; means near 1 = tight separated
+    clusters, near 0 = overlapping, negative = misassigned.
+
+    Simplified (O(N·k) against centroids) rather than full silhouette
+    (O(N²) pairwise) — the only form that scales; the centroid table
+    is k rows broadcast, so the whole operator is one broadcast join
+    + two hash aggs after the (deterministic, vec_id%k-seeded)
+    Lloyd's fit.
+
+    Determinism: per-point silhouettes are snapped to integer
+    MICRO-units before the mean (float means are addition-order-
+    dependent; integer sums are not) — the same policy as theil's
+    micro-nats.  a/b themselves come through max/min (order-free)."""
+    from pyspark.sql import functions as F
+
+    cents = kmeans_centroids(emb, k, n_iter, vec_col, id_col)
+    unit = with_unit_vectors(emb, vec_col, id_col)
+    asg = _assign_cells(unit, cents)
+    c2 = cents.select(
+        F.col("cell").alias("ccell"), "c",
+        _norm(F.col("c")).alias("_cn"),
+    )
+    dist = asg.crossJoin(F.broadcast(c2)).select(
+        "vec_id", "cell", "ccell",
+        (
+            F.lit(1.0) - _dot(F.col("v"), F.col("c")) / F.col("_cn")
+        ).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "cell").agg(
+        F.max(
+            F.when(F.col("ccell") == F.col("cell"), F.col("d"))
+        ).alias("a_d"),
+        F.min(
+            F.when(F.col("ccell") != F.col("cell"), F.col("d"))
+        ).alias("b_d"),
+    )
+    top = F.greatest(F.col("a_d"), F.col("b_d"))
+    sil = F.when(
+        top > 0, (F.col("b_d") - F.col("a_d")) / top
+    ).otherwise(F.lit(0.0))
+    per = ab.select(
+        "cell", F.round(sil * F.lit(1.0e6)).cast("long").alias("sm")
+    )
+    return per.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sm").alias("ssm")
+    ).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("ssm").cast("double") / F.lit(1.0e6)
+            / F.col("n").cast("double"), 6
+        ).alias("mean_silhouette"),
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
 from timeseriescorrelation_spark.operators.crossmetric import (
     DEC,
     _hourly_cents,
@@ -520,4 +521,57 @@ def newey_west(series: DataFrame, key: str = "metric",
         F.round(se_iid, 6).alias("se_iid"),
         F.round(se_hac, 6).alias("se_hac"),
         F.round(ratio, 6).alias("hac_ratio"),
+    )
+
+
+def crossing_rate(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2,
+                  ord_col: str = "turn_idx") -> DataFrame:
+    """(metric, day_ts, n, crossings, crossing_rate): mean-crossing
+    count per metric-day — how often the (time-ordered) series crosses
+    its own daily mean; white noise crosses ≈ half the steps, a
+    trending or sticky series far less (the zero-crossing cousin of
+    runs_test, on levels instead of signs of change).
+
+    Sign against the mean is the INTEGER sign of n·c − T (no float
+    mean ever compared); a crossing is a consecutive pair with
+    product −1 (zeros break runs but never count).  One lag window
+    inside (metric, day) partitions, then one hash agg.
+
+    Scale: window partitions are (metric, day) — bounded, parallel;
+    output is grid-sized."""
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        epoch_us(F.col("ts")).alias("t_us"),
+        F.col(ord_col).cast("long").alias("o"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    day = pt.groupBy("metric", "day_ts").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("t_tot")
+    )
+    j = pt.join(day, ["metric", "day_ts"])
+    sgn = F.signum(
+        (F.col("n") * F.col("c") - F.col("t_tot")).cast("double")
+    ).cast("long")
+    w = Window.partitionBy("metric", "day_ts").orderBy("t_us", "o")
+    with_lag = j.select(
+        "metric", "day_ts", "n", sgn.alias("s"),
+        F.lag(sgn).over(w).alias("s_prev"),
+    )
+    out = with_lag.groupBy("metric", "day_ts").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.col("s") * F.col("s_prev") == -1).cast("long")
+        ).alias("crossings"),
+    )
+    return out.where(F.col("n") >= 2).select(
+        "metric", "day_ts",
+        F.col("n").cast("long").alias("n"),
+        F.col("crossings").cast("long").alias("crossings"),
+        F.round(
+            F.col("crossings").cast("double")
+            / (F.col("n").cast("double") - F.lit(1.0)), 6
+        ).alias("crossing_rate"),
     )
