@@ -6251,6 +6251,38 @@ def q_stickiness_daily(spark, sf_dir):
     return stickiness_daily(_events(spark, sf_dir))
 
 
+
+def q_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve deciles per day — the inspectable table behind
+    gini_daily: per-decile mass + cumulative share as exact integer
+    ratios; ntile inside day partitions with (y, unit) tie-break."""
+    from timeseriescorrelation_spark.operators.activity import (
+        lorenz_deciles,
+    )
+
+    return lorenz_deciles(_events(spark, sf_dir))
+
+
+def q_odds_ratio_weekend(spark, sf_dir):
+    """Weekend-vs-weekday odds ratio of high-value observations per
+    metric with the Wald 95% CI; weekend decided by integer epoch-day
+    arithmetic, never an engine dayofweek() convention."""
+    from timeseriescorrelation_spark.operators.abtest import (
+        odds_ratio_weekend,
+    )
+
+    return odds_ratio_weekend(_events(spark, sf_dir))
+
+
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram at lags 1-6 h over hourly cent totals —
+    the decorrelation-range view of the ACF; calendar-offset equi-join
+    pairing, decimal38 squared diffs, value-units² output."""
+    from timeseriescorrelation_spark.operators.acf import semivariogram
+
+    return semivariogram(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6575,6 +6607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "silhouette": q_silhouette,
         "stickiness_daily": q_stickiness_daily,
+        "lorenz_deciles": q_lorenz_deciles,
+        "odds_ratio_weekend": q_odds_ratio_weekend,
+        "semivariogram": q_semivariogram,
     }
 
 
@@ -15151,5 +15186,86 @@ SELECT mau.td AS day_ts,
        round(cast(coalesce(dau.dau, 0) AS double)
              / cast(mau.mau AS double), 6) AS stickiness
 FROM mau LEFT JOIN dau ON mau.td = dau.d
+""",
+        "lorenz_deciles": """
+WITH cells AS (
+  SELECT date_trunc('day', ts) AS day_ts, user_id AS unit,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), tiled AS (
+  SELECT day_ts, y,
+         ntile(10) OVER (PARTITION BY day_ts ORDER BY y, unit) AS decile
+  FROM cells
+), per AS (
+  SELECT day_ts, decile, count(*) AS n_units,
+         cast(sum(y) AS bigint) AS yd
+  FROM tiled GROUP BY 1, 2
+)
+SELECT day_ts, cast(decile AS int) AS decile,
+       cast(n_units AS bigint) AS n_units,
+       yd AS decile_cents,
+       round(cast(sum(yd) OVER (PARTITION BY day_ts ORDER BY decile
+                                ROWS UNBOUNDED PRECEDING) AS double)
+             / cast(sum(yd) OVER (PARTITION BY day_ts) AS double), 6)
+         AS cum_share
+FROM per
+""",
+        "odds_ratio_weekend": """
+WITH e AS (
+  SELECT event_type AS metric,
+         ((epoch_us(date_trunc('day', ts)) // 86400000000) + 4) % 7
+           AS dow,
+         CASE WHEN cast(round(value * 100) AS bigint) > 10000
+              THEN 1 ELSE 0 END AS hi
+  FROM events
+), agg AS (
+  SELECT metric,
+         cast(sum(CASE WHEN dow IN (0, 6) AND hi = 1 THEN 1 ELSE 0 END)
+              AS bigint) AS a,
+         cast(sum(CASE WHEN dow IN (0, 6) AND hi = 0 THEN 1 ELSE 0 END)
+              AS bigint) AS b,
+         cast(sum(CASE WHEN dow NOT IN (0, 6) AND hi = 1 THEN 1 ELSE 0
+                  END) AS bigint) AS c,
+         cast(sum(CASE WHEN dow NOT IN (0, 6) AND hi = 0 THEN 1 ELSE 0
+                  END) AS bigint) AS d
+  FROM e GROUP BY 1
+), s AS (
+  SELECT metric, a, b, c, d,
+         (cast(a AS double) * cast(d AS double))
+         / (cast(b AS double) * cast(c AS double)) AS orr,
+         sqrt(1.0 / cast(a AS double) + 1.0 / cast(b AS double)
+              + 1.0 / cast(c AS double) + 1.0 / cast(d AS double)) AS se,
+         (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok
+  FROM agg
+)
+SELECT metric, a, b, c, d,
+       round(CASE WHEN ok THEN orr END, 6) AS odds_ratio,
+       round(CASE WHEN ok THEN exp(ln(orr) - 1.96 * se) END, 6) AS ci_lo,
+       round(CASE WHEN ok THEN exp(ln(orr) + 1.96 * se) END, 6) AS ci_hi
+FROM s
+""",
+        "semivariogram": """
+WITH g AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS h,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(1, 6)) AS lag_h
+), a AS (
+  SELECT metric, cast(lag_h AS int) AS lag_h,
+         h + to_hours(lag_h) AS h2, y AS y1
+  FROM g CROSS JOIN lags
+), p AS (
+  SELECT a.metric, a.lag_h, a.y1, b.y AS y2
+  FROM a JOIN g b ON a.metric = b.metric AND a.h2 = b.h
+), o AS (
+  SELECT metric, lag_h, count(*) AS n_pairs,
+         sum(cast(y2 - y1 AS hugeint) * (y2 - y1)) AS sq
+  FROM p GROUP BY 1, 2
+)
+SELECT metric, lag_h, cast(n_pairs AS bigint) AS n_pairs,
+       round(cast(sq AS double)
+             / (2.0 * cast(n_pairs AS double)) / 10000.0, 6) AS gamma
+FROM o
 """,
     }

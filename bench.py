@@ -302,6 +302,9 @@ HEADLINE_R3 = [
     "reciprocity",
     "silhouette",
     "stickiness_daily",
+    "lorenz_deciles",
+    "odds_ratio_weekend",
+    "semivariogram",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
 from timeseriescorrelation_spark.operators.sampling import hash_bucket
 
 
@@ -349,4 +350,64 @@ def isotonic_calibration(scored: DataFrame, score_col: str = "score",
         out,
         "bin_idx int, score double, n long, successes long,"
         " rate_raw double, rate_iso double",
+    )
+
+
+def odds_ratio_weekend(events: DataFrame, key: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       high_cents: int = 10_000,
+                       value_decimals: int = 2) -> DataFrame:
+    """(metric, a, b, c, d, odds_ratio, ci_lo, ci_hi): weekend-vs-
+    weekday odds of a HIGH-value observation per metric (the 2×2
+    epidemiologist's view of "do expensive events cluster on
+    weekends"), with the Wald 95% CI on ln OR:
+
+        OR = (a·d)/(b·c),   ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d)
+
+    a = weekend-high, b = weekend-low, c = weekday-high, d = low.
+    NULL OR/CI when any cell is empty (the Wald form degenerates).
+
+    Weekend is decided by INTEGER epoch-day arithmetic
+    ((days + 4) mod 7 ∈ {0, 6}, anchored to 1970-01-01 = Thursday) —
+    no engine-specific dayofweek() convention ever consulted.  One
+    hash agg; four exact integer cells per metric."""
+    scale = 10 ** int(value_decimals)
+    days = F.floor(
+        epoch_us(F.date_trunc("day", F.col(ts_col)))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    dow = F.pmod(days + F.lit(4), F.lit(7))
+    wkd = dow.isin(0, 6)
+    hi = (
+        F.round(F.col(value_col) * scale).cast("long")
+        > F.lit(int(high_cents))
+    )
+    agg = events.groupBy(F.col(key).alias("metric")).agg(
+        F.sum((wkd & hi).cast("long")).alias("a"),
+        F.sum((wkd & ~hi).cast("long")).alias("b"),
+        F.sum((~wkd & hi).cast("long")).alias("c"),
+        F.sum((~wkd & ~hi).cast("long")).alias("d"),
+    )
+    ok = (
+        (F.col("a") > 0) & (F.col("b") > 0)
+        & (F.col("c") > 0) & (F.col("d") > 0)
+    )
+    a, b, c, d = [F.col(x).cast("double") for x in "abcd"]
+    orr = (a * d) / (b * c)
+    se = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    return agg.select(
+        "metric",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.round(F.when(ok, orr), 6).alias("odds_ratio"),
+        F.round(
+            F.when(ok, F.exp(F.log(orr) - F.lit(1.96) * se)), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.when(ok, F.exp(F.log(orr) + F.lit(1.96) * se)), 6
+        ).alias("ci_hi"),
     )

@@ -558,3 +558,60 @@ def pacf3(series: DataFrame, keys: list[str] | None = None,
         F.round(F.col("p22"), 6).alias("phi22"),
         F.round(phi33, 6).alias("phi33"),
     )
+
+
+def semivariogram(series: DataFrame, max_lag: int = 6,
+                  keys: list[str] | None = None,
+                  value_decimals: int = 2) -> DataFrame:
+    """(metric, lag_h, n_pairs, gamma): empirical semivariogram of
+    the hourly cent-total series at lags 1..max_lag hours —
+
+        γ(h) = Σ (y_{t+h} − y_t)² / (2·n_pairs(h))
+
+    the geostatistician's reading of the ACF (γ(h) = σ²(1 − ρ(h))
+    for stationary series): a rising-then-flat γ exposes the
+    decorrelation RANGE in hours without estimating σ² first.
+
+    Pairing is the same calendar-offset equi-join as acf_spectrum
+    (missing hours drop, never misalign); squared cent diffs
+    accumulate in decimal(38,0); γ is reported in value-units²
+    (÷10⁴, the icc_oneway round-grid policy).
+
+    Scale: grid agg then max_lag equi-joins on (keys, hour) — every
+    join is grid-sized, shuffle bounded by |metrics|·|hours|·lags."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    g = series.groupBy(
+        *[F.col(k) for k in keys],
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    lags = series.sparkSession.range(1, int(max_lag) + 1).select(
+        F.col("id").cast("int").alias("lag_h")
+    )
+    a = g.crossJoin(F.broadcast(lags)).select(
+        *keys, "lag_h",
+        (F.col("h") + F.col("lag_h")
+         * F.expr("INTERVAL 1 HOUR")).alias("h2"),
+        F.col("y").alias("y1"),
+    )
+    b = g.select(*keys, F.col("h").alias("h2"), F.col("y").alias("y2"))
+    pairs = a.join(b, [*keys, "h2"])
+    dsq = (
+        (F.col("y2") - F.col("y1")).cast(dec)
+        * (F.col("y2") - F.col("y1")).cast(dec)
+    )
+    out = pairs.groupBy(*keys, "lag_h").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum(dsq).alias("sq")
+    )
+    return out.select(
+        *keys, "lag_h",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("sq").cast("double")
+            / (F.lit(2.0) * F.col("n_pairs").cast("double"))
+            / F.lit(1.0e4), 6
+        ).alias("gamma"),
+    )
