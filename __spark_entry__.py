@@ -6283,6 +6283,32 @@ def q_semivariogram(spark, sf_dir):
     return semivariogram(_series_from_events(spark, sf_dir))
 
 
+
+def q_logrank_weekend(spark, sf_dir):
+    """Log-rank test per metric: weekend-started vs weekday-started
+    conversation survival — exact integer risk/death counts from the
+    km_survival DESC-range window, e1/v terms micro-snapped before
+    the order-free sum, one z/chi-square double tree."""
+    from timeseriescorrelation_spark.operators.survival import (
+        logrank_weekend,
+    )
+
+    return logrank_weekend(
+        _series_from_events(spark, sf_dir), censor_horizon_s=3600
+    )
+
+
+def q_hapax_share(spark, sf_dir):
+    """Hapax-legomena share + type-token ratio per source — the
+    vocabulary-health companion to zipf_fit; exact integers off two
+    stacked vocabulary-bounded hash aggs."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        hapax_share,
+    )
+
+    return hapax_share(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6610,6 +6636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz_deciles": q_lorenz_deciles,
         "odds_ratio_weekend": q_odds_ratio_weekend,
         "semivariogram": q_semivariogram,
+        "logrank_weekend": q_logrank_weekend,
+        "hapax_share": q_hapax_share,
     }
 
 
@@ -15267,5 +15295,91 @@ SELECT metric, lag_h, cast(n_pairs AS bigint) AS n_pairs,
        round(cast(sq AS double)
              / (2.0 * cast(n_pairs AS double)) / 10000.0, 6) AS gamma
 FROM o
+""",
+        "logrank_weekend": """
+WITH ev AS (
+  SELECT event_type AS metric, user_id AS conv,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), fr AS (
+  SELECT metric, max(t1) AS fmax FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.metric, t1 - t0 AS dur,
+         CASE WHEN fmax - t1 < 3600000000 THEN 1 ELSE 0 END AS cens,
+         CASE WHEN ((t0 // 86400000000) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS g
+  FROM ev JOIN fr ON ev.metric = fr.metric
+), cnt AS (
+  SELECT metric, dur,
+         sum(g) AS c1, sum(1 - g) AS c0,
+         sum(g * (1 - cens)) AS d1,
+         sum((1 - g) * (1 - cens)) AS d0
+  FROM d GROUP BY 1, 2
+), r AS (
+  SELECT metric, d1, d0,
+         sum(c1) OVER (PARTITION BY metric ORDER BY dur DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS n1,
+         sum(c0) OVER (PARTITION BY metric ORDER BY dur DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS n0
+  FROM cnt
+), rd AS (
+  SELECT metric, d1, d0, n1, n0,
+         cast(d1 + d0 AS double) AS dd,
+         cast(n1 AS double) AS n1d, cast(n0 AS double) AS n0d,
+         cast(n1 + n0 AS double) AS nnd
+  FROM r WHERE d1 + d0 > 0
+), terms AS (
+  SELECT metric, cast(sum(d1) AS bigint) AS o1,
+         cast(sum(cast(round(dd * n1d / nnd * 1000000.0) AS bigint))
+              AS bigint) AS e1u,
+         cast(sum(CASE WHEN n1 + n0 > 1
+                  THEN cast(round(dd * (n1d / nnd) * (n0d / nnd)
+                                  * ((nnd - dd) / (nnd - 1.0))
+                                  * 1000000.0) AS bigint)
+                  ELSE 0 END) AS bigint) AS vu
+  FROM rd GROUP BY 1
+), arms AS (
+  SELECT metric, cast(sum(g) AS bigint) AS n_conv_wkend,
+         cast(sum(1 - g) AS bigint) AS n_conv_wkday
+  FROM d GROUP BY 1
+), zc AS (
+  SELECT t.metric, n_conv_wkend, n_conv_wkday, o1,
+         cast(e1u AS double) / 1000000.0 AS e1,
+         cast(vu AS double) / 1000000.0 AS v,
+         CASE WHEN vu > 0
+              THEN (cast(o1 AS double)
+                    - cast(e1u AS double) / 1000000.0)
+                   / sqrt(cast(vu AS double) / 1000000.0) END AS z
+  FROM terms t JOIN arms a ON t.metric = a.metric
+)
+SELECT metric, n_conv_wkend, n_conv_wkday, o1,
+       round(e1, 6) AS e1, round(v, 6) AS v,
+       round(z, 6) AS z, round(z * z, 6) AS chi2
+FROM zc
+""",
+        "hapax_share": """
+WITH tok AS (
+  SELECT source AS src, t
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+    FROM documents)
+  WHERE t <> ''
+), per_tok AS (
+  SELECT src, t, count(*) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT src, cast(sum(c) AS bigint) AS n_tokens,
+         count(*) AS vocab,
+         cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint) AS hapax
+  FROM per_tok GROUP BY 1
+)
+SELECT src AS source, n_tokens, cast(vocab AS bigint) AS vocab, hapax,
+       round(cast(hapax AS double) / cast(vocab AS double), 6)
+         AS hapax_share,
+       round(cast(vocab AS double) / cast(n_tokens AS double), 6)
+         AS type_token_ratio
+FROM agg
 """,
     }

@@ -305,6 +305,8 @@ HEADLINE_R3 = [
     "lorenz_deciles",
     "odds_ratio_weekend",
     "semivariogram",
+    "logrank_weekend",
+    "hapax_share",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

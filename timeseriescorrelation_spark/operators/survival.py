@@ -165,3 +165,104 @@ def na_hazard(series: DataFrame, keys: list[str] | None = None,
         "cumhaz",
         F.round(F.col("cumhaz_u").cast("double") / F.lit(M_U), 6),
     )
+
+
+def logrank_weekend(series: DataFrame, keys: list[str] | None = None,
+                    conv_col: str = "conv_id", ts_col: str = "ts",
+                    censor_horizon_s: int = 3600) -> DataFrame:
+    """(keys..., n_conv_wkend, n_conv_wkday, o1, e1, v, z, chi2): the
+    log-rank test comparing KM survival of WEEKEND-started vs
+    weekday-started conversations per key — the hypothesis test the
+    KM curve was missing ("the curves look different; is it noise?").
+
+    At every uncensored death time t (pooled over both arms):
+        e1(t) = d(t)·n₁(t)/n(t)
+        v(t)  = d(t)·(n₁/n)·(n₀/n)·(n−d)/(n−1)        [n > 1]
+    O₁ = Σ d₁,  E₁ = Σ e1,  V = Σ v,  z = (O₁−E₁)/√V,  χ² = z².
+
+    Exactness: risk/death counts are exact integers from the same
+    DESC-range window as km_survival; e1/v are per-row rationals
+    snapped to integer MICRO-units before the (order-free) sum —
+    the engine's fixed-point policy.  Weekend membership is integer
+    epoch-day arithmetic on the conversation's FIRST event
+    ((days+4) mod 7 ∈ {0,6}; floor of an exact-µs/86400e6 division
+    cannot misround: the fractional part is ≥ 1 µs/day ≫ half an
+    ulp).
+
+    Scale: one conv agg → per-(key, dur) counts → two partitioned
+    windows — the km_survival shape with a 2-arm split, no grids."""
+    keys = keys or ["metric"]
+    h_us = int(censor_horizon_s) * 1_000_000
+    ev = series.groupBy(*keys, conv_col).agg(
+        F.min(epoch_us(F.col(ts_col))).alias("t0"),
+        F.max(epoch_us(F.col(ts_col))).alias("t1"),
+    )
+    fr = ev.groupBy(*keys).agg(F.max("t1").alias("fmax"))
+    days = F.floor(F.col("t0") / F.lit(86_400_000_000)).cast("long")
+    g1 = F.pmod(days + F.lit(4), F.lit(7)).isin(0, 6).cast("long")
+    d = ev.join(F.broadcast(fr), keys).select(
+        *keys,
+        (F.col("t1") - F.col("t0")).alias("dur"),
+        ((F.col("fmax") - F.col("t1")) < h_us).cast("long").alias("cens"),
+        g1.alias("g"),
+    )
+    cnt = d.groupBy(*keys, "dur").agg(
+        F.sum("g").alias("c1"),
+        F.sum(F.lit(1) - F.col("g")).alias("c0"),
+        F.sum(F.col("g") * (F.lit(1) - F.col("cens"))).alias("d1"),
+        F.sum(
+            (F.lit(1) - F.col("g")) * (F.lit(1) - F.col("cens"))
+        ).alias("d0"),
+    )
+    w_risk = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("dur").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = cnt.select(
+        *keys, "d1", "d0",
+        F.sum("c1").over(w_risk).alias("n1"),
+        F.sum("c0").over(w_risk).alias("n0"),
+    ).where(F.col("d1") + F.col("d0") > 0)
+    dd = (F.col("d1") + F.col("d0")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    nn = (F.col("n1") + F.col("n0")).cast("double")
+    e1_u = F.round(dd * n1 / nn * F.lit(1.0e6)).cast("long")
+    v_u = F.when(
+        F.col("n1") + F.col("n0") > 1,
+        F.round(
+            dd * (n1 / nn) * (n0 / nn)
+            * ((nn - dd) / (nn - F.lit(1.0))) * F.lit(1.0e6)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    terms = r.groupBy(*keys).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(e1_u).alias("e1u"),
+        F.sum(v_u).alias("vu"),
+    )
+    arms = d.groupBy(*keys).agg(
+        F.sum("g").alias("n_conv_wkend"),
+        F.sum(F.lit(1) - F.col("g")).alias("n_conv_wkday"),
+    )
+    j = terms.join(arms, keys)
+    e1 = F.col("e1u").cast("double") / F.lit(1.0e6)
+    v = F.col("vu").cast("double") / F.lit(1.0e6)
+    z = F.when(
+        F.col("vu") > 0,
+        (F.col("o1").cast("double") - e1) / F.sqrt(v),
+    )
+    zc = j.select(
+        *keys,
+        F.col("n_conv_wkend").cast("long").alias("n_conv_wkend"),
+        F.col("n_conv_wkday").cast("long").alias("n_conv_wkday"),
+        F.col("o1").cast("long").alias("o1"),
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("v"),
+        z.alias("_z"),
+    )
+    return zc.select(
+        *keys, "n_conv_wkend", "n_conv_wkday", "o1", "e1", "v",
+        F.round(F.col("_z"), 6).alias("z"),
+        F.round(F.col("_z") * F.col("_z"), 6).alias("chi2"),
+    )

@@ -540,3 +540,47 @@ def text_readability(docs: DataFrame, text_col: str = "text",
         "doc_id", "n_words", "n_sentences", "n_syllables",
         F.round(flesch, 6).alias("flesch"), band.alias("band"),
     )
+
+
+def hapax_share(docs: DataFrame, by_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """(source, n_tokens, vocab, hapax, hapax_share, type_token_ratio):
+    hapax-legomena share per corpus slice — the vocabulary-health
+    companion to zipf_fit/vocab_growth: a healthy natural corpus keeps
+    a large once-only vocabulary fringe (≈ half the types, Zipf);
+    template/bot text collapses it toward 0, OCR noise inflates it
+    toward 1.
+
+    Token = lowercased whitespace run (the shared shingle/BPE
+    convention).  All four statistics are exact integers off two
+    stacked hash aggs ((source, token) → source); the two shares are
+    one division each.
+
+    Scale: the (source, token) agg is vocabulary-bounded after
+    map-side combine; nothing beyond it sees document text."""
+    tok = docs.select(
+        F.col(by_col).alias("src"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("t"),
+    ).where(F.col("t") != "")
+    per_tok = tok.groupBy("src", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_tok.groupBy("src").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+    )
+    return agg.select(
+        F.col("src").alias("source"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("vocab").cast("double"),
+            6,
+        ).alias("hapax_share"),
+        F.round(
+            F.col("vocab").cast("double")
+            / F.col("n_tokens").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
