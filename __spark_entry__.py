@@ -6309,6 +6309,30 @@ def q_hapax_share(spark, sf_dir):
     return hapax_share(_docs(spark, sf_dir))
 
 
+
+def q_cox_weekend(spark, sf_dir):
+    """One-covariate Cox PH per metric (weekend-start hazard ratio)
+    via two unrolled Newton steps on the Breslow partial likelihood —
+    micro-snapped score/information terms, shared double beta tree;
+    the effect-size companion to logrank_weekend's test."""
+    from timeseriescorrelation_spark.operators.survival import cox_weekend
+
+    return cox_weekend(
+        _series_from_events(spark, sf_dir), censor_horizon_s=3600
+    )
+
+
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel block-maxima fit per metric over daily cent maxima
+    (method of moments) + the 100-day return level — the
+    block-maxima EVT companion to hill_tail's peaks-over-threshold."""
+    from timeseriescorrelation_spark.operators.survival import (
+        gumbel_maxima,
+    )
+
+    return gumbel_maxima(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6638,6 +6662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "logrank_weekend": q_logrank_weekend,
         "hapax_share": q_hapax_share,
+        "cox_weekend": q_cox_weekend,
+        "gumbel_maxima": q_gumbel_maxima,
     }
 
 
@@ -15381,5 +15407,118 @@ SELECT src AS source, n_tokens, cast(vocab AS bigint) AS vocab, hapax,
        round(cast(vocab AS double) / cast(n_tokens AS double), 6)
          AS type_token_ratio
 FROM agg
+""",
+        "cox_weekend": """
+WITH ev AS (
+  SELECT event_type AS metric, user_id AS conv,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), fr AS (
+  SELECT metric, max(t1) AS fmax FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.metric, t1 - t0 AS dur,
+         CASE WHEN fmax - t1 < 3600000000 THEN 1 ELSE 0 END AS cens,
+         CASE WHEN ((t0 // 86400000000) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS g
+  FROM ev JOIN fr ON ev.metric = fr.metric
+), cnt AS (
+  SELECT metric, dur,
+         sum(g) AS c1, sum(1 - g) AS c0,
+         sum(g * (1 - cens)) AS d1,
+         sum((1 - g) * (1 - cens)) AS d0
+  FROM d GROUP BY 1, 2
+), r AS (
+  SELECT metric, d1, d0,
+         sum(c1) OVER (PARTITION BY metric ORDER BY dur DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS n1,
+         sum(c0) OVER (PARTITION BY metric ORDER BY dur DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS n0
+  FROM cnt
+), rd AS (
+  SELECT metric, d1, d0, n1, n0,
+         cast(d1 + d0 AS double) AS dd,
+         cast(n1 AS double) AS n1d, cast(n0 AS double) AS n0d
+  FROM r WHERE d1 + d0 > 0
+),
+p0 AS (
+  SELECT metric, cast(sum(d1) AS bigint) AS o1,
+         cast(sum(cast(round(dd * (n1d * 1.0) / (n0d + n1d * 1.0) * 1000000.0) AS bigint))
+              AS bigint) AS uu,
+         cast(sum(cast(round(dd * (n1d * 1.0) / (n0d + n1d * 1.0) * (1.0 - (n1d * 1.0) / (n0d + n1d * 1.0))
+                             * 1000000.0) AS bigint)) AS bigint) AS iu
+  FROM rd GROUP BY metric
+),
+b1 AS (
+  SELECT metric, CASE WHEN p0.iu > 0 THEN (cast(p0.o1 AS double) - cast(p0.uu AS double) / 1000000.0) / (cast(p0.iu AS double) / 1000000.0) ELSE 0.0 END AS beta FROM p0
+),
+p1 AS (
+  SELECT metric, cast(sum(d1) AS bigint) AS o1,
+         cast(sum(cast(round(dd * (n1d * exp(beta)) / (n0d + n1d * exp(beta)) * 1000000.0) AS bigint))
+              AS bigint) AS uu,
+         cast(sum(cast(round(dd * (n1d * exp(beta)) / (n0d + n1d * exp(beta)) * (1.0 - (n1d * exp(beta)) / (n0d + n1d * exp(beta)))
+                             * 1000000.0) AS bigint)) AS bigint) AS iu
+  FROM (SELECT rd.*, b1.beta FROM rd JOIN b1 ON rd.metric = b1.metric) GROUP BY metric
+),
+b2 AS (
+  SELECT p1.metric, b1.beta + CASE WHEN p1.iu > 0 THEN (cast(p1.o1 AS double) - cast(p1.uu AS double) / 1000000.0) / (cast(p1.iu AS double) / 1000000.0) ELSE 0.0 END AS beta
+  FROM p1 JOIN b1 ON p1.metric = b1.metric
+),
+p2 AS (
+  SELECT metric, cast(sum(d1) AS bigint) AS o1,
+         cast(sum(cast(round(dd * (n1d * exp(beta)) / (n0d + n1d * exp(beta)) * 1000000.0) AS bigint))
+              AS bigint) AS uu,
+         cast(sum(cast(round(dd * (n1d * exp(beta)) / (n0d + n1d * exp(beta)) * (1.0 - (n1d * exp(beta)) / (n0d + n1d * exp(beta)))
+                             * 1000000.0) AS bigint)) AS bigint) AS iu
+  FROM (SELECT rd.*, b2.beta FROM rd JOIN b2 ON rd.metric = b2.metric) GROUP BY metric
+)
+SELECT p2.metric,
+       cast(p2.o1 AS bigint) AS n_deaths_wkend,
+       round(b2.beta, 6) AS beta,
+       round(exp(b2.beta), 6) AS hazard_ratio,
+       round(CASE WHEN p2.iu > 0
+             THEN 1.0 / sqrt(cast(p2.iu AS double) / 1000000.0)
+             END, 6) AS se,
+       round(CASE WHEN p2.iu > 0
+             THEN b2.beta / (1.0 / sqrt(cast(p2.iu AS double)
+                                        / 1000000.0)) END, 6) AS z
+FROM p2 JOIN b2 ON p2.metric = b2.metric
+""",
+        "gumbel_maxima": """
+WITH dm AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         max(cast(round(value * 100) AS bigint)) AS mx
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT metric, count(*) AS n_days, cast(sum(mx) AS bigint) AS t_tot,
+         sum(cast(mx AS hugeint) * mx) AS sxx
+  FROM dm GROUP BY 1 HAVING count(*) >= 5
+), e AS (
+  SELECT metric, n_days,
+         cast(t_tot AS double) / cast(n_days AS double) AS mean,
+         sqrt(greatest(
+           (cast(sxx AS double)
+            - cast(t_tot AS double) * cast(t_tot AS double)
+              / cast(n_days AS double))
+           / (cast(n_days AS double) - 1.0), 0.0)) AS sd
+  FROM agg
+), g AS (
+  SELECT metric, n_days, mean, sd,
+         sd * 2.449489742783178 / 3.141592653589793 AS beta
+  FROM e
+), g2 AS (
+  SELECT metric, n_days, mean, sd, beta,
+         mean - 0.5772156649015329 * beta AS loc
+  FROM g
+)
+SELECT metric, cast(n_days AS bigint) AS n_days,
+       round(mean / 100.0, 6) AS mean_max,
+       round(sd / 100.0, 6) AS sd_max,
+       round(loc / 100.0, 6) AS gumbel_loc,
+       round(beta / 100.0, 6) AS gumbel_scale,
+       round((loc - beta * ln(-ln(1.0 - 1.0 / 100.0))) / 100.0, 6)
+         AS rl_100
+FROM g2
 """,
     }

@@ -307,6 +307,8 @@ HEADLINE_R3 = [
     "semivariogram",
     "logrank_weekend",
     "hapax_share",
+    "cox_weekend",
+    "gumbel_maxima",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

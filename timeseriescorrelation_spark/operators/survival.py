@@ -266,3 +266,181 @@ def logrank_weekend(series: DataFrame, keys: list[str] | None = None,
         F.round(F.col("_z"), 6).alias("z"),
         F.round(F.col("_z") * F.col("_z"), 6).alias("chi2"),
     )
+
+
+GAMMA_EM = 0.5772156649015329
+
+
+def _cox_risk_table(series: DataFrame, keys: list[str],
+                    conv_col: str, ts_col: str,
+                    h_us: int) -> DataFrame:
+    """Shared Cox/log-rank death-time table: (keys..., d1, d0, n1, n0)
+    at every pooled uncensored death duration, arm 1 = weekend-started
+    conversations (integer epoch-day rule)."""
+    ev = series.groupBy(*keys, conv_col).agg(
+        F.min(epoch_us(F.col(ts_col))).alias("t0"),
+        F.max(epoch_us(F.col(ts_col))).alias("t1"),
+    )
+    fr = ev.groupBy(*keys).agg(F.max("t1").alias("fmax"))
+    days = F.floor(F.col("t0") / F.lit(86_400_000_000)).cast("long")
+    g1 = F.pmod(days + F.lit(4), F.lit(7)).isin(0, 6).cast("long")
+    d = ev.join(F.broadcast(fr), keys).select(
+        *keys,
+        (F.col("t1") - F.col("t0")).alias("dur"),
+        ((F.col("fmax") - F.col("t1")) < h_us).cast("long").alias("cens"),
+        g1.alias("g"),
+    )
+    cnt = d.groupBy(*keys, "dur").agg(
+        F.sum("g").alias("c1"),
+        F.sum(F.lit(1) - F.col("g")).alias("c0"),
+        F.sum(F.col("g") * (F.lit(1) - F.col("cens"))).alias("d1"),
+        F.sum(
+            (F.lit(1) - F.col("g")) * (F.lit(1) - F.col("cens"))
+        ).alias("d0"),
+    )
+    w_risk = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("dur").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cnt.select(
+        *keys, "d1", "d0",
+        F.sum("c1").over(w_risk).alias("n1"),
+        F.sum("c0").over(w_risk).alias("n0"),
+    ).where(F.col("d1") + F.col("d0") > 0)
+
+
+def _cox_score_pass(r: DataFrame, keys: list[str],
+                    beta_df: DataFrame | None) -> DataFrame:
+    """(keys..., o1, uu, iu): score/information sums at β (β = 0 when
+    beta_df is None).  Breslow ties: S0 = n0 + n1·e^β, S1 = n1·e^β;
+    per-time u = d·S1/S0 and i = d·(S1/S0)(1 − S1/S0) are snapped to
+    integer micro-units before the order-free sum."""
+    if beta_df is None:
+        rb = r.withColumn("eb", F.lit(1.0))
+    else:
+        rb = r.join(F.broadcast(beta_df), keys).withColumn(
+            "eb", F.exp(F.col("beta"))
+        )
+    dd = (F.col("d1") + F.col("d0")).cast("double")
+    s1 = F.col("n1").cast("double") * F.col("eb")
+    s0 = F.col("n0").cast("double") + s1
+    frac = s1 / s0
+    u_u = F.round(dd * frac * F.lit(1.0e6)).cast("long")
+    i_u = F.round(
+        dd * frac * (F.lit(1.0) - frac) * F.lit(1.0e6)
+    ).cast("long")
+    return rb.groupBy(*keys).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(u_u).alias("uu"),
+        F.sum(i_u).alias("iu"),
+    )
+
+
+def cox_weekend(series: DataFrame, keys: list[str] | None = None,
+                conv_col: str = "conv_id", ts_col: str = "ts",
+                censor_horizon_s: int = 3600) -> DataFrame:
+    """(keys..., n_deaths, beta, hazard_ratio, se, z): one-covariate
+    Cox proportional-hazards fit per key — covariate x ∈ {0,1} =
+    "conversation started on a weekend" — via TWO unrolled Newton
+    steps on the Breslow partial likelihood from β = 0 (the log-rank
+    z is exactly the first step's score test; Cox turns it into an
+    effect SIZE: hazard_ratio = e^β).
+
+        U(β) = O₁ − Σ_t d·S₁/S₀        S₁ = n₁e^β, S₀ = n₀ + n₁e^β
+        I(β) = Σ_t d·(S₁/S₀)(1−S₁/S₀)
+        β ← β + U/I                     (×2, fixed — no convergence
+                                         loop, so the oracle unrolls)
+
+    Exactness: every per-death-time u/i term is micro-snapped before
+    its order-free sum; β after each step is ONE shared double tree
+    over those integers, so e^β entering step 2 is bit-identical
+    cross-engine.  SE = 1/√I(β₂) from a third identical pass.
+
+    Scale: the death-time table is the km_survival shape (one conv
+    agg + one partitioned DESC-range window); each Newton pass is a
+    broadcast of a |keys|-row β table + one hash agg."""
+    keys = keys or ["metric"]
+    r = _cox_risk_table(series, keys, conv_col, ts_col,
+                        int(censor_horizon_s) * 1_000_000)
+    m = F.lit(1.0e6)
+
+    def step(sc: DataFrame, prev_beta: DataFrame | None) -> DataFrame:
+        u = (
+            F.col("o1").cast("double") - F.col("uu").cast("double") / m
+        )
+        i = F.col("iu").cast("double") / m
+        nb = F.when(F.col("iu") > 0, u / i).otherwise(F.lit(0.0))
+        if prev_beta is None:
+            return sc.select(*keys, nb.alias("beta"))
+        return sc.join(F.broadcast(prev_beta), keys).select(
+            *keys, (F.col("beta") + nb).alias("beta")
+        )
+
+    b1 = step(_cox_score_pass(r, keys, None), None)
+    b2 = step(_cox_score_pass(r, keys, b1), b1)
+    final = _cox_score_pass(r, keys, b2).join(F.broadcast(b2), keys)
+    i2 = F.col("iu").cast("double") / m
+    se = F.when(F.col("iu") > 0, F.lit(1.0) / F.sqrt(i2))
+    return final.select(
+        *keys,
+        F.col("o1").cast("long").alias("n_deaths_wkend"),
+        F.round(F.col("beta"), 6).alias("beta"),
+        F.round(F.exp(F.col("beta")), 6).alias("hazard_ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(F.col("iu") > 0, F.col("beta") / se), 6)
+        .alias("z"),
+    )
+
+
+def gumbel_maxima(series: DataFrame, keys: list[str] | None = None,
+                  value_decimals: int = 2,
+                  return_days: int = 100,
+                  min_days: int = 5) -> DataFrame:
+    """(keys..., n_days, mean_max, sd_max, gumbel_loc, gumbel_scale,
+    rl_100): Gumbel block-maxima fit per key over DAILY maxima — the
+    extreme-value companion to hill_tail (hill: peaks-over-threshold
+    tail index; Gumbel: block maxima), answering "what daily maximum
+    should we expect once per `return_days` days":
+
+        β̂ = s·√6/π,  μ̂ = m − γ_EM·β̂           (method of moments)
+        x_T = μ̂ − β̂·ln(−ln(1 − 1/T))
+
+    Daily maxima are exact integer cents (max is order-free); n, ΣM,
+    ΣM² (decimal38) feed one shared double tree; constants √6/π and
+    Euler-Mascheroni are shared literals.  Output in value units.
+
+    Scale: two stacked hash aggs, day-grid bounded."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    dm = series.groupBy(
+        *keys, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.max(F.round(F.col("value") * scale).cast("long")).alias("mx")
+    )
+    agg = dm.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("mx").alias("t_tot"),
+        F.sum(F.col("mx").cast(dec) * F.col("mx").cast(dec)).alias("sxx"),
+    ).where(F.col("n_days") >= int(min_days))
+    n = F.col("n_days").cast("double")
+    t = F.col("t_tot").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = t / n
+    var = (sxx - t * t / n) / (n - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    beta = sd * F.lit(2.449489742783178) / F.lit(3.141592653589793)
+    loc = mean - F.lit(GAMMA_EM) * beta
+    tt = float(int(return_days))
+    rl = loc - beta * F.log(-F.log(F.lit(1.0 - 1.0 / tt)))
+    sc = F.lit(float(scale))
+    return agg.select(
+        *keys,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(mean / sc, 6).alias("mean_max"),
+        F.round(sd / sc, 6).alias("sd_max"),
+        F.round(loc / sc, 6).alias("gumbel_loc"),
+        F.round(beta / sc, 6).alias("gumbel_scale"),
+        F.round(rl / sc, 6).alias("rl_100"),
+    )
