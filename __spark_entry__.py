@@ -6333,6 +6333,16 @@ def q_gumbel_maxima(spark, sf_dir):
     return gumbel_maxima(_series_from_events(spark, sf_dir))
 
 
+
+def q_circadian_phase(spark, sf_dir):
+    """Circular time-of-day statistics per metric: resultant length
+    (concentration) + mean phase hour via micro-snapped cos/sin sums —
+    the midnight-wrap-safe peak-hour summary."""
+    from timeseriescorrelation_spark.operators.acf import circadian_phase
+
+    return circadian_phase(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6664,6 +6674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_share": q_hapax_share,
         "cox_weekend": q_cox_weekend,
         "gumbel_maxima": q_gumbel_maxima,
+        "circadian_phase": q_circadian_phase,
     }
 
 
@@ -15520,5 +15531,35 @@ SELECT metric, cast(n_days AS bigint) AS n_days,
        round((loc - beta * ln(-ln(1.0 - 1.0 / 100.0))) / 100.0, 6)
          AS rl_100
 FROM g2
+""",
+        "circadian_phase": """
+WITH t AS (
+  SELECT event_type AS metric,
+         cast(epoch_us(ts) % 86400000000 AS double)
+         / 86400000000.0 * 6.283185307179586 AS theta
+  FROM events
+), agg AS (
+  SELECT metric, count(*) AS n,
+         cast(sum(cast(round(cos(theta) * 1000000.0) AS bigint))
+              AS bigint) AS cu,
+         cast(sum(cast(round(sin(theta) * 1000000.0) AS bigint))
+              AS bigint) AS su
+  FROM t GROUP BY 1
+), e AS (
+  SELECT metric, n,
+         cast(cu AS double) / 1000000.0 AS c,
+         cast(su AS double) / 1000000.0 AS s
+  FROM agg
+), e2 AS (
+  SELECT metric, n, sqrt(c * c + s * s) / cast(n AS double) AS r,
+         atan2(s, c) AS ang
+  FROM e
+)
+SELECT metric, cast(n AS bigint) AS n,
+       round(r, 6) AS resultant_r,
+       round(CASE WHEN ang < 0 THEN ang + 6.283185307179586
+                  ELSE ang END / 6.283185307179586 * 24.0, 6)
+         AS mean_hour
+FROM e2
 """,
     }

@@ -309,6 +309,7 @@ HEADLINE_R3 = [
     "hapax_share",
     "cox_weekend",
     "gumbel_maxima",
+    "circadian_phase",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

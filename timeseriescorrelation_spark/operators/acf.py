@@ -615,3 +615,51 @@ def semivariogram(series: DataFrame, max_lag: int = 6,
             / F.lit(1.0e4), 6
         ).alias("gamma"),
     )
+
+
+def circadian_phase(series: DataFrame, keys: list[str] | None = None
+                    ) -> DataFrame:
+    """(metric, n, resultant_r, mean_hour): circular statistics of
+    event time-of-day per key — each observation is a unit phasor at
+    angle θ = 2π·(µs-of-day)/86400e6; the resultant length
+
+        R̄ = |Σ e^{iθ}| / n ∈ [0, 1]
+
+    is the single-number concentration seasonal_profile can't give
+    (R̄→1: everything at one hour; R̄→0: uniform around the clock),
+    and atan2 of the mean phasor is the peak hour.  The linear mean
+    of hour-of-day is garbage at the midnight wrap (23:30 and 00:30
+    average to noon); circular statistics is the fix.
+
+    cos/sin terms are snapped to integer MICRO-units before the sum
+    (order-free; the theil ln policy applied to trig), so C and S are
+    exact integers and R̄/mean_hour are one shared double tree.
+
+    Scale: one map-side-combined hash agg — in-row trig, no shuffle
+    beyond the |keys| aggregation."""
+    keys = keys or ["metric"]
+    tau = 6.283185307179586
+    us_day = F.pmod(epoch_us(F.col("ts")), F.lit(86_400_000_000))
+    theta = us_day.cast("double") / F.lit(86_400_000_000.0) * F.lit(tau)
+    agg = series.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.cos(theta) * F.lit(1.0e6)).cast("long")
+        ).alias("cu"),
+        F.sum(
+            F.round(F.sin(theta) * F.lit(1.0e6)).cast("long")
+        ).alias("su"),
+    )
+    c = F.col("cu").cast("double") / F.lit(1.0e6)
+    s = F.col("su").cast("double") / F.lit(1.0e6)
+    n = F.col("n").cast("double")
+    r = F.sqrt(c * c + s * s) / n
+    ang = F.atan2(s, c)
+    hour = F.when(ang < 0, ang + F.lit(tau)).otherwise(ang) \
+        / F.lit(tau) * F.lit(24.0)
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(r, 6).alias("resultant_r"),
+        F.round(hour, 6).alias("mean_hour"),
+    )

@@ -69,3 +69,74 @@ def write_zordered(df: DataFrame, path: str, cols: list[str | Column],
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zone_map_report(spark, path: str, column: str):
+    """One-row DataFrame (n_files, n_row_groups, global_min,
+    global_max, avg_overlap_frac, point_hit_frac): how PRUNABLE a
+    parquet dataset is on `column`, read straight from the footer
+    min/max statistics (the zone maps every engine — Spark, Trino,
+    DuckDB — consults before touching data).
+
+    - avg_overlap_frac: mean over row groups of the fraction of OTHER
+      row groups whose [min, max] range overlaps it — 0 on perfectly
+      sorted/z-ordered data (disjoint ranges), → 1 on arrival-order
+      writes where every group spans the whole domain;
+    - point_hit_frac: Σ group_width / (n_groups · global_width) — the
+      expected fraction of row groups a uniform equality predicate
+      must read; the direct cost model for data skipping.
+
+    Driver-side METADATA only (O(row groups) footer reads, zero data
+    bytes) — the same class as refresh.py's partition listing.  Both
+    fractions are exact integer-ratio computations on the collected
+    stats; numbers assume an orderable numeric/temporal column."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    ranges: list[tuple[int, int]] = []
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                   recursive=True)
+    )
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    st = col.statistics
+                    if st.has_min_max:
+                        ranges.append((st.min, st.max))
+    n = len(ranges)
+    if n == 0:
+        return spark.createDataFrame(
+            [(len(files), 0, None, None, None, None)],
+            "n_files long, n_row_groups long, global_min double, "
+            "global_max double, avg_overlap_frac double, "
+            "point_hit_frac double",
+        )
+    gmin = min(lo for lo, _ in ranges)
+    gmax = max(hi for _, hi in ranges)
+    overlaps = 0
+    for i, (lo, hi) in enumerate(ranges):
+        for j, (lo2, hi2) in enumerate(ranges):
+            if i != j and lo <= hi2 and lo2 <= hi:
+                overlaps += 1
+    avg_overlap = (
+        overlaps / (n * (n - 1)) if n > 1 else 0.0
+    )
+    width = float(gmax - gmin) if gmax > gmin else 0.0
+    point_hit = (
+        sum(float(hi - lo) for lo, hi in ranges) / (n * width)
+        if width > 0 else 1.0
+    )
+    return spark.createDataFrame(
+        [(len(files), n, float(gmin), float(gmax),
+          round(avg_overlap, 6), round(point_hit, 6))],
+        "n_files long, n_row_groups long, global_min double, "
+        "global_max double, avg_overlap_frac double, "
+        "point_hit_frac double",
+    )
