@@ -6343,6 +6343,17 @@ def q_circadian_phase(spark, sf_dir):
     return circadian_phase(_series_from_events(spark, sf_dir))
 
 
+
+def q_lateness_audit(spark, sf_dir):
+    """Out-of-orderness audit per metric: lateness vs the running max
+    event time over strictly-earlier ARRIVALS (event_id order) — the
+    batch measurement that sizes withWatermark; exact integer drop
+    counts at 1/5/15-minute thresholds."""
+    from timeseriescorrelation_spark.operators.dq import lateness_audit
+
+    return lateness_audit(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6675,6 +6686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_weekend": q_cox_weekend,
         "gumbel_maxima": q_gumbel_maxima,
         "circadian_phase": q_circadian_phase,
+        "lateness_audit": q_lateness_audit,
     }
 
 
@@ -15561,5 +15573,34 @@ SELECT metric, cast(n AS bigint) AS n,
                   ELSE ang END / 6.283185307179586 * 24.0, 6)
          AS mean_hour
 FROM e2
+""",
+        "lateness_audit": """
+WITH t AS (
+  SELECT event_type AS metric, cast(event_id AS bigint) AS o,
+         epoch_us(ts) AS t_us
+  FROM events
+), l AS (
+  SELECT metric,
+         greatest(coalesce(
+           max(t_us) OVER (PARTITION BY metric ORDER BY o
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) - t_us, 0), 0) AS late_us
+  FROM t
+)
+SELECT metric, cast(count(*) AS bigint) AS n,
+       cast(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_late,
+       round(cast(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                  AS double) / cast(count(*) AS double), 6)
+         AS late_share,
+       round(cast(max(late_us) AS double) / 1000000.0, 6)
+         AS max_lateness_s,
+       cast(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+            AS bigint) AS drop_1m,
+       cast(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+            AS bigint) AS drop_5m,
+       cast(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+            AS bigint) AS drop_15m
+FROM l GROUP BY metric
 """,
     }

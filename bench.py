@@ -310,6 +310,7 @@ HEADLINE_R3 = [
     "cox_weekend",
     "gumbel_maxima",
     "circadian_phase",
+    "lateness_audit",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
 
 def _ppm(min_frac: float) -> int:
     return int(round(float(min_frac) * 1_000_000))
@@ -271,4 +273,64 @@ def category_churn(events: DataFrame, cat_col: str = "event_type",
             F.col("new_rows").cast("double")
             / F.col("tot_rows").cast("double"), 6
         ).alias("new_rows_share"),
+    )
+
+
+def lateness_audit(series: DataFrame, keys: list[str] | None = None,
+                   arrival_col: str = "turn_idx",
+                   ts_col: str = "ts") -> DataFrame:
+    """(metric, n, n_late, late_share, max_lateness_s, drop_1m,
+    drop_5m, drop_15m): out-of-orderness audit — for each observation,
+    lateness = (max event time among STRICTLY EARLIER arrivals) −
+    its own event time; positive means it arrived after newer data.
+    This is THE measurement that sizes Structured Streaming's
+    `withWatermark`: drop_Xm is exactly how many events a watermark
+    of X minutes would discard, computed on the batch corpus before
+    anyone commits to a threshold.
+
+    Arrival order is the data's own ingest sequence (`arrival_col`;
+    event_id in the events table).  All counts are exact integers off
+    one lag-style window inside key partitions; shares are one
+    division.
+
+    Scale: one partitioned window + one hash agg; no grids, no
+    joins."""
+    keys = keys or ["metric"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(arrival_col).cast("long"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_us = epoch_us(F.col(ts_col))
+    lat = series.select(
+        *keys,
+        F.greatest(
+            F.coalesce(F.max(t_us).over(w) - t_us, F.lit(0)),
+            F.lit(0),
+        ).alias("late_us"),
+    )
+    m = 60_000_000
+    agg = lat.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.max("late_us").alias("max_us"),
+        F.sum((F.col("late_us") > 1 * m).cast("long")).alias("drop_1m"),
+        F.sum((F.col("late_us") > 5 * m).cast("long")).alias("drop_5m"),
+        F.sum(
+            (F.col("late_us") > 15 * m).cast("long")
+        ).alias("drop_15m"),
+    )
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.round(
+            F.col("n_late").cast("double") / F.col("n").cast("double"), 6
+        ).alias("late_share"),
+        F.round(
+            F.col("max_us").cast("double") / F.lit(1.0e6), 6
+        ).alias("max_lateness_s"),
+        F.col("drop_1m").cast("long").alias("drop_1m"),
+        F.col("drop_5m").cast("long").alias("drop_5m"),
+        F.col("drop_15m").cast("long").alias("drop_15m"),
     )
