@@ -6354,6 +6354,31 @@ def q_lateness_audit(spark, sf_dir):
     return lateness_audit(_series_from_events(spark, sf_dir))
 
 
+
+def q_median_survival(spark, sf_dir):
+    """KM median survival per metric read off the integer micro-nat
+    curve: qualification is the INTEGER comparison cum <= -693148 (or
+    the exact-zero terminal row) — no float decides the crossing.
+    NULL median (with final_surv reported) when the curve never
+    reaches half."""
+    from timeseriescorrelation_spark.operators.survival import (
+        median_survival,
+    )
+
+    return median_survival(
+        _series_from_events(spark, sf_dir), censor_horizon_s=3600
+    )
+
+
+def q_kendall_w(spark, sf_dir):
+    """Kendall's coefficient of concordance (plain + tie-corrected) —
+    the effect size behind friedman_test, one shared division over the
+    same exact-integer rank statistics."""
+    from timeseriescorrelation_spark.operators.agreement import kendall_w
+
+    return kendall_w(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6687,6 +6712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gumbel_maxima": q_gumbel_maxima,
         "circadian_phase": q_circadian_phase,
         "lateness_audit": q_lateness_audit,
+        "median_survival": q_median_survival,
+        "kendall_w": q_kendall_w,
     }
 
 
@@ -15602,5 +15629,113 @@ SELECT metric, cast(count(*) AS bigint) AS n,
        cast(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
             AS bigint) AS drop_15m
 FROM l GROUP BY metric
+""",
+        "median_survival": """
+WITH ev AS (
+  SELECT event_type AS metric, user_id AS conv,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), fr AS (
+  SELECT metric, max(t1) AS fmax FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.metric, t1 - t0 AS dur,
+         (fmax - t1) < 3600000000 AS censored
+  FROM ev JOIN fr USING (metric)
+), g AS (
+  SELECT metric, dur, censored, cast(count(*) AS bigint) AS c
+  FROM d GROUP BY 1, 2, 3
+), r AS (
+  SELECT metric, dur, censored, c,
+         cast(sum(c) OVER (PARTITION BY metric ORDER BY dur DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS bigint)
+           AS n_risk
+  FROM g
+), e AS (
+  SELECT metric, dur, c AS d, n_risk FROM r WHERE NOT censored
+), l AS (
+  SELECT metric, dur, d, n_risk,
+         CASE WHEN n_risk > d
+              THEN cast(round(ln(cast(n_risk - d AS double)
+                                 / cast(n_risk AS double))
+                              * 1000000.0) AS bigint) END AS lnu
+  FROM e
+), cm AS (
+  SELECT metric, dur, d, n_risk,
+         sum(lnu) OVER (PARTITION BY metric ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM l
+), km AS (
+  SELECT metric, dur AS t_us, n_risk, d,
+         CASE WHEN n_risk > d THEN cast(cum AS bigint) END AS logsurv_u,
+         CASE WHEN n_risk = d THEN 0.0
+              ELSE round(exp(cast(cum AS double) / 1000000.0), 6)
+         END AS surv
+  FROM cm
+), qual AS (
+  SELECT metric, min(t_us) AS med_us
+  FROM km
+  WHERE logsurv_u <= -693148 OR surv = 0.0
+  GROUP BY 1
+), fin AS (
+  SELECT metric, min(surv) AS final_surv, max(t_us) AS last_us
+  FROM km GROUP BY 1
+)
+SELECT fin.metric,
+       round(cast(med_us AS double) / 1000000.0, 6)
+         AS median_survival_s,
+       final_surv,
+       round(cast(last_us AS double) / 1000000.0, 6) AS last_t_s
+FROM fin LEFT JOIN qual ON fin.metric = qual.metric
+""",
+        "kendall_w": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), cd AS (
+  SELECT day_ts FROM d GROUP BY day_ts
+  HAVING count(*) = (SELECT count(DISTINCT m) FROM d)
+), g AS (
+  SELECT d.m, d.day_ts, d.y FROM d JOIN cd USING (day_ts)
+), r2 AS (
+  SELECT g.day_ts, g.m,
+         2 * sum(CASE WHEN o.yo < g.y THEN 1 ELSE 0 END)
+         + sum(CASE WHEN o.yo = g.y THEN 1 ELSE 0 END) + 1 AS r2
+  FROM g JOIN (SELECT day_ts, m AS mo, y AS yo FROM g) o
+    ON g.day_ts = o.day_ts
+  GROUP BY 1, 2
+), pm AS (
+  SELECT m, cast(sum(r2) AS bigint) AS r2_j, count(*) AS n
+  FROM r2 GROUP BY 1
+), ties AS (
+  SELECT cast(sum(t * t * t - t) AS bigint) AS tie_term
+  FROM (SELECT count(*) AS t FROM g GROUP BY day_ts, y)
+), tot AS (
+  SELECT count(*) AS k_raters, max(n) AS n_days FROM pm
+), dev AS (
+  SELECT k_raters, n_days,
+         cast(sum((r2_j - n_days * (k_raters + 1))
+                  * (r2_j - n_days * (k_raters + 1))) AS bigint) AS dev2
+  FROM pm CROSS JOIN tot GROUP BY 1, 2
+), s AS (
+  SELECT n_days, k_raters, dev2, tie_term,
+         cast(n_days AS double) * cast(n_days AS double)
+         * cast(k_raters AS double)
+         * (cast(k_raters AS double) * cast(k_raters AS double) - 1.0)
+           AS denom
+  FROM dev CROSS JOIN ties
+)
+SELECT cast(n_days AS bigint) AS n_days,
+       cast(k_raters AS bigint) AS k_raters,
+       dev2, tie_term,
+       round(3.0 * cast(dev2 AS double) / denom, 6) AS w,
+       round(CASE WHEN denom - cast(n_days AS double)
+                       * cast(tie_term AS double) > 0
+             THEN 3.0 * cast(dev2 AS double)
+                  / (denom - cast(n_days AS double)
+                     * cast(tie_term AS double)) END, 6) AS w_tiecorr
+FROM s WHERE n_days >= 2 AND k_raters >= 2
 """,
     }

@@ -311,6 +311,8 @@ HEADLINE_R3 = [
     "gumbel_maxima",
     "circadian_phase",
     "lateness_audit",
+    "median_survival",
+    "kendall_w",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -338,3 +338,33 @@ def cohen_kappa(events: DataFrame, ts_col: str = "ts",
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def kendall_w(series: DataFrame, key: str = "metric",
+              value_decimals: int = 2) -> DataFrame:
+    """One row (n_days, k_raters, dev2, tie_term, w, w_tiecorr):
+    Kendall's coefficient of concordance — the EFFECT SIZE behind
+    friedman_test's p-value framing (W ∈ [0, 1]: 1 = the days rank
+    the metrics identically, 0 = no agreement):
+
+        W  = 3·dev2 / (n²·k·(k²−1))
+        W_t = 3·dev2 / (n²·k·(k²−1) − n·Σ(t³−t))   (tie-corrected)
+
+    where dev2 = Σ_j (R2_j − n(k+1))² over DOUBLED ranks — the same
+    exact integers friedman_test produces, so both statistics are one
+    shared division over the same sufficient statistics (W = Q/(n(k−1))
+    when tie-free, asserted in tests)."""
+    f = friedman_test(series, key, value_decimals)
+    n = F.col("n_days").cast("double")
+    k = F.col("k_raters").cast("double")
+    d2 = F.col("dev2").cast("double")
+    tt = F.col("tie_term").cast("double")
+    denom = n * n * k * (k * k - F.lit(1.0))
+    denom_t = denom - n * tt
+    w = F.lit(3.0) * d2 / denom
+    wt = F.when(denom_t > 0, F.lit(3.0) * d2 / denom_t)
+    return f.select(
+        "n_days", "k_raters", "dev2", "tie_term",
+        F.round(w, 6).alias("w"),
+        F.round(wt, 6).alias("w_tiecorr"),
+    )

@@ -444,3 +444,47 @@ def gumbel_maxima(series: DataFrame, keys: list[str] | None = None,
         F.round(beta / sc, 6).alias("gumbel_scale"),
         F.round(rl / sc, 6).alias("rl_100"),
     )
+
+
+LN_HALF_U = -693148  # first integer micro-nat level with S < 0.5
+
+
+def median_survival(series: DataFrame, keys: list[str] | None = None,
+                    conv_col: str = "conv_id", ts_col: str = "ts",
+                    censor_horizon_s: int = 3600) -> DataFrame:
+    """(keys..., median_survival_s, final_surv, last_t_s): the KM
+    median — the first uncensored duration where S(t) drops to or
+    below ½ — read DIRECTLY off km_survival's integer micro-nat
+    curve: qualification is the INTEGER comparison
+    cum ≤ ⌊ln(½)·10⁶⌋ (−693148; cum = −693147 is still S > ½) or the
+    exact-zero terminal row (n = d, where the log has no fixed-point
+    form).  No float ever decides the crossing, so the median is
+    bit-identical cross-engine by construction.
+
+    NULL median when the curve never reaches ½ (most conversations
+    outlive the observation window — report final_surv instead;
+    that's the honest answer, not an imputed number).
+
+    Scale: km_survival's shape + one filtered min and one min/max
+    agg."""
+    keys = keys or ["metric"]
+    km = km_survival(series, keys, conv_col, ts_col, censor_horizon_s)
+    qual = km.where(
+        (F.col("logsurv_u") <= F.lit(LN_HALF_U))
+        | (F.col("surv") == 0.0)
+    )
+    med = qual.groupBy(*keys).agg(F.min("t_us").alias("med_us"))
+    fin = km.groupBy(*keys).agg(
+        F.min("surv").alias("final_surv"),
+        F.max("t_us").alias("last_us"),
+    )
+    return fin.join(med, keys, "left").select(
+        *keys,
+        F.round(
+            F.col("med_us").cast("double") / F.lit(1.0e6), 6
+        ).alias("median_survival_s"),
+        F.col("final_surv"),
+        F.round(
+            F.col("last_us").cast("double") / F.lit(1.0e6), 6
+        ).alias("last_t_s"),
+    )
