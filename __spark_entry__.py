@@ -6379,6 +6379,19 @@ def q_kendall_w(spark, sf_dir):
     return kendall_w(_series_from_events(spark, sf_dir))
 
 
+
+def q_harmonic_regression(spark, sf_dir):
+    """Daily-cycle OLS per metric (y = a + b cos + c sin over the
+    hourly grid): amplitude, peak phase, R² — integer micro-unit trig
+    regressors make every normal-equation sum exact; Cramer's-rule
+    solve in one shared double tree."""
+    from timeseriescorrelation_spark.operators.acf import (
+        harmonic_regression,
+    )
+
+    return harmonic_regression(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6714,6 +6727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_audit": q_lateness_audit,
         "median_survival": q_median_survival,
         "kendall_w": q_kendall_w,
+        "harmonic_regression": q_harmonic_regression,
     }
 
 
@@ -15737,5 +15751,78 @@ SELECT cast(n_days AS bigint) AS n_days,
                   / (denom - cast(n_days AS double)
                      * cast(tie_term AS double)) END, 6) AS w_tiecorr
 FROM s WHERE n_days >= 2 AND k_raters >= 2
+""",
+        "harmonic_regression": """
+WITH g AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS h,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, y,
+         cast(round(cos(cast(extract(hour FROM h) AS double) / 24.0
+                        * 6.283185307179586) * 1000000.0) AS bigint)
+           AS cu,
+         cast(round(sin(cast(extract(hour FROM h) AS double) / 24.0
+                        * 6.283185307179586) * 1000000.0) AS bigint)
+           AS su
+  FROM g
+), m AS (
+  SELECT metric, count(*) AS n,
+         cast(sum(cu) AS bigint) AS sc, cast(sum(su) AS bigint) AS ss,
+         sum(cast(cu AS hugeint) * cu) AS scc,
+         sum(cast(su AS hugeint) * su) AS sss,
+         sum(cast(cu AS hugeint) * su) AS scs,
+         cast(sum(y) AS bigint) AS sy,
+         sum(cast(y AS hugeint) * y) AS syy,
+         sum(cast(y AS hugeint) * cu) AS syc,
+         sum(cast(y AS hugeint) * su) AS sys
+  FROM t GROUP BY 1 HAVING count(*) >= 4
+), e AS (
+  SELECT metric, n, cast(n AS double) AS nd,
+         cast(sc AS double) / 1000000.0 AS scd,
+         cast(ss AS double) / 1000000.0 AS ssd,
+         cast(scc AS double) / (1000000.0 * 1000000.0) AS sccd,
+         cast(sss AS double) / (1000000.0 * 1000000.0) AS sssd,
+         cast(scs AS double) / (1000000.0 * 1000000.0) AS scsd,
+         cast(sy AS double) AS syd,
+         cast(syy AS double) AS syyd,
+         cast(syc AS double) / 1000000.0 AS sycd,
+         cast(sys AS double) / 1000000.0 AS sysd
+  FROM m
+), dts AS (
+  SELECT *,
+         nd * (sccd * sssd - scsd * scsd)
+         - scd * (scd * sssd - scsd * ssd)
+         + ssd * (scd * scsd - sccd * ssd) AS det,
+         syd * (sccd * sssd - scsd * scsd)
+         - scd * (sycd * sssd - scsd * sysd)
+         + ssd * (sycd * scsd - sccd * sysd) AS det_a,
+         nd * (sycd * sssd - scsd * sysd)
+         - syd * (scd * sssd - scsd * ssd)
+         + ssd * (scd * sysd - sycd * ssd) AS det_b,
+         nd * (sccd * sysd - sycd * scsd)
+         - scd * (scd * sysd - sycd * ssd)
+         + syd * (scd * scsd - sccd * ssd) AS det_c
+  FROM e
+), co AS (
+  SELECT metric, n, nd, syd, syyd, sycd, sysd,
+         det_a / det AS a, det_b / det AS b, det_c / det AS c
+  FROM dts WHERE abs(det) > 0
+), fin AS (
+  SELECT metric, n, a, b, c,
+         syyd - (a * syd + b * sycd + c * sysd) AS sse,
+         syyd - syd * syd / nd AS sst,
+         sqrt(b * b + c * c) AS amp,
+         atan2(c, b) AS ang
+  FROM co
+)
+SELECT metric, cast(n AS bigint) AS n_hours,
+       round(a / 100.0, 6) AS intercept,
+       round(amp / 100.0, 6) AS amplitude,
+       round(CASE WHEN ang < 0 THEN ang + 6.283185307179586
+                  ELSE ang END / 6.283185307179586 * 24.0, 6)
+         AS phase_hour,
+       round(CASE WHEN sst > 0 THEN 1.0 - sse / sst END, 6) AS r2
+FROM fin
 """,
     }

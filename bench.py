@@ -313,6 +313,7 @@ HEADLINE_R3 = [
     "lateness_audit",
     "median_survival",
     "kendall_w",
+    "harmonic_regression",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

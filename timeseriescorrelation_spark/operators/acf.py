@@ -663,3 +663,99 @@ def circadian_phase(series: DataFrame, keys: list[str] | None = None
         F.round(r, 6).alias("resultant_r"),
         F.round(hour, 6).alias("mean_hour"),
     )
+
+
+def harmonic_regression(series: DataFrame,
+                        keys: list[str] | None = None,
+                        value_decimals: int = 2) -> DataFrame:
+    """(metric, n_hours, intercept, amplitude, phase_hour, r2): OLS
+    fit of y_h = a + b·cos θ_h + c·sin θ_h over the hourly cent-total
+    grid (θ = 2π·hour-of-day/24) — the VALUE-side seasonality model
+    next to circadian_phase's event-time concentration: amplitude is
+    "how big is the daily swing", phase_hour "when does it peak", R²
+    "how much of the variance the daily cycle explains".
+
+    Exactness: cos/sin enter as integer MICRO-unit regressors (24
+    distinct values), so every normal-equation sum (Σc, Σc², Σcs,
+    Σyc, …) is an exact decimal(38,0) integer; the 3×3 solve is
+    Cramer's rule in ONE shared double tree over those integers —
+    no iterative solver, no accumulation order anywhere.
+
+        SSE = Σy² − (a·Σy + b·Σyc + c·Σys),  R² = 1 − SSE/SST
+
+    Scale: grid hash agg → per-metric hash agg → scalar algebra;
+    |metrics| output rows."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    tau = 6.283185307179586
+    g = series.groupBy(
+        *keys,
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    theta = (
+        F.hour("h").cast("double") / F.lit(24.0) * F.lit(tau)
+    )
+    cu = F.round(F.cos(theta) * F.lit(1.0e6)).cast("long")
+    su = F.round(F.sin(theta) * F.lit(1.0e6)).cast("long")
+    t = g.select(
+        *keys, "y", cu.alias("cu"), su.alias("su")
+    )
+    m = t.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cu").alias("sc"),
+        F.sum("su").alias("ss"),
+        F.sum(F.col("cu").cast(dec) * F.col("cu").cast(dec)).alias("scc"),
+        F.sum(F.col("su").cast(dec) * F.col("su").cast(dec)).alias("sss"),
+        F.sum(F.col("cu").cast(dec) * F.col("su").cast(dec)).alias("scs"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("y").cast(dec) * F.col("cu").cast(dec)).alias("syc"),
+        F.sum(F.col("y").cast(dec) * F.col("su").cast(dec)).alias("sys"),
+    ).where(F.col("n") >= 4)
+    u = F.lit(1.0e6)
+    n = F.col("n").cast("double")
+    sc = F.col("sc").cast("double") / u
+    ss = F.col("ss").cast("double") / u
+    scc = F.col("scc").cast("double") / (u * u)
+    sss = F.col("sss").cast("double") / (u * u)
+    scs = F.col("scs").cast("double") / (u * u)
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    syc = F.col("syc").cast("double") / u
+    sys_ = F.col("sys").cast("double") / u
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    det = det3(n, sc, ss, sc, scc, scs, ss, scs, sss)
+    det_a = det3(sy, sc, ss, syc, scc, scs, sys_, scs, sss)
+    det_b = det3(n, sy, ss, sc, syc, scs, ss, sys_, sss)
+    det_c = det3(n, sc, sy, sc, scc, syc, ss, scs, sys_)
+    a = det_a / det
+    b = det_b / det
+    c = det_c / det
+    sse = syy - (a * sy + b * syc + c * sys_)
+    sst = syy - sy * sy / n
+    r2 = F.when(sst > 0, F.lit(1.0) - sse / sst)
+    amp = F.sqrt(b * b + c * c)
+    ang = F.atan2(c, b)
+    tau_l = F.lit(tau)
+    phase = (
+        F.when(ang < 0, ang + tau_l).otherwise(ang) / tau_l * F.lit(24.0)
+    )
+    sc_v = F.lit(float(scale))
+    return m.where(F.abs(det) > 0).select(
+        *keys,
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(a / sc_v, 6).alias("intercept"),
+        F.round(amp / sc_v, 6).alias("amplitude"),
+        F.round(phase, 6).alias("phase_hour"),
+        F.round(r2, 6).alias("r2"),
+    )
