@@ -6392,6 +6392,29 @@ def q_harmonic_regression(spark, sf_dir):
     return harmonic_regression(_series_from_events(spark, sf_dir))
 
 
+
+def q_charset_report(spark, sf_dir):
+    """Character-class composition per source (letters/digits/space/
+    non-ASCII/punct shares) — the cheapest encoding-health tripwire;
+    exact in-row regexp counts, one hash agg."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        charset_report,
+    )
+
+    return charset_report(_docs(spark, sf_dir))
+
+
+def q_doc_compressibility(spark, sf_dir):
+    """zlib compression ratio per document (Arrow-batched pandas UDF
+    over stdlib zlib) — the CCNet-style redundancy score; rows-only
+    (no SQL zlib), invariants pytest-pinned."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        doc_compressibility,
+    )
+
+    return doc_compressibility(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6728,6 +6751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_survival": q_median_survival,
         "kendall_w": q_kendall_w,
         "harmonic_regression": q_harmonic_regression,
+        "charset_report": q_charset_report,
+        "doc_compressibility": q_doc_compressibility,
     }
 
 
@@ -15824,5 +15849,44 @@ SELECT metric, cast(n AS bigint) AS n_hours,
          AS phase_hour,
        round(CASE WHEN sst > 0 THEN 1.0 - sse / sst END, 6) AS r2
 FROM fin
+""",
+        "charset_report": """
+WITH per AS (
+  SELECT source AS src, cast(length(text) AS bigint) AS nc,
+         cast(length(text)
+              - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS bigint) AS letters,
+         cast(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS bigint) AS digits,
+         cast(length(text)
+              - length(regexp_replace(text, '\\s', '', 'g'))
+              AS bigint) AS spaces,
+         cast(length(text)
+              - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+              AS bigint) AS nonascii
+  FROM documents
+), agg AS (
+  SELECT src, count(*) AS n_docs,
+         cast(sum(nc) AS bigint) AS n_chars,
+         cast(sum(letters) AS bigint) AS letters,
+         cast(sum(digits) AS bigint) AS digits,
+         cast(sum(spaces) AS bigint) AS spaces,
+         cast(sum(nonascii) AS bigint) AS nonascii
+  FROM per GROUP BY 1 HAVING sum(nc) > 0
+)
+SELECT src AS source, cast(n_docs AS bigint) AS n_docs, n_chars,
+       round(cast(letters AS double) / cast(n_chars AS double), 6)
+         AS letter_share,
+       round(cast(digits AS double) / cast(n_chars AS double), 6)
+         AS digit_share,
+       round(cast(spaces AS double) / cast(n_chars AS double), 6)
+         AS space_share,
+       round(cast(nonascii AS double) / cast(n_chars AS double), 6)
+         AS nonascii_share,
+       round(cast(n_chars - letters - digits - spaces - nonascii
+                  AS double) / cast(n_chars AS double), 6)
+         AS punct_share
+FROM agg
 """,
     }

@@ -314,6 +314,8 @@ HEADLINE_R3 = [
     "median_survival",
     "kendall_w",
     "harmonic_regression",
+    "charset_report",
+    "doc_compressibility",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -10,6 +10,7 @@ hash-agg, embarrassingly parallel over docs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -583,4 +584,108 @@ def hapax_share(docs: DataFrame, by_col: str = "source",
             F.col("vocab").cast("double")
             / F.col("n_tokens").cast("double"), 6
         ).alias("type_token_ratio"),
+    )
+
+
+def charset_report(docs: DataFrame, by_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_chars, letter_share, digit_share,
+    space_share, nonascii_share, punct_share): character-class
+    composition per corpus slice — the cheapest encoding-health
+    tripwire there is (mojibake shows up as a nonascii_share step;
+    scraped tables as digit/punct inflation; binary spill as
+    everything-at-once).
+
+    Class counts are exact integers computed IN-ROW as
+    length(text) − length(regexp_replace(text, class, '')) (codegen'd,
+    no tokenization); shares are one division each over the slice
+    sums.  punct = everything not letter/digit/whitespace/non-ASCII.
+
+    Scale: in-row counting + one hash agg; |slices| output rows."""
+    t = F.col(text_col)
+
+    def cnt(pat):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    per = docs.select(
+        F.col(by_col).alias("src"),
+        F.length(t).cast("long").alias("nc"),
+        cnt("[A-Za-z]").alias("letters"),
+        cnt("[0-9]").alias("digits"),
+        cnt(r"\s").alias("spaces"),
+        cnt("[^\\x00-\\x7F]").alias("nonascii"),
+    )
+    agg = per.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("n_chars"),
+        F.sum("letters").alias("letters"),
+        F.sum("digits").alias("digits"),
+        F.sum("spaces").alias("spaces"),
+        F.sum("nonascii").alias("nonascii"),
+    ).where(F.col("n_chars") > 0)
+    nc = F.col("n_chars").cast("double")
+    punct = (
+        F.col("n_chars") - F.col("letters") - F.col("digits")
+        - F.col("spaces") - F.col("nonascii")
+    )
+    return agg.select(
+        F.col("src").alias("source"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.col("letters").cast("double") / nc, 6)
+        .alias("letter_share"),
+        F.round(F.col("digits").cast("double") / nc, 6)
+        .alias("digit_share"),
+        F.round(F.col("spaces").cast("double") / nc, 6)
+        .alias("space_share"),
+        F.round(F.col("nonascii").cast("double") / nc, 6)
+        .alias("nonascii_share"),
+        F.round(punct.cast("double") / nc, 6).alias("punct_share"),
+    )
+
+
+def doc_compressibility(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        level: int = 6) -> DataFrame:
+    """(doc_id, n_bytes, z_bytes, ratio): zlib compression ratio per
+    document — the classic cheap redundancy score in web-corpus
+    pipelines (CCNet-style): boilerplate/template/repeated text
+    compresses far below natural prose; near-random noise sits near
+    (or above) 1.  Complements doc_repetition's n-gram view with a
+    whole-document universal-coding one.
+
+    Arrow-batched pandas UDF over stdlib zlib (deterministic for a
+    given level) — the sanctioned Python path for work SQL cannot
+    express; in-row, no shuffle, so the UDF cost is one C call per
+    document.  Rows-only correctness (no SQL engine zlib); invariants
+    pinned in tests/test_compressibility.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("long")
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.fillna("").map(
+            lambda s: len(zlib.compress(s.encode("utf-8"), lvl))
+        )
+
+    b = F.octet_length(F.col(text_col)).cast("long")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        b.alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("z_bytes"),
+    )
+    return out.select(
+        "doc_id", "n_bytes", "z_bytes",
+        F.round(
+            F.when(
+                F.col("n_bytes") > 0,
+                F.col("z_bytes").cast("double")
+                / F.col("n_bytes").cast("double"),
+            ), 6
+        ).alias("ratio"),
     )
