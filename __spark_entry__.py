@@ -6415,6 +6415,18 @@ def q_doc_compressibility(spark, sf_dir):
     return doc_compressibility(_docs(spark, sf_dir))
 
 
+
+def q_spectral_entropy(spark, sf_dir):
+    """Spectral entropy + flatness per metric from the gated
+    periodogram amplitudes — one number for "periodic vs broadband";
+    nano-snapped powers, micro-nat ln terms, order-free sums."""
+    from timeseriescorrelation_spark.operators.acf import (
+        spectral_entropy,
+    )
+
+    return spectral_entropy(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6753,6 +6765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_regression": q_harmonic_regression,
         "charset_report": q_charset_report,
         "doc_compressibility": q_doc_compressibility,
+        "spectral_entropy": q_spectral_entropy,
     }
 
 
@@ -7372,6 +7385,45 @@ def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
+    # spectral entropy composes on the periodogram oracle verbatim:
+    # nano-snapped powers over the 6-dp amps, micro-nat ln terms
+    d["spectral_entropy"] = (
+        "WITH pg AS (" + d["periodogram"] + """), q AS (
+  SELECT metric,
+         cast(round(amp * amp * 1000000000.0) AS bigint) AS qu
+  FROM pg
+), tot AS (
+  SELECT metric, count(*) AS k_bands,
+         cast(sum(qu) AS bigint) AS qsum, min(qu) AS qmin
+  FROM q GROUP BY 1
+), j AS (
+  SELECT q.metric, qu, k_bands, qsum, qmin,
+         cast(qu AS double) / cast(qsum AS double) AS p
+  FROM q JOIN tot ON q.metric = tot.metric WHERE qu > 0
+), agg AS (
+  SELECT metric, k_bands, qsum, qmin,
+         cast(sum(cast(round(p * ln(p) * 1000000.0) AS bigint))
+              AS bigint) AS eu,
+         cast(sum(cast(round(ln(cast(qu AS double)) * 1000000.0)
+                       AS bigint)) AS bigint) AS lu,
+         count(*) AS k_pos
+  FROM j GROUP BY 1, 2, 3, 4
+)
+SELECT metric, cast(k_bands AS bigint) AS n_periods,
+       round(CASE WHEN k_bands > 1
+             THEN -(cast(eu AS double) / 1000000.0)
+                  / ln(cast(k_bands AS double)) END, 6)
+         AS spectral_entropy,
+       round(CASE WHEN qmin > 0
+                   AND cast(qsum AS double)
+                       / cast(k_bands AS double) > 0
+             THEN exp((cast(lu AS double) / 1000000.0)
+                      / cast(k_pos AS double))
+                  / (cast(qsum AS double) / cast(k_bands AS double))
+             ELSE 0.0 END, 6) AS spectral_flatness
+FROM agg WHERE qsum > 0
+"""
+    )
     d["silhouette"] = _silhouette_oracle(k=8, n_iter=2)
     # Ljung-Box rides the shared ACF CTE: per-lag terms snapped to
     # integer pico-units (order-free sum), Q one double expression

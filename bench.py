@@ -316,6 +316,7 @@ HEADLINE_R3 = [
     "harmonic_regression",
     "charset_report",
     "doc_compressibility",
+    "spectral_entropy",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -759,3 +759,68 @@ def harmonic_regression(series: DataFrame,
         F.round(phase, 6).alias("phase_hour"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def spectral_entropy(series: DataFrame,
+                     periods: tuple[int, ...] = (6, 8, 12, 24, 48, 84,
+                                                 168),
+                     keys: list[str] | None = None) -> DataFrame:
+    """(metric, n_periods, spectral_entropy, spectral_flatness): how
+    PERIODIC vs broadband each metric's hourly series is, summarized
+    from the already-gated periodogram amplitudes:
+
+        p_i = amp_i² / Σ amp²           (power shares)
+        H   = −Σ p_i ln p_i / ln(k)     (1 = flat/noisy, 0 = one tone)
+        flatness = geomean(power)/mean(power)   (same reading, the
+                    audio-DSP convention; 0 when any band is empty)
+
+    Determinism: the composition starts from the periodogram's ALREADY
+    6-dp-ROUNDED amps (bit-equal across engines by its own gate), then
+    squares are snapped to integer NANO-units and every ln enters as a
+    micro-nat integer — order-free sums throughout, one double tree at
+    the end.
+
+    Scale: |metrics|·k input rows — pure post-aggregate algebra."""
+    keys = keys or ["metric"]
+    pg = periodogram(series, periods, keys)
+    q = pg.select(
+        *keys,
+        F.round(
+            F.col("amp") * F.col("amp") * F.lit(1.0e9)
+        ).cast("long").alias("qu"),
+    )
+    tot = q.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("k_bands"),
+        F.sum("qu").alias("qsum"),
+        F.min("qu").alias("qmin"),
+    )
+    j = q.join(tot, keys).where(F.col("qu") > 0)
+    p = F.col("qu").cast("double") / F.col("qsum").cast("double")
+    ent_u = F.round(p * F.log(p) * F.lit(1.0e6)).cast("long")
+    lnq_u = F.round(
+        F.log(F.col("qu").cast("double")) * F.lit(1.0e6)
+    ).cast("long")
+    agg = j.groupBy(*keys, "k_bands", "qsum", "qmin").agg(
+        F.sum(ent_u).alias("eu"),
+        F.sum(lnq_u).alias("lu"),
+        F.count(F.lit(1)).alias("k_pos"),
+    )
+    k = F.col("k_bands").cast("double")
+    h = F.when(
+        F.col("k_bands") > 1,
+        -(F.col("eu").cast("double") / F.lit(1.0e6)) / F.log(k),
+    )
+    geo = F.exp(
+        (F.col("lu").cast("double") / F.lit(1.0e6))
+        / F.col("k_pos").cast("double")
+    )
+    mean_q = F.col("qsum").cast("double") / k
+    flat = F.when(
+        (F.col("qmin") > 0) & (mean_q > 0), geo / mean_q
+    ).otherwise(F.lit(0.0))
+    return agg.where(F.col("qsum") > 0).select(
+        *keys,
+        F.col("k_bands").cast("long").alias("n_periods"),
+        F.round(h, 6).alias("spectral_entropy"),
+        F.round(flat, 6).alias("spectral_flatness"),
+    )
