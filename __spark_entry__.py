@@ -6427,6 +6427,17 @@ def q_spectral_entropy(spark, sf_dir):
     return spectral_entropy(_series_from_events(spark, sf_dir))
 
 
+
+def q_sprt_readout(spark, sf_dir):
+    """Wald SPRT monitor on the daily purchase share (H0 p=0.04 vs
+    H1 p=0.06, alpha=beta=0.05): cumulative LLR per day with the
+    decision the monitor would have shown that day; exact integer
+    running counts, shared-literal ln factors."""
+    from timeseriescorrelation_spark.operators.abtest import sprt_readout
+
+    return sprt_readout(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6766,6 +6777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_report": q_charset_report,
         "doc_compressibility": q_doc_compressibility,
         "spectral_entropy": q_spectral_entropy,
+        "sprt_readout": q_sprt_readout,
     }
 
 
@@ -15940,5 +15952,31 @@ SELECT src AS source, cast(n_docs AS bigint) AS n_docs, n_chars,
                   AS double) / cast(n_chars AS double), 6)
          AS punct_share
 FROM agg
+""",
+        "sprt_readout": """
+WITH day AS (
+  SELECT date_trunc('day', ts) AS day_ts, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day_ts,
+         cast(sum(n) OVER (ORDER BY day_ts
+                           ROWS UNBOUNDED PRECEDING) AS bigint)
+           AS n_cum,
+         cast(sum(x) OVER (ORDER BY day_ts
+                           ROWS UNBOUNDED PRECEDING) AS bigint)
+           AS x_cum
+  FROM day
+), e AS (
+  SELECT day_ts, n_cum, x_cum,
+         cast(x_cum AS double) * 0.4054651081081644
+         + cast(n_cum - x_cum AS double) * -0.02105340919783238 AS llr
+  FROM cum
+)
+SELECT day_ts, n_cum, x_cum, round(llr, 6) AS llr,
+       CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+            WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM e
 """,
     }

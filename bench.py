@@ -317,6 +317,7 @@ HEADLINE_R3 = [
     "charset_report",
     "doc_compressibility",
     "spectral_entropy",
+    "sprt_readout",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

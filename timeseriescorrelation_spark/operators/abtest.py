@@ -28,7 +28,7 @@ semi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.functions.timeutil import epoch_us
@@ -410,4 +410,68 @@ def odds_ratio_weekend(events: DataFrame, key: str = "event_type",
         F.round(
             F.when(ok, F.exp(F.log(orr) + F.lit(1.96) * se)), 6
         ).alias("ci_hi"),
+    )
+
+
+def sprt_readout(events: DataFrame, target_event: str = "purchase",
+                 key: str = "event_type",
+                 p0: float = 0.04, p1: float = 0.06,
+                 alpha: float = 0.05, beta: float = 0.05) -> DataFrame:
+    """(day_ts, n_cum, x_cum, llr, decision): Wald's sequential
+    probability ratio test on the daily share of `target_event` —
+    the early-stopping monitor classical fixed-n tests can't give:
+    after each day, the cumulative log-likelihood ratio of
+    H1: p = p1 vs H0: p = p0,
+
+        LLR_d = X_d·ln(p1/p0) + (N_d − X_d)·ln((1−p1)/(1−p0))
+
+    against Wald's boundaries ln((1−β)/α) (accept H1) and
+    ln(β/(1−α)) (accept H0); 'continue' in between.  One readout row
+    per day with the decision the monitor would have shown THAT day.
+
+    Exactness: X_d and N_d are exact integer running sums (window per
+    nothing — the target share is corpus-wide, so the cumulative
+    window partitions by the constant target label, bounded by
+    |days|); the two ln factors are shared double literals computed
+    identically from (p0, p1) on both engines, so LLR is one double
+    expression per row.  Decisions are double comparisons of
+    identically-computed values (the anomaly_1h z policy).
+
+    Scale: day grid agg → |days|-row window — nothing raw-sized."""
+    import math
+
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+    day = events.groupBy(
+        F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col(key) == F.lit(target_event)).cast("long")
+        ).alias("x"),
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = day.select(
+        "day_ts",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("x").over(w).alias("x_cum"),
+    )
+    llr = (
+        F.col("x_cum").cast("double") * F.lit(c1)
+        + (F.col("n_cum") - F.col("x_cum")).cast("double") * F.lit(c0)
+    )
+    return cum.select(
+        "day_ts",
+        F.col("n_cum").cast("long").alias("n_cum"),
+        F.col("x_cum").cast("long").alias("x_cum"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= F.lit(up), F.lit("accept_h1"))
+        .when(llr <= F.lit(lo), F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
     )
