@@ -6438,6 +6438,20 @@ def q_sprt_readout(spark, sf_dir):
     return sprt_readout(_events(spark, sf_dir))
 
 
+
+def q_distance_corr(spark, sf_dir):
+    """Székely's distance correlation per metric pair over the daily
+    cent grid — zero iff independent (catches the V-shapes Pearson/
+    Spearman/tau read as 0): exact integer double-centered products in
+    decimal38 over the calendar-bounded n² distance enumeration, one
+    ratio + sqrt at the end."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        distance_corr,
+    )
+
+    return distance_corr(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6778,6 +6792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compressibility": q_doc_compressibility,
         "spectral_entropy": q_spectral_entropy,
         "sprt_readout": q_sprt_readout,
+        "distance_corr": q_distance_corr,
     }
 
 
@@ -15977,6 +15992,65 @@ SELECT day_ts, n_cum, x_cum, round(llr, 6) AS llr,
        CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
             WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
             ELSE 'continue' END AS decision
+FROM e
+""",
+        "distance_corr": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pd AS (
+  SELECT a.m AS metric_a, b.m AS metric_b, a.day_ts,
+         a.y AS ya, b.y AS yb
+  FROM d a JOIN d b ON a.day_ts = b.day_ts AND a.m < b.m
+), dist AS (
+  SELECT i.metric_a, i.metric_b, i.day_ts AS di, j.day_ts AS dj,
+         abs(i.ya - j.ya) AS a, abs(i.yb - j.yb) AS b
+  FROM pd i JOIN pd j
+    ON i.metric_a = j.metric_a AND i.metric_b = j.metric_b
+), rws AS (
+  SELECT metric_a, metric_b, di,
+         cast(sum(a) AS bigint) AS ra, cast(sum(b) AS bigint) AS rb,
+         count(*) AS n
+  FROM dist GROUP BY 1, 2, 3
+), tots AS (
+  SELECT metric_a, metric_b,
+         cast(sum(ra) AS bigint) AS sa, cast(sum(rb) AS bigint) AS sb,
+         cast(max(n) AS bigint) AS n
+  FROM rws GROUP BY 1, 2 HAVING max(n) >= 10
+), full_t AS (
+  SELECT dist.metric_a, dist.metric_b, tots.n, tots.sa, tots.sb,
+         dist.a, dist.b,
+         ri.ra AS ra_i, ri.rb AS rb_i,
+         rj.ra AS ra_j, rj.rb AS rb_j
+  FROM dist
+  JOIN tots ON dist.metric_a = tots.metric_a
+           AND dist.metric_b = tots.metric_b
+  JOIN rws ri ON dist.metric_a = ri.metric_a
+             AND dist.metric_b = ri.metric_b AND dist.di = ri.di
+  JOIN rws rj ON dist.metric_a = rj.metric_a
+             AND dist.metric_b = rj.metric_b AND dist.dj = rj.di
+), agg AS (
+  SELECT metric_a, metric_b, n,
+         sum(cast(n * n * a - n * ra_i - n * ra_j + sa AS hugeint)
+             * (n * n * b - n * rb_i - n * rb_j + sb)) AS sab,
+         sum(cast(n * n * a - n * ra_i - n * ra_j + sa AS hugeint)
+             * (n * n * a - n * ra_i - n * ra_j + sa)) AS saa,
+         sum(cast(n * n * b - n * rb_i - n * rb_j + sb AS hugeint)
+             * (n * n * b - n * rb_i - n * rb_j + sb)) AS sbb
+  FROM full_t GROUP BY 1, 2, 3
+), e AS (
+  SELECT metric_a, metric_b, n,
+         CASE WHEN saa > 0 AND sbb > 0
+              THEN greatest(cast(sab AS double)
+                            / sqrt(cast(saa AS double)
+                                   * cast(sbb AS double)), 0.0)
+         END AS dcor2
+  FROM agg
+)
+SELECT metric_a, metric_b, cast(n AS bigint) AS n_days,
+       round(dcor2, 6) AS dcor2,
+       round(sqrt(dcor2), 6) AS dcor
 FROM e
 """,
     }

@@ -318,6 +318,7 @@ HEADLINE_R3 = [
     "doc_compressibility",
     "spectral_entropy",
     "sprt_readout",
+    "distance_corr",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -999,3 +999,94 @@ def panel_fe(events: DataFrame, unit_col: str = "user_id",
         F.col("n").cast("long").alias("n_obs"),
         F.col("ne").cast("long").alias("n_entities"),
     )
+
+
+def distance_corr(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2,
+                  min_days: int = 10) -> DataFrame:
+    """(metric_a, metric_b, n_days, dcor2, dcor): Székely's DISTANCE
+    correlation between every unordered metric pair's daily cent-sum
+    series — the dependence measure that is ZERO if and only if the
+    series are independent (Pearson/Spearman/τ can all read 0 on a
+    perfect V-shape; dCor cannot):
+
+        a_jk = |x_j − x_k|,  A_jk = a_jk − ā_j· − ā_·k + ā_··
+        dCov² = Σ A_jk·B_jk / n²,   dCor² = dCov² / √(dVarₓ·dVar_y)
+
+    EXACT integer core: with cent values, n²·A_jk = n²a_jk − n·Ra_j −
+    n·Ra_k + Sa is an exact int64, every cross product Σ Tₐ·T_b
+    accumulates in decimal(38,0) (≤ ~10³⁵ at a 366-day grid), and
+    dCor² is ONE ratio of exact integers with a single sqrt — the
+    double-centering means never materialize as floats.
+
+    Scale: the grid is CALENDAR-bounded — n ≤ |days|, so the n²
+    distance enumeration per pair is ≤ 134k rows at a year and the
+    whole operator is k²·n² grid rows regardless of raw corpus size
+    (the kendall_tau/mann_kendall bounded-quadratic policy).  Three
+    hash aggs + two grid joins; nothing raw-sized."""
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    d = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    a = d.select(F.col("m").alias("metric_a"), "day_ts",
+                 F.col("y").alias("ya"))
+    b = d.select(F.col("m").alias("metric_b"), "day_ts",
+                 F.col("y").alias("yb"))
+    pd_ = a.join(b, "day_ts").where(F.col("metric_a") < F.col("metric_b"))
+    i = pd_.select("metric_a", "metric_b",
+                   F.col("day_ts").alias("di"),
+                   F.col("ya").alias("yai"), F.col("yb").alias("ybi"))
+    j = pd_.select("metric_a", "metric_b",
+                   F.col("day_ts").alias("dj"),
+                   F.col("ya").alias("yaj"), F.col("yb").alias("ybj"))
+    pk = ["metric_a", "metric_b"]
+    dist = i.join(j, pk).select(
+        *pk, "di", "dj",
+        F.abs(F.col("yai") - F.col("yaj")).alias("a"),
+        F.abs(F.col("ybi") - F.col("ybj")).alias("b"),
+    )
+    rows = dist.groupBy(*pk, "di").agg(
+        F.sum("a").alias("ra"), F.sum("b").alias("rb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tots = rows.groupBy(*pk).agg(
+        F.sum("ra").alias("sa"), F.sum("rb").alias("sb"),
+        F.max("n").alias("n"),
+    ).where(F.col("n") >= int(min_days))
+    ri = rows.select(*pk, "di",
+                     F.col("ra").alias("ra_i"),
+                     F.col("rb").alias("rb_i"))
+    rj = rows.select(*pk, F.col("di").alias("dj"),
+                     F.col("ra").alias("ra_j"),
+                     F.col("rb").alias("rb_j"))
+    full = (
+        dist.join(F.broadcast(tots), pk)
+        .join(ri, [*pk, "di"])
+        .join(rj, [*pk, "dj"])
+    )
+    n = F.col("n")
+    ta = (n * n * F.col("a") - n * F.col("ra_i") - n * F.col("ra_j")
+          + F.col("sa"))
+    tb = (n * n * F.col("b") - n * F.col("rb_i") - n * F.col("rb_j")
+          + F.col("sb"))
+    agg = full.groupBy(*pk, "n").agg(
+        F.sum(ta.cast(dec) * tb.cast(dec)).alias("sab"),
+        F.sum(ta.cast(dec) * ta.cast(dec)).alias("saa"),
+        F.sum(tb.cast(dec) * tb.cast(dec)).alias("sbb"),
+    )
+    den = F.sqrt(
+        F.col("saa").cast("double") * F.col("sbb").cast("double")
+    )
+    dcor2 = F.when(
+        (F.col("saa") > 0) & (F.col("sbb") > 0),
+        F.greatest(F.col("sab").cast("double") / den, F.lit(0.0)),
+    )
+    return agg.select(
+        *pk,
+        F.col("n").cast("long").alias("n_days"),
+        F.round(dcor2, 6).alias("dcor2"),
+        F.round(F.sqrt(dcor2), 6).alias("dcor"),
+    )
