@@ -6452,6 +6452,30 @@ def q_distance_corr(spark, sf_dir):
     return distance_corr(_series_from_events(spark, sf_dir))
 
 
+
+def q_energy_distance(spark, sf_dir):
+    """Székely energy distance between weekday and weekend daily
+    distributions per metric (+ normalized e_coef) — the two-sample
+    test sensitive to ANY distributional difference; exact integer
+    pair sums over the calendar-bounded grid."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        energy_distance_weekend,
+    )
+
+    return energy_distance_weekend(_series_from_events(spark, sf_dir))
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the binned Brier score over the gated
+    reliability table (REL - RES + UNC): micro-snapped per-bin
+    quadratics over already-rounded calibration values."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        brier_decomposition,
+    )
+
+    return brier_decomposition(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6793,6 +6817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_entropy": q_spectral_entropy,
         "sprt_readout": q_sprt_readout,
         "distance_corr": q_distance_corr,
+        "energy_distance": q_energy_distance,
+        "brier_decomposition": q_brier_decomposition,
     }
 
 
@@ -7412,6 +7438,42 @@ def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
+    # Murphy decomposition composes on the calibration oracle verbatim
+    d["brier_decomposition"] = (
+        "WITH cal AS (" + d["markov_calibration"] + """), tot AS (
+  SELECT cast(sum(n_pairs) AS bigint) AS nn,
+         cast(sum(n_pos) AS bigint) AS pos, count(*) AS k
+  FROM cal
+), j AS (
+  SELECT cal.*, tot.nn, tot.pos, tot.k,
+         cast(tot.pos AS double) / cast(tot.nn AS double) AS obar
+  FROM cal CROSS JOIN tot
+), agg AS (
+  SELECT nn, pos, k,
+         cast(sum(cast(round(cast(n_pairs AS double)
+               * (mean_pred - frac_obs) * (mean_pred - frac_obs)
+               * 1000000.0) AS bigint)) AS bigint) AS rel_u,
+         cast(sum(cast(round(cast(n_pairs AS double)
+               * (frac_obs - obar) * (frac_obs - obar)
+               * 1000000.0) AS bigint)) AS bigint) AS res_u
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT cast(k AS bigint) AS n_bins_used, nn AS n_pairs,
+       round(cast(rel_u AS double) / 1000000.0
+             / cast(nn AS double), 6) AS brier_rel,
+       round(cast(res_u AS double) / 1000000.0
+             / cast(nn AS double), 6) AS brier_res,
+       round((cast(pos AS double) / cast(nn AS double))
+             * (1.0 - cast(pos AS double) / cast(nn AS double)), 6)
+         AS brier_unc,
+       round(cast(rel_u AS double) / 1000000.0 / cast(nn AS double)
+             - cast(res_u AS double) / 1000000.0 / cast(nn AS double)
+             + (cast(pos AS double) / cast(nn AS double))
+               * (1.0 - cast(pos AS double) / cast(nn AS double)), 6)
+         AS brier
+FROM agg
+"""
+    )
     # spectral entropy composes on the periodogram oracle verbatim:
     # nano-snapped powers over the 6-dp amps, micro-nat ln terms
     d["spectral_entropy"] = (
@@ -16051,6 +16113,50 @@ WITH d AS (
 SELECT metric_a, metric_b, cast(n AS bigint) AS n_days,
        round(dcor2, 6) AS dcor2,
        round(sqrt(dcor2), 6) AS dcor
+FROM e
+""",
+        "energy_distance": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), pairs AS (
+  SELECT a.m, a.y AS ya, a.g AS ga, b.y AS yb, b.g AS gb
+  FROM dd a JOIN dd b ON a.m = b.m
+), agg AS (
+  SELECT m,
+         cast(sum(CASE WHEN ga = 0 AND gb = 1 THEN abs(ya - yb)
+                  ELSE 0 END) AS bigint) AS sxy,
+         cast(sum(CASE WHEN ga = 0 AND gb = 0 THEN abs(ya - yb)
+                  ELSE 0 END) AS bigint) AS sxx,
+         cast(sum(CASE WHEN ga = 1 AND gb = 1 THEN abs(ya - yb)
+                  ELSE 0 END) AS bigint) AS syy
+  FROM pairs GROUP BY 1
+), cnt AS (
+  SELECT m, cast(sum(1 - g) AS bigint) AS nx,
+         cast(sum(g) AS bigint) AS ny
+  FROM dd GROUP BY 1
+), e AS (
+  SELECT agg.m, nx, ny,
+         cast(sxy AS double)
+         / (cast(nx AS double) * cast(ny AS double)) AS exy,
+         cast(sxx AS double)
+         / (cast(nx AS double) * cast(nx AS double)) AS exx,
+         cast(syy AS double)
+         / (cast(ny AS double) * cast(ny AS double)) AS eyy
+  FROM agg JOIN cnt ON agg.m = cnt.m
+  WHERE nx >= 4 AND ny >= 4
+)
+SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
+       round((2.0 * exy - exx - eyy) / 100.0, 6) AS energy_dist,
+       round(CASE WHEN exy > 0
+             THEN (2.0 * exy - exx - eyy) / (2.0 * exy) END, 6)
+         AS e_coef
 FROM e
 """,
     }

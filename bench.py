@@ -319,6 +319,8 @@ HEADLINE_R3 = [
     "spectral_entropy",
     "sprt_readout",
     "distance_corr",
+    "energy_distance",
+    "brier_decomposition",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -2512,3 +2512,54 @@ def capacity_projection(series: DataFrame, key: str = "metric",
         target.cast("long").alias("target_cents"),
         F.round(days, 6).alias("days_to_2x"),
     )
+
+
+def brier_decomposition(series: DataFrame, num: int = 3,
+                        den: int = 5, n_bins: int = 10) -> DataFrame:
+    """One row (n_bins_used, n_pairs, brier_rel, brier_res,
+    brier_unc, brier): Murphy's decomposition of the (binned) Brier
+    score over the SAME reliability table markov_calibration gates —
+
+        REL = Σ n_b(p̄_b − o_b)²/N      (miscalibration: lower better)
+        RES = Σ n_b(o_b − ō)²/N        (discrimination: higher better)
+        UNC = ō(1 − ō)                  (irreducible base-rate noise)
+        Brier(binned) = REL − RES + UNC
+
+    Composition starts from markov_calibration's ALREADY-ROUNDED
+    mean_pred/frac_obs (bit-equal across engines by its own gate);
+    per-bin quadratic terms are snapped to integer micro-units before
+    the order-free sum, ō is an exact integer ratio.
+
+    Scale: ≤ n_bins input rows — pure post-aggregate algebra."""
+    cal = markov_calibration(series, num, den, n_bins)
+    tot = cal.agg(
+        F.sum("n_pairs").alias("nn"), F.sum("n_pos").alias("pos"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cal.crossJoin(F.broadcast(tot))
+    n_b = F.col("n_pairs").cast("double")
+    obar = F.col("pos").cast("double") / F.col("nn").cast("double")
+    rel_u = F.round(
+        n_b * (F.col("mean_pred") - F.col("frac_obs"))
+        * (F.col("mean_pred") - F.col("frac_obs")) * F.lit(1.0e6)
+    ).cast("long")
+    res_u = F.round(
+        n_b * (F.col("frac_obs") - obar)
+        * (F.col("frac_obs") - obar) * F.lit(1.0e6)
+    ).cast("long")
+    agg = j.groupBy("nn", "pos", "k").agg(
+        F.sum(rel_u).alias("rel_u"), F.sum(res_u).alias("res_u")
+    )
+    nn = F.col("nn").cast("double")
+    rel = F.col("rel_u").cast("double") / F.lit(1.0e6) / nn
+    res = F.col("res_u").cast("double") / F.lit(1.0e6) / nn
+    ob = F.col("pos").cast("double") / nn
+    unc = ob * (F.lit(1.0) - ob)
+    return agg.select(
+        F.col("k").cast("long").alias("n_bins_used"),
+        F.col("nn").cast("long").alias("n_pairs"),
+        F.round(rel, 6).alias("brier_rel"),
+        F.round(res, 6).alias("brier_res"),
+        F.round(unc, 6).alias("brier_unc"),
+        F.round(rel - res + unc, 6).alias("brier"),
+    )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
 DEC = "decimal(38,0)"
 
 
@@ -1089,4 +1091,76 @@ def distance_corr(series: DataFrame, key: str = "metric",
         F.col("n").cast("long").alias("n_days"),
         F.round(dcor2, 6).alias("dcor2"),
         F.round(F.sqrt(dcor2), 6).alias("dcor"),
+    )
+
+
+def energy_distance_weekend(series: DataFrame, key: str = "metric",
+                            value_decimals: int = 2,
+                            min_days: int = 4) -> DataFrame:
+    """(metric, n_weekday, n_weekend, energy_dist, e_coef): Székely's
+    ENERGY DISTANCE between the weekday and weekend distributions of
+    daily cent sums per metric — the two-sample test sensitive to ANY
+    distributional difference (KS caps at the single largest CDF gap;
+    energy integrates all of them):
+
+        E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|        (V-statistic form)
+        e_coef = E / (2·E|X−Y|) ∈ [0, 1]         (0 ⇔ same law)
+
+    Every pair sum Σ|a−b| is an exact integer over the calendar-
+    bounded day grid (ordered pairs incl. diagonal — the plain
+    V-statistic), weekend membership by the integer epoch-day rule;
+    E is one shared double tree.
+
+    Scale: one grid self-join per metric — D² rows at D days,
+    raw-size-independent (the distance_corr policy)."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    days = F.floor(
+        epoch_us(F.col("day_ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    g1 = F.pmod(days + F.lit(4), F.lit(7)).isin(0, 6).cast("int")
+    dd = d.select("m", "y", g1.alias("g"))
+    a = dd.select("m", F.col("y").alias("ya"), F.col("g").alias("ga"))
+    b = dd.select("m", F.col("y").alias("yb"), F.col("g").alias("gb"))
+    pairs = a.join(b, "m")
+    ad = F.abs(F.col("ya") - F.col("yb"))
+    agg = pairs.groupBy("m").agg(
+        F.sum(
+            F.when((F.col("ga") == 0) & (F.col("gb") == 1), ad)
+            .otherwise(F.lit(0))
+        ).alias("sxy"),
+        F.sum(
+            F.when((F.col("ga") == 0) & (F.col("gb") == 0), ad)
+            .otherwise(F.lit(0))
+        ).alias("sxx"),
+        F.sum(
+            F.when((F.col("ga") == 1) & (F.col("gb") == 1), ad)
+            .otherwise(F.lit(0))
+        ).alias("syy"),
+    )
+    cnt = dd.groupBy("m").agg(
+        F.sum(F.lit(1) - F.col("g")).alias("nx"),
+        F.sum("g").alias("ny"),
+    )
+    j = agg.join(cnt, "m").where(
+        (F.col("nx") >= int(min_days)) & (F.col("ny") >= int(min_days))
+    )
+    nx = F.col("nx").cast("double")
+    ny = F.col("ny").cast("double")
+    exy = F.col("sxy").cast("double") / (nx * ny)
+    exx = F.col("sxx").cast("double") / (nx * nx)
+    eyy = F.col("syy").cast("double") / (ny * ny)
+    e = F.lit(2.0) * exy - exx - eyy
+    coef = F.when(exy > 0, e / (F.lit(2.0) * exy))
+    sc = F.lit(float(scale))
+    return j.select(
+        F.col("m").alias("metric"),
+        F.col("nx").cast("long").alias("n_weekday"),
+        F.col("ny").cast("long").alias("n_weekend"),
+        F.round(e / sc, 6).alias("energy_dist"),
+        F.round(coef, 6).alias("e_coef"),
     )
