@@ -6476,6 +6476,19 @@ def q_brier_decomposition(spark, sf_dir):
     return brier_decomposition(_series_from_events(spark, sf_dir))
 
 
+
+def q_pettitt_test(spark, sf_dir):
+    """Pettitt's nonparametric single-changepoint test per metric over
+    the daily cent grid — rank-based (one spike can't fake it), exact
+    integer U_t via the telescoped pair enumeration, integer-decided
+    argmax split, approximate p as one double expression."""
+    from timeseriescorrelation_spark.operators.changepoint import (
+        pettitt_test,
+    )
+
+    return pettitt_test(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6819,6 +6832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_corr": q_distance_corr,
         "energy_distance": q_energy_distance,
         "brier_decomposition": q_brier_decomposition,
+        "pettitt_test": q_pettitt_test,
     }
 
 
@@ -16158,5 +16172,45 @@ SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
              THEN (2.0 * exy - exx - eyy) / (2.0 * exy) END, 6)
          AS e_coef
 FROM e
+""",
+        "pettitt_test": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT i.metric, i.day_ts AS di, j.day_ts AS dj, i.y AS yi, j.y AS yj
+  FROM d i JOIN d j
+    ON i.metric = j.metric AND i.day_ts <> j.day_ts
+), delta AS (
+  SELECT metric, di,
+         cast(sum(CASE WHEN di < dj THEN sign(yj - yi) ELSE 0 END)
+              - sum(CASE WHEN di > dj THEN sign(yi - yj) ELSE 0 END)
+              AS bigint) AS du
+  FROM pairs GROUP BY 1, 2
+), u AS (
+  SELECT metric, di,
+         cast(sum(du) OVER (PARTITION BY metric ORDER BY di
+                            ROWS UNBOUNDED PRECEDING) AS bigint) AS u_t
+  FROM delta
+), best AS (
+  SELECT metric, abs(u_t) AS k, di,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY abs(u_t) DESC, di ASC) AS r
+  FROM u
+), nn AS (
+  SELECT metric, count(*) AS n_days FROM d GROUP BY 1
+)
+SELECT b.metric, cast(n_days AS bigint) AS n_days,
+       cast(k AS bigint) AS k_stat, di AS change_day,
+       round(least(2.0 * exp(-6.0 * cast(k AS double) * cast(k AS double)
+                             / (cast(n_days AS double)
+                                * cast(n_days AS double)
+                                * cast(n_days AS double)
+                                + cast(n_days AS double)
+                                  * cast(n_days AS double))), 1.0), 6)
+         AS p_approx
+FROM best b JOIN nn ON b.metric = nn.metric
+WHERE r = 1 AND n_days >= 8
 """,
     }

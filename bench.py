@@ -321,6 +321,7 @@ HEADLINE_R3 = [
     "distance_corr",
     "energy_distance",
     "brier_decomposition",
+    "pettitt_test",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

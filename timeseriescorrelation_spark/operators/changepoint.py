@@ -281,3 +281,93 @@ def changepoints_multi(series: DataFrame, keys: list[str] | None = None,
             6,
         ).alias("mean"),
     )
+
+
+def pettitt_test(series: DataFrame, keys: list[str] | None = None,
+                 value_decimals: int = 2,
+                 min_days: int = 8) -> DataFrame:
+    """(metric, n_days, k_stat, change_day, p_approx): Pettitt's
+    nonparametric single-changepoint test on the daily cent-sum
+    series — the rank-based member of the changepoint family
+    (changepoint_daily: CUSUM on means — outlier-sensitive;
+    Pettitt: Mann-Whitney across every split — no distributional
+    assumption, one spike can't fake it):
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i)
+        K = max_t |U_t|,    p ≈ 2·exp(−6K² / (T³ + T²))
+
+    change_day is the argmax split (earliest day on ties — decided by
+    the INTEGER pair (|U|, −day), never a float).  Every U_t is an
+    exact integer assembled from the same O(T²) sign enumeration as
+    mann_kendall, cumulated over the day grid; the only doubles are
+    the final p expression.
+
+    Scale: T = calendar days, so the pair table is T²/2 rows per
+    metric regardless of corpus size (the bounded-quadratic policy);
+    one partitioned cumulative window over T rows."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        *keys, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    i = d.select(*keys, F.col("day_ts").alias("di"),
+                 F.col("y").alias("yi"))
+    j = d.select(*keys, F.col("day_ts").alias("dj"),
+                 F.col("y").alias("yj"))
+    # U_t telescopes: U_t − U_{t−1} = Σ_{j>t} sgn(x_j − x_t)
+    # − Σ_{i<t} sgn(x_t − x_i) (pairs gained at i = t minus pairs
+    # lost at j = t), so one pair enumeration keyed by the anchor day
+    # + one cumulative window reproduce every U_t exactly.
+    pairs = i.join(j, keys).where(F.col("di") != F.col("dj"))
+    delta = pairs.select(
+        *keys, "di",
+        F.when(
+            F.col("di") < F.col("dj"),
+            F.signum((F.col("yj") - F.col("yi")).cast("double"))
+            .cast("long"),
+        ).otherwise(F.lit(0)).alias("gain"),
+        F.when(
+            F.col("di") > F.col("dj"),
+            F.signum((F.col("yi") - F.col("yj")).cast("double"))
+            .cast("long"),
+        ).otherwise(F.lit(0)).alias("loss"),
+    ).groupBy(*keys, "di").agg(
+        (F.sum("gain") - F.sum("loss")).alias("du")
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = delta.select(
+        *keys, "di", F.sum("du").over(w).alias("u_t")
+    )
+    n = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_days"))
+    best = (
+        u.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("u_t")).alias("k"),
+                    (-epoch_us(F.col("di"))).alias("negd"),
+                    F.col("di").alias("di"),
+                )
+            ).alias("b")
+        )
+        .select(*keys, F.col("b.k").alias("k_stat"),
+                F.col("b.di").alias("change_day"))
+    )
+    out = best.join(n, keys).where(F.col("n_days") >= int(min_days))
+    t = F.col("n_days").cast("double")
+    k = F.col("k_stat").cast("double")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * k * k / (t * t * t + t * t)
+    )
+    return out.select(
+        *keys,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("k_stat").cast("long").alias("k_stat"),
+        F.col("change_day"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_approx"),
+    )
