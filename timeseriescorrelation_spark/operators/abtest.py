@@ -452,8 +452,15 @@ def sprt_readout(events: DataFrame, target_event: str = "purchase",
             (F.col(key) == F.lit(target_event)).cast("long")
         ).alias("x"),
     )
+    from timeseriescorrelation_spark.functions.timeutil import (
+        const_partition,
+    )
+
+    # |days| rows by construction — single-partition BY DESIGN; the
+    # non-foldable constant keeps Catalyst from erasing the partition
+    # key (the intervals.concurrency carry-prefix convention)
     w = (
-        Window.partitionBy(F.lit(1))
+        Window.partitionBy(const_partition("day_ts"))
         .orderBy("day_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
