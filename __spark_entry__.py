@@ -6489,6 +6489,31 @@ def q_pettitt_test(spark, sf_dir):
     return pettitt_test(_series_from_events(spark, sf_dir))
 
 
+
+def q_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t of weekend vs weekday daily value
+    means per metric — the parametric member of the two-sample triad
+    (mann_whitney: ranks; energy_distance: full distribution); exact
+    decimal38 per-arm moments, t and Welch-Satterthwaite df one
+    shared double tree."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        welch_t_weekend,
+    )
+
+    return welch_t_weekend(_series_from_events(spark, sf_dir))
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum test of weekend vs weekday daily values
+    per metric — doubled-U exact integers over the bounded day-grid
+    pair enumeration, tie-adjusted normal z."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        mann_whitney_weekend,
+    )
+
+    return mann_whitney_weekend(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6833,6 +6858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_distance": q_energy_distance,
         "brier_decomposition": q_brier_decomposition,
         "pettitt_test": q_pettitt_test,
+        "welch_t": q_welch_t,
+        "mann_whitney": q_mann_whitney,
     }
 
 
@@ -16212,5 +16239,99 @@ SELECT b.metric, cast(n_days AS bigint) AS n_days,
          AS p_approx
 FROM best b JOIN nn ON b.metric = nn.metric
 WHERE r = 1 AND n_days >= 8
+""",
+        "welch_t": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), agg AS (
+  SELECT m, cast(sum(1 - g) AS bigint) AS nx,
+         cast(sum(g) AS bigint) AS ny,
+         cast(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS bigint) AS sx,
+         cast(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS bigint) AS sy,
+         sum(CASE WHEN g = 0 THEN cast(y AS hugeint) * y
+             ELSE 0 END) AS sxx,
+         sum(CASE WHEN g = 1 THEN cast(y AS hugeint) * y
+             ELSE 0 END) AS syy
+  FROM dd GROUP BY 1 HAVING sum(1 - g) >= 4 AND sum(g) >= 4
+), e AS (
+  SELECT m, nx, ny,
+         cast(sx AS double) AS sxd, cast(sy AS double) AS syd,
+         cast(nx AS double) AS nxd, cast(ny AS double) AS nyd,
+         (cast(sxx AS double)
+          - cast(sx AS double) * cast(sx AS double)
+            / cast(nx AS double)) / (cast(nx AS double) - 1.0) AS vx,
+         (cast(syy AS double)
+          - cast(sy AS double) * cast(sy AS double)
+            / cast(ny AS double)) / (cast(ny AS double) - 1.0) AS vy
+  FROM agg
+), f AS (
+  SELECT m, nx, ny, nxd, nyd, sxd, syd,
+         vx / nxd AS a, vy / nyd AS b
+  FROM e
+)
+SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
+       round((syd / nyd - sxd / nxd) / 100.0, 6) AS mean_diff,
+       round(CASE WHEN a + b > 0
+             THEN (syd / nyd - sxd / nxd) / sqrt(a + b) END, 6)
+         AS t_stat,
+       round(CASE WHEN a > 0 OR b > 0
+             THEN (a + b) * (a + b)
+                  / (a * a / (nxd - 1.0) + b * b / (nyd - 1.0))
+             END, 6) AS df
+FROM f
+""",
+        "mann_whitney": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), u AS (
+  SELECT x.m,
+         cast(sum(2 * (CASE WHEN x.y < y.y THEN 1 ELSE 0 END)
+                  + (CASE WHEN x.y = y.y THEN 1 ELSE 0 END))
+              AS bigint) AS u2
+  FROM (SELECT m, y FROM dd WHERE g = 0) x
+  JOIN (SELECT m, y FROM dd WHERE g = 1) y ON x.m = y.m
+  GROUP BY 1
+), cnt AS (
+  SELECT m, cast(sum(1 - g) AS bigint) AS nx,
+         cast(sum(g) AS bigint) AS ny
+  FROM dd GROUP BY 1
+), ties AS (
+  SELECT m, cast(sum(t * t * t - t) AS bigint) AS tie_term
+  FROM (SELECT m, y, count(*) AS t FROM dd GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT u.m, u2, nx, ny, tie_term,
+         cast(nx AS double) AS nxd, cast(ny AS double) AS nyd,
+         cast(nx + ny AS double) AS nnd
+  FROM u JOIN cnt ON u.m = cnt.m JOIN ties ON u.m = ties.m
+  WHERE nx >= 4 AND ny >= 4
+), e AS (
+  SELECT m, u2, nx, ny,
+         nxd * nyd / 12.0
+         * ((nnd + 1.0) - cast(tie_term AS double)
+                          / (nnd * (nnd - 1.0))) AS var_u,
+         nxd, nyd
+  FROM j
+)
+SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
+       u2 AS u2_stat,
+       round(CASE WHEN var_u > 0
+             THEN (cast(u2 AS double) / 2.0 - nxd * nyd / 2.0)
+                  / sqrt(var_u) END, 6) AS z
+FROM e
 """,
     }

@@ -322,6 +322,8 @@ HEADLINE_R3 = [
     "energy_distance",
     "brier_decomposition",
     "pettitt_test",
+    "welch_t",
+    "mann_whitney",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

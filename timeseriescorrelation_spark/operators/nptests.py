@@ -262,3 +262,150 @@ def grubbs_daily(series: DataFrame, key: str = "metric",
         ).alias("suspect_value"),
         F.round(g, 6).alias("g_stat"),
     )
+
+
+def _weekend_daily(series: DataFrame, key: str,
+                   value_decimals: int) -> DataFrame:
+    """(m, y, g): daily cent sums tagged weekend (g=1) / weekday by
+    the integer epoch-day rule — shared scaffold of the two-sample
+    family (Welch t / Mann-Whitney / energy distance)."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    days = F.floor(
+        epoch_us(F.col("day_ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    g1 = F.pmod(days + F.lit(4), F.lit(7)).isin(0, 6).cast("int")
+    return d.select("m", "y", g1.alias("g"))
+
+
+def welch_t_weekend(series: DataFrame, key: str = "metric",
+                    value_decimals: int = 2,
+                    min_days: int = 4) -> DataFrame:
+    """(metric, n_weekday, n_weekend, mean_diff, t_stat, df): Welch's
+    unequal-variance t-test of weekend vs weekday daily value means —
+    the parametric member of the two-sample triad (Mann-Whitney:
+    ranks; energy distance: full distribution):
+
+        t = (ȳ_w − ȳ_d) / √(s_w²/n_w + s_d²/n_d)
+        df = Welch–Satterthwaite
+
+    Exact integer moments per arm (Σy, Σy² in decimal38); t and df
+    are one shared double tree.  mean_diff in value units."""
+    dec = "decimal(38,0)"
+    dd = _weekend_daily(series, key, value_decimals)
+    agg = dd.groupBy("m").agg(
+        F.sum(F.lit(1) - F.col("g")).alias("nx"),
+        F.sum("g").alias("ny"),
+        F.sum(
+            F.when(F.col("g") == 0, F.col("y")).otherwise(0)
+        ).alias("sx"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("y")).otherwise(0)
+        ).alias("sy"),
+        F.sum(
+            F.when(F.col("g") == 0,
+                   F.col("y").cast(dec) * F.col("y").cast(dec))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("sxx"),
+        F.sum(
+            F.when(F.col("g") == 1,
+                   F.col("y").cast(dec) * F.col("y").cast(dec))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("syy"),
+    ).where(
+        (F.col("nx") >= int(min_days)) & (F.col("ny") >= int(min_days))
+    )
+    nx = F.col("nx").cast("double")
+    ny = F.col("ny").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = (F.col("sxx").cast("double") - sx * sx / nx) / (nx - F.lit(1.0))
+    vy = (F.col("syy").cast("double") - sy * sy / ny) / (ny - F.lit(1.0))
+    a = vx / nx
+    b = vy / ny
+    se2 = a + b
+    t = F.when(se2 > 0, (sy / ny - sx / nx) / F.sqrt(se2))
+    df = F.when(
+        (a > 0) | (b > 0),
+        se2 * se2
+        / (a * a / (nx - F.lit(1.0)) + b * b / (ny - F.lit(1.0))),
+    )
+    scale = 10 ** int(value_decimals)
+    return agg.select(
+        F.col("m").alias("metric"),
+        F.col("nx").cast("long").alias("n_weekday"),
+        F.col("ny").cast("long").alias("n_weekend"),
+        F.round((sy / ny - sx / nx) / F.lit(float(scale)), 6)
+        .alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+    )
+
+
+def mann_whitney_weekend(series: DataFrame, key: str = "metric",
+                         value_decimals: int = 2,
+                         min_days: int = 4) -> DataFrame:
+    """(metric, n_weekday, n_weekend, u2_stat, z): Mann-Whitney
+    rank-sum test of weekend vs weekday daily values — the
+    nonparametric member of the two-sample triad.  DOUBLED U keeps
+    half-counted ties integer:
+
+        U2 = Σ_{x∈wd, y∈we} (2·[x < y] + [x = y])
+        z = (U2/2 − n_x n_y/2) / σ_U,
+        σ²_U = n_x n_y [ (n+1) − Σ(t³−t)/(n(n−1)) ] / 12   (tie-adj.)
+
+    U2 and the tie term are exact integers from the bounded day-grid
+    pair enumeration; z is one shared double tree.
+
+    Scale: D² pair rows per metric over the calendar-bounded grid —
+    same policy as energy_distance/pettitt."""
+    dd = _weekend_daily(series, key, value_decimals)
+    x = dd.where(F.col("g") == 0).select("m", F.col("y").alias("yx"))
+    y = dd.where(F.col("g") == 1).select("m", F.col("y").alias("yy"))
+    u = x.join(y, "m").groupBy("m").agg(
+        F.sum(
+            F.lit(2) * (F.col("yx") < F.col("yy")).cast("long")
+            + (F.col("yx") == F.col("yy")).cast("long")
+        ).alias("u2")
+    )
+    cnt = dd.groupBy("m").agg(
+        F.sum(F.lit(1) - F.col("g")).alias("nx"),
+        F.sum("g").alias("ny"),
+    )
+    ties = (
+        dd.groupBy("m", "y").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_term")
+        )
+    )
+    j = u.join(cnt, "m").join(ties, "m").where(
+        (F.col("nx") >= int(min_days)) & (F.col("ny") >= int(min_days))
+    )
+    nx = F.col("nx").cast("double")
+    ny = F.col("ny").cast("double")
+    nn = nx + ny
+    tt = F.col("tie_term").cast("double")
+    var_u = nx * ny / F.lit(12.0) * (
+        (nn + F.lit(1.0)) - tt / (nn * (nn - F.lit(1.0)))
+    )
+    z = F.when(
+        var_u > 0,
+        (F.col("u2").cast("double") / F.lit(2.0) - nx * ny / F.lit(2.0))
+        / F.sqrt(var_u),
+    )
+    return j.select(
+        F.col("m").alias("metric"),
+        F.col("nx").cast("long").alias("n_weekday"),
+        F.col("ny").cast("long").alias("n_weekend"),
+        F.col("u2").cast("long").alias("u2_stat"),
+        F.round(z, 6).alias("z"),
+    )
