@@ -6514,6 +6514,17 @@ def q_mann_whitney(spark, sf_dir):
     return mann_whitney_weekend(_series_from_events(spark, sf_dir))
 
 
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: cumulative value per cohort
+    member by age week (Monday-anchored ISO cohorts, exact integer
+    week ages and cent cumsums) — the unit-economics companion to
+    cohort_retention."""
+    from timeseriescorrelation_spark.operators.retention import cohort_ltv
+
+    return cohort_ltv(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6860,6 +6871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt_test": q_pettitt_test,
         "welch_t": q_welch_t,
         "mann_whitney": q_mann_whitney,
+        "cohort_ltv": q_cohort_ltv,
     }
 
 
@@ -16333,5 +16345,44 @@ SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
              THEN (cast(u2 AS double) / 2.0 - nxd * nyd / 2.0)
                   / sqrt(var_u) END, 6) AS z
 FROM e
+""",
+        "cohort_ltv": """
+WITH uw AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS w,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), first AS (
+  SELECT u, min(w) AS cw FROM uw GROUP BY 1
+), sizes AS (
+  SELECT cw, count(*) AS cohort_size FROM first GROUP BY 1
+), j AS (
+  SELECT f.cw AS cohort_week,
+         cast((epoch_us(uw.w) - epoch_us(f.cw)) / 604800000000
+              AS bigint) AS age_week,
+         uw.c
+  FROM uw JOIN first f ON uw.u = f.u
+), per AS (
+  SELECT cohort_week, age_week, count(*) AS active_users,
+         cast(sum(c) AS bigint) AS cents
+  FROM j GROUP BY 1, 2
+), cum AS (
+  SELECT per.cohort_week, age_week, active_users, cents,
+         sizes.cohort_size,
+         cast(sum(cents) OVER (PARTITION BY per.cohort_week
+                               ORDER BY age_week
+                               ROWS UNBOUNDED PRECEDING) AS bigint)
+           AS cum_cents
+  FROM per JOIN sizes ON per.cohort_week = sizes.cw
+)
+SELECT cohort_week, age_week,
+       cast(active_users AS bigint) AS active_users,
+       cast(cohort_size AS bigint) AS cohort_size,
+       round(cast(cents AS double)
+             / cast(cohort_size AS double) / 100.0, 6)
+         AS week_value_per_user,
+       round(cast(cum_cents AS double)
+             / cast(cohort_size AS double) / 100.0, 6)
+         AS cum_value_per_user
+FROM cum
 """,
     }

@@ -324,6 +324,7 @@ HEADLINE_R3 = [
     "pettitt_test",
     "welch_t",
     "mann_whitney",
+    "cohort_ltv",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -15,8 +15,10 @@ a metadata-only drop of whole partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from timeseriescorrelation_spark.functions.timeutil import epoch_us
 
 
 def apply_retention(tier_df: DataFrame, now_df: DataFrame,
@@ -196,4 +198,71 @@ def stickiness_daily(events: DataFrame, user_col: str = "user_id",
             F.coalesce("dau", F.lit(0)).cast("double")
             / F.col("mau").cast("double"), 6
         ).alias("stickiness"),
+    )
+
+
+def cohort_ltv(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               value_decimals: int = 2) -> DataFrame:
+    """(cohort_week, age_week, active_users, cohort_size,
+    week_value_per_user, cum_value_per_user): cohort LIFETIME-VALUE
+    curves — cohort_retention answers "how many came back";
+    this answers "what did a cohort member produce by week N",
+    the number a unit-economics decision actually needs.
+
+    cohort = ISO week of the user's first event (both engines'
+    date_trunc('week') is Monday-anchored); age_week = exact integer
+    week difference of two week-truncated timestamps (µs division is
+    exact — both are multiples of a day).  Cents per (cohort, age)
+    and the cumulative sum are exact integers; the two per-user
+    ratios are one division each.
+
+    Scale: one (user, week) hash agg → one user-cohort join
+    (aggregate-sized) → (cohort, age) agg → a cumulative window over
+    ≤|weeks| rows per cohort partition."""
+    scale = 10 ** int(value_decimals)
+    uw = events.groupBy(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).alias("w"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("c")
+    )
+    first = uw.groupBy("u").agg(F.min("w").alias("cw"))
+    sizes = first.groupBy("cw").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    j = uw.join(first, "u").select(
+        F.col("cw").alias("cohort_week"),
+        (
+            (epoch_us(F.col("w")) - epoch_us(F.col("cw")))
+            / F.lit(604_800_000_000)
+        ).cast("long").alias("age_week"),
+        "c",
+    )
+    per = j.groupBy("cohort_week", "age_week").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("c").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = per.join(
+        F.broadcast(sizes),
+        per["cohort_week"] == sizes["cw"],
+    ).select(
+        "cohort_week", "age_week", "active_users", "cohort_size",
+        "cents", F.sum("cents").over(w).alias("cum_cents"),
+    )
+    cs = F.col("cohort_size").cast("double")
+    sc = F.lit(float(scale))
+    return out.select(
+        "cohort_week",
+        F.col("age_week").cast("long").alias("age_week"),
+        F.col("active_users").cast("long").alias("active_users"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(F.col("cents").cast("double") / cs / sc, 6)
+        .alias("week_value_per_user"),
+        F.round(F.col("cum_cents").cast("double") / cs / sc, 6)
+        .alias("cum_value_per_user"),
     )
