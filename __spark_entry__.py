@@ -6525,6 +6525,28 @@ def q_cohort_ltv(spark, sf_dir):
     return cohort_ltv(_events(spark, sf_dir))
 
 
+
+def q_we_rules(spark, sf_dir):
+    """Western Electric run rules over the c-chart (beyond-3σ, 2-of-3
+    beyond 2σ same side, 8 consecutive same side) — the drift-pattern
+    layer Shewhart limits miss; integer rolling counts in bounded
+    metric-partitioned windows."""
+    from timeseriescorrelation_spark.operators.spc import we_rules
+
+    return we_rules(_series_from_events(spark, sf_dir))
+
+
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (+ normalized form) —
+    the cheap gibberish/encoding detector; micro-bit-snapped c·log2 c
+    terms over exact integer char counts."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        char_entropy,
+    )
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6872,6 +6894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": q_welch_t,
         "mann_whitney": q_mann_whitney,
         "cohort_ltv": q_cohort_ltv,
+        "we_rules": q_we_rules,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -16384,5 +16408,99 @@ SELECT cohort_week, age_week,
              / cast(cohort_size AS double) / 100.0, 6)
          AS cum_value_per_user
 FROM cum
+""",
+        "we_rules": """
+WITH day AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(day_ts) AS d0, max(day_ts) AS d1,
+         cast(sum(c) AS bigint) AS tot_c
+  FROM day GROUP BY 1
+), grid AS (
+  SELECT metric, tot_c,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+  FROM span
+), fg AS (
+  SELECT g.metric, g.day_ts, g.tot_c, coalesce(day.c, 0) AS c
+  FROM grid g LEFT JOIN day
+    ON g.metric = day.metric AND g.day_ts = day.day_ts
+), nd AS (
+  SELECT metric, count(*) AS n_days FROM fg GROUP BY 1
+), e AS (
+  SELECT f.metric, day_ts, cast(c AS bigint) AS c,
+         cast(tot_c AS double) / cast(n_days AS double) AS c_bar,
+         sqrt(cast(tot_c AS double) / cast(n_days AS double)) AS sig
+  FROM fg f JOIN nd ON f.metric = nd.metric
+), t AS (
+  SELECT metric, day_ts, c,
+         CASE WHEN cast(c AS double) > c_bar THEN 1
+              WHEN cast(c AS double) < c_bar THEN -1 ELSE 0 END AS side,
+         CASE WHEN cast(c AS double) > c_bar + 3.0 * sig
+                OR cast(c AS double)
+                   < greatest(0.0, c_bar - 3.0 * sig)
+              THEN 1 ELSE 0 END AS r1,
+         CASE WHEN cast(c AS double) - c_bar > 2.0 * sig
+              THEN 1 ELSE 0 END AS b2p,
+         CASE WHEN c_bar - cast(c AS double) > 2.0 * sig
+              THEN 1 ELSE 0 END AS b2n
+  FROM e
+), w AS (
+  SELECT metric, day_ts, c, side, r1,
+         sum(b2p) OVER (PARTITION BY metric ORDER BY day_ts
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS s2p,
+         sum(b2n) OVER (PARTITION BY metric ORDER BY day_ts
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS s2n,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY metric ORDER BY day_ts
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sp,
+         sum(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY metric ORDER BY day_ts
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sn
+  FROM t
+)
+SELECT metric, day_ts, c, cast(side AS int) AS side,
+       cast(r1 AS int) AS rule1,
+       cast(CASE WHEN s2p >= 2 OR s2n >= 2 THEN 1 ELSE 0 END AS int)
+         AS rule2,
+       cast(CASE WHEN sp >= 8 OR sn >= 8 THEN 1 ELSE 0 END AS int)
+         AS rule4,
+       cast(CASE WHEN r1 + (CASE WHEN s2p >= 2 OR s2n >= 2
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN sp >= 8 OR sn >= 8 THEN 1 ELSE 0 END)
+                  > 0 THEN 1 ELSE 0 END AS int) AS any_signal
+FROM w
+""",
+        "char_entropy": """
+WITH t AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE length(text) > 0
+), chars AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(lt)),
+                i -> substring(lt, i, 1))) AS ch
+  FROM t
+), per AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, cast(sum(c) AS bigint) AS n, count(*) AS k,
+         cast(sum(cast(round(cast(c AS double) * log2(cast(c AS double))
+                             * 1000000.0) AS bigint)) AS bigint)
+           AS clg_u
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n AS n_chars, cast(k AS bigint) AS n_distinct,
+       round(log2(cast(n AS double))
+             - (cast(clg_u AS double) / 1000000.0)
+               / cast(n AS double), 6) AS char_entropy,
+       round(CASE WHEN k > 1
+             THEN (log2(cast(n AS double))
+                   - (cast(clg_u AS double) / 1000000.0)
+                     / cast(n AS double)) / log2(cast(k AS double))
+             END, 6) AS entropy_norm
+FROM agg
 """,
     }

@@ -325,6 +325,8 @@ HEADLINE_R3 = [
     "welch_t",
     "mann_whitney",
     "cohort_ltv",
+    "we_rules",
+    "char_entropy",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -20,7 +20,7 @@ rows; output is grid-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,4 +116,67 @@ def c_chart(series: DataFrame, key: str = "metric") -> DataFrame:
         F.when(cc > ucl, F.lit(1))
         .when(cc < lcl, F.lit(-1))
         .otherwise(F.lit(0)).cast("int").alias("ooc"),
+    )
+
+
+def we_rules(series: DataFrame, key: str = "metric") -> DataFrame:
+    """(metric, day_ts, c, side, rule1, rule2, rule4, any_signal):
+    Western Electric run rules over the c-chart — the pattern layer
+    Shewhart limits miss (a process can drift for a week without one
+    3σ point):
+
+        rule1: the point itself beyond 3σ            (the c-chart ooc)
+        rule2: ≥2 of the last 3 points beyond 2σ on the SAME side
+        rule4: 8 consecutive points on the same side of centerline
+
+    side ∈ {−1, 0, 1} vs the exact-rational centerline (a point ON
+    the line breaks runs, side 0).  All rolling counts are integer
+    sums over ROWS frames inside metric partitions on the calendar-
+    bounded day grid; every flag is a double comparison of
+    identically-computed values (the anomaly_1h policy).
+
+    Scale: c_chart's grid + two bounded windows; grid-sized output."""
+    base = c_chart(series, key)
+    cc = F.col("c").cast("double")
+    cb = F.col("c_bar")
+    sig = (F.col("ucl") - cb) / F.lit(3.0)
+    side = (
+        F.when(cc > cb, F.lit(1))
+        .when(cc < cb, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    b2p = ((cc - cb) > F.lit(2.0) * sig).cast("long")
+    b2n = ((cb - cc) > F.lit(2.0) * sig).cast("long")
+    t = base.select(
+        "metric", "day_ts", "c", "c_bar", "ucl", "lcl", "ooc",
+        side.alias("side"), b2p.alias("b2p"), b2n.alias("b2n"),
+        (side == 1).cast("long").alias("sp"),
+        (side == -1).cast("long").alias("sn"),
+    )
+    w3 = (
+        Window.partitionBy("metric").orderBy("day_ts")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w8 = (
+        Window.partitionBy("metric").orderBy("day_ts")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    out = t.select(
+        "metric", "day_ts", "c", "side",
+        (F.col("ooc") != 0).cast("int").alias("rule1"),
+        (
+            (F.sum("b2p").over(w3) >= 2) | (F.sum("b2n").over(w3) >= 2)
+        ).cast("int").alias("rule2"),
+        (
+            (F.sum("sp").over(w8) >= 8) | (F.sum("sn").over(w8) >= 8)
+        ).cast("int").alias("rule4"),
+    )
+    return out.select(
+        "metric", "day_ts",
+        F.col("c").cast("long").alias("c"),
+        F.col("side").cast("int").alias("side"),
+        "rule1", "rule2", "rule4",
+        (
+            (F.col("rule1") + F.col("rule2") + F.col("rule4")) > 0
+        ).cast("int").alias("any_signal"),
     )

@@ -689,3 +689,57 @@ def doc_compressibility(docs: DataFrame, id_col: str = "doc_id",
             ), 6
         ).alias("ratio"),
     )
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_distinct, char_entropy, entropy_norm):
+    Shannon entropy of each document's (lowercased) character
+    distribution — the cheap gibberish/encoding detector: natural
+    English sits near 4.1 bits, base64 blobs near 6, single-character
+    runs at 0.  Normalized form divides by log2(n_distinct) (NULL
+    for single-symbol docs).
+
+        H = log2(n) − Σ c·log2(c) / n      (exact integer c, n)
+
+    with every c·log₂(c) term snapped to integer MICRO-bits before
+    the order-free sum (the theil ln policy).
+
+    Scale: the char explode is corpus-bytes-sized but collapses
+    map-side to ≤|alphabet| rows per (doc, partition); everything
+    after is per-doc aggregates."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.col(text_col)).alias("_lt"),
+    ).where(F.length("_lt") > 0)
+    chars = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(_lt)),"
+                   " i -> substring(_lt, i, 1))")
+        ).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(
+                F.col("c").cast("double")
+                * F.log2(F.col("c").cast("double")) * F.lit(1.0e6)
+            ).cast("long")
+        ).alias("clg_u"),
+    )
+    n = F.col("n").cast("double")
+    h = F.log2(n) - (F.col("clg_u").cast("double") / F.lit(1.0e6)) / n
+    k = F.col("k").cast("double")
+    hn = F.when(F.col("k") > 1, h / F.log2(k))
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.col("k").cast("long").alias("n_distinct"),
+        F.round(h, 6).alias("char_entropy"),
+        F.round(hn, 6).alias("entropy_norm"),
+    )
