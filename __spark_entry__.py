@@ -6547,6 +6547,30 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+
+def q_tail_dependence(spark, sf_dir):
+    """Upper tail dependence per metric pair: do the top-decile days
+    coincide?  Membership by exact integer order statistics (the
+    corr_winsorized selection rule); lambda_U one division."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        tail_dependence,
+    )
+
+    return tail_dependence(_series_from_events(spark, sf_dir))
+
+
+def q_coburst_jaccard(spark, sf_dir):
+    """Co-burst overlap: Jaccard of burst-hour sets per metric pair,
+    bursts decided by the exact integer cross-multiply c*H > 2*T —
+    the incident-correlation view next to tail_dependence's value
+    view."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        coburst_jaccard,
+    )
+
+    return coburst_jaccard(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6896,6 +6920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
+        "tail_dependence": q_tail_dependence,
+        "coburst_jaccard": q_coburst_jaccard,
     }
 
 
@@ -16502,5 +16528,71 @@ SELECT doc_id, n AS n_chars, cast(k AS bigint) AS n_distinct,
                      / cast(n AS double)) / log2(cast(k AS double))
              END, 6) AS entropy_norm
 FROM agg
+""",
+        "tail_dependence": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pd AS (
+  SELECT a.m AS metric_a, b.m AS metric_b, a.day_ts,
+         a.y AS ya, b.y AS yb
+  FROM d a JOIN d b ON a.day_ts = b.day_ts AND a.m < b.m
+), r AS (
+  SELECT metric_a, metric_b, day_ts,
+         row_number() OVER (PARTITION BY metric_a, metric_b
+                            ORDER BY ya, day_ts) AS ra,
+         row_number() OVER (PARTITION BY metric_a, metric_b
+                            ORDER BY yb, day_ts) AS rb,
+         count(*) OVER (PARTITION BY metric_a, metric_b) AS n
+  FROM pd
+), f AS (
+  SELECT metric_a, metric_b, n,
+         cast(ceil(cast(n AS double) * 1 / 10) AS bigint) AS k,
+         CASE WHEN ra > n - cast(ceil(cast(n AS double) * 1 / 10)
+                                 AS bigint) THEN 1 ELSE 0 END AS ta,
+         CASE WHEN rb > n - cast(ceil(cast(n AS double) * 1 / 10)
+                                 AS bigint) THEN 1 ELSE 0 END AS tb
+  FROM r
+), agg AS (
+  SELECT metric_a, metric_b, n, k,
+         cast(sum(ta * tb) AS bigint) AS bt
+  FROM f GROUP BY 1, 2, 3, 4 HAVING n >= 10
+)
+SELECT metric_a, metric_b, cast(n AS bigint) AS n_days,
+       k AS k_top, bt AS both_top,
+       round(cast(bt AS double) / cast(k AS double), 6) AS lambda_u
+FROM agg
+""",
+        "coburst_jaccard": """
+WITH h AS (
+  SELECT event_type AS m, date_trunc('hour', ts) AS hh,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT m, cast(sum(c) AS bigint) AS t, count(*) AS hcnt
+  FROM h GROUP BY 1 HAVING count(*) >= 24
+), bursts AS (
+  SELECT h.m, h.hh
+  FROM h JOIN tot ON h.m = tot.m
+  WHERE h.c * tot.hcnt > 2 * tot.t
+), sizes AS (
+  SELECT m, count(*) AS nb FROM bursts GROUP BY 1
+), inter AS (
+  SELECT a.m AS metric_a, b.m AS metric_b, count(*) AS both
+  FROM bursts a JOIN bursts b ON a.hh = b.hh AND a.m < b.m
+  GROUP BY 1, 2
+)
+SELECT sa.m AS metric_a, sb.m AS metric_b,
+       cast(sa.nb AS bigint) AS bursts_a,
+       cast(sb.nb AS bigint) AS bursts_b,
+       cast(coalesce(inter.both, 0) AS bigint) AS both,
+       round(CASE WHEN sa.nb + sb.nb - coalesce(inter.both, 0) > 0
+             THEN cast(coalesce(inter.both, 0) AS double)
+                  / cast(sa.nb + sb.nb - coalesce(inter.both, 0)
+                         AS double)
+             ELSE 0.0 END, 6) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.m < sb.m
+LEFT JOIN inter ON inter.metric_a = sa.m AND inter.metric_b = sb.m
 """,
     }

@@ -327,6 +327,8 @@ HEADLINE_R3 = [
     "cohort_ltv",
     "we_rules",
     "char_entropy",
+    "tail_dependence",
+    "coburst_jaccard",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

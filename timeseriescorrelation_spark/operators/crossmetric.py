@@ -20,7 +20,7 @@ errors loudly beyond.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.functions.timeutil import epoch_us
@@ -1163,4 +1163,127 @@ def energy_distance_weekend(series: DataFrame, key: str = "metric",
         F.col("ny").cast("long").alias("n_weekend"),
         F.round(e / sc, 6).alias("energy_dist"),
         F.round(coef, 6).alias("e_coef"),
+    )
+
+
+def tail_dependence(series: DataFrame, key: str = "metric",
+                    value_decimals: int = 2,
+                    top_frac_num: int = 1, top_frac_den: int = 10,
+                    min_days: int = 10) -> DataFrame:
+    """(metric_a, metric_b, n_days, k_top, both_top, lambda_u): upper
+    TAIL dependence between metric pairs' daily cent series — do their
+    EXTREME days coincide?  Pearson/Spearman/dCor are bulk measures; a
+    pair can read r = 0.9 and still never spike together (or vice
+    versa), and it's the joint spikes that take systems down:
+
+        λ_U ≈ |top-decile days of A ∩ top-decile days of B| / k
+
+    with k = ⌈n/10⌉ top days per metric, membership decided by exact
+    integer ORDER STATISTICS (row_number over (y, day) inside
+    (pair, side) partitions — the corr_winsorized selection rule, so
+    both engines pick identical day sets even under ties).  λ_U ≈ 0.1
+    under independence (k/n), → 1 for co-moving extremes.
+
+    Scale: the pair-day grid is |metrics|²·|days| aggregates; the
+    rank windows partition per (pair, metric) — bounded, parallel."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    a = d.select(F.col("m").alias("metric_a"), "day_ts",
+                 F.col("y").alias("ya"))
+    b = d.select(F.col("m").alias("metric_b"), "day_ts",
+                 F.col("y").alias("yb"))
+    pd_ = a.join(b, "day_ts").where(
+        F.col("metric_a") < F.col("metric_b")
+    )
+    pk = ["metric_a", "metric_b"]
+    wa = Window.partitionBy(*pk).orderBy("ya", "day_ts")
+    wb = Window.partitionBy(*pk).orderBy("yb", "day_ts")
+    wn = Window.partitionBy(*pk)
+    r = pd_.select(
+        *pk, "day_ts",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.ceil(
+        F.col("n") * F.lit(int(top_frac_num)) / F.lit(int(top_frac_den))
+    ).cast("long")
+    flags = r.select(
+        *pk, "n", k.alias("k"),
+        (F.col("ra") > F.col("n") - k).cast("long").alias("ta"),
+        (F.col("rb") > F.col("n") - k).cast("long").alias("tb"),
+    )
+    agg = flags.groupBy(*pk, "n", "k").agg(
+        F.sum(F.col("ta") * F.col("tb")).alias("both")
+    ).where(F.col("n") >= int(min_days))
+    return agg.select(
+        *pk,
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_top"),
+        F.col("both").cast("long").alias("both_top"),
+        F.round(
+            F.col("both").cast("double") / F.col("k").cast("double"), 6
+        ).alias("lambda_u"),
+    )
+
+
+def coburst_jaccard(series: DataFrame, key: str = "metric",
+                    min_hours: int = 24) -> DataFrame:
+    """(metric_a, metric_b, bursts_a, bursts_b, both, jaccard):
+    co-burst overlap — Jaccard similarity of the two metrics'
+    BURST-HOUR sets, where a burst hour is an hourly event count more
+    than twice the metric's own mean hourly rate, decided by the
+    exact integer cross-multiply c·H > 2·T (never a float mean).
+
+    tail_dependence asks "do extreme VALUES coincide"; this asks "do
+    VOLUME bursts coincide" — the incident-correlation view.
+
+    Scale: hour grid + a burst-hours-only equi-join (bursts are ≲10%
+    of hours by construction) — sparse by design."""
+    h = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("hour", "ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = h.groupBy("m").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("hcnt")
+    ).where(F.col("hcnt") >= int(min_hours))
+    bursts = h.join(F.broadcast(tot), "m").where(
+        F.col("c") * F.col("hcnt") > F.lit(2) * F.col("t")
+    ).select("m", "hh")
+    sizes = bursts.groupBy("m").agg(F.count(F.lit(1)).alias("nb"))
+    a = bursts.select(F.col("m").alias("metric_a"), "hh")
+    b = bursts.select(F.col("m").alias("metric_b"), "hh")
+    inter = a.join(b, "hh").where(
+        F.col("metric_a") < F.col("metric_b")
+    ).groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).alias("both")
+    )
+    sa = sizes.select(F.col("m").alias("metric_a"),
+                      F.col("nb").alias("bursts_a"))
+    sb = sizes.select(F.col("m").alias("metric_b"),
+                      F.col("nb").alias("bursts_b"))
+    pairs = (
+        sa.crossJoin(F.broadcast(sb))
+        .where(F.col("metric_a") < F.col("metric_b"))
+        .join(inter, ["metric_a", "metric_b"], "left")
+        .select(
+            "metric_a", "metric_b", "bursts_a", "bursts_b",
+            F.coalesce("both", F.lit(0)).alias("both"),
+        )
+    )
+    union = F.col("bursts_a") + F.col("bursts_b") - F.col("both")
+    return pairs.select(
+        "metric_a", "metric_b",
+        F.col("bursts_a").cast("long").alias("bursts_a"),
+        F.col("bursts_b").cast("long").alias("bursts_b"),
+        F.col("both").cast("long").alias("both"),
+        F.round(
+            F.when(
+                union > 0,
+                F.col("both").cast("double") / union.cast("double"),
+            ).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
     )
