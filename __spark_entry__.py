@@ -6571,6 +6571,19 @@ def q_coburst_jaccard(spark, sf_dir):
     return coburst_jaccard(_series_from_events(spark, sf_dir))
 
 
+
+def q_hod_quantile_bands(spark, sf_dir):
+    """Hour-of-day fan chart: exact 10/50/90 order statistics of
+    hourly cent totals across days per metric (row_number selection —
+    never interpolated percentiles); the capacity view behind
+    seasonal_profile's mean."""
+    from timeseriescorrelation_spark.operators.acf import (
+        hod_quantile_bands,
+    )
+
+    return hod_quantile_bands(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6922,6 +6935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "tail_dependence": q_tail_dependence,
         "coburst_jaccard": q_coburst_jaccard,
+        "hod_quantile_bands": q_hod_quantile_bands,
     }
 
 
@@ -16594,5 +16608,36 @@ SELECT sa.m AS metric_a, sb.m AS metric_b,
              ELSE 0.0 END, 6) AS jaccard
 FROM sizes sa JOIN sizes sb ON sa.m < sb.m
 LEFT JOIN inter ON inter.metric_a = sa.m AND inter.metric_b = sb.m
+""",
+        "hod_quantile_bands": """
+WITH g AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS h,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, extract(hour FROM h) AS hod,
+         date_trunc('day', h) AS d, y
+  FROM g
+), r AS (
+  SELECT metric, hod, y,
+         row_number() OVER (PARTITION BY metric, hod
+                            ORDER BY y, d) AS rn,
+         count(*) OVER (PARTITION BY metric, hod) AS n
+  FROM t
+), agg AS (
+  SELECT metric, hod, n,
+         max(CASE WHEN rn = cast(ceil(n * 1 / 10) AS bigint)
+             THEN y END) AS c10,
+         max(CASE WHEN rn = cast(ceil(n * 5 / 10) AS bigint)
+             THEN y END) AS c50,
+         max(CASE WHEN rn = cast(ceil(n * 9 / 10) AS bigint)
+             THEN y END) AS c90
+  FROM r GROUP BY 1, 2, 3 HAVING n >= 5
+)
+SELECT metric, cast(hod AS int) AS hod, cast(n AS bigint) AS n_days,
+       round(cast(c10 AS double) / 100.0, 6) AS p10,
+       round(cast(c50 AS double) / 100.0, 6) AS p50,
+       round(cast(c90 AS double) / 100.0, 6) AS p90
+FROM agg
 """,
     }

@@ -329,6 +329,7 @@ HEADLINE_R3 = [
     "char_entropy",
     "tail_dependence",
     "coburst_jaccard",
+    "hod_quantile_bands",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall
 ]

@@ -824,3 +824,62 @@ def spectral_entropy(series: DataFrame,
         F.round(h, 6).alias("spectral_entropy"),
         F.round(flat, 6).alias("spectral_flatness"),
     )
+
+
+def hod_quantile_bands(series: DataFrame,
+                       keys: list[str] | None = None,
+                       value_decimals: int = 2,
+                       min_days: int = 5) -> DataFrame:
+    """(metric, hod, n_days, p10, p50, p90): the fan chart behind
+    seasonal_profile's mean — per hour-of-day, the exact 10/50/90th
+    ORDER STATISTICS of the hourly cent totals across days ("what does
+    a normal-vs-bad 14:00 look like"), the capacity-planning view a
+    mean hides.
+
+    Quantiles are type-1 order statistics selected by row_number over
+    the integer (y, day) order (the corr_winsorized rule: interpolated
+    percentile_cont would hand each engine its own float edges) at
+    index ⌈q·n⌉ — exact integers end to end, one /scale display
+    divide.
+
+    Scale: the hourly grid collapses the corpus first, so each
+    (metric, hod) rank partition holds ≤ |days| rows — bounded,
+    parallel windows; 24·|metrics| output rows."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    g = series.groupBy(
+        *keys, F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    ).select(
+        *keys, F.hour("h").alias("hod"),
+        F.date_trunc("day", "h").alias("d"), "y",
+    )
+    w = Window.partitionBy(*keys, "hod").orderBy("y", "d")
+    wn = Window.partitionBy(*keys, "hod")
+    r = g.select(
+        *keys, "hod", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q_num: int, q_den: int):
+        idx = F.ceil(
+            F.col("n") * F.lit(q_num) / F.lit(q_den)
+        ).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("y")))
+
+    agg = r.groupBy(*keys, "hod", "n").agg(
+        pick(1, 10).alias("c10"),
+        pick(5, 10).alias("c50"),
+        pick(9, 10).alias("c90"),
+    ).where(F.col("n") >= int(min_days))
+    sc = F.lit(float(scale))
+    return agg.select(
+        *keys,
+        F.col("hod").cast("int").alias("hod"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("c10").cast("double") / sc, 6).alias("p10"),
+        F.round(F.col("c50").cast("double") / sc, 6).alias("p50"),
+        F.round(F.col("c90").cast("double") / sc, 6).alias("p90"),
+    )
