@@ -6584,6 +6584,50 @@ def q_hod_quantile_bands(spark, sf_dir):
     return hod_quantile_bands(_series_from_events(spark, sf_dir))
 
 
+def q_permutation_entropy(spark, sf_dir):
+    """Bandt–Pompe order-3 permutation entropy per metric-day —
+    integer ordinal-pattern codes over hourly cent triples, Shannon
+    entropy from exact pattern counts, normalized by ln(3!)."""
+    from timeseriescorrelation_spark.operators.tsfeatures import (
+        permutation_entropy,
+    )
+
+    return permutation_entropy(_series_from_events(spark, sf_dir))
+
+
+def q_sample_entropy(spark, sf_dir):
+    """Sample entropy (m=2) per metric-day with an integer cent
+    tolerance — bounded O(n²)-per-day template matching, exact
+    integer match counts, −ln(A/B)."""
+    from timeseriescorrelation_spark.operators.tsfeatures import (
+        sample_entropy,
+    )
+
+    return sample_entropy(_series_from_events(spark, sf_dir))
+
+
+def q_hjorth_params(spark, sf_dir):
+    """Hjorth activity/mobility/complexity per metric-day from exact
+    integer moments of the hourly sequence and its first two
+    differences."""
+    from timeseriescorrelation_spark.operators.tsfeatures import (
+        hjorth_params,
+    )
+
+    return hjorth_params(_series_from_events(spark, sf_dir))
+
+
+def q_complexity_stats(spark, sf_dir):
+    """tsfresh nonlinearity trio per metric-day: CID-CE (+σ-normal
+    form), c3 third-order autocovariance, time-reversal asymmetry —
+    integer moment sums, one shared double tree."""
+    from timeseriescorrelation_spark.operators.tsfeatures import (
+        complexity_stats,
+    )
+
+    return complexity_stats(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6936,6 +6980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_dependence": q_tail_dependence,
         "coburst_jaccard": q_coburst_jaccard,
         "hod_quantile_bands": q_hod_quantile_bands,
+        "permutation_entropy": q_permutation_entropy,
+        "sample_entropy": q_sample_entropy,
+        "hjorth_params": q_hjorth_params,
+        "complexity_stats": q_complexity_stats,
     }
 
 
@@ -16639,5 +16687,165 @@ SELECT metric, cast(hod AS int) AS hod, cast(n AS bigint) AS n_days,
        round(cast(c50 AS double) / 100.0, 6) AS p50,
        round(cast(c90 AS double) / 100.0, 6) AS p90
 FROM agg
+""",
+        "permutation_entropy": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts, y AS a,
+         lead(y, 1) OVER w AS b, lead(y, 2) OVER w AS c
+  FROM h
+  WINDOW w AS (PARTITION BY metric, date_trunc('day', hour_ts)
+               ORDER BY hour_ts)
+), p AS (
+  SELECT metric, day_ts,
+         (CASE WHEN a > b THEN 4 ELSE 0 END
+          + CASE WHEN b > c THEN 2 ELSE 0 END
+          + CASE WHEN a > c THEN 1 ELSE 0 END) AS pat
+  FROM t WHERE c IS NOT NULL
+), pc AS (
+  SELECT metric, day_ts, pat, count(*) AS cnt FROM p GROUP BY 1, 2, 3
+), g AS (
+  SELECT metric, day_ts, sum(cnt) AS n_pat, count(*) AS n_distinct,
+         sum(cast(cnt AS double) * ln(cast(cnt AS double))) AS slc
+  FROM pc GROUP BY 1, 2
+)
+SELECT metric, day_ts, cast(n_pat AS bigint) AS n_pat,
+       cast(n_distinct AS bigint) AS n_distinct,
+       round(ln(cast(n_pat AS double))
+             - slc / cast(n_pat AS double), 6) AS pe,
+       round((ln(cast(n_pat AS double))
+              - slc / cast(n_pat AS double)) / ln(6.0), 6) AS pe_norm
+FROM g WHERE n_pat >= 6
+""",
+        "sample_entropy": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts,
+         row_number() OVER w AS i, y AS v0,
+         lead(y, 1) OVER w AS v1, lead(y, 2) OVER w AS v2
+  FROM h
+  WINDOW w AS (PARTITION BY metric, date_trunc('day', hour_ts)
+               ORDER BY hour_ts)
+), np AS (
+  SELECT metric, day_ts, count(*) AS n_hours
+  FROM t GROUP BY 1, 2 HAVING count(*) >= 8
+), g AS (
+  SELECT a.metric, a.day_ts,
+         sum(CASE WHEN abs(a.v0 - b.v0) <= 500
+                  AND abs(a.v1 - b.v1) <= 500
+             THEN 1 ELSE 0 END) AS b_m,
+         sum(CASE WHEN abs(a.v0 - b.v0) <= 500
+                  AND abs(a.v1 - b.v1) <= 500
+                  AND abs(a.v2 - b.v2) <= 500
+             THEN 1 ELSE 0 END) AS a_m1
+  FROM t a JOIN t b
+    ON a.metric = b.metric AND a.day_ts = b.day_ts AND a.i < b.i
+   AND a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT g.metric, g.day_ts, cast(np.n_hours AS bigint) AS n_hours,
+       cast(g.b_m AS bigint) AS b_m, cast(g.a_m1 AS bigint) AS a_m1,
+       CASE WHEN g.a_m1 > 0 AND g.b_m > 0
+            THEN round(-ln(cast(g.a_m1 AS double)
+                           / cast(g.b_m AS double)), 6)
+       END AS sampen
+FROM g JOIN np ON g.metric = np.metric AND g.day_ts = np.day_ts
+""",
+        "hjorth_params": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts, y,
+         y - lag(y, 1) OVER w AS d1,
+         y - 2 * lag(y, 1) OVER w + lag(y, 2) OVER w AS d2
+  FROM h
+  WINDOW w AS (PARTITION BY metric, date_trunc('day', hour_ts)
+               ORDER BY hour_ts)
+), g AS (
+  SELECT metric, day_ts,
+         count(*) AS n0, sum(cast(y AS hugeint)) AS s0,
+         sum(cast(y AS hugeint) * cast(y AS hugeint)) AS q0,
+         count(d1) AS n1, sum(cast(d1 AS hugeint)) AS s1,
+         sum(cast(d1 AS hugeint) * cast(d1 AS hugeint)) AS q1,
+         count(d2) AS n2, sum(cast(d2 AS hugeint)) AS s2,
+         sum(cast(d2 AS hugeint) * cast(d2 AS hugeint)) AS q2
+  FROM t GROUP BY 1, 2 HAVING count(*) >= 8
+)
+SELECT metric, day_ts, cast(n0 AS bigint) AS n_hours,
+       round((cast(n0 AS double) * cast(q0 AS double)
+              - cast(s0 AS double) * cast(s0 AS double))
+             / (cast(n0 AS double) * cast(n0 AS double))
+             / 10000.0, 6) AS activity,
+       CASE WHEN n0 * q0 - s0 * s0 > 0 THEN
+       round(sqrt(((cast(n1 AS double) * cast(q1 AS double)
+                    - cast(s1 AS double) * cast(s1 AS double))
+                   / (cast(n1 AS double) * cast(n1 AS double)))
+                  / ((cast(n0 AS double) * cast(q0 AS double)
+                      - cast(s0 AS double) * cast(s0 AS double))
+                     / (cast(n0 AS double) * cast(n0 AS double)))),
+             6) END AS mobility,
+       CASE WHEN n0 * q0 - s0 * s0 > 0 AND n1 * q1 - s1 * s1 > 0 THEN
+       round(sqrt(((cast(n2 AS double) * cast(q2 AS double)
+                    - cast(s2 AS double) * cast(s2 AS double))
+                   / (cast(n2 AS double) * cast(n2 AS double)))
+                  / ((cast(n1 AS double) * cast(q1 AS double)
+                      - cast(s1 AS double) * cast(s1 AS double))
+                     / (cast(n1 AS double) * cast(n1 AS double))))
+             / sqrt(((cast(n1 AS double) * cast(q1 AS double)
+                      - cast(s1 AS double) * cast(s1 AS double))
+                     / (cast(n1 AS double) * cast(n1 AS double)))
+                    / ((cast(n0 AS double) * cast(q0 AS double)
+                        - cast(s0 AS double) * cast(s0 AS double))
+                       / (cast(n0 AS double) * cast(n0 AS double)))),
+             6) END AS complexity
+FROM g
+""",
+        "complexity_stats": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts, y AS a,
+         lead(y, 1) OVER w AS b, lead(y, 2) OVER w AS c
+  FROM h
+  WINDOW w AS (PARTITION BY metric, date_trunc('day', hour_ts)
+               ORDER BY hour_ts)
+), g AS (
+  SELECT metric, day_ts, count(*) AS n_hours,
+         sum(cast(a AS hugeint)) AS s,
+         sum(cast(a AS hugeint) * cast(a AS hugeint)) AS q,
+         sum(cast(b - a AS hugeint) * cast(b - a AS hugeint)) AS dq,
+         count(c) AS n3,
+         sum(cast(a AS hugeint) * cast(b AS hugeint)
+             * cast(c AS hugeint)) AS p3,
+         sum(cast(b AS hugeint) * cast(b AS hugeint)
+             * cast(a AS hugeint)
+             - cast(a AS hugeint) * cast(a AS hugeint)
+             * cast(b AS hugeint)) AS tr
+  FROM t GROUP BY 1, 2 HAVING count(*) >= 8
+)
+SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
+       round(sqrt(cast(dq AS double)) / 100.0, 6) AS cid_ce,
+       CASE WHEN n_hours * q - s * s > 0 THEN
+       round(sqrt(cast(dq AS double))
+             / sqrt((cast(n_hours AS double) * cast(q AS double)
+                     - cast(s AS double) * cast(s AS double))
+                    / (cast(n_hours AS double)
+                       * cast(n_hours AS double)))
+             / sqrt(cast(n_hours AS double) - 1.0), 6) END AS cid_norm,
+       round(cast(p3 AS double) / cast(n3 AS double)
+             / 1000000.0, 6) AS c3,
+       round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
+             / 1000000.0, 6) AS trev
+FROM g
 """,
     }

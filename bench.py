@@ -330,8 +330,13 @@ HEADLINE_R3 = [
     "tail_dependence",
     "coburst_jaccard",
     "hod_quantile_bands",
+    "permutation_entropy",
+    "hjorth_params",
+    "complexity_stats",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
-    # verification tool, same policy as mann_kendall
+    # verification tool, same policy as mann_kendall; sample_entropy
+    # likewise (bounded-n template matching — permutation_entropy is
+    # its O(n) scale path)
 ]
 
 
