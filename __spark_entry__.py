@@ -6628,6 +6628,46 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_rsi_cutler(spark, sf_dir):
+    """Cutler's SMA-form RSI over daily cent totals — exact integer
+    rolling gain/loss sums, one guarded division."""
+    from timeseriescorrelation_spark.operators.indicators import (
+        rsi_cutler,
+    )
+
+    return rsi_cutler(_series_from_events(spark, sf_dir))
+
+
+def q_bollinger_daily(spark, sf_dir):
+    """Bollinger bands on daily totals with breach flags decided by
+    integer cross-multiplication (never vs the rounded double band)."""
+    from timeseriescorrelation_spark.operators.indicators import (
+        bollinger_daily,
+    )
+
+    return bollinger_daily(_series_from_events(spark, sf_dir))
+
+
+def q_stochastic_k(spark, sf_dir):
+    """Stochastic oscillator %K/%D — %D as ONE exact cross-multiplied
+    rational over the three trailing %K fractions."""
+    from timeseriescorrelation_spark.operators.indicators import (
+        stochastic_k,
+    )
+
+    return stochastic_k(_series_from_events(spark, sf_dir))
+
+
+def q_range_volatility(spark, sf_dir):
+    """Garman–Klass + Parkinson daily volatility from hourly-bar OHLC
+    — micro-snapped lns, pinned double constants."""
+    from timeseriescorrelation_spark.operators.indicators import (
+        range_volatility,
+    )
+
+    return range_volatility(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -6984,6 +7024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_entropy": q_sample_entropy,
         "hjorth_params": q_hjorth_params,
         "complexity_stats": q_complexity_stats,
+        "rsi_cutler": q_rsi_cutler,
+        "bollinger_daily": q_bollinger_daily,
+        "stochastic_k": q_stochastic_k,
+        "range_volatility": q_range_volatility,
     }
 
 
@@ -16847,5 +16891,133 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "rsi_cutler": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, day_ts,
+         y - lag(y, 1) OVER (PARTITION BY metric
+                             ORDER BY day_ts) AS dy
+  FROM d
+), t2 AS (
+  SELECT metric, day_ts, dy FROM t WHERE dy IS NOT NULL
+), g AS (
+  SELECT metric, day_ts,
+         count(*) OVER w AS n_win,
+         sum(CASE WHEN dy > 0 THEN dy ELSE 0 END) OVER w AS sum_gain,
+         sum(CASE WHEN dy < 0 THEN -dy ELSE 0 END) OVER w AS sum_loss
+  FROM t2
+  WINDOW w AS (PARTITION BY metric ORDER BY day_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT metric, day_ts, cast(n_win AS bigint) AS n_win,
+       cast(sum_gain AS bigint) AS sum_gain,
+       cast(sum_loss AS bigint) AS sum_loss,
+       CASE WHEN sum_gain + sum_loss > 0 THEN
+         round(100.0 * cast(sum_gain AS double)
+               / cast(sum_gain + sum_loss AS double), 6)
+       END AS rsi
+FROM g WHERE n_win >= 14
+""",
+        "bollinger_daily": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT metric, day_ts, y,
+         count(*) OVER w AS n,
+         sum(cast(y AS hugeint)) OVER w AS s,
+         sum(cast(y AS hugeint) * cast(y AS hugeint)) OVER w AS q
+  FROM d
+  WINDOW w AS (PARTITION BY metric ORDER BY day_ts
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT metric, day_ts, cast(n AS bigint) AS n_win,
+       round(cast(s AS double) / cast(n AS double) / 100.0, 6) AS mid,
+       round((cast(s AS double) / cast(n AS double)
+              + 2.0 * sqrt((cast(n AS double) * cast(q AS double)
+                            - cast(s AS double) * cast(s AS double))
+                           / (cast(n AS double) * cast(n AS double))))
+             / 100.0, 6) AS upper,
+       round((cast(s AS double) / cast(n AS double)
+              - 2.0 * sqrt((cast(n AS double) * cast(q AS double)
+                            - cast(s AS double) * cast(s AS double))
+                           / (cast(n AS double) * cast(n AS double))))
+             / 100.0, 6) AS lower,
+       CASE WHEN n * y - s > 0
+            AND (n * y - s) * (n * y - s) > 4 * (n * q - s * s)
+       THEN 1 ELSE 0 END AS above,
+       CASE WHEN n * y - s < 0
+            AND (n * y - s) * (n * y - s) > 4 * (n * q - s * s)
+       THEN 1 ELSE 0 END AS below
+FROM g WHERE n >= 7
+""",
+        "stochastic_k": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, day_ts,
+         count(*) OVER w AS n_win,
+         cast(y - min(y) OVER w AS hugeint) AS num,
+         cast(max(y) OVER w - min(y) OVER w AS hugeint) AS den
+  FROM d
+  WINDOW w AS (PARTITION BY metric ORDER BY day_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), t2 AS (
+  SELECT metric, day_ts, n_win, num, den,
+         lag(num, 1) OVER w1 AS n2, lag(den, 1) OVER w1 AS d2,
+         lag(num, 2) OVER w1 AS n3, lag(den, 2) OVER w1 AS d3,
+         lag(n_win, 2) OVER w1 AS nw3
+  FROM t
+  WINDOW w1 AS (PARTITION BY metric ORDER BY day_ts)
+)
+SELECT metric, day_ts, cast(n_win AS bigint) AS n_win,
+       CASE WHEN den > 0 THEN
+         round(100.0 * cast(num AS double) / cast(den AS double), 6)
+       END AS pct_k,
+       CASE WHEN den > 0 AND d2 > 0 AND d3 > 0 AND nw3 >= 14 THEN
+         round(100.0 * cast(num * d2 * d3 + n2 * den * d3
+                            + n3 * den * d2 AS double)
+               / cast(3 * den * d2 * d3 AS double), 6)
+       END AS pct_d
+FROM t2 WHERE n_win >= 14
+""",
+        "range_volatility": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts,
+         count(*) AS n_hours,
+         arg_min(y, hour_ts) AS o, max(y) AS hh,
+         min(y) AS ll, arg_max(y, hour_ts) AS c
+  FROM h GROUP BY 1, 2
+  HAVING count(*) >= 8 AND min(y) > 0
+), t AS (
+  SELECT metric, day_ts, n_hours, o, hh, ll, c,
+         cast(round(ln(cast(hh AS double) / cast(ll AS double))
+                    * 1e8) AS bigint) AS lhl,
+         cast(round(ln(cast(c AS double) / cast(o AS double))
+                    * 1e8) AS bigint) AS lco
+  FROM g
+)
+SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
+       round(cast(o AS double) / 100.0, 6) AS o,
+       round(cast(hh AS double) / 100.0, 6) AS h,
+       round(cast(ll AS double) / 100.0, 6) AS l,
+       round(cast(c AS double) / 100.0, 6) AS c,
+       round(0.5 * (cast(lhl * lhl AS double) / 1e16)
+             - 0.3862943611198906
+               * (cast(lco * lco AS double) / 1e16), 6) AS gk_var,
+       round((cast(lhl * lhl AS double) / 1e16)
+             / 2.772588722239781, 6) AS pk_var
+FROM t
 """,
     }

@@ -333,6 +333,10 @@ HEADLINE_R3 = [
     "permutation_entropy",
     "hjorth_params",
     "complexity_stats",
+    "rsi_cutler",
+    "bollinger_daily",
+    "stochastic_k",
+    "range_volatility",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
