@@ -6628,6 +6628,16 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_wavelet_variance(spark, sf_dir):
+    """Haar wavelet variance of the hourly activity series — exact
+    integer detail coefficients, one double divide per level."""
+    from timeseriescorrelation_spark.operators.wavelet import (
+        haar_variance,
+    )
+
+    return haar_variance(_series_from_events(spark, sf_dir))
+
+
 def q_rsi_cutler(spark, sf_dir):
     """Cutler's SMA-form RSI over daily cent totals — exact integer
     rolling gain/loss sums, one guarded division."""
@@ -7025,6 +7035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hjorth_params": q_hjorth_params,
         "complexity_stats": q_complexity_stats,
         "rsi_cutler": q_rsi_cutler,
+        "wavelet_variance": q_wavelet_variance,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -16891,6 +16902,50 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "wavelet_variance": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), idx AS (
+  SELECT metric, y,
+         cast((h_us - min(h_us) OVER (PARTITION BY metric))
+              / 3600000000 AS bigint) AS t
+  FROM g
+), lv AS (
+  SELECT metric, y, t, unnest([1, 2, 3, 4]) AS level FROM idx
+), blocks AS (
+  SELECT metric, level,
+         t // (cast(1 AS bigint) << level) AS b,
+         cast(sum(CASE WHEN (t // (cast(1 AS bigint) << (level - 1)))
+                            % 2 = 0
+                       THEN y ELSE -y END) AS bigint) AS d,
+         count(*) AS cnt
+  FROM lv GROUP BY 1, 2, 3
+), pl AS (
+  SELECT metric, level, count(*) AS n_blocks, sum(d * d) AS ssq
+  FROM blocks
+  WHERE cnt = (cast(1 AS bigint) << level)
+  GROUP BY 1, 2
+)
+SELECT metric, cast(level AS int) AS level,
+       cast(1 << level AS int) AS scale_h,
+       cast(n_blocks AS bigint) AS n_blocks,
+       round(cast(ssq AS double)
+             / cast(n_blocks * (cast(1 AS bigint) << level) AS double),
+             6) AS nu2
+FROM pl WHERE n_blocks >= 4
 """,
         "rsi_cutler": """
 WITH d AS (
