@@ -6628,6 +6628,14 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_lomb_scargle(spark, sf_dir):
+    """Lomb–Scargle periodogram on the RAW irregular timestamps —
+    micro-snapped trig sums, exact integer moments, one double tree."""
+    from timeseriescorrelation_spark.operators.acf import lomb_scargle
+
+    return lomb_scargle(_series_from_events(spark, sf_dir))
+
+
 def q_wavelet_variance(spark, sf_dir):
     """Haar wavelet variance of the hourly activity series — exact
     integer detail coefficients, one double divide per level."""
@@ -7036,6 +7044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complexity_stats": q_complexity_stats,
         "rsi_cutler": q_rsi_cutler,
         "wavelet_variance": q_wavelet_variance,
+        "lomb_scargle": q_lomb_scargle,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -16902,6 +16911,62 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "lomb_scargle": """
+WITH pt AS (
+  SELECT event_type AS metric, epoch_us(ts) AS t_us,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), st AS (
+  SELECT metric, cast(count(*) AS bigint) AS n,
+         cast(sum(c) AS bigint) AS s,
+         cast(sum(c * c) AS bigint) AS ssq,
+         min(t_us) AS t0, max(t_us) AS t1
+  FROM pt GROUP BY 1
+), jn AS (
+  SELECT pt.metric AS metric, t_us, c, n, s, ssq, t0, t1
+  FROM pt JOIN st ON pt.metric = st.metric
+), ex AS (
+  SELECT *, unnest([6, 8, 12, 24, 48, 84, 168]) AS period_h FROM jn
+), fl AS (
+  SELECT *,
+         6.283185307179586
+           * cast((t_us - t0)
+                  % (cast(period_h AS bigint) * 3600000000) AS double)
+           / cast(cast(period_h AS bigint) * 3600000000 AS double)
+           AS theta,
+         cast(n * c - s AS double) AS a
+  FROM ex
+  WHERE n >= 16
+    AND t1 - t0 >= 2 * cast(period_h AS bigint) * 3600000000
+), gg AS (
+  SELECT metric, period_h,
+         sum(cast(round(a * cos(theta) / n * 1e4) AS bigint)) AS yc,
+         sum(cast(round(a * sin(theta) / n * 1e4) AS bigint)) AS ys,
+         sum(cast(round(cos(theta) * cos(theta) * 1e6) AS bigint)) AS cc,
+         sum(cast(round(sin(theta) * sin(theta) * 1e6) AS bigint)) AS ss,
+         sum(cast(round(cos(theta) * sin(theta) * 1e6) AS bigint)) AS cs,
+         max(n) AS n,
+         max(n * ssq - s * s) AS v_num
+  FROM fl GROUP BY 1, 2
+)
+SELECT metric, cast(period_h AS int) AS period_h,
+       cast(n AS bigint) AS n,
+       round(CASE WHEN v_num > 0
+                   AND cast(cc AS double) * cast(ss AS double)
+                       - cast(cs AS double) * cast(cs AS double) > 0
+             THEN (cast(cc AS double) * cast(ys AS double)
+                     * cast(ys AS double)
+                   + cast(ss AS double) * cast(yc AS double)
+                     * cast(yc AS double)
+                   - 2.0 * cast(cs AS double) * cast(yc AS double)
+                     * cast(ys AS double))
+                  * cast(n AS double) * cast(n AS double)
+                  / (200.0 * cast(v_num AS double)
+                     * (cast(cc AS double) * cast(ss AS double)
+                        - cast(cs AS double) * cast(cs AS double)))
+             END, 6) AS power
+FROM gg
 """,
         "wavelet_variance": """
 WITH h AS (

@@ -883,3 +883,122 @@ def hod_quantile_bands(series: DataFrame,
         F.round(F.col("c50").cast("double") / sc, 6).alias("p50"),
         F.round(F.col("c90").cast("double") / sc, 6).alias("p90"),
     )
+
+
+def lomb_scargle(series: DataFrame,
+                 periods: tuple[int, ...] = (6, 8, 12, 24, 48, 84, 168),
+                 keys: list[str] | None = None, ts_col: str = "ts",
+                 value_col: str = "value", value_decimals: int = 2,
+                 min_n: int = 16) -> DataFrame:
+    """(keys..., period_h, n, power): Lomb–Scargle normalized
+    periodogram of the RAW irregularly-timestamped value series —
+    `periodogram` needs the dense hourly grid (and a gap-fill policy
+    to build it); Lomb–Scargle is the classical estimator that takes
+    the observations exactly where they fall, the right spectral tool
+    for transcript events whose arrival process IS the signal.
+
+    The tau-rotated form is folded in algebraically so no atan2 of a
+    derived double ever feeds another trig call (that chain would
+    break cross-engine exactness).  With theta_i = 2*pi*((t_i - t0)
+    mod P)/P (exact integer mod, then one small identical double) and
+    demeaned integer numerator a_i = n*y_i - S (cents):
+
+        YC = sum a_i*cos(theta_i)/n   YS likewise with sin
+        CC = sum cos^2(theta_i)       SS = sum sin^2(theta_i)
+        CS = sum cos*sin
+
+        P(omega) = [CC*YS^2 + SS*YC^2 - 2*CS*YC*YS]
+                   / (2*sigma^2*[CC*SS - CS^2])
+
+    Exactness recipe: every trig term is micro-snapped to integer
+    units BEFORE its sum (YC/YS at 1e4, CC/SS/CS at 1e6 — the
+    last-ulp libm divergence is orders below the half-unit snap
+    threshold, and integer sums are addition-order-free); sigma^2
+    keeps the exact integer numerator n*Sum(y^2) - S^2; the final
+    power is ONE identical double expression tree over those exact
+    integers, so Spark and DuckDB agree bit-for-bit.  Scale factors:
+    with YC,YS in cent*1e4 units and CC,SS,CS in 1e6 units,
+    P = snapNum * n^2 / (200 * v_num * snapDen).
+
+    Guards: NULL power when the series is constant (v_num = 0) or the
+    snapped Gram determinant CC*SS - CS^2 degenerates to <= 0 (all
+    phase mass on one axis); a (key, period) row emits only when the
+    observed SPAN covers >= 2 periods and n >= min_n.
+
+    Scale notes (100 TB): per-key moments collapse in ONE
+    map-side-combined hash-agg to |keys| rows, broadcast-joined back;
+    the explode multiplies raw points by |periods| (that product IS
+    the algorithm's work) into a second hash-agg keyed
+    (key, period) — no windows over raw data, no self-joins.
+    Overflow bound: n*Sum(c^2) < 2^63 allows ~10^9 points/key at
+    cent values < 10^5 (ANSI mode errors loudly beyond); term sums
+    stay exact in int64 up to ~10^14 points/key."""
+    import math
+
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    pt = series.select(
+        *keys,
+        epoch_us(F.col(ts_col)).alias("t_us"),
+        F.round(F.col(value_col) * scale).cast("long").alias("c"),
+    )
+    stats = pt.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        F.min("t_us").alias("t0"),
+        F.max("t_us").alias("t1"),
+    )
+    j = pt.join(F.broadcast(stats), keys)
+    ex = j.select(
+        *keys, "t_us", "c", "n", "s", "ssq", "t0", "t1",
+        F.explode(F.array(*[F.lit(p) for p in periods])).alias("period_h"),
+    ).where(
+        (F.col("n") >= F.lit(int(min_n)))
+        & (F.col("t1") - F.col("t0")
+           >= 2 * F.col("period_h").cast("long") * F.lit(HOUR_US))
+    )
+    p_us = (F.col("period_h").cast("long") * F.lit(HOUR_US)).cast("double")
+    theta = (
+        F.lit(2.0 * math.pi)
+        * ((F.col("t_us") - F.col("t0"))
+           % (F.col("period_h").cast("long") * F.lit(HOUR_US)))
+        .cast("double") / p_us
+    )
+    a = (F.col("n") * F.col("c") - F.col("s")).cast("double")
+    cos_t, sin_t = F.cos(theta), F.sin(theta)
+
+    def snap_y(trig):
+        return F.round(a * trig / F.col("n") * F.lit(1e4)).cast("long")
+
+    def snap_g(expr):
+        return F.round(expr * F.lit(1e6)).cast("long")
+
+    g = ex.groupBy(*keys, "period_h").agg(
+        F.sum(snap_y(cos_t)).cast("decimal(38,0)").alias("yc"),
+        F.sum(snap_y(sin_t)).cast("decimal(38,0)").alias("ys"),
+        F.sum(snap_g(cos_t * cos_t)).cast("decimal(38,0)").alias("cc"),
+        F.sum(snap_g(sin_t * sin_t)).cast("decimal(38,0)").alias("ss"),
+        F.sum(snap_g(cos_t * sin_t)).cast("decimal(38,0)").alias("cs"),
+        F.max("n").alias("n"),
+        F.max(F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+        .alias("v_num"),
+    )
+    yc, ys = F.col("yc").cast("double"), F.col("ys").cast("double")
+    cc, ss, cs = (F.col("cc").cast("double"), F.col("ss").cast("double"),
+                  F.col("cs").cast("double"))
+    snap_num = cc * ys * ys + ss * yc * yc - 2.0 * cs * yc * ys
+    snap_den = cc * ss - cs * cs
+    n_d = F.col("n").cast("double")
+    power = (
+        snap_num * n_d * n_d
+        / (F.lit(200.0) * F.col("v_num").cast("double") * snap_den)
+    )
+    return g.select(
+        *keys,
+        F.col("period_h").cast("int").alias("period_h"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when((F.col("v_num") > 0) & (snap_den > 0), power), 6
+        ).alias("power"),
+    )
