@@ -6628,6 +6628,17 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_matrix_profile(spark, sf_dir):
+    """Daily matrix profile: nearest-neighbour z-normalized distance
+    per length-4 hourly subsequence — exact integer moments, integer
+    micro-unit argmin."""
+    from timeseriescorrelation_spark.operators.matrixprofile import (
+        matrix_profile_daily,
+    )
+
+    return matrix_profile_daily(_series_from_events(spark, sf_dir))
+
+
 def q_lomb_scargle(spark, sf_dir):
     """Lomb–Scargle periodogram on the RAW irregular timestamps —
     micro-snapped trig sums, exact integer moments, one double tree."""
@@ -7045,6 +7056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi_cutler": q_rsi_cutler,
         "wavelet_variance": q_wavelet_variance,
         "lomb_scargle": q_lomb_scargle,
+        "matrix_profile": q_matrix_profile,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -16911,6 +16923,90 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "matrix_profile": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), dy AS (
+  SELECT metric,
+         make_timestamp((h_us // 86400000000) * 86400000000) AS day_ts,
+         cast((h_us % 86400000000) // 3600000000 AS int) AS t, y
+  FROM g
+), filled AS (
+  SELECT metric, day_ts, t, y FROM (
+    SELECT *, count(*) OVER (PARTITION BY metric, day_ts) AS nh FROM dy
+  ) WHERE nh = 24
+), win AS (
+  SELECT metric, day_ts, i,
+         cast(sum(y) AS bigint) AS sx,
+         cast(sum(y * y) AS bigint) AS sxx
+  FROM (
+    SELECT metric, day_ts, y,
+           unnest(generate_series(greatest(0, t - 3), least(t, 20))) AS i
+    FROM filled
+  ) GROUP BY 1, 2, 3
+), lags AS (
+  SELECT metric, day_ts, t, y, unnest(generate_series(3, 20)) AS d
+  FROM filled
+), prod AS (
+  SELECT l.metric AS metric, l.day_ts AS day_ts, l.d AS d, l.t AS t,
+         l.y * r.y2 AS p
+  FROM (SELECT *, t + d AS t2 FROM lags WHERE t + d <= 23) l
+  JOIN (SELECT metric, day_ts, t AS t2, y AS y2 FROM filled) r
+    ON l.metric = r.metric AND l.day_ts = r.day_ts AND l.t2 = r.t2
+), sxy AS (
+  SELECT metric, day_ts, d, i,
+         cast(sum(p) AS bigint) AS sxy, count(*) AS kcnt
+  FROM (
+    SELECT metric, day_ts, d, p,
+           unnest(generate_series(greatest(0, t - 3),
+                                  least(t, 20 - d))) AS i
+    FROM prod
+  ) GROUP BY 1, 2, 3, 4
+), pr AS (
+  SELECT s.metric AS metric, s.day_ts AS day_ts, s.i AS i,
+         s.i + s.d AS j, s.sxy AS sxy,
+         wi.sx AS sx_i, wi.sxx AS sxx_i,
+         wj.sx AS sx_j, wj.sxx AS sxx_j
+  FROM sxy s
+  JOIN win wi ON wi.metric = s.metric AND wi.day_ts = s.day_ts
+             AND wi.i = s.i
+  JOIN win wj ON wj.metric = s.metric AND wj.day_ts = s.day_ts
+             AND wj.i = s.i + s.d
+  WHERE s.kcnt = 4
+), scored AS (
+  SELECT metric, day_ts, i, j,
+         cast(round(sqrt(greatest(0.0,
+           8.0 * (1.0 - cast(4 * sxy - sx_i * sx_j AS double)
+                  / sqrt(cast(4 * sxx_i - sx_i * sx_i AS double)
+                         * cast(4 * sxx_j - sx_j * sx_j AS double)))))
+           * 1e6) AS bigint) AS dsnap
+  FROM pr
+  WHERE 4 * sxx_i - sx_i * sx_i > 0 AND 4 * sxx_j - sx_j * sx_j > 0
+), bidir AS (
+  SELECT * FROM scored
+  UNION ALL
+  SELECT metric, day_ts, j AS i, i AS j, dsnap FROM scored
+), top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY metric, day_ts, i ORDER BY dsnap, j) AS rn
+  FROM bidir
+)
+SELECT metric, day_ts, cast(i AS int) AS idx, cast(j AS int) AS j_star,
+       cast(dsnap AS double) / 1e6 AS mp
+FROM top WHERE rn = 1
 """,
         "lomb_scargle": """
 WITH pt AS (

@@ -339,6 +339,7 @@ HEADLINE_R3 = [
     "range_volatility",
     "wavelet_variance",
     "lomb_scargle",
+    "matrix_profile",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
