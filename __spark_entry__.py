@@ -6628,6 +6628,14 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_gpd_tail(spark, sf_dir):
+    """GPD peaks-over-threshold tail fit (Hosking-Wallis PWM) on
+    daily cent totals — exact integer rank-weighted sums."""
+    from timeseriescorrelation_spark.operators.survival import gpd_tail
+
+    return gpd_tail(_series_from_events(spark, sf_dir), tail_q=0.7)
+
+
 def q_matrix_profile(spark, sf_dir):
     """Daily matrix profile: nearest-neighbour z-normalized distance
     per length-4 hourly subsequence — exact integer moments, integer
@@ -7057,6 +7065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wavelet_variance": q_wavelet_variance,
         "lomb_scargle": q_lomb_scargle,
         "matrix_profile": q_matrix_profile,
+        "gpd_tail": q_gpd_tail,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -16923,6 +16932,54 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "gpd_tail": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT metric, day_ts, y,
+         row_number() OVER (PARTITION BY metric ORDER BY y, day_ts) AS rn,
+         cast(count(*) OVER (PARTITION BY metric) AS bigint) AS n_days
+  FROM d
+), u AS (
+  SELECT metric, y AS u, n_days AS nd FROM r
+  WHERE rn = cast(ceil(0.7 * n_days) AS bigint)
+), exc AS (
+  SELECT r.metric AS metric, r.day_ts AS day_ts, u, nd, y - u AS z
+  FROM r JOIN u ON r.metric = u.metric WHERE y > u
+), e AS (
+  SELECT metric, u, nd, z,
+         cast(row_number() OVER (
+           PARTITION BY metric ORDER BY z, day_ts) AS bigint) AS er,
+         cast(count(*) OVER (PARTITION BY metric) AS bigint) AS ne
+  FROM exc
+), agg AS (
+  SELECT metric, max(nd) AS n_days, max(ne) AS ne, max(u) AS u_c,
+         cast(sum(z) AS bigint) AS sz,
+         cast(sum((ne - er) * z) AS bigint) AS w_sum
+  FROM e GROUP BY 1 HAVING max(ne) >= 8
+)
+SELECT metric,
+       cast(n_days AS bigint) AS n_days,
+       cast(ne AS bigint) AS n_exc,
+       round(cast(u_c AS double) / 100.0, 6) AS u,
+       round(CASE WHEN cast(sz AS double) * cast(ne - 1 AS double)
+                       - 2.0 * cast(w_sum AS double) <> 0
+             THEN 2.0 - cast(sz AS double) * cast(ne - 1 AS double)
+                  / (cast(sz AS double) * cast(ne - 1 AS double)
+                     - 2.0 * cast(w_sum AS double))
+             END, 6) AS xi,
+       round(CASE WHEN cast(sz AS double) * cast(ne - 1 AS double)
+                       - 2.0 * cast(w_sum AS double) <> 0
+             THEN 2.0 * cast(sz AS double) * cast(w_sum AS double)
+                  / (cast(ne AS double)
+                     * (cast(sz AS double) * cast(ne - 1 AS double)
+                        - 2.0 * cast(w_sum AS double)))
+                  / 100.0
+             END, 6) AS beta
+FROM agg
 """,
         "matrix_profile": """
 WITH h AS (

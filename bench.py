@@ -340,6 +340,7 @@ HEADLINE_R3 = [
     "wavelet_variance",
     "lomb_scargle",
     "matrix_profile",
+    "gpd_tail",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

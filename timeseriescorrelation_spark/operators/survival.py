@@ -488,3 +488,93 @@ def median_survival(series: DataFrame, keys: list[str] | None = None,
             F.col("last_us").cast("double") / F.lit(1.0e6), 6
         ).alias("last_t_s"),
     )
+
+
+def gpd_tail(series: DataFrame, keys: list[str] | None = None,
+             value_decimals: int = 2, tail_q: float = 0.9,
+             min_exceed: int = 8) -> DataFrame:
+    """(keys..., n_days, n_exc, u, xi, beta): Generalized Pareto
+    peaks-over-threshold fit per key on DAILY cent totals — the
+    third leg of the EVT family (hill_tail: tail index assuming
+    heavy tail; gumbel_maxima: block maxima assuming xi=0; GPD-POT:
+    estimates xi itself, negative = bounded tail, 0 = exponential,
+    positive = power tail) via Hosking-Wallis probability-weighted
+    moments, the closed-form estimator that needs no iterative MLE:
+
+        b0 = mean(z),  a1 = (1/n)*sum z_(r)*(n-r)/(n-1)
+        xi = 2 - b0/(b0 - 2*a1),  beta = 2*b0*a1/(b0 - 2*a1)
+
+    over exceedances z = y - u of the empirical tail_q quantile u
+    (the k = ceil(q*n)-th smallest daily total, rank-based and
+    deterministic; ties broken by day).  Both PWM sums reduce to
+    EXACT integers (Sz and W = sum (n-r)*z_r), so
+
+        xi = 2 - A/(A - B),  A = Sz*(n-1), B = 2W
+        beta = 2*Sz*W / (n*(A - B))
+
+    are single double expressions over exact int64 sums —
+    bit-identical cross-engine; closed forms: an exceedance ramp
+    z = c, 2c, ..., nc (uniform tail) gives xi = -1, beta = (n+1)c
+    exactly; exponential tails give xi ~ 0.
+
+    Scale notes: one hash-agg to the daily grid, rank windows
+    partitioned per key over |days|-bounded groups (the
+    hod_quantile_bands budget), one more hash-agg to |keys| rows.
+    NULL fit when A = B (degenerate spacing); no row when fewer
+    than min_exceed exceedances."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        *keys, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    w_rank = Window.partitionBy(*keys).orderBy("y", "day_ts")
+    w_all = Window.partitionBy(*keys)
+    r = d.select(
+        *keys, "day_ts", "y",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    k = F.ceil(F.lit(float(tail_q)) * F.col("n_days")).cast("long")
+    u = r.where(F.col("rn") == k).select(
+        *keys, F.col("y").alias("u"), F.col("n_days").alias("nd")
+    )
+    exc = (
+        r.join(u, keys)
+        .where(F.col("y") > F.col("u"))
+        .select(*keys, "day_ts", "u", "nd",
+                (F.col("y") - F.col("u")).alias("z"))
+    )
+    w_exc = Window.partitionBy(*keys).orderBy("z", "day_ts")
+    w_excn = Window.partitionBy(*keys)
+    e = exc.select(
+        *keys, "u", "nd", "z",
+        F.row_number().over(w_exc).alias("er"),
+        F.count(F.lit(1)).over(w_excn).alias("ne"),
+    )
+    agg = e.groupBy(*keys).agg(
+        F.max("nd").alias("n_days"),
+        F.max("ne").alias("ne"),
+        F.max("u").alias("u_c"),
+        F.sum("z").alias("sz"),
+        F.sum((F.col("ne") - F.col("er")) * F.col("z")).alias("w_sum"),
+    ).where(F.col("ne") >= int(min_exceed))
+    a_num = F.col("sz").cast("double") * (F.col("ne") - 1).cast("double")
+    b_num = F.lit(2.0) * F.col("w_sum").cast("double")
+    xi = F.lit(2.0) - a_num / (a_num - b_num)
+    beta = (
+        F.lit(2.0) * F.col("sz").cast("double")
+        * F.col("w_sum").cast("double")
+        / (F.col("ne").cast("double") * (a_num - b_num))
+    )
+    ok = (a_num - b_num) != 0
+    sc = F.lit(float(scale))
+    return agg.select(
+        *keys,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("ne").cast("long").alias("n_exc"),
+        F.round(F.col("u_c").cast("double") / sc, 6).alias("u"),
+        F.round(F.when(ok, xi), 6).alias("xi"),
+        F.round(F.when(ok, beta / sc), 6).alias("beta"),
+    )
