@@ -6628,6 +6628,31 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_hits_events(spark, sf_dir):
+    """Integer HITS (2 unnormalized power rounds + one final integer
+    DIV into micro-units) over the event-type transition graph — the
+    DuckDB oracle unrolls the rounds bit-exactly."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.graphrank import (
+        hits_fixedpoint,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .withColumn("w", F.lit(1))
+    )
+    return hits_fixedpoint(d, n_iter=2)
+
+
 def q_gpd_tail(spark, sf_dir):
     """GPD peaks-over-threshold tail fit (Hosking-Wallis PWM) on
     daily cent totals — exact integer rank-weighted sums."""
@@ -7066,6 +7091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lomb_scargle": q_lomb_scargle,
         "matrix_profile": q_matrix_profile,
         "gpd_tail": q_gpd_tail,
+        "hits_events": q_hits_events,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -7354,6 +7380,53 @@ SELECT cast(cell AS int) AS cell, cast(count(*) AS bigint) AS n,
              / cast(count(*) AS double), 6) AS mean_silhouette
 FROM per GROUP BY cell
 """
+
+
+def _hits_oracle(n_iter: int = 2) -> str:
+    """Unroll the integer HITS rounds (graphrank.hits_fixedpoint:
+    h0 = 1, a_k = sum w*h, h_k = sum w*a, final hugeint DIV into
+    micro-units) as n_iter CTE pairs — bit-exact."""
+    ctes = ["""
+WITH d AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS src,
+         event_type AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, cast(count(*) AS bigint) AS w
+  FROM d WHERE src IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), h0 AS (
+  SELECT node, cast(1 AS bigint) AS h FROM nodes
+)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f""", a{i} AS (
+  SELECT dst AS node, cast(sum(w * h) AS bigint) AS a
+  FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node GROUP BY 1
+), h{i} AS (
+  SELECT src AS node, cast(sum(w * a) AS bigint) AS h
+  FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1
+)""")
+    ctes.append(f""", hf AS (
+  SELECT nodes.node, cast(coalesce(h, 0) AS bigint) AS h
+  FROM nodes LEFT JOIN h{n_iter} USING (node)
+), af AS (
+  SELECT nodes.node, cast(coalesce(a, 0) AS bigint) AS a
+  FROM nodes LEFT JOIN a{n_iter} USING (node)
+), j AS (
+  SELECT hf.node, h, a FROM hf JOIN af USING (node)
+), t AS (
+  SELECT cast(sum(h) AS hugeint) AS th, cast(sum(a) AS hugeint) AS ta
+  FROM j
+)
+SELECT node,
+       cast(cast(h AS hugeint) * 1000000 // th AS bigint) AS hub_u,
+       cast(cast(a AS hugeint) * 1000000 // ta AS bigint) AS auth_u
+FROM j CROSS JOIN t
+""")
+    return "".join(ctes)
 
 
 def _pagerank_oracle(n_iter: int = 3) -> str:
@@ -10103,6 +10176,7 @@ SELECT metric, cast(count(*) AS bigint) AS n_eval,
 FROM t GROUP BY 1
 """,
         "pagerank_events": _pagerank_oracle(3),
+        "hits_events": _hits_oracle(2),
         "pagerank_dangling": _pagerank_dangling_oracle(3),
         "dsir_weights": _dsir_oracle(4096),
         "textrank_keywords": _pagerank_unrolled_oracle(

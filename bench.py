@@ -341,6 +341,7 @@ HEADLINE_R3 = [
     "lomb_scargle",
     "matrix_profile",
     "gpd_tail",
+    "hits_events",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
