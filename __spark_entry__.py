@@ -6628,6 +6628,16 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_kalman_level(spark, sf_dir):
+    """Local-level Kalman filter over daily cent totals — ewma-style
+    mapInPandas scan, bit-identical to a recursive-CTE oracle."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        kalman_level,
+    )
+
+    return kalman_level(_series_from_events(spark, sf_dir))
+
+
 def q_hits_events(spark, sf_dir):
     """Integer HITS (2 unnormalized power rounds + one final integer
     DIV into micro-units) over the event-type transition graph — the
@@ -7092,6 +7102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         "gpd_tail": q_gpd_tail,
         "hits_events": q_hits_events,
+        "kalman_level": q_kalman_level,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17006,6 +17017,33 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "kalman_level": """
+WITH RECURSIVE d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS yc
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT metric, day_ts, cast(yc AS double) AS y,
+         cast(row_number() OVER (
+           PARTITION BY metric ORDER BY day_ts) AS bigint) AS rn
+  FROM d
+), f AS (
+  SELECT metric, day_ts, rn, y, y AS x, 1e4 AS p, cast(1.0 AS double) AS k
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.metric, o.day_ts, o.rn, o.y,
+         f.x + ((f.p + 1e2) / ((f.p + 1e2) + 1e4))
+             * (o.y - f.x) AS x,
+         (1.0 - ((f.p + 1e2) / ((f.p + 1e2) + 1e4)))
+             * (f.p + 1e2) AS p,
+         ((f.p + 1e2) / ((f.p + 1e2) + 1e4)) AS k
+  FROM f JOIN o ON o.metric = f.metric AND o.rn = f.rn + 1
+)
+SELECT metric, day_ts, y / 100.0 AS y,
+       floor((x / 100.0) * 1e6) / 1e6 AS level,
+       floor(k * 1e6) / 1e6 AS gain
+FROM f
 """,
         "gpd_tail": """
 WITH d AS (

@@ -342,6 +342,7 @@ HEADLINE_R3 = [
     "matrix_profile",
     "gpd_tail",
     "hits_events",
+    "kalman_level",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

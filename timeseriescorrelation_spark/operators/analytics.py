@@ -2563,3 +2563,95 @@ def brier_decomposition(series: DataFrame, num: int = 3,
         F.round(unc, 6).alias("brier_unc"),
         F.round(rel - res + unc, 6).alias("brier"),
     )
+
+
+def kalman_level(series: DataFrame, keys: list[str] | None = None,
+                 q_var: float = 100.0, r_var: float = 10000.0,
+                 value_decimals: int = 2) -> DataFrame:
+    """(keys..., day_ts, y, level, gain): local-level Kalman filter
+    over daily cent totals — EWMA's principled sibling: the gain
+    ADAPTS (k_1 = 1, decaying toward the steady state fixed by the
+    signal-to-noise ratio q/r) instead of being a hand-picked alpha,
+    so early observations are trusted more while uncertainty is high.
+    Model x_t = x_{t-1} + w (var q), y_t = x_t + v (var r):
+
+        p_pred = P + q
+        k      = p_pred / (p_pred + r)
+        x      = x + k*(y - x)
+        P      = (1 - k)*p_pred
+
+    initialized x_1 = y_1, P_1 = r, k_1 = 1.  Shape: the ewma
+    discipline exactly — the recursion is sequential WITHIN a series
+    and parallel ACROSS series, so hash-repartition on keys,
+    sortWithinPartitions(keys, day_ts), ONE mapInPandas pass whose
+    python scan runs per contiguous series block; crucially the loop
+    walks the |keys|*|days| AGGREGATED grid (one hash-agg collapses
+    the raw scan first), never raw turns.  Both the gain and the
+    variance recursions are pure +,*,/ IEEE doubles in a pinned
+    order, bit-identical to the DuckDB recursive-CTE oracle;
+    outputs floor-quantized at 1e-6 (round() HALF_UP vs float-space
+    rounding disagree on recursion outputs — the ewma measurement).
+
+    Constant-q/r gains are data-independent (k_t depends only on t),
+    so a closed-form weighted-sum rewrite exists — but its
+    cumulative (1-k) products underflow past ~10^2 steps; the scan
+    is the numerically honest form."""
+    keys = keys or ["metric"]
+    scale = float(10 ** int(value_decimals))
+    q, r = float(q_var), float(r_var)
+    d = series.groupBy(
+        *keys, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * F.lit(scale)).cast("long")
+        ).alias("yc")
+    )
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", day_ts timestamp, y double, level double, gain double"
+    )
+
+    def _scan(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        n = len(pdf)
+        lv = np.empty(n, dtype=np.float64)
+        gn = np.empty(n, dtype=np.float64)
+        prev_key = None
+        x = p = 0.0
+        ks = [pdf[k].to_numpy() for k in keys]
+        ys = pdf["yc"].to_numpy()
+        for i in range(n):
+            key = tuple(col[i] for col in ks)
+            y = float(ys[i])
+            if key != prev_key:
+                x, p, k = y, r, 1.0
+                prev_key = key
+            else:
+                p_pred = p + q
+                k = p_pred / (p_pred + r)
+                x = x + k * (y - x)
+                p = (1.0 - k) * p_pred
+            lv[i], gn[i] = x, k
+        out = pdf[[*keys, "day_ts"]].copy()
+        out["y"] = ys / scale
+        out["level"] = lv / scale
+        out["gain"] = gn
+        yield out
+
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
+    )
+
+    n_part = shuffle_partition_count(series.sparkSession)
+    part = d.repartition(n_part, *[F.col(k) for k in keys]) \
+        .sortWithinPartitions(*keys, "day_ts")
+    out = part.mapInPandas(_scan, schema)
+    return out.select(
+        *keys, "day_ts", "y",
+        (F.floor(F.col("level") * F.lit(1e6)) / F.lit(1e6))
+        .alias("level"),
+        (F.floor(F.col("gain") * F.lit(1e6)) / F.lit(1e6)).alias("gain"),
+    )
