@@ -6628,6 +6628,15 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_cross_coherence(spark, sf_dir):
+    """Welch day-segment magnitude-squared coherence between metric
+    pairs at candidate periods — snapped per-day DFTs, exact integer
+    cross/auto spectral sums."""
+    from timeseriescorrelation_spark.operators.acf import cross_coherence
+
+    return cross_coherence(_series_from_events(spark, sf_dir))
+
+
 def q_kalman_level(spark, sf_dir):
     """Local-level Kalman filter over daily cent totals — ewma-style
     mapInPandas scan, bit-identical to a recursive-CTE oracle."""
@@ -7103,6 +7112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpd_tail": q_gpd_tail,
         "hits_events": q_hits_events,
         "kalman_level": q_kalman_level,
+        "cross_coherence": q_cross_coherence,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17017,6 +17027,75 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "cross_coherence": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), dy AS (
+  SELECT metric,
+         make_timestamp((h_us // 86400000000) * 86400000000) AS day_ts,
+         cast((h_us % 86400000000) // 3600000000 AS int) AS t, y
+  FROM g
+), fd AS (
+  SELECT metric, day_ts, t, y, s_day FROM (
+    SELECT *, count(*) OVER (PARTITION BY metric, day_ts) AS nh,
+           cast(sum(y) OVER (PARTITION BY metric, day_ts) AS bigint)
+             AS s_day
+    FROM dy
+  ) WHERE nh = 24
+), ex AS (
+  SELECT metric, day_ts, t, y, s_day,
+         unnest([6, 8, 12, 24]) AS period_h
+  FROM fd
+), fl AS (
+  SELECT *,
+         6.283185307179586 * cast(t % period_h AS double)
+           / cast(period_h AS double) AS theta,
+         cast(24 * y - s_day AS double) AS a
+  FROM ex
+), spec AS (
+  SELECT metric, day_ts, period_h,
+         cast(sum(cast(round(a * cos(theta) / 24.0 * 1e4)
+                       AS bigint)) AS bigint) AS cr,
+         cast(sum(cast(round(a * (-sin(theta)) / 24.0 * 1e4)
+                       AS bigint)) AS bigint) AS ci
+  FROM fl GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         a.period_h AS period_h,
+         a.cr AS ar, a.ci AS ai, b.cr AS br, b.ci AS bi
+  FROM spec a JOIN spec b
+    ON a.day_ts = b.day_ts AND a.period_h = b.period_h
+   AND a.metric < b.metric
+), agg AS (
+  SELECT metric_a, metric_b, period_h, count(*) AS n_days,
+         sum(ar * br + ai * bi) AS xre,
+         sum(ai * br - ar * bi) AS xim,
+         sum(ar * ar + ai * ai) AS paa,
+         sum(br * br + bi * bi) AS pbb
+  FROM pairs GROUP BY 1, 2, 3 HAVING count(*) >= 5
+)
+SELECT metric_a, metric_b, cast(period_h AS int) AS period_h,
+       cast(n_days AS bigint) AS n_days,
+       round(CASE WHEN cast(paa AS double) > 0
+                   AND cast(pbb AS double) > 0
+             THEN (cast(xre AS double) * cast(xre AS double)
+                   + cast(xim AS double) * cast(xim AS double))
+                  / (cast(paa AS double) * cast(pbb AS double))
+             END, 6) AS coherence
+FROM agg
 """,
         "kalman_level": """
 WITH RECURSIVE d AS (

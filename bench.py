@@ -343,6 +343,7 @@ HEADLINE_R3 = [
     "gpd_tail",
     "hits_events",
     "kalman_level",
+    "cross_coherence",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -1002,3 +1002,113 @@ def lomb_scargle(series: DataFrame,
             F.when((F.col("v_num") > 0) & (snap_den > 0), power), 6
         ).alias("power"),
     )
+
+
+def cross_coherence(series: DataFrame,
+                    periods: tuple[int, ...] = (6, 8, 12, 24),
+                    keys: list[str] | None = None, ts_col: str = "ts",
+                    min_days: int = 5) -> DataFrame:
+    """(ka, kb, period_h, n_days, coherence): magnitude-squared
+    coherence between every key pair at candidate periods — "do these
+    two metrics cycle TOGETHER, phase-locked day after day?", the
+    frequency-domain sibling of corr_pairs (which asks about levels,
+    not cycles).  A single segment's coherence is identically 1
+    (Cauchy–Schwarz equality for one complex number), so the estimate
+    only means something averaged over segments — here calendar DAYS,
+    the Welch convention with the day as the natural segment:
+
+        X_m(day) = Σ_t ã_t·e^{-iθ_t}   (per-day demeaned DFT)
+        coh = |Σ_d X_a·conj(X_b)|² / (Σ_d|X_a|²·Σ_d|X_b|²)
+
+    Exactness: per-day cos/sin sums use the periodogram discipline —
+    reduced angle θ = 2π(t mod P)/P on the hour-of-day integer,
+    demeaned integer numerator a_t = 24·y_t − S_day, each trig term
+    micro-snapped to integer units BEFORE summation; the day-level
+    cross/auto products are integer×integer summed in decimal38 /
+    hugeint; coherence is ONE identical double tree over those exact
+    integers.  Periods must divide 24 so every day holds whole cycles
+    (a partial cycle would alias day-mean into the bin).
+
+    Scale notes (100 TB): raw scan → |keys|·|hours| grid (map-side
+    combine), per-(key, day, period) DFT rows = grid × |periods| into
+    one hash-agg; the PAIR join runs on the |keys|·|days|·|periods|
+    spectral table (NOT the grid) keyed (day, period) — with the
+    ε-grid candidate prune composable in front exactly as for
+    Pearson when |keys| is large.  Complete 24-hour days only."""
+    keys = keys or ["metric"]
+    import math
+
+    assert all(24 % p == 0 for p in periods), "periods must divide 24"
+    g = hourly_counts_dense(series, keys, ts_col)
+    day = g.select(
+        *keys,
+        F.timestamp_micros(
+            (F.floor(F.col("h_us") / F.lit(86_400_000_000))
+             * F.lit(86_400_000_000)).cast("long")
+        ).alias("day_ts"),
+        ((F.col("h_us") % F.lit(86_400_000_000))
+         / F.lit(3_600_000_000)).cast("int").alias("t"),
+        "y",
+    )
+    wd = Window.partitionBy(*keys, "day_ts")
+    full = (
+        day.withColumn("nh", F.count(F.lit(1)).over(wd))
+        .withColumn("s_day", F.sum("y").over(wd))
+        .where(F.col("nh") == 24)
+    )
+    ex = full.select(
+        *keys, "day_ts", "t", "y", "s_day",
+        F.explode(F.array(*[F.lit(p) for p in periods])).alias("period_h"),
+    )
+    theta = (
+        F.lit(2.0 * math.pi)
+        * (F.col("t") % F.col("period_h")).cast("double")
+        / F.col("period_h").cast("double")
+    )
+    a = (F.lit(24) * F.col("y") - F.col("s_day")).cast("double")
+
+    def snap(trig):
+        return F.round(a * trig / F.lit(24.0) * F.lit(1e4)).cast("long")
+
+    spec = ex.groupBy(*keys, "day_ts", "period_h").agg(
+        F.sum(snap(F.cos(theta))).alias("cr"),
+        F.sum(snap(-F.sin(theta))).alias("ci"),
+    )
+    lhs = spec.select(
+        *[F.col(k).alias(f"{k}_a") for k in keys], "day_ts", "period_h",
+        F.col("cr").alias("ar"), F.col("ci").alias("ai"),
+    )
+    rhs = spec.select(
+        *[F.col(k).alias(f"{k}_b") for k in keys], "day_ts", "period_h",
+        F.col("cr").alias("br"), F.col("ci").alias("bi"),
+    )
+    pairs = lhs.join(rhs, ["day_ts", "period_h"]).where(
+        F.col(f"{keys[0]}_a") < F.col(f"{keys[0]}_b")
+    )
+    dec = "decimal(38,0)"
+    agg = pairs.groupBy(
+        *[f"{k}_a" for k in keys], *[f"{k}_b" for k in keys], "period_h"
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("ar") * F.col("br")
+               + F.col("ai") * F.col("bi")).cast(dec)).alias("xre"),
+        F.sum((F.col("ai") * F.col("br")
+               - F.col("ar") * F.col("bi")).cast(dec)).alias("xim"),
+        F.sum((F.col("ar") * F.col("ar")
+               + F.col("ai") * F.col("ai")).cast(dec)).alias("paa"),
+        F.sum((F.col("br") * F.col("br")
+               + F.col("bi") * F.col("bi")).cast(dec)).alias("pbb"),
+    ).where(F.col("n_days") >= int(min_days))
+    xre, xim = F.col("xre").cast("double"), F.col("xim").cast("double")
+    paa, pbb = F.col("paa").cast("double"), F.col("pbb").cast("double")
+    coh = (xre * xre + xim * xim) / (paa * pbb)
+    out_cols = (
+        [F.col(f"{k}_a").alias(f"{k}_a") for k in keys]
+        + [F.col(f"{k}_b").alias(f"{k}_b") for k in keys]
+    )
+    return agg.select(
+        *out_cols,
+        F.col("period_h").cast("int").alias("period_h"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.when((paa > 0) & (pbb > 0), coh), 6).alias("coherence"),
+    )
