@@ -6628,6 +6628,14 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_dfa_fluctuation(spark, sf_dir):
+    """DFA-1 fluctuation function over the hourly profile — exact
+    integer block-OLS residual sums in decimal38/hugeint."""
+    from timeseriescorrelation_spark.operators.acf import dfa_fluctuation
+
+    return dfa_fluctuation(_series_from_events(spark, sf_dir))
+
+
 def q_cross_coherence(spark, sf_dir):
     """Welch day-segment magnitude-squared coherence between metric
     pairs at candidate periods — snapped per-day DFTs, exact integer
@@ -7113,6 +7121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_events": q_hits_events,
         "kalman_level": q_kalman_level,
         "cross_coherence": q_cross_coherence,
+        "dfa_fluctuation": q_dfa_fluctuation,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17027,6 +17036,65 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "dfa_fluctuation": """
+WITH h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), prof AS (
+  SELECT metric, t, n, n * cy - (t + 1) * s AS p FROM (
+    SELECT metric,
+           cast((h_us - min(h_us) OVER (PARTITION BY metric))
+                / 3600000000 AS bigint) AS t,
+           cast(count(*) OVER (PARTITION BY metric) AS bigint) AS n,
+           cast(sum(y) OVER (PARTITION BY metric) AS bigint) AS s,
+           cast(sum(y) OVER (PARTITION BY metric ORDER BY h_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS bigint) AS cy
+    FROM g)
+), lv AS (
+  SELECT metric, t, n, p, unnest([8, 16, 32, 64]) AS scale_h FROM prof
+), blocks AS (
+  SELECT metric, n, scale_h, t // scale_h AS b,
+         count(*) AS cnt,
+         sum(cast(p AS hugeint)) AS sp,
+         sum(cast(t % scale_h AS hugeint) * cast(p AS hugeint)) AS sxp,
+         sum(cast(p AS hugeint) * cast(p AS hugeint)) AS spp
+  FROM lv GROUP BY 1, 2, 3, 4
+), ps AS (
+  SELECT metric, n, scale_h, count(*) AS n_blocks,
+         sum((cast(scale_h AS hugeint) * spp - sp * sp)
+             * cast(scale_h * scale_h
+                    * (scale_h * scale_h - 1) / 12 AS hugeint)
+             - (cast(scale_h AS hugeint) * sxp
+                - cast(scale_h * (scale_h - 1) / 2 AS hugeint) * sp)
+               * (cast(scale_h AS hugeint) * sxp
+                  - cast(scale_h * (scale_h - 1) / 2 AS hugeint) * sp))
+           AS ssen,
+         max(cast(scale_h * scale_h
+                  * (scale_h * scale_h - 1) / 12 AS hugeint)) AS bd
+  FROM blocks WHERE cnt = scale_h GROUP BY 1, 2, 3
+  HAVING count(*) >= 4
+)
+SELECT metric, cast(scale_h AS int) AS scale_h,
+       cast(n_blocks AS bigint) AS n_blocks,
+       round(sqrt(greatest(
+               cast(ssen AS double)
+               / (cast(n_blocks AS double) * cast(scale_h AS double)
+                  * cast(scale_h AS double) * cast(bd AS double)),
+               0.0)) / cast(n AS double), 6) AS fluct
+FROM ps
 """,
         "cross_coherence": """
 WITH h AS (

@@ -344,6 +344,7 @@ HEADLINE_R3 = [
     "hits_events",
     "kalman_level",
     "cross_coherence",
+    "dfa_fluctuation",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -1112,3 +1112,111 @@ def cross_coherence(series: DataFrame,
         F.col("n_days").cast("long").alias("n_days"),
         F.round(F.when((paa > 0) & (pbb > 0), coh), 6).alias("coherence"),
     )
+
+
+def dfa_fluctuation(series: DataFrame,
+                    scales: tuple[int, ...] = (8, 16, 32, 64),
+                    keys: list[str] | None = None,
+                    ts_col: str = "ts",
+                    min_blocks: int = 4) -> DataFrame:
+    """(keys..., scale_h, n_blocks, fluct): detrended fluctuation
+    analysis of the hourly count series — the log-log slope of
+    fluct vs scale is the DFA scaling exponent alpha, the
+    detrending-robust route to the SAME long-memory question hurst_rs
+    (R/S) and wavelet_variance (spectral) answer; three independent
+    estimators triangulate, which is the point of having all three.
+
+    DFA-1 per scale L: profile P_t = cumulative sum of the demeaned
+    series, split into ⌊n/L⌋ complete blocks, each block OLS-detrended
+    (line WITH intercept), F(L) = RMS of the residuals.  Everything
+    up to one final sqrt/divide is EXACT integer arithmetic:
+
+        P_t = n·cumsum(y)_t − t·S          (scaled by n; exact)
+        per block: A = L·Σx·P − Σx·ΣP,  C = L·ΣP² − (ΣP)²
+        B = L²(L²−1)/12                    (x = 0..L−1, constant!)
+        Σ_block SSE = Σ (C·B − A²) / (L·B)
+        F(L) = sqrt(Σ(C·B − A²) / (N_b·L²·B)) / n
+
+    C·B − A² is summed in decimal(38,0)/hugeint (P² alone can pass
+    int64 at year-scale histories); the final expression is one
+    identical double tree.  Closed forms: constant series → 0 at
+    every scale; i.i.d.-like noise → slope ≈ 0.5; long-memory →
+    slope → 1.
+
+    Scale notes (100 TB): raw scan → |keys|·|hours| grid (map-side
+    combine); ONE running-sum window per key over the grid builds the
+    profile (the periodogram budget); the scale explode multiplies
+    the GRID by |scales| into two hash-aggs keyed (key, scale, block)
+    then (key, scale) — geometric block shrink, no joins, no raw-data
+    windows."""
+    keys = keys or ["metric"]
+    g = hourly_counts_dense(series, keys, ts_col)
+    w = Window.partitionBy(*keys)
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("h_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prof = g.select(
+        *keys,
+        ((F.col("h_us") - F.min("h_us").over(w)) / F.lit(3_600_000_000))
+        .cast("long").alias("t"),
+        (F.count(F.lit(1)).over(w)).alias("n"),
+        (F.sum("y").over(w)).alias("s"),
+        F.sum("y").over(wcum).alias("cy"),
+    ).select(
+        *keys, "t", "n",
+        (F.col("n") * F.col("cy")
+         - (F.col("t") + 1) * F.col("s")).alias("p"),
+    )
+    lv = prof.select(
+        *keys, "t", "n", "p",
+        F.explode(F.array(*[F.lit(s) for s in scales])).alias("scale_h"),
+    )
+    dec = "decimal(38,0)"
+    blocks = lv.groupBy(
+        *keys, "n", "scale_h",
+        (F.col("t") / F.col("scale_h")).cast("long").alias("b"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("p").cast(dec)).alias("sp"),
+        F.sum((F.col("t") % F.col("scale_h")).cast(dec)
+              * F.col("p").cast(dec)).alias("sxp"),
+        F.sum(F.col("p").cast(dec) * F.col("p").cast(dec)).alias("spp"),
+    )
+    L = F.col("scale_h").cast(dec)
+    sx = (F.col("scale_h") * (F.col("scale_h") - 1) / 2).cast(dec)
+    a_m = L * F.col("sxp") - sx * F.col("sp")
+    c_m = L * F.col("spp") - F.col("sp") * F.col("sp")
+    b_den = (
+        (F.col("scale_h").cast("long") * F.col("scale_h")
+         * (F.col("scale_h") * F.col("scale_h") - 1)) / 12
+    ).cast(dec)
+    per_scale = (
+        blocks.where(F.col("cnt") == F.col("scale_h"))
+        .select(
+            *keys, "n", "scale_h",
+            (c_m * b_den - a_m * a_m).alias("ssen"),
+            b_den.alias("bd"),
+        )
+        .groupBy(*keys, "n", "scale_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("ssen").alias("ssen"),
+            F.max("bd").alias("bd"),
+        )
+        .where(F.col("n_blocks") >= int(min_blocks))
+    )
+    f2 = (
+        F.col("ssen").cast("double")
+        / (F.col("n_blocks").cast("double")
+           * F.col("scale_h").cast("double") * F.col("scale_h").cast("double")
+           * F.col("bd").cast("double"))
+    )
+    fluct = F.sqrt(F.greatest(f2, F.lit(0.0))) / F.col("n").cast("double")
+    return per_scale.select(
+        *keys,
+        F.col("scale_h").cast("int").alias("scale_h"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round(fluct, 6).alias("fluct"),
+    )
