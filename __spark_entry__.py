@@ -6628,6 +6628,16 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_erlang_staffing(spark, sf_dir):
+    """Erlang-C staffing per hour-of-day via the overflow-free
+    Erlang-B recursion — pure pinned-order IEEE, no libm."""
+    from timeseriescorrelation_spark.operators.queueing import (
+        erlang_staffing,
+    )
+
+    return erlang_staffing(_series_from_events(spark, sf_dir))
+
+
 def q_dfa_fluctuation(spark, sf_dir):
     """DFA-1 fluctuation function over the hourly profile — exact
     integer block-OLS residual sums in decimal38/hugeint."""
@@ -7122,6 +7132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_level": q_kalman_level,
         "cross_coherence": q_cross_coherence,
         "dfa_fluctuation": q_dfa_fluctuation,
+        "erlang_staffing": q_erlang_staffing,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17036,6 +17047,54 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "erlang_staffing": """
+WITH RECURSIVE h AS (
+  SELECT event_type AS metric,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT metric, min(h_us) AS h0, max(h_us) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT metric, unnest(generate_series(h0, h1, 3600000000)) AS h_us
+  FROM span
+), g AS (
+  SELECT grid.metric, grid.h_us, coalesce(y, 0) AS y
+  FROM grid LEFT JOIN h
+    ON grid.metric = h.metric AND grid.h_us = h.h_us
+), hod AS (
+  SELECT metric,
+         cast((h_us % 86400000000) // 3600000000 AS int) AS hod,
+         cast(count(*) AS bigint) AS n_hours,
+         cast(sum(y) AS bigint) AS t_ev
+  FROM g GROUP BY 1, 2
+), base AS (
+  SELECT metric, hod, n_hours,
+         cast(t_ev AS double) / cast(n_hours AS double) AS lam,
+         cast(t_ev AS double) / cast(n_hours AS double) AS a
+  FROM hod
+), rec AS (
+  SELECT metric, hod, a, cast(0 AS bigint) AS n, cast(1.0 AS double) AS b
+  FROM base
+  UNION ALL
+  SELECT metric, hod, a, n + 1, a * b / ((n + 1) + a * b)
+  FROM rec WHERE n < 64
+), cand AS (
+  SELECT metric, hod, n, n * b / (n - a * (1.0 - b)) AS c
+  FROM rec WHERE n >= 1 AND n > a
+), pick AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY metric, hod ORDER BY n) AS rn
+    FROM cand WHERE c <= cast(0.2 AS double)
+  ) WHERE rn = 1
+)
+SELECT b.metric AS metric, b.hod AS hod, b.n_hours AS n_hours,
+       round(b.lam, 6) AS lam,
+       cast(p.n AS int) AS n_req, round(p.c, 6) AS p_wait
+FROM base b LEFT JOIN pick p
+  ON p.metric = b.metric AND p.hod = b.hod
 """,
         "dfa_fluctuation": """
 WITH h AS (

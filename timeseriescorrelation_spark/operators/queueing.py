@@ -187,3 +187,92 @@ def mtbf_mttr(series: DataFrame, key: str = "metric") -> DataFrame:
             ), 6
         ).alias("mtbf_hours"),
     )
+
+
+def erlang_staffing(series: DataFrame, keys: list[str] | None = None,
+                    ts_col: str = "ts", mu_per_hour: float = 1.0,
+                    target_wait_prob: float = 0.2,
+                    max_agents: int = 64) -> DataFrame:
+    """(keys..., hod, n_hours, lam, n_req, p_wait): Erlang-C staffing
+    per hour-of-day — "how many parallel workers does the 3 pm load
+    need so fewer than `target_wait_prob` of arrivals queue?", the
+    capacity question littles_law checks after the fact, answered
+    BEFORE: λ from the observed hod profile, service rate μ pinned.
+
+    The textbook Erlang-C needs aⁿ/n! sums that overflow doubles
+    past a ≈ 700 erlangs and drag pow/lgamma (libm, cross-engine
+    ulp-divergent) into the plan.  The Erlang-B RECURSION has neither
+    problem — B stays in (0,1] and every step is +,*,/ in a pinned
+    order, so it is bit-identical across engines with NO libm at all
+    (the kalman_level discipline, recursion over n instead of time):
+
+        B(0) = 1;  B(n) = a·B/(n + a·B)
+        C(n) = n·B(n)/(n − a·(1−B(n)))       (valid once n > a)
+        n_req = min{ n ≤ max_agents : n > a and C(n) ≤ target }
+
+    λ = T/D is one division of exact integers (T = events at that
+    hod, D = grid hours at that hod, both from the dense grid so
+    silent hours count as zeros); a = λ/μ.  NULL n_req/p_wait when
+    max_agents cannot meet the target.
+
+    Scale notes: raw scan → |keys|·|hours| grid → |keys|·24 hod rows
+    in two hash-aggs; the ≤max_agents recursion runs per hod row
+    inside one mapInPandas pass over that tiny post-agg table — the
+    loop never sees raw data."""
+    keys = keys or ["metric"]
+    from timeseriescorrelation_spark.operators.acf import (
+        hourly_counts_dense,
+    )
+
+    mu = float(mu_per_hour)
+    tgt = float(target_wait_prob)
+    nmax = int(max_agents)
+    g = hourly_counts_dense(series, keys, ts_col)
+    hod = g.groupBy(
+        *keys,
+        ((F.col("h_us") % F.lit(86_400_000_000))
+         / F.lit(3_600_000_000)).cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("y").alias("t_ev"),
+    )
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", hod int, n_hours long, lam double, n_req int, p_wait double"
+    )
+
+    def _staff(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lam_l, nreq_l, pw_l = [], [], []
+            for t_ev, n_hours in zip(pdf["t_ev"], pdf["n_hours"]):
+                lam = float(t_ev) / float(n_hours)
+                a = lam / mu
+                b = 1.0
+                n_req, p_wait = None, None
+                for n in range(1, nmax + 1):
+                    b = a * b / (n + a * b)
+                    if n > a:
+                        c = n * b / (n - a * (1.0 - b))
+                        if c <= tgt:
+                            n_req, p_wait = n, c
+                            break
+                lam_l.append(lam)
+                nreq_l.append(n_req)
+                pw_l.append(p_wait)
+            out = pdf[[*keys, "hod", "n_hours"]].copy()
+            out["lam"] = lam_l
+            out["n_req"] = pd.array(nreq_l, dtype="Int32")
+            out["p_wait"] = pd.array(pw_l, dtype="float64")
+            yield out
+
+    res = hod.mapInPandas(_staff, schema)
+    return res.select(
+        *keys, "hod", "n_hours",
+        F.round("lam", 6).alias("lam"),
+        "n_req",
+        F.round("p_wait", 6).alias("p_wait"),
+    )
