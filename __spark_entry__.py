@@ -6628,6 +6628,16 @@ def q_complexity_stats(spark, sf_dir):
     return complexity_stats(_series_from_events(spark, sf_dir))
 
 
+def q_code_likeness(spark, sf_dir):
+    """Prose-vs-code triage on documents — exact substring-count
+    features, integer cross-multiplied flag."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        code_likeness,
+    )
+
+    return code_likeness(_docs(spark, sf_dir))
+
+
 def q_erlang_staffing(spark, sf_dir):
     """Erlang-C staffing per hour-of-day via the overflow-free
     Erlang-B recursion — pure pinned-order IEEE, no libm."""
@@ -7133,6 +7143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_coherence": q_cross_coherence,
         "dfa_fluctuation": q_dfa_fluctuation,
         "erlang_staffing": q_erlang_staffing,
+        "code_likeness": q_code_likeness,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17047,6 +17058,41 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round(cast(tr AS double) / (cast(n_hours AS double) - 1.0)
              / 1000000.0, 6) AS trev
 FROM g
+""",
+        "code_likeness": """
+WITH c AS (
+  SELECT doc_id,
+         cast(length(text) AS bigint) AS n_chars,
+         cast((length(text) - length(replace(text, ';', '')))
+              / 1 AS bigint) AS c_semi,
+         cast((length(text) - length(replace(text, '{', '')))
+              / 1 AS bigint) AS c_lb,
+         cast((length(text) - length(replace(text, '}', '')))
+              / 1 AS bigint) AS c_rb,
+         cast((length(text) - length(replace(text, '=', '')))
+              / 1 AS bigint) AS c_eq,
+         cast((length(text) - length(replace(text, '(', '')))
+              / 1 AS bigint) AS c_lp,
+         cast((length(text) - length(replace(text, chr(10), '')))
+              / 1 AS bigint) AS c_nl,
+         cast((length(text)
+               - length(replace(text, chr(10) || '    ', '')))
+              / 5 AS bigint) AS c_i4,
+         cast((length(text)
+               - length(replace(text, chr(10) || chr(9), '')))
+              / 2 AS bigint) AS c_it
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       c_nl + 1 AS n_lines,
+       3 * c_semi + 3 * (c_lb + c_rb) + 2 * c_eq + c_lp AS n_symbols,
+       c_i4 + c_it AS n_indents,
+       round(1000.0 * cast(3 * c_semi + 3 * (c_lb + c_rb) + 2 * c_eq + c_lp
+                           + 4 * (c_i4 + c_it) AS double)
+             / cast(n_chars + 1 AS double), 6) AS code_score,
+       1000 * (3 * c_semi + 3 * (c_lb + c_rb) + 2 * c_eq + c_lp
+               + 4 * (c_i4 + c_it)) > 15 * (n_chars + 1) AS is_code
+FROM c
 """,
         "erlang_staffing": """
 WITH RECURSIVE h AS (

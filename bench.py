@@ -346,6 +346,7 @@ HEADLINE_R3 = [
     "cross_coherence",
     "dfa_fluctuation",
     "erlang_staffing",
+    "code_likeness",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -11,7 +11,7 @@ hash-agg, embarrassingly parallel over docs.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.operators.dedup import (
@@ -742,4 +742,66 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
         F.col("k").cast("long").alias("n_distinct"),
         F.round(h, 6).alias("char_entropy"),
         F.round(hn, 6).alias("entropy_norm"),
+    )
+
+
+def code_likeness(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  threshold_permille: int = 15) -> DataFrame:
+    """(doc_id, n_chars, n_lines, n_symbols, n_indents, code_score,
+    is_code): prose-vs-code triage for a training-data pipeline —
+    the mix decision (how much code does this corpus carry, and do we
+    route code to a different tokenizer/dedup policy?) needs a score
+    that is cheap, in-row, and identical in every engine.
+
+    Features are EXACT substring occurrence counts via the
+    length-difference trick (len(t) − len(replace(t, s, ''))) / |s| —
+    no regex (Java util.regex vs RE2 disagree on enough corner cases
+    to be a cross-engine hazard; literal replace cannot):
+
+        symbols  = 3·';' + 3·('{'+'}') + 2·'=' + '('
+        indents  = '\\n'+4 spaces  and  '\\n'+tab
+        score    = 1000·(symbols + 4·indents) / (n_chars + 1)
+
+    is_code is decided by INTEGER cross-multiplication
+    (1000·num > thr·(n_chars+1)), never by comparing the rounded
+    double score to the threshold — flags stay deterministic even
+    exactly on-threshold (the bollinger_daily discipline).
+
+    Scale: pure in-row expressions, no shuffle at all; compose with
+    source_scorecard for the per-source mix."""
+    t = F.col(text_col)
+
+    def cnt(s: str, sql_lit: str) -> Column:
+        return (
+            (F.length(t) - F.length(F.expr(
+                f"replace({text_col}, {sql_lit}, '')"
+            ))) / F.lit(len(s))
+        ).cast("long")
+
+    semi = cnt(";", "';'")
+    lb = cnt("{", "'{'")
+    rb = cnt("}", "'}'")
+    eq = cnt("=", "'='")
+    lp = cnt("(", "'('")
+    nl = cnt("\n", "chr(10)")
+    ind4 = cnt("\nXXXX", "chr(10) || '    '")
+    indt = cnt("\nX", "chr(10) || chr(9)")
+    n_sym = (3 * semi + 3 * (lb + rb) + 2 * eq + lp).alias("n_symbols")
+    n_ind = (ind4 + indt).alias("n_indents")
+    num = (3 * semi + 3 * (lb + rb) + 2 * eq + lp
+           + 4 * (ind4 + indt))
+    n_chars = F.length(t).cast("long")
+    thr = int(threshold_permille)
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        (nl + 1).alias("n_lines"),
+        n_sym,
+        n_ind,
+        F.round(
+            F.lit(1000.0) * num.cast("double")
+            / (n_chars + 1).cast("double"), 6
+        ).alias("code_score"),
+        (1000 * num > F.lit(thr) * (n_chars + 1)).alias("is_code"),
     )
