@@ -6638,6 +6638,18 @@ def q_code_likeness(spark, sf_dir):
     return code_likeness(_docs(spark, sf_dir))
 
 
+def q_emb_mmd(spark, sf_dir):
+    """Degree-2 polynomial-kernel MMD² between embedding sources —
+    collapses to the Frobenius distance of per-label second-moment
+    matrices, so no pair-of-rows join exists (see
+    similarity.embedding_mmd)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_mmd,
+    )
+
+    return embedding_mmd(_embs(spark, sf_dir))
+
+
 def q_erlang_staffing(spark, sf_dir):
     """Erlang-C staffing per hour-of-day via the overflow-free
     Erlang-B recursion — pure pinned-order IEEE, no libm."""
@@ -7144,6 +7156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfa_fluctuation": q_dfa_fluctuation,
         "erlang_staffing": q_erlang_staffing,
         "code_likeness": q_code_likeness,
+        "emb_mmd": q_emb_mmd,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17093,6 +17106,33 @@ SELECT doc_id, n_chars,
        1000 * (3 * c_semi + 3 * (c_lb + c_rb) + 2 * c_eq + c_lp
                + 4 * (c_i4 + c_it)) > 15 * (n_chars + 1) AS is_code
 FROM c
+""",
+        "emb_mmd": """
+WITH x AS (
+  SELECT label AS lbl, vec_id AS rid,
+         generate_subscripts(embedding, 1) AS dim,
+         cast(round(unnest(embedding)::DOUBLE * 1000000) AS bigint)
+           AS xu
+  FROM embeddings
+), mom AS (
+  SELECT a.lbl, a.dim AS i, b.dim AS j,
+         cast(count(*) AS hugeint) AS n,
+         sum(cast(a.xu AS hugeint) * b.xu) AS s
+  FROM x a JOIN x b ON a.rid = b.rid AND a.dim <= b.dim
+  GROUP BY 1, 2, 3
+), p AS (
+  SELECT l.lbl AS label_a, r.lbl AS label_b,
+         l.n AS na, r.n AS nb,
+         cast(round(cast(l.s * r.n - r.s * l.n AS double)
+                    / cast(l.n * r.n AS double) / 1e3) AS hugeint) AS d,
+         CASE WHEN l.i = l.j THEN 1 ELSE 2 END AS w
+  FROM mom l JOIN mom r ON l.i = r.i AND l.j = r.j AND l.lbl < r.lbl
+)
+SELECT label_a, label_b,
+       cast(max(na) AS bigint) AS n_a,
+       cast(max(nb) AS bigint) AS n_b,
+       round(cast(sum(d * d * w) AS double) / 1e18, 6) AS mmd2
+FROM p GROUP BY 1, 2
 """,
         "erlang_staffing": """
 WITH RECURSIVE h AS (

@@ -347,6 +347,7 @@ HEADLINE_R3 = [
     "dfa_fluctuation",
     "erlang_staffing",
     "code_likeness",
+    "emb_mmd",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -1672,3 +1672,84 @@ def silhouette_clusters(emb: DataFrame, k: int = 8, n_iter: int = 2,
             / F.col("n").cast("double"), 6
         ).alias("mean_silhouette"),
     )
+
+
+def embedding_mmd(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  label_col: str = "label") -> DataFrame:
+    """Degree-2 polynomial-kernel MMD² between every pair of embedding
+    sources (labels) — the two-sample distribution-shift test a
+    training-data pipeline runs before mixing corpora:
+
+        (label_a, label_b, n_a, n_b, mmd2)   for label_a < label_b
+
+    For the homogeneous quadratic kernel k(x,y) = (xᵀy)², the biased
+    V-statistic MMD² collapses to the squared Frobenius distance of
+    the per-source second-moment matrices M_L = (1/n_L)·Σ x xᵀ:
+
+        MMD²(A,B) = E_aa'k + E_bb'k − 2·E_ab k = ‖M_A − M_B‖²_F
+
+    so NO pair-of-rows join exists anywhere — each source reduces to a
+    d×d moment matrix (metadata-sized) and the pair comparison runs on
+    those.  Exactness: elements snap to µ-units once, moment sums
+    accumulate in decimal(38,0), the per-entry difference
+    (S^a_ij·n_b − S^b_ij·n_a)/(n_a·n_b) snaps to 1e-9 units as ONE
+    double expression over exact integers, and the Frobenius fold is
+    an integer hash-agg (off-diagonal entries weighted 2×) descaled by
+    1e18 — bit-equal cross-engine after 6 dp.
+
+    Scale notes (100 TB): stage 1 is the emb_cov posexplode self-join
+    (d(d+1)/2 blow-up; past ~10⁸ rows switch to the mapInPandas
+    partial-Gram form noted there); stage 2 joins L·d(d+1)/2 rows
+    pairwise — thousands of rows at any corpus size, broadcast-safe."""
+    dec = "decimal(38,0)"
+    x = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.col(id_col).alias("rid"),
+        F.posexplode(vec_col).alias("dim0", "v"),
+    ).select(
+        "lbl", "rid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+         .alias("xu"),
+    )
+    a = x.select("lbl", "rid", F.col("dim").alias("i"),
+                 F.col("xu").alias("xa"))
+    b = x.select(F.col("rid").alias("rid2"), F.col("dim").alias("j"),
+                 F.col("xu").alias("xb"))
+    mom = (
+        a.join(b, (F.col("rid") == F.col("rid2"))
+               & (F.col("i") <= F.col("j")))
+        .groupBy("lbl", "i", "j")
+        .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+             F.sum((F.col("xa") * F.col("xb")).cast(dec)).alias("s"))
+    )
+    l = mom.select(F.col("lbl").alias("label_a"), "i", "j",
+                   F.col("n").alias("na"), F.col("s").alias("sa"))
+    r = mom.select(F.col("lbl").alias("label_b"), "i", "j",
+                   F.col("n").alias("nb"), F.col("s").alias("sb"))
+    paired = l.join(F.broadcast(r), ["i", "j"]).where(
+        F.col("label_a") < F.col("label_b")
+    )
+    # per-entry moment difference in 1e-9 real units: µ² scale is
+    # 1e12, so descale by 1e12 then rescale by 1e9 → divide by 1e3.
+    d_ij = F.round(
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        .cast("double")
+        / (F.col("na") * F.col("nb")).cast("double") / 1e3
+    ).cast(dec)
+    wgt = F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(2))
+    return (
+        paired.select("label_a", "label_b", "na", "nb",
+                      (d_ij * d_ij * wgt.cast(dec)).alias("t"))
+        .groupBy("label_a", "label_b")
+        .agg(F.max(F.col("na")).alias("n_a"),
+             F.max(F.col("nb")).alias("n_b"),
+             F.sum("t").alias("ss"))
+        .select(
+            "label_a", "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("ss").cast("double") / 1e18, 6).alias("mmd2"),
+        )
+    )
