@@ -6650,6 +6650,16 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate share per document: word-3-gram doc-frequency ≥ 3
+    marks template material (see textstats.boilerplate_ngrams)."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        boilerplate_ngrams,
+    )
+
+    return boilerplate_ngrams(_docs(spark, sf_dir))
+
+
 def q_erlang_staffing(spark, sf_dir):
     """Erlang-C staffing per hour-of-day via the overflow-free
     Erlang-B recursion — pure pinned-order IEEE, no libm."""
@@ -7157,6 +7167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erlang_staffing": q_erlang_staffing,
         "code_likeness": q_code_likeness,
         "emb_mmd": q_emb_mmd,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -17133,6 +17144,28 @@ SELECT label_a, label_b,
        cast(max(nb) AS bigint) AS n_b,
        round(cast(sum(d * d * w) AS double) / 1e18, 6) AS mmd2
 FROM p GROUP BY 1, 2
+""",
+        "boilerplate_ngrams": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), shi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+), b AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(distinct doc_id) AS nd FROM shi GROUP BY 1
+  ) WHERE nd >= 3
+)
+SELECT s.doc_id,
+       cast(count(*) AS bigint) AS n_shingles,
+       cast(count(b.shingle) AS bigint) AS n_boiler,
+       round(cast(count(b.shingle) AS double) / count(*), 6)
+         AS boiler_ratio
+FROM shi s LEFT JOIN b ON s.shingle = b.shingle
+GROUP BY 1
 """,
         "erlang_staffing": """
 WITH RECURSIVE h AS (

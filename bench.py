@@ -348,6 +348,7 @@ HEADLINE_R3 = [
     "erlang_staffing",
     "code_likeness",
     "emb_mmd",
+    "boilerplate_ngrams",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -805,3 +805,63 @@ def code_likeness(docs: DataFrame, text_col: str = "text",
         ).alias("code_score"),
         (1000 * num > F.lit(thr) * (n_chars + 1)).alias("is_code"),
     )
+
+
+def boilerplate_ngrams(docs: DataFrame, min_df: int = 3,
+                       n: int = 3) -> DataFrame:
+    """Boilerplate share per document — the C4/RefinedWeb-style
+    template detector: a word n-gram whose document frequency reaches
+    `min_df` distinct docs is boilerplate (nav bars, license headers,
+    signature blocks), and each doc reports how much of it is made of
+    such material:
+
+        (doc_id, n_shingles, n_boiler, boiler_ratio)
+
+    n_shingles counts ALL n-gram instances (within-doc repeats
+    included — a doc that is one template pasted five times should
+    score five times, which per-doc array_distinct would hide);
+    n_boiler counts the instances whose n-gram is corpus-boilerplate;
+    the ratio is one integer-rational divide rounded to 6 dp.
+
+    Shape: tokenize in-row, explode instances, one hash-agg for the
+    doc-frequency table, one equi-join back, one per-doc hash-agg.
+    Scale notes (100 TB): the df table keeps only df ≥ min_df rows
+    (template mass is a tiny fraction of the shingle vocabulary —
+    broadcast it while it fits, the join stays an equi-join either
+    way); at corpus scale swap the shingle STRING for xxhash64(shingle)
+    so the shuffle carries 8-byte keys, the same trade the dedup
+    family documents."""
+    t = tokenize(docs)
+    idx = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + j) for j in range(n)]
+        ),
+    )
+    inst = t.select("doc_id", F.explode(sh).alias("shingle"))
+    boiler = (
+        inst.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle", F.lit(1).alias("is_b"))
+    )
+    return (
+        inst.join(boiler, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+             .cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double")
+                / F.col("n_shingles").cast("double"), 6
+            ).alias("boiler_ratio"),
+        )
+    )
