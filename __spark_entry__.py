@@ -6650,6 +6650,19 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity per label-propagation community on the
+    minute-grain co-activity graph — scores the partition on the very
+    graph that produced it (see graphrank.modularity)."""
+    from timeseriescorrelation_spark.operators.graphrank import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _coactivity_minute_edges(spark, sf_dir)
+    return modularity(edges, label_propagation(edges, n_rounds=4))
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Boilerplate share per document: word-3-gram doc-frequency ≥ 3
     marks template material (see textstats.boilerplate_ngrams)."""
@@ -7168,6 +7181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_likeness": q_code_likeness,
         "emb_mmd": q_emb_mmd,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "modularity_lpa": q_modularity,
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
@@ -7681,6 +7695,50 @@ def _lpa_oracle(n_rounds: int = 4) -> str:
     return "".join(ctes) + (
         f"\nSELECT node, cast(lbl AS bigint) AS lbl FROM l{n_rounds}\n"
     )
+
+
+def _modularity_oracle(n_rounds: int = 4) -> str:
+    """LPA unroll (same blocks as _lpa_oracle) + Newman modularity per
+    community: Q_c = (i_c·M − d_c²)/M² in exact hugeint over the same
+    symmetrized distinct edge set `und`."""
+    two32 = 1 << 32
+    ctes = [f"WITH {_MINUTE_COACT_CTES}, l0 AS (\n"
+            "  SELECT DISTINCT a AS node, a AS lbl FROM und\n)"]
+    for i in range(1, n_rounds + 1):
+        ctes.append(f""", v{i} AS (
+  SELECT und.a, l{i - 1}.lbl AS nl, count(*) AS c
+  FROM und JOIN l{i - 1} ON und.b = l{i - 1}.node GROUP BY 1, 2
+), m{i} AS (
+  SELECT a, max(c * {two32} - (nl + 1)) AS m FROM v{i} GROUP BY 1
+), l{i} AS (
+  SELECT a AS node,
+         ((m // {two32}) + 1) * {two32} - m - 1 AS lbl
+  FROM m{i}
+)""")
+    return "".join(ctes) + f""", lab AS (
+  SELECT node, lbl FROM l{n_rounds}
+), tot AS (
+  SELECT cast(count(*) AS hugeint) AS M FROM und
+), degs AS (
+  SELECT a AS node, count(*) AS deg FROM und GROUP BY 1
+), dc AS (
+  SELECT lab.lbl, count(*) AS n_nodes,
+         cast(sum(deg) AS hugeint) AS d_sum
+  FROM degs JOIN lab USING (node) GROUP BY 1
+), ic AS (
+  SELECT la.lbl, cast(count(*) AS hugeint) AS i_c
+  FROM und JOIN lab la ON und.a = la.node
+           JOIN lab lb ON und.b = lb.node AND la.lbl = lb.lbl
+  GROUP BY 1
+)
+SELECT cast(dc.lbl AS bigint) AS lbl,
+       cast(n_nodes AS bigint) AS n_nodes,
+       cast(d_sum AS bigint) AS deg_sum,
+       cast(coalesce(i_c, 0) // 2 AS bigint) AS e_in,
+       round(cast(coalesce(i_c, 0) * M - d_sum * d_sum AS double)
+             / cast(M * M AS double), 6) AS q_contrib
+FROM dc LEFT JOIN ic ON dc.lbl = ic.lbl CROSS JOIN tot
+"""
 
 
 def _dsir_oracle(n_buckets: int = 4096) -> str:
@@ -13875,6 +13933,7 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE inter_n * 100 >= 80 * least(sa.sz, sb.sz)
 """,
         "label_prop": _lpa_oracle(4),
+        "modularity_lpa": _modularity_oracle(4),
         "emb_auc": """
 WITH base AS (
   SELECT vec_id AS vid, label AS lab,
