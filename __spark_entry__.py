@@ -5753,6 +5753,15 @@ def q_newey_west(spark, sf_dir):
     return newey_west(_series_from_events(spark, sf_dir))
 
 
+def q_kpss_level(spark, sf_dir):
+    """KPSS level-stationarity test per metric: η from the exact
+    integer profile ΣP_t² over Newey-West's exact V′, verdict by
+    integer cross-multiplication vs the 0.463 critical value."""
+    from timeseriescorrelation_spark.operators.tsdiag import kpss_level
+
+    return kpss_level(_series_from_events(spark, sf_dir))
+
+
 def q_ccc_pairs(spark, sf_dir):
     """Lin's concordance correlation per metric pair — agreement, not
     just co-movement (CCC charges for location/scale offsets Pearson
@@ -7106,6 +7115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "category_churn": q_category_churn,
         "newey_west": q_newey_west,
+        "kpss_level": q_kpss_level,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -14993,6 +15003,65 @@ SELECT metric, cast(n AS bigint) AS n_hours,
          AS hac_ratio
 FROM v
 WHERE cast(c0 AS double) > 0 AND cast(vp AS double) >= 0
+""",
+        "kpss_level": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, y,
+         cast(row_number() OVER w AS hugeint) AS t,
+         cast(sum(y) OVER (PARTITION BY metric ORDER BY hour_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS hugeint) AS cum,
+         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+         lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4,
+         lag(y, 5) OVER w AS y5, lag(y, 6) OVER w AS y6
+  FROM h WINDOW w AS (PARTITION BY metric ORDER BY hour_ts)
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n, sum(y) AS s,
+         sum(y * y) AS p0,
+         sum(y * y1) AS p1, sum(y1) AS a1,
+         sum(CASE WHEN y1 IS NOT NULL THEN y END) AS b1,
+         sum(y * y2) AS p2, sum(y2) AS a2,
+         sum(CASE WHEN y2 IS NOT NULL THEN y END) AS b2,
+         sum(y * y3) AS p3, sum(y3) AS a3,
+         sum(CASE WHEN y3 IS NOT NULL THEN y END) AS b3,
+         sum(y * y4) AS p4, sum(y4) AS a4,
+         sum(CASE WHEN y4 IS NOT NULL THEN y END) AS b4,
+         sum(y * y5) AS p5, sum(y5) AS a5,
+         sum(CASE WHEN y5 IS NOT NULL THEN y END) AS b5,
+         sum(y * y6) AS p6, sum(y6) AS a6,
+         sum(CASE WHEN y6 IS NOT NULL THEN y END) AS b6
+  FROM l GROUP BY 1 HAVING count(*) >= 24
+), pp AS (
+  SELECT l.metric,
+         sum((g.n * l.cum - l.t * g.s) * (g.n * l.cum - l.t * g.s))
+           AS sp2
+  FROM l JOIN g USING (metric) GROUP BY 1
+), c AS (
+  SELECT metric, n, s,
+         n * n * p0 - n * s * (s + s) + n * s * s AS c0,
+         n * n * p1 - n * s * (a1 + b1) + (n - 1) * s * s AS c1,
+         n * n * p2 - n * s * (a2 + b2) + (n - 2) * s * s AS c2,
+         n * n * p3 - n * s * (a3 + b3) + (n - 3) * s * s AS c3,
+         n * n * p4 - n * s * (a4 + b4) + (n - 4) * s * s AS c4,
+         n * n * p5 - n * s * (a5 + b5) + (n - 5) * s * s AS c5,
+         n * n * p6 - n * s * (a6 + b6) + (n - 6) * s * s AS c6
+  FROM g
+), v AS (
+  SELECT metric, n,
+         7 * c0 + 2 * 6 * c1 + 2 * 5 * c2 + 2 * 4 * c3
+         + 2 * 3 * c4 + 2 * 2 * c5 + 2 * 1 * c6 AS vp
+  FROM c
+)
+SELECT v.metric, cast(v.n AS bigint) AS n_hours,
+       round(7.0 * cast(sp2 AS double)
+             / (cast(v.n AS double) * cast(vp AS double)), 6) AS eta,
+       7000 * sp2 < 463 * v.n * vp AS is_level_stationary
+FROM v JOIN pp ON v.metric = pp.metric
+WHERE cast(vp AS double) > 0
 """,
         "ccc_pairs": """
 WITH h AS (

@@ -575,3 +575,91 @@ def crossing_rate(series: DataFrame, key: str = "metric",
             / (F.col("n").cast("double") - F.lit(1.0)), 6
         ).alias("crossing_rate"),
     )
+
+
+def kpss_level(series: DataFrame, key: str = "metric",
+               max_lag: int = 6, value_decimals: int = 2,
+               min_hours: int = 24) -> DataFrame:
+    """(metric, n_hours, eta, is_level_stationary): the KPSS test for
+    level stationarity per metric's hourly cent-sum series — the
+    complement of a unit-root test: here STATIONARITY is the null, so
+    a small η keeps it and a large η says the series wanders.
+
+        η = (1/n²)·Σ_t S_t² / σ̂²_LR
+
+    with S_t the partial sums of the demeaned series and σ̂²_LR the
+    Bartlett long-run variance (Newey-West, lag L).  Both pieces ride
+    machinery this module already proves exact:
+
+      · S_t·n = n·cumsum_t − t·T — dfa/acf's integer profile trick, so
+        Σ S_t²·n² = Σ P_t² accumulates as exact decimal38/hugeint;
+      · σ̂²_LR's n²-scaled Bartlett sum is newey_west's V′ verbatim
+        (V′ = n²(L+1)·[C′₀ + 2Σ(1−k/(L+1))C′_k]).
+
+    The n-powers cancel into ONE integer-rational form:
+
+        η = (L+1)·ΣP_t² / (n·V′)
+
+    a single double divide rounded 6 dp; the 5%-critical-value verdict
+    (η < 0.463) is decided by INTEGER cross-multiplication
+    (1000·(L+1)·ΣP² < 463·n·V′), exact even on-threshold.  The
+    sequence follows the splice convention (observed hours; gaps join
+    neighbours).  Degenerate series (V′ ≤ 0 or n < min_hours) drop.
+
+    Scale: grid hash-agg → ONE window pass per metric (row_number,
+    running sum, L lag columns over aggregate rows) → one hash-agg."""
+    lags = list(range(1, int(max_lag) + 1))
+    lp1 = int(max_lag) + 1
+    h = _hourly_cents(series, [key], value_decimals)
+    w = Window.partitionBy(key).orderBy("hour_ts")
+    w_full = Window.partitionBy(key)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel = [
+        F.col(key), F.col("y"),
+        F.row_number().over(w).cast(DEC).alias("t"),
+        F.sum("y").over(w_cum).cast(DEC).alias("cum"),
+        F.count(F.lit(1)).over(w_full).cast(DEC).alias("nn"),
+        F.sum("y").over(w_full).cast(DEC).alias("tt"),
+    ]
+    for k in lags:
+        sel.append(F.lag("y", k).over(w).alias(f"y{k}"))
+    lagged = h.select(*sel)
+    p = F.col("nn") * F.col("cum") - F.col("t") * F.col("tt")
+    aggs = [
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("y").cast(DEC)).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("p0"),
+        F.sum(p * p).alias("sp2"),
+    ]
+    for k in lags:
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.sum((F.col("y") * yk).cast(DEC)).alias(f"p{k}"),
+            F.sum(yk.cast(DEC)).alias(f"a{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y")).cast(DEC))
+            .alias(f"b{k}"),
+        ]
+    g = lagged.groupBy(key).agg(*aggs).where(F.col("n") >= min_hours)
+    n, s = F.col("n"), F.col("s")
+    c0 = n * n * F.col("p0") - n * s * (s + s) + n * s * s
+    vprime = lp1 * c0
+    for k in lags:
+        ck = (
+            n * n * F.col(f"p{k}")
+            - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + (n - k) * s * s
+        )
+        vprime = vprime + 2 * (lp1 - k) * ck
+    g = g.withColumn("vp", vprime)
+    return g.where(_dbl(F.col("vp")) > 0).select(
+        key,
+        n.cast("long").alias("n_hours"),
+        F.round(
+            F.lit(float(lp1)) * _dbl(F.col("sp2"))
+            / (_dbl(n) * _dbl(F.col("vp"))), 6
+        ).alias("eta"),
+        (
+            F.lit(1000 * lp1) * F.col("sp2")
+            < F.lit(463) * n * F.col("vp")
+        ).alias("is_level_stationary"),
+    )
