@@ -5762,6 +5762,15 @@ def q_kpss_level(spark, sf_dir):
     return kpss_level(_series_from_events(spark, sf_dir))
 
 
+def q_df_unitroot(spark, sf_dir):
+    """Un-augmented Dickey-Fuller unit-root test per metric — KPSS's
+    mirror (unit root is the null): closed-form OLS of Δy on lagged
+    level via exact integer moments, t by the r²-identity."""
+    from timeseriescorrelation_spark.operators.tsdiag import df_unitroot
+
+    return df_unitroot(_series_from_events(spark, sf_dir))
+
+
 def q_ccc_pairs(spark, sf_dir):
     """Lin's concordance correlation per metric pair — agreement, not
     just co-movement (CCC charges for location/scale offsets Pearson
@@ -7116,6 +7125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_churn": q_category_churn,
         "newey_west": q_newey_west,
         "kpss_level": q_kpss_level,
+        "df_unitroot": q_df_unitroot,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15062,6 +15072,35 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "df_unitroot": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, lag(y, 1) OVER w AS x, y - lag(y, 1) OVER w AS z
+  FROM h WINDOW w AS (PARTITION BY metric ORDER BY hour_ts)
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(x) AS sx, sum(z) AS sz,
+         sum(x * x) AS sxx, sum(z * z) AS szz, sum(x * z) AS sxz
+  FROM l WHERE x IS NOT NULL GROUP BY 1 HAVING count(*) >= 24
+), c AS (
+  SELECT metric, m,
+         cast(m * sxx - sx * sx AS double) AS dxx,
+         cast(m * szz - sz * sz AS double) AS dzz,
+         cast(m * sxz - sx * sz AS double) AS dxz
+  FROM g
+)
+SELECT metric, cast(m AS bigint) AS n_obs,
+       round(dxz / dxx, 6) AS gamma,
+       round(dxz * sqrt(cast(m AS double) - 2.0)
+             / sqrt(dxx * dzz - dxz * dxz), 6) AS t_stat,
+       NOT (dxz * sqrt(cast(m AS double) - 2.0)
+            / sqrt(dxx * dzz - dxz * dxz) < -2.86) AS has_unit_root
+FROM c
+WHERE dxx > 0 AND dxx * dzz - dxz * dxz > 0
 """,
         "ccc_pairs": """
 WITH h AS (

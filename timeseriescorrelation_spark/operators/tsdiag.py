@@ -663,3 +663,73 @@ def kpss_level(series: DataFrame, key: str = "metric",
             < F.lit(463) * n * F.col("vp")
         ).alias("is_level_stationary"),
     )
+
+
+def df_unitroot(series: DataFrame, key: str = "metric",
+                value_decimals: int = 2,
+                min_hours: int = 24) -> DataFrame:
+    """(metric, n_obs, gamma, t_stat, has_unit_root): the (un-augmented)
+    Dickey-Fuller unit-root test per metric's hourly cent-sum series —
+    KPSS's mirror image (here the unit root is the null; the two
+    together give the classic four-quadrant stationarity readout):
+
+        Δy_t = α + γ·y_{t−1} + ε_t,   reject unit root if t_γ < −2.86
+                                       (5% critical, constant case)
+
+    Closed-form simple OLS on exact integers: with m usable rows and
+    the n-scaled centered moments Cxx = m·Σx²−(Σx)², Czz, Cxz over
+    x = y_{t−1}, z = Δy,
+
+        γ = Cxz/Cxx,     t² = (m−2)·Cxz² / (Cxx·Czz − Cxz²)
+
+    (the r²-identity form — no residual pass).  Moments accumulate in
+    decimal(38,0)/hugeint; γ and t are a handful of IEEE ops over the
+    exact integers, mirrored operation-for-operation in the oracle, so
+    the 6-dp rounds and the sign test agree bit-for-bit.  Augmentation
+    lags (the "A" in ADF) would add lag-Δy regressors — the ols_multi
+    normal-equations machinery is the seam; the DF form is the
+    sequence-level screen.  The sequence follows the splice convention
+    (observed hours; gaps join neighbours).  Degenerate series
+    (Cxx·Czz = Cxz², constant, or m < min_hours) drop.
+
+    Scale: grid hash-agg → one lag window per metric → one hash-agg."""
+    h = _hourly_cents(series, [key], value_decimals)
+    w = Window.partitionBy(key).orderBy("hour_ts")
+    lagged = h.select(
+        F.col(key),
+        F.lag("y", 1).over(w).alias("x"),
+        (F.col("y") - F.lag("y", 1).over(w)).alias("z"),
+    ).where(F.col("x").isNotNull())
+    g = lagged.groupBy(key).agg(
+        F.count(F.lit(1)).cast(DEC).alias("m"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("z").cast(DEC)).alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("szz"),
+        F.sum((F.col("x") * F.col("z")).cast(DEC)).alias("sxz"),
+    ).where(F.col("m") >= min_hours)
+    m = F.col("m")
+    cxx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    czz = m * F.col("szz") - F.col("sz") * F.col("sz")
+    cxz = m * F.col("sxz") - F.col("sx") * F.col("sz")
+    g = g.select(
+        key, m.alias("mm"),
+        _dbl(cxx).alias("dxx"), _dbl(czz).alias("dzz"),
+        _dbl(cxz).alias("dxz"),
+    ).where(
+        (F.col("dxx") > 0)
+        & (F.col("dxx") * F.col("dzz")
+           - F.col("dxz") * F.col("dxz") > 0)
+    )
+    det = F.col("dxx") * F.col("dzz") - F.col("dxz") * F.col("dxz")
+    t = (
+        F.col("dxz") * F.sqrt(_dbl(F.col("mm")) - F.lit(2.0))
+        / F.sqrt(det)
+    )
+    return g.select(
+        key,
+        F.col("mm").cast("long").alias("n_obs"),
+        F.round(F.col("dxz") / F.col("dxx"), 6).alias("gamma"),
+        F.round(t, 6).alias("t_stat"),
+        (~(t < F.lit(-2.86))).alias("has_unit_root"),
+    )
