@@ -6668,6 +6668,27 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_cdc_snapshot(spark, sf_dir):
+    """MERGE-INTO snapshot from a CDC changelog (events as the log:
+    signup=insert, error=delete tombstone, rest=update) — last-wins by
+    the exact decimal (µs, event_id) pack, two hash-aggs, no window
+    sort (see scd.cdc_snapshot)."""
+    from timeseriescorrelation_spark.operators.scd import cdc_snapshot
+
+    ch = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+         .when(F.col("event_type") == "error", "D")
+         .otherwise("U").alias("op"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+    return cdc_snapshot(ch).select(
+        "user_id", "last_ts", "op", "last_type", "last_value",
+        "n_changes",
+    )
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity per label-propagation community on the
     minute-grain co-activity graph — scores the partition on the very
@@ -7126,6 +7147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newey_west": q_newey_west,
         "kpss_level": q_kpss_level,
         "df_unitroot": q_df_unitroot,
+        "cdc_snapshot": q_cdc_snapshot,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15101,6 +15123,27 @@ SELECT metric, cast(m AS bigint) AS n_obs,
             / sqrt(dxx * dzz - dxz * dxz) < -2.86) AS has_unit_root
 FROM c
 WHERE dxx > 0 AND dxx * dzz - dxz * dxz > 0
+""",
+        "cdc_snapshot": """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         event_type AS last_type, value AS last_value,
+         cast(epoch_us(ts) AS hugeint)
+           * cast('10000000000000000000' AS hugeint)
+           + event_id AS pk
+  FROM events
+), latest AS (
+  SELECT user_id, max(pk) AS mx,
+         cast(count(*) AS bigint) AS n_changes
+  FROM ch GROUP BY 1
+)
+SELECT ch.user_id, ch.ts AS last_ts, ch.op, ch.last_type,
+       ch.last_value, latest.n_changes
+FROM ch JOIN latest ON ch.user_id = latest.user_id AND ch.pk = latest.mx
+WHERE ch.op <> 'D'
 """,
         "ccc_pairs": """
 WITH h AS (

@@ -352,6 +352,7 @@ HEADLINE_R3 = [
     "modularity_lpa",
     "kpss_level",
     "df_unitroot",
+    "cdc_snapshot",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -65,3 +65,52 @@ def scd2_history(log: DataFrame, keys: list[str], attr_cols: list[str],
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_rows",
     )
+
+
+def cdc_snapshot(changes: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", seq_col: str = "event_id",
+                 op_col: str = "op") -> DataFrame:
+    """Materialize the current snapshot from a CDC changelog — the
+    MERGE-INTO semantics every lakehouse table maintenance job needs,
+    re-expressed as two hash-aggs with ZERO window sorts:
+
+        (key, last_ts, last_op payload..., n_changes)
+
+    Last-wins by (ts, seq); a key whose LAST change is a delete ('D')
+    leaves the snapshot entirely (its tombstone wins).  The decisive
+    trick is the ordering key: (epoch-µs, seq) packs into ONE exact
+    decimal(38,0) as µs·10¹⁹ + seq — hash-aggregable max (a struct
+    max_by would degrade every aggregate to SortAggregate, the
+    rollup.packed_order_key lesson, and bigint would overflow at
+    µs·2¹¹ for full-width seqs).  max(pk) per key, one equi-join back
+    to the winning row — no row_number window over the full log.
+
+    Idempotent-upsert invariant (the tier_upsert discipline), proven
+    in pytest: snapshot(A ∪ B) == apply(snapshot(A), B) — so daily
+    incremental maintenance equals the from-scratch rebuild.
+
+    Scale notes (100 TB): both aggs and the join shuffle once on the
+    key; per-key state is one row.  Changelog compaction falls out:
+    writing the snapshot back IS the compacted table."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    dec = "decimal(38,0)"
+    ten19 = F.expr("CAST('10000000000000000000' AS DECIMAL(38,0))")
+    pk = (
+        epoch_us(F.col(ts_col)).cast(dec) * ten19
+        + F.col(seq_col).cast(dec)
+    )
+    ch = changes.withColumn("_pk", pk)
+    latest = ch.groupBy(key_col).agg(
+        F.max("_pk").alias("_mx"),
+        F.count(F.lit(1)).alias("n_changes"),
+    ).withColumnRenamed(key_col, "_k")
+    won = ch.join(
+        latest,
+        (F.col(key_col) == F.col("_k")) & (F.col("_pk") == F.col("_mx")),
+    )
+    return (
+        won.where(F.col(op_col) != F.lit("D"))
+        .drop("_pk", "_mx", "_k")
+        .withColumnRenamed(ts_col, "last_ts")
+    )
