@@ -6668,6 +6668,18 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """KMV k-minimum-values audience overlap between event-type
+    segments — direct Jaccard/intersection estimation, the set
+    operation HLL's inclusion-exclusion can't do without compounding
+    error (see sketches.kmv_overlap)."""
+    from timeseriescorrelation_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    return kmv_overlap(_events(spark, sf_dir), "event_type", "user_id")
+
+
 def q_cdc_snapshot(spark, sf_dir):
     """MERGE-INTO snapshot from a CDC changelog (events as the log:
     signup=insert, error=delete tombstone, rest=update) — last-wins by
@@ -7148,6 +7160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_level": q_kpss_level,
         "df_unitroot": q_df_unitroot,
         "cdc_snapshot": q_cdc_snapshot,
+        "kmv_overlap": q_kmv_overlap,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -7780,6 +7793,72 @@ SELECT cast(dc.lbl AS bigint) AS lbl,
        round(cast(coalesce(i_c, 0) * M - d_sum * d_sum AS double)
              / cast(M * M AS double), 6) AS q_contrib
 FROM dc LEFT JOIN ic ON dc.lbl = ic.lbl CROSS JOIN tot
+"""
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    """KMV sketch overlap between event_type segments — replicates
+    sketches.kmv_overlap element-for-element (affine hash, per-seg
+    k-min, union k-min, Jaccard/intersection estimators)."""
+    from timeseriescorrelation_spark.operators.dedup import A_J, B_J, P31
+
+    a_m, b_a = A_J[0], B_J[0]
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS seg,
+         (user_id * {a_m} + {b_a}) % {P31} AS h
+  FROM events
+), topk AS (
+  SELECT seg, h FROM (
+    SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS r
+    FROM d
+  ) WHERE r <= {k}
+), g AS (
+  SELECT seg, max(h) AS hk, count(*) AS m FROM topk GROUP BY 1
+), singles AS (
+  SELECT seg,
+         CASE WHEN m < {k} THEN cast(m AS double)
+              ELSE {float(k - 1)} * {float(P31)} / cast(hk AS double)
+         END AS est
+  FROM g
+), pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b
+  FROM g a JOIN g b ON a.seg < b.seg
+), u AS (
+  SELECT p.seg_a, p.seg_b, t.h, 1 AS ina, 0 AS inb
+  FROM pairs p JOIN topk t ON t.seg = p.seg_a
+  UNION ALL
+  SELECT p.seg_a, p.seg_b, t.h, 0 AS ina, 1 AS inb
+  FROM pairs p JOIN topk t ON t.seg = p.seg_b
+), merged AS (
+  SELECT seg_a, seg_b, h, max(ina) AS ina, max(inb) AS inb
+  FROM u GROUP BY 1, 2, 3
+), mk AS (
+  SELECT * FROM (
+    SELECT seg_a, seg_b, h, ina, inb,
+           row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS r
+    FROM merged
+  ) WHERE r <= {k}
+), pg AS (
+  SELECT seg_a, seg_b, count(*) AS mu, max(h) AS mhk,
+         sum(ina * inb) AS both_n
+  FROM mk GROUP BY 1, 2
+)
+SELECT seg_a, seg_b,
+       round(sa.est, 6) AS est_a,
+       round(sb.est, 6) AS est_b,
+       round(CASE WHEN mu < {k} THEN cast(mu AS double)
+                  ELSE {float(k - 1)} * {float(P31)}
+                       / cast(mhk AS double) END, 6) AS est_union,
+       round(cast(both_n AS double) / cast(mu AS double), 6)
+         AS est_jaccard,
+       round(cast(both_n AS double) / cast(mu AS double)
+             * CASE WHEN mu < {k} THEN cast(mu AS double)
+                    ELSE {float(k - 1)} * {float(P31)}
+                         / cast(mhk AS double) END, 6) AS est_inter
+FROM pg
+JOIN singles sa ON pg.seg_a = sa.seg
+JOIN singles sb ON pg.seg_b = sb.seg
 """
 
 
@@ -13976,6 +14055,7 @@ WHERE inter_n * 100 >= 80 * least(sa.sz, sb.sz)
 """,
         "label_prop": _lpa_oracle(4),
         "modularity_lpa": _modularity_oracle(4),
+        "kmv_overlap": _kmv_oracle(64),
         "emb_auc": """
 WITH base AS (
   SELECT vec_id AS vid, label AS lab,

@@ -353,6 +353,7 @@ HEADLINE_R3 = [
     "kpss_level",
     "df_unitroot",
     "cdc_snapshot",
+    "kmv_overlap",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

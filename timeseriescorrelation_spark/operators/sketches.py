@@ -610,3 +610,104 @@ def bitmap_retention(events: DataFrame, id_col: str = "user_id",
              .alias("retention_rate"),
         )
     )
+
+
+def kmv_overlap(df: DataFrame, seg_col: str, item_col: str,
+                k: int = 64) -> DataFrame:
+    """(seg_a, seg_b, est_a, est_b, est_union, est_jaccard, est_inter):
+    distinct-item overlap between every segment pair via K-MINIMUM-
+    VALUES sketches — the sketch that, unlike HLL, supports direct
+    Jaccard/intersection estimation instead of error-compounding
+    inclusion-exclusion (hll_overlap's documented weakness):
+
+      · sketch(S)   = k smallest distinct hashes of S's items
+      · D̂(S)        = (k−1)·P/h_(k)            (h uniform on [0,P))
+      · union       = k smallest of sketch(A) ∪ sketch(B)
+      · Ĵ(A,B)      = |union-k ∩ A-sketch ∩ B-sketch| / k
+      · |A∩B|^      = Ĵ · D̂(A∪B)
+
+    Hashing is the dedup family's affine (A_J·x + B_J) mod P31 over
+    INTEGER item ids — identical int64 arithmetic in any engine, so
+    the oracle replicates every sketch element, not just estimates.
+    Sketches smaller than k are EXACT (the estimator degenerates to
+    the true count; pytest pins this).  All ranks are integer;
+    the only doubles are the final estimate divisions, rounded 6 dp.
+
+    Scale notes (100 TB): raw data is touched once (distinct (seg,
+    hash) hash-agg, map-side combined); the per-seg top-k window sorts
+    ≤|distinct| rows per segment PARTITION (never a global sort), and
+    the pair stage handles |segs|²/2 · k rows — segment count, not
+    data volume, bounds it.  Mergeable like HLL: union of sketches =
+    sketch of union (k-min of concatenation), so tiered rollup
+    composes."""
+    from timeseriescorrelation_spark.operators.dedup import A_J, B_J, P31
+
+    a_m, b_a = A_J[0], B_J[0]
+    d = df.select(
+        F.col(seg_col).alias("seg"),
+        ((F.col(item_col).cast("long") * F.lit(a_m) + F.lit(b_a))
+         % F.lit(P31)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("seg").orderBy("h")
+    topk = d.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k
+    ).select("seg", "h")
+    g = topk.groupBy("seg").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
+    )
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P31))
+        / F.col("hk").cast("double")
+    )
+    singles = g.select("seg", est.alias("est"))
+    segs = g.select("seg")
+    pairs = (
+        segs.alias("pa")
+        .join(F.broadcast(segs.alias("pb")),
+              F.col("pa.seg") < F.col("pb.seg"))
+        .select(F.col("pa.seg").alias("seg_a"),
+                F.col("pb.seg").alias("seg_b"))
+    )
+    ua = pairs.join(topk.withColumnRenamed("seg", "seg_a"), "seg_a") \
+        .select("seg_a", "seg_b", "h", F.lit(1).alias("ina"),
+                F.lit(0).alias("inb"))
+    ub = pairs.join(topk.withColumnRenamed("seg", "seg_b"), "seg_b") \
+        .select("seg_a", "seg_b", "h", F.lit(0).alias("ina"),
+                F.lit(1).alias("inb"))
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("seg_a", "seg_b", "h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    wm = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+    mk = merged.withColumn("r", F.row_number().over(wm)).where(
+        F.col("r") <= k
+    )
+    pg = mk.groupBy("seg_a", "seg_b").agg(
+        F.count(F.lit(1)).alias("mu"),
+        F.max("h").alias("mhk"),
+        F.sum(F.col("ina") * F.col("inb")).alias("both"),
+    )
+    est_u = F.when(
+        F.col("mu") < k, F.col("mu").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P31))
+        / F.col("mhk").cast("double")
+    )
+    jac = F.col("both").cast("double") / F.col("mu").cast("double")
+    out = (
+        pg.join(singles.withColumnRenamed("seg", "seg_a")
+                .withColumnRenamed("est", "est_a"), "seg_a")
+        .join(singles.withColumnRenamed("seg", "seg_b")
+              .withColumnRenamed("est", "est_b"), "seg_b")
+    )
+    return out.select(
+        "seg_a", "seg_b",
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(jac * est_u, 6).alias("est_inter"),
+    )
