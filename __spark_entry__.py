@@ -6668,6 +6668,18 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_emb_mahalanobis(spark, sf_dir):
+    """Diagonal-covariance Mahalanobis distance of each embedding
+    from its own source's centroid — mislabeled/corrupted-vector QA;
+    snap-then-integer-sum keeps the per-row fold order-free (see
+    similarity.embedding_mahalanobis)."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_mahalanobis,
+    )
+
+    return embedding_mahalanobis(_embs(spark, sf_dir))
+
+
 def q_kmv_overlap(spark, sf_dir):
     """KMV k-minimum-values audience overlap between event-type
     segments — direct Jaccard/intersection estimation, the set
@@ -7161,6 +7173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_unitroot": q_df_unitroot,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
+        "emb_mahalanobis": q_emb_mahalanobis,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -17434,6 +17447,33 @@ SELECT label_a, label_b,
        cast(max(nb) AS bigint) AS n_b,
        round(cast(sum(d * d * w) AS double) / 1e18, 6) AS mmd2
 FROM p GROUP BY 1, 2
+""",
+        "emb_mahalanobis": """
+WITH x AS (
+  SELECT vec_id AS vid, label AS lbl,
+         generate_subscripts(embedding, 1) AS dim,
+         cast(round(unnest(embedding)::DOUBLE * 1000000) AS bigint)
+           AS xu
+  FROM embeddings
+), st AS (
+  SELECT lbl, dim, cast(count(*) AS hugeint) AS n,
+         sum(cast(xu AS hugeint)) AS s,
+         sum(cast(xu AS hugeint) * xu) AS q
+  FROM x GROUP BY 1, 2
+), t AS (
+  SELECT vid, x.lbl,
+         CASE WHEN cast(n * q - s * s AS double) > 0 THEN
+           cast(round(1e6 * cast(n * xu - s AS double)
+                      * cast(n * xu - s AS double)
+                      / cast(n * q - s * s AS double)) AS bigint)
+         END AS tu
+  FROM x JOIN st ON x.lbl = st.lbl AND x.dim = st.dim
+)
+SELECT vid AS vec_id, lbl AS label,
+       cast(count(tu) AS bigint) AS d_eff,
+       round(cast(sum(tu) AS double) / 1e6, 6) AS md2,
+       sum(tu) > 93217000 AS is_outlier
+FROM t GROUP BY 1, 2
 """,
         "boilerplate_ngrams": """
 WITH tok AS (

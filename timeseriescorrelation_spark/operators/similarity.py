@@ -1753,3 +1753,65 @@ def embedding_mmd(emb: DataFrame, vec_col: str = "embedding",
             F.round(F.col("ss").cast("double") / 1e18, 6).alias("mmd2"),
         )
     )
+
+
+def embedding_mahalanobis(emb: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          label_col: str = "label") -> DataFrame:
+    """(vec_id, label, d_eff, md2, is_outlier): diagonal-covariance
+    Mahalanobis distance of every embedding from ITS OWN source's
+    centroid — the training-data QA pass that surfaces mislabeled or
+    corrupted vectors before they poison a mix:
+
+        md² = Σ_d (x_d − μ_d)² / σ²_d
+
+    Per (label, dim) the moments are exact µ-unit integers (n, S, Q);
+    each dim's term is ONE double expression over them,
+    (n·x−S)²/(n·Q−S²), snapped to 1e-6 units and INTEGER-summed — so
+    the per-row reduction is order-free (a raw double Σ over exploded
+    dims would hash-differ across partitionings).  Zero-variance dims
+    drop out (d_eff counts the dims that scored); is_outlier flags
+    md² > 93.217 ≈ χ²₆₄(0.99), decided on the exact integer µ-sum
+    (md2_u > 93 217 000), exact even on-threshold.
+
+    Scale notes (100 TB): stats are a (labels·d)-row hash-agg
+    (metadata-sized — broadcast); the scoring join is posexplode →
+    broadcast-equi-join → per-vector hash-agg, one shuffle keyed by
+    vec_id.  No pair joins anywhere."""
+    x = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("dim0", "v"),
+    ).select(
+        "vid", "lbl",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+         .alias("xu"),
+    )
+    dec = "decimal(38,0)"
+    stats = x.groupBy("lbl", "dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("xu").cast(dec)).alias("s"),
+        F.sum((F.col("xu") * F.col("xu")).cast(dec)).alias("q"),
+    )
+    j = x.join(F.broadcast(stats), ["lbl", "dim"])
+    num = (F.col("n") * F.col("xu") - F.col("s")).cast("double")
+    den = (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    term_u = F.when(
+        den.cast("double") > 0,
+        F.round(F.lit(1e6) * num * num / den.cast("double"))
+         .cast("long"),
+    )
+    g = j.select("vid", "lbl", term_u.alias("tu")).groupBy(
+        "vid", "lbl"
+    ).agg(
+        F.count("tu").alias("d_eff"),
+        F.sum("tu").alias("md2_u"),
+    )
+    return g.select(
+        F.col("vid").alias("vec_id"),
+        F.col("lbl").alias("label"),
+        F.col("d_eff").cast("long").alias("d_eff"),
+        F.round(F.col("md2_u").cast("double") / 1e6, 6).alias("md2"),
+        (F.col("md2_u") > F.lit(93217000)).alias("is_outlier"),
+    )
