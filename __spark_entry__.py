@@ -6668,6 +6668,16 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_ipw_strata(spark, sf_dir):
+    """Stratified IPW observational readout: self-selected treatment
+    (≥1 click) vs outcome (≥1 purchase) within fixed activity strata —
+    exact propensities, per-stratum effects, positivity-violation
+    guard (see abtest.ipw_strata)."""
+    from timeseriescorrelation_spark.operators.abtest import ipw_strata
+
+    return ipw_strata(_events(spark, sf_dir))
+
+
 def q_emb_mahalanobis(spark, sf_dir):
     """Diagonal-covariance Mahalanobis distance of each embedding
     from its own source's centroid — mislabeled/corrupted-vector QA;
@@ -7174,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
+        "ipw_strata": q_ipw_strata,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15237,6 +15248,43 @@ SELECT ch.user_id, ch.ts AS last_ts, ch.op, ch.last_type,
        ch.last_value, latest.n_changes
 FROM ch JOIN latest ON ch.user_id = latest.user_id AND ch.pk = latest.mx
 WHERE ch.op <> 'D'
+""",
+        "ipw_strata": """
+WITH per_unit AS (
+  SELECT user_id,
+         count(*) AS n_ev,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT cast(count(*) AS bigint) AS u, cast(sum(n_ev) AS bigint) AS tt
+  FROM per_unit
+), s AS (
+  SELECT CASE WHEN 10 * n_ev * u <= 9 * tt THEN 'low'
+              WHEN 10 * n_ev * u >= 11 * tt THEN 'high'
+              ELSE 'mid' END AS stratum, t, y
+  FROM per_unit CROSS JOIN tot
+), g AS (
+  SELECT stratum, cast(count(*) AS bigint) AS n,
+         cast(sum(t) AS bigint) AS n_treat,
+         cast(sum(t * y) AS bigint) AS y1,
+         cast(sum((1 - t) * y) AS bigint) AS y0
+  FROM s GROUP BY 1
+)
+SELECT stratum, n, n_treat, y1, y0,
+       round(cast(n_treat AS double) / cast(n AS double), 6)
+         AS p_treat,
+       round(CASE WHEN n_treat > 0 AND n_treat < n THEN
+         cast(y1 AS double) / cast(n_treat AS double) END, 6)
+         AS mean_y1,
+       round(CASE WHEN n_treat > 0 AND n_treat < n THEN
+         cast(y0 AS double) / cast(n - n_treat AS double) END, 6)
+         AS mean_y0,
+       round(CASE WHEN n_treat > 0 AND n_treat < n THEN
+         cast(y1 AS double) / cast(n_treat AS double)
+         - cast(y0 AS double) / cast(n - n_treat AS double) END, 6)
+         AS effect
+FROM g
 """,
         "ccc_pairs": """
 WITH h AS (

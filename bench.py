@@ -355,6 +355,7 @@ HEADLINE_R3 = [
     "cdc_snapshot",
     "kmv_overlap",
     "emb_mahalanobis",
+    "ipw_strata",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -482,3 +482,82 @@ def sprt_readout(events: DataFrame, target_event: str = "purchase",
         .when(llr <= F.lit(lo), F.lit("accept_h0"))
         .otherwise(F.lit("continue")).alias("decision"),
     )
+
+
+def ipw_strata(events: DataFrame, treat_event: str = "click",
+               target_event: str = "purchase",
+               id_col: str = "user_id",
+               event_col: str = "event_type") -> DataFrame:
+    """Stratified inverse-propensity readout for an OBSERVATIONAL
+    contrast — the causal-inference counterpart of ab_readout when
+    nobody randomized: users self-select into "treatment" (≥1
+    ``treat_event``), and raw mean differences confound treatment with
+    activity.  Stratify on an activity proxy (total event count vs
+    the population mean, ±10% cuts decided by INTEGER
+    cross-multiplication 10·n_ev·U vs 9·T / 11·T — scale-free,
+    deterministic, no ntile global sort), estimate the
+    propensity e(x) = t_x/n_x exactly per stratum, and report the
+    within-stratum effect:
+
+        (stratum, n, n_treat, y1, y0, p_treat, mean_y1, mean_y0,
+         effect)
+
+    effect = y1/t − y0/(n−t) — algebraically identical to the
+    Horvitz-Thompson IPW term with the exact stratified propensity, so
+    this IS the IPW estimator, reported per stratum (the ATE is the
+    n-weighted sum; per-stratum rows avoid an unordered 3-term double
+    fold and show effect heterogeneity, which is what the analyst
+    actually wants).  All counts exact integers; each reported double
+    is one division rounded 6 dp.  Degenerate strata (t = 0 or t = n:
+    no overlap — the positivity violation IPW textbooks warn about)
+    report NULL effect rather than an infinite weight.
+
+    Scale notes (100 TB): one per-user hash-agg, one per-stratum
+    hash-agg of ≤|strata| rows.  No joins."""
+    per_unit = (
+        events.select(
+            F.col(id_col).alias("unit"),
+            (F.col(event_col) == F.lit(treat_event)).cast("int")
+            .alias("t"),
+            (F.col(event_col) == F.lit(target_event)).cast("int")
+            .alias("y"),
+        )
+        .groupBy("unit")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.max("t").alias("t"),
+            F.max("y").alias("y"),
+        )
+    )
+    tot = per_unit.agg(
+        F.count(F.lit(1)).alias("_u"),
+        F.sum("n_ev").alias("_tot"),
+    )
+    per_unit = per_unit.crossJoin(F.broadcast(tot))
+    lhs = 10 * F.col("n_ev") * F.col("_u")
+    stratum = (
+        F.when(lhs <= 9 * F.col("_tot"), F.lit("low"))
+        .when(lhs >= 11 * F.col("_tot"), F.lit("high"))
+        .otherwise(F.lit("mid"))
+    )
+    g = per_unit.select(stratum.alias("stratum"), "t", "y").groupBy(
+        "stratum"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("long").alias("n_treat"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("y1"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("y0"),
+    )
+    t, n = F.col("n_treat"), F.col("n")
+    ok = (t > 0) & (t < n)
+    m1 = F.col("y1").cast("double") / t.cast("double")
+    m0 = F.col("y0").cast("double") / (n - t).cast("double")
+    return g.select(
+        "stratum", F.col("n").cast("long").alias("n"), "n_treat",
+        "y1", "y0",
+        F.round(t.cast("double") / n.cast("double"), 6)
+         .alias("p_treat"),
+        F.round(F.when(ok, m1), 6).alias("mean_y1"),
+        F.round(F.when(ok, m0), 6).alias("mean_y0"),
+        F.round(F.when(ok, m1 - m0), 6).alias("effect"),
+    )
