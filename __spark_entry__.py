@@ -6668,6 +6668,18 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method forecast per metric (M3 winner): OLS trend line +
+    SES on the θ=2 line, exact-integer trend moments, recursion
+    bit-identical to the recursive-CTE oracle (see
+    analytics.theta_forecast)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        theta_forecast,
+    )
+
+    return theta_forecast(_series_from_events(spark, sf_dir))
+
+
 def q_ipw_strata(spark, sf_dir):
     """Stratified IPW observational readout: self-selected treatment
     (≥1 click) vs outcome (≥1 purchase) within fixed activity strata —
@@ -7185,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
         "ipw_strata": q_ipw_strata,
+        "theta_forecast": q_theta_forecast,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15285,6 +15298,57 @@ SELECT stratum, n, n_treat, y1, y0,
          - cast(y0 AS double) / cast(n - n_treat AS double) END, 6)
          AS effect
 FROM g
+""",
+        "theta_forecast": """
+WITH RECURSIVE d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT metric, y,
+         cast(row_number() OVER (PARTITION BY metric ORDER BY day_ts)
+              AS hugeint) AS t
+  FROM d
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(t) AS st, sum(cast(y AS hugeint)) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty
+  FROM dd GROUP BY 1 HAVING count(*) >= 10
+), p AS (
+  SELECT metric, n,
+         n * sty - st * sy AS nb,
+         n * stt - st * st AS dn,
+         sy * (n * stt - st * st) - (n * sty - st * sy) * st AS anum,
+         n * (n * stt - st * st) AS dd_den
+  FROM g
+), q AS (
+  SELECT dd.metric, dd.t,
+         cast(2 * dd.y * p.dd_den - p.anum - p.nb * p.n * dd.t
+              AS double) / cast(p.dd_den AS double) AS q
+  FROM dd JOIN p USING (metric)
+), e AS (
+  SELECT metric, t, q AS l FROM q WHERE t = 1
+  UNION ALL
+  SELECT q.metric, q.t, (1 - 0.5) * e.l + 0.5 * q.q
+  FROM e JOIN q ON q.metric = e.metric AND q.t = e.t + 1
+), lvl AS (
+  SELECT e.metric, e.l AS level
+  FROM e JOIN p ON e.metric = p.metric AND e.t = p.n
+)
+SELECT p.metric,
+       cast(p.n AS bigint) AS n_days,
+       floor(level / 100.0 * 1e6) / 1e6 AS level_v,
+       floor((0.5 * level
+              + 0.5 * (cast(anum AS double) / cast(dd_den AS double)
+                       + cast(nb AS double) / cast(dn AS double)
+                         * (cast(p.n AS double) + 1.0)))
+             / 100.0 * 1e6) / 1e6 AS fc_1,
+       floor((0.5 * level
+              + 0.5 * (cast(anum AS double) / cast(dd_den AS double)
+                       + cast(nb AS double) / cast(dn AS double)
+                         * (cast(p.n AS double) + 7.0)))
+             / 100.0 * 1e6) / 1e6 AS fc_7
+FROM lvl JOIN p USING (metric)
 """,
         "ccc_pairs": """
 WITH h AS (

@@ -2655,3 +2655,117 @@ def kalman_level(series: DataFrame, keys: list[str] | None = None,
         .alias("level"),
         (F.floor(F.col("gain") * F.lit(1e6)) / F.lit(1e6)).alias("gain"),
     )
+
+
+def theta_forecast(series: DataFrame, key: str = "metric",
+                   value_decimals: int = 2, alpha: float = 0.5,
+                   horizons: tuple = (1, 7),
+                   min_days: int = 10) -> DataFrame:
+    """(metric, n_days, level_v, fc_1, fc_7): the Theta-method
+    forecast (Assimakopoulos & Nikolopoulos 2000, the M3 winner) per
+    metric's daily cent-sum series — the standard two-line
+    decomposition the des_brown/holt_winters family lacks:
+
+        θ=0 line : the OLS linear trend a + b·t       (pure long-run)
+        θ=2 line : Q_t = 2·y_t − (a + b·t)            (pure short-run)
+        ŷ(T+h)   = ½·SES(Q)_T + ½·(a + b·(T+h))
+
+    Exactness: a, b come from exact decimal38/hugeint daily moments
+    (trend_daily's discipline over the day INDEX t=1..T, so Dn =
+    T·Σtt − St² > 0 always); every Q_t is ONE double division of
+    exact integers over the common denominator D = T·Dn; the SES
+    recursion runs in float64 bit-identically to a recursive-CTE
+    oracle (the ewma lesson: pandas ewm(adjust=False) ==
+    (1−α)·l + α·q), and outputs quantize by floor(x·1e6)/1e6 — round()
+    is NOT usable on recursion-landed doubles (ewma's measured 1e-6
+    flips).
+
+    Shape: one daily hash-agg → per-metric moment agg + join back →
+    ONE partition-grouped pandas pass for the SES level (metrics
+    hash-partitioned, series contiguous — never per-group Arrow
+    transfer).  Scale: the recursion is over per-metric DAY counts
+    (≤ a few thousand rows per metric at any corpus size)."""
+    scale = 10 ** int(value_decimals)
+    a_f = float(alpha)
+    dec = "decimal(38,0)"
+    d = series.groupBy(
+        key, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long"))
+         .cast("long").alias("y")
+    )
+    w = Window.partitionBy(key).orderBy("day_ts")
+    dd = d.select(
+        key, "y", F.row_number().over(w).cast("long").alias("t")
+    )
+    g = dd.groupBy(key).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+        F.sum((F.col("t") * F.col("y")).cast(dec)).alias("sty"),
+    ).where(F.col("n") >= min_days)
+    nb = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    dn = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    anum = F.col("sy") * dn - nb * F.col("st")
+    p = g.select(
+        key, "n", nb.alias("nb"), dn.alias("dn"), anum.alias("anum"),
+        (F.col("n") * dn).alias("dd_den"),
+    )
+    q = dd.join(F.broadcast(p), key).select(
+        key, "t",
+        (
+            (F.lit(2).cast(dec) * F.col("y").cast(dec)
+             * F.col("dd_den") - F.col("anum")
+             - F.col("nb") * F.col("n") * F.col("t").cast(dec))
+            .cast("double") / F.col("dd_den").cast("double")
+        ).alias("q"),
+    )
+
+    def _ses(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values([key, "t"])
+        lvl = (
+            pdf.groupby(key, sort=False)["q"]
+            .apply(lambda s: s.ewm(alpha=a_f, adjust=False)
+                   .mean().iloc[-1])
+            .reset_index()
+        )
+        lvl.columns = [key, "level"]
+        yield lvl
+
+    from timeseriescorrelation_spark.session import (
+        shuffle_partition_count,
+    )
+
+    n_part = shuffle_partition_count(series.sparkSession)
+    lvl = (
+        q.repartition(n_part, F.col(key))
+        .sortWithinPartitions(key, "t")
+        .mapInPandas(_ses, f"{key} string, level double")
+    )
+    out = lvl.join(p, key)
+    a_d = F.col("anum").cast("double") / F.col("dd_den").cast("double")
+    b_d = F.col("nb").cast("double") / F.col("dn").cast("double")
+    n_d = F.col("n").cast("double")
+
+    def _quant(c):
+        return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+    cols = [
+        F.col(key),
+        F.col("n").cast("long").alias("n_days"),
+        _quant(F.col("level") / F.lit(float(scale))).alias("level_v"),
+    ]
+    for h in horizons:
+        fc = (
+            F.lit(0.5) * F.col("level")
+            + F.lit(0.5) * (a_d + b_d * (n_d + F.lit(float(h))))
+        )
+        cols.append(
+            _quant(fc / F.lit(float(scale))).alias(f"fc_{h}")
+        )
+    return out.select(*cols)
