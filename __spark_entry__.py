@@ -6668,6 +6668,18 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_dp_release(spark, sf_dir):
+    """Laplace-mechanism noisy count release per (event_type, day) —
+    deterministic seeded inverse-CDF noise, oracle-replicable (and
+    therefore honestly NOT private; see privacy.dp_release)."""
+    from timeseriescorrelation_spark.operators.privacy import dp_release
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day_ts", F.date_trunc("day", "ts")
+    )
+    return dp_release(ev, ["event_type", "day_ts"])
+
+
 def q_theta_forecast(spark, sf_dir):
     """Theta-method forecast per metric (M3 winner): OLS trend line +
     SES on the θ=2 line, exact-integer trend moments, recursion
@@ -7198,6 +7210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mahalanobis": q_emb_mahalanobis,
         "ipw_strata": q_ipw_strata,
         "theta_forecast": q_theta_forecast,
+        "dp_release": q_dp_release,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15349,6 +15362,27 @@ SELECT p.metric,
                          * (cast(p.n AS double) + 7.0)))
              / 100.0 * 1e6) / 1e6 AS fc_7
 FROM lvl JOIN p USING (metric)
+""",
+        "dp_release": """
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT event_type, day_ts, n,
+         (cast(('0x' || substr(md5(cast(event_type AS varchar) || '|'
+                || cast(cast(day_ts AS date) AS varchar)), 1, 12))
+               AS bigint)
+          + 0.5) / 281474976710656.0 - 0.5 AS c
+  FROM g
+)
+SELECT event_type, day_ts, n,
+       round(-1.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6) AS noise,
+       round(cast(n AS double)
+             + (-1.0 * sign(c) * ln(1.0 - 2.0 * abs(c))), 6)
+         AS noisy_n,
+       1.0 AS epsilon
+FROM h
 """,
         "ccc_pairs": """
 WITH h AS (

@@ -357,6 +357,7 @@ HEADLINE_R3 = [
     "emb_mahalanobis",
     "ipw_strata",
     "theta_forecast",
+    "dp_release",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -203,3 +203,57 @@ def t_closeness(df: DataFrame, quasi: list[Column | str],
         ).alias("pct_rows_above"),
         F.col("max_tvd").alias("max_tvd"),
     )
+
+
+def dp_release(events: DataFrame, group_cols: list[str] | None = None,
+               epsilon: float = 1.0) -> DataFrame:
+    """(group..., n, noise, noisy_n, epsilon): ε-differential-privacy-
+    SHAPED noisy count release per group — Laplace(1/ε) noise added to
+    each count, the fourth privacy primitive next to k-anonymity /
+    l-diversity / t-closeness (those say when a release is safe; this
+    is the mechanism that makes counts safe).
+
+    The noise is drawn by INVERSE-CDF from a SEEDED md5 uniform
+    (u = (48-bit md5 slice + ½)/2⁴⁸, noise = −(1/ε)·sign(u−½)·
+    ln(1−2|u−½|)) so the whole release is deterministic and
+    oracle-replicable — which also means it is NOT actually private
+    (a seeded PRNG violates DP's randomness requirement; same honesty
+    policy as multimodal's stubbed decoder).  The Spark-side mechanism
+    — sensitivity-1 count, per-group independent noise, one ln on
+    identical doubles rounded 6 dp — is the real, tested plumbing;
+    production swaps the seed for entropy and DROPS the true n column
+    (kept here for auditability and the pytest).
+
+    Scale notes (100 TB): one hash-agg; the noise is a per-row scalar
+    expression on the |groups|-row result."""
+    group_cols = group_cols or ["event_type"]
+    g = events.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # timestamps enter the seed as DATE strings (identical 'YYYY-MM-DD'
+    # rendering in both engines; full timestamp strings are a
+    # format-divergence hazard)
+    dtypes = dict(g.dtypes)
+    key = F.md5(F.concat_ws(
+        "|",
+        *[
+            F.col(c).cast("date").cast("string")
+            if dtypes.get(c, "").startswith("timestamp")
+            else F.col(c).cast("string")
+            for c in group_cols
+        ],
+    ))
+    v = F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return g.select(
+        *group_cols, "n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_n"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
