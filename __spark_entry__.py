@@ -6668,6 +6668,17 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_streak_report(spark, sf_dir):
+    """Longest up/down daily streaks per metric plus the current run —
+    gaps-and-islands on exact cent deltas, no doubles (see
+    tsdiag.streak_report)."""
+    from timeseriescorrelation_spark.operators.tsdiag import (
+        streak_report,
+    )
+
+    return streak_report(_series_from_events(spark, sf_dir))
+
+
 def q_dp_release(spark, sf_dir):
     """Laplace-mechanism noisy count release per (event_type, day) —
     deterministic seeded inverse-CDF noise, oracle-replicable (and
@@ -7211,6 +7222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipw_strata": q_ipw_strata,
         "theta_forecast": q_theta_forecast,
         "dp_release": q_dp_release,
+        "streak_report": q_streak_report,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15383,6 +15395,46 @@ SELECT event_type, day_ts, n,
          AS noisy_n,
        1.0 AS epsilon
 FROM h
+""",
+        "streak_report": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT metric, day_ts,
+         cast(sign(y - lag(y) OVER w) AS int) AS s
+  FROM d WINDOW w AS (PARTITION BY metric ORDER BY day_ts)
+), dd AS (
+  SELECT metric, day_ts, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s <> lag(s) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM s WHERE s IS NOT NULL
+  WINDOW w AS (PARTITION BY metric ORDER BY day_ts)
+), isl AS (
+  SELECT metric, day_ts, s,
+         sum(chg) OVER (PARTITION BY metric ORDER BY day_ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS isl
+  FROM dd
+), runs AS (
+  SELECT metric, isl, s, cast(count(*) AS bigint) AS len,
+         max(day_ts) AS run_end
+  FROM isl GROUP BY 1, 2, 3
+), lastf AS (
+  SELECT *, run_end = max(run_end) OVER (PARTITION BY metric)
+         AS is_last
+  FROM runs
+)
+SELECT metric,
+       cast(sum(len) + 1 AS bigint) AS n_days,
+       cast(max(CASE WHEN s = 1 THEN len END) AS bigint)
+         AS max_up_streak,
+       cast(max(CASE WHEN s = -1 THEN len END) AS bigint)
+         AS max_down_streak,
+       cast(max(CASE WHEN is_last THEN len END) AS bigint) AS last_len,
+       max(CASE WHEN is_last THEN s END) AS last_dir
+FROM lastf GROUP BY 1
 """,
         "ccc_pairs": """
 WITH h AS (

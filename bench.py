@@ -358,6 +358,7 @@ HEADLINE_R3 = [
     "ipw_strata",
     "theta_forecast",
     "dp_release",
+    "streak_report",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -733,3 +733,68 @@ def df_unitroot(series: DataFrame, key: str = "metric",
         F.round(t, 6).alias("t_stat"),
         (~(t < F.lit(-2.86))).alias("has_unit_root"),
     )
+
+
+def streak_report(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2) -> DataFrame:
+    """(metric, n_days, max_up_streak, max_down_streak, last_len,
+    last_dir): longest consecutive-day up/down runs of each metric's
+    daily cent sum, plus the streak it is currently on — the
+    records-and-runs readout behind "7 days of declining traffic"
+    alerts (runs_test asks IF the sign sequence is random; this
+    reports the actual runs).
+
+    Pure gaps-and-islands on EXACT integers: sign of the daily delta
+    (cent units, so zero means exactly flat and breaks both runs),
+    island id = running count of sign CHANGES (one cumulative window),
+    then two hash-aggs (per-island lengths → per-metric maxima).  No
+    doubles anywhere.
+
+    Scale: one lag window + one cumulative window over per-metric DAY
+    counts (tiny partitions at any corpus size), two hash-aggs."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        key, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long"))
+         .cast("long").alias("y")
+    )
+    w = Window.partitionBy(key).orderBy("day_ts")
+    sgn = F.signum(
+        (F.col("y") - F.lag("y", 1).over(w)).cast("double")
+    ).cast("int")
+    dd = d.select(key, "day_ts", sgn.alias("s")).where(
+        F.col("s").isNotNull()
+    )
+    chg = F.when(
+        F.lag("s", 1).over(w).isNull()
+        | (F.col("s") != F.lag("s", 1).over(w)),
+        1,
+    ).otherwise(0)
+    # materialize the change flag BEFORE the cumulative sum — a window
+    # expression cannot nest inside another window's argument
+    flagged = dd.withColumn("chg", chg)
+    isl = flagged.select(
+        key, "day_ts", "s",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("isl"),
+    )
+    runs = isl.groupBy(key, "isl", "s").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.max("day_ts").alias("run_end"),
+    )
+    wl = Window.partitionBy(key)
+    last = runs.withColumn(
+        "is_last", F.col("run_end") == F.max("run_end").over(wl)
+    )
+    return last.groupBy(key).agg(
+        (F.sum("len") + 1).cast("long").alias("n_days"),
+        F.max(F.when(F.col("s") == 1, F.col("len")))
+         .cast("long").alias("max_up_streak"),
+        F.max(F.when(F.col("s") == -1, F.col("len")))
+         .cast("long").alias("max_down_streak"),
+        F.max(F.when(F.col("is_last"), F.col("len")))
+         .cast("long").alias("last_len"),
+        F.max(F.when(F.col("is_last"), F.col("s"))).alias("last_dir"),
+    )
