@@ -6668,6 +6668,15 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law exponent over the vocabulary-growth curve — log-log
+    OLS with per-point µ-snapped ln values so the moment sums are
+    exact integers (see textstats.heaps_fit)."""
+    from timeseriescorrelation_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir))
+
+
 def q_streak_report(spark, sf_dir):
     """Longest up/down daily streaks per metric plus the current run —
     gaps-and-islands on exact cent deltas, no doubles (see
@@ -7223,6 +7232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_forecast": q_theta_forecast,
         "dp_release": q_dp_release,
         "streak_report": q_streak_report,
+        "heaps_fit": q_heaps_fit,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15435,6 +15445,62 @@ SELECT metric,
        cast(max(CASE WHEN is_last THEN len END) AS bigint) AS last_len,
        max(CASE WHEN is_last THEN s END) AS last_dir
 FROM lastf GROUP BY 1
+""",
+        "heaps_fit": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+), tk AS (
+  SELECT DISTINCT cast(floor(doc_id / 50) AS bigint) AS batch_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM tok
+), fs AS (
+  SELECT sh, min(batch_id) AS batch_id FROM tk GROUP BY 1
+), np AS (
+  SELECT batch_id, cast(count(*) AS bigint) AS new_sh
+  FROM fs GROUP BY 1
+), nd AS (
+  SELECT cast(floor(doc_id / 50) AS bigint) AS batch_id,
+         cast(count(*) AS bigint) AS n_docs
+  FROM documents GROUP BY 1
+), vg AS (
+  SELECT nd.batch_id,
+         cast(sum(n_docs) OVER wc AS bigint) AS cum_docs,
+         cast(sum(coalesce(new_sh, 0)) OVER wc AS bigint)
+           AS cum_vocab
+  FROM nd LEFT JOIN np USING (batch_id)
+  WINDOW wc AS (ORDER BY nd.batch_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pts AS (
+  SELECT cast(round(ln(cast(cum_docs AS double)) * 1e6) AS bigint)
+           AS xu,
+         cast(round(ln(cast(cum_vocab AS double)) * 1e6) AS bigint)
+           AS yu
+  FROM vg WHERE cum_docs > 0 AND cum_vocab > 0
+), g AS (
+  SELECT cast(count(*) AS hugeint) AS k,
+         sum(cast(xu AS hugeint)) AS sx, sum(cast(yu AS hugeint)) AS sy,
+         sum(cast(xu AS hugeint) * xu) AS sxx,
+         sum(cast(yu AS hugeint) * yu) AS syy,
+         sum(cast(xu AS hugeint) * yu) AS sxy
+  FROM pts
+), c AS (
+  SELECT k, sx, sy,
+         k * sxx - sx * sx AS cxx,
+         k * syy - sy * sy AS cyy,
+         k * sxy - sx * sy AS cxy
+  FROM g
+)
+SELECT cast(k AS bigint) AS n_batches,
+       round(cast(cxy AS double) / cast(cxx AS double), 6) AS beta,
+       round((cast(sy AS double)
+              - cast(cxy AS double) / cast(cxx AS double)
+                * cast(sx AS double))
+             / cast(k AS double) / 1e6, 6) AS ln_k,
+       round(cast(cxy AS double) * cast(cxy AS double)
+             / (cast(cxx AS double) * cast(cyy AS double)), 6) AS r2
+FROM c WHERE cast(cxx AS double) > 0 AND cast(cyy AS double) > 0
 """,
         "ccc_pairs": """
 WITH h AS (

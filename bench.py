@@ -359,6 +359,7 @@ HEADLINE_R3 = [
     "theta_forecast",
     "dp_release",
     "streak_report",
+    "heaps_fit",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

@@ -865,3 +865,100 @@ def boilerplate_ngrams(docs: DataFrame, min_df: int = 3,
             ).alias("boiler_ratio"),
         )
     )
+
+
+def heaps_fit(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", n: int = 3,
+              batch_size: int = 50) -> DataFrame:
+    """(n_batches, beta, ln_k, r2): the Heaps'-law exponent fitted to
+    the n-GRAM vocabulary-growth curve — V(N) ≈ K·N^β, the one-number
+    answer to "is more data still buying new language?" (β → 0 means
+    the corpus is saturating; β ≈ 1 means every batch brings fresh
+    phrasing).  The n-gram vocabulary (default trigram) is the right
+    unit for template-heavy or small-lexicon corpora: a UNIGRAM vocab
+    can saturate in the first batch (this synthetic corpus has ~31
+    word types — cum_vocab constant, the fit degenerate), while the
+    n-gram space keeps growing as long as composition does.
+
+    Log-log OLS over (cum_docs, cum_ngram_vocab) per ingestion batch.
+    The two ln() calls are the only libm ops, SNAPPED to 1e-6 integers
+    per point BEFORE the moment sums (raw double Σ over an unordered
+    hash-agg would inherit summation order); β, ln K and r² are
+    integer-rational expressions with one double divide each.
+
+    Scale: one distinct (batch, shingle) hash-agg + one min-per-
+    shingle hash-agg (the vocab_growth shape over shingles), a
+    |batches|-row cumulative window, ONE output row."""
+    from timeseriescorrelation_spark.functions.timeutil import (
+        const_partition,
+    )
+    from timeseriescorrelation_spark.operators.dedup import shingles
+
+    b = (F.floor(F.col("doc_id") / F.lit(int(batch_size)))
+         .cast("long").alias("batch_id"))
+    sh = shingles(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)
+                    .alias("text")), n=n
+    )
+    tk = sh.select(
+        F.floor(F.col("doc_id") / F.lit(int(batch_size))).cast("long")
+         .alias("batch_id"),
+        "shingle",
+    ).distinct()
+    firsts = tk.groupBy("shingle").agg(
+        F.min("batch_id").alias("batch_id")
+    )
+    new_per = firsts.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_sh")
+    )
+    ndocs = docs.groupBy(b).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = (
+        Window.partitionBy(const_partition("batch_id"))
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vg = ndocs.join(new_per, "batch_id", "left").select(
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum(F.coalesce("new_sh", F.lit(0))).over(w)
+         .alias("cum_vocab"),
+    )
+    pts = vg.where((F.col("cum_docs") > 0) & (F.col("cum_vocab") > 0))
+    dec = "decimal(38,0)"
+    snapped = pts.select(
+        F.round(F.log(F.col("cum_docs").cast("double")) * 1e6)
+         .cast("long").alias("xu"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1e6)
+         .cast("long").alias("yu"),
+    )
+    g = snapped.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.col("xu").cast(dec)).alias("sx"),
+        F.sum(F.col("yu").cast(dec)).alias("sy"),
+        F.sum((F.col("xu") * F.col("xu")).cast(dec)).alias("sxx"),
+        F.sum((F.col("yu") * F.col("yu")).cast(dec)).alias("syy"),
+        F.sum((F.col("xu") * F.col("yu")).cast(dec)).alias("sxy"),
+    )
+    k = F.col("k")
+    cxx = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = k * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = cxy.cast("double") / cxx.cast("double")
+    ln_k = (
+        (F.col("sy").cast("double")
+         - beta * F.col("sx").cast("double"))
+        / k.cast("double") / F.lit(1e6)
+    )
+    r2 = (
+        cxy.cast("double") * cxy.cast("double")
+        / (cxx.cast("double") * cyy.cast("double"))
+    )
+    return g.where(
+        (cxx.cast("double") > 0) & (cyy.cast("double") > 0)
+    ).select(
+        k.cast("long").alias("n_batches"),
+        F.round(beta, 6).alias("beta"),
+        F.round(ln_k, 6).alias("ln_k"),
+        F.round(r2, 6).alias("r2"),
+    )
