@@ -6668,6 +6668,17 @@ def q_emb_mmd(spark, sf_dir):
     return embedding_mmd(_embs(spark, sf_dir))
 
 
+def q_theta_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the Theta forecast vs persistence —
+    last-7-days holdout, snapped-integer error sums, MASE ratio (see
+    analytics.theta_backtest)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        theta_backtest,
+    )
+
+    return theta_backtest(_series_from_events(spark, sf_dir))
+
+
 def q_heaps_fit(spark, sf_dir):
     """Heaps'-law exponent over the vocabulary-growth curve — log-log
     OLS with per-point µ-snapped ln values so the moment sums are
@@ -7233,6 +7244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_release": q_dp_release,
         "streak_report": q_streak_report,
         "heaps_fit": q_heaps_fit,
+        "theta_backtest": q_theta_backtest,
         "ccc_pairs": q_ccc_pairs,
         "corr_deseasonalized": q_corr_deseasonalized,
         "corr_winsorized": q_corr_winsorized,
@@ -15501,6 +15513,78 @@ SELECT cast(k AS bigint) AS n_batches,
        round(cast(cxy AS double) * cast(cxy AS double)
              / (cast(cxx AS double) * cast(cyy AS double)), 6) AS r2
 FROM c WHERE cast(cxx AS double) > 0 AND cast(cyy AS double) > 0
+""",
+        "theta_backtest": """
+WITH RECURSIVE d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT metric, y,
+         cast(row_number() OVER w AS hugeint) AS t,
+         cast(count(*) OVER (PARTITION BY metric) AS hugeint) AS tot
+  FROM d WINDOW w AS (PARTITION BY metric ORDER BY day_ts)
+), dd AS (
+  SELECT metric, y, t FROM idx WHERE t <= tot - 7
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(t) AS st, sum(cast(y AS hugeint)) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty
+  FROM dd GROUP BY 1 HAVING count(*) >= 10
+), p AS (
+  SELECT metric, n,
+         n * sty - st * sy AS nb,
+         n * stt - st * st AS dn,
+         sy * (n * stt - st * st) - (n * sty - st * sy) * st AS anum,
+         n * (n * stt - st * st) AS dd_den
+  FROM g
+), q AS (
+  SELECT dd.metric, dd.t,
+         cast(2 * dd.y * p.dd_den - p.anum - p.nb * p.n * dd.t
+              AS double) / cast(p.dd_den AS double) AS q
+  FROM dd JOIN p USING (metric)
+), e AS (
+  SELECT metric, t, q AS l FROM q WHERE t = 1
+  UNION ALL
+  SELECT q.metric, q.t, (1 - 0.5) * e.l + 0.5 * q.q
+  FROM e JOIN q ON q.metric = e.metric AND q.t = e.t + 1
+), lvl AS (
+  SELECT e.metric, e.l AS level
+  FROM e JOIN p ON e.metric = p.metric AND e.t = p.n
+), ly AS (
+  SELECT dd.metric, dd.y AS last_y
+  FROM dd JOIN p ON dd.metric = p.metric AND dd.t = p.n
+), test AS (
+  SELECT metric, y, t FROM idx WHERE t > tot - 7
+), sc AS (
+  SELECT test.metric, cast(p.n AS bigint) AS n_train,
+         cast(round(abs(cast(test.y AS double)
+           - (0.5 * lvl.level
+              + 0.5 * (cast(p.anum AS double) / cast(p.dd_den AS double)
+                       + cast(p.nb AS double) / cast(p.dn AS double)
+                         * (cast(p.n AS double)
+                            + cast(cast(test.t AS bigint)
+                                   - cast(p.n AS bigint) AS double)))))
+           * 1e4) AS bigint) AS et,
+         abs(test.y - ly.last_y) * 10000 AS en
+  FROM test
+  JOIN p ON test.metric = p.metric
+  JOIN lvl ON test.metric = lvl.metric
+  JOIN ly ON test.metric = ly.metric
+), gg AS (
+  SELECT metric, n_train, cast(count(*) AS bigint) AS n_test,
+         cast(sum(et) AS bigint) AS set_s,
+         cast(sum(en) AS bigint) AS sen_s
+  FROM sc GROUP BY 1, 2
+)
+SELECT metric, n_train, n_test,
+       round(cast(set_s AS double)
+             / (1e4 * 100.0 * cast(n_test AS double)), 6) AS mae_theta,
+       round(cast(sen_s AS double)
+             / (1e4 * 100.0 * cast(n_test AS double)), 6) AS mae_naive,
+       round(CASE WHEN sen_s > 0 THEN
+         cast(set_s AS double) / cast(sen_s AS double) END, 6) AS mase
+FROM gg
 """,
         "ccc_pairs": """
 WITH h AS (

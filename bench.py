@@ -360,6 +360,7 @@ HEADLINE_R3 = [
     "dp_release",
     "streak_report",
     "heaps_fit",
+    "theta_backtest",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

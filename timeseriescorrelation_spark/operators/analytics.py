@@ -2686,18 +2686,53 @@ def theta_forecast(series: DataFrame, key: str = "metric",
     transfer).  Scale: the recursion is over per-metric DAY counts
     (≤ a few thousand rows per metric at any corpus size)."""
     scale = 10 ** int(value_decimals)
-    a_f = float(alpha)
-    dec = "decimal(38,0)"
-    d = series.groupBy(
+    d = _daily_cents(series, key, value_decimals)
+    w = Window.partitionBy(key).orderBy("day_ts")
+    dd = d.select(
+        key, "y", F.row_number().over(w).cast("long").alias("t")
+    )
+    out = _theta_fit(dd, key, alpha, min_days)
+    a_d = F.col("anum").cast("double") / F.col("dd_den").cast("double")
+    b_d = F.col("nb").cast("double") / F.col("dn").cast("double")
+    n_d = F.col("n").cast("double")
+
+    def _quant(c):
+        return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+    cols = [
+        F.col(key),
+        F.col("n").cast("long").alias("n_days"),
+        _quant(F.col("level") / F.lit(float(scale))).alias("level_v"),
+    ]
+    for h in horizons:
+        fc = (
+            F.lit(0.5) * F.col("level")
+            + F.lit(0.5) * (a_d + b_d * (n_d + F.lit(float(h))))
+        )
+        cols.append(
+            _quant(fc / F.lit(float(scale))).alias(f"fc_{h}")
+        )
+    return out.select(*cols)
+
+
+def _daily_cents(series: DataFrame, key: str,
+                 value_decimals: int) -> DataFrame:
+    scale = 10 ** int(value_decimals)
+    return series.groupBy(
         key, F.date_trunc("day", "ts").alias("day_ts")
     ).agg(
         F.sum(F.round(F.col("value") * scale).cast("long"))
          .cast("long").alias("y")
     )
-    w = Window.partitionBy(key).orderBy("day_ts")
-    dd = d.select(
-        key, "y", F.row_number().over(w).cast("long").alias("t")
-    )
+
+
+def _theta_fit(dd: DataFrame, key: str, alpha: float,
+               min_days: int) -> DataFrame:
+    """Theta components over a (key, y, t) day-indexed table:
+    (key, n, nb, dn, anum, dd_den, level) — exact trend integers plus
+    the SES level of the θ=2 line (see theta_forecast)."""
+    a_f = float(alpha)
+    dec = "decimal(38,0)"
     g = dd.groupBy(key).agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("t").cast(dec)).alias("st"),
@@ -2741,31 +2776,94 @@ def theta_forecast(series: DataFrame, key: str = "metric",
         shuffle_partition_count,
     )
 
-    n_part = shuffle_partition_count(series.sparkSession)
+    n_part = shuffle_partition_count(dd.sparkSession)
     lvl = (
         q.repartition(n_part, F.col(key))
         .sortWithinPartitions(key, "t")
         .mapInPandas(_ses, f"{key} string, level double")
     )
-    out = lvl.join(p, key)
+    return lvl.join(p, key)
+
+
+def theta_backtest(series: DataFrame, key: str = "metric",
+                   value_decimals: int = 2, alpha: float = 0.5,
+                   holdout: int = 7,
+                   min_train: int = 10) -> DataFrame:
+    """(metric, n_train, n_test, mae_theta, mae_naive, mase): rolling-
+    origin backtest of the Theta forecast — hold out each metric's
+    LAST `holdout` days, fit on the rest, score ŷ(T+1..T+holdout)
+    against the actuals, and report the MASE-style ratio vs the
+    last-value (persistence) forecast.  mase < 1 is the bar a
+    forecaster must clear before anyone should trust it over "same as
+    yesterday".
+
+    Exactness: the fit is _theta_fit's (exact trend integers + the
+    bit-replicable SES level); each holdout day's theta error snaps to
+    1e-4-cent integers BEFORE the per-metric sum (order-free), and the
+    naive error is exact cents by construction, so both MAEs and
+    their ratio are integer-rationals with one double divide.  Metrics
+    whose naive error sum is zero (perfectly flat holdout) report NULL
+    mase.
+
+    Scale: the split is one key-partitioned window pass; the fit rides
+    _theta_fit; scoring is a broadcast join of the metadata-sized fit
+    table onto holdout rows."""
+    scale = 10 ** int(value_decimals)
+    d = _daily_cents(series, key, value_decimals)
+    w = Window.partitionBy(key).orderBy("day_ts")
+    wf = Window.partitionBy(key)
+    idx = d.select(
+        key, "y",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("tot"),
+    )
+    train = idx.where(F.col("t") <= F.col("tot") - holdout).select(
+        key, "y", "t"
+    )
+    fit = _theta_fit(train, key, alpha, min_train)
+    last_y = (
+        train.join(fit.select(key, F.col("n").cast("long").alias("nt")),
+                   key)
+        .where(F.col("t") == F.col("nt"))
+        .select(key, F.col("y").alias("last_y"))
+    )
+    test = idx.where(F.col("t") > F.col("tot") - holdout)
+    j = test.join(F.broadcast(fit), key).join(
+        F.broadcast(last_y), key
+    )
     a_d = F.col("anum").cast("double") / F.col("dd_den").cast("double")
     b_d = F.col("nb").cast("double") / F.col("dn").cast("double")
-    n_d = F.col("n").cast("double")
-
-    def _quant(c):
-        return F.floor(c * F.lit(1e6)) / F.lit(1e6)
-
-    cols = [
-        F.col(key),
-        F.col("n").cast("long").alias("n_days"),
-        _quant(F.col("level") / F.lit(float(scale))).alias("level_v"),
-    ]
-    for h in horizons:
-        fc = (
-            F.lit(0.5) * F.col("level")
-            + F.lit(0.5) * (a_d + b_d * (n_d + F.lit(float(h))))
-        )
-        cols.append(
-            _quant(fc / F.lit(float(scale))).alias(f"fc_{h}")
-        )
-    return out.select(*cols)
+    h_d = (F.col("t") - F.col("n").cast("long")).cast("double")
+    fc = (
+        F.lit(0.5) * F.col("level")
+        + F.lit(0.5) * (a_d + b_d * (F.col("n").cast("double") + h_d))
+    )
+    err_t = F.round(
+        F.abs(F.col("y").cast("double") - fc) * F.lit(1e4)
+    ).cast("long")
+    err_n = F.abs(F.col("y") - F.col("last_y")) * F.lit(10000)
+    g = j.select(
+        key,
+        F.col("n").cast("long").alias("n_train"),
+        err_t.alias("et"), err_n.alias("en"),
+    ).groupBy(key, "n_train").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("et").alias("set"),
+        F.sum("en").alias("sen"),
+    )
+    den = F.lit(1e4) * F.lit(float(scale)) \
+        * F.col("n_test").cast("double")
+    return g.select(
+        key, "n_train", "n_test",
+        F.round(F.col("set").cast("double") / den, 6)
+         .alias("mae_theta"),
+        F.round(F.col("sen").cast("double") / den, 6)
+         .alias("mae_naive"),
+        F.round(
+            F.when(
+                F.col("sen") > 0,
+                F.col("set").cast("double")
+                / F.col("sen").cast("double"),
+            ), 6
+        ).alias("mase"),
+    )
