@@ -76,3 +76,71 @@ def refresh_tier(spark: SparkSession, path: str, delta: DataFrame,
             "spark.sql.sources.partitionOverwriteMode", old_mode
         )
     return sorted(days)
+
+
+def retention_sweep(spark: SparkSession, tier_paths: dict[str, str],
+                    ttl_days: dict[str, int | None],
+                    frontier_day: str,
+                    execute: bool = True) -> list[dict]:
+    """Tiered TTL enforcement — the RETENTION half of the retention
+    engine: each tier keeps only the trailing `ttl_days[tier]` days
+    behind `frontier_day` (None = keep forever), so raw ages out
+    first, 1m next, and the 1d tier can live indefinitely — the
+    classic hypertable retention ladder.  Returns one report row per
+    tier:
+
+        {tier, n_partitions, dropped: [days...], kept_oldest}
+
+    The decision is PARTITION METADATA only: day-partition directory
+    names (the same strings any table format's planner materializes),
+    never data rows — a sweep over years of history reads zero
+    parquet.  Deletion is per-partition directory removal (the
+    dynamic-overwrite granularity write_tier/refresh_tier established)
+    through the Hadoop FileSystem API, so it works on any FS Spark
+    can write.  Idempotent by construction: a second sweep with the
+    same frontier finds nothing to drop (asserted in pytest).  On
+    Iceberg the same ladder is `expireSnapshots` + partition-predicate
+    `DELETE FROM`; this is the jar-free equivalent with the seam
+    explicit."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    reports = []
+    for tier, path in tier_paths.items():
+        ttl = ttl_days.get(tier)
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            reports.append({"tier": tier, "n_partitions": 0,
+                            "dropped": [], "kept_oldest": None})
+            continue
+        days = sorted(
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith(PART_COL + "=")
+        )
+        if ttl is None:
+            cut = None
+            drop = []
+        else:
+            import datetime as _dt
+
+            f = _dt.date.fromisoformat(frontier_day)
+            cut = (f - _dt.timedelta(days=int(ttl))).isoformat()
+            drop = [d for d in days if d < cut]
+        if execute:
+            for d in drop:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        path, f"{PART_COL}={d}"
+                    ),
+                    True,
+                )
+        kept = [d for d in days if d not in set(drop)]
+        reports.append({
+            "tier": tier,
+            "n_partitions": len(days),
+            "dropped": drop,
+            "kept_oldest": kept[0] if kept else None,
+        })
+    return reports
