@@ -6532,6 +6532,18 @@ def q_mann_whitney(spark, sf_dir):
     return mann_whitney_weekend(_series_from_events(spark, sf_dir))
 
 
+def q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank week-over-week paired test per metric —
+    day d paired with day d-7 so the weekly cycle cancels inside the
+    pair; doubled ranks keep tie-averaged ranks integer (see
+    nptests.wilcoxon_signed)."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        wilcoxon_signed,
+    )
+
+    return wilcoxon_signed(_series_from_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7297,6 +7309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt_test": q_pettitt_test,
         "welch_t": q_welch_t,
         "mann_whitney": q_mann_whitney,
+        "wilcoxon_signed": q_wilcoxon_signed,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17342,6 +17355,42 @@ SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
        round(CASE WHEN var_u > 0
              THEN (cast(u2 AS double) / 2.0 - nxd * nyd / 2.0)
                   / sqrt(var_u) END, 6) AS z
+FROM e
+""",
+        "wilcoxon_signed": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.m, a.y - b.y AS dv, abs(a.y - b.y) AS ad
+  FROM d a JOIN d b
+    ON a.m = b.m AND a.day_ts = b.day_ts + INTERVAL 7 DAY
+  WHERE a.y <> b.y
+), ranked AS (
+  SELECT m, dv,
+         2 * rank() OVER (PARTITION BY m ORDER BY ad)
+         + count(*) OVER (PARTITION BY m, ad) - 1 AS r2
+  FROM pairs
+), agg AS (
+  SELECT m, cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN dv > 0 THEN r2 ELSE 0 END) AS bigint) AS w2p
+  FROM ranked GROUP BY 1 HAVING count(*) >= 6
+), ties AS (
+  SELECT m, cast(sum(t * t * t - t) AS bigint) AS tt
+  FROM (SELECT m, ad, count(*) AS t FROM pairs GROUP BY 1, 2)
+  GROUP BY 1
+), e AS (
+  SELECT agg.m, n, w2p, tt,
+         2.0 * cast(n AS double) * (n + 1.0) * (2.0 * n + 1.0)
+         - cast(tt AS double) AS var48
+  FROM agg JOIN ties ON agg.m = ties.m
+)
+SELECT m AS metric, n AS n_pairs, w2p AS w2_plus, tt AS tie_sum,
+       round(CASE WHEN var48 > 0
+             THEN (2.0 * cast(w2p AS double)
+                   - cast(n AS double) * (n + 1.0)) / 4.0
+                  / sqrt(var48 / 48.0) END, 6) AS z
 FROM e
 """,
         "cohort_ltv": """

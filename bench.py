@@ -324,6 +324,7 @@ HEADLINE_R3 = [
     "pettitt_test",
     "welch_t",
     "mann_whitney",
+    "wilcoxon_signed",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

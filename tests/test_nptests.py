@@ -188,3 +188,54 @@ def test_ljung_box_degenerate_constant(spark):
     ]
     r = ljung_box(_series(spark, rows)).collect()
     assert len(r) == 1 and r[0].k_used == 0 and r[0].q_lb is None
+
+
+def test_wilcoxon_positive_ramp_hand_value(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        wilcoxon_signed,
+    )
+
+    # week2 - week1 diffs = +1, +2, +3 cents: ranks 1,2,3 all positive
+    # -> W+ = 6, n = 3, z = (6 - 3)/sqrt(3.5) = 1.603567
+    rows = []
+    for i, (v1, v2) in enumerate(((1.00, 1.01), (1.00, 1.02),
+                                  (1.00, 1.03))):
+        rows.append(("c", "m", T0 + dt.timedelta(days=i), 0, v1))
+        rows.append(("c", "m", T0 + dt.timedelta(days=7 + i), 0, v2))
+    r = wilcoxon_signed(_series(spark, rows), min_pairs=1).collect()
+    assert len(r) == 1
+    assert r[0].n_pairs == 3 and r[0].w2_plus == 12
+    assert r[0].tie_sum == 0
+    assert r[0].z == pytest.approx(3.0 / math.sqrt(3.5), abs=2e-6)
+
+
+def test_wilcoxon_ties_and_mixed_sign(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        wilcoxon_signed,
+    )
+
+    # diffs +1, -1, +2: |d| ties at 1 share avg rank 1.5 (r2 = 3),
+    # |2| gets rank 3 (r2 = 6); W2+ = 3 + 6 = 9, tie_sum = 2^3-2 = 6,
+    # z = 1.5/sqrt(162/48) = 0.816497
+    rows = []
+    for i, (v1, v2) in enumerate(((1.00, 1.01), (1.00, 0.99),
+                                  (1.00, 1.02))):
+        rows.append(("c", "m", T0 + dt.timedelta(days=i), 0, v1))
+        rows.append(("c", "m", T0 + dt.timedelta(days=7 + i), 0, v2))
+    r = wilcoxon_signed(_series(spark, rows), min_pairs=1).collect()[0]
+    assert r.n_pairs == 3 and r.w2_plus == 9 and r.tie_sum == 6
+    assert r.z == pytest.approx(1.5 / math.sqrt(162.0 / 48.0), abs=2e-6)
+
+
+def test_wilcoxon_zero_diffs_drop(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        wilcoxon_signed,
+    )
+
+    rows = []
+    for i, (v1, v2) in enumerate(((1.00, 1.01), (1.00, 1.00),
+                                  (1.00, 1.02), (1.00, 1.03))):
+        rows.append(("c", "m", T0 + dt.timedelta(days=i), 0, v1))
+        rows.append(("c", "m", T0 + dt.timedelta(days=7 + i), 0, v2))
+    r = wilcoxon_signed(_series(spark, rows), min_pairs=1).collect()[0]
+    assert r.n_pairs == 3  # the exactly-flat pair vanished

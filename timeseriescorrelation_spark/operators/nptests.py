@@ -409,3 +409,93 @@ def mann_whitney_weekend(series: DataFrame, key: str = "metric",
         F.col("u2").cast("long").alias("u2_stat"),
         F.round(z, 6).alias("z"),
     )
+
+
+def wilcoxon_signed(series: DataFrame, key: str = "metric",
+                    value_decimals: int = 2,
+                    lag_days: int = 7,
+                    min_pairs: int = 6) -> DataFrame:
+    """(metric, n_pairs, w2_plus, tie_sum, z): Wilcoxon signed-rank
+    test of week-over-week level shift per metric — each day's cent
+    sum paired with the SAME WEEKDAY `lag_days` earlier, so the weekly
+    cycle cancels inside the pair and what is tested is the pure
+    level shift.  The PAIRED member of the two-sample family
+    (welch_t: means; mann_whitney: independent ranks; sign_test_dod:
+    paired signs only — this adds the rank weighting the sign test
+    throws away).
+
+    Exactness (house doubled-rank recipe): zero diffs drop (Wilcoxon
+    convention), |diff| average ranks stay integer as
+    r2 = 2·rank() + cnt_over(|d|) − 1, so
+
+        W2+ = Σ_{d>0} r2            (= 2·W+, exact integer)
+        z   = (2·W2+ − n(n+1)) / 4
+              ───────────────────────────────
+              √( (2n(n+1)(2n+1) − Σ(t³−t)) / 48 )
+
+    one shared double tree over the exact integers (W2+, n, tie sum);
+    NULL when the tie-corrected variance degenerates (all |d| equal
+    at n=1) or n < min_pairs.
+
+    Scale: daily grid hash-agg per metric (tiny), ONE equi-join of the
+    grid against itself shifted `lag_days` on (metric, day), one rank
+    window over per-metric day counts (aggregate-sized partitions),
+    two hash-aggs.  No raw-row pair space anywhere."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    prev = d.select(
+        "m",
+        (F.col("day_ts")
+         + F.expr(f"INTERVAL {int(lag_days)} DAYS")).alias("day_ts"),
+        F.col("y").alias("y_prev"),
+    )
+    diffs = (
+        d.join(prev, ["m", "day_ts"])
+        .select("m", (F.col("y") - F.col("y_prev")).alias("dv"))
+        .where(F.col("dv") != 0)
+        .select("m", "dv", F.abs("dv").alias("ad"))
+    )
+    wr = Window.partitionBy("m").orderBy("ad")
+    wt = Window.partitionBy("m", "ad")
+    ranked = diffs.select(
+        "m", "dv",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .alias("r2"),
+    )
+    agg = ranked.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dv") > 0, F.col("r2")).otherwise(0))
+         .alias("w2p"),
+    ).where(F.col("n") >= int(min_pairs))
+    ties = (
+        diffs.groupBy("m", "ad").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tt")
+        )
+    )
+    j = agg.join(ties, "m")
+    n = F.col("n").cast("double")
+    var48 = (
+        F.lit(2.0) * n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0))
+        - F.col("tt").cast("double")
+    )
+    z = F.when(
+        var48 > 0,
+        (F.lit(2.0) * F.col("w2p").cast("double")
+         - n * (n + F.lit(1.0))) / F.lit(4.0)
+        / F.sqrt(var48 / F.lit(48.0)),
+    )
+    return j.select(
+        F.col("m").alias("metric"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("w2p").cast("long").alias("w2_plus"),
+        F.col("tt").cast("long").alias("tie_sum"),
+        F.round(z, 6).alias("z"),
+    )
