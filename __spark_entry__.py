@@ -6544,6 +6544,18 @@ def q_wilcoxon_signed(spark, sf_dir):
     return wilcoxon_signed(_series_from_events(spark, sf_dir))
 
 
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) weekend-vs-weekday
+    daily-value VARIANCE equality test per metric — the dispersion
+    member of the two-sample family; exact k=2 denominator clearing,
+    no decimal DIV (see nptests.brown_forsythe_weekend)."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        brown_forsythe_weekend,
+    )
+
+    return brown_forsythe_weekend(_series_from_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7310,6 +7322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": q_welch_t,
         "mann_whitney": q_mann_whitney,
         "wilcoxon_signed": q_wilcoxon_signed,
+        "brown_forsythe": q_brown_forsythe,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17391,6 +17404,61 @@ SELECT m AS metric, n AS n_pairs, w2p AS w2_plus, tt AS tie_sum,
              THEN (2.0 * cast(w2p AS double)
                    - cast(n AS double) * (n + 1.0)) / 4.0
                   / sqrt(var48 / 48.0) END, 6) AS z
+FROM e
+""",
+        "brown_forsythe": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), med AS (
+  SELECT m, g, y AS med FROM (
+    SELECT m, g, y,
+           row_number() OVER (PARTITION BY m, g ORDER BY y) AS rn,
+           count(*) OVER (PARTITION BY m, g) AS ng
+    FROM dd)
+  WHERE rn = (ng + 1) // 2
+), z AS (
+  SELECT dd.m, dd.g, cast(abs(dd.y - med.med) AS hugeint) AS z,
+         med.med
+  FROM dd JOIN med ON dd.m = med.m AND dd.g = med.g
+), per_g AS (
+  SELECT m, g, cast(count(*) AS hugeint) AS ng,
+         sum(z) AS s, sum(z * z) AS q, min(med) AS med
+  FROM z GROUP BY 1, 2
+), per_m AS (
+  SELECT m,
+         sum(CASE WHEN g = 0 THEN ng END) AS n0,
+         sum(CASE WHEN g = 1 THEN ng END) AS n1,
+         max(CASE WHEN g = 0 THEN med END) AS med0,
+         max(CASE WHEN g = 1 THEN med END) AS med1,
+         sum(CASE WHEN g = 0 THEN s END) AS s0,
+         sum(CASE WHEN g = 1 THEN s END) AS s1,
+         sum(q) AS q_tot, count(*) AS k
+  FROM per_g GROUP BY 1
+  HAVING count(*) = 2
+     AND sum(CASE WHEN g = 0 THEN ng END) >= 4
+     AND sum(CASE WHEN g = 1 THEN ng END) >= 4
+), e AS (
+  SELECT m, n0, n1, med0, med1,
+         (n0 + n1) * (n1 * s0 * s0 + n0 * s1 * s1)
+         - n0 * n1 * (s0 + s1) * (s0 + s1) AS bnum,
+         (n0 + n1)
+         * (n0 * n1 * q_tot - n1 * s0 * s0 - n0 * s1 * s1) AS wnum
+  FROM per_m
+)
+SELECT m AS metric, cast(n0 AS bigint) AS n_weekday,
+       cast(n1 AS bigint) AS n_weekend,
+       round(cast(med0 AS double) / 100.0, 6) AS med_weekday,
+       round(cast(med1 AS double) / 100.0, 6) AS med_weekend,
+       round(CASE WHEN wnum > 0
+             THEN cast(n0 + n1 - 2 AS double) * cast(bnum AS double)
+                  / cast(wnum AS double) END, 6) AS f_stat
 FROM e
 """,
         "cohort_ltv": """

@@ -325,6 +325,7 @@ HEADLINE_R3 = [
     "welch_t",
     "mann_whitney",
     "wilcoxon_signed",
+    "brown_forsythe",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

@@ -239,3 +239,54 @@ def test_wilcoxon_zero_diffs_drop(spark):
         rows.append(("c", "m", T0 + dt.timedelta(days=7 + i), 0, v2))
     r = wilcoxon_signed(_series(spark, rows), min_pairs=1).collect()[0]
     assert r.n_pairs == 3  # the exactly-flat pair vanished
+
+
+def test_brown_forsythe_hand_value(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        brown_forsythe_weekend,
+    )
+
+    # weekday cents {0,2,2,4}: lower med 2, z = {2,0,0,2} -> S0=4, Q0=8
+    # weekend cents {0,4,4,8}: lower med 4, z = {4,0,0,4} -> S1=8, Q1=32
+    # bnum = 8*(4*16+4*64) - 16*144 = 256; wnum = 8*(16*40-320) = 2560
+    # F = 6*256/2560 = 0.6 exactly
+    wd = [(T0 + dt.timedelta(days=i), v)
+          for i, v in ((0, 0.00), (1, 0.02), (2, 0.02), (3, 0.04))]
+    we = [(T0 + dt.timedelta(days=d), v)
+          for d, v in ((5, 0.00), (6, 0.04), (12, 0.04), (13, 0.08))]
+    rows = [("c", "m", ts, 0, v) for ts, v in wd + we]
+    r = brown_forsythe_weekend(_series(spark, rows)).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_weekday == 4 and r.n_weekend == 4
+    assert r.med_weekday == pytest.approx(0.02)
+    assert r.med_weekend == pytest.approx(0.04)
+    assert r.f_stat == pytest.approx(0.6, abs=1e-9)
+
+
+def test_brown_forsythe_constant_groups_null_f(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        brown_forsythe_weekend,
+    )
+
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, 5.00)
+            for i in (0, 1, 2, 3)]
+    rows += [("c", "m", T0 + dt.timedelta(days=d), 0, 7.00)
+             for d in (5, 6, 12, 13)]
+    r = brown_forsythe_weekend(_series(spark, rows)).collect()[0]
+    assert r.med_weekday == pytest.approx(5.0)
+    assert r.med_weekend == pytest.approx(7.0)
+    assert r.f_stat is None  # zero within-group deviation -> no test
+
+
+def test_brown_forsythe_min_days_filter(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        brown_forsythe_weekend,
+    )
+
+    # only 2 weekend days -> filtered out entirely
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, float(i))
+            for i in (0, 1, 2, 3)]
+    rows += [("c", "m", T0 + dt.timedelta(days=d), 0, 9.0)
+             for d in (5, 6)]
+    assert brown_forsythe_weekend(_series(spark, rows)).count() == 0

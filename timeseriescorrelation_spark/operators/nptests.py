@@ -499,3 +499,103 @@ def wilcoxon_signed(series: DataFrame, key: str = "metric",
         F.col("tt").cast("long").alias("tie_sum"),
         F.round(z, 6).alias("z"),
     )
+
+
+def brown_forsythe_weekend(series: DataFrame, key: str = "metric",
+                           value_decimals: int = 2,
+                           min_days: int = 4) -> DataFrame:
+    """(metric, n_weekday, n_weekend, med_weekday, med_weekend,
+    f_stat): Brown-Forsythe test (median-centered Levene) of weekend
+    vs weekday daily-value VARIANCE equality — the dispersion member
+    of the two-sample family (welch_t/mann_whitney/wilcoxon test
+    LEVEL; this asks "are weekends more volatile?", the
+    outlier-robust variant of Levene's mean-centered form).
+
+    Exactness: the group center is the LOWER median (k-th smallest at
+    k = (n+1) DIV 2) — exact integer cents, no cross-engine
+    even-count-interpolation hazard; the documented bias is half a
+    gap on even groups, irrelevant to a dispersion contrast.
+    Absolute deviations z = |y − med_g| are exact integers; with
+    exactly k = 2 groups the one-way ANOVA F on z clears BOTH
+    denominators exactly (no micro-snap, no DIV — Spark's decimal
+    DIV returns LONG and silently wraps past 9.2e18, so the usual
+    (S²·10⁶) DIV n trick is UNSAFE for cent-scale deviation sums):
+
+        bnum = N·(n1·S0² + n0·S1²) − n0·n1·(S0+S1)²
+        wnum = N·(n0·n1·(Q0+Q1) − n1·S0² − n0·S1²)
+        F    = (N − 2) · bnum / wnum   (one double divide, 6 dp)
+
+    bnum/wnum are exact integers in decimal(38,0) both engines
+    (DuckDB: hugeint).  NULL F when wnum = 0 (each group's
+    deviations all equal, i.e. both groups constant).
+
+    Scale: daily grid hash-agg per metric, ONE row_number window over
+    per-(metric, group) day counts (aggregate-sized) for the median,
+    one broadcast-sized equi-join back, two hash-aggs.  No raw-row
+    work after the first agg."""
+    dd = _weekend_daily(series, key, value_decimals)
+    wg = Window.partitionBy("m", "g").orderBy("y")
+    wc = Window.partitionBy("m", "g")
+    # lower median: rn == (ng + 1) DIV 2 — integral comparison only
+    med = (
+        dd.select(
+            "m", "g", "y",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("ng"),
+        )
+        .where(
+            F.col("rn")
+            == F.expr("CAST((ng + 1) DIV 2 AS INT)")
+        )
+        .select("m", "g", F.col("y").alias("med"))
+    )
+    z = (
+        dd.join(med, ["m", "g"])
+        .select("m", "g", F.abs(F.col("y") - F.col("med")).alias("z"),
+                "med")
+    )
+    per_g = z.groupBy("m", "g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("z").cast(DEC)).alias("s"),
+        F.sum(F.col("z").cast(DEC) * F.col("z").cast(DEC)).alias("q"),
+        F.min("med").alias("med"),
+    )
+    per_m = per_g.groupBy("m").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("ng"))).alias("n0"),
+        F.sum(F.when(F.col("g") == 1, F.col("ng"))).alias("n1"),
+        F.max(F.when(F.col("g") == 0, F.col("med"))).alias("med0"),
+        F.max(F.when(F.col("g") == 1, F.col("med"))).alias("med1"),
+        F.sum(F.when(F.col("g") == 0, F.col("s"))).alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+        F.sum("q").alias("q_tot"),
+        F.count(F.lit(1)).alias("k"),
+    ).where(
+        (F.col("k") == 2)
+        & (F.col("n0") >= int(min_days))
+        & (F.col("n1") >= int(min_days))
+    )
+    # k = 2 exact clearing: every term < ~1e28 at plausible cent
+    # scales — well inside decimal(38,0); no intermediate division.
+    bnum = F.expr(
+        "(n0 + n1) * (n1 * s0 * s0 + n0 * s1 * s1)"
+        " - n0 * n1 * (s0 + s1) * (s0 + s1)"
+    )
+    wnum = F.expr(
+        "(n0 + n1) * (n0 * n1 * q_tot - n1 * s0 * s0 - n0 * s1 * s1)"
+    )
+    f = F.when(
+        wnum > 0,
+        (F.col("n0") + F.col("n1") - 2).cast("double")
+        * bnum.cast("double") / wnum.cast("double"),
+    )
+    scale_d = float(10 ** int(value_decimals))
+    return per_m.select(
+        F.col("m").alias("metric"),
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.round(F.col("med0").cast("double") / scale_d, 6)
+         .alias("med_weekday"),
+        F.round(F.col("med1").cast("double") / scale_d, 6)
+         .alias("med_weekend"),
+        F.round(f, 6).alias("f_stat"),
+    )
