@@ -6556,6 +6556,20 @@ def q_brown_forsythe(spark, sf_dir):
     return brown_forsythe_weekend(_series_from_events(spark, sf_dir))
 
 
+def q_fdr_pettitt(spark, sf_dir):
+    """Benjamini-Hochberg FDR adjustment composed ON the gated
+    per-metric Pettitt changepoint p-values — the multiple-testing
+    layer in front of the per-metric test battery (see
+    nptests.bh_adjust; the family is aggregate-sized, so the single
+    rank window is over ~|metrics| rows)."""
+    from timeseriescorrelation_spark.operators.changepoint import (
+        pettitt_test,
+    )
+    from timeseriescorrelation_spark.operators.nptests import bh_adjust
+
+    return bh_adjust(pettitt_test(_series_from_events(spark, sf_dir)))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7323,6 +7337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "wilcoxon_signed": q_wilcoxon_signed,
         "brown_forsythe": q_brown_forsythe,
+        "fdr_pettitt": q_fdr_pettitt,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -8292,6 +8307,35 @@ LEFT JOIN (SELECT metric_a, metric_b,
                                   6) END AS lead_share
            FROM alq) al
        ON cccq.metric_a = al.metric_a AND cccq.metric_b = al.metric_b
+"""
+    )
+    # BH-FDR composes on the Pettitt oracle verbatim: the p inputs
+    # are already 6-dp rounded upstream, so m*p/j is one identical
+    # IEEE expression per row and the reverse running min is
+    # tie-order-invariant (see nptests.bh_adjust)
+    d["fdr_pettitt"] = (
+        "WITH pt AS (" + d["pettitt_test"] + """), r AS (
+  SELECT metric, p_approx AS p_raw,
+         row_number() OVER (ORDER BY p_approx, metric) AS bh_rank,
+         count(*) OVER () AS m
+  FROM pt
+), c AS (
+  SELECT metric, p_raw, bh_rank,
+         cast(m AS double) * p_raw / cast(bh_rank AS double) AS cand
+  FROM r
+), a AS (
+  SELECT metric, p_raw, bh_rank,
+         min(cand) OVER (ORDER BY bh_rank
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS adj
+  FROM c
+)
+SELECT metric, round(p_raw, 6) AS p_raw,
+       cast(bh_rank AS bigint) AS bh_rank,
+       round(least(adj, 1.0), 6) AS p_adj,
+       CASE WHEN least(adj, 1.0) <= 0.05 THEN 1 ELSE 0 END
+         AS significant
+FROM a
 """
     )
     return d

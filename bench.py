@@ -326,6 +326,7 @@ HEADLINE_R3 = [
     "mann_whitney",
     "wilcoxon_signed",
     "brown_forsythe",
+    "fdr_pettitt",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

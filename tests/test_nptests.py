@@ -290,3 +290,47 @@ def test_brown_forsythe_min_days_filter(spark):
     rows += [("c", "m", T0 + dt.timedelta(days=d), 0, 9.0)
              for d in (5, 6)]
     assert brown_forsythe_weekend(_series(spark, rows)).count() == 0
+
+
+def test_bh_adjust_hand_values(spark):
+    from timeseriescorrelation_spark.operators.nptests import bh_adjust
+
+    # p = [.01, .02, .04, .5], m = 4: cand = [.04, .04, .053333, .5];
+    # reverse running min -> adj = [.04, .04, .053333, .5]
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.5)],
+        "metric string, p_approx double")
+    r = {x.metric: x for x in bh_adjust(df).collect()}
+    assert [r[k].bh_rank for k in "abcd"] == [1, 2, 3, 4]
+    assert r["a"].p_adj == pytest.approx(0.04)
+    assert r["b"].p_adj == pytest.approx(0.04)
+    assert r["c"].p_adj == pytest.approx(0.053333, abs=1e-6)
+    assert r["d"].p_adj == pytest.approx(0.5)
+    assert [r[k].significant for k in "abcd"] == [1, 1, 0, 0]
+
+
+def test_bh_adjust_ties_share_adj(spark):
+    from timeseriescorrelation_spark.operators.nptests import bh_adjust
+
+    # tied p at ranks 1-2 must receive identical adj regardless of
+    # the row_number tiebreak; monotone non-decreasing in rank
+    df = spark.createDataFrame(
+        [("x", 0.03), ("y", 0.03), ("z", 0.9)],
+        "metric string, p_approx double")
+    r = sorted(bh_adjust(df).collect(), key=lambda x: x.bh_rank)
+    assert r[0].p_adj == r[1].p_adj == pytest.approx(0.045)
+    assert r[2].p_adj == pytest.approx(0.9)
+    adj = [x.p_adj for x in r]
+    assert adj == sorted(adj)
+
+
+def test_bh_adjust_all_null_cap(spark):
+    from timeseriescorrelation_spark.operators.nptests import bh_adjust
+
+    # adj caps at 1.0 even when m*p/j exceeds it
+    df = spark.createDataFrame(
+        [("a", 0.8), ("b", 0.9)], "metric string, p_approx double")
+    r = {x.metric: x for x in bh_adjust(df).collect()}
+    assert r["a"].p_adj == pytest.approx(0.9)  # min(1.6, .9) then cap
+    assert r["b"].p_adj == pytest.approx(0.9)
+    assert r["a"].significant == 0 and r["b"].significant == 0

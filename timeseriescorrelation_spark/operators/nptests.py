@@ -599,3 +599,63 @@ def brown_forsythe_weekend(series: DataFrame, key: str = "metric",
          .alias("med_weekend"),
         F.round(f, 6).alias("f_stat"),
     )
+
+
+def bh_adjust(tests: DataFrame, key: str = "metric",
+              p_col: str = "p_approx", q: float = 0.05) -> DataFrame:
+    """(key, p_raw, bh_rank, p_adj, significant): Benjamini-Hochberg
+    step-up FDR adjustment over a FAMILY of per-key p-values — the
+    multiple-testing layer the per-metric test battery (pettitt,
+    welch_t, mann_whitney, ...) needs before anyone acts on "metric X
+    changed": with m metrics tested at α, ~m·α false alarms arrive
+    per sweep; BH caps the expected false-discovery RATE at q
+    instead.
+
+        adj_(i) = min_{j ≥ i} (m · p_(j) / j), capped at 1
+        significant ⇔ adj ≤ q          (step-up procedure)
+
+    Tie-order invariance: equal p at ranks i < i' both receive the
+    reverse running min over j ≥ i, which includes the smaller
+    m·p/i' candidate, so tied p-values get IDENTICAL adj regardless
+    of how row_number broke the tie (the key tiebreak fixes only the
+    REPORTED rank, cross-engine).  p inputs arrive 6-dp rounded from
+    the gated upstream test; m·p/j is then one deterministic IEEE
+    expression per row and min() is order-free.
+
+    Scale: input is one row per TEST — the test family is
+    aggregate-sized and does not grow with the corpus — so the
+    single-partition window is over m ≈ tens of rows, never raw
+    data (partitioned by a literal to keep the executor-side shape
+    explicit rather than the implicit no-partition global window)."""
+    w_rank = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("p_raw").asc(), F.col(key).asc()
+    )
+    r = tests.select(
+        F.col(key), F.col(p_col).alias("p_raw")
+    ).select(
+        key, "p_raw",
+        F.row_number().over(w_rank).alias("bh_rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(0))
+        ).alias("m"),
+    )
+    c = r.select(
+        key, "p_raw", "bh_rank",
+        (F.col("m").cast("double") * F.col("p_raw")
+         / F.col("bh_rank").cast("double")).alias("cand"),
+    )
+    w_rev = Window.partitionBy(F.lit(0)).orderBy("bh_rank").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    a = c.select(
+        key, "p_raw", "bh_rank",
+        F.least(F.min("cand").over(w_rev), F.lit(1.0)).alias("adj"),
+    )
+    return a.select(
+        key,
+        F.round("p_raw", 6).alias("p_raw"),
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        F.round("adj", 6).alias("p_adj"),
+        F.when(F.col("adj") <= float(q), F.lit(1))
+         .otherwise(F.lit(0)).alias("significant"),
+    )
