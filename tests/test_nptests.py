@@ -334,3 +334,24 @@ def test_bh_adjust_all_null_cap(spark):
     assert r["a"].p_adj == pytest.approx(0.9)  # min(1.6, .9) then cap
     assert r["b"].p_adj == pytest.approx(0.9)
     assert r["a"].significant == 0 and r["b"].significant == 0
+
+
+def test_bh_adjust_agrees_with_bh_fdr(spark):
+    from timeseriescorrelation_spark.operators.activity import bh_fdr
+    from timeseriescorrelation_spark.operators.nptests import bh_adjust
+
+    # same inputs, q = 0.25: the adjusted-p report and the exact
+    # rational step-up must reject the same set
+    ps = [10, 20, 30, 40, 200, 300, 400, 500, 600, 900]
+    rat = spark.createDataFrame(
+        [("a", i, p, 1000) for i, p in enumerate(ps)],
+        "fam string, tid long, p_num long, p_den long")
+    rej = {r.tid for r in bh_fdr(rat, ["fam"], "p_num", "p_den",
+                                 1, 4, order_cols=["tid"]).collect()
+           if r.rejected}
+    dbl = spark.createDataFrame(
+        [(str(i), p / 1000.0) for i, p in enumerate(ps)],
+        "metric string, p_approx double")
+    sig = {int(r.metric) for r in bh_adjust(dbl, q=0.25).collect()
+           if r.significant}
+    assert sig == rej == {0, 1, 2, 3}

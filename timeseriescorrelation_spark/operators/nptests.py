@@ -604,12 +604,20 @@ def brown_forsythe_weekend(series: DataFrame, key: str = "metric",
 def bh_adjust(tests: DataFrame, key: str = "metric",
               p_col: str = "p_approx", q: float = 0.05) -> DataFrame:
     """(key, p_raw, bh_rank, p_adj, significant): Benjamini-Hochberg
-    step-up FDR adjustment over a FAMILY of per-key p-values — the
+    ADJUSTED-p report over a FAMILY of per-key p-values — the
     multiple-testing layer the per-metric test battery (pettitt,
     welch_t, mann_whitney, ...) needs before anyone acts on "metric X
     changed": with m metrics tested at α, ~m·α false alarms arrive
     per sweep; BH caps the expected false-discovery RATE at q
     instead.
+
+    Companion to activity.bh_fdr, NOT a duplicate: bh_fdr consumes
+    EXACT RATIONAL p (p_num/p_den) and emits only the step-up
+    rejection set per family (the fleet-scale anomaly-list gate);
+    this one consumes the 6-dp-rounded double p the gated test
+    operators emit and reports the standard ADJUSTED p-value
+    (min_{j≥i} m·p_(j)/j) a human reads off a dashboard.  Identical
+    rejection decisions at the same q on the same inputs.
 
         adj_(i) = min_{j ≥ i} (m · p_(j) / j), capped at 1
         significant ⇔ adj ≤ q          (step-up procedure)
