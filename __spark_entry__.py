@@ -6570,6 +6570,17 @@ def q_fdr_pettitt(spark, sf_dir):
     return bh_adjust(pettitt_test(_series_from_events(spark, sf_dir)))
 
 
+def q_chi2_cells(spark, sf_dir):
+    """Per-cell chi-square drill-down: adjusted standardized
+    residuals + Cramér's V over the metric × ISO-weekday grid —
+    WHICH cell drives the dependence chi2_independence only sizes
+    (see nptests.chi2_cells; weekday output via the engine-neutral
+    epoch-day rule, never a native dayofweek label)."""
+    from timeseriescorrelation_spark.operators.nptests import chi2_cells
+
+    return chi2_cells(_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7338,6 +7349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed": q_wilcoxon_signed,
         "brown_forsythe": q_brown_forsythe,
         "fdr_pettitt": q_fdr_pettitt,
+        "chi2_cells": q_chi2_cells,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17449,6 +17461,66 @@ SELECT m AS metric, n AS n_pairs, w2p AS w2_plus, tt AS tie_sum,
                    - cast(n AS double) * (n + 1.0)) / 4.0
                   / sqrt(var48 / 48.0) END, 6) AS z
 FROM e
+""",
+        "chi2_cells": """
+WITH ev AS (
+  SELECT event_type AS rv,
+         cast(((epoch_us(date_trunc('day', ts)) // 86400000000) + 3)
+              % 7 + 1 AS int) AS dw
+  FROM events
+), cells AS (
+  SELECT rv, dw, cast(count(*) AS bigint) AS o FROM ev GROUP BY 1, 2
+), rw AS (
+  SELECT rv, cast(sum(o) AS bigint) AS r FROM cells GROUP BY 1
+), cl AS (
+  SELECT dw, cast(sum(o) AS bigint) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT cast(sum(o) AS bigint) AS nn FROM cells
+), full_g AS (
+  SELECT rw.rv, cl.dw, rw.r, cl.c, tot.nn,
+         cast(coalesce(cells.o, 0) AS bigint) AS o
+  FROM rw CROSS JOIN cl
+  LEFT JOIN cells ON cells.rv = rw.rv AND cells.dw = cl.dw
+  CROSS JOIN tot
+), terms AS (
+  SELECT rv, dw, r, c, nn, o,
+         cast(round(
+           cast((cast(nn AS hugeint) * o - cast(r AS hugeint) * c)
+                * (cast(nn AS hugeint) * o - cast(r AS hugeint) * c)
+                AS double)
+           / cast(cast(nn AS hugeint) * r * c AS double) * 1e6)
+           AS bigint) AS t_u
+  FROM full_g
+), gl AS (
+  SELECT cast(sum(t_u) AS bigint) AS chi2_u,
+         count(DISTINCT rv) AS n_rows, count(DISTINCT dw) AS n_cols
+  FROM terms
+)
+SELECT rv AS metric, dw AS dow_iso, o,
+       round(cast(r AS double) * cast(c AS double)
+             / cast(nn AS double), 6) AS e,
+       round(CASE WHEN cast(r AS double) * cast(c AS double)
+                       / cast(nn AS double)
+                       * (1.0 - cast(r AS double) / cast(nn AS double))
+                       * (1.0 - cast(c AS double) / cast(nn AS double))
+                       > 0
+             THEN (cast(o AS double)
+                   - cast(r AS double) * cast(c AS double)
+                     / cast(nn AS double))
+                  / sqrt(cast(r AS double) * cast(c AS double)
+                         / cast(nn AS double)
+                         * (1.0 - cast(r AS double)
+                                  / cast(nn AS double))
+                         * (1.0 - cast(c AS double)
+                                  / cast(nn AS double)))
+             END, 6) AS std_resid,
+       round(CASE WHEN least(n_rows - 1, n_cols - 1) > 0
+             THEN sqrt(cast(chi2_u AS double) / 1e6
+                       / cast(nn AS double)
+                       / cast(least(n_rows - 1, n_cols - 1)
+                              AS double))
+             END, 6) AS cramers_v
+FROM terms CROSS JOIN gl
 """,
         "brown_forsythe": """
 WITH d AS (

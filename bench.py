@@ -327,6 +327,7 @@ HEADLINE_R3 = [
     "wilcoxon_signed",
     "brown_forsythe",
     "fdr_pettitt",
+    "chi2_cells",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

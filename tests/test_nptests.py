@@ -355,3 +355,48 @@ def test_bh_adjust_agrees_with_bh_fdr(spark):
     sig = {int(r.metric) for r in bh_adjust(dbl, q=0.25).collect()
            if r.significant}
     assert sig == rej == {0, 1, 2, 3}
+
+
+def test_chi2_cells_perfect_association(spark):
+    from timeseriescorrelation_spark.operators.nptests import chi2_cells
+
+    # 2x2 diagonal: O=10 cells get resid (10-5)/sqrt(5*.5*.5) =
+    # 4.472136, O=0 cells the negative; V = sqrt(chi2/(N*1)) = 1
+    rows = (
+        [("A", T0)] * 10                              # Monday
+        + [("B", T0 + dt.timedelta(days=1))] * 10     # Tuesday
+    )
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    r = {(x.metric, x.dow_iso): x for x in chi2_cells(df).collect()}
+    assert set(r) == {("A", 1), ("A", 2), ("B", 1), ("B", 2)}
+    assert r[("A", 1)].o == 10 and r[("B", 2)].o == 10
+    assert r[("A", 2)].o == 0 and r[("B", 1)].o == 0
+    for k in r:
+        assert r[k].e == pytest.approx(5.0)
+        assert r[k].cramers_v == pytest.approx(1.0, abs=2e-6)
+    assert r[("A", 1)].std_resid == pytest.approx(4.472136, abs=1e-6)
+    assert r[("A", 2)].std_resid == pytest.approx(-4.472136, abs=1e-6)
+
+
+def test_chi2_cells_independent_zero_resid(spark):
+    from timeseriescorrelation_spark.operators.nptests import chi2_cells
+
+    # identical mix both days -> every residual 0, V = 0
+    rows = []
+    for day, mult in ((0, 1), (1, 2)):
+        ts = T0 + dt.timedelta(days=day)
+        rows += [("A", ts)] * (20 * mult) + [("B", ts)] * (10 * mult)
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    for x in chi2_cells(df).collect():
+        assert x.std_resid == pytest.approx(0.0, abs=2e-6)
+        assert x.cramers_v == pytest.approx(0.0, abs=2e-6)
+
+
+def test_chi2_cells_iso_weekday_labels(spark):
+    from timeseriescorrelation_spark.operators.nptests import chi2_cells
+
+    # T0 is Monday 2024-03-04 -> dow_iso 1; +5 days Saturday -> 6
+    rows = [("A", T0), ("A", T0 + dt.timedelta(days=5)),
+            ("B", T0), ("B", T0 + dt.timedelta(days=5))]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    assert {x.dow_iso for x in chi2_cells(df).collect()} == {1, 6}

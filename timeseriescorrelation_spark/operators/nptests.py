@@ -15,9 +15,12 @@ double divide of exact ints, floor-DIV where the quotient itself must
 be engine-exact), the micro-units sum exactly, and the final statistic
 is ONE identical double expression, rounded to 6 dp.
 
-Day-of-week is used as a GROUPING only and never output: Spark's
-dayofweek() is 1-7 Sunday-first and DuckDB's is 0-6 Sunday-first —
-the induced partitions are identical, the labels are not.
+Day-of-week is used as a GROUPING only and never output by the test
+operators: Spark's dayofweek() is 1-7 Sunday-first and DuckDB's is
+0-6 Sunday-first — the induced partitions are identical, the labels
+are not.  The one op that DOES output a weekday (chi2_cells) derives
+an engine-neutral ISO label from the integer epoch-day rule instead
+of either engine's native function.
 
 Scale notes (100 TB): each operator is one map-side-combined hash-agg
 from the raw scan down to |metrics|·|hours| (or |metrics|·7 /
@@ -666,4 +669,92 @@ def bh_adjust(tests: DataFrame, key: str = "metric",
         F.round("adj", 6).alias("p_adj"),
         F.when(F.col("adj") <= float(q), F.lit(1))
          .otherwise(F.lit(0)).alias("significant"),
+    )
+
+
+def chi2_cells(events: DataFrame, row_col: str = "event_type",
+               ts_col: str = "ts") -> DataFrame:
+    """(metric, dow_iso, o, e, std_resid, cramers_v): the effect-size
+    companion to chi2_independence — WHICH metric × weekday cell
+    drives the dependence, and HOW MUCH dependence there is overall.
+    Per cell of the complete row×col grid (absent cells enter O = 0):
+
+        e         = R·C/N                       (expected count)
+        std_resid = (O − E)/√(E(1 − R/N)(1 − C/N))   (adjusted
+                    residual — asymptotically N(0,1) under
+                    independence, so |resid| > 2 flags the cell)
+        cramers_v = √( (χ²/N) / min(r−1, c−1) )      (repeated per
+                    row: the report is a per-cell drill-down of one
+                    global association)
+
+    Unlike chi2_independence, the weekday IS output — as dow_iso
+    (Mon=1..Sun=7) from the integer epoch-day rule pmod(days+3,7)+1,
+    identical both engines (Spark's dayofweek() is 1-7 Sunday-first,
+    DuckDB's 0-6 Sunday-first, so the NATIVE labels never cross the
+    oracle).  χ² reuses the micro-snapped cell terms; e/std_resid
+    are ONE shared double tree over exact integer (O, R, C, N) —
+    no snapping needed, every engine sees identical IEEE inputs.
+    NULL std_resid when a margin exhausts N (single row/col value).
+
+    Scale: one hash-agg to |rows|·7 cells, broadcast-sized margin
+    joins, and one broadcast 1-row global agg for the χ² total —
+    the grid never exceeds |distinct row values|·7."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    days = F.floor(
+        epoch_us(F.date_trunc("day", ts_col)) / F.lit(86_400_000_000)
+    ).cast("long")
+    dow = (F.pmod(days + F.lit(3), F.lit(7)) + F.lit(1)).cast("int")
+    cells = events.groupBy(
+        F.col(row_col).alias("rv"), dow.alias("dw")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("rv").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dw").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("nn"))
+    full = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["rv", "dw"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rv", "dw", "nn",
+            F.col("r").cast("long").alias("r"),
+            F.col("c").cast("long").alias("c"),
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    # chi2 micro-terms exactly as chi2_independence computes them
+    num = (
+        F.col("nn").cast(DEC) * F.col("o").cast(DEC)
+        - F.col("r").cast(DEC) * F.col("c").cast(DEC)
+    )
+    den = F.col("nn").cast(DEC) * F.col("r").cast(DEC) \
+        * F.col("c").cast(DEC)
+    t_u = F.round(_dbl(num * num) / _dbl(den) * F.lit(1e6)) \
+        .cast("long")
+    terms = full.select(
+        "rv", "dw", "nn", "r", "c", "o", t_u.alias("t_u")
+    )
+    glob = terms.agg(
+        F.sum("t_u").alias("chi2_u"),
+        F.countDistinct("rv").alias("n_rows"),
+        F.countDistinct("dw").alias("n_cols"),
+    )
+    g = terms.crossJoin(F.broadcast(glob))
+    rd, cd, nd, od = (_dbl(F.col(x)) for x in ("r", "c", "nn", "o"))
+    e = rd * cd / nd
+    vfac = e * (F.lit(1.0) - rd / nd) * (F.lit(1.0) - cd / nd)
+    resid = F.when(vfac > 0, (od - e) / F.sqrt(vfac))
+    mindf = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v = F.when(
+        mindf > 0,
+        F.sqrt(_dbl(F.col("chi2_u")) / F.lit(1e6) / nd
+               / mindf.cast("double")),
+    )
+    return g.select(
+        F.col("rv").alias("metric"),
+        F.col("dw").cast("int").alias("dow_iso"),
+        F.col("o").cast("long").alias("o"),
+        F.round(e, 6).alias("e"),
+        F.round(resid, 6).alias("std_resid"),
+        F.round(v, 6).alias("cramers_v"),
     )
