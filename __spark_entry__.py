@@ -6581,6 +6581,16 @@ def q_chi2_cells(spark, sf_dir):
     return chi2_cells(_events(spark, sf_dir))
 
 
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality of the daily deltas per metric — the
+    moment-based diagnostic that gates every sigma-threshold alert
+    (heavy-tailed g2 means 3-sigma fires more than the normal table
+    promises); closed-form chi2_2 p (see tsdiag.jarque_bera)."""
+    from timeseriescorrelation_spark.operators.tsdiag import jarque_bera
+
+    return jarque_bera(_series_from_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7350,6 +7360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": q_brown_forsythe,
         "fdr_pettitt": q_fdr_pettitt,
         "chi2_cells": q_chi2_cells,
+        "jarque_bera": q_jarque_bera,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17521,6 +17532,49 @@ SELECT rv AS metric, dw AS dow_iso, o,
                               AS double))
              END, 6) AS cramers_v
 FROM terms CROSS JOIN gl
+""",
+        "jarque_bera": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT metric,
+         y - lag(y) OVER (PARTITION BY metric ORDER BY day_ts) AS v
+  FROM d
+), vv AS (
+  SELECT metric, cast(v AS hugeint) AS x FROM dd WHERE v IS NOT NULL
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(x) AS s1, sum(x * x) AS s2, sum(x * x * x) AS s3,
+         sum(x * x * x * x) AS s4
+  FROM vv GROUP BY 1 HAVING count(*) >= 6
+), e AS (
+  SELECT metric, n,
+         cast(n * s2 - s1 * s1 AS double) AS b,
+         cast(n * n * s3 - 3 * n * s1 * s2
+              + 2 * s1 * s1 * s1 AS double) AS a,
+         cast(n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2
+              - 3 * s1 * s1 * s1 * s1 AS double) AS c
+  FROM g
+), f AS (
+  SELECT metric, n, b,
+         a / (b * sqrt(b)) AS g1,
+         c / (b * b) - 3.0 AS g2
+  FROM e
+)
+SELECT metric, cast(n AS bigint) AS n_deltas,
+       round(CASE WHEN b > 0 THEN g1 END, 6) AS skew_g1,
+       round(CASE WHEN b > 0 THEN g2 END, 6) AS kurt_excess,
+       round(CASE WHEN b > 0
+             THEN cast(n AS double) / 6.0
+                  * (g1 * g1 + g2 * g2 / 4.0) END, 6) AS jb,
+       round(CASE WHEN b > 0
+             THEN exp(-(cast(n AS double) / 6.0
+                        * (g1 * g1 + g2 * g2 / 4.0)) / 2.0) END, 6)
+         AS p_value
+FROM f
 """,
         "brown_forsythe": """
 WITH d AS (

@@ -328,6 +328,7 @@ HEADLINE_R3 = [
     "brown_forsythe",
     "fdr_pettitt",
     "chi2_cells",
+    "jarque_bera",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

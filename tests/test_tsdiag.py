@@ -225,3 +225,44 @@ def test_page_hinkley_constant_zero(spark):
     assert len(r) == 1 and r[0].ph_max == 0.0
     # ties on zero excursion -> earliest hour wins
     assert r[0].ph_hour_ts == T0
+
+
+def test_jarque_bera_alternating_hand_value(spark):
+    from timeseriescorrelation_spark.operators.tsdiag import jarque_bera
+
+    # daily values 0,c,0,c,... -> deltas alternate +c/-c: g1 = 0,
+    # two-point symmetric kurtosis m4/m2^2 = 1 -> g2 = -2,
+    # JB = n/6 * (0 + 4/4) = n/6 = 1.0 at n=6, p = exp(-0.5)
+    vals = [0.0, 5.0, 0.0, 5.0, 0.0, 5.0, 0.0]
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    r = jarque_bera(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_deltas == 6
+    assert r.skew_g1 == pytest.approx(0.0, abs=1e-9)
+    assert r.kurt_excess == pytest.approx(-2.0, abs=1e-9)
+    assert r.jb == pytest.approx(1.0, abs=1e-9)
+    assert r.p_value == pytest.approx(math.exp(-0.5), abs=2e-6)
+
+
+def test_jarque_bera_constant_deltas_null(spark):
+    from timeseriescorrelation_spark.operators.tsdiag import jarque_bera
+
+    # linear ramp -> all deltas equal -> B = 0 -> all stats NULL
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, float(i))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    r = jarque_bera(df).collect()[0]
+    assert r.n_deltas == 7
+    assert r.jb is None and r.p_value is None
+
+
+def test_jarque_bera_min_deltas_filter(spark):
+    from timeseriescorrelation_spark.operators.tsdiag import jarque_bera
+
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, float(i % 2))
+            for i in range(4)]  # 3 deltas < 6
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    assert jarque_bera(df).count() == 0

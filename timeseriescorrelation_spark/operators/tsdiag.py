@@ -798,3 +798,76 @@ def streak_report(series: DataFrame, key: str = "metric",
          .cast("long").alias("last_len"),
         F.max(F.when(F.col("is_last"), F.col("s"))).alias("last_dir"),
     )
+
+
+def jarque_bera(series: DataFrame, key: str = "metric",
+                value_decimals: int = 2,
+                min_deltas: int = 6) -> DataFrame:
+    """(metric, n_deltas, skew_g1, kurt_excess, jb, p_value):
+    Jarque-Bera normality test per metric over the DAILY DELTAS of
+    the cent-sum series — the moment-based member of the diagnostic
+    family (runs_test: sign sequence; turning_points: local shape;
+    this: are the day-over-day changes Gaussian?  The answer gates
+    every σ-based alert threshold downstream — a heavy-tailed g2
+    means 3σ fires far more often than the normal table promises).
+    Deltas, not levels: levels trend (normality is vacuously false);
+    differencing is where the Gaussian question is meaningful.
+
+        JB = n/6 · (g1² + g2²/4),   p = exp(−JB/2)
+
+    (JB is asymptotically χ²₂, whose survival function is EXACTLY
+    exp(−x/2) — no incomplete-gamma approximation needed.)  g1/g2
+    ride moments_daily's n-power-cancelled algebra over EXACT
+    decimal38/hugeint power sums S1..S4 of the integer deltas:
+
+        B = n·S2 − S1²,  A = n²·S3 − 3n·S1·S2 + 2·S1³,
+        C = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
+        g1 = A/B^1.5,  g2 = C/B² − 3     (B^1.5 spelled B·√B)
+
+    one shared double tree, 6 dp.  NULL when B = 0 (constant
+    deltas).  Headroom: |Δ| ≤ 10⁸ cents with n ≤ 10³ days keeps
+    every product < 10³⁶; ANSI decimal overflow errors loudly, never
+    wraps.
+
+    Scale: one hash-agg to the per-metric day grid, one lag window
+    over |days| rows per metric (calendar-bounded), one hash-agg —
+    no raw-row second pass."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        key, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    w = Window.partitionBy(key).orderBy("day_ts")
+    v = (F.col("y") - F.lag("y", 1).over(w))
+    dd = d.select(key, v.alias("v")).where(F.col("v").isNotNull())
+    x = F.col("v").cast(DEC)
+    g = dd.groupBy(key).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    ).where(F.col("n") >= int(min_deltas))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3",
+                                            "s4"))
+    two, three, four, six = (F.lit(k).cast(DEC) for k in (2, 3, 4, 6))
+    b = (n * s2 - s1 * s1).cast("double")
+    a = (n * n * s3 - three * n * s1 * s2
+         + two * s1 * s1 * s1).cast("double")
+    c = (n * n * n * s4 - four * n * n * s1 * s3
+         + F.lit(6).cast(DEC) * n * s1 * s1 * s2
+         - three * s1 * s1 * s1 * s1).cast("double")
+    nd = n.cast("double")
+    g1 = a / (b * F.sqrt(b))
+    g2 = c / (b * b) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    return g.select(
+        key,
+        n.cast("long").alias("n_deltas"),
+        F.when(b > 0, F.round(g1, 6)).alias("skew_g1"),
+        F.when(b > 0, F.round(g2, 6)).alias("kurt_excess"),
+        F.when(b > 0, F.round(jb, 6)).alias("jb"),
+        F.when(b > 0, F.round(F.exp(-jb / F.lit(2.0)), 6))
+         .alias("p_value"),
+    )
