@@ -6591,6 +6591,18 @@ def q_jarque_bera(spark, sf_dir):
     return jarque_bera(_series_from_events(spark, sf_dir))
 
 
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson residual-autocorrelation diagnostic on each
+    metric's daily OLS trend — decides whether trend_daily's slope CI
+    can be believed; exact integer ratio via denominator-cleared
+    residuals (see tsdiag.durbin_watson)."""
+    from timeseriescorrelation_spark.operators.tsdiag import (
+        durbin_watson,
+    )
+
+    return durbin_watson(_series_from_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7361,6 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_pettitt": q_fdr_pettitt,
         "chi2_cells": q_chi2_cells,
         "jarque_bera": q_jarque_bera,
+        "durbin_watson": q_durbin_watson,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17532,6 +17545,46 @@ SELECT rv AS metric, dw AS dow_iso, o,
                               AS double))
              END, 6) AS cramers_v
 FROM terms CROSS JOIN gl
+""",
+        "durbin_watson": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT metric, day_ts, cast(y AS hugeint) AS y,
+         cast(row_number() OVER (PARTITION BY metric ORDER BY day_ts)
+              - 1 AS hugeint) AS t
+  FROM d
+), agg AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(t) AS st, sum(y) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty
+  FROM dd GROUP BY 1 HAVING count(*) >= 8
+), j AS (
+  SELECT dd.metric, dd.day_ts, agg.n,
+         agg.n * (agg.n * agg.stt - agg.st * agg.st) * dd.y
+         - (agg.n * agg.stt - agg.st * agg.st) * agg.sy
+         + (agg.n * agg.sty - agg.st * agg.sy) * agg.st
+         - agg.n * (agg.n * agg.sty - agg.st * agg.sy) * dd.t AS e
+  FROM dd JOIN agg ON dd.metric = agg.metric
+), r AS (
+  SELECT metric, n, e,
+         e - lag(e) OVER (PARTITION BY metric ORDER BY day_ts) AS de
+  FROM j
+), g AS (
+  SELECT metric, max(n) AS n,
+         sum(e * e) AS see, sum(de * de) AS sdd
+  FROM r GROUP BY 1
+)
+SELECT metric, cast(n AS bigint) AS n_days,
+       round(CASE WHEN see > 0
+             THEN cast(sdd AS double) / cast(see AS double) END, 6)
+         AS dw,
+       round(CASE WHEN see > 0
+             THEN 1.0 - cast(sdd AS double) / cast(see AS double)
+                  / 2.0 END, 6) AS rho_lag1
+FROM g
 """,
         "jarque_bera": """
 WITH d AS (

@@ -329,6 +329,7 @@ HEADLINE_R3 = [
     "fdr_pettitt",
     "chi2_cells",
     "jarque_bera",
+    "durbin_watson",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

@@ -266,3 +266,46 @@ def test_jarque_bera_min_deltas_filter(spark):
             for i in range(4)]  # 3 deltas < 6
     df = spark.createDataFrame(rows, SERIES_SCHEMA)
     assert jarque_bera(df).count() == 0
+
+
+def _days(spark, values, metric="m"):
+    rows = [("c", metric, T0 + dt.timedelta(days=i), 0, float(v))
+            for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, SERIES_SCHEMA)
+
+
+def test_durbin_watson_alternating_resid_dw2(spark):
+    from timeseriescorrelation_spark.operators.tsdiag import durbin_watson
+
+    # y = t + r with r = [c,-c,-c,c,c,-c,-c,c]: sum r = 0 and
+    # sum t*r = 0, so OLS fits slope 1/intercept 0 EXACTLY and the
+    # residuals are r; DW = 16c^2/8c^2 = 2.0 (no autocorrelation)
+    c = 3.0
+    r = [c, -c, -c, c, c, -c, -c, c]
+    y = [t + r[t] for t in range(8)]
+    out = durbin_watson(_days(spark, y)).collect()
+    assert len(out) == 1
+    assert out[0].n_days == 8
+    assert out[0].dw == pytest.approx(2.0, abs=1e-9)
+    assert out[0].rho_lag1 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_durbin_watson_positive_autocorr_dw1(spark):
+    from timeseriescorrelation_spark.operators.tsdiag import durbin_watson
+
+    # r = [c,c,-c,-c,-c,-c,c,c]: sum r = 0, sum t*r = 0; diffs give
+    # DW = 8c^2/8c^2 = 1.0 -> rho = 0.5 (positive autocorrelation)
+    c = 2.0
+    r = [c, c, -c, -c, -c, -c, c, c]
+    y = [5.0 * t + r[t] for t in range(8)]
+    out = durbin_watson(_days(spark, y)).collect()[0]
+    assert out.dw == pytest.approx(1.0, abs=1e-9)
+    assert out.rho_lag1 == pytest.approx(0.5, abs=1e-9)
+
+
+def test_durbin_watson_perfect_line_null(spark):
+    from timeseriescorrelation_spark.operators.tsdiag import durbin_watson
+
+    out = durbin_watson(_days(spark, [2.0 * t + 1 for t in range(10)])
+                        ).collect()[0]
+    assert out.dw is None and out.rho_lag1 is None

@@ -871,3 +871,79 @@ def jarque_bera(series: DataFrame, key: str = "metric",
         F.when(b > 0, F.round(F.exp(-jb / F.lit(2.0)), 6))
          .alias("p_value"),
     )
+
+
+def durbin_watson(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2,
+                  min_days: int = 8) -> DataFrame:
+    """(metric, n_days, dw, rho_lag1): Durbin-Watson statistic on the
+    residuals of each metric's daily OLS trend — the classic "did the
+    regression leave autocorrelation behind?" diagnostic that decides
+    whether trend_daily's slope CI can be believed (DW ≈ 2 clean,
+    → 0 positive residual autocorrelation, → 4 negative; rho_lag1 =
+    1 − DW/2 is the implied AR(1) coefficient).
+
+    Exact-integer route: with t the 0-based ORDINAL day index and
+    Bx = nΣt² − (Σt)², By = nΣty − ΣtΣy, the denominator-cleared
+    residual
+
+        E_t = n·Bx·y_t − Bx·Σy + By·Σt − n·By·t   ( = n·Bx·e_t )
+
+    is an exact integer, and the clearing factor cancels in the
+    ratio:
+
+        DW = Σ(e_t−e_{t−1})² / Σe_t² = Σ(E_t−E_{t−1})² / ΣE_t²
+
+    — ONE double divide of exact decimal38/hugeint sums, 6 dp.  NULL
+    when ΣE² = 0 (perfectly linear series).  Ordinal t (not calendar
+    day) so Δt = 1 between consecutive observations, the form DW
+    assumes.  Headroom: |y| ≤ 10⁸ cents, n ≤ 10³ days keeps
+        ΣE² ≤ n·(n·Bx·y)² ~ n⁹y² ≤ 10³⁷; ANSI errors loudly beyond.
+
+    Scale: one hash-agg to the per-metric day grid, one ordinal
+    window + one broadcast-sized agg join, one lag window, one final
+    hash-agg — every post-grid stage is calendar-bounded."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        key, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    w = Window.partitionBy(key).orderBy("day_ts")
+    dd = d.select(
+        key, "day_ts",
+        F.col("y").cast(DEC).alias("y"),
+        (F.row_number().over(w) - 1).cast(DEC).alias("t"),
+    )
+    agg = dd.groupBy(key).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    ).where(F.col("n") >= int(min_days))
+    j = dd.join(F.broadcast(agg), key)
+    bx = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    by = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    e_t = (
+        F.col("n") * bx * F.col("y") - bx * F.col("sy")
+        + by * F.col("st") - F.col("n") * by * F.col("t")
+    )
+    r = j.select(key, "day_ts", F.col("n").alias("n"),
+                 e_t.alias("e"))
+    de = F.col("e") - F.lag("e", 1).over(w)
+    r2 = r.select(key, "n", "e", de.alias("de"))
+    g = r2.groupBy(key).agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+    )
+    dw = F.col("sdd").cast("double") / F.col("see").cast("double")
+    return g.select(
+        key,
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("see") > 0, F.round(dw, 6)).alias("dw"),
+        F.when(F.col("see") > 0,
+               F.round(F.lit(1.0) - dw / F.lit(2.0), 6))
+         .alias("rho_lag1"),
+    )
