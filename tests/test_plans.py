@@ -385,3 +385,53 @@ def test_bh_fdr_windows_partitioned_by_family(spark):
     plan = _plan(em.queries()["fdr_anomalies"](spark, SF))
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "metric" in m.group(1), plan
+
+
+def test_brown_forsythe_hash_agg_no_raw_window(spark):
+    """The median window must run over the per-(metric, group) DAY
+    grid (aggregate-sized), never raw rows, and the group stats stay
+    HashAggregate (no struct-key SortAggregate degradation)."""
+    plan = _plan(em.queries()["brown_forsythe"](spark, SF))
+    assert "SortAggregate" not in plan, plan
+    # the window sorts (m, g)-partitioned day rows; raw-scan windows
+    # would partition by conv/user columns instead
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "m#" in m.group(1) and "g#" in m.group(1), plan
+
+
+def test_chi2_cells_broadcasts_margins_and_global(spark):
+    """All three margin/global joins must broadcast (grid is
+    |metrics| x 7); a shuffle join on the cell grid would be waste.
+    The complete-grid join may not degrade to cartesian over data."""
+    plan = _plan(em.queries()["chi2_cells"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jarque_bera_single_shuffle_to_day_grid(spark):
+    """One hash-agg from raw to the (metric, day) grid, then every
+    later stage is calendar-bounded: exactly the grid agg plus the
+    final per-metric agg may shuffle; the lag window rides the
+    grid's partitioning."""
+    plan = _plan(em.queries()["jarque_bera"](spark, SF))
+    assert "SortAggregate" not in plan, plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 3, plan
+
+
+def test_durbin_watson_agg_join_broadcasts(spark):
+    """The per-metric moment row joins back to the day grid via
+    broadcast (|metrics| rows) — never a shuffle of the grid."""
+    plan = _plan(em.queries()["durbin_watson"](spark, SF))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_fdr_pettitt_windows_are_literal_partitioned(spark):
+    """bh_adjust's windows run over the aggregate-sized test family;
+    they must carry the explicit literal partition (not an empty
+    partition spec that warns and implies an accidental global sort
+    over data-sized input)."""
+    plan = _plan(em.queries()["fdr_pettitt"](spark, SF))
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, plan
