@@ -6603,6 +6603,18 @@ def q_durbin_watson(spark, sf_dir):
     return durbin_watson(_series_from_events(spark, sf_dir))
 
 
+def q_effect_sizes(spark, sf_dir):
+    """Effect-size layer for the weekend two-sample family: Cohen's
+    d, Hedges' g, Cliff's delta — how BIG the contrast is after
+    welch_t/mann_whitney said it's real (see
+    nptests.effect_sizes_weekend)."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        effect_sizes_weekend,
+    )
+
+    return effect_sizes_weekend(_series_from_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7374,6 +7386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_cells": q_chi2_cells,
         "jarque_bera": q_jarque_bera,
         "durbin_watson": q_durbin_watson,
+        "effect_sizes": q_effect_sizes,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17545,6 +17558,63 @@ SELECT rv AS metric, dw AS dow_iso, o,
                               AS double))
              END, 6) AS cramers_v
 FROM terms CROSS JOIN gl
+""",
+        "effect_sizes": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), mo AS (
+  SELECT m,
+         cast(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS bigint)
+           AS n0,
+         cast(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS bigint)
+           AS n1,
+         sum(CASE WHEN g = 0 THEN cast(y AS hugeint) END) AS s0,
+         sum(CASE WHEN g = 1 THEN cast(y AS hugeint) END) AS s1,
+         sum(CASE WHEN g = 0 THEN cast(y AS hugeint) * y END) AS q0,
+         sum(CASE WHEN g = 1 THEN cast(y AS hugeint) * y END) AS q1
+  FROM dd GROUP BY 1
+  HAVING sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) >= 4
+     AND sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) >= 4
+), pc AS (
+  SELECT a.m,
+         cast(sum(CASE WHEN b.yb > a.ya THEN 1 ELSE 0 END)
+              AS bigint) AS wins,
+         cast(sum(CASE WHEN b.yb < a.ya THEN 1 ELSE 0 END)
+              AS bigint) AS losses
+  FROM (SELECT m, y AS ya FROM dd WHERE g = 0) a
+  JOIN (SELECT m, y AS yb FROM dd WHERE g = 1) b ON a.m = b.m
+  GROUP BY 1
+), j AS (
+  SELECT mo.m, n0, n1, wins, losses,
+         cast(n0 AS double) AS n0d, cast(n1 AS double) AS n1d,
+         cast(s0 AS double) AS s0d, cast(s1 AS double) AS s1d,
+         cast(cast(n1 AS hugeint)
+              * (cast(n0 AS hugeint) * q0 - s0 * s0)
+              + cast(n0 AS hugeint)
+                * (cast(n1 AS hugeint) * q1 - s1 * s1)
+              AS double) AS sp_num
+  FROM mo JOIN pc ON mo.m = pc.m
+), e AS (
+  SELECT m, n0, n1, wins, losses, n0d, n1d, sp_num,
+         (s1d / n1d - s0d / n0d)
+         / sqrt(sp_num / (n0d * n1d * (n0d + n1d - 2.0))) AS dd_
+  FROM j
+)
+SELECT m AS metric, n0 AS n_weekday, n1 AS n_weekend,
+       round(CASE WHEN sp_num > 0 THEN dd_ END, 6) AS cohens_d,
+       round(CASE WHEN sp_num > 0
+             THEN (1.0 - 3.0 / (4.0 * (n0d + n1d) - 9.0)) * dd_
+             END, 6) AS hedges_g,
+       round(cast(wins - losses AS double) / (n0d * n1d), 6)
+         AS cliffs_delta
+FROM e
 """,
         "durbin_watson": """
 WITH d AS (

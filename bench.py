@@ -330,6 +330,7 @@ HEADLINE_R3 = [
     "chi2_cells",
     "jarque_bera",
     "durbin_watson",
+    "effect_sizes",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

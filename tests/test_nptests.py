@@ -400,3 +400,57 @@ def test_chi2_cells_iso_weekday_labels(spark):
             ("B", T0), ("B", T0 + dt.timedelta(days=5))]
     df = spark.createDataFrame(rows, EVENTS_SCHEMA)
     assert {x.dow_iso for x in chi2_cells(df).collect()} == {1, 6}
+
+
+def test_effect_sizes_hand_values(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        effect_sizes_weekend,
+    )
+
+    # weekday cents {0,200}, weekend {400,600}: pooled var = 20000,
+    # d = 400/sqrt(20000) = 2*sqrt(2); J = 1 - 3/7 = 4/7;
+    # delta = 4 wins / 4 pairs = 1
+    wd = [(0, 0.00), (1, 2.00)]
+    we = [(5, 4.00), (6, 6.00)]
+    rows = [("c", "m", T0 + dt.timedelta(days=d), 0, v)
+            for d, v in wd + we]
+    r = effect_sizes_weekend(_series(spark, rows), min_days=2).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_weekday == 2 and r.n_weekend == 2
+    assert r.cohens_d == pytest.approx(2.0 * math.sqrt(2.0), abs=1e-6)
+    assert r.hedges_g == pytest.approx(8.0 * math.sqrt(2.0) / 7.0,
+                                       abs=1e-6)
+    assert r.cliffs_delta == pytest.approx(1.0)
+
+
+def test_effect_sizes_constant_arms_null_d(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        effect_sizes_weekend,
+    )
+
+    rows = [("c", "m", T0 + dt.timedelta(days=d), 0, 5.00)
+            for d in (0, 1)]
+    rows += [("c", "m", T0 + dt.timedelta(days=d), 0, 7.00)
+             for d in (5, 6)]
+    r = effect_sizes_weekend(_series(spark, rows), min_days=2
+                             ).collect()[0]
+    assert r.cohens_d is None and r.hedges_g is None
+    assert r.cliffs_delta == pytest.approx(1.0)  # still fully separated
+
+
+def test_effect_sizes_sign_and_overlap(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        effect_sizes_weekend,
+    )
+
+    # weekend BELOW weekday and interleaved: d < 0, |delta| < 1
+    wd = [(0, 4.00), (1, 6.00), (2, 8.00), (3, 10.00)]
+    we = [(5, 3.00), (6, 5.00), (12, 7.00), (13, 9.00)]
+    rows = [("c", "m", T0 + dt.timedelta(days=d), 0, v)
+            for d, v in wd + we]
+    r = effect_sizes_weekend(_series(spark, rows)).collect()[0]
+    assert r.cohens_d < 0
+    # wins(we>wd): pairs where we value > wd value: count by hand =
+    # 3+5+7+9 vs {4,6,8,10}: wins 0+1+2+3 = 6, losses 10 -> delta -0.25
+    assert r.cliffs_delta == pytest.approx(-0.25)

@@ -758,3 +758,81 @@ def chi2_cells(events: DataFrame, row_col: str = "event_type",
         F.round(resid, 6).alias("std_resid"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def effect_sizes_weekend(series: DataFrame, key: str = "metric",
+                         value_decimals: int = 2,
+                         min_days: int = 4) -> DataFrame:
+    """(metric, n_weekday, n_weekend, cohens_d, hedges_g,
+    cliffs_delta): the EFFECT-SIZE layer for the weekend two-sample
+    family — welch_t/mann_whitney/brown_forsythe say whether the
+    contrast is real; this says how BIG it is, in the units people
+    compare across metrics (p-values shrink with n, effect sizes
+    don't):
+
+        d      = (ȳ_we − ȳ_wd) / s_p     (pooled-SD standardized
+                 mean difference; scale-invariant — cents cancel)
+        g      = J·d,  J = 1 − 3/(4N−9)  (Hedges small-sample
+                 de-bias)
+        δ      = (#(we > wd) − #(we < wd)) / (n0·n1)   (Cliff's
+                 delta over all day pairs ∈ [−1, 1]; identically the
+                 two-group rank-biserial r = 2U/(n0 n1) − 1)
+
+    Exactness: s_p² clears both denominators —
+    s_p² = [n1(n0·Q0 − S0²) + n0(n1·Q1 − S1²)] / (n0·n1·(N−2)) with
+    Q/S exact decimal38/hugeint — so d/g are ONE shared double tree;
+    δ's win/loss counts are exact integers from the calendar-bounded
+    n0×n1 day-pair enumeration (the mann_whitney policy: pair space
+    is |days|² per metric regardless of corpus size).  NULL d/g when
+    s_p = 0 (both arms constant).
+
+    Scale: daily grid hash-agg, one aggregate-sized self-join for
+    the pair counts, two tiny hash-aggs, one broadcast-sized join."""
+    dd = _weekend_daily(series, key, value_decimals)
+    x = F.col("y").cast(DEC)
+    mo = dd.groupBy("m").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 0, x)).alias("s0"),
+        F.sum(F.when(F.col("g") == 1, x)).alias("s1"),
+        F.sum(F.when(F.col("g") == 0, x * x)).alias("q0"),
+        F.sum(F.when(F.col("g") == 1, x * x)).alias("q1"),
+    ).where(
+        (F.col("n0") >= int(min_days)) & (F.col("n1") >= int(min_days))
+    )
+    a = dd.where(F.col("g") == 0).select("m", F.col("y").alias("ya"))
+    b = dd.where(F.col("g") == 1).select("m", F.col("y").alias("yb"))
+    pc = a.join(b, "m").groupBy("m").agg(
+        F.sum(F.when(F.col("yb") > F.col("ya"), 1).otherwise(0))
+        .alias("wins"),
+        F.sum(F.when(F.col("yb") < F.col("ya"), 1).otherwise(0))
+        .alias("losses"),
+    )
+    j = mo.join(pc, "m")
+    n0d, n1d = (F.col(c).cast("double") for c in ("n0", "n1"))
+    nd = n0d + n1d
+    md = F.col("s1").cast("double") / n1d \
+        - F.col("s0").cast("double") / n0d
+    sp_num = (
+        F.col("n1").cast(DEC)
+        * (F.col("n0").cast(DEC) * F.col("q0")
+           - F.col("s0") * F.col("s0"))
+        + F.col("n0").cast(DEC)
+        * (F.col("n1").cast(DEC) * F.col("q1")
+           - F.col("s1") * F.col("s1"))
+    ).cast("double")
+    sp2 = sp_num / (n0d * n1d * (nd - F.lit(2.0)))
+    d = md / F.sqrt(sp2)
+    jf = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * nd - F.lit(9.0))
+    delta = (
+        (F.col("wins") - F.col("losses")).cast("double")
+        / (n0d * n1d)
+    )
+    return j.select(
+        F.col("m").alias("metric"),
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.when(sp_num > 0, F.round(d, 6)).alias("cohens_d"),
+        F.when(sp_num > 0, F.round(jf * d, 6)).alias("hedges_g"),
+        F.round(delta, 6).alias("cliffs_delta"),
+    )
