@@ -6615,6 +6615,18 @@ def q_effect_sizes(spark, sf_dir):
     return effect_sizes_weekend(_series_from_events(spark, sf_dir))
 
 
+def q_seasonal_mk(spark, sf_dir):
+    """Hirsch-Slack seasonal Mann-Kendall per metric: weekday-
+    stratified sign pairs so the weekly cycle cannot fake a trend;
+    calendar-bounded pair enumeration (see
+    analytics.seasonal_mann_kendall)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    return seasonal_mann_kendall(_series_from_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7387,6 +7399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarque_bera": q_jarque_bera,
         "durbin_watson": q_durbin_watson,
         "effect_sizes": q_effect_sizes,
+        "seasonal_mk": q_seasonal_mk,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17558,6 +17571,51 @@ SELECT rv AS metric, dw AS dow_iso, o,
                               AS double))
              END, 6) AS cramers_v
 FROM terms CROSS JOIN gl
+""",
+        "seasonal_mk": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT metric, day_ts, y,
+         cast(((epoch_us(day_ts) // 86400000000) + 3) % 7 AS int)
+           AS w
+  FROM d
+), pr AS (
+  SELECT a.metric, a.w,
+         cast(sum(sign(b.y - a.y)) AS bigint) AS s_g
+  FROM dd a JOIN dd b
+    ON a.metric = b.metric AND a.w = b.w AND a.day_ts < b.day_ts
+  GROUP BY 1, 2
+), tg AS (
+  SELECT metric, w, cast(sum(t) AS bigint) AS n_g,
+         cast(sum(t * (t - 1) * (2 * t + 5)) AS bigint) AS tt_g
+  FROM (SELECT metric, w, y, count(*) AS t
+        FROM dd GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+), per_w AS (
+  SELECT tg.metric, tg.w, tg.n_g,
+         coalesce(pr.s_g, 0) AS s_g,
+         tg.n_g * (tg.n_g - 1) * (2 * tg.n_g + 5) - tg.tt_g AS v_g
+  FROM tg LEFT JOIN pr ON tg.metric = pr.metric AND tg.w = pr.w
+), g AS (
+  SELECT metric, cast(sum(n_g) AS bigint) AS n_days,
+         cast(count(*) AS bigint) AS n_strata,
+         cast(sum(s_g) AS bigint) AS s_stat,
+         cast(sum(v_g) AS bigint) AS var_num
+  FROM per_w GROUP BY 1 HAVING sum(n_g) >= 21
+)
+SELECT metric, n_days, n_strata, s_stat,
+       round(CASE WHEN var_num <= 0 THEN NULL
+             WHEN s_stat > 0
+               THEN cast(s_stat - 1 AS double)
+                    / sqrt(cast(var_num AS double) / 18.0)
+             WHEN s_stat < 0
+               THEN cast(s_stat + 1 AS double)
+                    / sqrt(cast(var_num AS double) / 18.0)
+             ELSE 0.0 END, 6) AS z
+FROM g
 """,
         "effect_sizes": """
 WITH d AS (

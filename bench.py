@@ -331,6 +331,7 @@ HEADLINE_R3 = [
     "jarque_bera",
     "durbin_watson",
     "effect_sizes",
+    "seasonal_mk",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

@@ -6,6 +6,7 @@ latency percentiles — hand-built series with the nasty edges
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import numpy as np
 import pytest
@@ -789,3 +790,50 @@ def test_capacity_projection_exact_linear(spark):
     assert g["days_to_2x"] == pytest.approx(19.0, abs=1e-6)
     # flat trend -> no projection
     assert out["f"]["days_to_2x"] is None
+
+
+def test_seasonal_mk_monotone_ramp_hand_value(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    # 28 consecutive ascending days: each weekday stratum holds 4
+    # ascending values -> S_g = 6 each, S = 42; var = 7*4*3*13/18;
+    # z = 41/sqrt(1092/18)
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, float(i))
+            for i in range(28)]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    r = seasonal_mann_kendall(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_days == 28 and r.n_strata == 7
+    assert r.s_stat == 42
+    assert r.z == pytest.approx(41.0 / math.sqrt(1092.0 / 18.0),
+                                abs=2e-6)
+
+
+def test_seasonal_mk_pure_weekly_cycle_no_trend(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    # value depends ONLY on the weekday: every stratum is constant
+    # -> S = 0 and Var = 0 (all ties) -> z NULL; the unstratified
+    # test would see nonzero sign terms from the cycle itself
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0,
+             float((T0 + dt.timedelta(days=i)).weekday()))
+            for i in range(28)]
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    r = seasonal_mann_kendall(df).collect()[0]
+    assert r.s_stat == 0 and r.z is None
+
+
+def test_seasonal_mk_min_days_filter(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        seasonal_mann_kendall,
+    )
+
+    rows = [("c", "m", T0 + dt.timedelta(days=i), 0, float(i))
+            for i in range(14)]  # < 21 days
+    df = spark.createDataFrame(rows, SERIES_SCHEMA)
+    assert seasonal_mann_kendall(df).count() == 0

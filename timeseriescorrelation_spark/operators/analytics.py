@@ -2867,3 +2867,93 @@ def theta_backtest(series: DataFrame, key: str = "metric",
             ), 6
         ).alias("mase"),
     )
+
+
+def seasonal_mann_kendall(series: DataFrame, key: str = "metric",
+                          value_decimals: int = 2,
+                          min_days: int = 21) -> DataFrame:
+    """(metric, n_days, n_strata, s_stat, z): Hirsch-Slack SEASONAL
+    Mann-Kendall trend test per metric over the daily cent-sum
+    series, stratified by weekday — sign pairs are formed ONLY
+    within each weekday's sub-series, so the weekly cycle
+    (Mon≠Sat level differences) contributes ZERO sign terms and
+    cannot fake a monotone trend the way it can in the unstratified
+    test:
+
+        S = Σ_g S_g,   Var = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5)]/18
+        z = (S−1)/√Var if S>0, (S+1)/√Var if S<0, 0 if S=0
+
+    (independent strata ⇒ variances add; tie correction per
+    stratum).  Weekday via the engine-neutral integer epoch-day rule
+    — never a native dayofweek label.  S, n_g and tie terms are
+    EXACT integers on cent-snapped daily sums; z is one IEEE divide.
+    NULL z when Var ≤ 0 (every stratum constant — e.g. a pure
+    weekly cycle with no trend, exactly the case the test exists
+    for).
+
+    Scale: the pair enumeration is (|days|/7)² per stratum per
+    metric — calendar-bounded (the mann_kendall policy), never
+    corpus-sized; one grid hash-agg in front."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        key, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    days = F.floor(
+        epoch_us(F.col("day_ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    dd = d.select(
+        key, F.col("day_ts"), F.col("y"),
+        F.pmod(days + F.lit(3), F.lit(7)).cast("int").alias("w"),
+    )
+    a = dd.select(key, "w", F.col("day_ts").alias("di"),
+                  F.col("y").alias("yi"))
+    b = dd.select(key, "w", F.col("day_ts").alias("dj"),
+                  F.col("y").alias("yj"))
+    pairs = a.join(b, [key, "w"]).where(F.col("di") < F.col("dj"))
+    sgn = F.signum(
+        (F.col("yj") - F.col("yi")).cast("double")
+    ).cast("long")
+    sg = pairs.groupBy(key, "w").agg(F.sum(sgn).alias("s_g"))
+    ties = (
+        dd.groupBy(key, "w", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(key, "w")
+        .agg(
+            F.sum("t").alias("n_g"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tt_g"),
+        )
+    )
+    per_w = ties.join(sg, [key, "w"], "left").select(
+        key, "w", "n_g", "tt_g",
+        F.coalesce(F.col("s_g"), F.lit(0)).alias("s_g"),
+        (F.col("n_g") * (F.col("n_g") - 1) * (2 * F.col("n_g") + 5)
+         - F.col("tt_g")).alias("v_g"),
+    )
+    g = per_w.groupBy(key).agg(
+        F.sum("n_g").alias("n_days"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("s_g").alias("s_stat"),
+        F.sum("v_g").alias("var_num"),
+    ).where(F.col("n_days") >= int(min_days))
+    sd = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    s = F.col("s_stat")
+    z = F.when(
+        F.col("var_num") <= 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.when(s > 0, (s - 1).cast("double") / sd)
+        .when(s < 0, (s + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return g.select(
+        key,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round(z, 6).alias("z"),
+    )
