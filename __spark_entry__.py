@@ -6627,6 +6627,18 @@ def q_seasonal_mk(spark, sf_dir):
     return seasonal_mann_kendall(_series_from_events(spark, sf_dir))
 
 
+def q_dispersion_test(spark, sf_dir):
+    """Poisson index-of-dispersion on daily event counts per metric —
+    the assumption check behind the M/M/c staffing and rate algebra
+    (D>1 bursty: staff for bursts, not the mean); exact integer
+    numerator identity (see queueing.dispersion_test)."""
+    from timeseriescorrelation_spark.operators.queueing import (
+        dispersion_test,
+    )
+
+    return dispersion_test(_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7400,6 +7412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson": q_durbin_watson,
         "effect_sizes": q_effect_sizes,
         "seasonal_mk": q_seasonal_mk,
+        "dispersion_test": q_dispersion_test,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17571,6 +17584,27 @@ SELECT rv AS metric, dw AS dow_iso, o,
                               AS double))
              END, 6) AS cramers_v
 FROM terms CROSS JOIN gl
+""",
+        "dispersion_test": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS hugeint) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT m, cast(count(*) AS hugeint) AS n,
+         sum(c) AS s, sum(c * c) AS q
+  FROM d GROUP BY 1 HAVING count(*) >= 8
+)
+SELECT m AS metric, cast(n AS bigint) AS n_days,
+       round(cast(s AS double) / cast(n AS double), 6) AS mean_count,
+       round(CASE WHEN s > 0
+             THEN cast(n * q - s * s AS double) / cast(s AS double)
+                  / (cast(n AS double) - 1.0) END, 6)
+         AS dispersion_index,
+       round(CASE WHEN s > 0
+             THEN cast(n * q - s * s AS double) / cast(s AS double)
+             END, 6) AS chi2
+FROM g
 """,
         "seasonal_mk": """
 WITH d AS (

@@ -332,6 +332,7 @@ HEADLINE_R3 = [
     "durbin_watson",
     "effect_sizes",
     "seasonal_mk",
+    "dispersion_test",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

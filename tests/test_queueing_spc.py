@@ -142,3 +142,39 @@ def test_hhi_bounds(spark):
     assert r["hhi"] == pytest.approx(0.54, abs=1e-6)
     assert 0.0 < r["hhi_norm"] < 1.0
     assert r["n_cats"] == 3 and r["n"] == 10
+
+
+def test_dispersion_hand_values(spark):
+    from timeseriescorrelation_spark.operators.queueing import (
+        dispersion_test,
+    )
+
+    # daily counts per metric A: [1,3,1,3,1,3,1,3] -> mean 2,
+    # chi2 = (8*40 - 256)/16 = 4.0, D = 4/7
+    rows = []
+    for day in range(8):
+        n = 1 if day % 2 == 0 else 3
+        rows += [("A", BASE + dt.timedelta(days=day, hours=h))
+                 for h in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = dispersion_test(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_days == 8
+    assert r.mean_count == pytest.approx(2.0)
+    assert r.chi2 == pytest.approx(4.0, abs=1e-9)
+    assert r.dispersion_index == pytest.approx(4.0 / 7.0, abs=1e-6)
+
+
+def test_dispersion_constant_counts_zero(spark):
+    from timeseriescorrelation_spark.operators.queueing import (
+        dispersion_test,
+    )
+
+    # exactly 2 events every day -> variance 0 -> D = 0 (paced)
+    rows = [("A", BASE + dt.timedelta(days=day, hours=h))
+            for day in range(8) for h in range(2)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = dispersion_test(df).collect()[0]
+    assert r.chi2 == pytest.approx(0.0)
+    assert r.dispersion_index == pytest.approx(0.0)

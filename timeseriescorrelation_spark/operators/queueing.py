@@ -276,3 +276,50 @@ def erlang_staffing(series: DataFrame, keys: list[str] | None = None,
         "n_req",
         F.round("p_wait", 6).alias("p_wait"),
     )
+
+
+def dispersion_test(events: DataFrame, key: str = "event_type",
+                    ts_col: str = "ts",
+                    min_days: int = 8) -> DataFrame:
+    """(metric, n_days, mean_count, dispersion_index, chi2): Poisson
+    index-of-dispersion test on DAILY EVENT COUNTS per metric — the
+    assumption check behind every Poisson-arrival model in this
+    module (erlang_staffing's M/M/c, littles_law's rate algebra):
+    under Poisson, daily counts have variance == mean, so
+
+        χ² = Σ(c_d − c̄)² / c̄ = (n·Σc² − S²) / S     (exact ints!)
+        D  = χ² / (n − 1)    (≈1 Poisson, >1 overdispersed/bursty —
+             staff for the BURSTS, not the mean; <1 regular/paced)
+
+    The numerator identity clears c̄'s denominator, so χ² is ONE
+    double divide of exact decimal38/hugeint sums (n·Σc² − S² ≥ 0
+    always); χ² ~ χ²_{n−1} under H0 for the significance read.
+    NULL when S = 0 (no events — nothing to test).
+
+    Scale: one hash-agg raw→(metric, day) counts, one hash-agg to
+    per-metric moments — the cheapest distributed shape, no joins,
+    no windows."""
+    dec = "decimal(38,0)"
+    d = events.groupBy(
+        F.col(key).alias("m"), F.date_trunc("day", ts_col).alias("day_ts")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    x = F.col("c").cast(dec)
+    g = d.groupBy("m").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    ).where(F.col("n") >= int(min_days))
+    chi2 = (
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        .cast("double") / F.col("s").cast("double")
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        F.col("m").alias("metric"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("s").cast("double") / nd, 6).alias("mean_count"),
+        F.when(F.col("s") > 0,
+               F.round(chi2 / (nd - F.lit(1.0)), 6))
+         .alias("dispersion_index"),
+        F.when(F.col("s") > 0, F.round(chi2, 6)).alias("chi2"),
+    )
