@@ -6639,6 +6639,18 @@ def q_dispersion_test(spark, sf_dir):
     return dispersion_test(_events(spark, sf_dir))
 
 
+def q_rate_ratio(spark, sf_dir):
+    """Exposure-adjusted weekend/weekday volume contrast per metric —
+    the COUNT member of the weekend family (the value tests can't
+    answer "are weekends busier?"); conditional binomial z (see
+    queueing.rate_ratio_weekend)."""
+    from timeseriescorrelation_spark.operators.queueing import (
+        rate_ratio_weekend,
+    )
+
+    return rate_ratio_weekend(_events(spark, sf_dir))
+
+
 
 def q_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curves: cumulative value per cohort
@@ -7413,6 +7425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effect_sizes": q_effect_sizes,
         "seasonal_mk": q_seasonal_mk,
         "dispersion_test": q_dispersion_test,
+        "rate_ratio": q_rate_ratio,
         "cohort_ltv": q_cohort_ltv,
         "we_rules": q_we_rules,
         "char_entropy": q_char_entropy,
@@ -17584,6 +17597,44 @@ SELECT rv AS metric, dw AS dow_iso, o,
                               AS double))
              END, 6) AS cramers_v
 FROM terms CROSS JOIN gl
+""",
+        "rate_ratio": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, c,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), g AS (
+  SELECT m,
+         cast(sum(1 - g) AS bigint) AS d0,
+         cast(sum(g) AS bigint) AS d1,
+         cast(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS bigint) AS c0,
+         cast(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS bigint) AS c1
+  FROM dd GROUP BY 1
+  HAVING sum(1 - g) >= 4 AND sum(g) >= 4
+), e AS (
+  SELECT m, d0, d1, c0, c1,
+         cast(d0 AS double) AS d0d, cast(d1 AS double) AS d1d,
+         cast(c0 AS double) AS c0d, cast(c1 AS double) AS c1d
+  FROM g
+), f AS (
+  SELECT m, d0, d1, c0, c1, c0d, c1d,
+         (c1d / d1d) / (c0d / d0d) AS rr,
+         d1d / (d0d + d1d) AS eh,
+         c0d + c1d AS nn
+  FROM e
+)
+SELECT m AS metric, d0 AS days_weekday, d1 AS days_weekend,
+       c0 AS events_weekday, c1 AS events_weekend,
+       round(CASE WHEN c0 > 0 THEN rr END, 6) AS rate_ratio,
+       round(CASE WHEN nn * eh * (1.0 - eh) > 0
+             THEN (c1d - nn * eh) / sqrt(nn * eh * (1.0 - eh))
+             END, 6) AS z
+FROM f
 """,
         "dispersion_test": """
 WITH d AS (

@@ -333,6 +333,7 @@ HEADLINE_R3 = [
     "effect_sizes",
     "seasonal_mk",
     "dispersion_test",
+    "rate_ratio",
     "cohort_ltv",
     "we_rules",
     "char_entropy",

@@ -178,3 +178,39 @@ def test_dispersion_constant_counts_zero(spark):
     r = dispersion_test(df).collect()[0]
     assert r.chi2 == pytest.approx(0.0)
     assert r.dispersion_index == pytest.approx(0.0)
+
+
+def test_rate_ratio_hand_values(spark):
+    from timeseriescorrelation_spark.operators.queueing import (
+        rate_ratio_weekend,
+    )
+
+    # BASE = Thu 2026-01-01. Weekdays Thu-Fri + Mon-Tue (Jan 1,2,5,6)
+    # 2 events each = 8; weekends Jan 3,4,10,11: 4 events each = 16.
+    # RR = (16/4)/(8/4) = 2; e = .5, N = 24, z = (16-12)/sqrt(6)
+    rows = []
+    for day, n in ((0, 2), (1, 2), (4, 2), (5, 2),
+                   (2, 4), (3, 4), (9, 4), (10, 4)):
+        rows += [("A", BASE + dt.timedelta(days=day, hours=h))
+                 for h in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = rate_ratio_weekend(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.days_weekday == 4 and r.days_weekend == 4
+    assert r.events_weekday == 8 and r.events_weekend == 16
+    assert r.rate_ratio == pytest.approx(2.0)
+    assert r.z == pytest.approx(4.0 / 6.0 ** 0.5, abs=2e-6)
+
+
+def test_rate_ratio_equal_rates_z_zero(spark):
+    from timeseriescorrelation_spark.operators.queueing import (
+        rate_ratio_weekend,
+    )
+
+    rows = [("A", BASE + dt.timedelta(days=day, hours=h))
+            for day in range(14) for h in range(3)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = rate_ratio_weekend(df).collect()[0]
+    assert r.rate_ratio == pytest.approx(1.0)
+    assert r.z == pytest.approx(0.0, abs=1e-9)

@@ -323,3 +323,63 @@ def dispersion_test(events: DataFrame, key: str = "event_type",
          .alias("dispersion_index"),
         F.when(F.col("s") > 0, F.round(chi2, 6)).alias("chi2"),
     )
+
+
+def rate_ratio_weekend(events: DataFrame, key: str = "event_type",
+                       ts_col: str = "ts",
+                       min_days: int = 4) -> DataFrame:
+    """(metric, days_weekday, days_weekend, events_weekday,
+    events_weekend, rate_ratio, z): exposure-adjusted weekend/weekday
+    VOLUME contrast per metric — the COUNT member of the weekend
+    family (welch_t/mann_whitney/brown_forsythe/effect_sizes all
+    compare VALUES; this asks "are weekends busier?", with exposure
+    = observed days so a 2-vs-5-day week can't fake a ratio):
+
+        RR = (C1/D1) / (C0/D0)
+        z  = (C1 − N·ê) / √(N·ê(1−ê)),  ê = D1/(D0+D1), N = C0+C1
+
+    — the conditional binomial test: given N total events, under
+    equal daily rates the weekend share is Binomial(N, ê).  All
+    counts exact integers; RR and z are one shared double tree each,
+    6 dp.  NULL RR when C0 = 0; NULL z when ê degenerates.
+    Weekend by the integer epoch-day rule (engine-neutral).
+
+    Scale: one hash-agg raw→(metric, day), one to per-metric — no
+    joins, no windows."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    d = events.groupBy(
+        F.col(key).alias("m"),
+        F.date_trunc("day", ts_col).alias("day_ts"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = F.floor(
+        epoch_us(F.col("day_ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    g1 = F.pmod(days + F.lit(4), F.lit(7)).isin(0, 6).cast("int")
+    dd = d.select("m", "c", g1.alias("g"))
+    g = dd.groupBy("m").agg(
+        F.sum(F.lit(1) - F.col("g")).alias("d0"),
+        F.sum("g").alias("d1"),
+        F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(0))
+        .alias("c0"),
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+        .alias("c1"),
+    ).where(
+        (F.col("d0") >= int(min_days)) & (F.col("d1") >= int(min_days))
+    )
+    d0d, d1d, c0d, c1d = (F.col(x).cast("double")
+                          for x in ("d0", "d1", "c0", "c1"))
+    rr = (c1d / d1d) / (c0d / d0d)
+    e = d1d / (d0d + d1d)
+    nn = c0d + c1d
+    var = nn * e * (F.lit(1.0) - e)
+    z = (c1d - nn * e) / F.sqrt(var)
+    return g.select(
+        F.col("m").alias("metric"),
+        F.col("d0").cast("long").alias("days_weekday"),
+        F.col("d1").cast("long").alias("days_weekend"),
+        F.col("c0").cast("long").alias("events_weekday"),
+        F.col("c1").cast("long").alias("events_weekend"),
+        F.when(F.col("c0") > 0, F.round(rr, 6)).alias("rate_ratio"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+    )
