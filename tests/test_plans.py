@@ -427,11 +427,13 @@ def test_durbin_watson_agg_join_broadcasts(spark):
     assert "SortAggregate" not in plan, plan
 
 
-def test_fdr_pettitt_windows_are_literal_partitioned(spark):
-    """bh_adjust's windows run over the aggregate-sized test family;
-    they must carry the explicit literal partition (not an empty
-    partition spec that warns and implies an accidental global sort
-    over data-sized input)."""
-    plan = _plan(em.queries()["fdr_pettitt"](spark, SF))
-    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
-    assert wins, plan
+def test_fdr_pettitt_lint_clean_no_global_window(spark):
+    """bh_adjust computes rank and the reverse running min as
+    broadcast theta-joins over the aggregate-sized family — the plan
+    must pass the repo scalability lint (Catalyst folds literal
+    partition keys, so a window form would land in the banned
+    partition-less-ordered-Window shape)."""
+    from timeseriescorrelation_spark.plans.audit import audit_plan
+
+    df = em.queries()["fdr_pettitt"](spark, SF)
+    assert audit_plan(df) == []

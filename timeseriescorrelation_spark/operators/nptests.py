@@ -634,36 +634,53 @@ def bh_adjust(tests: DataFrame, key: str = "metric",
     expression per row and min() is order-free.
 
     Scale: input is one row per TEST — the test family is
-    aggregate-sized and does not grow with the corpus — so the
-    single-partition window is over m ≈ tens of rows, never raw
-    data (partitioned by a literal to keep the executor-side shape
-    explicit rather than the implicit no-partition global window)."""
-    w_rank = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("p_raw").asc(), F.col(key).asc()
+    aggregate-sized and does not grow with the corpus — so the rank
+    and the reverse running min are computed as broadcast theta-joins
+    over the m-row family (m² ≈ hundreds of comparisons), NOT as
+    ordered windows: a partition-less ordered Window is the repo's
+    banned single-partition-sort shape (plans/audit.py lints every
+    headline plan for it), and Catalyst constant-folds literal
+    partition keys away, so the join form is the honest one.  Both
+    joins broadcast the aggregate side (the BNLJ-with-tiny-broadcast
+    pattern the audit module documents as acceptable)."""
+    base = tests.select(
+        F.col(key).alias("k"), F.col(p_col).alias("p_raw")
     )
-    r = tests.select(
-        F.col(key), F.col(p_col).alias("p_raw")
-    ).select(
-        key, "p_raw",
-        F.row_number().over(w_rank).alias("bh_rank"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(0))
-        ).alias("m"),
+    tot = base.agg(F.count(F.lit(1)).alias("m"))
+    rhs = base.select(
+        F.col("k").alias("k2"), F.col("p_raw").alias("p2")
     )
-    c = r.select(
-        key, "p_raw", "bh_rank",
+    # rank = 1 + #strictly-smaller (p, key) pairs — identical to
+    # row_number over (p, key) because key is unique per test
+    lt = (F.col("p2") < F.col("p_raw")) | (
+        (F.col("p2") == F.col("p_raw")) & (F.col("k2") < F.col("k"))
+    )
+    ranked = (
+        base.join(F.broadcast(rhs), lt, "left")
+        .groupBy("k", "p_raw")
+        .agg((F.count("k2") + 1).alias("bh_rank"))
+        .crossJoin(F.broadcast(tot))
+    )
+    c = ranked.select(
+        "k", "p_raw", "bh_rank",
         (F.col("m").cast("double") * F.col("p_raw")
          / F.col("bh_rank").cast("double")).alias("cand"),
     )
-    w_rev = Window.partitionBy(F.lit(0)).orderBy("bh_rank").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    rhs2 = c.select(
+        F.col("k").alias("k2"), F.col("p_raw").alias("p2"),
+        F.col("cand").alias("cand2"),
     )
-    a = c.select(
-        key, "p_raw", "bh_rank",
-        F.least(F.min("cand").over(w_rev), F.lit(1.0)).alias("adj"),
+    # reverse running min over rank order == min over (p, key) >= self
+    ge = (F.col("p2") > F.col("p_raw")) | (
+        (F.col("p2") == F.col("p_raw")) & (F.col("k2") >= F.col("k"))
+    )
+    a = (
+        c.join(F.broadcast(rhs2), ge)
+        .groupBy("k", "p_raw", "bh_rank")
+        .agg(F.least(F.min("cand2"), F.lit(1.0)).alias("adj"))
     )
     return a.select(
-        key,
+        F.col("k").alias(key),
         F.round("p_raw", 6).alias("p_raw"),
         F.col("bh_rank").cast("long").alias("bh_rank"),
         F.round("adj", 6).alias("p_adj"),
