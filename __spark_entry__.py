@@ -7059,6 +7059,48 @@ def q_range_volatility(spark, sf_dir):
     return range_volatility(_series_from_events(spark, sf_dir))
 
 
+def q_mcnemar_wow(spark, sf_dir):
+    """McNemar week-over-week paired binary test: hour-of-week slots
+    flip above/below the metric's median hourly volume; continuity-
+    corrected chi-square over the discordant flips."""
+    from timeseriescorrelation_spark.operators.pairtests import (
+        mcnemar_wow,
+    )
+
+    return mcnemar_wow(_series_from_events(spark, sf_dir))
+
+
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q across day-of-week treatments blocking by week on
+    the binary above-median daily state — complete blocks only, the
+    binary twin of friedman_test."""
+    from timeseriescorrelation_spark.operators.pairtests import (
+        cochran_q_dow,
+    )
+
+    return cochran_q_dow(_series_from_events(spark, sf_dir))
+
+
+def q_cvm_weekend(spark, sf_dir):
+    """Two-sample Cramér–von Mises weekend-vs-weekday distribution
+    test per metric via doubled midranks (Anderson's rank form)."""
+    from timeseriescorrelation_spark.operators.pairtests import (
+        cvm_weekend,
+    )
+
+    return cvm_weekend(_series_from_events(spark, sf_dir))
+
+
+def q_mood_weekend(spark, sf_dir):
+    """Mood's rank test of scale, weekend vs weekday daily volume —
+    squared centered combined ranks of the weekend sample."""
+    from timeseriescorrelation_spark.operators.pairtests import (
+        mood_weekend,
+    )
+
+    return mood_weekend(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7453,6 +7495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_daily": q_bollinger_daily,
         "stochastic_k": q_stochastic_k,
         "range_volatility": q_range_volatility,
+        "mcnemar_wow": q_mcnemar_wow,
+        "cochran_q": q_cochran_q,
+        "cvm_weekend": q_cvm_weekend,
+        "mood_weekend": q_mood_weekend,
     }
 
 
@@ -18960,5 +19006,162 @@ SELECT metric, day_ts, cast(n_hours AS bigint) AS n_hours,
        round((cast(lhl * lhl AS double) / 1e16)
              / 2.772588722239781, 6) AS pk_var
 FROM t
+""",
+        "mcnemar_wow": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT metric,
+         cast(round(2 * quantile_cont(y, 0.5)) AS bigint) AS med2
+  FROM h GROUP BY 1
+), tg AS (
+  SELECT h.metric,
+         ((epoch_us(hour_ts) // 3600000000) // 24 + 4) // 7 AS week,
+         (epoch_us(hour_ts) // 3600000000 + 96) % 168 AS slot,
+         CASE WHEN 2 * y > med2 THEN 1 ELSE 0 END AS b
+  FROM h JOIN med USING (metric)
+), p AS (
+  SELECT a.metric, a.b, c.b AS b_prev
+  FROM tg a JOIN tg c
+    ON a.metric = c.metric AND a.slot = c.slot
+   AND a.week = c.week + 1
+), g AS (
+  SELECT metric, cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(CASE WHEN b_prev = 0 AND b = 1 THEN 1 ELSE 0 END)
+              AS bigint) AS b01,
+         cast(sum(CASE WHEN b_prev = 1 AND b = 0 THEN 1 ELSE 0 END)
+              AS bigint) AS b10
+  FROM p GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT metric, n_pairs, b01, b10,
+       round(CASE WHEN b01 + b10 > 0 THEN
+             cast(greatest(abs(b01 - b10) - 1, 0)
+                  * greatest(abs(b01 - b10) - 1, 0) AS double)
+             / cast(b01 + b10 AS double) END, 6) AS chi2_cc
+FROM g
+""",
+        "cochran_q": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT metric,
+         cast(round(2 * quantile_cont(y, 0.5)) AS bigint) AS med2
+  FROM d GROUP BY 1
+), tg AS (
+  SELECT d.metric,
+         (epoch_us(day_ts) // 86400000000 + 4) // 7 AS week,
+         (epoch_us(day_ts) // 86400000000 + 4) % 7 AS dow,
+         CASE WHEN 2 * y > med2 THEN 1 ELSE 0 END AS b
+  FROM d JOIN med USING (metric)
+), comp AS (
+  SELECT metric, week, cast(sum(b) AS bigint) AS r_i
+  FROM tg GROUP BY 1, 2 HAVING count(*) = 7
+), kept AS (
+  SELECT tg.metric, tg.dow, tg.b
+  FROM tg JOIN comp USING (metric, week)
+), cols AS (
+  SELECT metric, dow, cast(sum(b) AS bigint) AS c_j
+  FROM kept GROUP BY 1, 2
+), cs AS (
+  SELECT metric, cast(sum(c_j * c_j) AS bigint) AS sum_c2,
+         cast(sum(c_j) AS bigint) AS n_succ
+  FROM cols GROUP BY 1
+), rs AS (
+  SELECT metric, cast(count(*) AS bigint) AS n_blocks,
+         cast(sum(r_i * r_i) AS bigint) AS sum_r2
+  FROM comp GROUP BY 1
+)
+SELECT cs.metric, n_blocks, n_succ AS n_success,
+       round(CASE WHEN 7 * n_succ - sum_r2 > 0 THEN
+             cast(6 * (7 * sum_c2 - n_succ * n_succ) AS double)
+             / cast(7 * n_succ - sum_r2 AS double) END, 6) AS q_stat
+FROM cs JOIN rs ON cs.metric = rs.metric
+WHERE n_blocks >= 3
+""",
+        "cvm_weekend": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, day_ts, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), r AS (
+  SELECT m, g,
+         2 * rank() OVER (PARTITION BY m ORDER BY y)
+           + count(*) OVER (PARTITION BY m, y) - 1 AS r2,
+         2 * row_number()
+           OVER (PARTITION BY m, g ORDER BY y, day_ts) AS i2
+  FROM dd
+), per AS (
+  SELECT m, g, cast(count(*) AS bigint) AS n,
+         cast(sum((r2 - i2) * (r2 - i2)) AS bigint) AS s4
+  FROM r GROUP BY 1, 2
+), x AS (
+  SELECT m, n AS nx, s4 AS s4x FROM per WHERE g = 0
+), y AS (
+  SELECT m, n AS ny, s4 AS s4y FROM per WHERE g = 1
+), j AS (
+  SELECT x.m, nx, ny, nx * s4x + ny * s4y AS u4
+  FROM x JOIN y ON x.m = y.m
+  WHERE nx >= 4 AND ny >= 4
+)
+SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
+       cast(u4 AS bigint) AS u4_stat,
+       round(cast(u4 AS double)
+             / (4.0 * (cast(nx AS double) + cast(ny AS double))
+                * cast(nx AS double) * cast(ny AS double))
+             - (4.0 * cast(nx AS double) * cast(ny AS double) - 1.0)
+               / (6.0 * (cast(nx AS double) + cast(ny AS double))),
+             6) AS t_stat
+FROM j
+""",
+        "mood_weekend": """
+WITH d AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT m, day_ts, y,
+         CASE WHEN ((epoch_us(day_ts) // 86400000000) + 4) % 7
+                   IN (0, 6) THEN 1 ELSE 0 END AS g
+  FROM d
+), r AS (
+  SELECT m, g,
+         2 * rank() OVER (PARTITION BY m ORDER BY y)
+           + count(*) OVER (PARTITION BY m, y) - 1 AS r2
+  FROM dd
+), cnt AS (
+  SELECT m, cast(sum(1 - g) AS bigint) AS nx,
+         cast(sum(g) AS bigint) AS ny
+  FROM r GROUP BY 1
+), m4 AS (
+  SELECT r.m,
+         cast(sum((r2 - (nx + ny + 1)) * (r2 - (nx + ny + 1)))
+              AS bigint) AS m4
+  FROM r JOIN cnt ON r.m = cnt.m
+  WHERE g = 1 GROUP BY 1
+), j AS (
+  SELECT cnt.m, nx, ny, m4,
+         cast(nx AS double) AS nxd, cast(ny AS double) AS nyd,
+         cast(nx AS double) + cast(ny AS double) AS nnd
+  FROM cnt JOIN m4 ON cnt.m = m4.m
+  WHERE nx >= 4 AND ny >= 4
+)
+SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
+       m4 AS m4_stat,
+       round(CASE WHEN nxd * nyd * (nnd + 1.0)
+                       * (nnd * nnd - 4.0) / 180.0 > 0 THEN
+             (cast(m4 AS double) / 4.0
+              - nyd * (nnd * nnd - 1.0) / 12.0)
+             / sqrt(nxd * nyd * (nnd + 1.0)
+                    * (nnd * nnd - 4.0) / 180.0) END, 6) AS z
+FROM j
 """,
     }
