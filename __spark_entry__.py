@@ -7101,6 +7101,26 @@ def q_mood_weekend(spark, sf_dir):
     return mood_weekend(_series_from_events(spark, sf_dir))
 
 
+def q_arch_lm(spark, sf_dir):
+    """Engle's ARCH LM test (lag 1) on squared hourly deltas per
+    metric — volatility clustering screen; exact decimal power sums,
+    LM = n·R² compared downstream against the chi-square-1 table."""
+    from timeseriescorrelation_spark.operators.tsdiag import arch_lm
+
+    return arch_lm(_series_from_events(spark, sf_dir))
+
+
+def q_segmented_trend(spark, sf_dir):
+    """Piecewise OLS trend around the Pettitt breakpoint: slope on
+    each side of the detected shift plus the slope delta — the
+    composition of pettitt_test and trend_daily's exact algebra."""
+    from timeseriescorrelation_spark.operators.changepoint import (
+        segmented_trend,
+    )
+
+    return segmented_trend(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7499,6 +7519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_q": q_cochran_q,
         "cvm_weekend": q_cvm_weekend,
         "mood_weekend": q_mood_weekend,
+        "arch_lm": q_arch_lm,
+        "segmented_trend": q_segmented_trend,
     }
 
 
@@ -19163,5 +19185,102 @@ SELECT m AS metric, nx AS n_weekday, ny AS n_weekend,
              / sqrt(nxd * nyd * (nnd + 1.0)
                     * (nnd * nnd - 4.0) / 180.0) END, 6) AS z
 FROM j
+""",
+        "arch_lm": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT metric, hour_ts,
+         y - lag(y) OVER (PARTITION BY metric ORDER BY hour_ts) AS dy
+  FROM h
+), z AS (
+  SELECT metric, hour_ts,
+         cast(dy AS hugeint) * cast(dy AS hugeint) AS z
+  FROM d WHERE dy IS NOT NULL
+), p AS (
+  SELECT metric, z AS v,
+         lag(z) OVER (PARTITION BY metric ORDER BY hour_ts) AS u
+  FROM z
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(u) AS su, sum(v) AS sv, sum(u * v) AS suv,
+         sum(u * u) AS suu, sum(v * v) AS svv
+  FROM p WHERE u IS NOT NULL GROUP BY 1 HAVING count(*) >= 12
+), e AS (
+  SELECT metric, n,
+         cast(n * suv - su * sv AS double) AS cov,
+         cast(n * suu - su * su AS double) AS vu,
+         cast(n * svv - sv * sv AS double) AS vv
+  FROM g
+)
+SELECT metric, cast(n AS bigint) AS n_pairs,
+       round(CASE WHEN vu > 0 AND vv > 0
+             THEN cov * cov / (vu * vv) END, 6) AS r2,
+       round(CASE WHEN vu > 0 AND vv > 0
+             THEN cast(n AS double) * cov * cov / (vu * vv) END,
+             6) AS lm_stat
+FROM e
+""",
+        "segmented_trend": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT i.metric, i.day_ts AS di, j.day_ts AS dj, i.y AS yi, j.y AS yj
+  FROM d i JOIN d j
+    ON i.metric = j.metric AND i.day_ts <> j.day_ts
+), delta AS (
+  SELECT metric, di,
+         cast(sum(CASE WHEN di < dj THEN sign(yj - yi) ELSE 0 END)
+              - sum(CASE WHEN di > dj THEN sign(yi - yj) ELSE 0 END)
+              AS bigint) AS du
+  FROM pairs GROUP BY 1, 2
+), u AS (
+  SELECT metric, di,
+         cast(sum(du) OVER (PARTITION BY metric ORDER BY di
+                            ROWS UNBOUNDED PRECEDING) AS bigint) AS u_t
+  FROM delta
+), best AS (
+  SELECT metric, di,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY abs(u_t) DESC, di ASC) AS r
+  FROM u
+), nn AS (
+  SELECT metric, count(*) AS n_days FROM d GROUP BY 1
+), bp AS (
+  SELECT b.metric, di AS change_day
+  FROM best b JOIN nn ON b.metric = nn.metric
+  WHERE r = 1 AND n_days >= 8
+), tagged AS (
+  SELECT d.metric, bp.change_day,
+         CASE WHEN d.day_ts > bp.change_day THEN 1 ELSE 0 END AS seg,
+         cast(epoch_us(d.day_ts) // 86400000000
+              - epoch_us(bp.change_day) // 86400000000
+              AS hugeint) AS x,
+         cast(y AS hugeint) AS y
+  FROM d JOIN bp ON d.metric = bp.metric
+), per AS (
+  SELECT metric, change_day, seg, cast(count(*) AS hugeint) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM tagged GROUP BY 1, 2, 3 HAVING count(*) >= 3
+), sides AS (
+  SELECT metric, change_day, seg, cast(n AS bigint) AS n,
+         CASE WHEN n * sxx - sx * sx > 0 THEN
+              cast(n * sxy - sx * sy AS double)
+              / cast(n * sxx - sx * sx AS double) / 100.0 END AS slope
+  FROM per
+)
+SELECT a.metric, a.change_day,
+       a.n AS n_pre, b.n AS n_post,
+       round(a.slope, 6) AS slope_pre,
+       round(b.slope, 6) AS slope_post,
+       round(b.slope - a.slope, 6) AS slope_delta
+FROM sides a JOIN sides b
+  ON a.metric = b.metric AND a.change_day = b.change_day
+ AND a.seg = 0 AND b.seg = 1
 """,
     }

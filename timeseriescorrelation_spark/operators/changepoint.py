@@ -371,3 +371,83 @@ def pettitt_test(series: DataFrame, keys: list[str] | None = None,
         F.col("change_day"),
         F.round(F.least(p, F.lit(1.0)), 6).alias("p_approx"),
     )
+
+
+def segmented_trend(series: DataFrame, keys: list[str] | None = None,
+                    value_decimals: int = 2,
+                    min_days: int = 8,
+                    min_seg: int = 3) -> DataFrame:
+    """(metric, change_day, n_pre, n_post, slope_pre, slope_post,
+    slope_delta): piecewise-linear trend around the Pettitt
+    breakpoint — pettitt_test finds WHERE the series shifted; this
+    reports HOW the trend differs on each side, the composition the
+    two operators exist for (trend_daily gives one global slope; a
+    regime change hides inside it).
+
+    Each side gets the exact-moment OLS slope of daily cent-sum on
+    day index (trend_daily's algebra), with the day index CENTERED on
+    the breakpoint so the decimal38 products stay small and the
+    slope is shift-invariant:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) / scale
+
+    value units per day, one double divide per side, 6 dp; NULL when
+    a side's x-variance is 0 (single distinct day).  Sides with fewer
+    than `min_seg` days are dropped WITH their metric (a slope on 2
+    points is noise, and reporting one side only would invite a
+    pre-vs-post read that doesn't exist).
+
+    Scale: pettitt_test's bounded T²-pair enumeration (T = calendar
+    days) + one day-grid hash-agg per side — raw rows are touched
+    once, by the grid aggregation."""
+    keys = keys or ["metric"]
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    bp = pettitt_test(
+        series, keys=keys, value_decimals=value_decimals,
+        min_days=min_days,
+    ).select(*keys, "change_day")
+    d = series.groupBy(
+        *keys, F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    j = d.join(F.broadcast(bp), keys)
+    x = (
+        F.floor(epoch_us(F.col("day_ts")) / F.lit(86_400_000_000))
+        - F.floor(epoch_us(F.col("change_day")) / F.lit(86_400_000_000))
+    ).cast(dec)
+    seg = (F.col("day_ts") > F.col("change_day")).cast("int")
+    per = j.select(
+        *keys, "change_day", seg.alias("seg"), x.alias("x"),
+        F.col("y").cast(dec).alias("y"),
+    ).groupBy(*keys, "change_day", "seg").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).where(F.col("n") >= int(min_seg))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(
+        den > 0,
+        num.cast("double") / den.cast("double") / F.lit(float(scale)),
+    )
+    sides = per.select(*keys, "change_day", "seg",
+                       F.col("n").cast("long").alias("n"),
+                       slope.alias("slope"))
+    pre = sides.where(F.col("seg") == 0).select(
+        *keys, "change_day", F.col("n").alias("n_pre"),
+        F.col("slope").alias("slope_pre"))
+    post = sides.where(F.col("seg") == 1).select(
+        *keys, "change_day", F.col("n").alias("n_post"),
+        F.col("slope").alias("slope_post"))
+    out = pre.join(post, [*keys, "change_day"])
+    return out.select(
+        *keys, "change_day", "n_pre", "n_post",
+        F.round("slope_pre", 6).alias("slope_pre"),
+        F.round("slope_post", 6).alias("slope_post"),
+        F.round(F.col("slope_post") - F.col("slope_pre"), 6)
+        .alias("slope_delta"),
+    )

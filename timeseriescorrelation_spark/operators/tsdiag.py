@@ -947,3 +947,66 @@ def durbin_watson(series: DataFrame, key: str = "metric",
                F.round(F.lit(1.0) - dw / F.lit(2.0), 6))
          .alias("rho_lag1"),
     )
+
+
+def arch_lm(series: DataFrame, key: str = "metric",
+            value_decimals: int = 2,
+            min_pairs: int = 12) -> DataFrame:
+    """(metric, n_pairs, r2, lm_stat): Engle's ARCH LM test (lag 1)
+    per metric over the HOURLY DELTAS of the cent-sum series — does
+    volatility cluster?  Squared changes z_t = (Δy_t)² are regressed
+    on their own lag; under no-ARCH the slope is 0 and
+
+        LM = n · R²(z_t, z_{t−1})
+
+    is asymptotically χ²₁.  A significant LM means calm hours follow
+    calm hours and wild hours follow wild ones — exactly the regime
+    where every constant-σ alert threshold (anomaly_1h, cusum) under-
+    and over-fires by turns; compare |LM| downstream against the χ²₁
+    table (the grubbs/mann_kendall policy: no erf in either engine).
+
+    Deltas, not deviations: differencing removes the level/trend so
+    no mean-model join is needed, and z_t stays an EXACT integer —
+    the whole statistic rides decimal38 power sums with the
+    jarque_bera headroom bound (|Δ| ≤ 10⁸ cents, n ≤ 10⁴ hours keeps
+    every product < 10³⁷; ANSI decimal overflow errors loudly, never
+    wraps).  R² is the squared exact-moment Pearson correlation, one
+    shared double tree, 6 dp; NULL when either variance is 0.
+
+    Sequence convention: lags run over the observed hourly sequence
+    (gaps splice, module policy).  Scale: one hash-agg to the hour
+    grid, two lag windows per metric over grid rows, one hash-agg."""
+    h = _hourly_cents(series, [key], value_decimals)
+    w = Window.partitionBy(key).orderBy("hour_ts")
+    d = h.select(
+        key, "hour_ts",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("dy"),
+    ).where(F.col("dy").isNotNull())
+    z = d.select(
+        key, "hour_ts",
+        (F.col("dy").cast(DEC) * F.col("dy").cast(DEC)).alias("z"),
+    )
+    p = z.select(
+        key,
+        F.col("z").alias("v"),
+        F.lag("z", 1).over(w).alias("u"),
+    ).where(F.col("u").isNotNull())
+    g = p.groupBy(key).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    ).where(F.col("n") >= int(min_pairs))
+    n, su, sv = F.col("n"), F.col("su"), F.col("sv")
+    cov = (n * F.col("suv") - su * sv).cast("double")
+    vu = (n * F.col("suu") - su * su).cast("double")
+    vv = (n * F.col("svv") - sv * sv).cast("double")
+    r2 = F.when((vu > 0) & (vv > 0), cov * cov / (vu * vv))
+    return g.select(
+        key,
+        n.cast("long").alias("n_pairs"),
+        F.round(r2, 6).alias("r2"),
+        F.round(n.cast("double") * r2, 6).alias("lm_stat"),
+    )
