@@ -5993,8 +5993,9 @@ def q_isotonic_calibration(spark, sf_dir):
     """Isotonic (PAVA) calibration table: hour-of-day purchase share
     learned on the first half of days scores each later event; PAVA
     pools adjacent violators with exact integer cross-multiplication
-    on the driver over ≤1001 quantized-score bins.  Rows-only
-    (sequential pooling isn't SQL-expressible); hand-PAVA pytest."""
+    on the driver over ≤1001 quantized-score bins.  Fully gated: the
+    oracle replays the isotonic minimax identity
+    (max_{j≤i} min_{k≥i} interval mean) in SQL."""
     from timeseriescorrelation_spark.operators.abtest import (
         isotonic_calibration,
     )
@@ -19282,5 +19283,52 @@ SELECT a.metric, a.change_day,
 FROM sides a JOIN sides b
   ON a.metric = b.metric AND a.change_day = b.change_day
  AND a.seg = 0 AND b.seg = 1
+""",
+        "isotonic_calibration": """
+WITH split AS (
+  SELECT date_trunc('day', min(ts)) + INTERVAL 15 DAY AS d FROM events
+), train AS (
+  SELECT hour(ts) AS hod,
+         cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS double) / cast(count(*) AS double) AS score
+  FROM events, split WHERE ts < d GROUP BY 1
+), test AS (
+  SELECT hour(ts) AS hod,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outcome
+  FROM events, split WHERE ts >= d
+), sc AS (
+  SELECT round(score * 1000) / 1000 AS score, outcome
+  FROM test JOIN train USING (hod)
+), bins AS (
+  SELECT score, cast(count(*) AS bigint) AS n,
+         cast(sum(outcome) AS bigint) AS successes
+  FROM sc GROUP BY 1
+), idx AS (
+  SELECT score, n, successes,
+         row_number() OVER (ORDER BY score) AS i,
+         cast(sum(n) OVER (ORDER BY score) AS bigint) AS pn,
+         cast(sum(successes) OVER (ORDER BY score) AS bigint) AS ps
+  FROM bins
+), iv AS (
+  -- mean of every score-interval [j..k] from prefix sums; the PAVA
+  -- fit at bin i is max_{j<=i} min_{k>=i} mean(j,k) (minimax
+  -- identity for isotonic regression) -- O(B^3) here vs the
+  -- engine's O(B) driver PAVA, fine for B <= 1001 oracle bins
+  SELECT j.i AS j, k.i AS k,
+         cast(k.ps - j.ps + j.successes AS double)
+         / cast(k.pn - j.pn + j.n AS double) AS mean_jk
+  FROM idx j JOIN idx k ON j.i <= k.i
+), inner_min AS (
+  SELECT b.i, iv.j, min(mean_jk) AS mn
+  FROM iv JOIN idx b ON iv.j <= b.i AND iv.k >= b.i
+  GROUP BY 1, 2
+), mm AS (
+  SELECT i, max(mn) AS rate_iso FROM inner_min GROUP BY 1
+)
+SELECT cast(b.i - 1 AS int) AS bin_idx, b.score, b.n, b.successes,
+       round(cast(b.successes AS double) / cast(b.n AS double), 6)
+         AS rate_raw,
+       round(mm.rate_iso, 6) AS rate_iso
+FROM idx b JOIN mm ON b.i = mm.i
 """,
     }

@@ -309,8 +309,11 @@ def isotonic_calibration(scored: DataFrame, score_col: str = "score",
     and the violator test succ_i·n_j ≥ succ_j·n_i is integer
     cross-multiplication, so pooling decisions never touch a float;
     rate_iso = pooled succ/n is one final division.  Deterministic
-    bit-for-bit, but not SQL-oracle-able (PAVA is inherently
-    sequential pooling) — rows-only gate, hand-PAVA pytest.
+    bit-for-bit AND fully SQL-oracle-able: the DuckDB gate replays
+    the minimax identity rate_iso(i) = max_{j≤i} min_{k≥i}
+    mean(succ/n over bins [j..k]) — O(B³) interval means over ≤1001
+    bins, equal to the PAVA block means as rationals and hence as
+    correctly-rounded doubles.
 
     Output is the calibration TABLE (bin → calibrated rate); applying
     it to new traffic is a broadcast range join on score."""
