@@ -2859,10 +2859,10 @@ def q_sliding_quota(spark, sf_dir):
 def q_changepoints_multi(spark, sf_dir):
     """Recursive binary segmentation (driver-paced fixpoint over the
     single-split primitive) — piecewise-constant fit per (metric,
-    day).  No oracle_sql: the segment relabeling loop is iterative
-    (same policy as the streaming ops); semantics pinned by pytest
-    against hand-computed segmentations, split math shared with the
-    gate-green changepoint_daily."""
+    day).  Fully gated: max_splits=2 is a FIXED recursion depth, so
+    the oracle unrolls the loop as two identical SQL levels (split
+    scan → best cut → relabel); semantics additionally pinned by
+    pytest against hand-computed segmentations."""
     from timeseriescorrelation_spark.operators.changepoint import (
         changepoints_multi,
     )
@@ -19330,5 +19330,104 @@ SELECT cast(b.i - 1 AS int) AS bin_idx, b.score, b.n, b.successes,
          AS rate_raw,
        round(mm.rate_iso, 6) AS rate_iso
 FROM idx b JOIN mm ON b.i = mm.i
+""",
+        # binary segmentation unrolled: max_splits=2 is a FIXED
+        # recursion depth, so the driver-paced loop is two identical
+        # SQL levels (split scan -> best cut -> relabel), exactly the
+        # engine's per-round job
+        "changepoints_multi": """
+WITH p0 AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) AS t_us, cast(event_id AS bigint) AS turn_idx,
+         cast(round(value * 100) AS bigint) AS c,
+         cast(0 AS bigint) AS seg
+  FROM events
+), l1 AS (
+  SELECT metric, day_ts, seg, t_us, turn_idx, c,
+         row_number() OVER (PARTITION BY metric, day_ts, seg
+                            ORDER BY t_us, turn_idx) AS k,
+         cast(sum(c) OVER (PARTITION BY metric, day_ts, seg
+                           ORDER BY t_us, turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS bigint) AS sk,
+         cast(count(*) OVER (PARTITION BY metric, day_ts, seg)
+              AS bigint) AS n,
+         cast(sum(c) OVER (PARTITION BY metric, day_ts, seg)
+              AS bigint) AS sn
+  FROM p0
+), g1 AS (
+  SELECT *, cast(sk AS double) * cast(sk AS double) / cast(k AS double)
+          + (cast(sn AS double) - cast(sk AS double))
+            * (cast(sn AS double) - cast(sk AS double))
+            / (cast(n AS double) - cast(k AS double))
+          - cast(sn AS double) * cast(sn AS double)
+            / cast(n AS double) AS gain
+  FROM l1 WHERE k >= 4 AND k <= n - 4
+), b1 AS (
+  SELECT metric, day_ts, seg, t_us AS cut_t, turn_idx AS cut_o
+  FROM (SELECT *, max(gain) OVER (PARTITION BY metric, day_ts, seg)
+               AS mg FROM g1) q
+  WHERE gain = mg AND gain > 5000.0
+  QUALIFY row_number() OVER (PARTITION BY metric, day_ts, seg
+                             ORDER BY k) = 1
+), p1 AS (
+  SELECT p.metric, p.day_ts, p.t_us, p.turn_idx, p.c,
+         CASE WHEN b.cut_t IS NOT NULL
+                   AND (p.t_us > b.cut_t
+                        OR (p.t_us = b.cut_t
+                            AND p.turn_idx > b.cut_o))
+              THEN p.seg * 2 + 2 ELSE p.seg * 2 + 1 END AS seg
+  FROM p0 p LEFT JOIN b1 b
+    ON p.metric = b.metric AND p.day_ts = b.day_ts AND p.seg = b.seg
+), l2 AS (
+  SELECT metric, day_ts, seg, t_us, turn_idx, c,
+         row_number() OVER (PARTITION BY metric, day_ts, seg
+                            ORDER BY t_us, turn_idx) AS k,
+         cast(sum(c) OVER (PARTITION BY metric, day_ts, seg
+                           ORDER BY t_us, turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS bigint) AS sk,
+         cast(count(*) OVER (PARTITION BY metric, day_ts, seg)
+              AS bigint) AS n,
+         cast(sum(c) OVER (PARTITION BY metric, day_ts, seg)
+              AS bigint) AS sn
+  FROM p1
+), g2 AS (
+  SELECT *, cast(sk AS double) * cast(sk AS double) / cast(k AS double)
+          + (cast(sn AS double) - cast(sk AS double))
+            * (cast(sn AS double) - cast(sk AS double))
+            / (cast(n AS double) - cast(k AS double))
+          - cast(sn AS double) * cast(sn AS double)
+            / cast(n AS double) AS gain
+  FROM l2 WHERE k >= 4 AND k <= n - 4
+), b2 AS (
+  SELECT metric, day_ts, seg, t_us AS cut_t, turn_idx AS cut_o
+  FROM (SELECT *, max(gain) OVER (PARTITION BY metric, day_ts, seg)
+               AS mg FROM g2) q
+  WHERE gain = mg AND gain > 5000.0
+  QUALIFY row_number() OVER (PARTITION BY metric, day_ts, seg
+                             ORDER BY k) = 1
+), p2 AS (
+  SELECT p.metric, p.day_ts, p.t_us, p.turn_idx, p.c,
+         CASE WHEN b.cut_t IS NOT NULL
+                   AND (p.t_us > b.cut_t
+                        OR (p.t_us = b.cut_t
+                            AND p.turn_idx > b.cut_o))
+              THEN p.seg * 2 + 2 ELSE p.seg * 2 + 1 END AS seg
+  FROM p1 p LEFT JOIN b2 b
+    ON p.metric = b.metric AND p.day_ts = b.day_ts AND p.seg = b.seg
+), og AS (
+  SELECT metric, day_ts, seg, cast(count(*) AS bigint) AS n,
+         min({'t': t_us, 'o': turn_idx}) AS s0,
+         cast(sum(c) AS bigint) AS sc
+  FROM p2 GROUP BY 1, 2, 3
+)
+SELECT metric, day_ts,
+       cast(row_number() OVER (PARTITION BY metric, day_ts
+                               ORDER BY s0.t, s0.o) AS int) AS seg_id,
+       make_timestamp(s0.t) AS seg_start_ts,
+       n, round(cast(sc AS double) / cast(n AS double) / 100.0, 6)
+            AS mean
+FROM og
 """,
     }
