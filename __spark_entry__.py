@@ -2758,8 +2758,11 @@ def q_bpe_vocab(spark, sf_dir):
 def q_dtw_daily(spark, sf_dir):
     """Banded DTW between every metric pair's z-normed 24-point daily
     profile — elastic shape similarity where Pearson dies on phase
-    shifts.  2-D recurrence → rows-only driver check; math pinned by
-    pytest vs an unbanded brute-force reference (tests/test_dtw.py)."""
+    shifts.  Fully gated: the fixed profile length unrolls the 2-D
+    recurrence along anti-diagonals into 47 generated SQL levels,
+    bit-exact because the z-norm is a shared exact-integer expression
+    (see _dtw_oracle); also pinned by pytest vs an unbanded
+    brute-force reference (tests/test_dtw.py)."""
     from timeseriescorrelation_spark.operators.dtw import dtw_daily_pairs
 
     return dtw_daily_pairs(
@@ -8294,10 +8297,78 @@ FROM m
 """
 
 
+def _dtw_oracle(band: int = 3) -> str:
+    """Banded DTW as SQL: the 24×24 DP unrolls along ANTI-DIAGONALS
+    (cells with i+j = t depend only on diagonals t−1 and t−2), so the
+    fixed profile length pins the recursion at 47 generated CTE
+    levels — each one three small left joins on the banded cost
+    table.  Bit-exact vs the Arrow kernel because the z-norm is the
+    shared integer expression v = (24·y − T)/√(24·S2 − T²) and the
+    DP adds the SAME doubles in the SAME order."""
+    n = 24
+    head = f"""
+WITH hb AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day_ts,
+         hour(ts) AS h,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2, 3
+), grid AS (
+  SELECT kd.k, kd.day_ts, gs.h, coalesce(hb.y, 0) AS y
+  FROM (SELECT DISTINCT k, day_ts FROM hb) kd
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS h) gs
+  LEFT JOIN hb ON hb.k = kd.k AND hb.day_ts = kd.day_ts
+             AND hb.h = gs.h
+), st AS (
+  SELECT k, day_ts, cast(sum(y) AS bigint) AS t_sum,
+         sum(cast(y AS hugeint) * y) AS s2
+  FROM grid GROUP BY 1, 2
+), zv AS (
+  SELECT g.k, g.day_ts, g.h,
+         CASE WHEN {n} * s2 - cast(t_sum AS hugeint) * t_sum > 0
+              THEN cast({n} * g.y - t_sum AS double)
+                   / sqrt(cast({n} * s2
+                               - cast(t_sum AS hugeint) * t_sum
+                               AS double))
+              ELSE 0.0 END AS v
+  FROM grid g JOIN st ON g.k = st.k AND g.day_ts = st.day_ts
+), cost AS MATERIALIZED (
+  SELECT a.k AS ma, b.k AS mb, a.day_ts,
+         a.h + 1 AS i, a.h + b.h + 2 AS t, abs(a.v - b.v) AS cost
+  FROM zv a JOIN zv b ON a.day_ts = b.day_ts AND a.k < b.k
+  WHERE abs(a.h - b.h) <= {band}
+), lvl0 AS (
+  SELECT DISTINCT ma, mb, day_ts, 0 AS i, 0.0 AS d FROM cost
+), lvl1 AS (
+  SELECT ma, mb, day_ts, i, d FROM lvl0 WHERE false
+)"""
+    lvls = []
+    for t in range(2, 2 * n + 1):
+        lvls.append(f""", lvl{t} AS MATERIALIZED (
+  SELECT c.ma, c.mb, c.day_ts, c.i,
+         c.cost + least(coalesce(p1a.d, 1e308),
+                        coalesce(p1b.d, 1e308),
+                        coalesce(p2.d, 1e308)) AS d
+  FROM cost c
+  LEFT JOIN lvl{t - 1} p1a ON c.ma = p1a.ma AND c.mb = p1a.mb
+       AND c.day_ts = p1a.day_ts AND p1a.i = c.i - 1
+  LEFT JOIN lvl{t - 1} p1b ON c.ma = p1b.ma AND c.mb = p1b.mb
+       AND c.day_ts = p1b.day_ts AND p1b.i = c.i
+  LEFT JOIN lvl{t - 2} p2 ON c.ma = p2.ma AND c.mb = p2.mb
+       AND c.day_ts = p2.day_ts AND p2.i = c.i - 1
+  WHERE c.t = {t}
+)""")
+    tail = f"""
+SELECT ma AS metric_a, mb AS metric_b, day_ts, round(d, 6) AS dtw
+FROM lvl{2 * n} WHERE i = {n}
+"""
+    return head + "".join(lvls) + tail
+
+
 def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
+    d["dtw_daily"] = _dtw_oracle(band=3)
     # Murphy decomposition composes on the calibration oracle verbatim
     d["brier_decomposition"] = (
         "WITH cal AS (" + d["markov_calibration"] + """), tot AS (

@@ -65,13 +65,24 @@ def dtw_daily_pairs(series: DataFrame, key: str = "metric",
     zn = bool(z_norm)
 
     def _dense(hy) -> "np.ndarray":
-        v = np.zeros(24, dtype=np.float64)
+        yv = np.zeros(24, dtype=np.int64)
         for e in hy:
-            v[int(e["h"])] = float(e["y"]) / scale
-        if zn:
-            sd = v.std()
-            v = (v - v.mean()) / sd if sd > 0 else np.zeros(24)
-        return v
+            yv[int(e["h"])] = int(e["y"])
+        if not zn:
+            return yv.astype(np.float64) / scale
+        # z-norm as ONE double expression over exact integers:
+        #   v_i = (24·y_i − T) / sqrt(24·S2 − T²)
+        # algebraically identical to (v − mean)/std but replicable
+        # bit-for-bit by the SQL oracle (int→double conversion and
+        # the correctly-rounded sqrt/divide are engine-independent);
+        # scale cancels entirely
+        t = int(yv.sum())
+        s2 = sum(int(x) * int(x) for x in yv)  # python bigint, no wrap
+        den2 = 24 * s2 - t * t
+        if den2 <= 0:
+            return np.zeros(24)
+        num = 24 * yv - t  # exact int64
+        return num.astype(np.float64) / float(np.sqrt(float(den2)))
 
     def _dtw(x: "np.ndarray", y: "np.ndarray") -> float:
         n = len(x)
