@@ -4840,10 +4840,14 @@ def q_fk_orphans(spark, sf_dir):
 
 def q_bfs_reach(spark, sf_dir):
     """Shortest-hop depth of every user from the lowest-id seed over
-    the hourly co-activity graph (users sharing an active hour are
-    adjacent) — the blast-radius query.  Driver-paced BFS with
+    the hub-capped hourly co-activity graph (users sharing an active
+    hour are adjacent; per-hour membership capped at the 24 smallest
+    ids — the edge_similarity policy, so the pair join is bounded at
+    any scale) — the blast-radius query.  Driver-paced BFS with
     per-level localCheckpoint; the oracle closes reachability in a
     recursive CTE and takes min(depth) per node."""
+    from pyspark.sql import Window
+
     from timeseriescorrelation_spark.operators.graphrank import (
         bfs_depths,
     )
@@ -4853,6 +4857,9 @@ def q_bfs_reach(spark, sf_dir):
         F.col("user_id").cast("long").alias("u"),
         F.date_trunc("hour", "ts").alias("b"),
     ).distinct()
+    w = Window.partitionBy("b").orderBy("u")
+    active = active.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= 24).drop("_r")
     edges = (
         active.alias("x")
         .join(active.alias("y"), "b")
@@ -5081,12 +5088,13 @@ def q_assortativity(spark, sf_dir):
     """How the co-activity graph is wired: Newman degree assortativity
     (hubs-to-hubs vs hubs-to-leaves) plus node/edge/degree summary.
 
-    Scale note: the co-activity pair source (shared-hour self-join,
-    same as bfs_reach) is quadratic in users-per-hour — at
-    dense-cohort scale, cap or sample the per-hour membership before
-    the self-join exactly as the LSH bucket joins cap hot buckets
-    (operators/dedup.py max_bucket); the assortativity math downstream
-    is linear in edges."""
+    The per-hour membership is capped at the 24 smallest user ids
+    BEFORE the self-join (the edge_similarity / LSH max_bucket
+    policy, applied for real rather than documented as a caveat), so
+    the pair source is bounded at any scale; the assortativity math
+    downstream is linear in edges."""
+    from pyspark.sql import Window
+
     from timeseriescorrelation_spark.operators.graphrank import (
         degree_assortativity,
     )
@@ -5096,9 +5104,12 @@ def q_assortativity(spark, sf_dir):
         F.col("user_id").cast("long").alias("u"),
         F.date_trunc("hour", "ts").alias("b"),
     ).distinct()
+    w = Window.partitionBy("b").orderBy("u")
+    capped = active.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= 24).drop("_r")
     edges = (
-        active.alias("x")
-        .join(active.alias("y"), "b")
+        capped.alias("x")
+        .join(capped.alias("y"), "b")
         .where(F.col("x.u") < F.col("y.u"))
         .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
     )
@@ -5164,9 +5175,13 @@ def q_psi_fixed(spark, sf_dir):
 def _coactivity_minute_edges(spark, sf_dir):
     """Distinct (a < b) user pairs sharing a minute bucket — the
     SPARSE co-activity graph (minute grain: ~1k edges at sf0.01 vs
-    ~11k at hour grain where the graph is near-complete).  Same
-    quadratic-per-bucket caveat as q_assortativity: cap per-bucket
-    membership at dense-cohort scale before the self-join."""
+    ~11k at hour grain where the graph is near-complete).  Per-bucket
+    membership is capped at the 24 smallest user ids (deterministic,
+    SQL-replicable — the edge_similarity hub-cap policy), so
+    edges/bucket ≤ C² and every downstream wedge/peel join is bounded
+    at any scale instead of growing with the square of cohort size."""
+    from pyspark.sql import Window
+
     active = (
         _events(spark, sf_dir)
         .select(
@@ -5175,9 +5190,12 @@ def _coactivity_minute_edges(spark, sf_dir):
         )
         .distinct()
     )
+    w = Window.partitionBy("b").orderBy("u")
+    capped = active.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= 24).drop("_r")
     return (
-        active.alias("x")
-        .join(active.alias("y"), "b")
+        capped.alias("x")
+        .join(capped.alias("y"), "b")
         .where(F.col("x.u") < F.col("y.u"))
         .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
         .distinct()
@@ -7942,9 +7960,12 @@ _MINUTE_COACT_CTES = """active AS (
   SELECT DISTINCT cast(user_id AS bigint) AS u,
          date_trunc('minute', ts) AS b
   FROM events
+), capped AS (
+  SELECT u, b FROM active
+  QUALIFY row_number() OVER (PARTITION BY b ORDER BY u) <= 24
 ), e AS (
   SELECT DISTINCT x.u AS a, y.u AS b
-  FROM active x JOIN active y ON x.b = y.b AND x.u < y.u
+  FROM capped x JOIN capped y ON x.b = y.b AND x.u < y.u
 ), und AS (
   SELECT a, b FROM e UNION ALL SELECT b, a FROM e
 )"""
@@ -13124,9 +13145,12 @@ FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
         "bfs_reach": """
 WITH RECURSIVE act AS (
   SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS b FROM events
+), actc AS (
+  SELECT u, b FROM act
+  QUALIFY row_number() OVER (PARTITION BY b ORDER BY u) <= 24
 ), ed AS (
   SELECT DISTINCT x.u AS a, y.u AS b2
-  FROM act x JOIN act y ON x.b = y.b AND x.u <> y.u
+  FROM actc x JOIN actc y ON x.b = y.b AND x.u <> y.u
 ), seed AS (
   SELECT min(user_id) AS s FROM events
 ), reach(node, d) AS (
@@ -14254,9 +14278,12 @@ WITH active AS (
   SELECT DISTINCT cast(user_id AS bigint) AS u,
          date_trunc('hour', ts) AS b
   FROM events
+), capped AS (
+  SELECT u, b FROM active
+  QUALIFY row_number() OVER (PARTITION BY b ORDER BY u) <= 24
 ), e AS (
   SELECT DISTINCT x.u AS a, y.u AS b
-  FROM active x JOIN active y ON x.b = y.b AND x.u < y.u
+  FROM capped x JOIN capped y ON x.b = y.b AND x.u < y.u
 ), sym AS (
   SELECT a, b FROM e UNION ALL SELECT b, a FROM e
 ), deg AS (
