@@ -7143,6 +7143,26 @@ def q_segmented_trend(spark, sf_dir):
     return segmented_trend(_series_from_events(spark, sf_dir))
 
 
+def q_recovery_after_error(spark, sf_dir):
+    """Per-day self-service recovery after errors: ONE lead() over
+    each user's event sequence decides whether any follow-up lands
+    within 5 minutes; exact counts, mean gap of recovered only."""
+    from timeseriescorrelation_spark.operators.queueing import (
+        recovery_after_error,
+    )
+
+    return recovery_after_error(_events(spark, sf_dir))
+
+
+def q_trigram_novelty(spark, sf_dir):
+    """Curation-order novelty per document: share of its distinct
+    word trigrams claimed by no earlier doc_id — one posting-list
+    min-agg joined back, the exact-dedup shuffle shape."""
+    from timeseriescorrelation_spark.operators.lm import trigram_novelty
+
+    return trigram_novelty(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7543,6 +7563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_weekend": q_mood_weekend,
         "arch_lm": q_arch_lm,
         "segmented_trend": q_segmented_trend,
+        "recovery_after_error": q_recovery_after_error,
+        "trigram_novelty": q_trigram_novelty,
     }
 
 
@@ -8385,11 +8407,57 @@ FROM lvl{2 * n} WHERE i = {n}
     return head + "".join(lvls) + tail
 
 
+_RECOVERY_ORACLE = """
+WITH nx AS (
+  SELECT event_type, ts,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+), er AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+              THEN 1 ELSE 0 END AS rec,
+         CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+              THEN gap_us ELSE 0 END AS rus
+  FROM nx WHERE event_type = 'error'
+), g AS (
+  SELECT day_ts, cast(count(*) AS bigint) AS n_errors,
+         cast(sum(rec) AS bigint) AS n_recovered,
+         cast(sum(rus) AS bigint) AS rec_us
+  FROM er GROUP BY 1
+)
+SELECT day_ts, n_errors, n_recovered,
+       round(cast(n_recovered AS double) / cast(n_errors AS double),
+             6) AS recovery_rate,
+       CASE WHEN n_recovered > 0 THEN
+            round(cast(rec_us AS double)
+                  / cast(n_recovered AS double) / 1e6, 6)
+       END AS mean_gap_s
+FROM g
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
     d["dtw_daily"] = _dtw_oracle(band=3)
+    d["recovery_after_error"] = _RECOVERY_ORACLE
+    d["trigram_novelty"] = f"""
+WITH {_SHINGLE_CTES}, first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), g AS (
+  SELECT s.doc_id, cast(count(*) AS bigint) AS n_trigrams,
+         cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS bigint) AS n_novel
+  FROM sh s JOIN first f USING (shingle) GROUP BY 1
+)
+SELECT doc_id, n_trigrams, n_novel,
+       round(cast(n_novel AS double) / cast(n_trigrams AS double), 6)
+         AS novelty
+FROM g
+"""
     # Murphy decomposition composes on the calibration oracle verbatim
     d["brier_decomposition"] = (
         "WITH cal AS (" + d["markov_calibration"] + """), tot AS (

@@ -524,3 +524,48 @@ def dsir_weights(docs: DataFrame, target_source: str,
             F.sum("lr_u").cast("long").alias("logw_u"),
         )
     )
+
+
+def trigram_novelty(docs: DataFrame, n: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_trigrams, n_novel, novelty): per document, the
+    share of its distinct word n-grams that appear in NO
+    earlier-id document — the curation-order novelty score.  A crawl
+    processed in doc_id order wants high-novelty docs first and can
+    drop the long tail of boilerplate re-statements; this is the
+    per-doc aggregate view of what dedup_ngram_jaccard scores
+    pairwise (novelty 1.0 = contributes only unseen text, ~0 =
+    restates the corpus so far).
+
+    "Earlier" is the data's own deterministic order (min doc_id per
+    n-gram claims it), so the score is reproducible under any
+    partitioning — no timestamps consulted.  Counts are exact
+    integers off ONE posting-list hash-agg (min per shingle) joined
+    back to the per-doc lists; novelty is one divide, 6 dp.  Docs
+    with < n tokens drop (no n-grams — the shingles contract).
+
+    Scale: shingles is in-row (array_distinct before explode); the
+    min-agg and the join are both |postings|-sized equi-shuffles —
+    the exact-dedup shape, no pair joins anywhere."""
+    from timeseriescorrelation_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    first = sh.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    j = sh.join(first, "shingle")
+    g = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+        .alias("n_novel"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double")
+            / F.col("n_trigrams").cast("double"), 6
+        ).alias("novelty"),
+    )

@@ -383,3 +383,58 @@ def rate_ratio_weekend(events: DataFrame, key: str = "event_type",
         F.when(F.col("c0") > 0, F.round(rr, 6)).alias("rate_ratio"),
         F.when(var > 0, F.round(z, 6)).alias("z"),
     )
+
+
+def recovery_after_error(events: DataFrame,
+                         type_col: str = "event_type",
+                         actor_col: str = "user_id",
+                         ord_col: str = "event_id",
+                         error_type: str = "error",
+                         window_s: int = 300) -> DataFrame:
+    """(day_ts, n_errors, n_recovered, recovery_rate, mean_gap_s):
+    per day, how often an actor's error is followed by ANY further
+    event from the same actor within `window_s` — the self-service
+    recovery read (mtbf_mttr times the system's failure cycle; this
+    times the USER's path back after one).
+
+    next-event lookup is ONE lead() over each actor's (ts, ord)
+    sequence — no self-join; an error that is the actor's final
+    event counts as unrecovered (lead is NULL).  Counts are exact
+    integers; recovery_rate is one divide and mean_gap_s averages
+    the exact µs gaps of recovered errors only (NULL when none),
+    both 6 dp.
+
+    Scale: one window over actor-partitioned sequences (the
+    sessionization shuffle shape) + one day hash-agg."""
+    w = Window.partitionBy(actor_col).orderBy(
+        epoch_us(F.col("ts")), F.col(ord_col)
+    )
+    nxt = events.select(
+        type_col, "ts",
+        (F.lead(epoch_us(F.col("ts")), 1).over(w)
+         - epoch_us(F.col("ts"))).alias("gap_us"),
+    ).where(F.col(type_col) == error_type)
+    rec = (F.col("gap_us").isNotNull()
+           & (F.col("gap_us") <= F.lit(int(window_s) * 1_000_000)))
+    g = nxt.groupBy(F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(rec.cast("long")).alias("n_recovered"),
+        F.sum(F.when(rec, F.col("gap_us")).otherwise(F.lit(0)))
+        .alias("rec_us"),
+    )
+    return g.select(
+        "day_ts",
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.col("n_recovered").cast("long").alias("n_recovered"),
+        F.round(
+            F.col("n_recovered").cast("double")
+            / F.col("n_errors").cast("double"), 6
+        ).alias("recovery_rate"),
+        F.when(
+            F.col("n_recovered") > 0,
+            F.round(
+                F.col("rec_us").cast("double")
+                / F.col("n_recovered").cast("double") / F.lit(1e6), 6
+            ),
+        ).alias("mean_gap_s"),
+    )
