@@ -7163,6 +7163,19 @@ def q_trigram_novelty(spark, sf_dir):
     return trigram_novelty(_docs(spark, sf_dir))
 
 
+def q_lad_trend(spark, sf_dir):
+    """Exact L1 (least-absolute-deviations) daily trend per metric:
+    candidate lines through every day pair, integer loss comparison
+    with micro-cent snap and integer tie-break — trend_daily's
+    robust twin, theil_sen's loss-optimal sibling.  Bounded-n
+    diagnostic (T³ on calendar days), never in HEADLINE."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        lad_trend_daily,
+    )
+
+    return lad_trend_daily(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7565,6 +7578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_trend": q_segmented_trend,
         "recovery_after_error": q_recovery_after_error,
         "trigram_novelty": q_trigram_novelty,
+        "lad_trend": q_lad_trend,
     }
 
 
@@ -8438,12 +8452,57 @@ FROM g
 """
 
 
+_LAD_TREND_ORACLE = """
+WITH d0 AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT metric,
+         min(epoch_us(day_ts) // 86400000000) AS x0,
+         cast(count(*) AS bigint) AS n_days
+  FROM d0 GROUP BY 1 HAVING count(*) >= 5
+), d AS (
+  SELECT d0.metric,
+         epoch_us(day_ts) // 86400000000 - x0 AS x, y, n_days
+  FROM d0 JOIN base USING (metric)
+), cand AS (
+  SELECT i.metric, i.x AS xi, j.x AS xj, i.y AS yi,
+         j.y - i.y AS num, j.x - i.x AS den
+  FROM d i JOIN d j ON i.metric = j.metric AND i.x < j.x
+), sc AS (
+  SELECT c.metric, c.xi, c.xj, c.yi, c.num, c.den,
+         sum(abs(cast(k.y - c.yi AS hugeint) * c.den
+                 - cast(c.num AS hugeint) * (k.x - c.xi)))
+           AS loss_den
+  FROM cand c JOIN d k ON c.metric = k.metric
+  GROUP BY 1, 2, 3, 4, 5, 6
+), best AS (
+  SELECT metric,
+         min({'lu': loss_den * 1000000 // den, 'xi': xi, 'xj': xj,
+              'yi': yi, 'num': num, 'den': den}) AS b
+  FROM sc GROUP BY 1
+), n AS (
+  SELECT metric, max(n_days) AS n_days FROM d GROUP BY 1
+)
+SELECT best.metric, n.n_days,
+       round(cast(b.num AS double) / cast(b.den AS double) / 100.0,
+             6) AS slope,
+       round((cast(b.yi AS double) * cast(b.den AS double)
+              - cast(b.num AS double) * cast(b.xi AS double))
+             / cast(b.den AS double) / 100.0, 6) AS intercept,
+       round(cast(b.lu AS double) / 1e6 / 100.0, 6) AS lad_loss
+FROM best JOIN n ON best.metric = n.metric
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
     d["dtw_daily"] = _dtw_oracle(band=3)
     d["recovery_after_error"] = _RECOVERY_ORACLE
+    d["lad_trend"] = _LAD_TREND_ORACLE
     d["trigram_novelty"] = f"""
 WITH {_SHINGLE_CTES}, first AS (
   SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1

@@ -1,0 +1,73 @@
+"""Exact LAD trend: replica argmin + robustness vs the L2 line."""
+
+from __future__ import annotations
+
+import datetime as dt
+from fractions import Fraction
+
+from timeseriescorrelation_spark.operators.analytics import (
+    lad_trend_daily,
+)
+
+BASE = dt.datetime(2026, 1, 1)
+
+
+def _series(spark, cents):
+    return spark.createDataFrame(
+        [
+            ("a", BASE + dt.timedelta(days=d), c / 100.0)
+            for d, c in enumerate(cents)
+        ],
+        "metric string, ts timestamp, value double",
+    )
+
+
+def _replica(cents):
+    pts = list(enumerate(cents))
+    best = None
+    for ii, (xi, yi) in enumerate(pts):
+        for xj, yj in pts[ii + 1:]:
+            num, den = yj - yi, xj - xi
+            loss_den = sum(
+                abs((yk - yi) * den - num * (xk - xi)) for xk, yk in pts
+            )
+            lu = (loss_den * 1_000_000) // den
+            key = (lu, xi, xj)
+            if best is None or key < best[0]:
+                best = (key, num, den, yi, xi)
+    (lu, xi, xj), num, den, yi, _ = best
+    slope = Fraction(num, den)
+    intercept = Fraction(yi) - slope * xi
+    return (
+        round(float(slope) / 100.0, 6),
+        round(float(intercept) / 100.0, 6),
+        round(lu / 1e6 / 100.0, 6),
+    )
+
+
+def test_lad_matches_replica(spark):
+    cents = [100, 210, 290, 1500, 420, 480, 610, 680]  # one wild day
+    r = lad_trend_daily(_series(spark, cents)).collect()[0]
+    slope, intercept, loss = _replica(cents)
+    assert r["n_days"] == 8
+    assert abs(r["slope"] - slope) < 1e-9
+    assert abs(r["intercept"] - intercept) < 1e-9
+    assert abs(r["lad_loss"] - loss) < 1e-9
+
+
+def test_lad_ignores_single_outlier(spark):
+    # perfect line + one huge outlier: LAD recovers the true line
+    # exactly (loss contribution of the outlier is fixed), OLS would
+    # tilt badly
+    cents = [100 + 50 * d for d in range(10)]
+    cents[4] = 99_999
+    r = lad_trend_daily(_series(spark, cents)).collect()[0]
+    assert abs(r["slope"] - 0.5) < 1e-9
+    assert abs(r["intercept"] - 1.0) < 1e-9
+
+
+def test_lad_exact_fit_zero_loss(spark):
+    cents = [200 + 30 * d for d in range(6)]
+    r = lad_trend_daily(_series(spark, cents)).collect()[0]
+    assert r["lad_loss"] == 0.0
+    assert abs(r["slope"] - 0.3) < 1e-9

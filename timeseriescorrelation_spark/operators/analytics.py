@@ -2957,3 +2957,95 @@ def seasonal_mann_kendall(series: DataFrame, key: str = "metric",
         F.col("s_stat").cast("long").alias("s_stat"),
         F.round(z, 6).alias("z"),
     )
+
+
+def lad_trend_daily(series: DataFrame, key: str = "metric",
+                    value_decimals: int = 2,
+                    min_days: int = 5) -> DataFrame:
+    """(metric, n_days, slope, intercept, lad_loss): EXACT least-
+    absolute-deviations (median/L1) trend of the daily cent-sum
+    series — trend_daily's robust twin where one wild day bends the
+    L2 line but not this one, and theil_sen's loss-optimal sibling
+    (Theil-Sen picks the median pairwise slope; LAD minimizes the
+    actual Σ|residual|).
+
+    An optimal L1 line always passes through two data points, so the
+    candidate set is the T² day pairs; each candidate is scored by
+
+        loss·den = Σ_k |(y_k − y_i)·den − num·(x_k − x_i)|
+
+    with num = y_j − y_i, den = x_j − x_i — every term an exact
+    integer.  Cross-candidate comparison snaps loss to integer
+    micro-cents (floor-DIV by den), and the argmin tie-breaks on the
+    INTEGER triple (loss_u, x_i, x_j) — both engines pick the same
+    line always.  x counts days from the metric's first day, so
+    `intercept` is the fitted value at that first day.
+
+    Scale: T³ rows per metric where T = CALENDAR DAYS — the
+    mann_kendall bounded-n policy (a year is 48M rows per metric,
+    fine for a diagnostic; never in HEADLINE).  trend_daily is the
+    O(T) scale path."""
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    d0 = series.groupBy(
+        F.col(key), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    ed = F.floor(
+        epoch_us(F.col("day_ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    base = d0.groupBy(key).agg(
+        F.min(ed).alias("x0"), F.count(F.lit(1)).alias("n_days")
+    ).where(F.col("n_days") >= int(min_days))
+    d = d0.join(base, key).select(
+        key, (ed - F.col("x0")).alias("x"), "y", "n_days"
+    )
+    i = d.select(key, F.col("x").alias("xi"), F.col("y").alias("yi"))
+    j = d.select(key, F.col("x").alias("xj"), F.col("y").alias("yj"))
+    cand = i.join(j, key).where(F.col("xi") < F.col("xj")).select(
+        key, "xi", "xj", "yi",
+        (F.col("yj") - F.col("yi")).alias("num"),
+        (F.col("xj") - F.col("xi")).alias("den"),
+    )
+    k = d.select(key, F.col("x").alias("xk"), F.col("y").alias("yk"))
+    r = cand.join(k, key)
+    term = F.abs(
+        (F.col("yk") - F.col("yi")).cast(dec) * F.col("den").cast(dec)
+        - F.col("num").cast(dec)
+        * (F.col("xk") - F.col("xi")).cast(dec)
+    )
+    sc = r.groupBy(key, "xi", "xj", "yi", "num", "den").agg(
+        F.sum(term).alias("loss_den")
+    )
+    loss_u = F.expr(
+        "CAST(loss_den * 1000000 AS decimal(38,0)) DIV "
+        "CAST(den AS decimal(38,0))"
+    )
+    best = sc.select(
+        key,
+        F.struct(
+            loss_u.alias("lu"),
+            F.col("xi").alias("xi"), F.col("xj").alias("xj"),
+            F.col("yi").alias("yi"), F.col("num").alias("num"),
+            F.col("den").alias("den"),
+        ).alias("s"),
+    ).groupBy(key).agg(F.min("s").alias("b"))
+    n = d.groupBy(key).agg(F.max("n_days").alias("n_days"))
+    out = best.join(n, key)
+    numd = F.col("b.num").cast("double")
+    dend = F.col("b.den").cast("double")
+    return out.select(
+        key,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(numd / dend / F.lit(float(scale)), 6).alias("slope"),
+        F.round(
+            (F.col("b.yi").cast("double") * dend
+             - numd * F.col("b.xi").cast("double"))
+            / dend / F.lit(float(scale)), 6
+        ).alias("intercept"),
+        F.round(
+            F.col("b.lu").cast("double") / F.lit(1e6)
+            / F.lit(float(scale)), 6
+        ).alias("lad_loss"),
+    )
