@@ -7176,6 +7176,29 @@ def q_lad_trend(spark, sf_dir):
     return lad_trend_daily(_series_from_events(spark, sf_dir))
 
 
+def q_skyline_users(spark, sf_dir):
+    """Pareto frontier of users over (volume up, error rate down) —
+    the classic 2-criteria skyline, level-compressed: dominance
+    checks against one (vol, min_errs) row per distinct volume with
+    exact integer cross-multiplied rate comparisons."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        skyline_volume_errors,
+    )
+
+    return skyline_volume_errors(_events(spark, sf_dir))
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the langid heuristic vs the labeled lang
+    column with per-true-label shares — the classifier eval readout
+    over the oracle-shared vowel-ratio scoring."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        langid_confusion,
+    )
+
+    return langid_confusion(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7579,6 +7602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recovery_after_error": q_recovery_after_error,
         "trigram_novelty": q_trigram_novelty,
         "lad_trend": q_lad_trend,
+        "skyline_users": q_skyline_users,
+        "langid_confusion": q_langid_confusion,
     }
 
 
@@ -8496,6 +8521,59 @@ FROM best JOIN n ON best.metric = n.metric
 """
 
 
+_SKYLINE_ORACLE = """
+WITH per AS (
+  SELECT user_id AS actor, cast(count(*) AS bigint) AS vol,
+         cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS bigint) AS errs
+  FROM events GROUP BY 1
+), lv AS (
+  SELECT vol, min(errs) AS e_min FROM per GROUP BY 1
+), dominated AS (
+  SELECT DISTINCT u.actor
+  FROM per u JOIN lv l
+    ON (l.vol > u.vol
+        AND cast(l.e_min AS hugeint) * u.vol
+            <= cast(u.errs AS hugeint) * l.vol)
+    OR (l.vol = u.vol AND l.e_min < u.errs)
+)
+SELECT cast(p.actor AS bigint) AS actor, p.vol, p.errs,
+       round(cast(p.errs AS double) / cast(p.vol AS double), 6)
+         AS err_rate
+FROM per p LEFT JOIN dominated d ON p.actor = d.actor
+WHERE d.actor IS NULL
+"""
+
+_LANGID_CONFUSION_ORACLE = """
+WITH r AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z]')) > 0
+              THEN cast(len(regexp_extract_all(lower(text), '[aeiou]'))
+                        AS double)
+                   / len(regexp_extract_all(lower(text), '[a-z]'))
+              ELSE 0.0 END AS ratio
+  FROM documents
+), p AS (
+  SELECT lang,
+         CASE WHEN ratio >= 0.46 THEN 'fi'
+              WHEN ratio >= 0.42 THEN 'es'
+              WHEN ratio >= 0.38 THEN 'en'
+              WHEN ratio >= 0.34 THEN 'fr'
+              ELSE 'de' END AS pred_lang
+  FROM r
+), cells AS (
+  SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
+  FROM p GROUP BY 1, 2
+), rows_t AS (
+  SELECT lang, cast(sum(n) AS bigint) AS row_n FROM cells GROUP BY 1
+)
+SELECT c.lang, c.pred_lang, c.n,
+       round(cast(c.n AS double) / cast(r.row_n AS double), 6)
+         AS share
+FROM cells c JOIN rows_t r ON c.lang = r.lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _static_oracles()
     d.update(_dedup_oracles())
@@ -8503,6 +8581,8 @@ def oracle_sql() -> dict[str, str]:
     d["dtw_daily"] = _dtw_oracle(band=3)
     d["recovery_after_error"] = _RECOVERY_ORACLE
     d["lad_trend"] = _LAD_TREND_ORACLE
+    d["skyline_users"] = _SKYLINE_ORACLE
+    d["langid_confusion"] = _LANGID_CONFUSION_ORACLE
     d["trigram_novelty"] = f"""
 WITH {_SHINGLE_CTES}, first AS (
   SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1

@@ -3049,3 +3049,59 @@ def lad_trend_daily(series: DataFrame, key: str = "metric",
             / F.lit(float(scale)), 6
         ).alias("lad_loss"),
     )
+
+
+def skyline_volume_errors(events: DataFrame,
+                          actor_col: str = "user_id",
+                          type_col: str = "event_type",
+                          error_type: str = "error") -> DataFrame:
+    """(actor, vol, errs, err_rate): the Pareto frontier (skyline) of
+    actors over (volume ↑, error rate ↓) — "who does the most with
+    the cleanest record", the classic two-criteria DB skyline
+    operator.  An actor survives unless someone has ≥ volume and
+    ≤ error rate with one strict.
+
+    Dominance runs LEVEL-compressed, not pairwise: at fixed volume
+    the rate order is the integer error-count order, so the corpus
+    collapses to one (vol, min_errs) row per DISTINCT volume level
+    and each actor checks against broadcast levels — |levels| is
+    bounded by the max events-per-actor (a product/calendar bound,
+    not corpus size), and rate comparisons are exact integer
+    cross-multiplications (e_v·vol_u ≤ e_u·vol_v), never floats.
+    The extreme-scale path is the classic sort-based skyline scan
+    (range-partition by vol desc + distributed prefix-min — the
+    global_row_number two-pass shape); the level join is preferred
+    while levels stay broadcastable.
+
+    Scale: one hash-agg to |actors|, one to |levels|, one broadcast
+    theta-join probe."""
+    per = events.groupBy(F.col(actor_col).alias("actor")).agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum((F.col(type_col) == error_type).cast("long"))
+        .alias("errs"),
+    )
+    levels = per.groupBy("vol").agg(F.min("errs").alias("e_min"))
+    dec = "decimal(38,0)"
+    dom = (
+        (F.col("l.vol") > F.col("u.vol"))
+        & (F.col("l.e_min").cast(dec) * F.col("u.vol").cast(dec)
+           <= F.col("u.errs").cast(dec) * F.col("l.vol").cast(dec))
+    ) | (
+        (F.col("l.vol") == F.col("u.vol"))
+        & (F.col("l.e_min") < F.col("u.errs"))
+    )
+    dominated = (
+        per.alias("u")
+        .join(F.broadcast(levels.alias("l")), dom, "left_semi")
+    )
+    sky = per.join(dominated.select(F.col("actor")), "actor",
+                   "left_anti")
+    return sky.select(
+        F.col("actor").cast("long").alias("actor"),
+        F.col("vol").cast("long").alias("vol"),
+        F.col("errs").cast("long").alias("errs"),
+        F.round(
+            F.col("errs").cast("double") / F.col("vol").cast("double"),
+            6,
+        ).alias("err_rate"),
+    )

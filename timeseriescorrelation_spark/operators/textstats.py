@@ -962,3 +962,33 @@ def heaps_fit(docs: DataFrame, id_col: str = "doc_id",
         F.round(ln_k, 6).alias("ln_k"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     label_col: str = "lang") -> DataFrame:
+    """(lang, pred_lang, n, share): confusion matrix of the langid
+    heuristic against the labeled language column, with each cell's
+    share of its TRUE-label row — the eval readout that turns
+    langid_heuristic from a score into a measured classifier (which
+    labels it eats, which it confuses).  Counts are exact; share is
+    one divide, 6 dp.
+
+    Scale: langid is in-row; the matrix is one hash-agg to
+    |langs|² cells plus a broadcast-sized row-total join."""
+    pred = langid_heuristic(docs, text_col=text_col, id_col=id_col)
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("lang")
+    ).join(pred, "doc_id")
+    cells = j.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return cells.join(F.broadcast(rows), "lang").select(
+        "lang", "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.col("row_n").cast("double"),
+            6,
+        ).alias("share"),
+    )
