@@ -7199,6 +7199,48 @@ def q_langid_confusion(spark, sf_dir):
     return langid_confusion(_docs(spark, sf_dir))
 
 
+def q_counter_rate(spark, sf_dir):
+    """Prometheus-style increase() over a daily-resetting cumulative
+    counter built from the hourly grid — negative deltas are healed
+    as restarts (post-reset reading = growth since reset); exact
+    integer terms, per-day totals + reset counts."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        _hourly_cents,
+    )
+    from timeseriescorrelation_spark.operators.metricsdb import (
+        counter_increase,
+    )
+
+    h = _hourly_cents(_series_from_events(spark, sf_dir), ["metric"], 2)
+    wd = (
+        Window.partitionBy("metric", F.date_trunc("day", "hour_ts"))
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counters = h.select(
+        "metric", F.col("hour_ts").alias("ts"),
+        F.sum("y").over(wd).cast("long").alias("cnt"),
+    )
+    return counter_increase(counters)
+
+
+def q_histogram_p95(spark, sf_dir):
+    """histogram_quantile contract: p95 per (metric, day) linearly
+    interpolated inside fixed PSI-edge buckets — the read side of a
+    pre-bucketed ingestion path; integer bucket selection, one
+    double tree."""
+    from timeseriescorrelation_spark.operators.metricsdb import (
+        histogram_quantile_est,
+    )
+
+    return histogram_quantile_est(
+        _series_from_events(spark, sf_dir),
+        [int(e * 100) for e in PSI_EDGES],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7604,6 +7646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lad_trend": q_lad_trend,
         "skyline_users": q_skyline_users,
         "langid_confusion": q_langid_confusion,
+        "counter_rate": q_counter_rate,
+        "histogram_p95": q_histogram_p95,
     }
 
 
@@ -8583,6 +8627,84 @@ def oracle_sql() -> dict[str, str]:
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["skyline_users"] = _SKYLINE_ORACLE
     d["langid_confusion"] = _LANGID_CONFUSION_ORACLE
+    d["counter_rate"] = """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT metric, hour_ts,
+         cast(sum(y) OVER (PARTITION BY metric,
+                                        date_trunc('day', hour_ts)
+                           ORDER BY hour_ts
+                           ROWS UNBOUNDED PRECEDING) AS bigint) AS cnt
+  FROM h
+), d AS (
+  SELECT metric, hour_ts, cnt,
+         cnt - lag(cnt) OVER (PARTITION BY metric
+                              ORDER BY hour_ts) AS d
+  FROM c
+), g AS (
+  SELECT metric, date_trunc('day', hour_ts) AS bucket_ts,
+         cast(count(*) AS bigint) AS n_samples,
+         cast(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS bigint)
+           AS n_resets,
+         cast(sum(CASE WHEN d IS NULL THEN 0
+                       WHEN d >= 0 THEN d ELSE cnt END) AS bigint)
+           AS increase
+  FROM d GROUP BY 1, 2
+)
+SELECT metric, bucket_ts, n_samples, n_resets, increase FROM g
+"""
+    edges_c = [int(e * 100) for e in PSI_EDGES]
+    b_expr = " + ".join(
+        f"(CASE WHEN cast(round(value * 100) AS bigint) >= {e} "
+        "THEN 1 ELSE 0 END)" for e in edges_c
+    )
+    lo_case = " ".join(
+        f"WHEN {i} THEN {(edges_c[i - 1] if i > 0 else 0)}.0"
+        for i in range(len(edges_c) + 1)
+    )
+    hi_case = " ".join(
+        f"WHEN {i} THEN "
+        f"{(edges_c[i] if i < len(edges_c) else -1)}.0"
+        for i in range(len(edges_c) + 1)
+    )
+    d["histogram_p95"] = f"""
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         {b_expr} AS b
+  FROM events
+), cells AS (
+  SELECT metric, day_ts, b, cast(count(*) AS bigint) AS nb
+  FROM pt GROUP BY 1, 2, 3
+), cum AS (
+  SELECT metric, day_ts, b, nb,
+         cast(sum(nb) OVER (PARTITION BY metric, day_ts ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS bigint)
+           AS cum,
+         cast(sum(nb) OVER (PARTITION BY metric, day_ts) AS bigint)
+           AS n
+  FROM cells
+), hit AS (
+  SELECT metric, day_ts,
+         min({{'b': b, 'nb': nb, 'cum': cum, 'n': n}}) AS t
+  FROM cum WHERE 100 * cum >= 95 * n GROUP BY 1, 2
+), e AS (
+  SELECT metric, day_ts, t.b AS b, t.nb AS nb, t.cum AS cum,
+         t.n AS n,
+         CASE t.b {lo_case} END AS lo,
+         CASE t.b {hi_case} END AS hi
+  FROM hit
+)
+SELECT metric, day_ts, n,
+       round((CASE WHEN b = {len(edges_c)} THEN lo
+              ELSE lo + (hi - lo)
+                   * (95.0 / 100.0 * cast(n AS double)
+                      - (cast(cum AS double) - cast(nb AS double)))
+                   / cast(nb AS double) END) / 100.0, 6) AS p95_est
+FROM e
+"""
     d["trigram_novelty"] = f"""
 WITH {_SHINGLE_CTES}, first AS (
   SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
