@@ -7241,6 +7241,18 @@ def q_histogram_p95(spark, sf_dir):
     )
 
 
+def q_corr_grain_audit(spark, sf_dir):
+    """Downsampling-fidelity audit: exact-moment Pearson per metric
+    pair at minute AND hour grain with the delta the tier cascade
+    would silently absorb — measures whether the cheaper grain is a
+    faithful correlation substrate per pair."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        corr_grain_audit,
+    )
+
+    return corr_grain_audit(_series_from_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7648,6 +7660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "counter_rate": q_counter_rate,
         "histogram_p95": q_histogram_p95,
+        "corr_grain_audit": q_corr_grain_audit,
     }
 
 
@@ -8627,6 +8640,52 @@ def oracle_sql() -> dict[str, str]:
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["skyline_users"] = _SKYLINE_ORACLE
     d["langid_confusion"] = _LANGID_CONFUSION_ORACLE
+    grain_cte = """
+  SELECT a.k AS metric_a, b.k AS metric_b,
+         cast(count(*) AS hugeint) AS n,
+         sum(cast(a.y AS hugeint)) AS sx,
+         sum(cast(b.y AS hugeint)) AS sy,
+         sum(cast(a.y AS hugeint) * a.y) AS sxx,
+         sum(cast(b.y AS hugeint) * b.y) AS syy,
+         sum(cast(a.y AS hugeint) * b.y) AS sxy
+  FROM {g} a JOIN {g} b ON a.b = b.b AND a.k < b.k
+  GROUP BY 1, 2
+"""
+    d["corr_grain_audit"] = f"""
+WITH gm AS (
+  SELECT event_type AS k, date_trunc('minute', ts) AS b,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), gh AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS b,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), mm AS ({grain_cte.format(g='gm')}), mh AS (
+  {grain_cte.format(g='gh')}
+), rm AS (
+  SELECT metric_a, metric_b, cast(n AS bigint) AS n_minutes,
+         CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+                   AND cast(n * syy - sy * sy AS double) > 0
+              THEN round(cast(n * sxy - sx * sy AS double)
+                         / sqrt(cast(n * sxx - sx * sx AS double)
+                                * cast(n * syy - sy * sy AS double)),
+                         6) END AS r_1m
+  FROM mm
+), rh AS (
+  SELECT metric_a, metric_b, cast(n AS bigint) AS n_hours,
+         CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+                   AND cast(n * syy - sy * sy AS double) > 0
+              THEN round(cast(n * sxy - sx * sy AS double)
+                         / sqrt(cast(n * sxx - sx * sx AS double)
+                                * cast(n * syy - sy * sy AS double)),
+                         6) END AS r_1h
+  FROM mh WHERE n >= 24
+)
+SELECT rm.metric_a, rm.metric_b, n_minutes, n_hours, r_1m, r_1h,
+       round(r_1m - r_1h, 6) AS r_delta
+FROM rm JOIN rh ON rm.metric_a = rh.metric_a
+                AND rm.metric_b = rh.metric_b
+"""
     d["counter_rate"] = """
 WITH h AS (
   SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,

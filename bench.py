@@ -371,10 +371,24 @@ HEADLINE_R3 = [
     "streak_report",
     "heaps_fit",
     "theta_backtest",
+    # round-3b (this session's additions)
+    "mcnemar_wow",
+    "cochran_q",
+    "cvm_weekend",
+    "mood_weekend",
+    "arch_lm",
+    "segmented_trend",
+    "recovery_after_error",
+    "trigram_novelty",
+    "skyline_users",
+    "langid_confusion",
+    "counter_rate",
+    "histogram_p95",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
-    # its O(n) scale path)
+    # its O(n) scale path); lad_trend likewise (T³ candidate-basis
+    # enumeration — trend_daily is the O(T) scale path)
 ]
 
 

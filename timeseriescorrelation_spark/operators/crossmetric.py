@@ -1287,3 +1287,70 @@ def coburst_jaccard(series: DataFrame, key: str = "metric",
             ).otherwise(F.lit(0.0)), 6
         ).alias("jaccard"),
     )
+
+
+def corr_grain_audit(series: DataFrame, key: str = "metric",
+                     value_decimals: int = 2,
+                     min_hours: int = 24) -> DataFrame:
+    """(metric_a, metric_b, n_minutes, n_hours, r_1m, r_1h, r_delta):
+    the downsampling-fidelity audit for the tiered correlation
+    operator — the SAME exact-moment Pearson computed at minute grain
+    and at hour grain for every metric pair, with the difference the
+    tier cascade would silently absorb.
+
+    The reference's design correlates over downsampled aggregates;
+    this operator MEASURES what that costs per pair: |r_delta| small
+    → the 1h tier is a faithful correlation substrate and the
+    cheaper grain is safe; large → this pair's structure lives below
+    the hour (aliasing), correlate it at the finer tier.  Both
+    grains use exact decimal38 integer moments over co-observed
+    buckets (inner join — absence is missingness) and ONE shared
+    double expression each, 6 dp.
+
+    Scale: two grid hash-aggs (|metrics|·|minutes| dominates), one
+    k² aggregate-sized pair join per grain — the corr_matrix_daily
+    shape twice, no raw self-joins."""
+
+    def _grain(trunc: str, rname: str, nname: str):
+        g = series.groupBy(
+            F.col(key).alias("k"),
+            F.date_trunc(trunc, "ts").alias("b"),
+        ).agg(
+            F.sum(
+                F.round(F.col("value") * (10 ** int(value_decimals)))
+                .cast("long")
+            ).alias("y")
+        )
+        a = g.select(F.col("k").alias("metric_a"), "b",
+                     F.col("y").alias("ya"))
+        bb = g.select(F.col("k").alias("metric_b"), "b",
+                      F.col("y").alias("yb"))
+        p = a.join(bb, "b").where(F.col("metric_a") < F.col("metric_b"))
+        ya, yb = F.col("ya").cast(DEC), F.col("yb").cast(DEC)
+        m = p.groupBy("metric_a", "metric_b").agg(
+            F.count(F.lit(1)).cast(DEC).alias("n"),
+            F.sum(ya).alias("sx"), F.sum(yb).alias("sy"),
+            F.sum(ya * ya).alias("sxx"), F.sum(yb * yb).alias("syy"),
+            F.sum(ya * yb).alias("sxy"),
+        )
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        cov = (n * F.col("sxy") - sx * sy).cast("double")
+        vx = (n * F.col("sxx") - sx * sx).cast("double")
+        vy = (n * F.col("syy") - sy * sy).cast("double")
+        r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        return m.select(
+            "metric_a", "metric_b",
+            n.cast("long").alias(nname),
+            F.round(r, 6).alias(rname),
+        )
+
+    hm = _grain("minute", "r_1m", "n_minutes")
+    hh = _grain("hour", "r_1h", "n_hours").where(
+        F.col("n_hours") >= int(min_hours)
+    )
+    j = hm.join(hh, ["metric_a", "metric_b"])
+    return j.select(
+        "metric_a", "metric_b", "n_minutes", "n_hours",
+        "r_1m", "r_1h",
+        F.round(F.col("r_1m") - F.col("r_1h"), 6).alias("r_delta"),
+    )
