@@ -384,6 +384,7 @@ HEADLINE_R3 = [
     "langid_confusion",
     "counter_rate",
     "histogram_p95",
+    "corr_grain_audit",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
