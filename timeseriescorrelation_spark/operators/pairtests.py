@@ -45,18 +45,6 @@ def _dbl(c):
     return c.cast("double")
 
 
-def _med2(grid: DataFrame, keys: list[str]) -> DataFrame:
-    """Per-key doubled interpolated median of the integer column `y`
-    — exact: for sorted integers the 0.5-quantile is either a data
-    value or the midpoint of the two middle values, so 2·median is an
-    integer that round() recovers exactly from the double."""
-    return grid.groupBy(*keys).agg(
-        F.round(F.lit(2) * F.percentile("y", F.lit(0.5)))
-        .cast("long")
-        .alias("med2")
-    )
-
-
 def mcnemar_wow(series: DataFrame, key: str = "metric",
                 value_decimals: int = 2,
                 min_pairs: int = 10) -> DataFrame:
@@ -77,16 +65,23 @@ def mcnemar_wow(series: DataFrame, key: str = "metric",
     equi-join of the grid against itself shifted one week on
     (metric, slot, week) — aggregate-sized throughout."""
     h = _hourly_cents(series, [key], value_decimals)
-    med = _med2(h, [key])
+    # the median rides a grid WINDOW, not a join: a separate median
+    # aggregate + join would re-scan the raw table a third time (the
+    # grid is not cached by contract); the window runs over the
+    # already-aggregated grid partitioned per metric
+    w_med = Window.partitionBy(key)
+    med2 = F.round(
+        F.lit(2) * F.percentile("y", F.lit(0.5)).over(w_med)
+    ).cast("long")
     eh = F.floor(
         epoch_us(F.col("hour_ts")) / F.lit(3_600_000_000)
     ).cast("long")
     day = F.floor(eh / F.lit(24)).cast("long")
-    tagged = h.join(F.broadcast(med), key).select(
+    tagged = h.select(
         F.col(key),
         F.floor((day + F.lit(4)) / F.lit(7)).cast("long").alias("week"),
         F.pmod(eh + F.lit(4 * 24), F.lit(168)).cast("long").alias("slot"),
-        (F.lit(2) * F.col("y") > F.col("med2")).cast("int").alias("b"),
+        (F.lit(2) * F.col("y") > med2).cast("int").alias("b"),
     )
     prev = tagged.select(
         F.col(key), (F.col("week") + 1).alias("week"), "slot",
@@ -138,15 +133,18 @@ def cochran_q_dow(series: DataFrame, key: str = "metric",
     ).agg(
         F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
     )
-    med = _med2(d, [key])
+    w_med = Window.partitionBy(key)
+    med2 = F.round(
+        F.lit(2) * F.percentile("y", F.lit(0.5)).over(w_med)
+    ).cast("long")
     ed = F.floor(
         epoch_us(F.col("day_ts")) / F.lit(86_400_000_000)
     ).cast("long")
-    tagged = d.join(F.broadcast(med), key).select(
+    tagged = d.select(
         F.col(key),
         F.floor((ed + F.lit(4)) / F.lit(7)).cast("long").alias("week"),
         F.pmod(ed + F.lit(4), F.lit(7)).cast("long").alias("dow"),
-        (F.lit(2) * F.col("y") > F.col("med2")).cast("long").alias("b"),
+        (F.lit(2) * F.col("y") > med2).cast("long").alias("b"),
     )
     complete = (
         tagged.groupBy(key, "week")
@@ -237,17 +235,18 @@ def cvm_weekend(series: DataFrame, key: str = "metric",
     Scale: day-grid hash-agg then per-metric windows over ≤|days|
     rows — aggregate-sized."""
     r = _ranked_weekend(series, key, value_decimals)
-    per = r.groupBy("m", "g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (F.col("r2") - F.col("i2")) * (F.col("r2") - F.col("i2"))
-        ).alias("s4"),
-    )
-    x = per.where(F.col("g") == 0).select(
-        "m", F.col("n").alias("nx"), F.col("s4").alias("s4x"))
-    y = per.where(F.col("g") == 1).select(
-        "m", F.col("n").alias("ny"), F.col("s4").alias("s4y"))
-    j = x.join(y, "m").where(
+    # conditional aggregation, not a per-group split + self-join: the
+    # rank scaffold is not cached by contract, so referencing it
+    # twice would recompute it (and re-scan raw) twice
+    sq = (F.col("r2") - F.col("i2")) * (F.col("r2") - F.col("i2"))
+    j = r.groupBy("m").agg(
+        F.sum((F.lit(1) - F.col("g")).cast("long")).alias("nx"),
+        F.sum(F.col("g").cast("long")).alias("ny"),
+        F.sum(F.when(F.col("g") == 0, sq).otherwise(F.lit(0)))
+        .alias("s4x"),
+        F.sum(F.when(F.col("g") == 1, sq).otherwise(F.lit(0)))
+        .alias("s4y"),
+    ).where(
         (F.col("nx") >= int(min_days)) & (F.col("ny") >= int(min_days))
     )
     u4 = F.col("nx") * F.col("s4x") + F.col("ny") * F.col("s4y")
@@ -285,20 +284,26 @@ def mood_weekend(series: DataFrame, key: str = "metric",
     Scale: identical shape to cvm_weekend — day-grid hash-agg plus
     per-metric windows."""
     r = _ranked_weekend(series, key, value_decimals)
-    cnt = r.groupBy("m").agg(
+    # single-pass: m4 = Σ_{g=1}(r2 − (N+1))² expands to
+    # Σr2² − 2(N+1)Σr2 + m(N+1)² over exact integers, so N never
+    # needs a join back onto the scaffold
+    g = r.groupBy("m").agg(
         F.sum((F.lit(1) - F.col("g")).cast("long")).alias("nx"),
         F.sum(F.col("g").cast("long")).alias("ny"),
-    )
-    m4 = r.join(cnt, "m").where(F.col("g") == 1).select(
-        "m", "r2", (F.col("nx") + F.col("ny")).alias("nn")
-    ).groupBy("m").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("r2")).otherwise(F.lit(0)))
+        .alias("sr2"),
         F.sum(
-            (F.col("r2") - (F.col("nn") + 1))
-            * (F.col("r2") - (F.col("nn") + 1))
-        ).alias("m4")
-    )
-    j = cnt.join(m4, "m").where(
+            F.when(F.col("g") == 1, F.col("r2") * F.col("r2"))
+            .otherwise(F.lit(0))
+        ).alias("sr22"),
+    ).where(
         (F.col("nx") >= int(min_days)) & (F.col("ny") >= int(min_days))
+    )
+    np1 = F.col("nx") + F.col("ny") + F.lit(1)
+    j = g.select(
+        "m", "nx", "ny",
+        (F.col("sr22") - F.lit(2) * np1 * F.col("sr2")
+         + F.col("ny") * np1 * np1).alias("m4"),
     )
     nx, ny = _dbl(F.col("nx")), _dbl(F.col("ny"))
     nn = nx + ny
