@@ -7253,6 +7253,17 @@ def q_corr_grain_audit(spark, sf_dir):
     return corr_grain_audit(_series_from_events(spark, sf_dir))
 
 
+def q_time_to_nth(spark, sf_dir):
+    """Activation latency per first-seen cohort day: time from each
+    user's first event to their 5th, exact counts + interpolated
+    p50/p90 hours over the activated subset."""
+    from timeseriescorrelation_spark.operators.retention import (
+        time_to_nth,
+    )
+
+    return time_to_nth(_events(spark, sf_dir), n=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7661,6 +7672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "histogram_p95": q_histogram_p95,
         "corr_grain_audit": q_corr_grain_audit,
+        "time_to_nth": q_time_to_nth,
     }
 
 
@@ -8640,6 +8652,37 @@ def oracle_sql() -> dict[str, str]:
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["skyline_users"] = _SKYLINE_ORACLE
     d["langid_confusion"] = _LANGID_CONFUSION_ORACLE
+    d["time_to_nth"] = """
+WITH w AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS k,
+         epoch_us(ts) - first_value(epoch_us(ts)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS gap_us,
+         first_value(date_trunc('day', ts)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS cohort_day
+  FROM events
+), act AS (
+  SELECT cohort_day, cast(count(*) AS bigint) AS n_activated,
+         round(quantile_cont(gap_us, 0.5) / 3600000000.0, 4) AS p50h,
+         round(quantile_cont(gap_us, 0.9) / 3600000000.0, 4) AS p90h
+  FROM w WHERE k = 5 GROUP BY 1
+), u AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY 1
+), base AS (
+  SELECT cohort_day, cast(count(*) AS bigint) AS n_users
+  FROM u GROUP BY 1
+)
+SELECT b.cohort_day, b.n_users,
+       cast(coalesce(a.n_activated, 0) AS bigint) AS n_activated,
+       round(cast(coalesce(a.n_activated, 0) AS double)
+             / cast(b.n_users AS double), 6) AS activation_rate,
+       a.p50h AS p50_hours, a.p90h AS p90_hours
+FROM base b LEFT JOIN act a ON b.cohort_day = a.cohort_day
+"""
     grain_cte = """
   SELECT a.k AS metric_a, b.k AS metric_b,
          cast(count(*) AS hugeint) AS n,

@@ -79,3 +79,28 @@ def test_trigram_novelty_repeated_ngram_in_doc_counts_once(spark):
     docs = _docs(spark, [(1, "a b c a b c a b c")])
     r = trigram_novelty(docs).collect()[0]
     assert r["n_trigrams"] == 3 and r["novelty"] == 1.0
+
+
+def test_time_to_nth_activation(spark):
+    from timeseriescorrelation_spark.operators.retention import (
+        time_to_nth,
+    )
+
+    rows = []
+    # user 1: 5 events, first->5th spans 4 hours; user 2: only 3
+    # events (never activates); user 3: 5 events in 8 hours
+    for i in range(5):
+        rows.append((i, T0 + dt.timedelta(hours=i), 1, "click", 1.0))
+    for i in range(3):
+        rows.append((10 + i, T0 + dt.timedelta(hours=i), 2, "view", 1.0))
+    for i in range(5):
+        rows.append((20 + i, T0 + dt.timedelta(hours=2 * i), 3, "click",
+                     1.0))
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = time_to_nth(df, n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users"] == 3 and r["n_activated"] == 2
+    assert abs(r["activation_rate"] - round(2 / 3, 6)) < 1e-9
+    # gaps: 4 h and 8 h -> p50 = 6 h (interpolated midpoint)
+    assert abs(r["p50_hours"] - 6.0) < 1e-9

@@ -266,3 +266,66 @@ def cohort_ltv(events: DataFrame, user_col: str = "user_id",
         F.round(F.col("cum_cents").cast("double") / cs / sc, 6)
         .alias("cum_value_per_user"),
     )
+
+
+def time_to_nth(events: DataFrame, n: int = 5,
+                user_col: str = "user_id",
+                ts_col: str = "ts",
+                ord_col: str = "event_id") -> DataFrame:
+    """(cohort_day, n_users, n_activated, activation_rate, p50_hours,
+    p90_hours): activation latency — per user, the time from their
+    FIRST event to their n-th, summarized by first-seen cohort day.
+    The "time to aha" readout product teams steer by: cohorts whose
+    p50 stretches are onboarding regressions before retention ever
+    shows it.
+
+    Per user it is ONE ordered window pass (row_number + first over
+    the (ts, ord) sequence); users who never reach n events count in
+    n_users but not in the latency percentiles (activation_rate
+    reports the split rather than silently truncating).  Percentiles
+    are the exact interpolated form over µs gaps (one derived float,
+    4 dp — the latency_percentiles contract), counts exact.
+
+    Scale: one window over user-partitioned sequences + one cohort
+    hash-agg; no self-joins."""
+    w = Window.partitionBy(user_col).orderBy(
+        epoch_us(F.col(ts_col)), F.col(ord_col)
+    )
+    seq = events.select(
+        user_col,
+        F.row_number().over(w).alias("k"),
+        (epoch_us(F.col(ts_col))
+         - F.first(epoch_us(F.col(ts_col))).over(w)).alias("gap_us"),
+        F.first(F.date_trunc("day", F.col(ts_col))).over(w)
+        .alias("cohort_day"),
+    ).where(F.col("k") == int(n))
+    users = events.groupBy(user_col).agg(
+        F.min(
+            F.struct(epoch_us(F.col(ts_col)), F.col(ord_col),
+                     F.date_trunc("day", F.col(ts_col)).alias("d"))
+        )["d"].alias("cohort_day")
+    )
+    base = users.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    act = seq.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_activated"),
+        F.percentile(
+            F.col("gap_us").cast("double"), F.array(F.lit(0.5),
+                                                    F.lit(0.9))
+        ).alias("qs"),
+    )
+    j = base.join(act, "cohort_day", "left")
+    hours = 3_600_000_000.0
+    return j.select(
+        "cohort_day",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.coalesce(F.col("n_activated"), F.lit(0)).cast("long")
+        .alias("n_activated"),
+        F.round(
+            F.coalesce(F.col("n_activated"), F.lit(0)).cast("double")
+            / F.col("n_users").cast("double"), 6
+        ).alias("activation_rate"),
+        F.round(F.col("qs")[0] / F.lit(hours), 4).alias("p50_hours"),
+        F.round(F.col("qs")[1] / F.lit(hours), 4).alias("p90_hours"),
+    )
