@@ -7264,6 +7264,75 @@ def q_time_to_nth(spark, sf_dir):
     return time_to_nth(_events(spark, sf_dir), n=5)
 
 
+def q_esd_outliers(spark, sf_dir):
+    """Generalized ESD (Rosner) multi-outlier screen, 3 rounds per
+    metric-day: remove the integer-decided extreme, re-test — the
+    masking-proof extension of grubbs_daily; oracle unrolls the
+    identical rounds."""
+    from timeseriescorrelation_spark.operators.nptests import (
+        esd_outliers,
+    )
+
+    return esd_outliers(_series_from_events(spark, sf_dir))
+
+
+def _esd_oracle(k: int = 3) -> str:
+    """Unrolled generalized-ESD oracle: each round is the same
+    (hash-agg → integer-ordered argmax → anti-join removal) block —
+    the changepoints_multi fixed-depth policy applied to Rosner's
+    recursion."""
+    head = """
+WITH pt AS (
+  SELECT event_type AS m, date_trunc('day', ts) AS day_ts,
+         epoch_us(ts) AS t_us, cast(event_id AS bigint) AS o,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), cur0 AS (SELECT * FROM pt)"""
+    blocks = []
+    for r in range(1, k + 1):
+        blocks.append(f""", a{r} AS (
+  SELECT m, day_ts, cast(count(*) AS bigint) AS n,
+         cast(sum(c) AS bigint) AS t_tot,
+         sum(cast(c AS hugeint) * c) AS sxx
+  FROM cur{r - 1} GROUP BY 1, 2 HAVING count(*) >= 8
+), p{r} AS (
+  SELECT * FROM (
+    SELECT cur.m, cur.day_ts, cur.t_us, cur.o, cur.c,
+           a.n, a.t_tot, a.sxx,
+           abs(a.n * cur.c - a.t_tot) AS dev,
+           row_number() OVER (
+             PARTITION BY cur.m, cur.day_ts
+             ORDER BY abs(a.n * cur.c - a.t_tot) DESC, cur.c DESC,
+                      cur.t_us, cur.o) AS rn
+    FROM cur{r - 1} cur
+    JOIN a{r} a ON cur.m = a.m AND cur.day_ts = a.day_ts
+  ) q WHERE rn = 1
+), cur{r} AS (
+  SELECT cur.m, cur.day_ts, cur.t_us, cur.o, cur.c
+  FROM cur{r - 1} cur LEFT JOIN p{r} p
+    ON cur.m = p.m AND cur.day_ts = p.day_ts
+   AND cur.t_us = p.t_us AND cur.o = p.o
+  WHERE p.m IS NULL
+)""")
+    rounds_sql = "\nUNION ALL\n".join(
+        f"""SELECT m AS metric, day_ts, {r} AS round,
+       cast(n AS bigint) AS n_remaining,
+       round(cast(c AS double) / 100.0, 6) AS suspect_value,
+       round(CASE WHEN (cast(sxx AS double)
+                        - cast(t_tot AS double) * cast(t_tot AS double)
+                          / cast(n AS double))
+                       / (cast(n AS double) - 1.0) > 0
+             THEN (cast(dev AS double) / cast(n AS double))
+                  / sqrt(greatest((cast(sxx AS double)
+                         - cast(t_tot AS double) * cast(t_tot AS double)
+                           / cast(n AS double))
+                        / (cast(n AS double) - 1.0), 0.0)) END, 6)
+         AS g_stat
+FROM p{r}""" for r in range(1, k + 1)
+    )
+    return head + "".join(blocks) + "\n" + rounds_sql
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tiers = rollup_cascade(_series_from_events(spark, "/root/testdata/sf0.001"))
@@ -7673,6 +7742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_p95": q_histogram_p95,
         "corr_grain_audit": q_corr_grain_audit,
         "time_to_nth": q_time_to_nth,
+        "esd_outliers": q_esd_outliers,
     }
 
 
@@ -8650,6 +8720,7 @@ def oracle_sql() -> dict[str, str]:
     d["dtw_daily"] = _dtw_oracle(band=3)
     d["recovery_after_error"] = _RECOVERY_ORACLE
     d["lad_trend"] = _LAD_TREND_ORACLE
+    d["esd_outliers"] = _esd_oracle(k=3)
     d["skyline_users"] = _SKYLINE_ORACLE
     d["langid_confusion"] = _LANGID_CONFUSION_ORACLE
     d["time_to_nth"] = """

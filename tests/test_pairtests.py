@@ -226,3 +226,29 @@ def test_mood_scale_shift_detected(spark):
             rows.append(("a", d, 50.0 + (d % 3)))
     r = mood_weekend(_day_series(spark, rows), min_days=2).collect()[0]
     assert r["z"] > 1.0
+
+
+def test_esd_unmasks_second_outlier(spark):
+    from timeseriescorrelation_spark.operators.nptests import (
+        esd_outliers,
+    )
+
+    # 10 calm points + two big spikes the same day: round 1 removes
+    # the bigger spike, round 2 the second, round 3 a calm point
+    cents = [100, 101, 99, 102, 98, 100, 101, 99, 100, 102, 900, 800]
+    rows = [
+        ("a", BASE + dt.timedelta(hours=h), h, c / 100.0)
+        for h, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, turn_idx int, value double"
+    )
+    out = {r["round"]: r for r in esd_outliers(df).collect()}
+    assert out[1]["suspect_value"] == 9.0
+    assert out[1]["n_remaining"] == 12
+    assert out[2]["suspect_value"] == 8.0
+    assert out[2]["n_remaining"] == 11
+    # after both spikes go, the remaining set is calm: round-3 G is
+    # small while round 1's was huge
+    assert out[3]["suspect_value"] < 2.0
+    assert out[1]["g_stat"] > out[3]["g_stat"]

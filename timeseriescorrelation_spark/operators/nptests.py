@@ -853,3 +853,81 @@ def effect_sizes_weekend(series: DataFrame, key: str = "metric",
         F.when(sp_num > 0, F.round(jf * d, 6)).alias("hedges_g"),
         F.round(delta, 6).alias("cliffs_delta"),
     )
+
+
+def esd_outliers(series: DataFrame, key: str = "metric",
+                 k_rounds: int = 3,
+                 value_decimals: int = 2,
+                 min_n: int = 8) -> DataFrame:
+    """(metric, day_ts, round, n_remaining, suspect_value, g_stat):
+    generalized ESD (Rosner) multi-outlier screen per metric-day —
+    grubbs_daily finds ONE outlier; masking hides the second behind
+    the first.  ESD removes the extreme and re-tests k times, which
+    is exactly a FIXED-depth unroll: each round recomputes (n, T,
+    Σc²) over the surviving points, flags the max-|deviation| point,
+    and hands the remainder to the next round.
+
+    Round-r argmax is decided by INTEGERS end to end: dev = |n·c − T|
+    ordered desc, ties prefer the high side (the grubbs rule) then
+    the earliest (ts, turn) — so removal is deterministic and the
+    DuckDB oracle replays the identical three rounds.  g_stat is
+    grubbs' G = (dev/n)/sd, one shared double tree per round, 6 dp;
+    rounds stop contributing when n_remaining < min_n (degenerate
+    sd → NULL g).
+
+    Scale: k · (one day-grouped hash-agg + one day-bounded window) —
+    the bounded-day policy (windows never span groups larger than a
+    calendar day's points)."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    pt = series.select(
+        F.col(key).alias("m"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        epoch_us(F.col("ts")).alias("t_us"),
+        F.col("turn_idx").cast("long").alias("o"),
+        F.round(F.col("value") * scale).cast("long").alias("c"),
+    )
+    out_rounds = []
+    cur = pt
+    for r in range(1, int(k_rounds) + 1):
+        agg = cur.groupBy("m", "day_ts").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("t_tot"),
+            F.sum(F.col("c").cast(dec) * F.col("c").cast(dec))
+            .alias("sxx"),
+        ).where(F.col("n") >= int(min_n))
+        j = cur.join(agg, ["m", "day_ts"])
+        dev = F.abs(F.col("n") * F.col("c") - F.col("t_tot"))
+        w = Window.partitionBy("m", "day_ts").orderBy(
+            dev.desc(), F.col("c").desc(), "t_us", "o"
+        )
+        picked = j.select(
+            "m", "day_ts", "t_us", "o", "c", "n", "t_tot", "sxx",
+            dev.alias("dev"),
+            F.row_number().over(w).alias("rn"),
+        ).where(F.col("rn") == 1)
+        n = F.col("n").cast("double")
+        t = F.col("t_tot").cast("double")
+        sxx = F.col("sxx").cast("double")
+        var = (sxx - t * t / n) / (n - F.lit(1.0))
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        g = F.when(var > 0, (F.col("dev").cast("double") / n) / sd)
+        out_rounds.append(picked.select(
+            F.col("m").alias(key), "day_ts",
+            F.lit(r).alias("round"),
+            F.col("n").cast("long").alias("n_remaining"),
+            F.round(
+                F.col("c").cast("double") / F.lit(float(scale)), 6
+            ).alias("suspect_value"),
+            F.round(g, 6).alias("g_stat"),
+        ))
+        cur = cur.join(
+            picked.select("m", "day_ts", "t_us", "o"),
+            ["m", "day_ts", "t_us", "o"], "left_anti",
+        )
+    out = out_rounds[0]
+    for more in out_rounds[1:]:
+        out = out.unionByName(more)
+    return out
