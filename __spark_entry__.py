@@ -7264,6 +7264,17 @@ def q_time_to_nth(spark, sf_dir):
     return time_to_nth(_events(spark, sf_dir), n=5)
 
 
+def q_gmd_daily(spark, sf_dir):
+    """Gini mean difference per metric-day via the sorted-rank
+    identity — pairwise-robust dispersion at O(n log n), exact
+    integer weight sums."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        gmd_daily,
+    )
+
+    return gmd_daily(_series_from_events(spark, sf_dir))
+
+
 def q_esd_outliers(spark, sf_dir):
     """Generalized ESD (Rosner) multi-outlier screen, 3 rounds per
     metric-day: remove the integer-decided extreme, re-test — the
@@ -7743,6 +7754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_grain_audit": q_corr_grain_audit,
         "time_to_nth": q_time_to_nth,
         "esd_outliers": q_esd_outliers,
+        "gmd_daily": q_gmd_daily,
     }
 
 
@@ -8721,6 +8733,29 @@ def oracle_sql() -> dict[str, str]:
     d["recovery_after_error"] = _RECOVERY_ORACLE
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)
+    d["gmd_daily"] = """
+WITH pt AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(round(value * 100) AS bigint) AS c
+  FROM events
+), r AS (
+  SELECT metric, day_ts, c,
+         row_number() OVER (PARTITION BY metric, day_ts
+                            ORDER BY c) AS i,
+         cast(count(*) OVER (PARTITION BY metric, day_ts) AS bigint)
+           AS n
+  FROM pt
+), g AS (
+  SELECT metric, day_ts, cast(max(n) AS bigint) AS n,
+         sum(cast(2 * i - n - 1 AS hugeint) * c) AS s
+  FROM r GROUP BY 1, 2 HAVING max(n) >= 4
+)
+SELECT metric, day_ts, n,
+       round(2.0 * cast(s AS double)
+             / (cast(n AS double) * (cast(n AS double) - 1.0))
+             / 100.0, 6) AS gmd
+FROM g
+"""
     d["skyline_users"] = _SKYLINE_ORACLE
     d["langid_confusion"] = _LANGID_CONFUSION_ORACLE
     d["time_to_nth"] = """

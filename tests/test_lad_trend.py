@@ -71,3 +71,23 @@ def test_lad_exact_fit_zero_loss(spark):
     r = lad_trend_daily(_series(spark, cents)).collect()[0]
     assert r["lad_loss"] == 0.0
     assert abs(r["slope"] - 0.3) < 1e-9
+
+
+def test_gmd_matches_pairwise_bruteforce(spark):
+    from timeseriescorrelation_spark.operators.analytics import gmd_daily
+
+    cents = [100, 250, 250, 400, 999, 50]
+    rows = [
+        ("a", BASE + dt.timedelta(hours=h), c / 100.0)
+        for h, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    r = gmd_daily(df).collect()[0]
+    n = len(cents)
+    brute = sum(
+        abs(a - b) for i, a in enumerate(cents) for b in cents[i + 1:]
+    ) * 2 / (n * (n - 1)) / 100.0
+    assert r["n"] == n
+    assert abs(r["gmd"] - round(brute, 6)) < 1e-9
