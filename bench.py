@@ -385,6 +385,9 @@ HEADLINE_R3 = [
     "counter_rate",
     "histogram_p95",
     "corr_grain_audit",
+    "time_to_nth",
+    "esd_outliers",
+    "gmd_daily",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
