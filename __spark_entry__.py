@@ -7276,6 +7276,18 @@ def q_nw_align(spark, sf_dir):
     return nw_align_daily(_series_from_events(spark, sf_dir))
 
 
+def q_sw_align(spark, sf_dir):
+    """Smith–Waterman LOCAL alignment of the daily activity strings:
+    best-matching subwindow per metric pair (0-floored integer DP,
+    grid-max score) — high when two metrics track for part of the
+    day even if they diverge elsewhere."""
+    from timeseriescorrelation_spark.operators.align import (
+        sw_align_daily,
+    )
+
+    return sw_align_daily(_series_from_events(spark, sf_dir))
+
+
 def q_gmd_daily(spark, sf_dir):
     """Gini mean difference per metric-day via the sorted-rank
     identity — pairwise-robust dispersion at O(n log n), exact
@@ -7363,6 +7375,79 @@ SELECT ma AS metric_a, mb AS metric_b, day_ts,
        cast(d AS bigint) AS score,
        round(cast(d AS double) / 48.0, 6) AS sim
 FROM lvl{2 * n} WHERE i = {n}
+"""
+    return head + "".join(lvls) + tail
+
+
+def _sw_oracle() -> str:
+    """Smith–Waterman as SQL: the _nw_oracle unroll with 0-floored
+    cells, 0 boundary rows, and the final score as the max over every
+    level's cells."""
+    n = 24
+    head = f"""
+WITH hb AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS day_ts,
+         hour(ts) AS h,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2, 3
+), sy AS (
+  SELECT k, day_ts, h,
+         CASE WHEN 2 * y > cast(round(
+                2 * quantile_cont(y, 0.5) OVER (PARTITION BY k))
+                AS bigint)
+              THEN 2 ELSE 1 END AS s
+  FROM hb
+), grid AS (
+  SELECT kd.k, kd.day_ts, gs.h, coalesce(sy.s, 0) AS s
+  FROM (SELECT DISTINCT k, day_ts FROM hb) kd
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS h) gs
+  LEFT JOIN sy ON sy.k = kd.k AND sy.day_ts = kd.day_ts
+             AND sy.h = gs.h
+), cost AS MATERIALIZED (
+  SELECT a.k AS ma, b.k AS mb, a.day_ts,
+         a.h + 1 AS i, a.h + b.h + 2 AS t,
+         CASE WHEN a.s = b.s THEN 2 ELSE -1 END AS sub
+  FROM grid a JOIN grid b ON a.day_ts = b.day_ts AND a.k < b.k
+), prs AS MATERIALIZED (
+  SELECT DISTINCT ma, mb, day_ts FROM cost
+), lvl0 AS (
+  SELECT ma, mb, day_ts, 0 AS i, 0 AS d FROM prs
+)"""
+    lvls = []
+    for t in range(1, 2 * n + 1):
+        bnd = ""
+        if t <= n:
+            bnd = f"""
+  UNION ALL SELECT ma, mb, day_ts, 0 AS i, 0 AS d FROM prs
+  UNION ALL SELECT ma, mb, day_ts, {t} AS i, 0 AS d FROM prs"""
+        lvls.append(f""", lvl{t} AS MATERIALIZED (
+  SELECT c.ma, c.mb, c.day_ts, c.i,
+         greatest(0,
+                  coalesce(p2.d, 0) + c.sub,
+                  coalesce(p1a.d, 0) - 1,
+                  coalesce(p1b.d, 0) - 1) AS d
+  FROM cost c
+  LEFT JOIN lvl{max(t - 1, 0)} p1a ON c.ma = p1a.ma
+       AND c.mb = p1a.mb AND c.day_ts = p1a.day_ts
+       AND p1a.i = c.i - 1
+  LEFT JOIN lvl{max(t - 1, 0)} p1b ON c.ma = p1b.ma
+       AND c.mb = p1b.mb AND c.day_ts = p1b.day_ts
+       AND p1b.i = c.i
+  LEFT JOIN lvl{max(t - 2, 0)} p2 ON c.ma = p2.ma
+       AND c.mb = p2.mb AND c.day_ts = p2.day_ts
+       AND p2.i = c.i - 1
+  WHERE c.t = {t}{bnd}
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT ma, mb, day_ts, d FROM lvl{t}"
+        for t in range(2, 2 * n + 1)
+    )
+    tail = f"""
+SELECT ma AS metric_a, mb AS metric_b, day_ts,
+       cast(max(d) AS bigint) AS score,
+       round(cast(max(d) AS double) / 48.0, 6) AS sim
+FROM ({union}) u
+GROUP BY 1, 2, 3
 """
     return head + "".join(lvls) + tail
 
@@ -7836,6 +7921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esd_outliers": q_esd_outliers,
         "gmd_daily": q_gmd_daily,
         "nw_align": q_nw_align,
+        "sw_align": q_sw_align,
     }
 
 
@@ -8812,6 +8898,7 @@ def oracle_sql() -> dict[str, str]:
     d["ann_ivf_kmeans"] = _kmeans_ivf_oracle(k=8, n_iter=2)
     d["dtw_daily"] = _dtw_oracle(band=3)
     d["nw_align"] = _nw_oracle()
+    d["sw_align"] = _sw_oracle()
     d["recovery_after_error"] = _RECOVERY_ORACLE
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)

@@ -69,3 +69,48 @@ def test_shift_beats_mismatch(spark):
     )
     r = nw_align_daily(df).collect()[0]
     assert r["score"] > 30  # near-perfect despite the shift
+
+
+def test_sw_local_beats_global_on_partial_match(spark):
+    from timeseriescorrelation_spark.operators.align import (
+        sw_align_daily,
+    )
+
+    # hours 0-11 identical, 12-23 maximally divergent: SW finds the
+    # 12-hour perfect block (score ~24); NW pays for the back half
+    va = [1.0] * 12 + [9.0] * 12
+    vb = [1.0] * 12 + [None] * 12
+    df = spark.createDataFrame(_rows("a", va) + _rows("b", vb), SCHEMA)
+    sw = sw_align_daily(df).collect()[0]
+    nw = nw_align_daily(df).collect()[0]
+    # replicate symbols: a: med over {100x12, 900x12} -> med2=1000,
+    # symbols 1x12 then 2x12; b: all 100 -> med2=200, symbols 1x12
+    # then 0x12.  Best local block: the twelve 1==1 matches.
+    assert sw["score"] == 24
+    assert nw["score"] < sw["score"]
+
+
+def test_sw_matches_bruteforce(spark):
+    from timeseriescorrelation_spark.operators.align import (
+        sw_align_daily,
+    )
+
+    def _sw_ref(x, y):
+        n = len(x)
+        d = [[0] * (n + 1) for _ in range(n + 1)]
+        best = 0
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                sub = 2 if x[i - 1] == y[j - 1] else -1
+                d[i][j] = max(0, d[i - 1][j - 1] + sub,
+                              d[i - 1][j] - 1, d[i][j - 1] - 1)
+                best = max(best, d[i][j])
+        return best
+
+    va = [1.0 if h % 2 == 0 else 9.0 for h in range(24)]
+    vb = [9.0 if h % 3 == 0 else None for h in range(24)]
+    df = spark.createDataFrame(_rows("a", va) + _rows("b", vb), SCHEMA)
+    r = sw_align_daily(df).collect()[0]
+    sa = [1 if h % 2 == 0 else 2 for h in range(24)]
+    sb = [1 if h % 3 == 0 else 0 for h in range(24)]
+    assert r["score"] == _sw_ref(sa, sb)

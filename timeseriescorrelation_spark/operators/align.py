@@ -105,3 +105,83 @@ def nw_align_daily(series: DataFrame, key: str = "metric",
     return pairs.mapInPandas(
         lambda it: (_kernel(pdf) for pdf in it), schema
     )
+
+
+def sw_align_daily(series: DataFrame, key: str = "metric",
+                   value_decimals: int = 2) -> DataFrame:
+    """(metric_a, metric_b, day_ts, score, sim): Smith–Waterman LOCAL
+    alignment of the same 24-symbol day strings — where NW scores the
+    WHOLE day (one divergent evening drags everything down), SW finds
+    the best-matching SUBWINDOW: d[i][j] floors at 0 and the score is
+    the grid MAX, so "these two metrics track perfectly from 9 to 17
+    and diverge elsewhere" reads as a high local score with a
+    mediocre global one.  Same +2/−1/−1 integers, same anti-diagonal
+    oracle unroll (boundary cells 0, greatest(0, …), final max over
+    all cells)."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10 ** int(value_decimals)
+    hourly = series.groupBy(
+        F.col(key).alias("k"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.hour("ts").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    w_med = Window.partitionBy("k")
+    med2 = F.round(
+        F.lit(2) * F.percentile("y", F.lit(0.5)).over(w_med)
+    ).cast("long")
+    sym = hourly.select(
+        "k", "day_ts", "h",
+        F.when(F.lit(2) * F.col("y") > med2, F.lit(2))
+        .otherwise(F.lit(1)).cast("int").alias("s"),
+    )
+    prof = sym.groupBy("k", "day_ts").agg(
+        F.array_sort(F.collect_list(F.struct("h", "s"))).alias("hs")
+    )
+    a = prof.select(F.col("k").alias("metric_a"), "day_ts",
+                    F.col("hs").alias("pa"))
+    b = prof.select(F.col("k").alias("metric_b"), "day_ts",
+                    F.col("hs").alias("pb"))
+    pairs = a.join(b, "day_ts").where(
+        F.col("metric_a") < F.col("metric_b")
+    )
+
+    def _dense(hs) -> "np.ndarray":
+        v = np.zeros(24, dtype=np.int64)
+        for e in hs:
+            v[int(e["h"])] = int(e["s"])
+        return v
+
+    def _sw(x: "np.ndarray", y: "np.ndarray") -> int:
+        n = len(x)
+        d = np.zeros((n + 1, n + 1), dtype=np.int64)
+        best = 0
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                sub = MATCH if x[i - 1] == y[j - 1] else MISMATCH
+                d[i, j] = max(0, d[i - 1, j - 1] + sub,
+                              d[i - 1, j] + GAP, d[i, j - 1] + GAP)
+                if d[i, j] > best:
+                    best = int(d[i, j])
+        return best
+
+    schema = ("metric_a string, metric_b string, day_ts timestamp,"
+              " score long, sim double")
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for row in pdf.itertuples(index=False):
+            sc = _sw(_dense(row.pa), _dense(row.pb))
+            out.append((row.metric_a, row.metric_b, row.day_ts, sc,
+                        round(sc / (2.0 * 24.0), 6)))
+        return pd.DataFrame(
+            out,
+            columns=["metric_a", "metric_b", "day_ts", "score", "sim"],
+        )
+
+    return pairs.mapInPandas(
+        lambda it: (_kernel(pdf) for pdf in it), schema
+    )
