@@ -388,6 +388,8 @@ HEADLINE_R3 = [
     "time_to_nth",
     "esd_outliers",
     "gmd_daily",
+    "nw_align",
+    "sw_align",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is

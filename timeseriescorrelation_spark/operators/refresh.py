@@ -50,14 +50,26 @@ def write_tier(series: DataFrame, path: str, tier: str = "1h") -> None:
     ).mode("overwrite").parquet(path)
 
 
-def refresh_tier(spark: SparkSession, path: str, delta: DataFrame,
-                 tier: str = "1h") -> list[str]:
-    """Fold `delta` (raw series rows) into the tier at `path`.
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
 
-    Returns the list of day-partition values rewritten.  Exactness:
-    read-back equals the direct rollup of (original ∪ delta) — the
-    tier_merge invariant, asserted end-to-end in tests."""
-    up = _with_part(rollup_raw_upsertable(delta, tier))
+
+def refresh_partials(spark: SparkSession, path: str,
+                     partials: DataFrame) -> list[str]:
+    """Fold UPSERTABLE same-grain partials (standard tier columns +
+    fkey/lkey) into the stored tier at `path`, rewriting only the
+    touched day partitions — the storage half shared by the batch
+    late-delta refresh (refresh_tier) and the streaming
+    continuous-aggregate stage (streaming/cascade_stream.py's
+    foreachBatch calls this per micro-batch).  A missing path is the
+    initial materialization (plain partitioned write)."""
+    up = _with_part(partials)
+    if not _path_exists(spark, path):
+        up.write.partitionBy(PART_COL).mode("overwrite").parquet(path)
+        return [r[0] for r in up.select(PART_COL).distinct().collect()]
     days = [r[0] for r in up.select(PART_COL).distinct().collect()]
     if not days:
         return []
@@ -76,6 +88,18 @@ def refresh_tier(spark: SparkSession, path: str, delta: DataFrame,
             "spark.sql.sources.partitionOverwriteMode", old_mode
         )
     return sorted(days)
+
+
+def refresh_tier(spark: SparkSession, path: str, delta: DataFrame,
+                 tier: str = "1h") -> list[str]:
+    """Fold `delta` (raw series rows) into the tier at `path`.
+
+    Returns the list of day-partition values rewritten.  Exactness:
+    read-back equals the direct rollup of (original ∪ delta) — the
+    tier_merge invariant, asserted end-to-end in tests."""
+    return refresh_partials(
+        spark, path, rollup_raw_upsertable(delta, tier)
+    )
 
 
 def retention_sweep(spark: SparkSession, tier_paths: dict[str, str],
