@@ -7288,6 +7288,18 @@ def q_sw_align(spark, sf_dir):
     return sw_align_daily(_series_from_events(spark, sf_dir))
 
 
+def q_xcorr_prewhitened(spark, sf_dir):
+    """Cross-correlation before/after AR(1) prewhitening — the
+    Box-Jenkins spurious-correlation guard: r_raw >> r_prewhitened
+    means both metrics just follow the clock; holding up means the
+    innovations co-move."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        xcorr_prewhitened,
+    )
+
+    return xcorr_prewhitened(_series_from_events(spark, sf_dir))
+
+
 def q_gmd_daily(spark, sf_dir):
     """Gini mean difference per metric-day via the sorted-rank
     identity — pairwise-robust dispersion at O(n log n), exact
@@ -7922,6 +7934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmd_daily": q_gmd_daily,
         "nw_align": q_nw_align,
         "sw_align": q_sw_align,
+        "xcorr_prewhitened": q_xcorr_prewhitened,
     }
 
 
@@ -8902,6 +8915,73 @@ def oracle_sql() -> dict[str, str]:
     d["recovery_after_error"] = _RECOVERY_ORACLE
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)
+    pw_pearson = """
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         cast(count(*) AS hugeint) AS n,
+         sum(cast(a.{v} AS hugeint)) AS sx,
+         sum(cast(b.{v} AS hugeint)) AS sy,
+         sum(cast(a.{v} AS hugeint) * b.{v}) AS sxy,
+         sum(cast(a.{v} AS hugeint) * a.{v}) AS sxx,
+         sum(cast(b.{v} AS hugeint) * b.{v}) AS syy
+  FROM res a JOIN res b
+    ON a.hour_ts = b.hour_ts AND a.metric < b.metric
+  GROUP BY 1, 2
+"""
+    pw_r = """
+  SELECT metric_a, metric_b, cast(n AS bigint) AS n,
+         CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+                   AND cast(n * syy - sy * sy AS double) > 0
+              THEN round(cast(n * sxy - sx * sy AS double)
+                         / sqrt(cast(n * sxx - sx * sx AS double)
+                                * cast(n * syy - sy * sy AS double)),
+                         6) END AS {r}
+  FROM m{tag}
+"""
+    d["xcorr_prewhitened"] = f"""
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), lg AS (
+  SELECT metric, hour_ts, y,
+         lag(y) OVER (PARTITION BY metric ORDER BY hour_ts) AS yp,
+         epoch_us(hour_ts) - lag(epoch_us(hour_ts)) OVER (
+             PARTITION BY metric ORDER BY hour_ts) AS dt_us
+  FROM h
+), mom AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(cast(yp AS hugeint)) AS su,
+         sum(cast(y AS hugeint)) AS sv,
+         sum(cast(yp AS hugeint) * y) AS suv,
+         sum(cast(yp AS hugeint) * yp) AS suu,
+         sum(cast(y AS hugeint) * y) AS svv
+  FROM lg WHERE yp IS NOT NULL GROUP BY 1
+), rho AS (
+  SELECT metric,
+         CASE WHEN cast(n * suu - su * su AS double) > 0
+                   AND cast(n * svv - sv * sv AS double) > 0
+              THEN cast(n * suv - su * sv AS double)
+                   / sqrt(cast(n * suu - su * su AS double)
+                          * cast(n * svv - sv * sv AS double))
+              ELSE 0.0 END AS rho
+  FROM mom
+), res AS (
+  SELECT lg.metric, hour_ts, cast(y AS bigint) AS yc,
+         cast(round((cast(y AS double) - rho * cast(yp AS double))
+                    * 1000.0) AS bigint) AS e_u
+  FROM lg JOIN rho USING (metric)
+  WHERE yp IS NOT NULL AND dt_us = 3600000000
+), mraw AS ({pw_pearson.format(v='yc')}), mpre AS (
+  {pw_pearson.format(v='e_u')}
+), rraw AS ({pw_r.format(r='r_raw', tag='raw')}), rpre AS (
+  {pw_r.format(r='r_prewhitened', tag='pre')}
+)
+SELECT rraw.metric_a, rraw.metric_b, rraw.n AS n_hours,
+       r_raw, r_prewhitened
+FROM rraw JOIN rpre ON rraw.metric_a = rpre.metric_a
+                    AND rraw.metric_b = rpre.metric_b
+WHERE r_raw IS NOT NULL AND rraw.n >= 24
+"""
     d["gmd_daily"] = """
 WITH pt AS (
   SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,

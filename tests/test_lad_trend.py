@@ -91,3 +91,37 @@ def test_gmd_matches_pairwise_bruteforce(spark):
     ) * 2 / (n * (n - 1)) / 100.0
     assert r["n"] == n
     assert abs(r["gmd"] - round(brute, 6)) < 1e-9
+
+
+def test_prewhitening_kills_trend_correlation(spark):
+    import math
+
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        xcorr_prewhitened,
+    )
+
+    # the classic spurious pair: both metrics ride the SAME strong
+    # linear trend with INDEPENDENT noise.  Raw r ~ 1 (the trend is
+    # the only signal that matters); after AR(1) prewhitening the
+    # trend contributes only a constant, so r collapses to the
+    # near-zero noise correlation.  (A deterministic SINE would NOT
+    # collapse — AR(1) residuals of a sinusoid are still sinusoidal;
+    # prewhitening removes the autoregressive channel, not
+    # seasonality — which is why the operator reports both numbers.)
+    del math  # trend case needs no trig
+    rows = []
+    for h in range(24 * 6):
+        trend = 1000.0 + 10.0 * h
+        na = ((h * 7919) % 13) - 6   # pseudo-noise a
+        nb = ((h * 104729) % 11) - 5  # pseudo-noise b
+        rows.append(("a", BASE + dt.timedelta(hours=h),
+                     (trend + 3.0 * na) / 1.0))
+        rows.append(("b", BASE + dt.timedelta(hours=h),
+                     (trend + 3.0 * nb) / 1.0))
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    r = xcorr_prewhitened(df).collect()[0]
+    assert r["r_raw"] > 0.9
+    assert abs(r["r_prewhitened"]) < 0.5
+    assert r["r_raw"] - abs(r["r_prewhitened"]) > 0.4

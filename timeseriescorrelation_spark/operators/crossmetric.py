@@ -1354,3 +1354,114 @@ def corr_grain_audit(series: DataFrame, key: str = "metric",
         "r_1m", "r_1h",
         F.round(F.col("r_1m") - F.col("r_1h"), 6).alias("r_delta"),
     )
+
+
+def xcorr_prewhitened(series: DataFrame, key: str = "metric",
+                      value_decimals: int = 2,
+                      min_hours: int = 24) -> DataFrame:
+    """(metric_a, metric_b, n_hours, r_raw, r_prewhitened): cross-
+    correlation per metric pair BEFORE and AFTER AR(1) prewhitening —
+    the Box-Jenkins guard against spurious correlation: two metrics
+    that are each strongly autocorrelated (every diurnal series is)
+    show inflated raw r even when their innovations are independent;
+    correlating the residuals e_t = y_t − ρ·y_{t−1} removes exactly
+    that channel.  r_raw ≫ r_prewhitened is the signature of "both
+    just follow the clock"; r_prewhitened holding up means the
+    co-movement is in the innovations themselves.
+
+    Exactness recipe: ρ per metric is the lag-1 autocorrelation from
+    exact decimal38 moments over consecutive observed-hour pairs (ONE
+    shared double expression).  Residuals are ρ-weighted differences
+    of integer cents — doubles — SNAPPED to integer milli-cents
+    (round(e·1000)); both engines build the identical expression
+    tree, so the snapped integers agree and everything downstream
+    (the pair join's Pearson moments) is exact again.
+
+    Scale: one grid hash-agg, two per-metric lag windows over grid
+    rows, one k² aggregate-sized pair join per statistic — the
+    corr_matrix_daily shape with a prewhitening stage in front."""
+    scale = 10 ** int(value_decimals)
+    h = _hourly_cents(series, [key], value_decimals)
+    w = Window.partitionBy(key).orderBy("hour_ts")
+    lagged = h.select(
+        key, "hour_ts", "y",
+        F.lag("y", 1).over(w).alias("yp"),
+        (
+            epoch_us(F.col("hour_ts"))
+            - F.lag(epoch_us(F.col("hour_ts")), 1).over(w)
+        ).alias("dt_us"),
+    )
+    # consecutive observed hours only: the AR(1) step is an hour, so
+    # a gap splices for rho's moment sums the way autocorr_lag1 does,
+    # but the RESIDUAL stream keeps only true lag-1 pairs (a residual
+    # across a gap would mix horizons)
+    pairs = lagged.where(F.col("yp").isNotNull())
+    u, v = F.col("yp").cast(DEC), F.col("y").cast(DEC)
+    mom = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(u).alias("su"), F.sum(v).alias("sv"),
+        F.sum(u * v).alias("suv"),
+        F.sum(u * u).alias("suu"), F.sum(v * v).alias("svv"),
+    )
+    nn, su, sv = F.col("n"), F.col("su"), F.col("sv")
+    cov = (nn * F.col("suv") - su * sv).cast("double")
+    vu = (nn * F.col("suu") - su * su).cast("double")
+    vv = (nn * F.col("svv") - sv * sv).cast("double")
+    rho = F.when((vu > 0) & (vv > 0), cov / F.sqrt(vu * vv)).otherwise(
+        F.lit(0.0)
+    )
+    rhod = mom.select(key, rho.alias("rho"))
+    res = (
+        lagged.join(F.broadcast(rhod), key)
+        .where(
+            F.col("yp").isNotNull()
+            & (F.col("dt_us") == F.lit(3_600_000_000))
+        )
+        .select(
+            key, "hour_ts",
+            F.col("y").cast("long").alias("yc"),
+            F.round(
+                (F.col("y").cast("double")
+                 - F.col("rho") * F.col("yp").cast("double"))
+                * F.lit(1000.0)
+            ).cast("long").alias("e_u"),
+        )
+    )
+
+    def _pearson(df, val, rname):
+        a = df.select(F.col(key).alias("metric_a"), "hour_ts",
+                      F.col(val).alias("xa"))
+        b = df.select(F.col(key).alias("metric_b"), "hour_ts",
+                      F.col(val).alias("xb"))
+        p = a.join(b, "hour_ts").where(
+            F.col("metric_a") < F.col("metric_b")
+        )
+        xa, xb = F.col("xa").cast(DEC), F.col("xb").cast(DEC)
+        m = p.groupBy("metric_a", "metric_b").agg(
+            F.count(F.lit(1)).cast(DEC).alias("n"),
+            F.sum(xa).alias("sx"), F.sum(xb).alias("sy"),
+            F.sum(xa * xb).alias("sxy"),
+            F.sum(xa * xa).alias("sxx"), F.sum(xb * xb).alias("syy"),
+        )
+        n2, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        c2 = (n2 * F.col("sxy") - sx * sy).cast("double")
+        v1 = (n2 * F.col("sxx") - sx * sx).cast("double")
+        v2 = (n2 * F.col("syy") - sy * sy).cast("double")
+        rr = F.when((v1 > 0) & (v2 > 0), c2 / F.sqrt(v1 * v2))
+        return m.select(
+            "metric_a", "metric_b",
+            n2.cast("long").alias("n"),
+            F.round(rr, 6).alias(rname),
+        )
+
+    raw = _pearson(res, "yc", "r_raw")
+    pre = _pearson(res, "e_u", "r_prewhitened")
+    j = raw.join(pre, ["metric_a", "metric_b"]).where(
+        (F.col("r_raw").isNotNull())
+        & (raw["n"] >= int(min_hours))
+    )
+    return j.select(
+        "metric_a", "metric_b",
+        raw["n"].alias("n_hours"),
+        "r_raw", "r_prewhitened",
+    )
