@@ -94,8 +94,6 @@ def test_gmd_matches_pairwise_bruteforce(spark):
 
 
 def test_prewhitening_kills_trend_correlation(spark):
-    import math
-
     from timeseriescorrelation_spark.operators.crossmetric import (
         xcorr_prewhitened,
     )
@@ -108,7 +106,6 @@ def test_prewhitening_kills_trend_correlation(spark):
     # collapse — AR(1) residuals of a sinusoid are still sinusoidal;
     # prewhitening removes the autoregressive channel, not
     # seasonality — which is why the operator reports both numbers.)
-    del math  # trend case needs no trig
     rows = []
     for h in range(24 * 6):
         trend = 1000.0 + 10.0 * h
