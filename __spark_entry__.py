@@ -7288,6 +7288,18 @@ def q_sw_align(spark, sf_dir):
     return sw_align_daily(_series_from_events(spark, sf_dir))
 
 
+def q_tier_info_loss(spark, sf_dir):
+    """Variance decomposition of the minute series into between-hour
+    (kept by the 1h tier) and within-hour (destroyed by rollup) —
+    the value-side tier-fidelity audit; var_retained routes queries
+    to the coarsest faithful tier."""
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        tier_info_loss,
+    )
+
+    return tier_info_loss(_series_from_events(spark, sf_dir))
+
+
 def q_xcorr_prewhitened(spark, sf_dir):
     """Cross-correlation before/after AR(1) prewhitening — the
     Box-Jenkins spurious-correlation guard: r_raw >> r_prewhitened
@@ -7935,6 +7947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nw_align": q_nw_align,
         "sw_align": q_sw_align,
         "xcorr_prewhitened": q_xcorr_prewhitened,
+        "tier_info_loss": q_tier_info_loss,
     }
 
 
@@ -8981,6 +8994,48 @@ SELECT rraw.metric_a, rraw.metric_b, rraw.n AS n_hours,
 FROM rraw JOIN rpre ON rraw.metric_a = rpre.metric_a
                     AND rraw.metric_b = rpre.metric_b
 WHERE r_raw IS NOT NULL AND rraw.n >= 24
+"""
+    d["tier_info_loss"] = """
+WITH g AS (
+  SELECT event_type AS metric, date_trunc('minute', ts) AS b,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), hs AS (
+  SELECT metric, date_trunc('hour', b) AS h,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(y) AS bigint) AS s,
+         sum(cast(y AS hugeint) * y) AS sxx
+  FROM g GROUP BY 1, 2
+), per AS (
+  SELECT metric,
+         cast(sum(n) AS bigint) AS n_minutes,
+         cast(count(*) AS bigint) AS n_hours,
+         cast(sum(s) AS bigint) AS st,
+         sum(sxx) AS sxxt,
+         sum(cast(round((cast(sxx AS double)
+                         - cast(s AS double) * cast(s AS double)
+                           / cast(n AS double)) * 1e6) AS hugeint))
+           AS ssw_u
+  FROM hs GROUP BY 1 HAVING sum(n) >= 60
+)
+SELECT metric, n_minutes, n_hours,
+       round(CASE WHEN cast(sxxt AS double)
+                       - cast(st AS double) * cast(st AS double)
+                         / cast(n_minutes AS double) > 0
+             THEN cast(ssw_u AS double) / 1e6
+                  / (cast(sxxt AS double)
+                     - cast(st AS double) * cast(st AS double)
+                       / cast(n_minutes AS double)) END, 6)
+         AS var_within_share,
+       round(1.0 - CASE WHEN cast(sxxt AS double)
+                             - cast(st AS double) * cast(st AS double)
+                               / cast(n_minutes AS double) > 0
+                   THEN cast(ssw_u AS double) / 1e6
+                        / (cast(sxxt AS double)
+                           - cast(st AS double) * cast(st AS double)
+                             / cast(n_minutes AS double)) END, 6)
+         AS var_retained
+FROM per
 """
     d["gmd_daily"] = """
 WITH pt AS (

@@ -122,3 +122,29 @@ def test_prewhitening_kills_trend_correlation(spark):
     assert r["r_raw"] > 0.9
     assert abs(r["r_prewhitened"]) < 0.5
     assert r["r_raw"] - abs(r["r_prewhitened"]) > 0.4
+
+
+def test_tier_info_loss_extremes(spark):
+    from timeseriescorrelation_spark.operators.crossmetric import (
+        tier_info_loss,
+    )
+
+    rows = []
+    # metric "flat_within": constant inside each hour, hour means
+    # differ -> rollup destroys nothing, var_retained = 1
+    # metric "flat_between": every hour mean identical, wiggle ->
+    # rollup destroys everything, var_retained ~ 0
+    for h in range(3):
+        for m in range(60):
+            rows.append(("flat_within",
+                         BASE + dt.timedelta(hours=h, minutes=m),
+                         float(10 * (h + 1))))
+            rows.append(("flat_between",
+                         BASE + dt.timedelta(hours=h, minutes=m),
+                         float(10 + (m % 2))))
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    got = {r["metric"]: r for r in tier_info_loss(df).collect()}
+    assert got["flat_within"]["var_retained"] == 1.0
+    assert got["flat_between"]["var_retained"] < 0.01

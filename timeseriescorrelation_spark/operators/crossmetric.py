@@ -1465,3 +1465,72 @@ def xcorr_prewhitened(series: DataFrame, key: str = "metric",
         raw["n"].alias("n_hours"),
         "r_raw", "r_prewhitened",
     )
+
+
+def tier_info_loss(series: DataFrame, key: str = "metric",
+                   value_decimals: int = 2,
+                   min_minutes: int = 60) -> DataFrame:
+    """(metric, n_minutes, n_hours, var_within_share, var_retained):
+    the VALUE-side tier-fidelity audit next to corr_grain_audit's
+    correlation one — a one-way variance decomposition of the minute
+    series into between-hour (what the 1h tier keeps) and within-hour
+    (what rolling up destroys):
+
+        var_retained = 1 − SSW/SST
+
+    Each hour's within-sum SSW_h = Σy² − (Σy)²/n_h is one double
+    expression over exact integers snapped to micro-cents² (the
+    nptests recipe), so the per-hour terms sum exactly; SST gets the
+    same treatment globally.  var_retained ≈ 1 → the hour tier is a
+    faithful substrate for value analytics on this metric;
+    ≈ 0 → the structure lives below the hour and queries should
+    route to the finer tier (the read-side answer retention ladders
+    need before they age the 1m tier out).
+
+    Scale: two grid hash-aggs (minute grain dominates), per-metric
+    scalar algebra — no joins beyond aggregate-sized."""
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    g = series.groupBy(
+        F.col(key),
+        F.date_trunc("minute", "ts").alias("b"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    hs = g.groupBy(
+        key, F.date_trunc("hour", "b").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("sxx"),
+    )
+    ssw_u = F.round(
+        (F.col("sxx").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double")
+           / F.col("n").cast("double")) * F.lit(1e6)
+    ).cast(dec)
+    per = hs.select(
+        key, "n", "s", "sxx", ssw_u.alias("ssw_u")
+    ).groupBy(key).agg(
+        F.sum("n").alias("n_minutes"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("s").alias("st"),
+        F.sum("sxx").alias("sxxt"),
+        F.sum("ssw_u").alias("ssw_u"),
+    ).where(F.col("n_minutes") >= int(min_minutes))
+    sst = (
+        F.col("sxxt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+          / F.col("n_minutes").cast("double")
+    )
+    share = F.when(
+        sst > 0,
+        F.col("ssw_u").cast("double") / F.lit(1e6) / sst,
+    )
+    return per.select(
+        key,
+        F.col("n_minutes").cast("long").alias("n_minutes"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.round(share, 6).alias("var_within_share"),
+        F.round(F.lit(1.0) - share, 6).alias("var_retained"),
+    )
