@@ -7288,6 +7288,15 @@ def q_sw_align(spark, sf_dir):
     return sw_align_daily(_series_from_events(spark, sf_dir))
 
 
+def q_logit_fit(spark, sf_dir):
+    """In-engine logistic classifier (is-English on kchars + vowel
+    ratio): two unrolled IRLS steps with 1e-9-snapped gradient/
+    Hessian sums and a 3×3 Cramer solve — bit-exact, no sklearn."""
+    from timeseriescorrelation_spark.operators.logit import logit_fit
+
+    return logit_fit(_docs(spark, sf_dir))
+
+
 def q_tier_info_loss(spark, sf_dir):
     """Variance decomposition of the minute series into between-hour
     (kept by the 1h tier) and within-hour (destroyed by rollup) —
@@ -7474,6 +7483,89 @@ FROM ({union}) u
 GROUP BY 1, 2, 3
 """
     return head + "".join(lvls) + tail
+
+
+def _logit_oracle(n_iter: int = 2) -> str:
+    """Unrolled IRLS logistic fit (see operators/logit.py): per
+    iteration one CTE computes μ/w per row from the previous β (cross
+    join of the 1-row frame), snaps every gradient/Hessian term to
+    1e-9 units (exact hugeint sums), and the next β comes from the
+    same 3×3 Cramer double tree the engine builds."""
+    head = """
+WITH feat AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         cast(length(text) AS double) / 1000.0 AS x1,
+         cast(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]'))
+                        > 0
+              THEN cast(round(
+                     cast(len(regexp_extract_all(lower(text),
+                                                 '[aeiou]')) AS double)
+                     / len(regexp_extract_all(lower(text), '[a-z]'))
+                     * 1e6) AS bigint)
+              ELSE 0 END AS double) / 1e6 AS x2
+  FROM documents
+), beta0 AS (
+  SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+)"""
+    det_h = ("h00 * (h11 * h22 - h12 * h12)"
+             " - h01 * (h01 * h22 - h12 * h02)"
+             " + h02 * (h01 * h12 - h11 * h02)")
+    det_0 = ("g0 * (h11 * h22 - h12 * h12)"
+             " - h01 * (g1 * h22 - h12 * g2)"
+             " + h02 * (g1 * h12 - h11 * g2)")
+    det_1 = ("h00 * (g1 * h22 - g2 * h12)"
+             " - g0 * (h01 * h22 - h12 * h02)"
+             " + h02 * (h01 * g2 - g1 * h02)")
+    det_2 = ("h00 * (h11 * g2 - h12 * g1)"
+             " - h01 * (h01 * g2 - g1 * h02)"
+             " + g0 * (h01 * h12 - h11 * h02)")
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""", t{i} AS (
+  SELECT f.y, f.x1, f.x2,
+         1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS mu
+  FROM feat f CROSS JOIN beta{i - 1} b
+), s{i} AS (
+  SELECT
+    cast(sum(cast(round((cast(y AS double) - mu) * 1e9) AS hugeint))
+         AS double) AS g0,
+    cast(sum(cast(round((cast(y AS double) - mu) * x1 * 1e9)
+                  AS hugeint)) AS double) AS g1,
+    cast(sum(cast(round((cast(y AS double) - mu) * x2 * 1e9)
+                  AS hugeint)) AS double) AS g2,
+    cast(sum(cast(round(mu * (1.0 - mu) * 1e9) AS hugeint))
+         AS double) AS h00,
+    cast(sum(cast(round(mu * (1.0 - mu) * x1 * 1e9) AS hugeint))
+         AS double) AS h01,
+    cast(sum(cast(round(mu * (1.0 - mu) * x2 * 1e9) AS hugeint))
+         AS double) AS h02,
+    cast(sum(cast(round(mu * (1.0 - mu) * x1 * x1 * 1e9) AS hugeint))
+         AS double) AS h11,
+    cast(sum(cast(round(mu * (1.0 - mu) * x1 * x2 * 1e9) AS hugeint))
+         AS double) AS h12,
+    cast(sum(cast(round(mu * (1.0 - mu) * x2 * x2 * 1e9) AS hugeint))
+         AS double) AS h22
+  FROM t{i}
+), beta{i} AS (
+  SELECT b.b0 + ({det_0}) / ({det_h}) AS b0,
+         b.b1 + ({det_1}) / ({det_h}) AS b1,
+         b.b2 + ({det_2}) / ({det_h}) AS b2
+  FROM beta{i - 1} b CROSS JOIN s{i}
+)""")
+    tail = f"""
+SELECT cast(count(*) AS bigint) AS n_docs,
+       cast(sum(y) AS bigint) AS n_pos,
+       round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+       round(b.b2, 6) AS b2,
+       round(cast(sum(CASE WHEN (CASE WHEN b.b0 + b.b1 * x1
+                                           + b.b2 * x2 > 0
+                                      THEN 1 ELSE 0 END) = y
+                           THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) AS train_acc
+FROM feat f CROSS JOIN beta{n_iter} b
+GROUP BY b.b0, b.b1, b.b2
+"""
+    return head + "".join(steps) + tail
 
 
 def _esd_oracle(k: int = 3) -> str:
@@ -7948,6 +8040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sw_align": q_sw_align,
         "xcorr_prewhitened": q_xcorr_prewhitened,
         "tier_info_loss": q_tier_info_loss,
+        "logit_fit": q_logit_fit,
     }
 
 
@@ -8928,6 +9021,7 @@ def oracle_sql() -> dict[str, str]:
     d["recovery_after_error"] = _RECOVERY_ORACLE
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)
+    d["logit_fit"] = _logit_oracle(n_iter=2)
     pw_pearson = """
   SELECT a.metric AS metric_a, b.metric AS metric_b,
          cast(count(*) AS hugeint) AS n,
