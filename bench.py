@@ -390,6 +390,9 @@ HEADLINE_R3 = [
     "gmd_daily",
     "nw_align",
     "sw_align",
+    "xcorr_prewhitened",
+    "tier_info_loss",
+    "logit_fit",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
