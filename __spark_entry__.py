@@ -7288,6 +7288,17 @@ def q_sw_align(spark, sf_dir):
     return sw_align_daily(_series_from_events(spark, sf_dir))
 
 
+def q_isotonic_trend(spark, sf_dir):
+    """Monotone (PAVA) fit of each metric's daily series — the
+    shape-constrained trend filter; driver pooling over the
+    calendar-bounded day grid, minimax-identity oracle."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        isotonic_trend_daily,
+    )
+
+    return isotonic_trend_daily(_series_from_events(spark, sf_dir))
+
+
 def q_logit_fit(spark, sf_dir):
     """In-engine logistic classifier (is-English on kchars + vowel
     ratio): two unrolled IRLS steps with 1e-9-snapped gradient/
@@ -8041,6 +8052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_prewhitened": q_xcorr_prewhitened,
         "tier_info_loss": q_tier_info_loss,
         "logit_fit": q_logit_fit,
+        "isotonic_trend": q_isotonic_trend,
     }
 
 
@@ -9022,6 +9034,37 @@ def oracle_sql() -> dict[str, str]:
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)
     d["logit_fit"] = _logit_oracle(n_iter=2)
+    d["isotonic_trend"] = """
+WITH g AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT metric, day_ts, c,
+         row_number() OVER (PARTITION BY metric ORDER BY day_ts) AS i,
+         cast(sum(c) OVER (PARTITION BY metric ORDER BY day_ts)
+              AS bigint) AS ps
+  FROM g
+), iv AS (
+  SELECT j.metric, j.i AS j, k.i AS k,
+         cast(k.ps - j.ps + j.c AS double)
+         / cast(k.i - j.i + 1 AS double) AS mean_jk
+  FROM idx j JOIN idx k
+    ON j.metric = k.metric AND j.i <= k.i
+), inner_min AS (
+  SELECT b.metric, b.i, iv.j, min(mean_jk) AS mn
+  FROM iv JOIN idx b ON iv.metric = b.metric
+                     AND iv.j <= b.i AND iv.k >= b.i
+  GROUP BY 1, 2, 3
+), mm AS (
+  SELECT metric, i, max(mn) AS fit
+  FROM inner_min GROUP BY 1, 2
+)
+SELECT b.metric, b.day_ts,
+       round(cast(b.c AS double) / 100.0, 6) AS value_raw,
+       round(mm.fit / 100.0, 6) AS value_iso
+FROM idx b JOIN mm ON b.metric = mm.metric AND b.i = mm.i
+"""
     pw_pearson = """
   SELECT a.metric AS metric_a, b.metric AS metric_b,
          cast(count(*) AS hugeint) AS n,

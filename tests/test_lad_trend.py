@@ -148,3 +148,41 @@ def test_tier_info_loss_extremes(spark):
     got = {r["metric"]: r for r in tier_info_loss(df).collect()}
     assert got["flat_within"]["var_retained"] == 1.0
     assert got["flat_between"]["var_retained"] < 0.01
+
+
+def test_isotonic_trend_pools_violations(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        isotonic_trend_daily,
+    )
+
+    # daily sums: 1, 3, 2, 5 -> PAVA pools (3,2) -> 1, 2.5, 2.5, 5
+    cents = [100, 300, 200, 500]
+    rows = [
+        ("a", BASE + dt.timedelta(days=d), c / 100.0)
+        for d, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    got = sorted(isotonic_trend_daily(df).collect(),
+                 key=lambda r: r["day_ts"])
+    assert [r["value_iso"] for r in got] == [1.0, 2.5, 2.5, 5.0]
+    assert [r["value_raw"] for r in got] == [1.0, 3.0, 2.0, 5.0]
+
+
+def test_isotonic_trend_monotone_input_unchanged(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        isotonic_trend_daily,
+    )
+
+    cents = [100, 100, 250, 400]
+    rows = [
+        ("a", BASE + dt.timedelta(days=d), c / 100.0)
+        for d, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    got = sorted(isotonic_trend_daily(df).collect(),
+                 key=lambda r: r["day_ts"])
+    assert all(r["value_iso"] == r["value_raw"] for r in got)

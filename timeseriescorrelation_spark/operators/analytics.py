@@ -3158,3 +3158,62 @@ def gmd_daily(series: DataFrame, key: str = "metric",
             / (nd * (nd - F.lit(1.0))) / F.lit(float(scale)), 6
         ).alias("gmd"),
     )
+
+
+def isotonic_trend_daily(series: DataFrame, key: str = "metric",
+                         value_decimals: int = 2) -> DataFrame:
+    """(metric, day_ts, value_raw, value_iso): isotonic (monotone
+    non-decreasing) fit of the daily cent-sum series — the shape-
+    constrained trend filter: where trend_daily forces a LINE and
+    lttb keeps wiggles, PAVA finds the closest monotone staircase
+    (L2-optimal), the right read for "adoption only ever grows; show
+    me the underlying level" dashboards.  value_iso − value_raw is
+    the monotonicity violation each day.
+
+    Stage split (the isotonic_calibration policy): one hash-agg to
+    the |metrics|·|days| grid (calendar-bounded METADATA, not data),
+    PAVA on the driver with exact integer cross-multiplied pooling
+    (s₁·n₂ > s₂·n₁ — no float ever decides a merge), fitted value =
+    one final divide.  The DuckDB oracle replays the minimax identity
+    max_{j≤i} min_{k≥i} mean(y[j..k]) per metric — equal to the PAVA
+    block means as rationals, hence as correctly-rounded doubles."""
+    scale = 10 ** int(value_decimals)
+    g = series.groupBy(
+        F.col(key), F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("c")
+    )
+    rows = sorted(
+        ((r[key], r["day_ts"], int(r["c"])) for r in g.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    out = []
+    i = 0
+    while i < len(rows):
+        m = rows[i][0]
+        seq = []
+        while i < len(rows) and rows[i][0] == m:
+            seq.append(rows[i])
+            i += 1
+        blocks: list[list] = []  # [sum, n, members]
+        for _m, day, c in seq:
+            blocks.append([c, 1, [(day, c)]])
+            while len(blocks) >= 2:
+                s2, n2, m2 = blocks[-1]
+                s1, n1, m1 = blocks[-2]
+                if s1 * n2 <= s2 * n1:  # monotone already
+                    break
+                blocks[-2:] = [[s1 + s2, n1 + n2, m1 + m2]]
+        for s_blk, n_blk, members in blocks:
+            for day, c in members:
+                out.append((
+                    m, day,
+                    round(c / scale, 6),
+                    round(s_blk / n_blk / scale, 6),
+                ))
+    spark = series.sparkSession
+    return spark.createDataFrame(
+        out,
+        "metric string, day_ts timestamp, value_raw double,"
+        " value_iso double",
+    )
