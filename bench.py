@@ -393,6 +393,7 @@ HEADLINE_R3 = [
     "xcorr_prewhitened",
     "tier_info_loss",
     "logit_fit",
+    "isotonic_trend",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
