@@ -7288,6 +7288,28 @@ def q_sw_align(spark, sf_dir):
     return sw_align_daily(_series_from_events(spark, sf_dir))
 
 
+def q_dow_contrasts(spark, sf_dir):
+    """All 21 pairwise day-of-week mean contrasts per metric with
+    pooled within-group error — dow_anova's post-hoc drill-down;
+    engine-neutral integer dow labels, snapped-SSW pooled variance."""
+    from timeseriescorrelation_spark.operators.decompose import (
+        dow_contrasts,
+    )
+
+    return dow_contrasts(_series_from_events(spark, sf_dir))
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture population estimate from each
+    consecutive-day user overlap — how many users EXIST, not how many
+    showed up; exact counts, Wald CI, NULL on zero overlap."""
+    from timeseriescorrelation_spark.operators.retention import (
+        capture_recapture,
+    )
+
+    return capture_recapture(_events(spark, sf_dir))
+
+
 def q_isotonic_trend(spark, sf_dir):
     """Monotone (PAVA) fit of each metric's daily series — the
     shape-constrained trend filter; driver pooling over the
@@ -8053,6 +8075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_info_loss": q_tier_info_loss,
         "logit_fit": q_logit_fit,
         "isotonic_trend": q_isotonic_trend,
+        "dow_contrasts": q_dow_contrasts,
+        "capture_recapture": q_capture_recapture,
     }
 
 
@@ -9034,6 +9058,85 @@ def oracle_sql() -> dict[str, str]:
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)
     d["logit_fit"] = _logit_oracle(n_iter=2)
+    d["dow_contrasts"] = """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), pg AS (
+  SELECT metric,
+         (epoch_us(date_trunc('day', hour_ts)) // 86400000000 + 4)
+           % 7 AS dow,
+         cast(count(*) AS hugeint) AS ng,
+         cast(sum(cast(y AS hugeint)) AS hugeint) AS sg,
+         sum(cast(y AS hugeint) * y) AS sxxg
+  FROM h GROUP BY 1, 2 HAVING count(*) >= 3
+), g2 AS (
+  SELECT metric, dow, ng, sg, sxxg,
+         cast(round(cast(sg * sg AS double) / cast(ng AS double))
+              AS hugeint) AS tg_u
+  FROM pg
+), tot AS (
+  SELECT metric, sum(ng) AS nn, cast(count(*) AS hugeint) AS k,
+         sum(sxxg) AS sxx, sum(tg_u) AS sum_tg
+  FROM g2 GROUP BY 1 HAVING count(*) >= 2
+), base AS (
+  SELECT metric,
+         cast(sxx - sum_tg AS double) / cast(nn - k AS double) AS msw
+  FROM tot
+)
+SELECT a.metric, cast(a.dow AS int) AS dow_a,
+       cast(b.dow AS int) AS dow_b,
+       cast(a.ng AS bigint) AS n_a, cast(b.ng AS bigint) AS n_b,
+       round((cast(a.sg AS double) / cast(a.ng AS double)
+              - cast(b.sg AS double) / cast(b.ng AS double))
+             / 100.0, 6) AS mean_diff,
+       CASE WHEN msw > 0 THEN
+            round((cast(a.sg AS double) / cast(a.ng AS double)
+                   - cast(b.sg AS double) / cast(b.ng AS double))
+                  / sqrt(msw * (1.0 / cast(a.ng AS double)
+                                + 1.0 / cast(b.ng AS double))), 6)
+       END AS t_stat
+FROM g2 a JOIN g2 b ON a.metric = b.metric AND a.dow < b.dow
+JOIN base ON a.metric = base.metric
+"""
+    d["capture_recapture"] = """
+WITH d AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day_ts
+  FROM events
+), nb AS (
+  SELECT day_ts, cast(count(*) AS bigint) AS n FROM d GROUP BY 1
+), m AS (
+  SELECT a.day_ts, cast(count(*) AS bigint) AS m
+  FROM d a JOIN d b
+    ON a.u = b.u AND b.day_ts = a.day_ts + INTERVAL 1 DAY
+  GROUP BY 1
+), j AS (
+  SELECT nb.day_ts, nb.n AS n1, n2.n2,
+         cast(coalesce(m.m, 0) AS bigint) AS m
+  FROM nb
+  JOIN (SELECT day_ts - INTERVAL 1 DAY AS day_ts, n AS n2 FROM nb)
+       n2 ON nb.day_ts = n2.day_ts
+  LEFT JOIN m ON nb.day_ts = m.day_ts
+), e AS (
+  SELECT day_ts, n1, n2, m,
+         (cast(n1 AS double) + 1.0) * (cast(n2 AS double) + 1.0)
+           / (cast(m AS double) + 1.0) - 1.0 AS nhat,
+         (cast(n1 AS double) + 1.0) * (cast(n2 AS double) + 1.0)
+           * (cast(n1 AS double) - cast(m AS double))
+           * (cast(n2 AS double) - cast(m AS double))
+           / ((cast(m AS double) + 1.0) * (cast(m AS double) + 1.0)
+              * (cast(m AS double) + 2.0)) AS var
+  FROM j
+)
+SELECT day_ts, n1 AS n_day1, n2 AS n_day2, m AS n_both,
+       round(nhat, 6) AS n_hat,
+       CASE WHEN m > 0
+            THEN round(nhat - 1.96 * sqrt(var), 6) END AS ci_lo,
+       CASE WHEN m > 0
+            THEN round(nhat + 1.96 * sqrt(var), 6) END AS ci_hi
+FROM e
+"""
     d["isotonic_trend"] = """
 WITH g AS (
   SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,

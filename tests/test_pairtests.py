@@ -252,3 +252,56 @@ def test_esd_unmasks_second_outlier(spark):
     # small while round 1's was huge
     assert out[3]["suspect_value"] < 2.0
     assert out[1]["g_stat"] > out[3]["g_stat"]
+
+
+def test_dow_contrasts_hand_case(spark):
+    from timeseriescorrelation_spark.operators.decompose import (
+        dow_contrasts,
+    )
+
+    # two weeks, hourly points; dow groups get distinct constant
+    # levels -> every contrast's mean_diff is the level gap and MSW=0
+    # -> t NULL; then perturb one hour to make MSW > 0
+    rows = []
+    for d in range(14):
+        epoch_day = (BASE + dt.timedelta(days=d)
+                     - dt.datetime(1970, 1, 1)).days
+        dow = (epoch_day + 4) % 7
+        for h in (9, 15, 21):
+            rows.append(("a", d * 24 + h, float(10 + dow)))
+    r0 = dow_contrasts(_series(spark, rows), min_per_group=2).collect()
+    assert len(r0) == 21
+    assert all(x["t_stat"] is None for x in r0)  # zero within-var
+    by_pair = {(x["dow_a"], x["dow_b"]): x for x in r0}
+    assert abs(by_pair[(0, 6)]["mean_diff"] - (-6.0)) < 1e-9
+
+    rows[0] = (rows[0][0], rows[0][1], rows[0][2] + 1.0)
+    r1 = dow_contrasts(_series(spark, rows), min_per_group=2).collect()
+    assert any(x["t_stat"] is not None for x in r1)
+
+
+def test_capture_recapture_chapman(spark):
+    from timeseriescorrelation_spark.operators.retention import (
+        capture_recapture,
+    )
+
+    rows = []
+    # day 1: users 1..10; day 2: users 6..17 -> n1=10, n2=12, m=5
+    # Chapman: 11*13/6 - 1 = 22.8333...
+    eid = 0
+    for u in range(1, 11):
+        rows.append((eid, BASE, u, "click", 1.0)); eid += 1
+    for u in range(6, 18):
+        rows.append((eid, BASE + dt.timedelta(days=1), u, "view", 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    r = capture_recapture(df).collect()[0]
+    assert (r["n_day1"], r["n_day2"], r["n_both"]) == (10, 12, 5)
+    assert abs(r["n_hat"] - round(11 * 13 / 6 - 1, 6)) < 1e-9
+    var = 11 * 13 * 5 * 7 / (36 * 7)
+    assert abs(r["ci_hi"] - round(11 * 13 / 6 - 1 + 1.96 * var ** 0.5,
+                                  6)) < 1e-9

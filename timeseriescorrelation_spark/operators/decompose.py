@@ -242,3 +242,91 @@ def stl_anomaly(series: DataFrame, half_window_h: int = 84,
             .otherwise(F.lit("low")).alias("side"),
         )
     )
+
+
+def dow_contrasts(series: DataFrame, key: str = "metric",
+                  value_decimals: int = 2,
+                  min_per_group: int = 3) -> DataFrame:
+    """(metric, dow_a, dow_b, n_a, n_b, mean_diff, t_stat): all 21
+    pairwise day-of-week mean contrasts per metric with the pooled
+    within-group error — the post-hoc drill-down dow_anova's single F
+    cannot give ("Tuesday ≠ Sunday, everything else is noise"):
+
+        t = (x̄_a − x̄_b) / sqrt(MSW·(1/n_a + 1/n_b))
+
+    Compare |t| against the Tukey/Bonferroni table downstream (the
+    grubbs policy — no studentized-range function in either engine).
+    MSW rides dow_anova's snapped-SSW recipe; group sums are exact
+    decimal38; each contrast is one shared double tree, 6 dp; NULL
+    when MSW = 0.  Day-of-week labels use the engine-neutral
+    (epoch_day+4) mod 7 rule (0 = Sat … — integer arithmetic, no
+    native dayofweek() consulted) because unlike dow_anova this
+    operator OUTPUTS the labels.
+
+    Scale: grid hash-agg → |metrics|·7 → a 21-row-per-metric pair
+    join of broadcast-sized aggregates."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    scale = 10 ** int(value_decimals)
+    dec = "decimal(38,0)"
+    hourly = series.groupBy(
+        F.col(key), F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long"))
+        .cast("long").alias("y")
+    )
+    ed = F.floor(
+        epoch_us(F.date_trunc("day", "hour_ts"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    per_g = hourly.groupBy(
+        key, F.pmod(ed + F.lit(4), F.lit(7)).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("ng"),
+        F.sum(F.col("y").cast(dec)).alias("sg"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec))
+        .alias("sxxg"),
+    ).where(F.col("ng") >= int(min_per_group))
+    tg_u = F.round(
+        (F.col("sg") * F.col("sg")).cast("double")
+        / F.col("ng").cast("double")
+    ).cast(dec)
+    g2 = per_g.select(key, "dow", "ng", "sg", "sxxg",
+                      tg_u.alias("tg_u"))
+    tot = g2.groupBy(key).agg(
+        F.sum("ng").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sxxg").alias("sxx"),
+        F.sum("tg_u").alias("sum_tg"),
+    )
+    msw = (
+        (F.col("sxx") - F.col("sum_tg")).cast("double")
+        / (F.col("nn") - F.col("k")).cast("double")
+    )
+    base = tot.select(key, F.col("k").cast("long").alias("k"),
+                      msw.alias("msw")).where(F.col("k") >= 2)
+    a = g2.select(key, F.col("dow").alias("dow_a"),
+                  F.col("ng").alias("na"), F.col("sg").alias("sa"))
+    b = g2.select(key, F.col("dow").alias("dow_b"),
+                  F.col("ng").alias("nb"), F.col("sg").alias("sb"))
+    p = a.join(b, key).where(F.col("dow_a") < F.col("dow_b")).join(
+        F.broadcast(base), key
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    diff = (
+        F.col("sa").cast("double") / na
+        - F.col("sb").cast("double") / nb
+    )
+    se = F.sqrt(
+        F.col("msw") * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return p.select(
+        key,
+        F.col("dow_a").cast("int").alias("dow_a"),
+        F.col("dow_b").cast("int").alias("dow_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(diff / F.lit(float(scale)), 6).alias("mean_diff"),
+        F.when(F.col("msw") > 0, F.round(diff / se, 6))
+        .alias("t_stat"),
+    )

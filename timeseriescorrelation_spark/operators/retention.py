@@ -329,3 +329,73 @@ def time_to_nth(events: DataFrame, n: int = 5,
         F.round(F.col("qs")[0] / F.lit(hours), 4).alias("p50_hours"),
         F.round(F.col("qs")[1] / F.lit(hours), 4).alias("p90_hours"),
     )
+
+
+def capture_recapture(events: DataFrame,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """(day_ts, n_day1, n_day2, n_both, n_hat, ci_lo, ci_hi): Chapman
+    capture-recapture estimate of the TOTAL user population from each
+    consecutive-day pair — the ecology estimator pointed at a product
+    question no direct count answers: distinct_users says who showed
+    up; this estimates how many users EXIST (including the never-seen)
+    from the overlap between two days' "captures":
+
+        N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+        Var ≈ (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+
+    (Chapman's bias-corrected Lincoln-Petersen; ci = N̂ ± 1.96·√Var.)
+    Assumes closed population + equal catchability across the two
+    days — violations bias downward, documented the Prometheus-
+    convention way.  All counts exact integers from per-day distinct
+    sets and ONE equi-join on (user, day+1); the estimate is one
+    shared double tree, 6 dp; NULL CI when m = 0 (no overlap — the
+    estimator degenerates).
+
+    Scale: one distinct hash-agg to |users|·|days|, one self-join
+    shifted a day, day-grain output."""
+    d = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", ts_col).alias("day_ts"),
+    ).distinct()
+    n_by_day = d.groupBy("day_ts").agg(F.count(F.lit(1)).alias("n"))
+    nxt = d.select(
+        "u", (F.col("day_ts") - F.expr("INTERVAL 1 DAY")).alias("day_ts")
+    )
+    m = d.join(nxt, ["u", "day_ts"]).groupBy("day_ts").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    n2 = n_by_day.select(
+        (F.col("day_ts") - F.expr("INTERVAL 1 DAY")).alias("day_ts"),
+        F.col("n").alias("n2"),
+    )
+    j = (
+        n_by_day.join(n2, "day_ts")
+        .join(m, "day_ts", "left")
+        .select(
+            "day_ts", "n", "n2",
+            F.coalesce("m", F.lit(0)).alias("m"),
+        )
+    )
+    n1d = F.col("n").cast("double")
+    n2d = F.col("n2").cast("double")
+    md = F.col("m").cast("double")
+    nhat = (
+        (n1d + F.lit(1.0)) * (n2d + F.lit(1.0)) / (md + F.lit(1.0))
+        - F.lit(1.0)
+    )
+    var = (
+        (n1d + F.lit(1.0)) * (n2d + F.lit(1.0))
+        * (n1d - md) * (n2d - md)
+        / ((md + F.lit(1.0)) * (md + F.lit(1.0)) * (md + F.lit(2.0)))
+    )
+    half = F.lit(1.96) * F.sqrt(var)
+    return j.select(
+        "day_ts",
+        F.col("n").cast("long").alias("n_day1"),
+        F.col("n2").cast("long").alias("n_day2"),
+        F.col("m").cast("long").alias("n_both"),
+        F.round(nhat, 6).alias("n_hat"),
+        F.when(F.col("m") > 0, F.round(nhat - half, 6)).alias("ci_lo"),
+        F.when(F.col("m") > 0, F.round(nhat + half, 6)).alias("ci_hi"),
+    )
