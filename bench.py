@@ -394,6 +394,8 @@ HEADLINE_R3 = [
     "tier_info_loss",
     "logit_fit",
     "isotonic_trend",
+    "dow_contrasts",
+    "capture_recapture",
     # theil_sen deliberately unbenched: O(n²)-per-day-group bounded-n
     # verification tool, same policy as mann_kendall; sample_entropy
     # likewise (bounded-n template matching — permutation_entropy is
