@@ -88,3 +88,39 @@ def test_recovery_single_scan_single_window(spark):
     plan = _plan(em.queries()["recovery_after_error"](spark, SF))
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_capture_recapture_equi_joins_only(spark):
+    plan = _plan(em.queries()["capture_recapture"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dow_contrasts_broadcast_pooled_error(spark):
+    # the 21-pair join and the MSW attach are aggregate-sized; the
+    # MSW side must broadcast, and nothing may go cartesian
+    plan = _plan(em.queries()["dow_contrasts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_logit_fit_beta_rides_broadcast(spark):
+    # the 1-row beta frames attach via broadcast nested-loop (the
+    # intended physical form for a literal cross join); the corpus
+    # must never shuffle for them
+    plan = _plan(em.queries()["logit_fit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_nw_align_pair_join_on_day(spark):
+    plan = _plan(em.queries()["nw_align"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # profile pair join keys on day_ts (equi) before the DP kernel
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_xcorr_prewhitened_broadcast_rho(spark):
+    plan = _plan(em.queries()["xcorr_prewhitened"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
