@@ -104,3 +104,36 @@ def test_cascade_second_drain_without_new_input_is_noop(spark):
         assert _norm(spark.read.parquet(gold)) == before
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cascade_late_chunk_refolds_existing_hours(spark):
+    # chunks arrive OUT OF ORDER: the late chunk carries EARLIER
+    # minutes, so its fold must merge into hour partitions that the
+    # first drain already materialized -- the continuous-aggregate
+    # late-data contract (tier_merge exactness at the storage layer)
+    work = tempfile.mkdtemp(prefix="cascade_")
+    try:
+        silver = f"{work}/silver"
+        gold = f"{work}/gold"
+        ck = f"{work}/ck"
+        all_minutes = list(range(0, 121, 3))
+        late = [m for m in all_minutes if m % 2 == 1]   # odd minutes
+        first = [m for m in all_minutes if m % 2 == 0]  # even minutes
+
+        _silver(spark, _series_rows(first)).write.mode("append").parquet(
+            silver
+        )
+        stream_cascade_1h(spark, silver, gold, ck)
+        _silver(spark, _series_rows(late)).write.mode("append").parquet(
+            silver
+        )
+        stream_cascade_1h(spark, silver, gold, ck)
+
+        want = rollup_raw_upsertable(
+            spark.createDataFrame(_series_rows(all_minutes),
+                                  SERIES_SCHEMA),
+            "1h",
+        )
+        assert _norm(spark.read.parquet(gold)) == _norm(want)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
