@@ -4272,7 +4272,7 @@ def q_edge_similarity(spark, sf_dir):
         .where(F.col("x.u") < F.col("y.u"))
         .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
     )
-    return edge_jaccard(edges)
+    return edge_jaccard(edges, strategy="dense")
 
 
 def q_ols_multi(spark, sf_dir):
@@ -5556,7 +5556,7 @@ def q_clustering_coeff(spark, sf_dir):
         .where(F.col("x.u") < F.col("y.u"))
         .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
     )
-    return clustering_coefficients(edges)
+    return clustering_coefficients(edges, strategy="dense")
 
 
 def q_mrr_int8(spark, sf_dir):

@@ -124,3 +124,28 @@ def test_xcorr_prewhitened_broadcast_rho(spark):
     plan = _plan(em.queries()["xcorr_prewhitened"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_edge_jaccard_strategies_agree(spark):
+    # the dense broadcast-adjacency path must produce the identical
+    # integer table as the wedge join on the same graph
+    from timeseriescorrelation_spark.operators.graphrank import (
+        edge_jaccard,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 4), (2, 2)],
+        "src long, dst long",
+    )
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+    assert norm(edge_jaccard(edges, strategy="wedge")) == \
+        norm(edge_jaccard(edges, strategy="dense"))
+
+
+def test_edge_similarity_dense_no_wedge_shuffle(spark):
+    # the headline query uses the dense path: adjacency arrays ride
+    # broadcasts, so no shuffle scales with wedge count
+    plan = _plan(em.queries()["edge_similarity"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
