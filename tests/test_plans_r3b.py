@@ -149,3 +149,19 @@ def test_edge_similarity_dense_no_wedge_shuffle(spark):
     plan = _plan(em.queries()["edge_similarity"](spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_adamic_adar_strategies_agree(spark):
+    from timeseriescorrelation_spark.operators.graphrank import (
+        adamic_adar_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 4), (2, 5)],
+        "src long, dst long",
+    )
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+    w = adamic_adar_scores(edges, top_k=100, strategy="wedge")
+    d = adamic_adar_scores(edges, top_k=100, strategy="dense")
+    assert norm(w) == norm(d)
