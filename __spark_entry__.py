@@ -5228,8 +5228,7 @@ def q_adamic_adar(spark, sf_dir):
     )
 
     return adamic_adar_scores(
-        _coactivity_minute_edges(spark, sf_dir), top_k=100,
-        strategy="dense",
+        _coactivity_minute_edges(spark, sf_dir), top_k=100
     )
 
 
