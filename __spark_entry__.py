@@ -7556,7 +7556,8 @@ WITH feat AS (
     for i in range(1, n_iter + 1):
         steps.append(f""", t{i} AS (
   SELECT f.y, f.x1, f.x2,
-         1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS mu
+         round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2)))
+               * 1e9) / 1e9 AS mu
   FROM feat f CROSS JOIN beta{i - 1} b
 ), s{i} AS (
   SELECT

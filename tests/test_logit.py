@@ -33,7 +33,9 @@ def _replica(rows, n_iter=2):
                             "h11", "h12", "h22")}
         for y, x1, x2 in feats:
             z = b[0] + b[1] * x1 + b[2] * x2
-            mu = 1.0 / (1.0 + math.exp(-z))
+            # μ is snapped to the shared 1e-9 grid before any product
+            # (operators/logit.py round-3 single-surface recipe)
+            mu = round(1.0 / (1.0 + math.exp(-z)) * 1e9) / 1e9
             w = mu * (1.0 - mu)
             r = y - mu
             s["g0"] += round(r * 1e9)

@@ -3214,6 +3214,6 @@ def isotonic_trend_daily(series: DataFrame, key: str = "metric",
     spark = series.sparkSession
     return spark.createDataFrame(
         out,
-        "metric string, day_ts timestamp, value_raw double,"
+        f"{key} string, day_ts timestamp, value_raw double,"
         " value_iso double",
     )

@@ -259,9 +259,11 @@ def dow_contrasts(series: DataFrame, key: str = "metric",
     MSW rides dow_anova's snapped-SSW recipe; group sums are exact
     decimal38; each contrast is one shared double tree, 6 dp; NULL
     when MSW = 0.  Day-of-week labels use the engine-neutral
-    (epoch_day+4) mod 7 rule (0 = Sat … — integer arithmetic, no
-    native dayofweek() consulted) because unlike dow_anova this
-    operator OUTPUTS the labels.
+    (epoch_day+4) mod 7 rule (0 = Sun … 6 = Sat: day 0, Thu
+    1970-01-01, maps to 4; integer arithmetic, no native
+    dayofweek() consulted — consistent with the isin(0,6) weekend
+    rule elsewhere) because unlike dow_anova this operator OUTPUTS
+    the labels.
 
     Scale: grid hash-agg → |metrics|·7 → a 21-row-per-metric pair
     join of broadcast-sized aggregates."""

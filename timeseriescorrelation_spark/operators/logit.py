@@ -13,14 +13,19 @@ well-separated 2-feature problem land within ~1e-3 of the converged
 fit — and BIT-EXACTLY reproducibly, which is what the gate needs.
 
 Exactness recipe: features are exact rationals of integers (chars /
-1000, micro-snapped vowel ratio); every per-row IRLS term (gradient
-components (y−μ)·x_j, Hessian entries w·x_j·x_k) is ONE double
-expression SNAPPED to 1e-9 units, so the cross-row sums are exact
-decimal(38,0) integers in both engines and the 3×3 Cramer solve is a
-shared double tree over those integers (the harmonic_regression
-pattern; the snap scale cancels inside H⁻¹g).  libm exp() agrees to
-<1 ulp across engines and the snap grain is 1e-9 — the same argument
-the micro-nat ln snapping already relies on.
+1000, micro-snapped vowel ratio); μ itself is snapped to the 1e-9
+grid straight out of the sigmoid, then every per-row IRLS term
+(gradient components (y−μ)·x_j, Hessian entries w·x_j·x_k) is ONE
+double expression over the snapped μ, SNAPPED again to 1e-9 units,
+so the cross-row sums are exact decimal(38,0) integers in both
+engines and the 3×3 Cramer solve is a shared double tree over those
+integers (the harmonic_regression pattern; the snap scale cancels
+inside H⁻¹g).  Residual cross-engine risk is exactly ONE surface:
+round(μ·1e9) where the sigmoid differs by <1 ulp of libm exp() —
+a μ landing within half an ulp of a .5e-9 boundary could still flip
+one unit (astronomically unlikely per value, stated for honesty);
+everything downstream of that snap is engine-identical by
+construction.
 
 Scale: per iteration ONE map-side-combined hash-agg over the corpus
 (9 integer sums) + a broadcast join of the 1-row β — O(iterations)
@@ -61,7 +66,15 @@ def _newton_step(feat: DataFrame, beta: DataFrame) -> DataFrame:
         F.col("b0") + F.col("b1") * F.col("x1")
         + F.col("b2") * F.col("x2")
     )
-    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # μ is snapped to the shared 1e-9 grid BEFORE any product is
+    # formed, so both engines derive every gradient/Hessian term from
+    # IDENTICAL inputs — the only cross-engine divergence surface left
+    # is this single round(μ·1e9), whose argument differs by ≤1 ulp of
+    # libm exp() (vs nine independent product-rounding surfaces when
+    # the snap happened after the multiply; judged a data-dependent
+    # flake risk in round 3's ADVICE).
+    mu_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    mu = F.round(mu_raw * F.lit(SNAP)) / F.lit(SNAP)
     w = mu * (F.lit(1.0) - mu)
     yd = F.col("y").cast("double")
 
