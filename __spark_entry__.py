@@ -5131,17 +5131,20 @@ def q_heavy_hitters_verified(spark, sf_dir):
     )
 
     s = _series_from_events(spark, sf_dir)
+    # cand descends from s, so cand's conv_id is the SAME attribute as
+    # s's — rename it before the join or the predicate degenerates to
+    # "trivially true equals" (round-3 verdict task #5)
     cand = heavy_hitters_mg(
         s, keys=["conv_id"], item_col="metric", k=8, tie_col="turn_idx"
-    ).select("conv_id", "item")
+    ).select(F.col("conv_id").alias("cand_conv"), "item")
     tot = s.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_total"))
     exact = (
         s.join(
             F.broadcast(cand),
-            (s["conv_id"] == cand["conv_id"])
-            & (s["metric"] == cand["item"]),
+            (F.col("conv_id") == F.col("cand_conv"))
+            & (F.col("metric") == F.col("item")),
         )
-        .groupBy(s["conv_id"].alias("conv_id"), "item")
+        .groupBy("conv_id", "item")
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
     return (

@@ -578,12 +578,17 @@ def bitmap_retention(events: DataFrame, id_col: str = "user_id",
     than rows.  growth_accounting gives the same ledger row-shaped;
     this is the form that survives 10⁹-actor days."""
     words = bitmap_day_words(events, id_col, ts_col)
-    a = words.select(F.col("day_ts").alias("prev_ts"), "bkt",
+    # rename the join key on one side: both sides descend from the
+    # same `words` plan, so a["bkt"] == b["bkt"] resolves to the SAME
+    # attribute and Spark logs "trivially true equals predicate" on
+    # every run (round-3 verdict task #5)
+    a = words.select(F.col("day_ts").alias("prev_ts"),
+                     F.col("bkt").alias("bkt_a"),
                      F.col("w").alias("wa"))
     b = words.select("day_ts", "bkt", F.col("w").alias("wb"))
     pair = b.join(
         a,
-        (a["bkt"] == b["bkt"])
+        (F.col("bkt_a") == F.col("bkt"))
         & (F.col("day_ts") == F.col("prev_ts")
            + F.expr("interval 1 day")),
     )
