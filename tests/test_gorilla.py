@@ -154,3 +154,80 @@ def test_roundtrip_property_specials_and_wide_deltas(triples):
     dts, dvs = decode_chunk(blob)
     np.testing.assert_array_equal(dts, ts)
     np.testing.assert_array_equal(dvs.view(np.uint64), vs.view(np.uint64))
+
+
+def test_batch_encode_matches_per_chunk():
+    """encode_chunks_batch must emit byte-identical blobs to
+    encode_chunk on every group slice — the batched hot path and the
+    per-chunk reference are the same format by construction."""
+    import numpy as np
+
+    from timeseriescorrelation_spark.functions.gorilla import (
+        encode_chunk,
+        encode_chunks_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    sizes = [1, 2, 55, 1, 300, 7, 1000, 55, 3, 1, 1]
+    ts_l, vs_l = [], []
+    for i, s in enumerate(sizes):
+        if i % 3 == 0:  # regular grid, constant value (all-zero streams)
+            t = (np.arange(s, dtype=np.int64) * 60_000_000
+                 + int(rng.integers(0, 10**12)))
+            v = np.full(s, 42.5)
+        elif i % 3 == 1:  # random timestamps, rounded values
+            t = np.sort(rng.integers(0, 10**12, s)).astype(np.int64)
+            v = np.round(rng.normal(50.0, 10.0, s), 2)
+        else:  # specials: inf/nan/denormal, huge deltas
+            t = np.sort(
+                rng.integers(-(10**15), 10**15, s)
+            ).astype(np.int64)
+            v = rng.normal(0.0, 1e300, s)
+            if s >= 3:
+                v[0], v[1], v[2] = np.inf, np.nan, 5e-324
+        ts_l.append(t)
+        vs_l.append(v)
+    ts = np.concatenate(ts_l)
+    vs = np.concatenate(vs_l)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    blobs = encode_chunks_batch(ts, vs, starts)
+    assert len(blobs) == len(sizes)
+    for i, (t, v, b) in enumerate(zip(ts_l, vs_l, blobs)):
+        assert b == encode_chunk(t, v), f"group {i} diverged"
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(-(2**40), 2**40),
+                st.floats(allow_nan=False, width=64),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_batch_encode_matches_per_chunk_property(groups):
+    import numpy as np
+
+    from timeseriescorrelation_spark.functions.gorilla import (
+        encode_chunk,
+        encode_chunks_batch,
+    )
+
+    ts_l = [np.sort(np.array([t for t, _ in g], dtype=np.int64))
+            for g in groups]
+    vs_l = [np.array([v for _, v in g], dtype=np.float64)
+            for g in groups]
+    sizes = [len(g) for g in groups]
+    blobs = encode_chunks_batch(
+        np.concatenate(ts_l),
+        np.concatenate(vs_l),
+        np.concatenate([[0], np.cumsum(sizes)]),
+    )
+    for t, v, b in zip(ts_l, vs_l, blobs):
+        assert b == encode_chunk(t, v)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from timeseriescorrelation_spark.functions.gorilla import (
     decode_chunk,
-    encode_chunk,
+    encode_chunks_batch,
 )
 
 _ENC_SCHEMA = (
@@ -56,27 +56,36 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        out = {
-            "conv_id": [], "metric": [], "chunk_start": [], "n": [],
-            "blob": [], "raw_bytes": [], "enc_bytes": [],
-        }
         # rows arrive sorted by (conv, metric, chunk_start, ts,
-        # turn_idx); groupby(sort=False) preserves that order, so each
-        # group's arrays are already in (ts, turn_idx) order
-        for (c, m, cs), g in pdf.groupby(
+        # turn_idx), so chunks are CONTIGUOUS runs; one C-speed
+        # groupby().size() yields the run lengths in that order and
+        # the whole partition encodes in ONE vectorized pass
+        # (encode_chunks_batch — per-chunk encode_chunk cost ~30 small
+        # numpy calls/chunk, capping sf0.1's ~55-point chunks at
+        # 0.2 Mpts/s/core; the batch path measures 1.0, and the blobs
+        # are byte-identical by test)
+        sizes = pdf.groupby(
             ["conv_id", "metric", "chunk_start"], sort=False
-        ):
-            ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-            vals = g["value"].to_numpy(dtype=np.float64)
-            blob = encode_chunk(ts, vals)
-            out["conv_id"].append(c)
-            out["metric"].append(m)
-            out["chunk_start"].append(cs)
-            out["n"].append(len(ts))
-            out["blob"].append(blob)
-            out["raw_bytes"].append(16 * len(ts))
-            out["enc_bytes"].append(len(blob))
-        yield pd.DataFrame(out)
+        ).size()
+        n = sizes.to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(n)])
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        blobs = encode_chunks_batch(ts, vals, starts)
+        keys = sizes.index
+        yield pd.DataFrame(
+            {
+                "conv_id": keys.get_level_values(0),
+                "metric": keys.get_level_values(1),
+                "chunk_start": keys.get_level_values(2),
+                "n": n.astype(np.int32),
+                "blob": blobs,
+                "raw_bytes": 16 * n,
+                "enc_bytes": np.fromiter(
+                    (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+                ),
+            }
+        )
 
     keyed = series.withColumn("chunk_start", F.date_trunc(chunk, "ts"))
     # explicit partition count: a bare repartition(cols) is an AQE
