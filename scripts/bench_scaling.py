@@ -49,6 +49,12 @@ STAGES = ["series", "fill_1m", "agg_1m", "agg_1h", "agg_1d",
 HEADLINE_STAGES = ["cascade_fused", "fill_fused", "chunks_fused",
                    "changepoint_fused"]
 
+# iteration aid: TSC_SCALE_STAGES=chunks_fused runs a subset at both
+# levels WITHOUT rewriting BENCH/BASELINE.md (partial data must never
+# replace the full protocol report)
+_env_stages = os.environ.get("TSC_SCALE_STAGES")
+ACTIVE_STAGES = (_env_stages.split(",") if _env_stages else STAGES)
+
 
 def _spark(cores: int):
     from timeseriescorrelation_spark.session import get_spark
@@ -172,7 +178,7 @@ def run_child(cores: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     out = {}
-    for name in STAGES:
+    for name in ACTIVE_STAGES:
         sys.stderr.write(f"[child {cores}] {name} warmup @{time.time():.0f}\n")
         sys.stderr.flush()
         materialize(builders[name]())  # warm-up: JIT, page cache, AQE stats
@@ -262,16 +268,28 @@ def orchestrate() -> None:
 
     rows = []
     effs = []
-    for name in STAGES:
+    for name in ACTIVE_STAGES:
         s8 = results[8]["stages"][name]
         s32 = results[32]["stages"][name]
         eff = (s32["pts_per_sec"] / s8["pts_per_sec"]) / 4.0
         effs.append(eff)
         rows.append((name, s8, s32, eff))
 
-    tot8 = sum(results[8]["stages"][n]["sec"] for n in HEADLINE_STAGES)
-    tot32 = sum(results[32]["stages"][n]["sec"] for n in HEADLINE_STAGES)
+    head_active = [n for n in HEADLINE_STAGES if n in ACTIVE_STAGES]
+    tot8 = sum(results[8]["stages"][n]["sec"] for n in head_active)
+    tot32 = sum(results[32]["stages"][n]["sec"] for n in head_active)
     overall = (tot8 / tot32) / 4.0
+
+    if _env_stages:  # partial run: report JSON only, keep the full MD
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_partial",
+            "stages": _env_stages,
+            "value": round(overall, 3),
+            "unit": "ratio",
+            "per_stage": {name: round(eff, 3) for name, _, _, eff in rows},
+            "detail": {c: results[c]["stages"] for c in (8, 32)},
+        }))
+        return
 
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH"), exist_ok=True)

@@ -485,3 +485,58 @@ def test_pca_whiten_unit_variance(spark, embs):
     pdf = pca_project(embs, n_components=2, whiten=True).toPandas()
     S = pdf[["pc1", "pc2"]].to_numpy()
     assert np.allclose(S.var(axis=0), 1.0, rtol=1e-3)
+
+
+def test_covariance_gram_equals_exact(spark):
+    """mode="gram" (one-pass partial integer Gram per partition) must
+    reproduce the exact join form to the last emitted digit — the
+    snap-before-sum design makes the two physical plans aggregate the
+    SAME integers regardless of partitioning."""
+    import numpy as np
+
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(9)
+    d, n = 7, 300
+    X = rng.randn(n, d) * np.linspace(0.2, 3.0, d)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)  # multiple partitions → multiple partial Grams
+    key = lambda r: (r.i, r.j)
+    exact = sorted(embedding_covariance(df).collect(), key=key)
+    gram = sorted(
+        embedding_covariance(df, mode="gram").collect(), key=key
+    )
+    assert len(exact) == d * (d + 1) // 2 == len(gram)
+    for e, g in zip(exact, gram):
+        assert (e.i, e.j, e.n) == (g.i, g.j, g.n)
+        assert e.cov == g.cov, (e.i, e.j, e.cov, g.cov)
+
+
+def test_covariance_gram_blocked_matmul_no_overflow(spark):
+    """Large-magnitude embeddings force the int64-overflow guard to
+    block the matmul (max|xu| ~ 3e8 → products ~1e17, so ~46-row
+    blocks); results must still equal the exact form."""
+    import numpy as np
+
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(4)
+    d, n = 3, 200
+    X = rng.randn(n, d) * 300.0  # xu up to ~1e9 in µ-units
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+    key = lambda r: (r.i, r.j)
+    exact = sorted(embedding_covariance(df).collect(), key=key)
+    gram = sorted(
+        embedding_covariance(df, mode="gram").collect(), key=key
+    )
+    for e, g in zip(exact, gram):
+        assert e.cov == g.cov, (e.i, e.j, e.cov, g.cov)

@@ -1039,8 +1039,80 @@ def int8_quantize_recall(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+def _cov_from_moments(g: DataFrame) -> DataFrame:
+    """(i, j, n, sa, sb, sab) decimal moments → (i, j, n, cov): the
+    shared terminal double tree of both covariance forms."""
+    s = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    return g.select(
+        "i", "j",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            s / (F.col("n") * F.col("n")).cast("double") / 1e12, 6
+        ).alias("cov"),
+    )
+
+
+def _gram_partials(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Per-partition integer Gram: one mapInPandas pass computes the
+    µ-snapped Xᵀ X, Σx, and row count of each partition with NO
+    shuffle of exploded rows; the returned d(d+1)/2-per-partition
+    moment rows aggregate to the SAME decimal(38,0) integers the
+    exact join form produces (the snap happens before any sum, so
+    partial sums of integers are exact at any partitioning).
+
+    Exactness inside a partition: int64 block matmul with the block
+    size chosen so block_rows · max|xu|² < 2⁶² (no int64 overflow is
+    possible), blocks combined in arbitrary-precision Python ints
+    (object dtype), emitted as Decimal."""
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal
+
+    schema = ("i int, j int, n decimal(38,0), sa decimal(38,0),"
+              " sb decimal(38,0), sab decimal(38,0)")
+
+    def _partial(batches):
+        d = None
+        n_tot = 0
+        S = None
+        G = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xu = np.round(X * 1e6).astype(np.int64)
+            if d is None:
+                d = Xu.shape[1]
+                S = np.zeros(d, dtype=object)
+                G = np.zeros((d, d), dtype=object)
+            mx = int(np.abs(Xu).max())
+            mx = mx if mx > 0 else 1
+            blk = max(1, (1 << 62) // (mx * mx))
+            for s0 in range(0, len(Xu), blk):
+                B = Xu[s0:s0 + blk]
+                G += B.T @ B
+                S += B.sum(axis=0)
+            n_tot += len(Xu)
+        if d is None:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({
+            "i": (iu + 1).astype("int32"),
+            "j": (ju + 1).astype("int32"),
+            "n": [Decimal(n_tot)] * len(iu),
+            "sa": [Decimal(int(S[a])) for a in iu],
+            "sb": [Decimal(int(S[b])) for b in ju],
+            "sab": [Decimal(int(G[a, b])) for a, b in zip(iu, ju)],
+        })
+
+    return emb.select(vec_col).mapInPandas(_partial, schema)
+
+
 def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         mode: str = "exact") -> DataFrame:
     """Exact population covariance of the embedding matrix — the PCA
     precursor (eigen-decompose the returned d×d matrix on the driver;
     it is metadata-sized at any corpus scale):
@@ -1053,12 +1125,29 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     and cov = S_ij / n² descaled by 1e12 is one double expression over
     the exact integers — bit-equal cross-engine after 6 dp.
 
-    Shape: posexplode to (row, dim, xu), one self-equi-join on the row
-    id restricted to i ≤ j, one hash-agg of d(d+1)/2 groups.  Scale
-    notes (100 TB): the join blows each row up d(d+1)/2× — past ~10⁸
-    rows switch to the mapInPandas partial-Gram form (per-partition
-    numpy X^T X in float64, exactness traded for one pass); this
-    entry-exact form is the oracle-checkable reference."""
+    Two physical forms over the SAME integers (pytest-pinned equal,
+    tests/test_similarity.py::test_covariance_gram_equals_exact):
+
+    - mode="exact": posexplode to (row, dim, xu), self-equi-join on
+      the row id restricted to i ≤ j, one hash-agg of d(d+1)/2
+      groups.  The oracle-checkable reference (emb_cov gate key), but
+      the join blows each row up d(d+1)/2× — at d=64 that is a
+      2080×-row shuffle, untenable past ~10⁸ rows.
+    - mode="gram": the scale path (round-3 verdict task #2) — ONE
+      mapInPandas pass computes each partition's integer Xᵀ X /
+      Σx / count (int64 block matmul, object-int combine), and the
+      only shuffled data is d(d+1)/2 moment rows PER PARTITION.
+      Because the µ-snap precedes every sum, the aggregated moments
+      are bit-identical to the exact form's — same cov to the last
+      ulp, not an approximation."""
+    if mode == "gram":
+        g = _gram_partials(emb, vec_col).groupBy("i", "j").agg(
+            F.sum("n").alias("n"),
+            F.sum("sa").alias("sa"),
+            F.sum("sb").alias("sb"),
+            F.sum("sab").alias("sab"),
+        )
+        return _cov_from_moments(g)
     dec = "decimal(38,0)"
     x = emb.select(
         F.col(id_col).alias("rid"),
@@ -1082,16 +1171,7 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
             F.sum((F.col("xa") * F.col("xb")).cast(dec)).alias("sab"),
         )
     )
-    s = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
-        "double"
-    )
-    return g.select(
-        "i", "j",
-        F.col("n").cast("long").alias("n"),
-        F.round(
-            s / (F.col("n") * F.col("n")).cast("double") / 1e12, 6
-        ).alias("cov"),
-    )
+    return _cov_from_moments(g)
 
 
 def triplet_mining(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -1521,7 +1601,8 @@ def mrr_int8_at_k(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
 def pca_project(emb: DataFrame, n_components: int = 4,
                 whiten: bool = False, vec_col: str = "embedding",
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                cov_mode: str = "gram") -> DataFrame:
     """(vec_id, label?, pc1..pcP, evr1..evrP): project every embedding
     onto its corpus's top-P principal components — the standard
     dimensionality cut in front of IVF/PQ indexing and the
@@ -1571,7 +1652,12 @@ def pca_project(emb: DataFrame, n_components: int = 4,
     mean = np.zeros(d)
     for r in mean_rows:
         mean[r["dim0"]] = (r["s"] / r["c"]) / 1e6
-    cov_rows = embedding_covariance(emb, vec_col, id_col).collect()
+    # default cov_mode="gram": the one-pass partial-Gram scale path —
+    # identical integers to the exact join form (see
+    # embedding_covariance), without the d(d+1)/2× exploded shuffle
+    cov_rows = embedding_covariance(
+        emb, vec_col, id_col, mode=cov_mode
+    ).collect()
     cov = np.zeros((d, d))
     for r in cov_rows:
         cov[r["i"] - 1, r["j"] - 1] = r["cov"]
