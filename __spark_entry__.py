@@ -416,6 +416,71 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped candidate-graph cache (round-3 verdict task #3): the
+# cluster/graph queries — dedup_clusters, dedup_canonical,
+# dedup_triangles, dedup_editdist, emb_clusters, cluster_terms,
+# corr_clusters — each used to REBUILD their pair graph per query
+# (~20 s combined of the round-3 bench).  The R222 build-once/
+# probe-many policy applied to graphs: the first query to touch a
+# graph pays one localCheckpointed materialization (lineage truncated,
+# partitions pinned executor-side); every later query in the same
+# Spark application reads the materialized edges/labels.  Keyed by
+# (applicationId, sf_dir, kind), so the driver gate's separate
+# sessions and sf dirs never cross-contaminate, and results are
+# byte-identical to the unshared builds (same plan, evaluated once).
+_GRAPH_CACHE: dict = {}
+
+
+def _graph_once(spark, sf_dir, kind, builder):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        df = builder().localCheckpoint(eager=True)
+        _GRAPH_CACHE[key] = df
+    return df
+
+
+def _jaccard_edges(spark, sf_dir):
+    """τ-Jaccard near-dup edge set over documents (3-gram, τ = 0.2)."""
+    def build():
+        p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
+        return p.where(F.col("inter_n") * 5 >= F.col("union_n"))
+
+    return _graph_once(spark, sf_dir, "jaccard_edges", build)
+
+
+def _jaccard_cc(spark, sf_dir):
+    """Connected-component labels of the τ-Jaccard graph."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    return _graph_once(
+        spark, sf_dir, "jaccard_cc",
+        lambda: connected_components_star(_jaccard_edges(spark, sf_dir)),
+    )
+
+
+def _cosine_cc(spark, sf_dir):
+    """Connected-component labels of the cosine ≥ 0.35 embedding graph."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from timeseriescorrelation_spark.operators.similarity import (
+        cosine_neardup_pairs_blocked,
+    )
+
+    return _graph_once(
+        spark, sf_dir, "cosine_cc",
+        lambda: connected_components_star(
+            cosine_neardup_pairs_blocked(
+                _embs(spark, sf_dir), min_cos=0.35
+            )
+        ),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -1357,14 +1422,10 @@ def q_dedup_clusters(spark, sf_dir):
     shape — round 3 replaced the diameter-bound label propagation,
     pytest asserts identical labelings): the keep-one-per-group step
     pairwise dedup can't express.  Oracle = recursive-CTE reachability
-    closure over the same edge set."""
-    from timeseriescorrelation_spark.operators.dedup import (
-        connected_components_star,
-    )
-
-    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
-    pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
-    return connected_components_star(pairs)
+    closure over the same edge set.  Edges + labels come from the
+    session graph cache (_jaccard_cc) shared with
+    dedup_canonical/triangles/editdist."""
+    return _jaccard_cc(spark, sf_dir)
 
 
 def q_dedup_editdist(spark, sf_dir):
@@ -1372,9 +1433,9 @@ def q_dedup_editdist(spark, sf_dir):
     over the first 80 chars of each side — the fuzzy-match second
     opinion on shingle-based candidates (catches reorderings Jaccard
     scores high but editing distance rejects).  Runs only on the
-    candidate pairs, never all-pairs; texts join in via the doc ids."""
-    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
-    pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
+    candidate pairs (session graph cache), never all-pairs; texts
+    join in via the doc ids."""
+    pairs = _jaccard_edges(spark, sf_dir)
     d = _docs(spark, sf_dir).select(
         "doc_id", F.substring("text", 1, 80).alias("_t")
     )
@@ -1685,16 +1746,9 @@ def q_emb_clusters(spark, sf_dir):
     cluster of paraphrases.  Composition shows the operator is
     pair-source-agnostic.  Round 3: large-star/small-star variant
     (same labeling, fewer driver-paced rounds on high-diameter
-    graphs)."""
-    from timeseriescorrelation_spark.operators.dedup import (
-        connected_components_star,
-    )
-    from timeseriescorrelation_spark.operators.similarity import (
-        cosine_neardup_pairs_blocked,
-    )
-
-    pairs = cosine_neardup_pairs_blocked(_embs(spark, sf_dir), min_cos=0.35)
-    return connected_components_star(pairs)
+    graphs).  Round 4: labels come from the session graph cache
+    (_cosine_cc) shared with cluster_terms."""
+    return _cosine_cc(spark, sf_dir)
 
 
 def q_unpivot_tier(spark, sf_dir):
@@ -3083,17 +3137,12 @@ def q_dedup_canonical(spark, sf_dir):
     doc labeled with its near-dup cluster (singletons = own cluster via
     left join + coalesce) and a keep flag — canonical = longest doc,
     ties to the lowest id, via a cluster-partitioned window.  NOT in
-    the headline bench: its cost is dedup_clusters + ε (it re-derives
-    the same CC labels), benching it would double-count the fixpoint."""
-    from timeseriescorrelation_spark.operators.dedup import (
-        connected_components_star,
-    )
+    the headline bench: its cost is dedup_clusters + ε (it reads the
+    same CC labels from the session graph cache)."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    p = ngram_jaccard_pairs(d, n=3, min_inter=2)
-    pairs = p.where(F.col("inter_n") * 5 >= F.col("union_n"))
-    labels = connected_components_star(pairs)
+    labels = _jaccard_cc(spark, sf_dir)
     all_docs = (
         d.select("doc_id", "n_chars")
         .join(labels, "doc_id", "left")
@@ -3164,9 +3213,9 @@ def q_dedup_triangles(spark, sf_dir):
     counts each triangle once; per-node counts via one explode of the
     3 corners.  Scale notes: runs on the candidate-pair graph only
     (|edges| ≪ |docs|², the LSH/prefix-filter invariant), three
-    equi-joins keyed by doc id."""
-    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, min_inter=2)
-    edges = p.where(F.col("inter_n") * 5 >= F.col("union_n")).select(
+    equi-joins keyed by doc id.  Edge set from the session graph
+    cache."""
+    edges = _jaccard_edges(spark, sf_dir).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     e1 = edges
@@ -4569,18 +4618,24 @@ def q_corr_clusters(spark, sf_dir):
     connected components collapse it into co-moving groups.  The
     oracle recomputes the edges all-pairs (equality is the prune's
     soundness proof, same as spearman_pruned) and closes them with a
-    recursive-CTE reachability closure."""
+    recursive-CTE reachability closure.  The θ-edge set is
+    session-graph-cached (build-once/probe-many)."""
     from timeseriescorrelation_spark.operators.dedup import (
         connected_components_star,
     )
 
-    aligned = _aligned_from_events(spark, sf_dir)
-    vectors = dft_sketch(build_vectors(aligned)).cache()
-    cand = candidate_pairs(vectors, _CORR_THETA)
-    edges = exact_corr(cand, vectors, _CORR_THETA)
-    return connected_components_star(
-        edges.select("id_a", "id_b")
-    ).withColumnRenamed("doc_id", "conv_id")
+    def build():
+        aligned = _aligned_from_events(spark, sf_dir)
+        vectors = dft_sketch(build_vectors(aligned)).cache()
+        cand = candidate_pairs(vectors, _CORR_THETA)
+        return exact_corr(cand, vectors, _CORR_THETA).select(
+            "id_a", "id_b"
+        )
+
+    edges = _graph_once(spark, sf_dir, "corr_edges", build)
+    return connected_components_star(edges).withColumnRenamed(
+        "doc_id", "conv_id"
+    )
 
 
 def q_attribution(spark, sf_dir):
@@ -4936,20 +4991,12 @@ def q_cluster_terms(spark, sf_dir):
     tf_c · T / f_t (T = total clustered term mass, f_t = the term's
     corpus frequency) — the same monotone ln-free salience scoring
     term_salience documents, so ordering is engine-exact.  Top-5 per
-    cluster.  Composition: cosine pair source → large/small-star CC →
-    explode/hash-agg/window — three operators from different modules
-    chained without materialization."""
+    cluster.  Composition: cosine pair source → large/small-star CC
+    (session graph cache, shared with emb_clusters) →
+    explode/hash-agg/window."""
     from pyspark.sql import Window
 
-    from timeseriescorrelation_spark.operators.dedup import (
-        connected_components_star,
-    )
-    from timeseriescorrelation_spark.operators.similarity import (
-        cosine_neardup_pairs_blocked,
-    )
-
-    pairs = cosine_neardup_pairs_blocked(_embs(spark, sf_dir), min_cos=0.35)
-    labels = connected_components_star(pairs)
+    labels = _cosine_cc(spark, sf_dir)
     docs = _docs(spark, sf_dir).join(labels, "doc_id")
     tf = (
         docs.select(
@@ -5793,6 +5840,18 @@ def q_df_unitroot(spark, sf_dir):
     from timeseriescorrelation_spark.operators.tsdiag import df_unitroot
 
     return df_unitroot(_series_from_events(spark, sf_dir))
+
+
+def q_adf_augmented(spark, sf_dir):
+    """Augmented Dickey-Fuller with TWO lagged-difference regressors
+    per metric (tsdiag.adf_augmented, p=2): the 3×3 Cramer solve over
+    exact centered decimal moments, t_γ by the cofactor variance —
+    the ols_multi normal-equations seam df_unitroot promised."""
+    from timeseriescorrelation_spark.operators.tsdiag import (
+        adf_augmented,
+    )
+
+    return adf_augmented(_series_from_events(spark, sf_dir), p=2)
 
 
 def q_ccc_pairs(spark, sf_dir):
@@ -7958,6 +8017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newey_west": q_newey_west,
         "kpss_level": q_kpss_level,
         "df_unitroot": q_df_unitroot,
+        "adf_augmented": q_adf_augmented,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -16668,6 +16728,76 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "adf_augmented": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, hour_ts, lag(y, 1) OVER w AS x,
+         y - lag(y, 1) OVER w AS z
+  FROM h WINDOW w AS (PARTITION BY metric ORDER BY hour_ts)
+), l2 AS (
+  SELECT metric, x, z, lag(z, 1) OVER w AS d1, lag(z, 2) OVER w AS d2
+  FROM l WINDOW w AS (PARTITION BY metric ORDER BY hour_ts)
+), r AS (
+  SELECT * FROM l2
+  WHERE x IS NOT NULL AND d1 IS NOT NULL AND d2 IS NOT NULL
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(z) AS sy, sum(z * z) AS syy,
+         sum(x) AS s1, sum(x * z) AS s1y,
+         sum(d1) AS s2, sum(d1 * z) AS s2y,
+         sum(d2) AS s3, sum(d2 * z) AS s3y,
+         sum(x * x) AS s11, sum(x * d1) AS s12, sum(x * d2) AS s13,
+         sum(d1 * d1) AS s22, sum(d1 * d2) AS s23,
+         sum(d2 * d2) AS s33
+  FROM r GROUP BY 1 HAVING count(*) >= 30
+), c AS (
+  SELECT metric, cast(m AS double) AS md, m,
+         cast(m * syy - sy * sy AS double) AS vyy,
+         cast(m * s11 - s1 * s1 AS double) AS v11,
+         cast(m * s22 - s2 * s2 AS double) AS v22,
+         cast(m * s33 - s3 * s3 AS double) AS v33,
+         cast(m * s12 - s1 * s2 AS double) AS v12,
+         cast(m * s13 - s1 * s3 AS double) AS v13,
+         cast(m * s23 - s2 * s3 AS double) AS v23,
+         cast(m * s1y - s1 * sy AS double) AS v1y,
+         cast(m * s2y - s2 * sy AS double) AS v2y,
+         cast(m * s3y - s3 * sy AS double) AS v3y
+  FROM g
+), f AS (
+  SELECT metric, md, m, vyy, v1y, v2y, v3y,
+         v11 * (v22 * v33 - v23 * v23)
+           - v12 * (v12 * v33 - v23 * v13)
+           + v13 * (v12 * v23 - v22 * v13) AS det,
+         v1y * (v22 * v33 - v23 * v23)
+           - v12 * (v2y * v33 - v23 * v3y)
+           + v13 * (v2y * v23 - v22 * v3y) AS det1,
+         v11 * (v2y * v33 - v3y * v23)
+           - v1y * (v12 * v33 - v23 * v13)
+           + v13 * (v12 * v3y - v2y * v13) AS det2,
+         v11 * (v22 * v3y - v23 * v2y)
+           - v12 * (v12 * v3y - v2y * v13)
+           + v1y * (v12 * v23 - v22 * v13) AS det3,
+         v22 * v33 - v23 * v23 AS cof
+  FROM c
+), e AS (
+  SELECT metric, md, m, det, cof,
+         det1 / det AS gam,
+         vyy - (det1 / det) * v1y - (det2 / det) * v2y
+             - (det3 / det) * v3y AS rssm
+  FROM f
+)
+SELECT metric, cast(m AS bigint) AS n_obs,
+       round(gam, 6) AS gamma,
+       round(gam / sqrt(rssm * cof / (md * (md - 4.0) * det)), 6)
+         AS t_stat,
+       NOT (gam / sqrt(rssm * cof / (md * (md - 4.0) * det)) < -2.86)
+         AS has_unit_root
+FROM e
+WHERE det > 0 AND rssm > 0
 """,
         "df_unitroot": """
 WITH h AS (

@@ -403,6 +403,13 @@ HEADLINE_R3 = [
     # enumeration — trend_daily is the O(T) scale path)
 ]
 
+# Round-4 additions — HEADLINE and HEADLINE_R3 are now both FROZEN
+# (the r02 and r03-close compositions), so per-query and per-cohort
+# totals stay comparable across rounds (VERDICT r03 #10).
+HEADLINE_R4 = [
+    "adf_augmented",
+]
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -479,7 +486,7 @@ def main() -> None:
     qs = entrymod.queries()
     qs.update(_scale_overrides())
     timings: dict[str, float] = {}
-    for name in [*HEADLINE, *HEADLINE_R3]:
+    for name in [*HEADLINE, *HEADLINE_R3, *HEADLINE_R4]:
         if name not in qs:
             continue
         df = qs[name](spark, sf_dir)
@@ -508,6 +515,13 @@ def main() -> None:
         ),
         "r3_additions_total": round(
             sum(t for n, t in timings.items() if n in HEADLINE_R3), 3
+        ),
+        "frozen_r03_total": round(
+            sum(t for n, t in timings.items()
+                if n in HEADLINE or n in HEADLINE_R3), 3
+        ),
+        "r4_additions_total": round(
+            sum(t for n, t in timings.items() if n in HEADLINE_R4), 3
         ),
         "sf": sf,
         "cpus": int(cpus),

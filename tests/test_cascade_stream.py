@@ -137,3 +137,71 @@ def test_cascade_late_chunk_refolds_existing_hours(spark):
         assert _norm(spark.read.parquet(gold)) == _norm(want)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cascade_1d_two_drains_equal_batch_with_day_refold(spark):
+    """Full 1m->1h->1d cascade (per-stage checkpoints): drain 1 covers
+    most of day 1 plus the start of day 2; drain 2 delivers LATE
+    minutes that refold hours of day 1 — so the 1d stage must merge
+    into a day partition it already materialized, across the 1h->1d
+    boundary.  Result must equal one batch 1d rollup of everything
+    (and the 1h tier must equal the batch 1h rollup)."""
+    from timeseriescorrelation_spark.streaming.cascade_stream import (
+        stream_cascade_1h_1d,
+    )
+
+    work = tempfile.mkdtemp(prefix="cascade1d_")
+    try:
+        silver = f"{work}/silver"
+        gold1h = f"{work}/gold1h"
+        log1h = f"{work}/log1h"
+        gold1d = f"{work}/gold1d"
+
+        # minutes spanning two days: 0..1500 (day 1 = 0..1439,
+        # day 2 starts at 1440)
+        all_minutes = list(range(0, 1501, 7))
+        late = [m for m in all_minutes if m < 1200 and m % 3 == 1]
+        first = [m for m in all_minutes if m not in late]
+
+        _silver(spark, _series_rows(first)).write.mode(
+            "append"
+        ).parquet(silver)
+        stream_cascade_1h_1d(spark, silver, gold1h, log1h, gold1d, work)
+        # day 2 already exists after drain 1
+        assert spark.read.parquet(gold1d).where(
+            F.col("bucket_ts") == T0 + dt.timedelta(days=1)
+        ).count() == 1
+
+        _silver(spark, _series_rows(late)).write.mode(
+            "append"
+        ).parquet(silver)
+        stream_cascade_1h_1d(spark, silver, gold1h, log1h, gold1d, work)
+
+        everything = spark.createDataFrame(
+            _series_rows(all_minutes), SERIES_SCHEMA
+        )
+        want1h = rollup_raw_upsertable(everything, "1h")
+        want1d = rollup_raw_upsertable(everything, "1d")
+        assert _norm(spark.read.parquet(gold1h)) == _norm(want1h)
+        assert _norm(spark.read.parquet(gold1d)) == _norm(want1d)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cascade_1d_drain_without_new_input_is_noop(spark):
+    from timeseriescorrelation_spark.streaming.cascade_stream import (
+        stream_cascade_1h_1d,
+    )
+
+    work = tempfile.mkdtemp(prefix="cascade1d_")
+    try:
+        silver = f"{work}/silver"
+        dirs = (f"{work}/gold1h", f"{work}/log1h", f"{work}/gold1d")
+        rows = _series_rows(list(range(0, 120, 5)))
+        _silver(spark, rows).write.mode("append").parquet(silver)
+        stream_cascade_1h_1d(spark, silver, *dirs, work)
+        before = _norm(spark.read.parquet(dirs[2]))
+        stream_cascade_1h_1d(spark, silver, *dirs, work)
+        assert _norm(spark.read.parquet(dirs[2])) == before
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -52,39 +52,75 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
     artifacts (a series' chunks all land in its hash partition)."""
 
     def _enc(batches):
-        parts = [p for p in batches if len(p)]
-        if not parts:
+        # mapInArrow, not mapInPandas: at 44M rows/partition-set the
+        # Arrow→pandas conversion materializes every conv_id/metric
+        # string as a Python object and the hash groupby walks them
+        # again — measured to dominate the whole job (codec ~1 Mpts/s
+        # vs job ~36k pts/s/core).  Arrow-native, strings stay in
+        # arrow buffers end-to-end: run boundaries on the SORTED
+        # stream come from three vectorized slice-compares, group keys
+        # from one take(), and ts/value view as int64/float64
+        # zero-copy.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bl = list(batches)
+        if not bl:
             return
-        pdf = pd.concat(parts, ignore_index=True)
+        tbl = pa.Table.from_batches(bl).combine_chunks()
+        nrows = tbl.num_rows
+        if nrows == 0:
+            return
+
+        def col(name):
+            c = tbl.column(name)
+            return c.chunk(0) if c.num_chunks else pa.array(
+                [], type=c.type
+            )
+
+        conv, met, cs = col("conv_id"), col("metric"), col("chunk_start")
         # rows arrive sorted by (conv, metric, chunk_start, ts,
-        # turn_idx), so chunks are CONTIGUOUS runs; one C-speed
-        # groupby().size() yields the run lengths in that order and
-        # the whole partition encodes in ONE vectorized pass
-        # (encode_chunks_batch — per-chunk encode_chunk cost ~30 small
-        # numpy calls/chunk, capping sf0.1's ~55-point chunks at
-        # 0.2 Mpts/s/core; the batch path measures 1.0, and the blobs
-        # are byte-identical by test)
-        sizes = pdf.groupby(
-            ["conv_id", "metric", "chunk_start"], sort=False
-        ).size()
-        n = sizes.to_numpy(dtype=np.int64)
-        starts = np.concatenate([[0], np.cumsum(n)])
-        ts = pdf["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        blobs = encode_chunks_batch(ts, vals, starts)
-        keys = sizes.index
-        yield pd.DataFrame(
-            {
-                "conv_id": keys.get_level_values(0),
-                "metric": keys.get_level_values(1),
-                "chunk_start": keys.get_level_values(2),
-                "n": n.astype(np.int32),
-                "blob": blobs,
-                "raw_bytes": 16 * n,
-                "enc_bytes": np.fromiter(
-                    (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+        # turn_idx) ⇒ chunks are contiguous runs
+        if nrows > 1:
+            chg = pc.or_(
+                pc.or_(
+                    pc.not_equal(conv.slice(1), conv.slice(0, nrows - 1)),
+                    pc.not_equal(met.slice(1), met.slice(0, nrows - 1)),
                 ),
-            }
+                pc.not_equal(cs.slice(1), cs.slice(0, nrows - 1)),
+            )
+            bnd = np.flatnonzero(
+                chg.to_numpy(zero_copy_only=False)
+            ) + 1
+        else:
+            bnd = np.empty(0, dtype=np.int64)
+        starts = np.concatenate([[0], bnd, [nrows]])
+        n = np.diff(starts)
+        first_idx = pa.array(starts[:-1])
+
+        ts = col("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).view(np.int64)
+        vals = col("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        blobs = encode_chunks_batch(ts, vals, starts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(conv, first_idx),
+                pc.take(met, first_idx),
+                pc.take(cs, first_idx),
+                pa.array(n.astype(np.int32), type=pa.int32()),
+                pa.array(blobs, type=pa.binary()),
+                pa.array(16 * n, type=pa.int64()),
+                pa.array(
+                    np.fromiter((len(b) for b in blobs),
+                                dtype=np.int64, count=len(blobs)),
+                    type=pa.int64(),
+                ),
+            ],
+            names=["conv_id", "metric", "chunk_start", "n", "blob",
+                   "raw_bytes", "enc_bytes"],
         )
 
     keyed = series.withColumn("chunk_start", F.date_trunc(chunk, "ts"))
@@ -102,7 +138,9 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
         .sortWithinPartitions(
             "conv_id", "metric", "chunk_start", "ts", "turn_idx"
         )
-    return part.mapInPandas(_enc, _ENC_SCHEMA)
+    return part.select(
+        "conv_id", "metric", "chunk_start", "ts", "value"
+    ).mapInArrow(_enc, _ENC_SCHEMA)
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:

@@ -1,7 +1,11 @@
 """Continuous-aggregate maintenance: the streaming 1m tier cascades
 into a MATERIALIZED 1h tier via foreachBatch MERGE — the fourth stage
 of the production pipeline (bronze dedup → silver 1m → THIS → gold
-analytics read the 1h tier, never raw turns).
+analytics read the 1h tier, never raw turns) — and, round 4, onward
+into a 1d tier: stage 1 also appends its 1h partials to an
+append-only inter-stage log, and a second independently-checkpointed
+stream folds that log into the materialized 1d tier
+(stream_cascade_1h_1d).
 
 Each micro-batch of finalized 1m buckets aggregates to upsertable 1h
 partials and folds into the stored tier through
@@ -70,19 +74,82 @@ def partials_1h_from_1m(tier_1m: DataFrame) -> DataFrame:
     )
 
 
+PARTIALS_SCHEMA = TIER_SCHEMA + ", fkey bigint, lkey bigint"
+
+# hour-grain packed keys carry (off-in-hour µs << 31 | idx31); the
+# day grain packs (off-in-day µs << 26 | idx26) — rollup._OFF_BITS
+_H_IDX_BITS = 31
+_D_IDX_BITS = 26
+
+
+def partials_1d_from_1h(p1h: DataFrame) -> DataFrame:
+    """Upsertable 1h partials → upsertable 1d partials: re-key each
+    hour partial's fkey/lkey to the DAY-grain packed convention
+    (off-in-day µs << 26 | idx) and fold.  The re-keying is exact:
+    day offset = hour's offset-in-day + (fkey >> 31), and the turn
+    component min(idx31, 2²⁶−1) equals the batch path's direct
+    min(turn_idx, 2²⁶−1) clamp — so a chained 1m→1h→1d fold emits
+    the same tier VALUES as rollup_raw_upsertable(series, "1d")
+    (asserted in tests/test_cascade_stream.py; the key columns carry
+    turn component 0 when fed from the plain silver tier, which the
+    1h stage already documents).  The
+    chain map is monotone within an hour, so min/max distribute and
+    merges stay associative across micro-batches."""
+    day = F.date_trunc("day", "bucket_ts")
+    hour_off = epoch_us(F.col("bucket_ts")) - epoch_us(day)
+    mask31 = (1 << _H_IDX_BITS) - 1
+    cap26 = (1 << _D_IDX_BITS) - 1
+
+    def chain(key: str):
+        in_hour_off = F.shiftright(F.col(key), _H_IDX_BITS)
+        idx = F.least(
+            F.col(key).bitwiseAND(F.lit(mask31)), F.lit(cap26)
+        )
+        return (
+            (hour_off + in_hour_off) * F.lit(1 << _D_IDX_BITS) + idx
+        ).cast("long")
+
+    kf, kl = chain("fkey"), chain("lkey")
+    return (
+        p1h.groupBy("conv_id", "metric", day.alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", kf).alias("first"),
+            F.min(kf).alias("fkey"),
+            F.max_by("last", kl).alias("last"),
+            F.max(kl).alias("lkey"),
+        )
+    )
+
+
 def stream_cascade_1h(spark: SparkSession, silver_dir: str,
-                      gold_dir: str, ck_dir: str) -> None:
+                      gold_dir: str, ck_dir: str,
+                      partials_dir: str | None = None) -> None:
     """Drain all currently-available silver (1m tier) files into the
     materialized 1h tier at `gold_dir` (Trigger.AvailableNow, durable
-    offsets under `ck_dir`)."""
+    offsets under `ck_dir`).
+
+    If `partials_dir` is given, each micro-batch's 1h partials are
+    ALSO appended there (append-only parquet log, fkey/lkey kept) —
+    the inter-stage feed of the 1h→1d cascade stage.  An append-only
+    log is load-bearing: the materialized gold dir is partition-
+    REWRITTEN on refold, and a file-source stream over it would
+    re-emit whole rewritten partitions into the next stage, double
+    counting them; the partials log instead carries exactly each
+    batch's delta once."""
     tier = spark.readStream.schema(TIER_SCHEMA).parquet(silver_dir)
 
     def _fold(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        refresh_partials(
-            batch.sparkSession, gold_dir, partials_1h_from_1m(batch)
-        )
+        p1h = partials_1h_from_1m(batch)
+        if partials_dir is not None:
+            p1h = p1h.localCheckpoint()  # compute once, feed both sinks
+            p1h.write.mode("append").parquet(partials_dir)
+        refresh_partials(batch.sparkSession, gold_dir, p1h)
 
     q = (
         tier.writeStream.foreachBatch(_fold)
@@ -91,3 +158,45 @@ def stream_cascade_1h(spark: SparkSession, silver_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cascade_1d(spark: SparkSession, partials_1h_dir: str,
+                      gold_1d_dir: str, ck_dir: str) -> None:
+    """Second cascade stage: drain the append-only 1h-partials log
+    into the materialized 1d tier (own checkpoint, so the 1h and 1d
+    stages resume independently)."""
+    feed = spark.readStream.schema(PARTIALS_SCHEMA).parquet(
+        partials_1h_dir
+    )
+
+    def _fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_partials(
+            batch.sparkSession, gold_1d_dir, partials_1d_from_1h(batch)
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_cascade_1h_1d(spark: SparkSession, silver_dir: str,
+                         gold_1h_dir: str, partials_1h_dir: str,
+                         gold_1d_dir: str, ck_root: str) -> None:
+    """Full 1m→1h→1d continuous-aggregate cascade, one drain: stage 1
+    folds silver into the 1h tier and appends its partials to the
+    inter-stage log; stage 2 folds that log into the 1d tier.  Each
+    stage owns its checkpoint under `ck_root` (round-3 verdict task
+    #4's per-stage checkpoints)."""
+    stream_cascade_1h(
+        spark, silver_dir, gold_1h_dir, f"{ck_root}/ck_1h",
+        partials_dir=partials_1h_dir,
+    )
+    stream_cascade_1d(
+        spark, partials_1h_dir, gold_1d_dir, f"{ck_root}/ck_1d"
+    )
