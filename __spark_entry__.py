@@ -4367,6 +4367,13 @@ def q_textrank_keywords(spark, sf_dir):
         pagerank_conserving,
     )
 
+    edges = _token_graph(spark, sf_dir)
+    return pagerank_conserving(edges, n_iter=3)
+
+
+def _token_graph(spark, sf_dir):
+    """Shared token-adjacency edge builder (textrank_keywords /
+    ppr_terms): undirected df≥5-vocab adjacency counts."""
     base = _docs(spark, sf_dir).select(
         "doc_id",
         F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
@@ -4397,7 +4404,7 @@ def q_textrank_keywords(spark, sf_dir):
         F.broadcast(vf.withColumnRenamed("tok", "a")), "a"
     ).join(F.broadcast(vf.withColumnRenamed("tok", "b")), "b") \
      .select("a", "b")
-    edges = (
+    return (
         fp.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
             fp.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -4405,7 +4412,31 @@ def q_textrank_keywords(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    return pagerank_conserving(edges, n_iter=3)
+
+
+def q_ppr_terms(spark, sf_dir):
+    """PERSONALIZED PageRank over the token-adjacency graph: the
+    pooled teleport mass pays out only to the seed token (the
+    highest-weighted-degree token, ties to the smallest), so ranks
+    read as "terms related to the corpus's head term" — the related-
+    entities query (Jeh & Widom 2003) in the conserving integer
+    scheme; oracle unrolls the 3 iterations bit-exactly with the
+    teleport-set variant of the pagerank CTEs."""
+    from pyspark.sql import Window
+
+    from timeseriescorrelation_spark.operators.graphrank import (
+        pagerank_conserving,
+    )
+
+    edges = _token_graph(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("wd")
+    )
+    w = Window.orderBy(F.desc("wd"), F.asc("node"))
+    seeds = deg.select(
+        "node", F.row_number().over(w).alias("r")
+    ).where(F.col("r") == 1).select("node")
+    return pagerank_conserving(edges, n_iter=3, teleport=seeds)
 
 
 def q_emb_cov(spark, sf_dir):
@@ -5840,6 +5871,107 @@ def q_df_unitroot(spark, sf_dir):
     from timeseriescorrelation_spark.operators.tsdiag import df_unitroot
 
     return df_unitroot(_series_from_events(spark, sf_dir))
+
+
+def q_ewma_chart(spark, sf_dir):
+    """EWMA control chart per metric hour (spc.ewma_chart): truncated
+    24-term dyadic-λ kernel as exact integer lag weights, steady-state
+    3σ limits — the small-persistent-shift detector between Shewhart
+    and CUSUM."""
+    from timeseriescorrelation_spark.operators.spc import ewma_chart
+
+    return ewma_chart(_series_from_events(spark, sf_dir))
+
+
+def _ewma_chart_oracle(lam_num: int = 1, lam_den: int = 4,
+                       k_window: int = 24) -> str:
+    """Mirror of spc.ewma_chart: the same Python-precomputed integer
+    kernel weights embed as literals; the numerator is the identical
+    24-term hugeint lag sum, everything after is the shared double
+    tree."""
+    a, d, K = lam_num, lam_den, k_window
+    w = [a * (d - a) ** j * d ** (K - 1 - j) for j in range(K)]
+    W = float(sum(w))
+    varfac = sum(x * x for x in w) / (sum(w) * sum(w))
+    terms = " + ".join(
+        f"cast(lag(y, {j}) OVER win AS hugeint) * {w[j]}"
+        for j in range(K)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, hour_ts, y,
+         {terms} AS num,
+         row_number() OVER win AS rn
+  FROM h WINDOW win AS (PARTITION BY metric ORDER BY hour_ts)
+), mom AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(cast(y AS hugeint)) AS s,
+         sum(cast(y AS hugeint) * y) AS ss
+  FROM h GROUP BY 1
+), j AS (
+  SELECT t.metric, t.hour_ts, t.y, t.num, mom.n, mom.s, mom.ss
+  FROM t JOIN mom ON t.metric = mom.metric WHERE t.rn >= {K}
+), e AS (
+  SELECT metric, hour_ts, y,
+         cast(s AS double) / cast(n AS double) AS mu,
+         sqrt(cast(n * ss - s * s AS double)
+              / (cast(n AS double) * cast(n AS double))) AS sig,
+         cast(num AS double) / {W!r} AS z
+  FROM j
+), f AS (
+  SELECT metric, hour_ts, y, z, mu,
+         mu + 3.0 * sig * sqrt({varfac!r}) AS ucl,
+         mu - 3.0 * sig * sqrt({varfac!r}) AS lcl
+  FROM e
+)
+SELECT metric, hour_ts,
+       round(cast(y AS double) / 100.0, 6) AS x,
+       round(z / 100.0, 6) AS z,
+       round(mu / 100.0, 6) AS center,
+       round(ucl / 100.0, 6) AS ucl,
+       round(lcl / 100.0, 6) AS lcl,
+       cast(CASE WHEN z > ucl THEN 1 WHEN z < lcl THEN -1
+            ELSE 0 END AS int) AS ooc
+FROM f
+"""
+
+
+def q_weibull_fit(spark, sf_dir):
+    """Weibull shape/scale of completed conversation durations per
+    metric via Benard median-rank regression (survival.weibull_fit):
+    two-level µ-nat-snapped double-log plot, exact-moment OLS."""
+    from timeseriescorrelation_spark.operators.survival import (
+        weibull_fit,
+    )
+
+    return weibull_fit(_series_from_events(spark, sf_dir))
+
+
+def q_lang_temperature(spark, sf_dir):
+    """α=0.3 temperature sampling weights over the documents corpus's
+    language mix (lm.lang_temperature_weights): snapped-ln →
+    shared-product → snapped-exp, so q_l is a ratio of exact
+    integers in both engines."""
+    from timeseriescorrelation_spark.operators.lm import (
+        lang_temperature_weights,
+    )
+
+    return lang_temperature_weights(_docs(spark, sf_dir))
+
+
+def q_its_readout(spark, sf_dir):
+    """Interrupted time-series segmented regression per metric
+    (causality.its_readout): level + slope change at the span-midpoint
+    break via the 3×3 exact-moment Cramer solve."""
+    from timeseriescorrelation_spark.operators.causality import (
+        its_readout,
+    )
+
+    return its_readout(_series_from_events(spark, sf_dir))
 
 
 def q_adf_augmented(spark, sf_dir):
@@ -8018,6 +8150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_level": q_kpss_level,
         "df_unitroot": q_df_unitroot,
         "adf_augmented": q_adf_augmented,
+        "ewma_chart": q_ewma_chart,
+        "its_readout": q_its_readout,
+        "lang_temperature": q_lang_temperature,
+        "ppr_terms": q_ppr_terms,
+        "weibull_fit": q_weibull_fit,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -8812,13 +8949,23 @@ WHERE source <> 'src0' GROUP BY 1, 2
 """
 
 
-def _pagerank_unrolled_oracle(edge_ctes: str, n_iter: int) -> str:
+def _pagerank_unrolled_oracle(edge_ctes: str, n_iter: int,
+                              teleport_cte: str | None = None) -> str:
     """Unroll graphrank.pagerank_conserving over ANY edge source:
     damped per-edge floors + per-src remainder to min(dst), dangling +
     undamped shares pooled and paid out pool//N with the mod-N
     remainder on the min node.  Pure bigint arithmetic — bit-exact vs
     the Spark loop.  `edge_ctes` must end with a CTE named e(src,
-    dst, w)."""
+    dst, w).  With `teleport_cte` (SQL for a CTE body yielding
+    tele(node)), the pool pays out only over that set — the
+    personalized variant."""
+    tele_block = (
+        f", tele AS ({teleport_cte})" if teleport_cte else
+        ", tele AS (SELECT node FROM nodes)"
+    )
+    pay_cond = (
+        "n.node IN (SELECT node FROM tele)" if teleport_cte else "TRUE"
+    )
     ctes = [f"""
 WITH {edge_ctes}, wo AS (
   SELECT src, cast(sum(w) AS bigint) AS wout FROM e GROUP BY 1
@@ -8829,8 +8976,8 @@ WITH {edge_ctes}, wo AS (
 ), nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)
-), nn AS (
-  SELECT cast(count(*) AS bigint) AS n, min(node) AS mn FROM nodes
+){tele_block}, nn AS (
+  SELECT cast(count(*) AS bigint) AS n, min(node) AS mn FROM tele
 ), p0 AS (
   SELECT node, cast(1000000 AS bigint) AS pr_u FROM nodes
 )"""]
@@ -8862,7 +9009,9 @@ WITH {edge_ctes}, wo AS (
   )
 ), p{i} AS (
   SELECT n.node,
-         cast(coalesce(f.inflow, 0) + pool.pool // nn.n
+         cast(coalesce(f.inflow, 0)
+              + CASE WHEN {pay_cond} THEN pool.pool // nn.n
+                     ELSE 0 END
               + CASE WHEN n.node = nn.mn THEN pool.pool % nn.n
                      ELSE 0 END AS bigint) AS pr_u
   FROM nodes n
@@ -9122,6 +9271,7 @@ def oracle_sql() -> dict[str, str]:
     d["lad_trend"] = _LAD_TREND_ORACLE
     d["esd_outliers"] = _esd_oracle(k=3)
     d["logit_fit"] = _logit_oracle(n_iter=2)
+    d["ewma_chart"] = _ewma_chart_oracle()
     d["dow_contrasts"] = """
 WITH h AS (
   SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
@@ -11984,6 +12134,15 @@ FROM t GROUP BY 1
         "dsir_weights": _dsir_oracle(4096),
         "textrank_keywords": _pagerank_unrolled_oracle(
             _TEXTRANK_EDGE_CTES, 3),
+        "ppr_terms": _pagerank_unrolled_oracle(
+            _TEXTRANK_EDGE_CTES, 3,
+            teleport_cte=(
+                "SELECT src AS node FROM ("
+                "SELECT src, cast(sum(w) AS bigint) AS wd "
+                "FROM e GROUP BY 1) "
+                "QUALIFY row_number() OVER "
+                "(ORDER BY wd DESC, src ASC) = 1"
+            )),
         "seasonal_strength": """
 WITH pt AS (
   SELECT event_type AS metric, dayofweek(ts) AS dow,
@@ -16728,6 +16887,169 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "weibull_fit": """
+WITH ev AS (
+  SELECT event_type AS metric, user_id,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), fr AS (
+  SELECT metric, max(t1) AS fmax FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.metric, ev.t1 - ev.t0 AS dur
+  FROM ev JOIN fr ON ev.metric = fr.metric
+  WHERE fr.fmax - ev.t1 >= 3600000000 AND ev.t1 - ev.t0 > 0
+), r AS (
+  SELECT metric, dur,
+         row_number() OVER (PARTITION BY metric ORDER BY dur) AS i,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM d
+), t AS (
+  SELECT metric,
+         cast(round(ln(cast(dur AS double) / 3.6e9) * 1e6) AS bigint)
+           AS x,
+         cast(round(ln(-(cast(cast(round(ln(
+               cast(10 * (n - i) + 7 AS double)
+               / cast(10 * n + 4 AS double)) * 1e6) AS bigint)
+             AS double) / 1e6)) * 1e6) AS bigint) AS y
+  FROM r
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(cast(x AS hugeint)) AS sx, sum(cast(y AS hugeint)) AS sy,
+         sum(cast(x AS hugeint) * x) AS sxx,
+         sum(cast(y AS hugeint) * y) AS syy,
+         sum(cast(x AS hugeint) * y) AS sxy
+  FROM t GROUP BY 1 HAVING count(*) >= 10
+), c AS (
+  SELECT metric, m,
+         cast(m * sxx - sx * sx AS double) AS cxx,
+         cast(m * syy - sy * sy AS double) AS cyy,
+         cast(m * sxy - sx * sy AS double) AS cxy,
+         cast(sx AS double) AS sxd, cast(sy AS double) AS syd,
+         cast(m AS double) AS md
+  FROM g
+), e AS (
+  SELECT metric, m, cxx, cyy, cxy,
+         cxy / cxx AS k,
+         (syd - (cxy / cxx) * sxd) / md / 1e6 AS b0
+  FROM c WHERE cxx > 0
+)
+SELECT metric, cast(m AS bigint) AS n,
+       round(k, 6) AS shape,
+       round(-b0 / k, 6) AS ln_scale_hours,
+       round(CASE WHEN cyy > 0 THEN cxy * cxy / (cxx * cyy) END, 6)
+         AS r2
+FROM e
+""",
+        "lang_temperature": """
+WITH g AS (
+  SELECT lang, cast(count(*) AS bigint) AS n_docs
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT cast(sum(n_docs) AS bigint) AS nn FROM g
+), t AS (
+  SELECT lang, n_docs, nn,
+         cast(round(exp(0.3 * (cast(round(
+                ln(cast(n_docs AS double) / cast(nn AS double)) * 1e6
+              ) AS bigint) AS double) / 1e6)) * 1e9) AS bigint) AS eu
+  FROM g CROSS JOIN tot
+), s AS (
+  SELECT cast(sum(eu) AS bigint) AS se FROM t
+)
+SELECT lang, n_docs,
+       round(cast(n_docs AS double) / cast(nn AS double), 6) AS p_nat,
+       round(cast(eu AS double) / cast(se AS double), 6) AS p_samp,
+       round((cast(eu AS double) / cast(se AS double))
+             / (cast(n_docs AS double) / cast(nn AS double)), 6)
+         AS boost
+FROM t CROSS JOIN s
+""",
+        "its_readout": """
+WITH d0 AS (
+  SELECT event_type AS metric,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y,
+         cast(epoch_us(date_trunc('day', ts)) / 86400000000
+              AS bigint) AS di
+  FROM events GROUP BY metric, date_trunc('day', ts)
+), span AS (
+  SELECT metric, cast(floor((min(di) + max(di)) / 2) AS bigint)
+           AS t_brk
+  FROM d0 GROUP BY 1 HAVING count(*) >= 10
+), r AS (
+  SELECT d0.metric, d0.y, span.t_brk,
+         d0.di - span.t_brk AS u,
+         CASE WHEN d0.di - span.t_brk >= 0 THEN 1 ELSE 0 END AS dd,
+         (d0.di - span.t_brk)
+           * (CASE WHEN d0.di - span.t_brk >= 0 THEN 1 ELSE 0 END)
+           AS w
+  FROM d0 JOIN span ON d0.metric = span.metric
+), g AS (
+  SELECT metric, max(t_brk) AS t_brk,
+         cast(count(*) AS hugeint) AS n,
+         sum(cast(u AS hugeint)) AS s1,
+         sum(cast(dd AS hugeint)) AS s2,
+         sum(cast(w AS hugeint)) AS s3,
+         sum(cast(y AS hugeint)) AS sy,
+         sum(cast(u * u AS hugeint)) AS s11,
+         sum(cast(u * dd AS hugeint)) AS s12,
+         sum(cast(u * w AS hugeint)) AS s13,
+         sum(cast(dd AS hugeint)) AS s22_,
+         sum(cast(dd * w AS hugeint)) AS s23,
+         sum(cast(w * w AS hugeint)) AS s33,
+         sum(cast(u * y AS hugeint)) AS s1y,
+         sum(cast(dd * y AS hugeint)) AS s2y,
+         sum(cast(w * y AS hugeint)) AS s3y,
+         sum(cast(y AS hugeint) * y) AS syy
+  FROM r GROUP BY 1
+), c AS (
+  SELECT metric, t_brk, n,
+         cast(n * s11 - s1 * s1 AS double) AS v11,
+         cast(n * s22_ - s2 * s2 AS double) AS v22,
+         cast(n * s33 - s3 * s3 AS double) AS v33,
+         cast(n * s12 - s1 * s2 AS double) AS v12,
+         cast(n * s13 - s1 * s3 AS double) AS v13,
+         cast(n * s23 - s2 * s3 AS double) AS v23,
+         cast(n * s1y - s1 * sy AS double) AS v1y,
+         cast(n * s2y - s2 * sy AS double) AS v2y,
+         cast(n * s3y - s3 * sy AS double) AS v3y,
+         cast(n * syy - sy * sy AS double) AS vyy,
+         cast(sy AS double) AS syd, cast(s1 AS double) AS s1d,
+         cast(s2 AS double) AS s2d, cast(s3 AS double) AS s3d,
+         cast(n AS double) AS nd
+  FROM g
+), f AS (
+  SELECT metric, t_brk, n, nd, syd, s1d, s2d, s3d, vyy, v1y, v2y, v3y,
+         v11 * (v22 * v33 - v23 * v23)
+           - v12 * (v12 * v33 - v23 * v13)
+           + v13 * (v12 * v23 - v22 * v13) AS det,
+         v1y * (v22 * v33 - v23 * v23)
+           - v12 * (v2y * v33 - v23 * v3y)
+           + v13 * (v2y * v23 - v22 * v3y) AS det1,
+         v11 * (v2y * v33 - v3y * v23)
+           - v1y * (v12 * v33 - v23 * v13)
+           + v13 * (v12 * v3y - v2y * v13) AS det2,
+         v11 * (v22 * v3y - v23 * v2y)
+           - v12 * (v12 * v3y - v2y * v13)
+           + v1y * (v12 * v23 - v22 * v13) AS det3
+  FROM c
+), e AS (
+  SELECT metric, t_brk, n, nd, vyy, v1y, v2y, v3y, det,
+         det1 / det AS b1, det2 / det AS b2, det3 / det AS b3,
+         (syd - (det1 / det) * s1d - (det2 / det) * s2d
+              - (det3 / det) * s3d) / nd / 100.0 AS b0
+  FROM f
+)
+SELECT metric, cast(n AS bigint) AS n_days,
+       cast(t_brk AS bigint) AS break_day_idx,
+       round(b0, 6) AS b0,
+       round(b1 / 100.0, 6) AS slope_pre,
+       round(b2 / 100.0, 6) AS level_change,
+       round(b3 / 100.0, 6) AS slope_change,
+       round(CASE WHEN vyy > 0
+                  THEN (b1 * v1y + b2 * v2y + b3 * v3y) / vyy
+             END, 6) AS r2
+FROM e
+WHERE det > 0
 """,
         "adf_augmented": """
 WITH h AS (

@@ -234,3 +234,127 @@ def transfer_entropy(series: DataFrame, key_col: str = "metric",
             .alias("te_nats"),
         )
     )
+
+
+def its_readout(series: DataFrame, key: str = "metric",
+                value_decimals: int = 2,
+                min_days: int = 10) -> DataFrame:
+    """(metric, n_days, break_day_idx, b0, slope_pre, level_change,
+    slope_change, r2): interrupted time-series (segmented regression)
+    readout per metric — the classic policy-evaluation model
+    (Wagner et al. 2002) the changepoint family detects breaks FOR:
+
+        y_t = b0 + b1·u + b2·D + b3·u·D + ε,
+        u = day − T (integer, centered on the break),
+        D = 1[u ≥ 0]
+
+    b1 = pre-period slope, b2 = immediate level change at the break,
+    b3 = slope change after it.  The break T is the integer midpoint
+    (min_day + max_day) DIV 2 of each metric's observed span —
+    deterministic, engine-neutral, no date parameter (pass a
+    changepoint operator's output downstream to re-run around a
+    detected break).
+
+    Exactness: u, D, u·D and the daily cent sums are exact integers;
+    the ten centered moments are decimal(38,0)/hugeint; the 3×3
+    Cramer solve (adf_augmented's machinery shape) is one shared
+    double tree — 6-dp rounds agree bit-for-bit.  Degenerate designs
+    (det ≤ 0: too few days on a side) drop.
+
+    Scale: day-grid hash-agg → per-metric span agg (broadcast) → one
+    hash-agg of moments.  Grid-sized throughout."""
+    scale = 10 ** int(value_decimals)
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    d = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    ).select(
+        "metric", "y",
+        (epoch_us(F.col("day_ts")) / F.lit(86_400_000_000))
+        .cast("long").alias("di"),
+    )
+    span = d.groupBy("metric").agg(
+        F.min("di").alias("lo"), F.max("di").alias("hi"),
+        F.count(F.lit(1)).alias("nd"),
+    ).where(F.col("nd") >= int(min_days)).select(
+        "metric",
+        # floor, not a bare double-divide + cast: Spark's double→long
+        # cast truncates while DuckDB's rounds half-to-even, so an odd
+        # lo+hi would disagree at the .5; floor is floor in both
+        F.floor((F.col("lo") + F.col("hi")) / 2).cast("long")
+         .alias("t_brk"),
+    )
+    r = d.join(F.broadcast(span), "metric").select(
+        "metric", "y", "t_brk",
+        (F.col("di") - F.col("t_brk")).alias("u"),
+    ).select(
+        "metric", "y", "t_brk", "u",
+        (F.col("u") >= 0).cast("long").alias("dd"),
+        (F.col("u") * (F.col("u") >= 0).cast("long")).alias("w"),
+    )
+    c = lambda e: e.cast(DEC)  # noqa: E731
+    g = r.groupBy("metric").agg(
+        F.max("t_brk").alias("t_brk"),
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(c(F.col("u"))).alias("s1"),
+        F.sum(c(F.col("dd"))).alias("s2"),
+        F.sum(c(F.col("w"))).alias("s3"),
+        F.sum(c(F.col("y"))).alias("sy"),
+        F.sum(c(F.col("u") * F.col("u"))).alias("s11"),
+        F.sum(c(F.col("u") * F.col("dd"))).alias("s12"),
+        F.sum(c(F.col("u") * F.col("w"))).alias("s13"),
+        F.sum(c(F.col("dd"))).alias("s22_"),
+        F.sum(c(F.col("dd") * F.col("w"))).alias("s23"),
+        F.sum(c(F.col("w") * F.col("w"))).alias("s33"),
+        F.sum(c(F.col("u") * F.col("y"))).alias("s1y"),
+        F.sum(c(F.col("dd") * F.col("y"))).alias("s2y"),
+        F.sum(c(F.col("w") * F.col("y"))).alias("s3y"),
+        F.sum(c(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    m = F.col("n")
+
+    def cen(sab, sa, sb):
+        return (m * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+
+    S11, S22, S33 = (cen("s11", "s1", "s1"), cen("s22_", "s2", "s2"),
+                     cen("s33", "s3", "s3"))
+    S12, S13, S23 = (cen("s12", "s1", "s2"), cen("s13", "s1", "s3"),
+                     cen("s23", "s2", "s3"))
+    S1y, S2y, S3y = (cen("s1y", "s1", "sy"), cen("s2y", "s2", "sy"),
+                     cen("s3y", "s3", "sy"))
+    Syy = cen("syy", "sy", "sy")
+    det = (S11 * (S22 * S33 - S23 * S23)
+           - S12 * (S12 * S33 - S23 * S13)
+           + S13 * (S12 * S23 - S22 * S13))
+    b1 = (S1y * (S22 * S33 - S23 * S23)
+          - S12 * (S2y * S33 - S23 * S3y)
+          + S13 * (S2y * S23 - S22 * S3y)) / det
+    b2 = (S11 * (S2y * S33 - S3y * S23)
+          - S1y * (S12 * S33 - S23 * S13)
+          + S13 * (S12 * S3y - S2y * S13)) / det
+    b3 = (S11 * (S22 * S3y - S23 * S2y)
+          - S12 * (S12 * S3y - S2y * S13)
+          + S1y * (S12 * S23 - S22 * S13)) / det
+    fs = F.lit(float(scale))
+    b0 = (
+        F.col("sy").cast("double")
+        - b1 * F.col("s1").cast("double")
+        - b2 * F.col("s2").cast("double")
+        - b3 * F.col("s3").cast("double")
+    ) / F.col("n").cast("double") / fs
+    r2 = F.when(
+        Syy > 0, (b1 * S1y + b2 * S2y + b3 * S3y) / Syy
+    )
+    return g.where(det > 0).select(
+        "metric",
+        m.cast("long").alias("n_days"),
+        F.col("t_brk").cast("long").alias("break_day_idx"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1 / fs, 6).alias("slope_pre"),
+        F.round(b2 / fs, 6).alias("level_change"),
+        F.round(b3 / fs, 6).alias("slope_change"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -134,7 +134,14 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
     )
 
     n_part = shuffle_partition_count(series.sparkSession)
-    part = keyed.repartition(n_part, "conv_id", "metric") \
+    # partition on conv_id ALONE (not conv_id+metric): co-location of
+    # a (conv, metric) series only needs the conv, and when the series
+    # arrive from derive_series the upstream turn-rate Window already
+    # hash-partitioned on conv_id with the same count — Spark then
+    # ELIDES this repartition entirely (verified: 2 exchanges → 1),
+    # so the fused transcripts→chunks job shuffles only the NARROW
+    # pre-explode turn rows (no metric strings, no 3× explosion)
+    part = keyed.repartition(n_part, "conv_id") \
         .sortWithinPartitions(
             "conv_id", "metric", "chunk_start", "ts", "turn_idx"
         )

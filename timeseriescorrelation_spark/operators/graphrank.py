@@ -80,7 +80,8 @@ def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 3,
 
 def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
                         src_col: str = "src", dst_col: str = "dst",
-                        w_col: str = "w") -> DataFrame:
+                        w_col: str = "w",
+                        teleport: DataFrame | None = None) -> DataFrame:
     """(node, pr_u): integer PageRank whose total mass is conserved at
     EXACTLY 10⁶·|V| every iteration — the dangling-mass seam
     pagerank_fixedpoint documents, closed with pure-integer remainder
@@ -132,6 +133,21 @@ def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
     # smallest destination per src: the per-src remainder sink
     dst0 = e.groupBy("src").agg(F.min("dst").alias("dst0"))
 
+    # PERSONALIZED variant (teleport not None): the pooled mass
+    # (dangling + undamped 15% shares) pays out only to the teleport
+    # set — rank concentrates around the seeds, the "related nodes"
+    # query (Jeh & Widom 2003 personalization, re-expressed in the
+    # conserving integer scheme; the uniform start only shifts the
+    # transient of the fixed-K loop).  teleport=None keeps the exact
+    # classic path — the three existing gate oracles stay bit-exact.
+    tele = None
+    if teleport is not None:
+        tele = (
+            teleport.select("node").distinct()
+            .join(nodes, "node")
+            .localCheckpoint(eager=True)
+        )
+
     pr = nodes.select("node", F.lit(M_U).cast("long").alias("pr_u"))
     for _ in range(int(n_iter)):
         pr = pr.localCheckpoint(eager=False)
@@ -173,19 +189,28 @@ def pagerank_conserving(edges: DataFrame, n_iter: int = 3,
             ).unionByName(is_dangling.select(F.col("out_u").alias("p")))
             .agg(F.sum("p").alias("pool"))
         )
-        counts = nodes.agg(
+        counts = (tele if tele is not None else nodes).agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.min("node").alias("node_min"),
         )
         scalars = F.broadcast(pool.crossJoin(counts))
+        base = nodes.join(inflow, "node", "left")
+        if tele is not None:
+            base = base.join(
+                tele.withColumn("is_t", F.lit(1)), "node", "left"
+            )
+            payout = F.when(
+                F.col("is_t") == 1, F.expr("pool DIV n_nodes")
+            ).otherwise(F.lit(0))
+        else:
+            payout = F.expr("pool DIV n_nodes")
         pr = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(scalars)
+            base.crossJoin(scalars)
             .select(
                 "node",
                 (
                     F.coalesce(F.col("inflow"), F.lit(0))
-                    + F.expr("pool DIV n_nodes")
+                    + payout
                     + F.when(
                         F.col("node") == F.col("node_min"),
                         F.expr("pool % n_nodes"),

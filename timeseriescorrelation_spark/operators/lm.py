@@ -569,3 +569,66 @@ def trigram_novelty(docs: DataFrame, n: int = 3,
             / F.col("n_trigrams").cast("double"), 6
         ).alias("novelty"),
     )
+
+
+def lang_temperature_weights(docs: DataFrame, alpha: float = 0.3,
+                             lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, p_nat, p_samp, boost): temperature-based
+    multilingual sampling weights — the mC4/XLM-R α-sampling rule
+    (Conneau et al. 2020) a multilingual training-data pipeline
+    applies before packing:
+
+        q_l ∝ p_l^α,   p_l = n_l / N,   α ∈ (0, 1]
+
+    α < 1 up-samples tail languages (boost = q_l/p_l > 1) and
+    down-samples the head — the knob between "natural" (α=1) and
+    "uniform" (α→0).
+
+    Exactness recipe: p_l^α = exp(α·ln p_l) needs TWO libm calls, so
+    both are snapped at their boundaries (the micro-nat ln policy,
+    doc_surprisal): ln(n_l/N) of the exact-integer ratio rounds to
+    integer µ-nats, α·(µ/1e6) is one shared IEEE product, and exp of
+    it snaps to integer 1e-9 units BEFORE normalization — so the
+    final q_l is a ratio of exact integers in both engines, and the
+    ≤1-ulp libm differences live strictly inside half-unit snap
+    margins (the logit_fit single-surface argument, twice).
+
+    Scale: one hash-agg to |languages| rows; everything after is
+    metadata-sized (broadcast total, window normalization)."""
+    g = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = g.agg(F.sum("n_docs").alias("nn"))
+    j = g.crossJoin(F.broadcast(tot))
+    lnp_u = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("nn").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    e_u = F.round(
+        F.exp(F.lit(float(alpha)) * (lnp_u.cast("double") / F.lit(1e6)))
+        * F.lit(1e9)
+    ).cast("long")
+    t = j.select(
+        "lang", "n_docs", "nn", e_u.alias("eu"),
+    )
+    w = Window.partitionBy()
+    return t.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("nn").cast("double"),
+            6,
+        ).alias("p_nat"),
+        F.round(
+            F.col("eu").cast("double")
+            / F.sum("eu").over(w).cast("double"),
+            6,
+        ).alias("p_samp"),
+        F.round(
+            (F.col("eu").cast("double")
+             / F.sum("eu").over(w).cast("double"))
+            / (F.col("n_docs").cast("double")
+               / F.col("nn").cast("double")),
+            6,
+        ).alias("boost"),
+    )

@@ -180,3 +180,94 @@ def we_rules(series: DataFrame, key: str = "metric") -> DataFrame:
             (F.col("rule1") + F.col("rule2") + F.col("rule4")) > 0
         ).cast("int").alias("any_signal"),
     )
+
+
+DEC = "decimal(38,0)"
+
+
+def ewma_chart(series: DataFrame, key: str = "metric",
+               lam_num: int = 1, lam_den: int = 4, k_window: int = 24,
+               value_decimals: int = 2) -> DataFrame:
+    """(metric, hour_ts, x, z, center, ucl, lcl, ooc): EWMA control
+    chart over the hourly cent series — the small-persistent-shift
+    detector between Shewhart (big jumps) and CUSUM (cumulative
+    drift): z_t = λ·x_t + (1−λ)·z_{t−1}, flag when z leaves
+    μ ± 3σ·√(λ/(2−λ)) (steady-state limits).
+
+    TRUNCATED-KERNEL exactness recipe: the infinite recursion needs
+    pow(1−λ, t) — a libm call whose cross-engine agreement this repo
+    never assumes — so z is computed as the K-term kernel
+
+        z_t = Σ_{j=0..K−1} w_j·x_{t−j} / W,   w_j = a^j·(d−a)^{…}
+
+    with λ = a/d dyadic (default 1/4) and K = 24: every w_j =
+    lam_num^0·…  is an exact INTEGER precomputed in Python and
+    embedded as a literal, the numerator is an exact decimal(38,0)
+    sum of 24 lag terms (one window pass), and W = Σw_j is an integer
+    literal — so z is one double divide of exact integers in both
+    engines.  The truncation residue is (1−λ)^K ≈ 0.1% of the kernel
+    mass at the defaults (documented, not hidden); the first K−1
+    points per metric drop (burn-in).  Steady-state limit variance
+    factor Σw²/W² is likewise an exact-rational literal.  μ, σ are
+    the usual exact central moments; every output is a shared double
+    tree → 6-dp rounds and the ooc flag agree bit-for-bit.
+
+    Scale: grid hash-agg → one 24-lag window pass per metric → one
+    broadcast join of per-metric moments.  Grid-sized everything."""
+    scale = 10 ** int(value_decimals)
+    a, d = int(lam_num), int(lam_den)
+    K = int(k_window)
+    # w_j = a·(d−a)^j·d^(K−1−j) for j≥... weights of x_{t−j}; the
+    # common denominator d^K cancels in num/W.  Exact integers:
+    w = [a * (d - a) ** j * d ** (K - 1 - j) for j in range(K)]
+    W = sum(w)
+    varfac = sum(x * x for x in w) / (W * W)  # exact-rational literal
+
+    h = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    win = Window.partitionBy("metric").orderBy("hour_ts")
+    num = None
+    for j in range(K):
+        term = F.lag("y", j).over(win).cast(DEC) * F.lit(w[j]).cast(DEC)
+        num = term if num is None else num + term
+    t = h.select(
+        "metric", "hour_ts", "y",
+        num.alias("num"),
+        F.row_number().over(win).alias("rn"),
+    ).where(F.col("rn") >= K)
+    mom = h.groupBy("metric").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("y").cast(DEC)).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("ss"),
+    )
+    j2 = t.join(F.broadcast(mom), "metric")
+    nn = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nn
+    # population variance from exact integers
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (nn * nn)
+    sig = F.sqrt(var)
+    z = F.col("num").cast("double") / F.lit(float(W))
+    half = F.lit(3.0) * sig * F.sqrt(F.lit(float(varfac)))
+    ucl = mu + half
+    lcl = mu - half
+    ooc = (
+        F.when(z > ucl, F.lit(1))
+        .when(z < lcl, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    fs = F.lit(float(scale))
+    return j2.select(
+        "metric", "hour_ts",
+        F.round(F.col("y").cast("double") / fs, 6).alias("x"),
+        F.round(z / fs, 6).alias("z"),
+        F.round(mu / fs, 6).alias("center"),
+        F.round(ucl / fs, 6).alias("ucl"),
+        F.round(lcl / fs, 6).alias("lcl"),
+        ooc.cast("int").alias("ooc"),
+    )

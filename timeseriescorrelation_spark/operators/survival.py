@@ -578,3 +578,99 @@ def gpd_tail(series: DataFrame, keys: list[str] | None = None,
         F.round(F.when(ok, xi), 6).alias("xi"),
         F.round(F.when(ok, beta / sc), 6).alias("beta"),
     )
+
+
+def weibull_fit(series: DataFrame, keys: list[str] | None = None,
+                conv_col: str = "conv_id", ts_col: str = "ts",
+                censor_horizon_s: int = 3600,
+                min_n: int = 10) -> DataFrame:
+    """(keys..., n, shape, ln_scale_hours, r2): Weibull parameters of
+    the completed conversation-duration distribution via MEDIAN-RANK
+    REGRESSION (the probability-plot method, Abernethy's standard):
+
+        ln(−ln(1 − F_i)) = k·ln(t_i) − k·ln λ,
+        F_i = (i − 0.3)/(n + 0.4)            (Benard's median rank)
+
+    so the plot's slope is the shape k (k < 1 infant-mortality / k ≈ 1
+    memoryless / k > 1 wear-out — the parametric answer to the shape
+    question KM only draws) and the intercept gives ln λ.  Censored
+    spells (last event within the horizon of the key frontier) are
+    EXCLUDED — this is the textbook complete-sample quick fit; the KM/
+    Nelson-Aalen operators are the censoring-correct nonparametric
+    companions.  Zero durations (single-event conversations) drop
+    before the log.
+
+    Exactness: t in hours is one double divide of exact integers;
+    both logs snap to integer µ-nats at their boundary (the two-level
+    micro-nat policy: 1−F_i is the exact rational (10(n−i)+7)/(10n+4),
+    its ln snaps, the OUTER ln of that snapped value snaps again), so
+    the OLS runs on exact integer pairs and slope/intercept/r² are
+    shared double trees over decimal(38,0) moments.  ln λ is reported
+    (ln_scale_hours = −b0/k) rather than λ = exp(·): no final libm
+    exp surface.
+
+    Scale: per-conv span agg → per-key rank window over |convs| rows
+    → one moment hash-agg."""
+    keys = keys or ["metric"]
+    ev = series.groupBy(*keys, conv_col).agg(
+        F.min(epoch_us(F.col(ts_col))).alias("t0"),
+        F.max(epoch_us(F.col(ts_col))).alias("t1"),
+    )
+    fr = ev.groupBy(*keys).agg(F.max("t1").alias("fmax"))
+    horizon_us = int(censor_horizon_s) * 1_000_000
+    d = ev.join(F.broadcast(fr), keys).select(
+        *keys,
+        (F.col("t1") - F.col("t0")).alias("dur"),
+    ).where(
+        ((F.col("fmax") - F.col("t1")) >= horizon_us)
+        & (F.col("dur") > 0)
+    )
+    w = Window.partitionBy(*keys).orderBy("dur")
+    wn = Window.partitionBy(*keys)
+    r = d.select(
+        *keys, "dur",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # x = ln(hours) in µ-nats; y = ln(−ln(1−F)) in µ-nats, two snaps
+    x_u = F.round(
+        F.log(F.col("dur").cast("double") / F.lit(3.6e9)) * F.lit(M_U)
+    ).cast("long")
+    m1 = F.round(
+        F.log(
+            (F.lit(10) * (F.col("n") - F.col("i")) + F.lit(7))
+            .cast("double")
+            / (F.lit(10) * F.col("n") + F.lit(4)).cast("double")
+        )
+        * F.lit(M_U)
+    ).cast("long")
+    y_u = F.round(
+        F.log(-(m1.cast("double") / F.lit(M_U))) * F.lit(M_U)
+    ).cast("long")
+    t = r.select(*keys, x_u.alias("x"), y_u.alias("y"))
+    DEC = "decimal(38,0)"
+    g = t.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(DEC).alias("m"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+    ).where(F.col("m") >= int(min_n))
+    m = F.col("m")
+    cxx = (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (m * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (m * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    k = cxy / cxx
+    b0 = (
+        (F.col("sy").cast("double") - k * F.col("sx").cast("double"))
+        / m.cast("double") / F.lit(M_U)
+    )
+    r2 = F.when(cyy > 0, cxy * cxy / (cxx * cyy))
+    return g.where(cxx > 0).select(
+        *keys,
+        m.cast("long").alias("n"),
+        F.round(k, 6).alias("shape"),
+        F.round(-b0 / k, 6).alias("ln_scale_hours"),
+        F.round(r2, 6).alias("r2"),
+    )
