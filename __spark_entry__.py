@@ -4422,8 +4422,6 @@ def q_ppr_terms(spark, sf_dir):
     entities query (Jeh & Widom 2003) in the conserving integer
     scheme; oracle unrolls the 3 iterations bit-exactly with the
     teleport-set variant of the pagerank CTEs."""
-    from pyspark.sql import Window
-
     from timeseriescorrelation_spark.operators.graphrank import (
         pagerank_conserving,
     )
@@ -4432,10 +4430,11 @@ def q_ppr_terms(spark, sf_dir):
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("wd")
     )
-    w = Window.orderBy(F.desc("wd"), F.asc("node"))
-    seeds = deg.select(
-        "node", F.row_number().over(w).alias("r")
-    ).where(F.col("r") == 1).select("node")
+    # TakeOrdered, not a partition-less window (plan-lint rule): the
+    # seed is the single max-degree node, ties to the smallest
+    seeds = deg.orderBy(F.desc("wd"), F.asc("node")).limit(1).select(
+        "node"
+    )
     return pagerank_conserving(edges, n_iter=3, teleport=seeds)
 
 
@@ -5938,6 +5937,131 @@ SELECT metric, hour_ts,
             ELSE 0 END AS int) AS ooc
 FROM f
 """
+
+
+def q_huber_trend(spark, sf_dir):
+    """Huber-robust daily trend per metric (analytics.huber_trend):
+    two unrolled IRLS reweight steps over snapped integer terms — the
+    O(n)-scalable robust line next to theil_sen/lad_trend's
+    bounded-n exact forms."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        huber_trend,
+    )
+
+    return huber_trend(_series_from_events(spark, sf_dir))
+
+
+def _huber_oracle(n_iter: int = 2) -> str:
+    """Unrolled IRLS Huber trend (analytics.huber_trend): each round
+    snaps residuals to milli-cents, derives σ̂/δ/w as shared doubles,
+    snaps every weighted term per class (1e9 / 1e6), and re-solves the
+    2×2 weighted normal equations — bit-exact vs the Spark loop."""
+    head = """
+WITH d AS (
+  SELECT event_type AS metric,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y,
+         cast(epoch_us(date_trunc('day', ts)) / 86400000000
+              AS bigint) AS di
+  FROM events GROUP BY metric, date_trunc('day', ts)
+), span AS (
+  SELECT metric, min(di) AS d0 FROM d
+  GROUP BY 1 HAVING count(*) >= 10
+), base AS (
+  SELECT d.metric, d.y, d.di - span.d0 AS u
+  FROM d JOIN span ON d.metric = span.metric
+), g0 AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(cast(u AS hugeint)) AS su, sum(cast(y AS hugeint)) AS sy,
+         sum(cast(u * u AS hugeint)) AS suu,
+         sum(cast(u * y AS hugeint)) AS suy
+  FROM base GROUP BY 1
+), beta0 AS (
+  SELECT metric,
+         cast(m * suy - su * sy AS double)
+           / cast(m * suu - su * su AS double) AS b1,
+         (cast(sy AS double)
+          - (cast(m * suy - su * sy AS double)
+             / cast(m * suu - su * su AS double))
+            * cast(su AS double)) / cast(m AS double) AS b0
+  FROM g0 WHERE cast(m * suu - su * su AS double) > 0
+)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""", t{i} AS (
+  SELECT b.metric, b.u, b.y,
+         cast(round((cast(b.y AS double)
+               - (p.b0 + p.b1 * cast(b.u AS double))) * 1e3)
+              AS bigint) AS ru
+  FROM base b JOIN beta{i - 1} p ON b.metric = p.metric
+), sc{i} AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(cast(ru AS hugeint) * ru) AS sr2
+  FROM t{i} GROUP BY 1
+), wt{i} AS (
+  SELECT t.metric, t.u, t.y,
+         CASE WHEN abs(cast(t.ru AS double))
+                   <= 1.345 * sqrt(cast(s.sr2 AS double)
+                                   / (cast(s.m AS double) - 2.0))
+              THEN 1.0
+              ELSE 1.345 * sqrt(cast(s.sr2 AS double)
+                                / (cast(s.m AS double) - 2.0))
+                   / abs(cast(t.ru AS double)) END AS w
+  FROM t{i} t JOIN sc{i} s ON t.metric = s.metric
+), gw{i} AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(cast(round(w * 1e9) AS hugeint)) AS sw,
+         sum(cast(round(w * cast(u AS double) * 1e9) AS hugeint))
+           AS swu,
+         sum(cast(round(w * cast(u AS double) * cast(u AS double)
+                        * 1e9) AS hugeint)) AS swuu,
+         sum(cast(round(w * cast(y AS double) * 1e6) AS hugeint))
+           AS swy,
+         sum(cast(round(w * cast(u AS double) * cast(y AS double)
+                        * 1e6) AS hugeint)) AS swuy,
+         cast(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS bigint)
+           AS ndw
+  FROM wt{i} GROUP BY 1
+), beta{i} AS (
+  SELECT metric,
+         (cast(sw AS double) / 1e9 * (cast(swuy AS double) / 1e6)
+          - cast(swu AS double) / 1e9 * (cast(swy AS double) / 1e6))
+         / (cast(sw AS double) / 1e9 * (cast(swuu AS double) / 1e9)
+            - cast(swu AS double) / 1e9 * (cast(swu AS double) / 1e9))
+           AS b1,
+         (cast(swy AS double) / 1e6
+          - ((cast(sw AS double) / 1e9 * (cast(swuy AS double) / 1e6)
+              - cast(swu AS double) / 1e9 * (cast(swy AS double) / 1e6))
+             / (cast(sw AS double) / 1e9 * (cast(swuu AS double) / 1e9)
+                - cast(swu AS double) / 1e9
+                  * (cast(swu AS double) / 1e9)))
+            * (cast(swu AS double) / 1e9))
+         / (cast(sw AS double) / 1e9) AS b0,
+         ndw, cast(m AS bigint) AS n_days
+  FROM gw{i}
+  WHERE cast(sw AS double) / 1e9 * (cast(swuu AS double) / 1e9)
+        - cast(swu AS double) / 1e9 * (cast(swu AS double) / 1e9) > 0
+)""")
+    tail = f""", tf AS (
+  SELECT b.metric,
+         cast(round((cast(b.y AS double)
+               - (p.b0 + p.b1 * cast(b.u AS double))) * 1e3)
+              AS bigint) AS ru
+  FROM base b JOIN beta{n_iter} p ON b.metric = p.metric
+), sf2 AS (
+  SELECT metric, cast(count(*) AS hugeint) AS m,
+         sum(cast(ru AS hugeint) * ru) AS sr2
+  FROM tf GROUP BY 1
+)
+SELECT p.metric, p.n_days,
+       round(p.b1 / 100.0, 6) AS slope_per_day,
+       round(p.b0 / 100.0, 6) AS intercept,
+       round(sqrt(cast(s.sr2 AS double)
+                  / (cast(s.m AS double) - 2.0)) / 1e3 / 100.0, 6)
+         AS sigma,
+       p.ndw AS n_downweighted
+FROM beta{n_iter} p JOIN sf2 s ON p.metric = s.metric
+"""
+    return head + "".join(steps) + tail
 
 
 def q_weibull_fit(spark, sf_dir):
@@ -8155,6 +8279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature": q_lang_temperature,
         "ppr_terms": q_ppr_terms,
         "weibull_fit": q_weibull_fit,
+        "huber_trend": q_huber_trend,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -9272,6 +9397,7 @@ def oracle_sql() -> dict[str, str]:
     d["esd_outliers"] = _esd_oracle(k=3)
     d["logit_fit"] = _logit_oracle(n_iter=2)
     d["ewma_chart"] = _ewma_chart_oracle()
+    d["huber_trend"] = _huber_oracle(n_iter=2)
     d["dow_contrasts"] = """
 WITH h AS (
   SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
@@ -16949,7 +17075,7 @@ WITH g AS (
   SELECT cast(sum(n_docs) AS bigint) AS nn FROM g
 ), t AS (
   SELECT lang, n_docs, nn,
-         cast(round(exp(0.3 * (cast(round(
+         cast(round(exp(0.3 * (cast(cast(round(
                 ln(cast(n_docs AS double) / cast(nn AS double)) * 1e6
               ) AS bigint) AS double) / 1e6)) * 1e9) AS bigint) AS eu
   FROM g CROSS JOIN tot
@@ -17114,9 +17240,9 @@ WITH h AS (
 )
 SELECT metric, cast(m AS bigint) AS n_obs,
        round(gam, 6) AS gamma,
-       round(gam / sqrt(rssm * cof / (md * (md - 4.0) * det)), 6)
+       round(gam / sqrt(rssm * cof / ((md - 4.0) * det)), 6)
          AS t_stat,
-       NOT (gam / sqrt(rssm * cof / (md * (md - 4.0) * det)) < -2.86)
+       NOT (gam / sqrt(rssm * cof / ((md - 4.0) * det)) < -2.86)
          AS has_unit_root
 FROM e
 WHERE det > 0 AND rssm > 0

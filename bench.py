@@ -408,6 +408,12 @@ HEADLINE_R3 = [
 # totals stay comparable across rounds (VERDICT r03 #10).
 HEADLINE_R4 = [
     "adf_augmented",
+    "ewma_chart",
+    "its_readout",
+    "lang_temperature",
+    "ppr_terms",
+    "weibull_fit",
+    "huber_trend",
 ]
 
 

@@ -251,20 +251,43 @@ round()).
 """
 
 
+def _merge_min(a: dict, b: dict) -> dict:
+    """Keep the faster (min-sec) measurement per stage across rounds."""
+    out = {"cores": a["cores"], "stages": dict(a["stages"])}
+    for name, s in b["stages"].items():
+        cur = out["stages"].get(name)
+        if cur is None or s["sec"] < cur["sec"]:
+            out["stages"][name] = s
+    return out
+
+
 def orchestrate() -> None:
     _assert_idle()
     prepare()
+    # TSC_SCALE_ROUNDS=2 runs the two levels in ALTERNATION and takes
+    # the per-stage min across rounds: this host's throughput swings
+    # 2-3x on identical plans over minutes (BASELINE.md caveat), and a
+    # sequential 8-then-32 protocol can land one level entirely inside
+    # a noisy window — alternation gives each level a sample from each
+    # window, and min-of-rounds recovers the capability estimate.
+    n_rounds = int(os.environ.get("TSC_SCALE_ROUNDS", "1"))
     results = {}
-    for cores in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-2000:])
-            raise SystemExit(f"child {cores} failed")
+    for _ in range(n_rounds):
+        for cores in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(cores)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-2000:])
+                raise SystemExit(f"child {cores} failed")
+            results[cores] = (
+                r if cores not in results
+                else _merge_min(results[cores], r)
+            )
 
     rows = []
     effs = []

@@ -64,7 +64,8 @@ def test_headline_surface_is_lint_clean(spark):
     qs = em.queries()
     qs.update(bench._scale_overrides())
     bad = {}
-    for name in [*bench.HEADLINE, *bench.HEADLINE_R3]:
+    for name in [*bench.HEADLINE, *bench.HEADLINE_R3,
+                 *bench.HEADLINE_R4]:
         if name not in qs:
             continue
         findings = audit_plan(qs[name](spark, SF))

@@ -3217,3 +3217,166 @@ def isotonic_trend_daily(series: DataFrame, key: str = "metric",
         f"{key} string, day_ts timestamp, value_raw double,"
         " value_iso double",
     )
+
+
+def huber_trend(series: DataFrame, key: str = "metric",
+                value_decimals: int = 2, n_iter: int = 2,
+                min_days: int = 10) -> DataFrame:
+    """(metric, n_days, slope_per_day, intercept, sigma,
+    n_downweighted): Huber-robust daily linear trend — trend_daily's
+    outlier-resistant sibling by IRLS, the missing member between the
+    L2 line (outlier-dragged), theil_sen/lad_trend (bounded-n exact
+    robust), and this: O(n)-scalable robust regression via 2 unrolled
+    reweight steps (the logit_fit fixed-iteration policy applied to
+    M-estimation):
+
+        step 0: exact-moment OLS;
+        step k: r = y − (b0 + b1·u) snapped to integer MILLI-cents,
+                σ̂ = √(Σr²/(m−2)),  δ = 1.345·σ̂,
+                w = min(1, δ/|r|)  (Huber weights, shared doubles),
+                WLS via weighted moments snapped per term class
+                (w/w·u/w·u² at 1e-9; w·y/w·u·y at 1e-6 — chosen so
+                every round() argument stays ≤ 2⁵³ for daily cent
+                sums ≤ ~9e9; rescale value_decimals beyond that),
+                β from the 2×2 weighted normal equations.
+
+    u = day − min(day) per metric (small integers), y = daily cent
+    sums.  Every sum is decimal(38,0)/hugeint over snapped integers,
+    every divide a shared double tree; the oracle unrolls the two
+    reweights bit-exactly.  n_downweighted = days with w < 1 at the
+    final step.
+
+    Scale: day-grid hash-agg → per-metric span (broadcast) → n_iter+1
+    moment hash-aggs with a broadcast 1-row-per-metric β join between
+    — O(iterations) grid scans, no windows."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    scale = 10 ** int(value_decimals)
+    DEC = "decimal(38,0)"
+    d = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    ).select(
+        "metric", "y",
+        (epoch_us(F.col("day_ts")) / F.lit(86_400_000_000))
+        .cast("long").alias("di"),
+    )
+    span = d.groupBy("metric").agg(
+        F.min("di").alias("d0"), F.count(F.lit(1)).alias("nd")
+    ).where(F.col("nd") >= int(min_days)).select("metric", "d0")
+    base = d.join(F.broadcast(span), "metric").select(
+        "metric", "y", (F.col("di") - F.col("d0")).alias("u")
+    ).localCheckpoint(eager=False)
+
+    # step 0: plain OLS on exact integer moments
+    g0 = base.groupBy("metric").agg(
+        F.count(F.lit(1)).cast(DEC).alias("m"),
+        F.sum(F.col("u").cast(DEC)).alias("su"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("u") * F.col("u")).cast(DEC)).alias("suu"),
+        F.sum((F.col("u") * F.col("y")).cast(DEC)).alias("suy"),
+    )
+    md = F.col("m").cast("double")
+    num = (F.col("m") * F.col("suy") - F.col("su") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("m") * F.col("suu") - F.col("su") * F.col("su")).cast(
+        "double"
+    )
+    beta = g0.where(den > 0).select(
+        "metric",
+        (num / den).alias("b1"),
+        (
+            (F.col("sy").cast("double")
+             - (num / den) * F.col("su").cast("double")) / md
+        ).alias("b0"),
+    )
+
+    snap9 = 1.0e9
+    snap6 = 1.0e6
+    for _ in range(int(n_iter)):
+        j = base.join(F.broadcast(beta), "metric")
+        r = (
+            F.col("y").cast("double")
+            - (F.col("b0") + F.col("b1") * F.col("u").cast("double"))
+        )
+        ru = F.round(r * F.lit(1e3)).cast("long")  # milli-cents
+        t = j.select("metric", "u", "y", ru.alias("ru"))
+        sc = t.groupBy("metric").agg(
+            F.count(F.lit(1)).cast(DEC).alias("m"),
+            F.sum((F.col("ru") * F.col("ru")).cast(DEC)).alias("sr2"),
+        )
+        t2 = t.join(F.broadcast(sc), "metric")
+        sig_mc = F.sqrt(
+            F.col("sr2").cast("double")
+            / (F.col("m").cast("double") - F.lit(2.0))
+        )
+        delta = F.lit(1.345) * sig_mc
+        absr = F.abs(F.col("ru").cast("double"))
+        w = F.when(absr <= delta, F.lit(1.0)).otherwise(delta / absr)
+        ud = F.col("u").cast("double")
+        yd = F.col("y").cast("double")
+        terms = t2.select(
+            "metric",
+            F.round(w * F.lit(snap9)).cast(DEC).alias("tw"),
+            F.round(w * ud * F.lit(snap9)).cast(DEC).alias("twu"),
+            F.round(w * ud * ud * F.lit(snap9)).cast(DEC).alias("twuu"),
+            F.round(w * yd * F.lit(snap6)).cast(DEC).alias("twy"),
+            F.round(w * ud * yd * F.lit(snap6)).cast(DEC).alias("twuy"),
+            (w < F.lit(1.0)).cast("long").alias("dw"),
+        )
+        gw = terms.groupBy("metric").agg(
+            F.count(F.lit(1)).cast(DEC).alias("m"),
+            F.sum("tw").alias("sw"),
+            F.sum("twu").alias("swu"),
+            F.sum("twuu").alias("swuu"),
+            F.sum("twy").alias("swy"),
+            F.sum("twuy").alias("swuy"),
+            F.sum("dw").cast("long").alias("ndw"),
+        )
+        swd = F.col("sw").cast("double") / F.lit(snap9)
+        swud = F.col("swu").cast("double") / F.lit(snap9)
+        swuud = F.col("swuu").cast("double") / F.lit(snap9)
+        swyd = F.col("swy").cast("double") / F.lit(snap6)
+        swuyd = F.col("swuy").cast("double") / F.lit(snap6)
+        wden = swd * swuud - swud * swud
+        b1n = (swd * swuyd - swud * swyd) / wden
+        beta = gw.where(wden > 0).select(
+            "metric",
+            b1n.alias("b1"),
+            ((swyd - b1n * swud) / swd).alias("b0"),
+            F.col("ndw").alias("ndw"),
+            F.col("m").cast("long").alias("n_days"),
+        )
+
+    # final sigma readout from the last residual pass
+    jf = base.join(
+        F.broadcast(beta.select("metric", "b0", "b1")), "metric"
+    )
+    rf = (
+        F.col("y").cast("double")
+        - (F.col("b0") + F.col("b1") * F.col("u").cast("double"))
+    )
+    ruf = F.round(rf * F.lit(1e3)).cast("long")
+    sf = jf.select("metric", ruf.alias("ru")).groupBy("metric").agg(
+        F.count(F.lit(1)).cast(DEC).alias("m"),
+        F.sum((F.col("ru") * F.col("ru")).cast(DEC)).alias("sr2"),
+    )
+    out = beta.join(sf.select(
+        "metric",
+        F.sqrt(
+            F.col("sr2").cast("double")
+            / (F.col("m").cast("double") - F.lit(2.0))
+        ).alias("sig_mc"),
+    ), "metric")
+    fs = F.lit(float(scale))
+    return out.select(
+        "metric",
+        F.col("n_days"),
+        F.round(F.col("b1") / fs, 6).alias("slope_per_day"),
+        F.round(F.col("b0") / fs, 6).alias("intercept"),
+        F.round(F.col("sig_mc") / F.lit(1e3) / fs, 6).alias("sigma"),
+        F.col("ndw").alias("n_downweighted"),
+    )

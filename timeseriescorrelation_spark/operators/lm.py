@@ -611,7 +611,11 @@ def lang_temperature_weights(docs: DataFrame, alpha: float = 0.3,
     t = j.select(
         "lang", "n_docs", "nn", e_u.alias("eu"),
     )
-    w = Window.partitionBy()
+    # broadcast 1-row normalizer, not a partition-less window: same
+    # value, but WindowExec would log a single-partition warning on
+    # every run (and the plan-lint watches for that shape)
+    se = t.agg(F.sum("eu").alias("se"))
+    t = t.crossJoin(F.broadcast(se))
     return t.select(
         "lang",
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -620,13 +624,11 @@ def lang_temperature_weights(docs: DataFrame, alpha: float = 0.3,
             6,
         ).alias("p_nat"),
         F.round(
-            F.col("eu").cast("double")
-            / F.sum("eu").over(w).cast("double"),
+            F.col("eu").cast("double") / F.col("se").cast("double"),
             6,
         ).alias("p_samp"),
         F.round(
-            (F.col("eu").cast("double")
-             / F.sum("eu").over(w).cast("double"))
+            (F.col("eu").cast("double") / F.col("se").cast("double"))
             / (F.col("n_docs").cast("double")
                / F.col("nn").cast("double")),
             6,

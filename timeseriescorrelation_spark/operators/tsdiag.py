@@ -755,7 +755,7 @@ def adf_augmented(series: DataFrame, key: str = "metric", p: int = 1,
     cofactor,
 
         t_γ = γ / sqrt( s²·m·cof_γγ/det ),
-        s²  = (S_yy − Σᵦ βᵢ·S_iy) / (m·(m − p − 2))
+        s²  = RSS/(m − p − 2),   RSS = (S_yy − Σᵦ βᵢ·S_iy)/m
 
     — one fixed IEEE tree over identical doubles in both engines, so
     6-dp rounds agree bit-for-bit.  Degenerate designs (det ≤ 0,
@@ -848,10 +848,10 @@ def adf_augmented(series: DataFrame, key: str = "metric", p: int = 1,
         rssm = Syy - gam * S1y - b2 * S2y - b3 * S3y
         cof = S22 * S33 - S23 * S23
         k = 3
-    # Var(γ) = s²·(A⁻¹)_γγ with A = S/m, s² = (rssm/m²)/(m−k−1)
-    #        = rssm·cof / (m·(m−k−1)·det)
+    # Var(γ) = s²·m·(S⁻¹)_γγ with s² = (rssm/m)/(m−k−1):
+    # the m's cancel → Var = rssm·cof / ((m−k−1)·det)
     t = gam / F.sqrt(
-        rssm * cof / (md * (md - F.lit(float(k + 1))) * det)
+        rssm * cof / ((md - F.lit(float(k + 1))) * det)
     )
     return g.where((det > 0) & (rssm > 0)).select(
         key,
