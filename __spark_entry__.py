@@ -5939,6 +5939,38 @@ FROM f
 """
 
 
+def q_ohlc_daily(spark, sf_dir):
+    """Daily OHLC candles of the hourly cent series per metric
+    (indicators.ohlc_daily): deterministic open/close by the unique
+    hour_ts ordering column, gap vs prior close via one day window."""
+    from timeseriescorrelation_spark.operators.indicators import (
+        ohlc_daily,
+    )
+
+    return ohlc_daily(_series_from_events(spark, sf_dir))
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland–Altman agreement of click vs view hourly volumes
+    (agreement.bland_altman): bias, 1.96·SD limits, share outside."""
+    from timeseriescorrelation_spark.operators.agreement import (
+        bland_altman,
+    )
+
+    return bland_altman(
+        _series_from_events(spark, sf_dir), key_a="click", key_b="view"
+    )
+
+
+def q_ess_hourly(spark, sf_dir):
+    """Integrated autocorrelation time + effective sample size per
+    metric (acf.ess_hourly): order-free integer sum of the 6-dp ρs,
+    fixed K=24 truncation."""
+    from timeseriescorrelation_spark.operators.acf import ess_hourly
+
+    return ess_hourly(_series_from_events(spark, sf_dir))
+
+
 def q_huber_trend(spark, sf_dir):
     """Huber-robust daily trend per metric (analytics.huber_trend):
     two unrolled IRLS reweight steps over snapped integer terms — the
@@ -8280,6 +8312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_terms": q_ppr_terms,
         "weibull_fit": q_weibull_fit,
         "huber_trend": q_huber_trend,
+        "ohlc_daily": q_ohlc_daily,
+        "bland_altman": q_bland_altman,
+        "ess_hourly": q_ess_hourly,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -11986,6 +12021,22 @@ SELECT o_orderkey, round(_rc / 100.0, 2) AS revenue,
 FROM g ORDER BY _rc DESC, o_orderkey ASC LIMIT 10
 """,
         "acf_hourly": _ACF_SQL,
+        "ess_hourly": f"""
+WITH spec AS ({_ACF_SQL}), t AS (
+  SELECT metric,
+         cast(max(n_pairs + lag_h) AS bigint) AS n_hours,
+         cast(sum(cast(round(acf * 1e6) AS bigint)) AS bigint) AS su,
+         cast(count(acf) AS bigint) AS used
+  FROM spec GROUP BY 1
+)
+SELECT metric, n_hours, used AS n_lags_used,
+       round(1.0 + 2.0 * (cast(su AS double) / 1e6), 6) AS tau,
+       round(CASE WHEN 1.0 + 2.0 * (cast(su AS double) / 1e6) > 0
+                  THEN cast(n_hours AS double)
+                       / (1.0 + 2.0 * (cast(su AS double) / 1e6))
+             END, 6) AS ess
+FROM t
+""",
         "dominant_period": f"""
 WITH spec AS ({_ACF_SQL})
 SELECT metric, lag_h AS period_h, acf FROM (
@@ -17013,6 +17064,78 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "ohlc_daily": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT metric, date_trunc('day', hour_ts) AS day_ts,
+         arg_min(y, hour_ts) AS o, max(y) AS hi, min(y) AS lo,
+         arg_max(y, hour_ts) AS c,
+         cast(count(*) AS bigint) AS n_hours
+  FROM h GROUP BY 1, 2
+), l AS (
+  SELECT *, lag(c, 1) OVER (PARTITION BY metric ORDER BY day_ts)
+           AS pc
+  FROM g
+)
+SELECT metric, day_ts,
+       round(cast(o AS double) / 100.0, 6) AS open,
+       round(cast(hi AS double) / 100.0, 6) AS high,
+       round(cast(lo AS double) / 100.0, 6) AS low,
+       round(cast(c AS double) / 100.0, 6) AS close,
+       round(cast(c - o AS double) / 100.0, 6) AS body,
+       round(cast(hi - lo AS double) / 100.0, 6) AS day_range,
+       round(cast(o - pc AS double) / 100.0, 6) AS gap,
+       n_hours
+FROM l
+""",
+        "bland_altman": """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS va
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), b AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS vb
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), j AS (
+  SELECT a.va - b.vb AS d FROM a JOIN b ON a.hour_ts = b.hour_ts
+), m AS (
+  SELECT cast(count(*) AS hugeint) AS n,
+         sum(cast(d AS hugeint)) AS sd_,
+         sum(cast(d AS hugeint) * d) AS sdd
+  FROM j
+), lims AS (
+  SELECT n,
+         cast(sd_ AS double) / cast(n AS double) AS mu,
+         cast(sd_ AS double) / cast(n AS double)
+           - 1.96 * sqrt(cast(n * sdd - sd_ * sd_ AS double)
+                         / (cast(n AS double)
+                            * (cast(n AS double) - 1.0))) AS lo,
+         cast(sd_ AS double) / cast(n AS double)
+           + 1.96 * sqrt(cast(n * sdd - sd_ * sd_ AS double)
+                         / (cast(n AS double)
+                            * (cast(n AS double) - 1.0))) AS hi
+  FROM m
+), o AS (
+  SELECT max(lims.n) AS n, max(lims.mu) AS mu, max(lims.lo) AS lo,
+         max(lims.hi) AS hi,
+         cast(sum(CASE WHEN cast(j.d AS double) < lims.lo
+                         OR cast(j.d AS double) > lims.hi
+                  THEN 1 ELSE 0 END) AS bigint) AS n_outside
+  FROM j CROSS JOIN lims
+)
+SELECT cast(n AS bigint) AS n_hours,
+       round(mu / 100.0, 6) AS mean_diff,
+       round(lo / 100.0, 6) AS loa_low,
+       round(hi / 100.0, 6) AS loa_high,
+       n_outside,
+       round(cast(n_outside AS double) / cast(n AS double), 6)
+         AS pct_outside
+FROM o
 """,
         "weibull_fit": """
 WITH ev AS (

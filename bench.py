@@ -414,6 +414,9 @@ HEADLINE_R4 = [
     "ppr_terms",
     "weibull_fit",
     "huber_trend",
+    "ohlc_daily",
+    "bland_altman",
+    "ess_hourly",
 ]
 
 

@@ -1220,3 +1220,50 @@ def dfa_fluctuation(series: DataFrame,
         F.col("n_blocks").cast("long").alias("n_blocks"),
         F.round(fluct, 6).alias("fluct"),
     )
+
+
+def ess_hourly(series: DataFrame, max_lag: int = 24,
+               keys: list[str] | None = None,
+               ts_col: str = "ts", min_n: int = 8) -> DataFrame:
+    """(keys..., n_hours, n_lags_used, tau, ess): integrated
+    autocorrelation time and effective sample size of each key's dense
+    hourly count series — the "how many INDEPENDENT hours is this
+    really" correction every naive √n error bar on autocorrelated
+    operational data silently needs (MCMC's ESS, applied to metrics):
+
+        τ = 1 + 2·Σ_{k=1..K} ρ_k,      ESS = n/τ
+
+    Fixed truncation K = max_lag (deterministic — adaptive
+    initial-sequence rules would make the cut data-dependent); lags
+    with NULL ρ (short series, zero variance) drop from the sum and
+    are counted in n_lags_used.  τ ≤ 0 (strong anti-correlation at
+    this truncation) yields NULL ESS rather than a negative size.
+
+    Exactness: ρ comes 6-dp-rounded from acf_spectrum, so each ρ·10⁶
+    is an exact integer — the cross-lag sum is an ORDER-FREE integer
+    sum (a double sum of 24 rounded ρs would be addition-order
+    ulp-dependent), and τ/ESS are one shared double tree.  n_hours is
+    recovered as max(n_pairs + lag) — exact on the dense grid.
+
+    Scale: acf_spectrum's shape (grid + one lag equi-join + hash-agg)
+    then a |keys|-row aggregate."""
+    keys = keys or ["metric"]
+    a = acf_spectrum(series, max_lag, keys, ts_col, min_n)
+    t = a.groupBy(*keys).agg(
+        F.max(F.col("n_pairs") + F.col("lag_h")).alias("n_hours"),
+        F.sum(F.round(F.col("acf") * F.lit(1e6)).cast("long"))
+        .alias("su"),
+        F.count("acf").alias("used"),
+    )
+    tau = F.lit(1.0) + F.lit(2.0) * (
+        F.col("su").cast("double") / F.lit(1e6)
+    )
+    return t.select(
+        *keys,
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("used").cast("long").alias("n_lags_used"),
+        F.round(tau, 6).alias("tau"),
+        F.round(
+            F.when(tau > 0, F.col("n_hours").cast("double") / tau), 6
+        ).alias("ess"),
+    )

@@ -368,3 +368,79 @@ def kendall_w(series: DataFrame, key: str = "metric",
         F.round(w, 6).alias("w"),
         F.round(wt, 6).alias("w_tiecorr"),
     )
+
+
+def bland_altman(series: DataFrame, key_a: str, key_b: str,
+                 key: str = "metric",
+                 value_decimals: int = 2) -> DataFrame:
+    """(n_hours, mean_diff, loa_low, loa_high, n_outside, pct_outside):
+    Bland–Altman agreement of two metrics' hourly cent series — the
+    method-comparison readout next to ICC/CCC/κ: instead of "how
+    correlated", it answers "by how much do the two methods DISAGREE,
+    and is that stable" (bias = mean difference, limits of agreement
+    = bias ± 1.96·SD(diff), share of hours outside the limits).
+
+    Exactness: per-hour differences are exact integer cents; mean and
+    SD come from decimal(38,0) moments (sample SD, n−1); the outside
+    flag compares the integer diff against the shared double limits —
+    identical trees in both engines.  Hours where either side is
+    silent drop (inner join on the hour grid).
+
+    Scale: metric-filtered hour hash-agg ×2 → |hours| equi-join →
+    one moment agg + one broadcast-join count pass."""
+    scale = 10 ** int(value_decimals)
+
+    def part(k, alias):
+        return series.where(F.col(key) == k).groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts")
+        ).agg(
+            F.sum(F.round(F.col("value") * scale).cast("long"))
+            .alias(alias)
+        )
+
+    j = part(key_a, "va").join(part(key_b, "vb"), "hour_ts").select(
+        "hour_ts", (F.col("va") - F.col("vb")).alias("d")
+    )
+    DEC = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("d").cast(DEC)).alias("sd_"),
+        F.sum((F.col("d") * F.col("d")).cast(DEC)).alias("sdd"),
+    )
+    nn = F.col("n").cast("double")
+    mu = F.col("sd_").cast("double") / nn
+    sd = F.sqrt(
+        (F.col("n") * F.col("sdd") - F.col("sd_") * F.col("sd_"))
+        .cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    lims = m.select(
+        F.col("n"), mu.alias("mu"),
+        (mu - F.lit(1.96) * sd).alias("lo"),
+        (mu + F.lit(1.96) * sd).alias("hi"),
+    )
+    cj = j.crossJoin(F.broadcast(lims))
+    out = cj.agg(
+        F.max(F.col("n")).alias("n"),
+        F.max(F.col("mu")).alias("mu"),
+        F.max(F.col("lo")).alias("lo"),
+        F.max(F.col("hi")).alias("hi"),
+        F.sum(
+            (
+                (F.col("d").cast("double") < F.col("lo"))
+                | (F.col("d").cast("double") > F.col("hi"))
+            ).cast("long")
+        ).alias("n_outside"),
+    )
+    fs = F.lit(float(scale))
+    return out.select(
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(F.col("mu") / fs, 6).alias("mean_diff"),
+        F.round(F.col("lo") / fs, 6).alias("loa_low"),
+        F.round(F.col("hi") / fs, 6).alias("loa_high"),
+        F.col("n_outside").cast("long").alias("n_outside"),
+        F.round(
+            F.col("n_outside").cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("pct_outside"),
+    )

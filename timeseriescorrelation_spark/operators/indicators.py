@@ -289,3 +289,60 @@ def range_volatility(series: DataFrame, key: str = "metric",
         ).alias("gk_var"),
         F.round(hl2 / F.lit(_PK_CONST), 6).alias("pk_var"),
     )
+
+
+def ohlc_daily(series: DataFrame, key: str = "metric",
+               value_decimals: int = 2) -> DataFrame:
+    """(metric, day_ts, open, high, low, close, body, day_range, gap,
+    n_hours): daily OHLC candles of the HOURLY cent-sum series — the
+    exchange-bar readout under bollinger/rsi/stochastic (those consume
+    closes; this materializes the bars themselves, plus the gap vs the
+    prior day's close that gap-up/gap-down monitors alert on).
+
+    Candles aggregate the hourly series, not raw points: hour_ts is
+    UNIQUE within a (metric, day) group, so min_by/max_by on it are
+    deterministic in both engines (raw points can tie on ts across
+    conversations — arg_min over ties is engine-nondeterministic and
+    would flake the gate).  All inputs are exact integer cents;
+    open/close pick by a single atomic ordering column
+    (hash-aggregable — the packed_order_key policy); gap is NULL on
+    each metric's first day.
+
+    Scale: hour-grid hash-agg → day hash-agg → one lag window over
+    per-metric DAY rows."""
+    scale = 10 ** int(value_decimals)
+    h = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    g = h.groupBy(
+        "metric", F.date_trunc("day", "hour_ts").alias("day_ts")
+    ).agg(
+        F.min_by("y", "hour_ts").alias("o"),
+        F.max("y").alias("hi"),
+        F.min("y").alias("lo"),
+        F.max_by("y", "hour_ts").alias("c"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w = Window.partitionBy("metric").orderBy("day_ts")
+    g = g.withColumn("pc", F.lag("c", 1).over(w))
+    fs = F.lit(float(scale))
+    return g.select(
+        "metric", "day_ts",
+        F.round(F.col("o").cast("double") / fs, 6).alias("open"),
+        F.round(F.col("hi").cast("double") / fs, 6).alias("high"),
+        F.round(F.col("lo").cast("double") / fs, 6).alias("low"),
+        F.round(F.col("c").cast("double") / fs, 6).alias("close"),
+        F.round(
+            (F.col("c") - F.col("o")).cast("double") / fs, 6
+        ).alias("body"),
+        F.round(
+            (F.col("hi") - F.col("lo")).cast("double") / fs, 6
+        ).alias("day_range"),
+        F.round(
+            (F.col("o") - F.col("pc")).cast("double") / fs, 6
+        ).alias("gap"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+    )
