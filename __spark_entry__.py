@@ -5939,6 +5939,17 @@ FROM f
 """
 
 
+def q_minhash_error(spark, sf_dir):
+    """MinHash estimator QA (dedup.minhash_error_audit): signature
+    agreement ĵ vs exact Jaccard over every LSH candidate pair;
+    µ-snapped per-pair error, order-free summary sums."""
+    from timeseriescorrelation_spark.operators.dedup import (
+        minhash_error_audit,
+    )
+
+    return minhash_error_audit(_docs(spark, sf_dir))
+
+
 def q_ohlc_daily(spark, sf_dir):
     """Daily OHLC candles of the hourly cent series per metric
     (indicators.ohlc_daily): deterministic open/close by the unique
@@ -8315,6 +8326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_daily": q_ohlc_daily,
         "bland_altman": q_bland_altman,
         "ess_hourly": q_ess_hourly,
+        "minhash_error": q_minhash_error,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -8493,6 +8505,52 @@ JOIN sets sb ON c.id_b = sb.doc_id
 WHERE len(list_intersect(sa.tids, sb.tids)) * 5
       >= (sa.sz + sb.sz - len(list_intersect(sa.tids, sb.tids)))
 """
+    mmatch = " + ".join(
+        f"(CASE WHEN pa.h{j} = pb.h{j} THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    minhash_err = f"""
+WITH {_SHINGLE_CTES}, sig AS (
+  SELECT doc_id, {mins} FROM ids GROUP BY doc_id
+), banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, count(*) AS sz, list(tid) AS tids FROM ids GROUP BY doc_id
+), pairs AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.tids, sb.tids)) AS inter_n,
+         sa.sz + sb.sz - len(list_intersect(sa.tids, sb.tids))
+           AS union_n
+  FROM cand c
+  JOIN sets sa ON c.id_a = sa.doc_id
+  JOIN sets sb ON c.id_b = sb.doc_id
+  WHERE len(list_intersect(sa.tids, sb.tids)) * 1 >= 0
+), e AS (
+  SELECT cast(round((cast({mmatch} AS double) / 16.0
+                - cast(p.inter_n AS double) / cast(p.union_n AS double))
+               * 1e6) AS bigint) AS eu
+  FROM pairs p
+  JOIN sig pa ON p.id_a = pa.doc_id
+  JOIN sig pb ON p.id_b = pb.doc_id
+), g AS (
+  SELECT cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(eu) AS bigint) AS se,
+         cast(sum(abs(eu)) AS bigint) AS sa2,
+         cast(max(abs(eu)) AS bigint) AS mx
+  FROM e
+)
+SELECT n_pairs,
+       round(cast(se AS double) / cast(n_pairs AS double) / 1e6, 6)
+         AS bias,
+       round(cast(sa2 AS double) / cast(n_pairs AS double) / 1e6, 6)
+         AS mae,
+       round(cast(mx AS double) / 1e6, 6) AS max_abs_err
+FROM g
+"""
     simhash = f"""
 WITH {_SHINGLE_CTES}, g AS (
   SELECT doc_id, (tid * {A_J[0]} + {B_J[0]}) % {P31} AS g FROM ids
@@ -8563,6 +8621,7 @@ WHERE s.doc_id % 5 = 4
 """
     return {
         "dedup_minhash_lsh": minhash,
+        "minhash_error": minhash_err,
         "dedup_simhash": simhash,
         "dedup_ngram_jaccard": ngram,
         "dedup_incremental": incremental,
