@@ -5939,6 +5939,17 @@ FROM f
 """
 
 
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between document sources
+    (textstats.burrows_delta): z-scored top-30 word frequencies,
+    mean |z_a − z_b| per source pair."""
+    from timeseriescorrelation_spark.operators.textstats import (
+        burrows_delta,
+    )
+
+    return burrows_delta(_docs(spark, sf_dir))
+
+
 def q_minhash_error(spark, sf_dir):
     """MinHash estimator QA (dedup.minhash_error_audit): signature
     agreement ĵ vs exact Jaccard over every LSH candidate pair;
@@ -8327,6 +8338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bland_altman": q_bland_altman,
         "ess_hourly": q_ess_hourly,
         "minhash_error": q_minhash_error,
+        "burrows_delta": q_burrows_delta,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17123,6 +17135,57 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "burrows_delta": """
+WITH toks AS (
+  SELECT source AS src, w
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), topw AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM toks GROUP BY 1
+  ) ORDER BY c DESC, w ASC LIMIT 30
+), totals AS (
+  SELECT src, cast(count(*) AS bigint) AS tot FROM toks GROUP BY 1
+), cnt AS (
+  SELECT t.src, t.w, cast(count(*) AS bigint) AS cw
+  FROM toks t JOIN topw USING (w) GROUP BY 1, 2
+), dense AS (
+  SELECT g.src, g.w,
+         cast(round(cast(coalesce(cnt.cw, 0) AS double)
+                    / cast(g.tot AS double) * 1e9) AS bigint) AS fu
+  FROM (SELECT totals.src, totals.tot, topw.w
+        FROM totals CROSS JOIN topw) g
+  LEFT JOIN cnt ON g.src = cnt.src AND g.w = cnt.w
+), mom AS (
+  SELECT w, cast(count(*) AS hugeint) AS ns,
+         sum(cast(fu AS hugeint)) AS s1,
+         sum(cast(fu AS hugeint) * fu) AS s2
+  FROM dense GROUP BY 1
+), zt AS (
+  SELECT d.src, d.w,
+         cast(round((cast(d.fu AS double)
+                - cast(m.s1 AS double) / cast(m.ns AS double))
+               / sqrt(cast(m.ns * m.s2 - m.s1 * m.s1 AS double)
+                      / (cast(m.ns AS double) * cast(m.ns AS double)))
+               * 1e6) AS bigint) AS zu
+  FROM dense d JOIN mom m ON d.w = m.w
+  WHERE cast(m.ns * m.s2 - m.s1 * m.s1 AS double)
+        / (cast(m.ns AS double) * cast(m.ns AS double)) > 0
+), p AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         cast(count(*) AS bigint) AS n_words,
+         cast(sum(abs(a.zu - b.zu)) AS bigint) AS sd_
+  FROM zt a JOIN zt b ON a.w = b.w AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_words,
+       round(cast(sd_ AS double) / cast(n_words AS double) / 1e6, 6)
+         AS delta
+FROM p
 """,
         "ohlc_daily": """
 WITH h AS (

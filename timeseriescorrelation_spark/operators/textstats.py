@@ -992,3 +992,92 @@ def langid_confusion(docs: DataFrame, text_col: str = "text",
             6,
         ).alias("share"),
     )
+
+
+def burrows_delta(docs: DataFrame, top_k: int = 30,
+                  text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """(source_a, source_b, n_words, delta): Burrows' Delta stylometric
+    distance between every source pair (Burrows 2002, the standard
+    authorship-attribution measure): z-score each source's relative
+    frequency of the corpus's top-K words against the across-source
+    distribution, then Delta = mean_w |z_a − z_b|.  Sources whose
+    function-word profile diverges (different template/generator/
+    author) stand out even when topical vocabulary matches — the
+    stylometric companion to source_drift's distributional tests.
+
+    Exactness ladder: relative frequencies are exact rationals
+    snapped to 1e-9 (so the across-source moments are exact decimal
+    integers), z is one shared double tree over those integers,
+    snapped to 1e-6 before the per-pair sum (order-free integer sum
+    over the K words), and Delta is one divide.  Top-K selection is
+    TakeOrdered (count desc, word asc — deterministic, no global
+    window).  A source missing a top word contributes f = 0 via the
+    dense source×word grid.  Words with zero across-source variance
+    drop (carry no style signal).
+
+    Scale: token hash-agg → K-row broadcast vocabulary → |sources|·K
+    grid → K-row moment agg → (|sources|²/2)·K pair join of
+    METADATA-sized tables."""
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    topw = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w")).limit(int(top_k))
+        .select("w")
+    )
+    totals = toks.groupBy("src").agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    cnt = (
+        toks.join(F.broadcast(topw), "w")
+        .groupBy("src", "w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    grid = totals.crossJoin(F.broadcast(topw))
+    dense = grid.join(cnt, ["src", "w"], "left").select(
+        "src", "w",
+        F.round(
+            F.coalesce(F.col("cw"), F.lit(0)).cast("double")
+            / F.col("tot").cast("double") * F.lit(1e9)
+        ).cast("long").alias("fu"),
+    )
+    DEC = "decimal(38,0)"
+    mom = dense.groupBy("w").agg(
+        F.count(F.lit(1)).cast(DEC).alias("ns"),
+        F.sum(F.col("fu").cast(DEC)).alias("s1"),
+        F.sum((F.col("fu") * F.col("fu")).cast(DEC)).alias("s2"),
+    )
+    jz = dense.join(F.broadcast(mom), "w")
+    nsd = F.col("ns").cast("double")
+    var = (F.col("ns") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (nsd * nsd)
+    z = (
+        F.col("fu").cast("double") - F.col("s1").cast("double") / nsd
+    ) / F.sqrt(var)
+    zt = jz.where(var > 0).select(
+        "src", "w", F.round(z * F.lit(1e6)).cast("long").alias("zu")
+    )
+    a = zt.select(F.col("src").alias("source_a"), "w",
+                  F.col("zu").alias("za"))
+    b = zt.select(F.col("src").alias("source_b"), "w",
+                  F.col("zu").alias("zb"))
+    p = a.join(b, "w").where(F.col("source_a") < F.col("source_b"))
+    g = p.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.abs(F.col("za") - F.col("zb"))).alias("sd_"),
+    )
+    return g.select(
+        "source_a", "source_b",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(
+            F.col("sd_").cast("double")
+            / F.col("n_words").cast("double") / F.lit(1e6),
+            6,
+        ).alias("delta"),
+    )
