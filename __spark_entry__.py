@@ -5939,6 +5939,17 @@ FROM f
 """
 
 
+def q_retention_decay(spark, sf_dir):
+    """Power-law fit of the pooled censoring-aware retention curve
+    (retention.retention_decay_fit): ln r(d) = a + b·ln d on snapped
+    µ-nat logs, exact-moment OLS; raw day-1/day-7 rationals carried."""
+    from timeseriescorrelation_spark.operators.retention import (
+        retention_decay_fit,
+    )
+
+    return retention_decay_fit(_events(spark, sf_dir))
+
+
 def q_burrows_delta(spark, sf_dir):
     """Burrows' Delta stylometric distance between document sources
     (textstats.burrows_delta): z-scored top-30 word frequencies,
@@ -8339,6 +8350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ess_hourly": q_ess_hourly,
         "minhash_error": q_minhash_error,
         "burrows_delta": q_burrows_delta,
+        "retention_decay": q_retention_decay,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17135,6 +17147,64 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "retention_decay": """
+WITH e AS (
+  SELECT DISTINCT user_id AS uid, date_trunc('day', ts) AS d
+  FROM events
+), aged AS (
+  SELECT uid, min(d) OVER (PARTITION BY uid) AS cohort_day,
+         datediff('day', min(d) OVER (PARTITION BY uid), d) AS age,
+         d
+  FROM e
+), num AS (
+  SELECT age, cast(count(DISTINCT uid) AS bigint) AS num
+  FROM aged WHERE age >= 1 GROUP BY 1
+), cohorts AS (
+  SELECT cohort_day, cast(count(*) AS bigint) AS n_c
+  FROM (SELECT DISTINCT uid, cohort_day FROM aged) GROUP BY 1
+), fr AS (SELECT max(d) AS fmax FROM aged),
+den AS (
+  SELECT num.age, cast(sum(c.n_c) AS bigint) AS den
+  FROM num CROSS JOIN fr
+  JOIN cohorts c ON datediff('day', c.cohort_day, fr.fmax) >= num.age
+  GROUP BY 1
+), r AS (
+  SELECT num.age, num.num, den.den,
+         cast(round(ln(cast(num.age AS double)) * 1e6) AS bigint)
+           AS x,
+         cast(round(ln(cast(num.num AS double)
+                       / cast(den.den AS double)) * 1e6) AS bigint)
+           AS y
+  FROM num JOIN den ON num.age = den.age
+  WHERE num.num > 0 AND den.den > 0
+), g AS (
+  SELECT cast(count(*) AS hugeint) AS m,
+         sum(cast(x AS hugeint)) AS sx, sum(cast(y AS hugeint)) AS sy,
+         sum(cast(x AS hugeint) * x) AS sxx,
+         sum(cast(y AS hugeint) * y) AS syy,
+         sum(cast(x AS hugeint) * y) AS sxy,
+         max(CASE WHEN age = 1 THEN round(cast(num AS double)
+                    / cast(den AS double), 6) END) AS r_day1,
+         max(CASE WHEN age = 7 THEN round(cast(num AS double)
+                    / cast(den AS double), 6) END) AS r_day7
+  FROM r HAVING count(*) >= 5
+), c AS (
+  SELECT m, r_day1, r_day7,
+         cast(m * sxx - sx * sx AS double) AS cxx,
+         cast(m * syy - sy * sy AS double) AS cyy,
+         cast(m * sxy - sx * sy AS double) AS cxy,
+         cast(sx AS double) AS sxd, cast(sy AS double) AS syd,
+         cast(m AS double) AS md
+  FROM g
+)
+SELECT cast(m AS bigint) AS n_ages,
+       round(cxy / cxx, 6) AS exponent,
+       round((syd - (cxy / cxx) * sxd) / md / 1e6, 6) AS intercept,
+       round(CASE WHEN cyy > 0 THEN cxy * cxy / (cxx * cyy) END, 6)
+         AS r2,
+       r_day1, r_day7
+FROM c WHERE cxx > 0
 """,
         "burrows_delta": """
 WITH toks AS (

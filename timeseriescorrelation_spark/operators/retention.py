@@ -399,3 +399,117 @@ def capture_recapture(events: DataFrame,
         F.when(F.col("m") > 0, F.round(nhat - half, 6)).alias("ci_lo"),
         F.when(F.col("m") > 0, F.round(nhat + half, 6)).alias("ci_hi"),
     )
+
+
+def retention_decay_fit(events: DataFrame, id_col: str = "user_id",
+                        ts_col: str = "ts",
+                        min_ages: int = 5) -> DataFrame:
+    """(n_ages, exponent, intercept, r2, r_day1, r_day7): power-law
+    fit of the pooled retention curve — the "retention curves are
+    power laws" growth-analytics read (ln r(d) = a + b·ln d; b is the
+    decay exponent, shallower = stickier) over the same stream
+    cohort_retention matrixes:
+
+        r(d) = |users active at age d| / |users whose cohort is at
+               least d days old|        (right-censoring-aware
+               denominator: young cohorts can't vote on old ages)
+
+    Exactness: num/den are exact distinct counts; x = ln d and
+    y = ln r snap to integer µ-nats (r is one exact-rational divide
+    first); OLS runs on exact decimal moments; r_day1/r_day7 report
+    the RAW rationals at those ages (NULL if unobserved), not the
+    fit.  Ages with num = 0 drop before the log (the curve's support
+    ends there).
+
+    Scale: per-user first-day window → distinct (user, age) hash-agg
+    → age-grid joins of cohort-size METADATA (≤ calendar days rows)
+    → one moment agg."""
+    e = events.select(
+        F.col(id_col).alias("uid"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("uid")
+    aged = e.select(
+        "uid",
+        F.min("d").over(w).alias("cohort_day"),
+        F.datediff(F.col("d"), F.min("d").over(w)).alias("age"),
+    )
+    num = aged.where(F.col("age") >= 1).groupBy("age").agg(
+        F.countDistinct("uid").alias("num")
+    )
+    cohorts = aged.select("uid", "cohort_day").distinct().groupBy(
+        "cohort_day"
+    ).agg(F.count(F.lit(1)).alias("n_c"))
+    frontier = e.agg(F.max("d").alias("fmax"))
+    # eligible(d) = users in cohorts old enough to reach age d
+    den = (
+        num.select("age")
+        .crossJoin(F.broadcast(frontier))
+        .join(
+            F.broadcast(cohorts),
+            F.datediff(F.col("fmax"), F.col("cohort_day"))
+            >= F.col("age"),
+        )
+        .groupBy("age")
+        .agg(F.sum("n_c").alias("den"))
+    )
+    r = num.join(den, "age").where(
+        (F.col("num") > 0) & (F.col("den") > 0)
+    )
+    M = 1e6
+    xu = F.round(
+        F.log(F.col("age").cast("double")) * F.lit(M)
+    ).cast("long")
+    yu = F.round(
+        F.log(
+            F.col("num").cast("double") / F.col("den").cast("double")
+        ) * F.lit(M)
+    ).cast("long")
+    t = r.select(
+        "age", "num", "den", xu.alias("x"), yu.alias("y")
+    )
+    DEC = "decimal(38,0)"
+    g = t.agg(
+        F.count(F.lit(1)).cast(DEC).alias("m"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+        F.max(
+            F.when(
+                F.col("age") == 1,
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"), 6
+                ),
+            )
+        ).alias("r_day1"),
+        F.max(
+            F.when(
+                F.col("age") == 7,
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"), 6
+                ),
+            )
+        ).alias("r_day7"),
+    ).where(F.col("m") >= int(min_ages))
+    m = F.col("m")
+    cxx = (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (m * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (m * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    b = cxy / cxx
+    a = (
+        (F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+        / m.cast("double") / F.lit(M)
+    )
+    r2 = F.when(cyy > 0, cxy * cxy / (cxx * cyy))
+    return g.where(cxx > 0).select(
+        m.cast("long").alias("n_ages"),
+        F.round(b, 6).alias("exponent"),
+        F.round(a, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.col("r_day1"),
+        F.col("r_day7"),
+    )
