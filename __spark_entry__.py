@@ -5939,6 +5939,17 @@ FROM f
 """
 
 
+def q_emb_anisotropy(spark, sf_dir):
+    """Corpus anisotropy (similarity.embedding_anisotropy): average
+    pairwise cosine via the ‖Σu‖² − Σ‖u‖² identity — no pair join,
+    exact µ-snapped per-dimension sums."""
+    from timeseriescorrelation_spark.operators.similarity import (
+        embedding_anisotropy,
+    )
+
+    return embedding_anisotropy(_embs(spark, sf_dir))
+
+
 def q_retention_decay(spark, sf_dir):
     """Power-law fit of the pooled censoring-aware retention curve
     (retention.retention_decay_fit): ln r(d) = a + b·ln d on snapped
@@ -8351,6 +8362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error": q_minhash_error,
         "burrows_delta": q_burrows_delta,
         "retention_decay": q_retention_decay,
+        "emb_anisotropy": q_emb_anisotropy,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17147,6 +17159,29 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "emb_anisotropy": f"""
+WITH {_UV_CTE.strip()}, ex AS (
+  SELECT generate_subscripts(v, 1) AS dim,
+         cast(round(unnest(v) * 1e6) AS bigint) AS xu
+  FROM uv
+), g AS (
+  SELECT dim, sum(cast(xu AS hugeint)) AS sd,
+         sum(cast(xu AS hugeint) * xu) AS sq
+  FROM ex GROUP BY 1
+), tot AS (
+  SELECT cast(count(*) AS bigint) AS n_dims,
+         sum(sd * sd) AS ssd, sum(sq) AS ssq
+  FROM g
+), nv AS (SELECT cast(count(*) AS bigint) AS n_vecs FROM uv)
+SELECT n_vecs, n_dims,
+       round(cast(ssd - ssq AS double)
+             / (cast(n_vecs AS double) * (cast(n_vecs AS double) - 1.0))
+             / 1e12, 6) AS avg_cos,
+       round(cast(ssd AS double)
+             / (cast(n_vecs AS double) * cast(n_vecs AS double))
+             / 1e12, 6) AS mean_norm2
+FROM tot CROSS JOIN nv
 """,
         "retention_decay": """
 WITH e AS (

@@ -1901,3 +1901,60 @@ def embedding_mahalanobis(emb: DataFrame, vec_col: str = "embedding",
         F.round(F.col("md2_u").cast("double") / 1e6, 6).alias("md2"),
         (F.col("md2_u") > F.lit(93217000)).alias("is_outlier"),
     )
+
+
+def embedding_anisotropy(emb: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """(n_vecs, n_dims, avg_cos, mean_norm2): corpus anisotropy — the
+    average cosine similarity between all DISTINCT vector pairs, via
+    the exact identity for unit vectors
+
+        Σ_{i≠j} cos(u_i, u_j) = ‖Σ u_i‖² − Σ‖u_i‖²
+
+    (Ethayarajh 2019's anisotropy diagnostic: contextual-embedding
+    spaces collapse into a cone — avg_cos ≫ 0 — which silently
+    inflates every cosine threshold downstream; mean_norm2 = ‖μ‖² is
+    the common-direction mass whitening/PCA would remove, directly
+    actionable against pca_project(whiten=True)).
+
+    No pair join: the identity reduces the O(n²) pairwise mean to
+    per-dimension SUMS.  Unit coordinates snap to integer µ-units
+    first, so Σu and Σu² are exact decimal integers and both engines
+    share one terminal double tree.  Zero vectors stay in n (they
+    contribute cos = 0 pairs — the with_unit_vectors convention).
+
+    Scale: one posexplode hash-agg to d rows, one d-row aggregate.
+    At 100 TB the d-row shuffle is metadata."""
+    u = with_unit_vectors(emb, vec_col, id_col)
+    ex = u.select(
+        F.posexplode("v").alias("dim", "x")
+    ).select(
+        "dim",
+        F.round(F.col("x") * F.lit(1e6)).cast("long").alias("xu"),
+    )
+    dec = "decimal(38,0)"
+    g = ex.groupBy("dim").agg(
+        F.sum(F.col("xu").cast(dec)).alias("sd"),
+        F.sum((F.col("xu") * F.col("xu")).cast(dec)).alias("sq"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(F.col("sd") * F.col("sd")).alias("ssd"),
+        F.sum("sq").alias("ssq"),
+    )
+    nvec = u.agg(F.count(F.lit(1)).alias("n_vecs"))
+    j = tot.crossJoin(F.broadcast(nvec))
+    nd = F.col("n_vecs").cast("double")
+    return j.select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round(
+            (F.col("ssd") - F.col("ssq")).cast("double")
+            / (nd * (nd - F.lit(1.0))) / F.lit(1e12),
+            6,
+        ).alias("avg_cos"),
+        F.round(
+            F.col("ssd").cast("double") / (nd * nd) / F.lit(1e12),
+            6,
+        ).alias("mean_norm2"),
+    )
