@@ -5939,6 +5939,59 @@ FROM f
 """
 
 
+def q_markov_absorption(spark, sf_dir):
+    """K-step absorption probability into 'purchase' per starting
+    event type (analytics.markov_absorption): integer µ-unit backward
+    induction on the empirical transition chain, oracle-unrolled."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_absorption,
+    )
+
+    return markov_absorption(_events(spark, sf_dir), k_steps=8)
+
+
+def _markov_absorption_oracle(target: str = "purchase",
+                              k_steps: int = 8) -> str:
+    head = f"""
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS src,
+         event_type AS dst
+  FROM events
+), t AS (
+  SELECT src, dst, cast(count(*) AS bigint) AS c
+  FROM tr WHERE src IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, cast(sum(c) AS bigint) AS tot FROM t GROUP BY 1
+), states AS (
+  SELECT DISTINCT state FROM (
+    SELECT src AS state FROM t UNION ALL SELECT dst FROM t)
+), p0 AS (
+  SELECT state, cast(CASE WHEN state = '{target}' THEN 1000000
+                     ELSE 0 END AS bigint) AS p
+  FROM states
+)"""
+    steps = []
+    for i in range(1, k_steps + 1):
+        steps.append(f""", f{i} AS (
+  SELECT t.src, cast(sum(t.c * p.p) AS bigint) AS num
+  FROM t JOIN p{i - 1} p ON t.dst = p.state GROUP BY 1
+), p{i} AS (
+  SELECT s.state,
+         cast(CASE WHEN s.state = '{target}' THEN 1000000
+              ELSE coalesce(f.num // tot.tot, 0) END AS bigint) AS p
+  FROM states s
+  LEFT JOIN f{i} f ON s.state = f.src
+  LEFT JOIN tot ON s.state = tot.src
+)""")
+    tail = f"""
+SELECT p.state, coalesce(tot.tot, 0) AS n_out,
+       round(cast(p.p AS double) / 1e6, 6) AS p_absorb
+FROM p{k_steps} p LEFT JOIN tot ON p.state = tot.src
+"""
+    return head + "".join(steps) + tail
+
+
 def q_emb_anisotropy(spark, sf_dir):
     """Corpus anisotropy (similarity.embedding_anisotropy): average
     pairwise cosine via the ‖Σu‖² − Σ‖u‖² identity — no pair join,
@@ -8363,6 +8416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "retention_decay": q_retention_decay,
         "emb_anisotropy": q_emb_anisotropy,
+        "markov_absorption": q_markov_absorption,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -9528,6 +9582,9 @@ def oracle_sql() -> dict[str, str]:
     d["logit_fit"] = _logit_oracle(n_iter=2)
     d["ewma_chart"] = _ewma_chart_oracle()
     d["huber_trend"] = _huber_oracle(n_iter=2)
+    d["markov_absorption"] = _markov_absorption_oracle(
+        target="purchase", k_steps=8
+    )
     d["dow_contrasts"] = """
 WITH h AS (
   SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
