@@ -5939,6 +5939,28 @@ FROM f
 """
 
 
+def q_xmr_chart(spark, sf_dir):
+    """I-MR (individuals + moving range) Shewhart chart per metric day
+    (spc.xmr_chart): textbook 2.66/3.267 constants, exact-integer
+    centerlines, shared-double limits and flags."""
+    from timeseriescorrelation_spark.operators.spc import xmr_chart
+
+    return xmr_chart(_series_from_events(spark, sf_dir))
+
+
+def q_process_capability(spark, sf_dir):
+    """Cp/Cpk capability of daily volumes against a fixed spec band
+    (spc.process_capability): sample-SD sigma, integer out-of-spec
+    counts."""
+    from timeseriescorrelation_spark.operators.spc import (
+        process_capability,
+    )
+
+    return process_capability(
+        _series_from_events(spark, sf_dir), lsl=5_000.0, usl=50_000.0
+    )
+
+
 def q_markov_absorption(spark, sf_dir):
     """K-step absorption probability into 'purchase' per starting
     event type (analytics.markov_absorption): integer µ-unit backward
@@ -8417,6 +8439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_decay": q_retention_decay,
         "emb_anisotropy": q_emb_anisotropy,
         "markov_absorption": q_markov_absorption,
+        "xmr_chart": q_xmr_chart,
+        "process_capability": q_process_capability,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17216,6 +17240,74 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "xmr_chart": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT metric, day_ts, y,
+         abs(y - lag(y, 1) OVER (PARTITION BY metric
+                                 ORDER BY day_ts)) AS mr
+  FROM d
+), c AS (
+  SELECT metric, cast(count(*) AS bigint) AS n,
+         cast(sum(y) AS bigint) AS sy,
+         cast(count(mr) AS bigint) AS nmr,
+         cast(sum(mr) AS bigint) AS smr
+  FROM t GROUP BY 1
+), j AS (
+  SELECT t.metric, t.day_ts, t.y, t.mr,
+         cast(c.sy AS double) / cast(c.n AS double) AS xbar,
+         cast(c.smr AS double) / cast(c.nmr AS double) AS mrbar
+  FROM t JOIN c ON t.metric = c.metric
+)
+SELECT metric, day_ts,
+       round(cast(y AS double) / 100.0, 6) AS x,
+       round(cast(mr AS double) / 100.0, 6) AS mr,
+       round((xbar + 2.66 * mrbar) / 100.0, 6) AS ucl_x,
+       round((xbar - 2.66 * mrbar) / 100.0, 6) AS lcl_x,
+       round(3.267 * mrbar / 100.0, 6) AS ucl_mr,
+       cast(CASE WHEN cast(y AS double) > xbar + 2.66 * mrbar THEN 1
+                 WHEN cast(y AS double) < xbar - 2.66 * mrbar THEN -1
+                 ELSE 0 END AS int) AS ooc_x,
+       CASE WHEN mr IS NOT NULL
+            THEN cast(CASE WHEN cast(mr AS double) > 3.267 * mrbar
+                      THEN 1 ELSE 0 END AS int) END AS ooc_mr
+FROM j
+""",
+        "process_capability": """
+WITH d AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT metric, cast(count(*) AS hugeint) AS n,
+         sum(cast(y AS hugeint)) AS s,
+         sum(cast(y AS hugeint) * y) AS ss,
+         cast(sum(CASE WHEN y < 500000 OR y > 5000000
+                  THEN 1 ELSE 0 END) AS bigint) AS n_out
+  FROM d GROUP BY 1
+), c AS (
+  SELECT metric, n, n_out,
+         cast(s AS double) / cast(n AS double) AS mu,
+         sqrt(cast(n * ss - s * s AS double)
+              / (cast(n AS double) * (cast(n AS double) - 1.0)))
+           AS sd
+  FROM g WHERE n >= 2
+)
+SELECT metric, cast(n AS bigint) AS n,
+       round(mu / 100.0, 6) AS mean,
+       round(sd / 100.0, 6) AS sigma,
+       round(CASE WHEN sd > 0
+                  THEN (5000000.0 - 500000.0) / (6.0 * sd) END, 6)
+         AS cp,
+       round(CASE WHEN sd > 0
+                  THEN least(5000000.0 - mu, mu - 500000.0)
+                       / (3.0 * sd) END, 6) AS cpk,
+       round(cast(n_out AS double) / cast(n AS double), 6) AS pct_out
+FROM c
 """,
         "emb_anisotropy": f"""
 WITH {_UV_CTE.strip()}, ex AS (

@@ -417,6 +417,13 @@ HEADLINE_R4 = [
     "ohlc_daily",
     "bland_altman",
     "ess_hourly",
+    "minhash_error",
+    "burrows_delta",
+    "retention_decay",
+    "emb_anisotropy",
+    "markov_absorption",
+    "xmr_chart",
+    "process_capability",
 ]
 
 

@@ -271,3 +271,125 @@ def ewma_chart(series: DataFrame, key: str = "metric",
         F.round(lcl / fs, 6).alias("lcl"),
         ooc.cast("int").alias("ooc"),
     )
+
+
+def xmr_chart(series: DataFrame, key: str = "metric",
+              value_decimals: int = 2) -> DataFrame:
+    """(metric, day_ts, x, mr, ucl_x, lcl_x, ucl_mr, ooc_x, ooc_mr):
+    individuals + moving-range (I-MR) Shewhart chart over the daily
+    cent series — the control chart for UNGROUPED measurements (one
+    observation per period, where p/c charts need counts and xbar
+    charts need subgroups):
+
+        MR_t   = |x_t − x_{t−1}|
+        σ̂      = MR̄ / d₂,  d₂ = 1.128 (n=2 constant)
+        UCL/LCL = x̄ ± 2.66·MR̄,   UCL_MR = 3.267·MR̄
+
+    (2.66 = 3/d₂ and 3.267 = D₄ — the textbook I-MR constants,
+    embedded as exact literals).  x̄ and MR̄ are exact-integer means
+    (cents; |Δ| is integer); every limit and flag is one shared
+    double tree — the p_chart policy.  The first day per metric has
+    no MR (NULL, not flagged).
+
+    Scale: day-grid hash-agg → one lag window → one broadcast join
+    of per-metric centerlines."""
+    scale = 10 ** int(value_decimals)
+    d = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    w = Window.partitionBy("metric").orderBy("day_ts")
+    t = d.withColumn(
+        "mr", F.abs(F.col("y") - F.lag("y", 1).over(w))
+    )
+    c = t.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.count("mr").alias("nmr"),
+        F.sum("mr").alias("smr"),
+    )
+    j = t.join(F.broadcast(c), "metric")
+    xbar = F.col("sy").cast("double") / F.col("n").cast("double")
+    mrbar = F.col("smr").cast("double") / F.col("nmr").cast("double")
+    ucl_x = xbar + F.lit(2.66) * mrbar
+    lcl_x = xbar - F.lit(2.66) * mrbar
+    ucl_mr = F.lit(3.267) * mrbar
+    yd = F.col("y").cast("double")
+    fs = F.lit(float(scale))
+    return j.select(
+        "metric", "day_ts",
+        F.round(yd / fs, 6).alias("x"),
+        F.round(F.col("mr").cast("double") / fs, 6).alias("mr"),
+        F.round(ucl_x / fs, 6).alias("ucl_x"),
+        F.round(lcl_x / fs, 6).alias("lcl_x"),
+        F.round(ucl_mr / fs, 6).alias("ucl_mr"),
+        F.when(yd > ucl_x, F.lit(1))
+        .when(yd < lcl_x, F.lit(-1))
+        .otherwise(F.lit(0)).cast("int").alias("ooc_x"),
+        F.when(
+            F.col("mr").isNotNull(),
+            (F.col("mr").cast("double") > ucl_mr).cast("int"),
+        ).alias("ooc_mr"),
+    )
+
+
+def process_capability(series: DataFrame, lsl: float, usl: float,
+                       key: str = "metric",
+                       value_decimals: int = 2) -> DataFrame:
+    """(metric, n, mean, sigma, cp, cpk, pct_out): Cp/Cpk process
+    capability of each metric's daily cent series against fixed spec
+    limits — the SPC summary purchasing/SRE reviews quote ("is the
+    process capable of the SLO band", Cpk ≥ 1.33 = capable):
+
+        Cp  = (USL − LSL)/(6σ),   Cpk = min(USL − μ, μ − LSL)/(3σ)
+
+    σ is the SAMPLE SD of exact-integer daily sums (n−1); spec limits
+    are exact literals in value units; pct_out counts days outside
+    [LSL, USL] by integer comparison against the cent-scaled limits
+    (no float compare on data).  One hash-agg + one broadcast join.
+    """
+    scale = 10 ** int(value_decimals)
+    lsl_c = int(round(lsl * scale))
+    usl_c = int(round(usl * scale))
+    d = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    DEC = "decimal(38,0)"
+    g = d.groupBy("metric").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("y").cast(DEC)).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("ss"),
+        F.sum(
+            ((F.col("y") < lsl_c) | (F.col("y") > usl_c)).cast("long")
+        ).alias("n_out"),
+    )
+    nn = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nn
+    sd = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    fs = F.lit(float(scale))
+    usl_d = F.lit(float(usl_c))
+    lsl_d = F.lit(float(lsl_c))
+    cp = F.when(sd > 0, (usl_d - lsl_d) / (F.lit(6.0) * sd))
+    cpk = F.when(
+        sd > 0,
+        F.least(usl_d - mu, mu - lsl_d) / (F.lit(3.0) * sd),
+    )
+    return g.where(F.col("n") >= 2).select(
+        "metric",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu / fs, 6).alias("mean"),
+        F.round(sd / fs, 6).alias("sigma"),
+        F.round(cp, 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        F.round(
+            F.col("n_out").cast("double") / nn, 6
+        ).alias("pct_out"),
+    )
