@@ -178,3 +178,68 @@ def test_anisotropy_identical_and_orthogonal(spark):
     r2 = embedding_anisotropy(orth).collect()[0]
     assert abs(r2.avg_cos - (-1.0 / 3.0)) < 1e-5
     assert abs(r2.mean_norm2) < 1e-9
+
+
+def test_xmr_chart_flags_planted_shift(spark):
+    from timeseriescorrelation_spark.operators.spc import xmr_chart
+
+    rng = np.random.RandomState(7)
+    vals = list(rng.normal(100, 1, 25)) + [200.0]  # day 26 jumps
+    rows = [("c", "m", T0 + dt.timedelta(days=i), i, float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, SERIES)
+    got = sorted(xmr_chart(df).collect(), key=lambda r: r.day_ts)
+    assert got[0].mr is None and got[0].ooc_mr is None
+    assert got[-1].ooc_x == 1 and got[-1].ooc_mr == 1
+    assert all(r.ooc_x == 0 for r in got[:-1])
+
+
+def test_process_capability_capable_vs_not(spark):
+    from timeseriescorrelation_spark.operators.spc import (
+        process_capability,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(30):
+        # tight: mean 100 sd~1 inside [50, 150] -> high cpk
+        rows.append(("c", "tight", T0 + dt.timedelta(days=i), i,
+                     float(rng.normal(100, 1))))
+        # wide: sd ~40 -> low cpk, some days out of spec
+        rows.append(("c", "wide", T0 + dt.timedelta(days=i), i,
+                     float(rng.normal(100, 40))))
+    df = spark.createDataFrame(rows, SERIES)
+    got = {r.metric: r for r in
+           process_capability(df, lsl=50.0, usl=150.0).collect()}
+    assert got["tight"].cpk > 1.33 > got["wide"].cpk
+    assert got["tight"].pct_out == 0.0
+    assert got["wide"].pct_out > 0.1
+
+
+def test_markov_absorption_deterministic_chain(spark):
+    from timeseriescorrelation_spark.operators.analytics import (
+        markov_absorption,
+    )
+
+    # a -> b -> purchase deterministic; c -> c loop (never absorbs)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for j, t in enumerate(("a", "b", "purchase")):
+            rows.append((eid, T0 + dt.timedelta(minutes=j), u, t, 1.0,
+                         None)); eid += 1
+    for u in range(100, 110):
+        for j in range(4):
+            rows.append((eid, T0 + dt.timedelta(minutes=j), u, "c",
+                         1.0, None)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    )
+    got = {r.state: r for r in
+           markov_absorption(ev, target="purchase", k_steps=8)
+           .collect()}
+    assert got["purchase"].p_absorb == 1.0
+    assert got["b"].p_absorb == 1.0
+    assert got["a"].p_absorb == 1.0
+    assert got["c"].p_absorb == 0.0
