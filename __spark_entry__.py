@@ -4373,7 +4373,15 @@ def q_textrank_keywords(spark, sf_dir):
 
 def _token_graph(spark, sf_dir):
     """Shared token-adjacency edge builder (textrank_keywords /
-    ppr_terms): undirected df≥5-vocab adjacency counts."""
+    ppr_terms): undirected df≥5-vocab adjacency counts, session-graph
+    cached (R379 build-once/probe-many)."""
+    return _graph_once(
+        spark, sf_dir, "token_graph",
+        lambda: _token_graph_build(spark, sf_dir),
+    )
+
+
+def _token_graph_build(spark, sf_dir):
     base = _docs(spark, sf_dir).select(
         "doc_id",
         F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
