@@ -5947,6 +5947,15 @@ FROM f
 """
 
 
+def q_g_chart(spark, sf_dir):
+    """G-chart (geometric, events-between-errors) pooled summary
+    (spc.g_chart): per-actor gap extraction via partitioned windows,
+    Benneyan geometric UCL, exact integer gaps."""
+    from timeseriescorrelation_spark.operators.spc import g_chart
+
+    return g_chart(_events(spark, sf_dir))
+
+
 def q_xmr_chart(spark, sf_dir):
     """I-MR (individuals + moving range) Shewhart chart per metric day
     (spc.xmr_chart): textbook 2.66/3.267 constants, exact-integer
@@ -8449,6 +8458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_absorption": q_markov_absorption,
         "xmr_chart": q_xmr_chart,
         "process_capability": q_process_capability,
+        "g_chart": q_g_chart,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17248,6 +17258,49 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "g_chart": """
+WITH pos AS (
+  SELECT user_id AS u, event_type AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS pos
+  FROM events
+), err AS (
+  SELECT u, pos FROM pos WHERE t = 'error'
+), gaps AS (
+  SELECT g FROM (
+    SELECT pos - lag(pos, 1) OVER (PARTITION BY u ORDER BY pos) - 1
+           AS g
+    FROM err
+  ) WHERE g IS NOT NULL
+), m AS (
+  SELECT cast(count(*) AS hugeint) AS n,
+         sum(cast(g AS hugeint)) AS s,
+         cast(max(g) AS bigint) AS mx
+  FROM gaps
+), lims AS (
+  SELECT n, mx,
+         cast(s AS double) / cast(n AS double) AS gbar,
+         cast(s AS double) / cast(n AS double)
+           + 3.0 * sqrt((cast(s AS double) / cast(n AS double))
+                        * (cast(s AS double) / cast(n AS double)
+                           + 1.0)) AS ucl
+  FROM m
+), o AS (
+  SELECT max(lims.n) AS n, max(lims.gbar) AS gbar,
+         max(lims.ucl) AS ucl, max(lims.mx) AS mx,
+         cast(sum(CASE WHEN cast(gaps.g AS double) > lims.ucl
+                  THEN 1 ELSE 0 END) AS bigint) AS n_above
+  FROM gaps CROSS JOIN lims
+)
+SELECT cast(n AS bigint) AS n_gaps,
+       round(gbar, 6) AS g_bar,
+       round(ucl, 6) AS ucl,
+       n_above,
+       mx AS max_gap,
+       round(cast(n_above AS double) / cast(n AS double), 6)
+         AS pct_above
+FROM o
 """,
         "xmr_chart": """
 WITH d AS (

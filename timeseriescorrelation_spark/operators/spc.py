@@ -393,3 +393,77 @@ def process_capability(series: DataFrame, lsl: float, usl: float,
             F.col("n_out").cast("double") / nn, 6
         ).alias("pct_out"),
     )
+
+
+def g_chart(events: DataFrame, adverse_type: str = "error",
+            cat_col: str = "event_type", user_col: str = "user_id",
+            ts_col: str = "ts", order_col: str = "event_id") -> DataFrame:
+    """(n_gaps, g_bar, ucl, n_above, max_gap, pct_above): G-chart
+    (geometric chart) summary over events-between-adverse-events — the
+    SPC form for RARE events where p/c charts starve ("how many
+    ordinary events pass between errors, and did any gap pattern
+    leave the geometric band"):
+
+        x_i  = events strictly between consecutive adverse events of
+               one actor's stream
+        ḡ    = mean gap,   UCL = ḡ + 3·√(ḡ·(ḡ + 1))   (Benneyan's
+               geometric limits; LCL floors at 0 and is omitted)
+
+    Gaps are computed inside per-actor streams (partitioned windows —
+    never a global sort) and POOLED: position = row_number over the
+    actor's (ts, order) sequence, gap = Δposition − 1 at each adverse
+    event after the actor's first.  Exact integers throughout; ḡ is
+    one exact-rational divide; the UCL and the above-limit flags are
+    the shared double tree.
+
+    Scale: one partitioned window over actor streams → filter to
+    adverse rows → one pooled aggregate."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    w = Window.partitionBy(user_col).orderBy(
+        epoch_us(F.col(ts_col)), order_col
+    )
+    pos = events.select(
+        F.col(user_col).alias("u"),
+        F.col(cat_col).alias("t"),
+        F.row_number().over(w).alias("pos"),
+    )
+    err = pos.where(F.col("t") == adverse_type)
+    we = Window.partitionBy("u").orderBy("pos")
+    gaps = err.select(
+        (F.col("pos") - F.lag("pos", 1).over(we) - F.lit(1))
+        .alias("g")
+    ).where(F.col("g").isNotNull())
+    DEC = "decimal(38,0)"
+    m = gaps.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("g").cast(DEC)).alias("s"),
+        F.max("g").alias("mx"),
+    )
+    nn = F.col("n").cast("double")
+    gbar = F.col("s").cast("double") / nn
+    ucl = gbar + F.lit(3.0) * F.sqrt(gbar * (gbar + F.lit(1.0)))
+    lims = m.select(
+        F.col("n"), F.col("mx"), gbar.alias("gbar"), ucl.alias("ucl")
+    )
+    j = gaps.crossJoin(F.broadcast(lims))
+    out = j.agg(
+        F.max(F.col("n")).alias("n"),
+        F.max(F.col("gbar")).alias("gbar"),
+        F.max(F.col("ucl")).alias("ucl"),
+        F.max(F.col("mx")).alias("mx"),
+        F.sum(
+            (F.col("g").cast("double") > F.col("ucl")).cast("long")
+        ).alias("n_above"),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(F.col("gbar"), 6).alias("g_bar"),
+        F.round(F.col("ucl"), 6).alias("ucl"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("mx").cast("long").alias("max_gap"),
+        F.round(
+            F.col("n_above").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("pct_above"),
+    )
