@@ -424,6 +424,7 @@ HEADLINE_R4 = [
     "markov_absorption",
     "xmr_chart",
     "process_capability",
+    "g_chart",
 ]
 
 
@@ -462,11 +463,18 @@ def _scale_overrides():
         qpdf = e.where(F.col("vec_id") < 5).toPandas()
         return ann_topk_bruteforce_np(e, qpdf, k=10)
 
+    from timeseriescorrelation_spark.operators.dedup import (
+        minhash_error_audit,
+    )
+
     return {
         "ann_topk": _ann_np,
         "dedup_minhash_lsh": lambda spark, sf: minhash_lsh_pairs(
             _docs(spark, sf), n=3, n_hashes=16, bands=8,
             tau_num=1, tau_den=5, mode="xxhash64",
+        ),
+        "minhash_error": lambda spark, sf: minhash_error_audit(
+            _docs(spark, sf), mode="xxhash64"
         ),
         "dedup_simhash": lambda spark, sf: simhash_pairs(
             _docs(spark, sf), n=3, n_bits=32, max_hamming=6, mode="xxhash64"
