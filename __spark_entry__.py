@@ -5947,6 +5947,17 @@ FROM f
 """
 
 
+def q_exit_rates(spark, sf_dir):
+    """Session exit/bounce rates per event type (activity.exit_rates):
+    30-min-gap sessionization inside actor streams, deterministic
+    last-event pick, exact counts."""
+    from timeseriescorrelation_spark.operators.activity import (
+        exit_rates,
+    )
+
+    return exit_rates(_events(spark, sf_dir))
+
+
 def q_g_chart(spark, sf_dir):
     """G-chart (geometric, events-between-errors) pooled summary
     (spc.g_chart): per-actor gap extraction via partitioned windows,
@@ -8459,6 +8470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xmr_chart": q_xmr_chart,
         "process_capability": q_process_capability,
         "g_chart": q_g_chart,
+        "exit_rates": q_exit_rates,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17258,6 +17270,46 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "exit_rates": """
+WITH fl AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS t_us,
+         cast(event_id AS bigint) AS o,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+  SELECT u, t,
+         sum(ns) OVER (PARTITION BY u ORDER BY t_us, o
+                       ROWS UNBOUNDED PRECEDING) AS sid,
+         row_number() OVER (PARTITION BY u ORDER BY t_us, o) AS rn
+  FROM fl
+), per_sess AS (
+  SELECT u, sid, arg_max(t, rn) AS last_t,
+         cast(count(*) AS bigint) AS n_ev
+  FROM sess GROUP BY 1, 2
+), ends AS (
+  SELECT last_t AS event_type, cast(count(*) AS bigint) AS n_exit,
+         cast(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS bigint)
+           AS n_bounce
+  FROM per_sess GROUP BY 1
+), contains AS (
+  SELECT t AS event_type, cast(count(*) AS bigint) AS n_contain
+  FROM (SELECT DISTINCT u, sid, t FROM sess) GROUP BY 1
+)
+SELECT c.event_type, c.n_contain,
+       coalesce(e.n_exit, 0) AS n_exit,
+       coalesce(e.n_bounce, 0) AS n_bounce,
+       round(cast(coalesce(e.n_exit, 0) AS double)
+             / cast(c.n_contain AS double), 6) AS exit_rate,
+       round(CASE WHEN coalesce(e.n_exit, 0) > 0
+                  THEN cast(coalesce(e.n_bounce, 0) AS double)
+                       / cast(e.n_exit AS double) END, 6)
+         AS bounce_share
+FROM contains c LEFT JOIN ends e ON c.event_type = e.event_type
 """,
         "g_chart": """
 WITH pos AS (

@@ -425,6 +425,7 @@ HEADLINE_R4 = [
     "xmr_chart",
     "process_capability",
     "g_chart",
+    "exit_rates",
 ]
 
 

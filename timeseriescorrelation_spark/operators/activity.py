@@ -809,3 +809,91 @@ def lorenz_deciles(events: DataFrame, unit_col: str = "user_id",
             / F.sum("yd").over(tot).cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+def exit_rates(events: DataFrame, gap_minutes: int = 30,
+               cat_col: str = "event_type", user_col: str = "user_id",
+               ts_col: str = "ts", order_col: str = "event_id") -> DataFrame:
+    """(event_type, n_contain, n_exit, n_bounce, exit_rate,
+    bounce_share): per event type, the share of sessions CONTAINING
+    the type that END on it (exit rate — "which step do journeys die
+    on"), and among those exits, the share that were single-event
+    sessions (bounces).  The web-analytics ledger funnel_3step's
+    fixed path cannot give.
+
+    Sessionization is the standard 30-minute-gap islands rule inside
+    per-actor streams: a new session starts when the gap from the
+    previous event exceeds the threshold; session id = cumulative
+    count of starts (one lag + one running sum, both inside the actor
+    partition — never a global window).  The session's LAST event is
+    picked by max_by on the per-actor row_number over (µs, order) —
+    exact and deterministic.  All counts are exact integers; the two
+    rates are terminal divides.
+
+    Scale: two stacked windows over actor streams → per-session
+    hash-agg → |types|-sized aggregates; distinct (session, type)
+    bounds the contains table by events."""
+    from timeseriescorrelation_spark.functions.timeutil import epoch_us
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(cat_col).alias("t"),
+        epoch_us(F.col(ts_col)).alias("t_us"),
+        F.col(order_col).cast("long").alias("o"),
+    )
+    w = Window.partitionBy("u").orderBy("t_us", "o")
+    new_s = F.when(
+        F.lag("t_us").over(w).isNull()
+        | (F.col("t_us") - F.lag("t_us").over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    flagged = base.withColumn("ns", new_s)
+    wc = Window.partitionBy("u").orderBy("t_us", "o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.partitionBy("u").orderBy("t_us", "o")
+    # rn, not a packed (µs << k | order) key: absolute epoch-µs times
+    # a shift overflows int64, and a modulo wrap could misorder — the
+    # per-actor row_number is small, deterministic, and shares the
+    # session-count window pass
+    sess = flagged.select(
+        "u", "t",
+        F.sum("ns").over(wc).alias("sid"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    per_sess = sess.groupBy("u", "sid").agg(
+        F.max_by("t", F.col("rn")).alias("last_t"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    ends = per_sess.groupBy(F.col("last_t").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_exit"),
+        F.sum((F.col("n_ev") == 1).cast("long")).alias("n_bounce"),
+    )
+    contains = (
+        sess.select("u", "sid", "t").distinct()
+        .groupBy(F.col("t").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_contain"))
+    )
+    j = contains.join(ends, "event_type", "left")
+    return j.select(
+        "event_type",
+        F.col("n_contain").cast("long").alias("n_contain"),
+        F.coalesce(F.col("n_exit"), F.lit(0)).cast("long")
+        .alias("n_exit"),
+        F.coalesce(F.col("n_bounce"), F.lit(0)).cast("long")
+        .alias("n_bounce"),
+        F.round(
+            F.coalesce(F.col("n_exit"), F.lit(0)).cast("double")
+            / F.col("n_contain").cast("double"),
+            6,
+        ).alias("exit_rate"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_exit"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_bounce"), F.lit(0)).cast("double")
+                / F.col("n_exit").cast("double"),
+            ),
+            6,
+        ).alias("bounce_share"),
+    )
