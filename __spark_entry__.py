@@ -5947,6 +5947,14 @@ FROM f
 """
 
 
+def q_u_chart(spark, sf_dir):
+    """Defects-per-unit chart with varying limits (spc.u_chart): the
+    fourth classic attribute chart next to p/c/G."""
+    from timeseriescorrelation_spark.operators.spc import u_chart
+
+    return u_chart(_series_from_events(spark, sf_dir))
+
+
 def q_exit_rates(spark, sf_dir):
     """Session exit/bounce rates per event type (activity.exit_rates):
     30-min-gap sessionization inside actor streams, deterministic
@@ -8471,6 +8479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_capability": q_process_capability,
         "g_chart": q_g_chart,
         "exit_rates": q_exit_rates,
+        "u_chart": q_u_chart,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17270,6 +17279,38 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "u_chart": """
+WITH day AS (
+  SELECT event_type AS metric, date_trunc('day', ts) AS day_ts,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN cast(round(value * 100) AS bigint) > 10000
+                  THEN 1 ELSE 0 END) AS bigint) AS defects
+  FROM events GROUP BY 1, 2
+), center AS (
+  SELECT metric, cast(sum(n) AS bigint) AS tot_n,
+         cast(sum(defects) AS bigint) AS tot_d
+  FROM day GROUP BY 1
+), j AS (
+  SELECT d.metric, d.day_ts, d.n, d.defects,
+         cast(c.tot_d AS double) / cast(c.tot_n AS double) AS u_bar
+  FROM day d JOIN center c ON d.metric = c.metric
+)
+SELECT metric, day_ts, n, defects,
+       round(cast(defects AS double) / cast(n AS double), 6) AS u_day,
+       round(u_bar, 6) AS u_bar,
+       round(u_bar + 3.0 * sqrt(u_bar / cast(n AS double)), 6) AS ucl,
+       round(greatest(0.0,
+             u_bar - 3.0 * sqrt(u_bar / cast(n AS double))), 6)
+         AS lcl,
+       cast(CASE WHEN cast(defects AS double) / cast(n AS double)
+                      > u_bar + 3.0 * sqrt(u_bar / cast(n AS double))
+                 THEN 1
+                 WHEN cast(defects AS double) / cast(n AS double)
+                      < greatest(0.0, u_bar - 3.0
+                                 * sqrt(u_bar / cast(n AS double)))
+                 THEN -1 ELSE 0 END AS int) AS ooc
+FROM j
 """,
         "exit_rates": """
 WITH fl AS (

@@ -426,6 +426,7 @@ HEADLINE_R4 = [
     "process_capability",
     "g_chart",
     "exit_rates",
+    "u_chart",
 ]
 
 

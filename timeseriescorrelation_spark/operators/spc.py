@@ -467,3 +467,58 @@ def g_chart(events: DataFrame, adverse_type: str = "error",
             6,
         ).alias("pct_above"),
     )
+
+
+def u_chart(series: DataFrame, key: str = "metric",
+            defect_cents: int = 10_000,
+            value_decimals: int = 2) -> DataFrame:
+    """(metric, day_ts, n, defects, u_day, u_bar, ucl, lcl, ooc):
+    defects-per-UNIT chart with varying limits — the fourth classic
+    attribute chart (p = proportion, c = fixed-opportunity count,
+    G = rare-event gaps, u = count per exposure when daily volume
+    varies):
+
+        ū    = Σ defects / Σ n          (per metric, exact rational)
+        UCL  = ū + 3·√(ū/n_day)          LCL = max(0, ū − 3·√(ū/n_day))
+
+    A "defect" is an observation whose cent value exceeds
+    `defect_cents` (the p_chart convention — so p vs u on the same
+    stream shows proportion- vs rate-framing of the same signal).
+    Exact integer counts; limits and the ooc flag are one shared
+    double tree.  One hash-agg + one broadcast join."""
+    scale = 10 ** int(value_decimals)
+    day = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.round(F.col("value") * scale).cast("long")
+             > F.lit(int(defect_cents))).cast("long")
+        ).alias("defects"),
+    )
+    center = day.groupBy("metric").agg(
+        F.sum("n").alias("tot_n"), F.sum("defects").alias("tot_d")
+    )
+    j = day.join(F.broadcast(center), "metric")
+    u_bar = F.col("tot_d").cast("double") / F.col("tot_n").cast("double")
+    nn = F.col("n").cast("double")
+    sig = F.sqrt(u_bar / nn)
+    ucl = u_bar + F.lit(3.0) * sig
+    lcl = F.greatest(F.lit(0.0), u_bar - F.lit(3.0) * sig)
+    u_day = F.col("defects").cast("double") / nn
+    ooc = (
+        F.when(u_day > ucl, F.lit(1))
+        .when(u_day < lcl, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return j.select(
+        "metric", "day_ts",
+        F.col("n").cast("long").alias("n"),
+        F.col("defects").cast("long").alias("defects"),
+        F.round(u_day, 6).alias("u_day"),
+        F.round(u_bar, 6).alias("u_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ooc.cast("int").alias("ooc"),
+    )
