@@ -5947,6 +5947,18 @@ FROM f
 """
 
 
+def q_forecast_baselines(spark, sf_dir):
+    """M-competition baseline table (analytics.forecast_baselines):
+    naive / seasonal-naive / drift MAE on the last 24 observed hours
+    per metric — exact integer errors (drift multiplied through by
+    its integer denominator)."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        forecast_baselines,
+    )
+
+    return forecast_baselines(_series_from_events(spark, sf_dir))
+
+
 def q_u_chart(spark, sf_dir):
     """Defects-per-unit chart with varying limits (spc.u_chart): the
     fourth classic attribute chart next to p/c/G."""
@@ -8480,6 +8492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_chart": q_g_chart,
         "exit_rates": q_exit_rates,
         "u_chart": q_u_chart,
+        "forecast_baselines": q_forecast_baselines,
         "cdc_snapshot": q_cdc_snapshot,
         "kmv_overlap": q_kmv_overlap,
         "emb_mahalanobis": q_emb_mahalanobis,
@@ -17279,6 +17292,55 @@ SELECT v.metric, cast(v.n AS bigint) AS n_hours,
        7000 * sp2 < 463 * v.n * vp AS is_level_stationary
 FROM v JOIN pp ON v.metric = pp.metric
 WHERE cast(vp AS double) > 0
+""",
+        "forecast_baselines": """
+WITH h AS (
+  SELECT event_type AS metric, date_trunc('hour', ts) AS hour_ts,
+         cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT metric, y,
+         row_number() OVER (PARTITION BY metric ORDER BY hour_ts)
+           AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM h QUALIFY n >= 72
+), test AS (
+  SELECT metric, rn AS t, y AS yt, n - 24 AS te
+  FROM r WHERE rn > n - 24
+), anchors AS (
+  SELECT a.metric, a.y AS y_te, b.y AS y1
+  FROM (SELECT metric, y FROM r WHERE rn = n - 24) a
+  JOIN (SELECT metric, y FROM r WHERE rn = 1) b
+    ON a.metric = b.metric
+), j AS (
+  SELECT t.metric, t.t, t.yt, t.te, an.y_te, an.y1
+  FROM test t JOIN anchors an ON t.metric = an.metric
+), naive AS (
+  SELECT metric, 'naive' AS model, cast(count(*) AS bigint) AS n_test,
+         round(cast(sum(cast(abs(yt - y_te) AS hugeint)) AS double)
+               / cast(count(*) AS double) / 100.0, 6) AS mae
+  FROM j GROUP BY 1
+), sn AS (
+  SELECT j.metric, j.yt, r.y AS y_lag
+  FROM j JOIN r ON j.metric = r.metric AND r.rn = j.t - 24
+), snaive AS (
+  SELECT metric, 'snaive' AS model,
+         cast(count(*) AS bigint) AS n_test,
+         round(cast(sum(cast(abs(yt - y_lag) AS hugeint)) AS double)
+               / cast(count(*) AS double) / 100.0, 6) AS mae
+  FROM sn GROUP BY 1
+), drift AS (
+  SELECT metric, 'drift' AS model,
+         cast(count(*) AS bigint) AS n_test,
+         round(cast(sum(cast(abs((yt - y_te) * (te - 1)
+                    - (t - te) * (y_te - y1)) AS hugeint)) AS double)
+               / cast(count(*) AS double)
+               / cast(max(te - 1) AS double) / 100.0, 6) AS mae
+  FROM j GROUP BY 1
+)
+SELECT * FROM naive
+UNION ALL SELECT * FROM snaive
+UNION ALL SELECT * FROM drift
 """,
         "u_chart": """
 WITH day AS (

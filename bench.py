@@ -427,6 +427,7 @@ HEADLINE_R4 = [
     "g_chart",
     "exit_rates",
     "u_chart",
+    "forecast_baselines",
 ]
 
 

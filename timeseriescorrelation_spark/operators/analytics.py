@@ -3467,3 +3467,114 @@ def markov_absorption(events: DataFrame, target: str = "purchase",
             .alias("p_absorb"),
         )
     )
+
+
+def forecast_baselines(series: DataFrame, key: str = "metric",
+                       horizon: int = 24, season: int = 24,
+                       value_decimals: int = 2,
+                       min_train: int = 48) -> DataFrame:
+    """(metric, model, n_test, mae): the M-competition baseline
+    forecasters — naive (last value), seasonal-naive (value one
+    season back), drift (last value + trend line through first and
+    last train points) — backtested on each metric's LAST `horizon`
+    observed hours.  Any fancier forecaster (holt_winters, theta,
+    croston, ar2) must beat this table to justify itself; publishing
+    model scores without the baseline row is the classic forecasting
+    sin.
+
+    Exactness: the observed hourly sequence is rank-indexed per
+    metric; naive/snaive errors are plain integer differences; drift
+    errors multiply through by the integer denominator (train_len−1)
+    so every |error| summed is an EXACT integer (decimal38), and each
+    MAE is one terminal divide.  Holdout rows whose seasonal lag
+    falls before the series start drop from snaive's n_test (reported
+    per model, never silently).
+
+    Scale: grid hash-agg → one rank window per metric → three
+    metadata-sized joins against the per-metric anchor row."""
+    scale = 10 ** int(value_decimals)
+    h = series.groupBy(
+        F.col(key).alias("metric"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * scale).cast("long")).alias("y")
+    )
+    w = Window.partitionBy("metric").orderBy("hour_ts")
+    wn = Window.partitionBy("metric")
+    r = h.select(
+        "metric", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).where(F.col("n") >= int(min_train) + int(horizon))
+    te = F.col("n") - F.lit(int(horizon))  # last train rank
+    test = r.where(F.col("rn") > te).select(
+        "metric", F.col("rn").alias("t"), F.col("y").alias("yt"),
+        te.alias("te"),
+    )
+    anchors = (
+        r.where(F.col("rn") == te)
+        .select("metric", F.col("y").alias("y_te"))
+        .join(
+            r.where(F.col("rn") == 1).select(
+                "metric", F.col("y").alias("y1")
+            ),
+            "metric",
+        )
+    )
+    lagged = r.select(
+        "metric", F.col("rn").alias("lag_rn"), F.col("y").alias("y_lag")
+    )
+    j = test.join(F.broadcast(anchors), "metric")
+    DEC = "decimal(38,0)"
+    naive = j.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.abs(F.col("yt") - F.col("y_te")).cast(DEC)).alias("sae"),
+    ).select(
+        "metric", F.lit("naive").alias("model"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(
+            F.col("sae").cast("double")
+            / F.col("n_test").cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("mae"),
+    )
+    sn = j.withColumn(
+        "lag_rn", F.col("t") - F.lit(int(season))
+    ).join(lagged, ["metric", "lag_rn"])
+    snaive = sn.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.abs(F.col("yt") - F.col("y_lag")).cast(DEC))
+        .alias("sae"),
+    ).select(
+        "metric", F.lit("snaive").alias("model"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(
+            F.col("sae").cast("double")
+            / F.col("n_test").cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("mae"),
+    )
+    # drift error × (te−1) is exact: (yt − y_te)·(te−1) − (t−te)·(y_te−y1)
+    den = F.col("te") - F.lit(1)
+    derr = F.abs(
+        (F.col("yt") - F.col("y_te")) * den
+        - (F.col("t") - F.col("te")) * (F.col("y_te") - F.col("y1"))
+    )
+    drift = j.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(derr.cast(DEC)).alias("sae"),
+        F.max(den).alias("den"),
+    ).select(
+        "metric", F.lit("drift").alias("model"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(
+            F.col("sae").cast("double")
+            / F.col("n_test").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("mae"),
+    )
+    return naive.unionByName(snaive).unionByName(drift)
