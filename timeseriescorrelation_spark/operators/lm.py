@@ -634,3 +634,61 @@ def lang_temperature_weights(docs: DataFrame, alpha: float = 0.3,
             6,
         ).alias("boost"),
     )
+
+
+def coverage_greedy(docs: DataFrame, k: int = 5,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(round, doc_id, gain, covered_total): greedy max-coverage
+    selection of k documents by NEW distinct tokens covered — the
+    submodular data-selection primitive (facility-location greedy,
+    Nemhauser 1−1/e guarantee) an LLM curation pipeline runs to pick
+    a maximally-diverse seed set; dsir_weights scores documents
+    against a target, this picks the set that COVERS the corpus.
+
+    Deterministic: each round picks the document with the most
+    not-yet-covered distinct tokens, ties to the smallest id — an
+    integer argmax both engines replay; the oracle unrolls the k
+    rounds (each an anti-join of covered tokens + count + argmax),
+    bit-exact.  Rounds with zero remaining gain stop early.
+
+    Scale: the token postings table is |doc|·|distinct tokens/doc|;
+    each round is one anti-join + one hash-agg + a 1-row TakeOrdered;
+    the covered set is localCheckpointed per round (the CC/pagerank
+    pacing policy).  k is small by design — greedy selection is a
+    seed-set tool, not a ranking."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "").distinct().localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    covered = None
+    rows = []
+    total = 0
+    for i in range(int(k)):
+        rem = toks if covered is None else toks.join(
+            covered, "tok", "left_anti"
+        )
+        pick = (
+            rem.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not pick or pick[0]["gain"] == 0:
+            break
+        did, gain = pick[0]["doc_id"], int(pick[0]["gain"])
+        total += gain
+        rows.append((i + 1, int(did), gain, total))
+        new_cov = toks.where(F.col("doc_id") == did).select("tok")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows,
+        "round int, doc_id long, gain long, covered_total long",
+    )
