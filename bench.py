@@ -430,6 +430,14 @@ HEADLINE_R4 = [
     "forecast_baselines",
 ]
 
+# Round-5 additions (HEADLINE..R4 all frozen at their round-close
+# compositions)
+HEADLINE_R5 = [
+    "emb_cov_gram",
+    "prune_sweep",
+    "coverage_greedy",
+]
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -513,7 +521,7 @@ def main() -> None:
     qs = entrymod.queries()
     qs.update(_scale_overrides())
     timings: dict[str, float] = {}
-    for name in [*HEADLINE, *HEADLINE_R3, *HEADLINE_R4]:
+    for name in [*HEADLINE, *HEADLINE_R3, *HEADLINE_R4, *HEADLINE_R5]:
         if name not in qs:
             continue
         df = qs[name](spark, sf_dir)
@@ -550,6 +558,16 @@ def main() -> None:
         "r4_additions_total": round(
             sum(t for n, t in timings.items() if n in HEADLINE_R4), 3
         ),
+        # r4 verdict #10: HEADLINE_R4 is now frozen too, so round 5+
+        # stays per-cohort comparable across all closed rounds
+        "frozen_r04_total": round(
+            sum(t for n, t in timings.items()
+                if n in HEADLINE or n in HEADLINE_R3
+                or n in HEADLINE_R4), 3
+        ),
+        "r5_additions_total": round(
+            sum(t for n, t in timings.items() if n in HEADLINE_R5), 3
+        ),
         "sf": sf,
         "cpus": int(cpus),
     }
@@ -576,6 +594,7 @@ def main() -> None:
         "cpus": int(cpus),
         "full": "BENCH/bench_full_latest.json",
     }
+    entrymod.clear_graph_cache()  # release session-pinned graphs
     spark.stop()
     print(json.dumps(compact))
 

@@ -93,6 +93,7 @@ def main() -> int:
         else:
             print(f"OK   {name}: rows={len(got)}")
 
+    entrymod.clear_graph_cache()  # release session-pinned graphs
     spark.stop()
     return 1 if failures else 0
 

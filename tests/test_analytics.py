@@ -837,3 +837,34 @@ def test_seasonal_mk_min_days_filter(spark):
             for i in range(14)]  # < 21 days
     df = spark.createDataFrame(rows, SERIES_SCHEMA)
     assert seasonal_mann_kendall(df).count() == 0
+
+
+def test_forecast_baselines_snaive_out_of_sample_small_season(spark):
+    """r4 advice: with season < horizon, snaive must repeat the LAST
+    TRAIN season (lag k*season back into train), never reference other
+    holdout actuals.  Train is constant 10.0, holdout constant 50.0:
+    a leaky t-season lag would predict 50 from other test rows (error
+    0 for late ranks); the correct multi-step snaive always predicts
+    10 -> MAE exactly 40 over all 12 holdout hours."""
+    from timeseriescorrelation_spark.operators.analytics import (
+        forecast_baselines,
+    )
+
+    t0 = dt.datetime(2026, 3, 1)
+    rows = []
+    for i in range(36):  # 24 train + 12 holdout hours
+        v = 10.0 if i < 24 else 50.0
+        rows.append(("m", t0 + dt.timedelta(hours=i), v))
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    out = forecast_baselines(
+        df, horizon=12, season=6, min_train=12
+    ).collect()
+    sn = {r["model"]: r for r in out}["snaive"]
+    assert sn["n_test"] == 12
+    assert sn["mae"] == 40.0
+    # default season == horizon stays the plain one-season lag
+    out24 = forecast_baselines(df, horizon=12, season=12, min_train=12)
+    sn24 = {r["model"]: r for r in out24.collect()}["snaive"]
+    assert sn24["mae"] == 40.0

@@ -205,3 +205,50 @@ def test_cascade_1d_drain_without_new_input_is_noop(spark):
         assert _norm(spark.read.parquet(dirs[2])) == before
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_fold_replay_same_batch_id_is_idempotent(spark):
+    """foreachBatch is at-least-once (ADVICE r4): a driver crash
+    between the partials write and the checkpoint commit replays the
+    batch with the SAME batch id.  The production fold (fold_1m_batch,
+    the exact function stream_cascade_1h registers) must leave the
+    inter-stage log and the gold tier unchanged on replay — a blind
+    append would double the partials and permanently double-count the
+    1d tier."""
+    from timeseriescorrelation_spark.streaming.cascade_stream import (
+        fold_1m_batch,
+        partials_1d_from_1h,
+    )
+
+    work = tempfile.mkdtemp(prefix="cascade_replay_")
+    try:
+        gold = f"{work}/gold1h"
+        log = f"{work}/log1h"
+        batch = _silver(spark, _series_rows(list(range(0, 120, 5))))
+
+        fold_1m_batch(batch, 0, gold, log)
+        once_log = _norm(spark.read.parquet(log))
+        once_gold = _norm(spark.read.parquet(gold))
+        once_1d = _norm(
+            partials_1d_from_1h(
+                spark.read.parquet(log).drop("batch_id")
+            )
+        )
+
+        # replay: same batch contents, same batch id
+        fold_1m_batch(batch, 0, gold, log)
+        assert _norm(spark.read.parquet(log)) == once_log
+        assert _norm(spark.read.parquet(gold)) == once_gold
+        assert _norm(
+            partials_1d_from_1h(
+                spark.read.parquet(log).drop("batch_id")
+            )
+        ) == once_1d
+
+        # a genuinely NEW batch still lands (idempotency is keyed by
+        # batch id, not a write-once log)
+        late = _silver(spark, _series_rows(list(range(120, 180, 5))))
+        fold_1m_batch(late, 1, gold, log)
+        assert len(_norm(spark.read.parquet(log))) > len(once_log)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

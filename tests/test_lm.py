@@ -125,3 +125,36 @@ def test_dsir_ranks_target_like_docs_higher(spark):
         assert out[100].logw_u / out[100].n_bigrams \
             > out[200].logw_u / out[200].n_bigrams
         assert out[200].logw_u < 0
+
+
+def test_coverage_greedy_hand_computed_and_string_ids(spark):
+    """Greedy max-coverage: doc with most distinct tokens first, then
+    the doc adding most NEW tokens (not the next-biggest doc); string
+    doc ids survive (r4 advice: int(did) crashed non-integer ids)."""
+    from timeseriescorrelation_spark.operators.lm import coverage_greedy
+
+    rows = [
+        ("a", "w1 w2 w3 w4"),          # 4 distinct
+        ("b", "w1 w2 w3"),             # 3 distinct, all inside a
+        ("c", "w5 w6"),                # 2 distinct, all NEW after a
+        ("d", "w4 w5"),                # 2 distinct, covered after a,c
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = coverage_greedy(df, k=4).collect()
+    got = [(r["round"], r["doc_id"], r["gain"], r["covered_total"])
+           for r in out]
+    # round 3 would gain 0 (everything covered) -> early stop at 2
+    assert got == [(1, "a", 4, 4), (2, "c", 2, 6)]
+    assert out[0].__fields__ == ["round", "doc_id", "gain",
+                                 "covered_total"]
+
+    # bigram units: "x y" appears in both docs, so doc e (3 bigrams)
+    # wins round 1 and f adds only its uncovered bigram
+    df2 = spark.createDataFrame(
+        [(1, "x y z x"), (2, "x y q")],
+        "doc_id long, text string",
+    )
+    out2 = [(r["round"], r["doc_id"], r["gain"], r["covered_total"])
+            for r in coverage_greedy(df2, k=3, ngram=2).collect()]
+    # e=doc1 bigrams {x y, y z, z x}; doc2 {x y, y q}
+    assert out2 == [(1, 1, 3, 3), (2, 2, 1, 4)]

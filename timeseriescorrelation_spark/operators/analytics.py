@@ -3539,8 +3539,18 @@ def forecast_baselines(series: DataFrame, key: str = "metric",
             6,
         ).alias("mae"),
     )
+    # standard multi-step snaive: repeat the LAST TRAIN season — lag
+    # k·season steps where k = ceil((t − te)/season), so the lag rank
+    # never lands inside the holdout even when season < horizon (a
+    # plain t − season would "forecast" from other test-set actuals —
+    # leakage flagged in the r4 advice).  At the default season ==
+    # horizon, k == 1 for every holdout rank and this is bit-identical
+    # to the plain lag (oracle unchanged).
+    k = F.ceil(
+        (F.col("t") - F.col("te")).cast("double") / F.lit(int(season))
+    ).cast("int")
     sn = j.withColumn(
-        "lag_rn", F.col("t") - F.lit(int(season))
+        "lag_rn", F.col("t") - k * F.lit(int(season))
     ).join(lagged, ["metric", "lag_rn"])
     snaive = sn.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n_test"),

@@ -38,90 +38,83 @@ _DEC_SCHEMA = "conv_id string, metric string, ts timestamp, value double"
 def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
     """series (conv_id, metric, ts, turn_idx, value) → chunk blobs.
 
-    NOT a per-chunk applyInPandas: a (conv, metric, day) grouping
-    makes ~1 Arrow group per chunk, and tens of thousands of tiny
-    groups pay ~10x in per-group transfer overhead (measured: 106 s →
-    14 s at sf0.1's 80k chunks; the residue is the codec's fixed
-    ~30-numpy-call cost per chunk, which sf0.1's unrealistically tiny
-    ~55-point day-chunks cannot amortize — production-density chunks
-    of 10³–10⁵ points run the same code at full vector speed).
-    Instead hash-repartition on
-    (conv_id, metric), sort within partitions by the full chunk+order
-    key, and encode every chunk of the partition from one concatenated
-    Arrow stream — same blobs, same single shuffle, no partition-edge
-    artifacts (a series' chunks all land in its hash partition)."""
+    Physical shape (v3, round 5): hash-repartition on conv_id, then a
+    JVM-side ``groupBy(conv, metric, chunk_start).agg(sort_array(
+    collect_list(struct(ts, turn_idx, value))))``, then one
+    mapInArrow over the AGGREGATED rows whose list offsets feed
+    ``encode_chunks_batch`` as its ``starts`` array directly.
+
+    Why this shape (the r4 scaling postmortem): the previous
+    sort-and-stream form (repartition → sortWithinPartitions → stream
+    every POINT row into Python) made the JVM serializer thread do a
+    full per-partition sort AND re-serialize conv_id/metric strings
+    once per point (~2 GB of repeated strings at the 44M-point bench)
+    — ~2 busy threads per task, which oversubscribes a shared host at
+    local[32] and was the one fused job under the 0.8 scaling gate.
+    Grouping JVM-side sends each chunk's key strings ONCE and its
+    points as contiguous Arrow list children (zero-copy into numpy),
+    cutting the Python-boundary bytes ~3× and replacing the O(n log n)
+    partition sort with a hash-agg + per-chunk sort_array.  Blobs are
+    byte-identical (same per-chunk (ts, turn_idx) ordering, same
+    codec; asserted by the fixture + hypothesis tests).
+
+    The single-shuffle property survives: the agg's ClusteredDistribution
+    on (conv, metric, chunk_start) is satisfied by the conv_id-only
+    hash partitioning (partition keys ⊆ grouping keys), so when the
+    series arrive from derive_series whose turn-rate Window already
+    exchanged on conv_id with the same count, the whole
+    transcripts→chunks job still runs with ONE exchange of narrow
+    pre-explode turn rows (plan-asserted in tests/test_plans.py).
+
+    Per-chunk applyInPandas would be simpler but pays ~10× per-group
+    transfer overhead at sf0.1's tiny ~55-point day-chunks (measured
+    round 2: 106 s → 14 s); production-density chunks of 10³–10⁵
+    points amortize everything and run the codec at full vector
+    speed."""
 
     def _enc(batches):
-        # mapInArrow, not mapInPandas: at 44M rows/partition-set the
-        # Arrow→pandas conversion materializes every conv_id/metric
-        # string as a Python object and the hash groupby walks them
-        # again — measured to dominate the whole job (codec ~1 Mpts/s
-        # vs job ~36k pts/s/core).  Arrow-native, strings stay in
-        # arrow buffers end-to-end: run boundaries on the SORTED
-        # stream come from three vectorized slice-compares, group keys
-        # from one take(), and ts/value view as int64/float64
-        # zero-copy.
+        # Arrow-native: the list column's offsets ARE the codec's
+        # group delimiters; ts/value are the struct children viewed
+        # int64/float64 zero-copy.  No per-point Python, no per-point
+        # string materialization.
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        bl = list(batches)
-        if not bl:
-            return
-        tbl = pa.Table.from_batches(bl).combine_chunks()
-        nrows = tbl.num_rows
-        if nrows == 0:
-            return
-
-        def col(name):
-            c = tbl.column(name)
-            return c.chunk(0) if c.num_chunks else pa.array(
-                [], type=c.type
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            lst = tbl.column("pts")
+            lst = lst.chunk(0) if lst.num_chunks else pa.array(
+                [], type=lst.type
             )
-
-        conv, met, cs = col("conv_id"), col("metric"), col("chunk_start")
-        # rows arrive sorted by (conv, metric, chunk_start, ts,
-        # turn_idx) ⇒ chunks are contiguous runs
-        if nrows > 1:
-            chg = pc.or_(
-                pc.or_(
-                    pc.not_equal(conv.slice(1), conv.slice(0, nrows - 1)),
-                    pc.not_equal(met.slice(1), met.slice(0, nrows - 1)),
-                ),
-                pc.not_equal(cs.slice(1), cs.slice(0, nrows - 1)),
+            off = np.asarray(lst.offsets, dtype=np.int64)
+            starts = off - off[0]
+            n = np.diff(starts)
+            flat = lst.flatten()  # honors the list's logical window
+            ts = flat.field("ts").to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[us]").view(np.int64)
+            vals = flat.field("value").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            blobs = encode_chunks_batch(ts, vals, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("conv_id").combine_chunks(),
+                    tbl.column("metric").combine_chunks(),
+                    tbl.column("chunk_start").combine_chunks(),
+                    pa.array(n.astype(np.int32), type=pa.int32()),
+                    pa.array(blobs, type=pa.binary()),
+                    pa.array(16 * n, type=pa.int64()),
+                    pa.array(
+                        np.fromiter((len(b) for b in blobs),
+                                    dtype=np.int64, count=len(blobs)),
+                        type=pa.int64(),
+                    ),
+                ],
+                names=["conv_id", "metric", "chunk_start", "n", "blob",
+                       "raw_bytes", "enc_bytes"],
             )
-            bnd = np.flatnonzero(
-                chg.to_numpy(zero_copy_only=False)
-            ) + 1
-        else:
-            bnd = np.empty(0, dtype=np.int64)
-        starts = np.concatenate([[0], bnd, [nrows]])
-        n = np.diff(starts)
-        first_idx = pa.array(starts[:-1])
-
-        ts = col("ts").to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]"
-        ).view(np.int64)
-        vals = col("value").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        blobs = encode_chunks_batch(ts, vals, starts)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pc.take(conv, first_idx),
-                pc.take(met, first_idx),
-                pc.take(cs, first_idx),
-                pa.array(n.astype(np.int32), type=pa.int32()),
-                pa.array(blobs, type=pa.binary()),
-                pa.array(16 * n, type=pa.int64()),
-                pa.array(
-                    np.fromiter((len(b) for b in blobs),
-                                dtype=np.int64, count=len(blobs)),
-                    type=pa.int64(),
-                ),
-            ],
-            names=["conv_id", "metric", "chunk_start", "n", "blob",
-                   "raw_bytes", "enc_bytes"],
-        )
 
     keyed = series.withColumn("chunk_start", F.date_trunc(chunk, "ts"))
     # explicit partition count: a bare repartition(cols) is an AQE
@@ -134,20 +127,13 @@ def encode_chunks(series: DataFrame, chunk: str = "day") -> DataFrame:
     )
 
     n_part = shuffle_partition_count(series.sparkSession)
-    # partition on conv_id ALONE (not conv_id+metric): co-location of
-    # a (conv, metric) series only needs the conv, and when the series
-    # arrive from derive_series the upstream turn-rate Window already
-    # hash-partitioned on conv_id with the same count — Spark then
-    # ELIDES this repartition entirely (verified: 2 exchanges → 1),
-    # so the fused transcripts→chunks job shuffles only the NARROW
-    # pre-explode turn rows (no metric strings, no 3× explosion)
-    part = keyed.repartition(n_part, "conv_id") \
-        .sortWithinPartitions(
-            "conv_id", "metric", "chunk_start", "ts", "turn_idx"
-        )
-    return part.select(
-        "conv_id", "metric", "chunk_start", "ts", "value"
-    ).mapInArrow(_enc, _ENC_SCHEMA)
+    part = keyed.repartition(n_part, "conv_id")
+    g = part.groupBy("conv_id", "metric", "chunk_start").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "turn_idx", "value"))
+        ).alias("pts")
+    )
+    return g.mapInArrow(_enc, _ENC_SCHEMA)
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:

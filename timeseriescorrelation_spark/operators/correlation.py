@@ -184,13 +184,16 @@ def corr_report(aligned: DataFrame, theta: float, k: int = 4,
                 broadcast_vectors: bool | None = None) -> tuple[DataFrame, dict]:
     """Full tiered operator.  Returns (report_df sorted by ρ desc,
     pruning counters) — counters trigger computation (A5)."""
-    vectors = dft_sketch(build_vectors(aligned, id_col), k, id_col)
-    vectors.cache()
+    from timeseriescorrelation_spark.session import cache_once
+
+    vectors = cache_once(
+        dft_sketch(build_vectors(aligned, id_col), k, id_col)
+    )
     n = vectors.count()
     first = vectors.select("m").first()
     m_width = int(first["m"]) if first is not None else 1
     cand = candidate_pairs(vectors, theta, id_col)
-    cand.cache()
+    cand = cache_once(cand)
     n_checked = cand.count()
     report = exact_corr(
         cand, vectors, theta, id_col, broadcast_vectors,

@@ -638,7 +638,8 @@ def lang_temperature_weights(docs: DataFrame, alpha: float = 0.3,
 
 def coverage_greedy(docs: DataFrame, k: int = 5,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    ngram: int = 1) -> DataFrame:
     """(round, doc_id, gain, covered_total): greedy max-coverage
     selection of k documents by NEW distinct tokens covered — the
     submodular data-selection primitive (facility-location greedy,
@@ -657,12 +658,34 @@ def coverage_greedy(docs: DataFrame, k: int = 5,
     the covered set is localCheckpointed per round (the CC/pagerank
     pacing policy).  k is small by design — greedy selection is a
     seed-set tool, not a ranking."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.lower(F.col(text_col)), r"\s+")
-        ).alias("tok"),
-    ).where(F.col("tok") != "").distinct().localCheckpoint(eager=True)
+    # coverage unit: distinct word `ngram`s (1 = plain tokens; ≥2 when
+    # the unigram vocabulary is too small to discriminate documents —
+    # empty tokens filtered BEFORE gram assembly so both engines see
+    # identical grams)
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    if int(ngram) <= 1:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(arr).alias("tok")
+        ).distinct().localCheckpoint(eager=True)
+    else:
+        n = int(ngram)
+        t = docs.select(F.col(id_col).alias("doc_id"), arr.alias("toks"))
+        idx = F.when(
+            F.size("toks") >= n,
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(n)]
+            ),
+        )
+        toks = t.select(
+            "doc_id", F.explode(F.array_distinct(gram)).alias("tok")
+        ).localCheckpoint(eager=True)
     spark = docs.sparkSession
     covered = None
     rows = []
@@ -682,13 +705,25 @@ def coverage_greedy(docs: DataFrame, k: int = 5,
             break
         did, gain = pick[0]["doc_id"], int(pick[0]["gain"])
         total += gain
-        rows.append((i + 1, int(did), gain, total))
+        rows.append((i + 1, did, gain, total))
         new_cov = toks.where(F.col("doc_id") == did).select("tok")
         covered = (
             new_cov if covered is None
             else covered.unionByName(new_cov).distinct()
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        rows,
-        "round int, doc_id long, gain long, covered_total long",
+    # doc_id keeps the SOURCE id type (string ids are first-class —
+    # int(did) would crash the first non-integer caller, r4 advice)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType([
+        StructField("round", IntegerType(), False),
+        StructField("doc_id", docs.schema[id_col].dataType, True),
+        StructField("gain", LongType(), False),
+        StructField("covered_total", LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)

@@ -57,18 +57,57 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+_LEDGER_DIR = "_batch_ledger"
+
+
+def _ledger_path(spark: SparkSession, path: str, batch_id: int):
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.hadoop.fs.Path(
+        path, f"{_LEDGER_DIR}/{int(batch_id)}"
+    )
+
+
+def _ledger_has(spark: SparkSession, path: str, batch_id: int) -> bool:
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = _ledger_path(spark, path, batch_id)
+    return p.getFileSystem(conf).exists(p)
+
+
+def _ledger_mark(spark: SparkSession, path: str, batch_id: int) -> None:
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = _ledger_path(spark, path, batch_id)
+    fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent())
+    fs.create(p, True).close()
+
+
 def refresh_partials(spark: SparkSession, path: str,
-                     partials: DataFrame) -> list[str]:
+                     partials: DataFrame,
+                     batch_id: int | None = None) -> list[str]:
     """Fold UPSERTABLE same-grain partials (standard tier columns +
     fkey/lkey) into the stored tier at `path`, rewriting only the
     touched day partitions — the storage half shared by the batch
     late-delta refresh (refresh_tier) and the streaming
     continuous-aggregate stage (streaming/cascade_stream.py's
     foreachBatch calls this per micro-batch).  A missing path is the
-    initial materialization (plain partitioned write)."""
+    initial materialization (plain partitioned write).
+
+    `batch_id` (the streaming callers pass their foreachBatch id) arms
+    a sink-side ledger: the merge is ADDITIVE, so an at-least-once
+    replay of an already-applied batch would double-count it — ids
+    recorded under `<path>/_batch_ledger/` are skipped instead.  The
+    marker lands after the data rewrite, which narrows the replay
+    window to a crash between those two writes on plain parquet; on
+    Iceberg/Delta the same ledger rides the snapshot commit itself
+    (Delta's txnAppId/txnVersion), making the pair atomic — this keeps
+    that seam explicit the way TableIO does for the catalog."""
+    if batch_id is not None and _ledger_has(spark, path, batch_id):
+        return []
     up = _with_part(partials)
     if not _path_exists(spark, path):
         up.write.partitionBy(PART_COL).mode("overwrite").parquet(path)
+        if batch_id is not None:
+            _ledger_mark(spark, path, batch_id)
         return [r[0] for r in up.select(PART_COL).distinct().collect()]
     days = [r[0] for r in up.select(PART_COL).distinct().collect()]
     if not days:
@@ -87,6 +126,8 @@ def refresh_partials(spark: SparkSession, path: str,
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", old_mode
         )
+    if batch_id is not None:
+        _ledger_mark(spark, path, batch_id)
     return sorted(days)
 
 

@@ -71,3 +71,14 @@ def shuffle_partition_count(spark: SparkSession) -> int:
         return int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         return spark.sparkContext.defaultParallelism
+
+
+def cache_once(df):
+    """`df.cache()` unless an equivalent plan is already cached —
+    `storageLevel` consults the CacheManager by logical plan, so a
+    second query that rebuilds the same lineage (the corr family's
+    shared sketch vectors) reuses the existing cache entry instead of
+    re-marking it (which logs `CacheManager: Asked to cache already
+    cached data` — r4 verdict hygiene item #3)."""
+    sl = df.storageLevel
+    return df if (sl.useMemory or sl.useDisk) else df.cache()

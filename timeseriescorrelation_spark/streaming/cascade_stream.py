@@ -23,11 +23,15 @@ bucket's µs offset packed with the hour-grain convention
 (off << 31, turn component 0), comparable across micro-batches of the
 same hour.
 
-Resume: the foreachBatch checkpoint makes the fold idempotent at the
-batch boundary — a replayed batch rewrites the same partitions to the
-same contents (the merge is deterministic), and new silver files are
-processed exactly once.  Asserted in tests/test_cascade_stream.py:
-two incremental drains == one batch rollup of everything.
+Resume: foreachBatch is at-least-once, and the tier merge is ADDITIVE
+— so exactly-once is engineered, not assumed: the inter-stage partials
+log is overwrite-by-batch-id (a replayed batch rewrites its own
+``batch_id=<id>`` partition to the same deterministic contents), and
+both gold folds consult the sink-side ``_batch_ledger`` in
+refresh_partials, skipping batch ids already applied.  Asserted in
+tests/test_cascade_stream.py: two incremental drains == one batch
+rollup of everything, and a replayed fold with the same batch id is a
+no-op.
 """
 
 from __future__ import annotations
@@ -125,6 +129,43 @@ def partials_1d_from_1h(p1h: DataFrame) -> DataFrame:
     )
 
 
+def fold_1m_batch(batch: DataFrame, batch_id: int, gold_dir: str,
+                  partials_dir: str | None) -> None:
+    """One stage-1 micro-batch fold: 1m rows → 1h partials → gold tier
+    merge, with the partials optionally logged to the inter-stage feed
+    under a ``batch_id=<id>`` partition via dynamic partition
+    overwrite.  Module-level (not a closure) so the replay test can
+    invoke the exact production fold twice with the same batch id and
+    assert the log stays duplicate-free — foreachBatch is
+    at-least-once, and this overwrite-by-batch-id (plus the gold
+    tier's refresh ledger) is the idempotency mechanism."""
+    if batch.isEmpty():
+        return
+    p1h = partials_1h_from_1m(batch)
+    if partials_dir is not None:
+        p1h = p1h.localCheckpoint()  # compute once, feed both sinks
+        sess = batch.sparkSession
+        old_mode = sess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        sess.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            p1h.withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.partitionBy("batch_id").mode(
+                "overwrite"
+            ).parquet(partials_dir)
+        finally:
+            sess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+    refresh_partials(
+        batch.sparkSession, gold_dir, p1h, batch_id=int(batch_id)
+    )
+
+
 def stream_cascade_1h(spark: SparkSession, silver_dir: str,
                       gold_dir: str, ck_dir: str,
                       partials_dir: str | None = None) -> None:
@@ -133,26 +174,29 @@ def stream_cascade_1h(spark: SparkSession, silver_dir: str,
     offsets under `ck_dir`).
 
     If `partials_dir` is given, each micro-batch's 1h partials are
-    ALSO appended there (append-only parquet log, fkey/lkey kept) —
-    the inter-stage feed of the 1h→1d cascade stage.  An append-only
-    log is load-bearing: the materialized gold dir is partition-
-    REWRITTEN on refold, and a file-source stream over it would
-    re-emit whole rewritten partitions into the next stage, double
-    counting them; the partials log instead carries exactly each
-    batch's delta once."""
+    ALSO written there (parquet log partitioned by batch_id, fkey/lkey
+    kept) — the inter-stage feed of the 1h→1d cascade stage.  An
+    append-only-semantics log is load-bearing: the materialized gold
+    dir is partition-REWRITTEN on refold, and a file-source stream
+    over it would re-emit whole rewritten partitions into the next
+    stage, double counting them; the partials log instead carries each
+    batch's delta exactly once.  foreachBatch is at-least-once, so a
+    blind `mode("append")` would NOT deliver that contract: a driver
+    crash between the append and the checkpoint commit replays the
+    batch and duplicates its partials forever.  Each batch therefore
+    writes its own `batch_id=<id>` partition with DYNAMIC partition
+    overwrite — a replayed batch rewrites the same partition to the
+    same deterministic contents, keeping the log idempotent at the
+    batch boundary (same discipline refresh_partials applies to the
+    gold tiers)."""
     tier = spark.readStream.schema(TIER_SCHEMA).parquet(silver_dir)
 
-    def _fold(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        p1h = partials_1h_from_1m(batch)
-        if partials_dir is not None:
-            p1h = p1h.localCheckpoint()  # compute once, feed both sinks
-            p1h.write.mode("append").parquet(partials_dir)
-        refresh_partials(batch.sparkSession, gold_dir, p1h)
-
     q = (
-        tier.writeStream.foreachBatch(_fold)
+        tier.writeStream.foreachBatch(
+            lambda batch, bid: fold_1m_batch(
+                batch, bid, gold_dir, partials_dir
+            )
+        )
         .option("checkpointLocation", ck_dir)
         .trigger(availableNow=True)
         .start()
@@ -162,18 +206,20 @@ def stream_cascade_1h(spark: SparkSession, silver_dir: str,
 
 def stream_cascade_1d(spark: SparkSession, partials_1h_dir: str,
                       gold_1d_dir: str, ck_dir: str) -> None:
-    """Second cascade stage: drain the append-only 1h-partials log
-    into the materialized 1d tier (own checkpoint, so the 1h and 1d
-    stages resume independently)."""
-    feed = spark.readStream.schema(PARTIALS_SCHEMA).parquet(
-        partials_1h_dir
-    )
+    """Second cascade stage: drain the batch_id-partitioned 1h-partials
+    log into the materialized 1d tier (own checkpoint, so the 1h and 1d
+    stages resume independently).  The log's batch_id partition column
+    is a stage-1 idempotency key only — dropped here before folding."""
+    feed = spark.readStream.schema(
+        PARTIALS_SCHEMA + ", batch_id long"
+    ).parquet(partials_1h_dir).drop("batch_id")
 
-    def _fold(batch: DataFrame, _batch_id: int) -> None:
+    def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         refresh_partials(
-            batch.sparkSession, gold_1d_dir, partials_1d_from_1h(batch)
+            batch.sparkSession, gold_1d_dir, partials_1d_from_1h(batch),
+            batch_id=int(batch_id),
         )
 
     q = (
