@@ -524,15 +524,22 @@ def main() -> None:
     for name in [*HEADLINE, *HEADLINE_R3, *HEADLINE_R4, *HEADLINE_R5]:
         if name not in qs:
             continue
+        # SPARK_GRAFT_BENCH_PASSES=1 skips the warm-up and times one
+        # pass — for the sf1 stress sweep, where per-query absolute
+        # time is the signal (which caps bind super-linearly), not
+        # steady-state JIT throughput, and 3x the sweep cost buys
+        # nothing.  Default (2 timed + warm-up) is the protocol.
+        passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
         df = qs[name](spark, sf_dir)
-        _materialize(df)  # warm (plan + shuffle files + caches)
+        if passes > 1:
+            _materialize(df)  # warm (plan + shuffle files + caches)
         # min-of-2: single-timed runs punish the heaviest queries with
         # JVM C2 compilation of their codegen (measured: corr_report
         # 22s -> 8.6s -> 6.2s -> 2.4s across identical runs on a fresh
         # JVM); steady state is the number that scales to long-running
         # jobs, first-run JIT is a fixed cost amortized to zero there
         best = float("inf")
-        for _ in range(2):
+        for _ in range(min(passes, 2)):
             t0 = time.perf_counter()
             _materialize(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

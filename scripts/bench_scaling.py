@@ -284,6 +284,34 @@ varied 58→165 s within ONE session).  TSC_SCALE_ROUNDS=2 now runs the
 two parallelism levels in ALTERNATION and keeps the per-stage MIN
 across rounds, so one noisy window cannot sink a single level's
 number; the committed report uses 2 rounds.
+
+## Round-5 protocol + chunks_fused notes
+
+Round 5 attacked the remaining sub-0.8 stage (chunks_fused, 0.70 at
+the r4 protocol) on both prongs the r4 verdict prescribed:
+
+(1) ENGINEERING — encode v3 (operators/chunks.py): the sort-and-
+stream shape (sortWithinPartitions + stream every point row into
+Python) became a JVM-side groupBy(conv, metric, chunk_start) +
+sort_array(collect_list(struct(ts, turn_idx, value))) + mapInArrow
+over the aggregated rows.  Chunk key strings cross the Python socket
+once per CHUNK (not per point; ~3x fewer bytes), the list offsets
+feed encode_chunks_batch as its `starts` array zero-copy, and with
+the ObjectHashAggregate fallback threshold raised (session.py) the
+per-partition O(n log n) sort disappears entirely.  Blobs are
+byte-identical (fixture + hypothesis tests) and the fused job keeps
+its single exchange.  Interleaved same-session A/B at local[32]
+(min-of-3, alternating): v2 90.6 s vs v3 55.8 s — 1.6x.
+The Python worker's serializer-side demand is what oversubscribed
+local[32] (~2 runnable threads/task); cutting boundary bytes attacks
+the scaling artifact at its source, not just absolute cost.
+
+(2) EVIDENCE — TSC_SCALE_LEVELS=8,16 runs the matched-occupancy
+experiment: both levels fit the 32-core host even at 2 threads/task,
+so neither is oversubscribed; a recovered per-2x ratio there
+demonstrates the 8-vs-32 shortfall is the shared-host artifact a
+1-core-per-slot cluster does not reproduce.  Committed as
+BENCH/scale_occupancy_r5.json.
 """
 
 

@@ -40,6 +40,15 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # collect_list/collect_set aggs (the chunk encoder's
+        # sort_array(collect_list) shape) run on ObjectHashAggregate,
+        # whose default fallback flips to SORT-BASED aggregation after
+        # only 128 distinct in-memory groups — re-introducing the
+        # O(n log n) per-partition sort the aggregate shape exists to
+        # avoid.  Buffered state is bounded by the partition's rows
+        # (tens of MB at protocol scale), so a 64k-group map is safe
+        .config("spark.sql.objectHashAggregate.sortBased."
+                "fallbackThreshold", "65536")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

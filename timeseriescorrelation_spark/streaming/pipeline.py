@@ -110,3 +110,73 @@ def run_pipeline_once(spark: SparkSession, src_dir: str, work_dir: str,
         stream_fill_locf(tier, fill_step), gold, os.path.join(ck, "gold")
     )
     return {"bronze": bronze, "silver": silver, "gold": gold}
+
+
+def run_full_pipeline_once(spark: SparkSession, src_dir: str,
+                           work_dir: str,
+                           watermark: str = "10 minutes",
+                           stop_after_stage: int | None = None,
+                           ) -> dict[str, str]:
+    """The COMPLETE four-stage production pipeline, one drain:
+
+        1. bronze  — ingest dedup (replay horizon = watermark)
+        2. silver  — streaming 1m tier (finalized buckets only)
+        3. gold 1h — cascade fold silver → materialized 1h tier,
+                     appending 1h partials to the batch-id'd log
+        4. gold 1d — cascade fold the partials log → 1d tier
+
+    Each stage owns its checkpoint under ``work_dir``, so the pipeline
+    resumes exactly where it stopped after a crash BETWEEN stages —
+    ``stop_after_stage`` simulates that crash for the chaos test
+    (r4 verdict task #8): a run killed after stage j leaves stages
+    j+1.. lagging, and the next call must catch them up with no
+    double-counts (the stage-3/4 folds are ledger-idempotent) and no
+    losses.  Returns the stage output paths."""
+    from timeseriescorrelation_spark.streaming.cascade_stream import (
+        stream_cascade_1d,
+        stream_cascade_1h,
+    )
+
+    bronze = os.path.join(work_dir, "bronze")
+    silver = os.path.join(work_dir, "silver")
+    gold_1h = os.path.join(work_dir, "gold_1h")
+    log_1h = os.path.join(work_dir, "log_1h")
+    gold_1d = os.path.join(work_dir, "gold_1d")
+    ck = os.path.join(work_dir, "ckpt")
+    paths = {"bronze": bronze, "silver": silver, "gold_1h": gold_1h,
+             "log_1h": log_1h, "gold_1d": gold_1d}
+
+    raw = (
+        spark.readStream.schema(SERIES_SCHEMA)
+        .parquet(src_dir)
+        .withWatermark("ts", watermark)
+    )
+    run_available_now(
+        stream_dedup(raw, DEDUP_KEYS), bronze, os.path.join(ck, "bronze")
+    )
+    if stop_after_stage == 1:
+        return paths
+
+    deduped = spark.readStream.schema(SERIES_SCHEMA).parquet(bronze)
+    run_available_now(
+        stream_rollup_1m(deduped, watermark),
+        silver,
+        os.path.join(ck, "silver"),
+    )
+    if stop_after_stage == 2:
+        return paths
+
+    stream_cascade_1h(
+        spark, silver, gold_1h, os.path.join(ck, "gold_1h"),
+        partials_dir=log_1h,
+    )
+    if stop_after_stage == 3:
+        return paths
+
+    # a drain in which stage 3 saw zero batches never created the log
+    # dir; stage 4's file source needs the path to exist
+    os.makedirs(log_1h, exist_ok=True)
+    stream_cascade_1d(
+        spark, log_1h, gold_1d, os.path.join(ck, "gold_1d")
+    )
+    return paths
