@@ -521,8 +521,14 @@ def main() -> None:
     qs = entrymod.queries()
     qs.update(_scale_overrides())
     timings: dict[str, float] = {}
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep — used by the
+    # sf1 stress pass to time the bounded-n/quadratic suspects first
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     for name in [*HEADLINE, *HEADLINE_R3, *HEADLINE_R4, *HEADLINE_R5]:
         if name not in qs:
+            continue
+        if only_set is not None and name not in only_set:
             continue
         # SPARK_GRAFT_BENCH_PASSES=1 skips the warm-up and times one
         # pass — for the sf1 stress sweep, where per-query absolute
